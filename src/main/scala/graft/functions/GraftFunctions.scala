@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** Registration point for all graft SQL functions, mirroring the
+  * reference's `CREATE AGGREGATE FUNCTION` DDL step
+  * (`/root/reference/README.md:40-46`) with Spark's
+  * `FunctionRegistry`. After `register(spark)`, the literal SQL of the
+  * reference README — `SELECT CAST(appx_median_bounded(x, 5) AS DOUBLE)
+  * FROM numbers` — parses and runs unchanged.
+  *
+  * Registration is idempotent; query entry points call it eagerly. */
+object GraftFunctions {
+
+  private def two(name: String)(exprs: Seq[Expression]): (Expression, Expression) = {
+    require(exprs.length == 2,
+      s"$name(value, max_samples) takes 2 arguments, got ${exprs.length}")
+    // Numeric inputs are welcome; the aggregate itself wants exactly
+    // (DOUBLE, INT), like the reference signature (median.h:44).
+    (Cast(exprs.head, DoubleType), Cast(exprs(1), IntegerType))
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+
+    registry.createOrReplaceTempFunction(
+      "appx_median_bounded",
+      (exprs: Seq[Expression]) => {
+        val (v, k) = two("appx_median_bounded")(exprs)
+        AppxMedianBounded(v, k, asString = true)
+      },
+      "scala_udf")
+
+    registry.createOrReplaceTempFunction(
+      "appx_median_bounded_double",
+      (exprs: Seq[Expression]) => {
+        val (v, k) = two("appx_median_bounded_double")(exprs)
+        AppxMedianBounded(v, k, asString = false)
+      },
+      "scala_udf")
+
+    registry.createOrReplaceTempFunction(
+      "reservoir_sample",
+      (exprs: Seq[Expression]) => {
+        val (v, k) = two("reservoir_sample")(exprs)
+        ReservoirSampleAgg(v, k)
+      },
+      "scala_udf")
+  }
+
+  // ---- DataFrame/Column API (requires register(spark) on the active
+  // session; resolved at analysis time via the function registry) ----
+
+  /** STRING-returning form, signature-parity with the reference UDA. */
+  def appx_median_bounded(value: Column, maxSamples: Int): Column =
+    call_function("appx_median_bounded", value, lit(maxSamples))
+
+  /** DOUBLE-returning form for direct numeric use. */
+  def appx_median_bounded_double(value: Column, maxSamples: Int): Column =
+    call_function("appx_median_bounded_double", value, lit(maxSamples))
+
+  /** Bounded sample of a column as a value-sorted ARRAY<DOUBLE>. */
+  def reservoir_sample(value: Column, k: Int): Column =
+    call_function("reservoir_sample", value, lit(k))
+}

@@ -1,0 +1,248 @@
+package graft.queries
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core: the host-engine capabilities the reference assumes
+  * from Impala (SURVEY §2.2 — scan/filter/project, joins incl.
+  * semi/anti, hash aggregation, windows, sort/limit, set ops, rollup,
+  * scalar functions), expressed declaratively so Catalyst supplies
+  * pushdown, pruning, partial aggregation and join planning.
+  *
+  * Determinism rules for oracle parity (driver hash-compares against
+  * DuckDB): every query ends in a total ORDER BY; double SUMs are
+  * either over integral-valued doubles (order-independent) or routed
+  * through DECIMAL casts (exact, associative); no libm functions whose
+  * last-ulp behavior differs across engines (pow/ln/exp avoided).
+  */
+object CoreQueries {
+
+  private val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1-shaped pricing summary: partial+final hash aggregation.
+    QueryDef("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  sum(l_quantity) / count(*) AS avg_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(disc.cast("decimal(20,4)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Filter + projection — predicate and column pruning reach the
+    // parquet scan (verified via explain in the spec).
+    QueryDef("q02_filter_project",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1995-06-01").cast("timestamp")
+          && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), disc.as("revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // Multi-way join: fact-fact shuffle join + broadcast dim join.
+    QueryDef("q03_join_revenue_nation",
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (spark, dir) =>
+      val cust = Tables.load(spark, dir, "customer")
+      val ord = Tables.load(spark, dir, "orders")
+      val li = Tables.load(spark, dir, "lineitem")
+      val nat = Tables.load(spark, dir, "nation")
+      cust
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(disc.cast("decimal(20,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    },
+
+    // Left-semi join (EXISTS).
+    QueryDef("q04_semi_join",
+      """SELECT c_mktsegment, count(*) AS n_cust
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      val cust = Tables.load(spark, dir, "customer")
+      val ord = Tables.load(spark, dir, "orders")
+      cust.join(ord.filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Left-anti join (NOT EXISTS).
+    QueryDef("q05_anti_join",
+      """SELECT p_brand, count(*) AS n_parts
+        |FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (spark, dir) =>
+      val part = Tables.load(spark, dir, "part")
+      val li = Tables.load(spark, dir, "lineitem")
+      part.join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy(col("p_brand"))
+    },
+
+    // Window function: per-partition top-1 with full tiebreak.
+    QueryDef("q06_window_top_supplier",
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem) t
+        |WHERE rn = 1
+        |ORDER BY l_suppkey""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.load(spark, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .orderBy(col("l_suppkey"))
+    },
+
+    // Top-k: ORDER BY + LIMIT (Spark plans TakeOrderedAndProject — no
+    // global sort at scale).
+    QueryDef("q07_topk_orders",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(10)
+    },
+
+    // Set operations: INTERSECT then EXCEPT (distinct semantics).
+    QueryDef("q08_set_ops",
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |) t ORDER BY o_custkey""".stripMargin) { (spark, dir) =>
+      val ord = Tables.load(spark, dir, "orders")
+      def byStatus(s: String) =
+        ord.filter(col("o_orderstatus") === s).select(col("o_custkey"))
+      byStatus("O").intersect(byStatus("F")).except(byStatus("P"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // ROLLUP grouping sets (nulls coalesced so both engines agree on
+    // ordering and hashing of the subtotal rows).
+    QueryDef("q09_rollup",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rflag"), col("lstatus"))
+    },
+
+    // Scalar string functions.
+    QueryDef("q10_scalar_string",
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  length(p_name) AS name_len,
+        |  substr(p_type, 1, 5) AS type5,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  replace(p_name, ' ', '_') AS name_u
+        |FROM part ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), " ", "_").as("name_u"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Scalar date/time functions (UTC session; INT-cast for type parity).
+    QueryDef("q11_scalar_datetime",
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY yr, mo
+        |ORDER BY yr, mo""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("yr"), col("mo"))
+    },
+
+    // Scalar math functions (only ops with engine-identical IEEE
+    // behavior: sqrt, abs, floor/ceil, modulo).
+    QueryDef("q12_scalar_math",
+      """SELECT l_orderkey, l_linenumber,
+        |  sqrt(l_quantity) AS sq,
+        |  abs(l_extendedprice - 1000.0 * l_quantity) AS ab,
+        |  CAST(floor(l_discount * 100.0) AS BIGINT) AS disc_pct,
+        |  CAST(ceil(l_tax * 100.0) AS BIGINT) AS tax_pct,
+        |  l_orderkey % 7 AS bucket
+        |FROM lineitem
+        |WHERE l_linenumber = 1
+        |ORDER BY l_orderkey""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sqrt(col("l_quantity")).as("sq"),
+          abs(col("l_extendedprice") - lit(1000.0) * col("l_quantity")).as("ab"),
+          floor(col("l_discount") * lit(100.0)).as("disc_pct"),
+          ceil(col("l_tax") * lit(100.0)).as("tax_pct"),
+          (col("l_orderkey") % 7).as("bucket"))
+        .orderBy(col("l_orderkey"))
+    }
+  )
+}
