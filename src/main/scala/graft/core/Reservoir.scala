@@ -4,8 +4,18 @@ import java.nio.ByteBuffer
 import java.util.Random
 import scala.collection.mutable
 
+/** Fixed-width or variable-width wire format for one reservoir value
+  * type. The reference hand-packs its state structs per type
+  * (`median.cc:51-86,113-115`); here the codec is the only per-type
+  * serialization knowledge and the reservoir itself is generic. */
+trait ValueCodec[T] extends Serializable {
+  def write(buf: ByteBuffer, v: T): Unit
+  def read(buf: ByteBuffer): T
+  def size(v: T): Int
+}
+
 /** Bounded reservoir-sample state for approximate-median / sampling
-  * aggregates.
+  * aggregates, generic over the sampled value type.
   *
   * Re-expresses (not ports) the semantics of the reference UDA state
   * machine in `scalingdata/rocana-impala-udfs` `median.cc:88-304`:
@@ -25,20 +35,28 @@ import scala.collection.mutable
   *    middle for even n, no interpolation (`median.cc:299-301`).
   *    Exact whenever `maxSamples >=` number of non-null inputs.
   *
+  * The type parameter realizes the reference's latent per-type
+  * comparators (`median.cc:196-221` — generic `<`, StringVal memcmp,
+  * DecimalVal int128, TimestampVal date-then-time): ordering is
+  * supplied by the caller per value type, exactly the generalization
+  * the dead C++ template specializations were reaching for. (The
+  * reference's 10-byte string-sample truncation, `median.cc:49,67-86`,
+  * is NOT mirrored — it would corrupt results; full values are kept.)
+  *
   * State is O(maxSamples) per aggregation group regardless of input
   * size — the property that makes the aggregate safe at 100 TB scale.
   */
-final class Reservoir(
+final class Reservoir[T](
     var maxSamples: Int,
     var sourceSize: Long,
-    val values: mutable.ArrayBuffer[Double],
+    val values: mutable.ArrayBuffer[T],
     val keys: mutable.ArrayBuffer[Double],
     val rng: Random) extends Serializable {
 
   def numSamples: Int = values.length
 
   /** Algorithm-R insert of one non-null value. */
-  def insert(v: Double, k: Int): Unit = {
+  def insert(v: T, k: Int): Unit = {
     if (k > maxSamples) maxSamples = k // growth tolerated (median.cc:157-162)
     if (values.length < maxSamples) {
       values += v
@@ -72,12 +90,12 @@ final class Reservoir(
 
   /** Weighted merge: keep the maxSamples highest-keyed samples.
     * Both sides must already have keys assigned. */
-  def merge(other: Reservoir): Unit = {
+  def merge(other: Reservoir[T]): Unit = {
     if (other.maxSamples > maxSamples) maxSamples = other.maxSamples
     // min-heap on key over current samples (median.cc:263-269)
-    implicit val byKeyMin: Ordering[(Double, Double)] =
-      Ordering.by[(Double, Double), Double](_._2).reverse
-    val heap = mutable.PriorityQueue.empty[(Double, Double)]
+    implicit val byKeyMin: Ordering[(T, Double)] =
+      Ordering.by[(T, Double), Double](_._2).reverse
+    val heap = mutable.PriorityQueue.empty[(T, Double)]
     var i = 0
     while (i < values.length) { heap.enqueue((values(i), keys(i))); i += 1 }
     i = 0
@@ -97,21 +115,28 @@ final class Reservoir(
 
   /** Upper-middle median of the current samples; None for empty state
     * (SQL NULL, median.cc:295-298). */
-  def medianUpper: Option[Double] =
+  def medianUpper(implicit ord: Ordering[T]): Option[T] =
     if (values.isEmpty) None
     else Some(values.sorted.apply(values.length / 2))
 
   /** Value-sorted copy of the samples (deterministic output order). */
-  def sortedSamples: Array[Double] = values.toArray.sorted
+  def sortedSamples(implicit ord: Ordering[T]): Seq[T] = values.toSeq.sorted
 
-  def serializeTo: Array[Byte] = {
+  def serializeTo(codec: ValueCodec[T]): Array[Byte] = {
     val n = numSamples
-    val buf = ByteBuffer.allocate(4 + 8 + 4 + n * 16)
+    var payload = 0
+    var i = 0
+    while (i < n) { payload += codec.size(values(i)) + 8; i += 1 }
+    val buf = ByteBuffer.allocate(4 + 8 + 4 + payload)
     buf.putInt(maxSamples)
     buf.putLong(sourceSize)
     buf.putInt(n)
-    var i = 0
-    while (i < n) { buf.putDouble(values(i)); buf.putDouble(keys(i)); i += 1 }
+    i = 0
+    while (i < n) {
+      codec.write(buf, values(i))
+      buf.putDouble(keys(i))
+      i += 1
+    }
     buf.array()
   }
 }
@@ -121,23 +146,35 @@ object Reservoir {
     * (reference uses -1, median.cc:57). Keys are always > 0 once set. */
   val Unkeyed: Double = -1.0
 
-  def empty(maxSamples: Int, seed: Long): Reservoir =
-    new Reservoir(maxSamples, 0L, mutable.ArrayBuffer.empty,
+  def empty[T](maxSamples: Int, seed: Long): Reservoir[T] =
+    new Reservoir[T](maxSamples, 0L, mutable.ArrayBuffer.empty,
       mutable.ArrayBuffer.empty, new Random(seed))
 
-  def deserializeFrom(bytes: Array[Byte]): Reservoir = {
+  def deserializeFrom[T](bytes: Array[Byte], codec: ValueCodec[T]): Reservoir[T] = {
     val buf = ByteBuffer.wrap(bytes)
     val maxSamples = buf.getInt
     val sourceSize = buf.getLong
     val n = buf.getInt
-    val values = new mutable.ArrayBuffer[Double](n)
+    val values = new mutable.ArrayBuffer[T](n)
     val keys = new mutable.ArrayBuffer[Double](n)
     var i = 0
-    while (i < n) { values += buf.getDouble; keys += buf.getDouble; i += 1 }
+    while (i < n) {
+      values += codec.read(buf)
+      keys += buf.getDouble
+      i += 1
+    }
     // RNG state need not survive the wire: a deserialized state only
     // merges (no inserts), and key assignment already happened.
-    new Reservoir(maxSamples, sourceSize, values, keys,
+    new Reservoir[T](maxSamples, sourceSize, values, keys,
       new Random(sourceSize ^ (n.toLong << 32)))
+  }
+
+  /** Codec for the reference's one exported value type (DoubleVal,
+    * median.h:44). */
+  object DoubleCodec extends ValueCodec[Double] {
+    def write(buf: ByteBuffer, v: Double): Unit = buf.putDouble(v)
+    def read(buf: ByteBuffer): Double = buf.getDouble
+    def size(v: Double): Int = 8
   }
 
   /** Uniform draw on the INCLUSIVE range [0, max] (median.cc:107-110). */

@@ -200,7 +200,7 @@ object CoreQueries {
           length(col("p_name")).as("name_len"),
           substring(col("p_type"), 1, 5).as("type5"),
           concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
-          regexp_replace(col("p_name"), " ", "_").as("name_u"))
+          replace(col("p_name"), lit(" "), lit("_")).as("name_u"))
         .orderBy(col("p_partkey"))
     },
 

@@ -14,15 +14,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as raw nanos (LongType) and convert at
-      // use sites via `timestamp_micros(ts div 1000)`.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
+  /** Config every session that reads these fixtures needs, applied at
+    * session construction (Verify/Bench/tests) — NOT mutated here, so
+    * `load` stays pure and order-independent.
+    *
+    * events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as raw nanos (LongType) and convert at use
+    * sites via `timestamp_micros(ts div 1000)`. */
+  val requiredConf: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
-  }
 
   /** Register all fixture tables as temp views so `spark.sql` queries
     * can reference them by bare name, mirroring the oracle SQL. */

@@ -12,6 +12,7 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config(graft.sources.Tables.requiredConf)
     .getOrCreate()
 
   def sf0001 = "/root/testdata/sf0.001"

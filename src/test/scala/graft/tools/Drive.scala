@@ -7,7 +7,8 @@ object Drive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config(graft.sources.Tables.requiredConf).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val e = graft.SparkEntry.entry(spark)
     println("ENTRY ROWS=" + e.count() + " RESULT=" + e.collect().mkString(","))
