@@ -23,6 +23,14 @@ object GraftFunctions {
     (Cast(exprs.head, DoubleType), Cast(exprs(1), IntegerType))
   }
 
+  /** Typed variant: the value expression keeps its own data type; only
+    * `max_samples` is normalized to INT. */
+  private def twoTyped(name: String)(exprs: Seq[Expression]): (Expression, Expression) = {
+    require(exprs.length == 2,
+      s"$name(value, max_samples) takes 2 arguments, got ${exprs.length}")
+    (exprs.head, Cast(exprs(1), IntegerType))
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
 
@@ -42,10 +50,21 @@ object GraftFunctions {
       },
       "scala_udf")
 
+    // Typed forms: value keeps its own type (numeric/string/decimal/
+    // date/timestamp), realizing the reference's latent per-type
+    // comparators (median.cc:196-221) — no cast to DOUBLE.
+    registry.createOrReplaceTempFunction(
+      "appx_median_typed",
+      (exprs: Seq[Expression]) => {
+        val (v, k) = twoTyped("appx_median_typed")(exprs)
+        AppxMedianBounded(v, k, asString = false)
+      },
+      "scala_udf")
+
     registry.createOrReplaceTempFunction(
       "reservoir_sample",
       (exprs: Seq[Expression]) => {
-        val (v, k) = two("reservoir_sample")(exprs)
+        val (v, k) = twoTyped("reservoir_sample")(exprs)
         ReservoirSampleAgg(v, k)
       },
       "scala_udf")
@@ -62,7 +81,12 @@ object GraftFunctions {
   def appx_median_bounded_double(value: Column, maxSamples: Int): Column =
     call_function("appx_median_bounded_double", value, lit(maxSamples))
 
-  /** Bounded sample of a column as a value-sorted ARRAY<DOUBLE>. */
+  /** Typed median: result has the value column's own type (numeric,
+    * string, decimal, date, timestamp). */
+  def appx_median_typed(value: Column, maxSamples: Int): Column =
+    call_function("appx_median_typed", value, lit(maxSamples))
+
+  /** Bounded sample of a column as a value-sorted ARRAY of its type. */
   def reservoir_sample(value: Column, k: Int): Column =
     call_function("reservoir_sample", value, lit(k))
 }

@@ -10,18 +10,83 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `appx_median_bounded(value DOUBLE, max_samples INT)` — approximate
-  * median via a bounded reservoir sample, the one aggregate exported by
-  * the reference library (`scalingdata/rocana-impala-udfs`
-  * `median.h:42-50`, `README.md:32`).
+/** Shared TypedImperativeAggregate plumbing for the reservoir-backed
+  * aggregates. The buffer is the O(max_samples)
+  * [[graft.core.Reservoir]]; per-type ordering + wire codec come from
+  * [[ValueOps]], realizing the reference's latent per-type comparators
+  * (`/root/reference/median.cc:196-221`) — any type in
+  * `ValueOps.forType` (numerics, STRING, DECIMAL, DATE, TIMESTAMP) can
+  * be sampled.
   *
-  * Spark-native design: a Catalyst [[TypedImperativeAggregate]] whose
-  * buffer is the O(max_samples) [[graft.core.Reservoir]]. Spark's
-  * `ObjectHashAggregateExec` drives the exact same distributed contract
-  * the Impala UDA ABI encodes — partial update + serialize, shuffle
-  * exchange, merge + final eval — so no custom physical operator is
-  * needed; the plan is partial-agg → exchange → final-agg, identical in
-  * shape to the reference's pre-agg/merge-agg fragments (SURVEY §3.1).
+  * Spark's `ObjectHashAggregateExec` drives the exact distributed
+  * contract the Impala UDA ABI encodes — partial update + serialize,
+  * shuffle exchange, merge + final eval — so no custom physical
+  * operator is needed; the plan is partial-agg → exchange → final-agg,
+  * identical in shape to the reference's pre-agg/merge-agg fragments
+  * (SURVEY §3.1). State stays O(k) per group regardless of input size:
+  * the property that keeps the plan safe at 100 TB.
+  */
+abstract class ReservoirAggBase extends TypedImperativeAggregate[Reservoir[Any]] {
+  def child: Expression
+  def maxSamplesExp: Expression
+  def seed: Long
+
+  override def children: Seq[Expression] = Seq(child, maxSamplesExp)
+  override def nullable: Boolean = true
+
+  @transient protected lazy val ops: ValueOps =
+    ValueOps.forType(child.dataType).getOrElse(throw new IllegalStateException(
+      s"$prettyName: unsupported value type ${child.dataType.sql}"))
+
+  protected lazy val maxSamples: Int = maxSamplesExp.eval() match {
+    case n: java.lang.Number => n.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$prettyName: max_samples must be an integer constant, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (ValueOps.forType(child.dataType).isEmpty) {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: unsupported value type ${child.dataType.sql} " +
+          "(expected numeric, string, decimal, date or timestamp)")
+    } else if (maxSamplesExp.dataType != IntegerType) {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: max_samples must be INT, got ${maxSamplesExp.dataType.sql}")
+    } else if (!maxSamplesExp.foldable) {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: max_samples must be a constant (foldable) expression")
+    } else if (maxSamplesExp.eval() == null || maxSamples <= 0) {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: max_samples must be a positive integer")
+    } else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): Reservoir[Any] =
+    Reservoir.empty[Any](maxSamples, seed)
+
+  override def update(buf: Reservoir[Any], input: InternalRow): Reservoir[Any] = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(ops.retain(v), maxSamples)
+    buf
+  }
+
+  override def merge(buf: Reservoir[Any], other: Reservoir[Any]): Reservoir[Any] = {
+    buf.merge(other); buf
+  }
+
+  override def serialize(buf: Reservoir[Any]): Array[Byte] = {
+    buf.assignKeys() // weight keys assigned at partial-output time (median.cc:176-192)
+    buf.serializeTo(ops.codec)
+  }
+
+  override def deserialize(bytes: Array[Byte]): Reservoir[Any] =
+    Reservoir.deserializeFrom(bytes, ops.codec)
+}
+
+/** `appx_median_bounded(value, max_samples INT)` — approximate median
+  * via a bounded reservoir sample, the one aggregate exported by the
+  * reference library (`scalingdata/rocana-impala-udfs`
+  * `median.h:42-50`, `README.md:32`).
   *
   * Semantics preserved from the reference (SURVEY §2.1 invariants):
   * nulls skipped and not counted; empty group → NULL; result = sorted
@@ -34,7 +99,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   mirror the reference signature `(DOUBLE, INT) RETURNS STRING`
   *   (`README.md:40-46`; Impala <= 2.x could not declare a separate
   *   intermediate type). Callers `CAST(... AS DOUBLE)` back, which
-  *   round-trips exactly. When false, returns DOUBLE directly.
+  *   round-trips exactly. When false, returns the input type directly.
   */
 case class AppxMedianBounded(
     child: Expression,
@@ -43,60 +108,15 @@ case class AppxMedianBounded(
     seed: Long = AppxMedianBounded.DefaultSeed,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Reservoir] {
+  extends ReservoirAggBase {
 
-  override def children: Seq[Expression] = Seq(child, maxSamplesExp)
-  override def nullable: Boolean = true
-  override def dataType: DataType = if (asString) StringType else DoubleType
+  override def dataType: DataType = if (asString) StringType else child.dataType
 
-  private lazy val maxSamples: Int = maxSamplesExp.eval() match {
-    case n: java.lang.Number => n.intValue()
-    case other => throw new IllegalArgumentException(
-      s"appx_median_bounded: max_samples must be an integer constant, got $other")
-  }
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    if (child.dataType != DoubleType) {
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: value must be DOUBLE, got ${child.dataType.sql}")
-    } else if (maxSamplesExp.dataType != IntegerType) {
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: max_samples must be INT, got ${maxSamplesExp.dataType.sql}")
-    } else if (!maxSamplesExp.foldable) {
-      TypeCheckResult.TypeCheckFailure(
-        "appx_median_bounded: max_samples must be a constant (foldable) expression")
-    } else if (maxSamplesExp.eval() == null || maxSamples <= 0) {
-      TypeCheckResult.TypeCheckFailure(
-        "appx_median_bounded: max_samples must be a positive integer")
-    } else TypeCheckResult.TypeCheckSuccess
-  }
-
-  override def createAggregationBuffer(): Reservoir =
-    Reservoir.empty(maxSamples, seed)
-
-  override def update(buf: Reservoir, input: InternalRow): Reservoir = {
-    val v = child.eval(input)
-    if (v != null) buf.insert(v.asInstanceOf[Double], maxSamples)
-    buf
-  }
-
-  override def merge(buf: Reservoir, other: Reservoir): Reservoir = {
-    buf.merge(other); buf
-  }
-
-  override def eval(buf: Reservoir): Any = buf.medianUpper match {
+  override def eval(buf: Reservoir[Any]): Any = buf.medianUpper(ops.ordering) match {
     case None => null
     case Some(m) =>
       if (asString) UTF8String.fromString(m.toString) else m
   }
-
-  override def serialize(buf: Reservoir): Array[Byte] = {
-    buf.assignKeys() // weight keys assigned at partial-output time (median.cc:176-192)
-    buf.serializeTo
-  }
-
-  override def deserialize(bytes: Array[Byte]): Reservoir =
-    Reservoir.deserializeFrom(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): AppxMedianBounded =
     copy(mutableAggBufferOffset = newOffset)
@@ -107,7 +127,7 @@ case class AppxMedianBounded(
     copy(child = newChildren(0), maxSamplesExp = newChildren(1))
 
   override def prettyName: String =
-    if (asString) "appx_median_bounded" else "appx_median_bounded_double"
+    if (asString) "appx_median_bounded" else "appx_median_bounded_typed"
 }
 
 object AppxMedianBounded {
@@ -118,7 +138,7 @@ object AppxMedianBounded {
   val DefaultSeed: Long = 42L
 }
 
-/** `reservoir_sample(value DOUBLE, k INT) -> ARRAY<DOUBLE>` — the
+/** `reservoir_sample(value, k INT) -> ARRAY<value type>` — the
   * generalized form of the same reservoir state: returns the (value-
   * sorted) bounded sample itself instead of its median. Exact (= all
   * inputs, sorted) when `k >= #non-null inputs`; NULL on empty group.
@@ -130,58 +150,13 @@ case class ReservoirSampleAgg(
     seed: Long = AppxMedianBounded.DefaultSeed,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Reservoir] {
+  extends ReservoirAggBase {
 
-  override def children: Seq[Expression] = Seq(child, maxSamplesExp)
-  override def nullable: Boolean = true
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
 
-  private lazy val maxSamples: Int = maxSamplesExp.eval() match {
-    case n: java.lang.Number => n.intValue()
-    case other => throw new IllegalArgumentException(
-      s"reservoir_sample: k must be an integer constant, got $other")
-  }
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    if (child.dataType != DoubleType) {
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: value must be DOUBLE, got ${child.dataType.sql}")
-    } else if (maxSamplesExp.dataType != IntegerType) {
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: max_samples must be INT, got ${maxSamplesExp.dataType.sql}")
-    } else if (!maxSamplesExp.foldable) {
-      TypeCheckResult.TypeCheckFailure(
-        "reservoir_sample: k must be a constant (foldable) expression")
-    } else if (maxSamplesExp.eval() == null || maxSamples <= 0) {
-      TypeCheckResult.TypeCheckFailure(
-        "reservoir_sample: k must be a positive integer")
-    } else TypeCheckResult.TypeCheckSuccess
-  }
-
-  override def createAggregationBuffer(): Reservoir =
-    Reservoir.empty(maxSamples, seed)
-
-  override def update(buf: Reservoir, input: InternalRow): Reservoir = {
-    val v = child.eval(input)
-    if (v != null) buf.insert(v.asInstanceOf[Double], maxSamples)
-    buf
-  }
-
-  override def merge(buf: Reservoir, other: Reservoir): Reservoir = {
-    buf.merge(other); buf
-  }
-
-  override def eval(buf: Reservoir): Any =
+  override def eval(buf: Reservoir[Any]): Any =
     if (buf.numSamples == 0) null
-    else new GenericArrayData(buf.sortedSamples)
-
-  override def serialize(buf: Reservoir): Array[Byte] = {
-    buf.assignKeys()
-    buf.serializeTo
-  }
-
-  override def deserialize(bytes: Array[Byte]): Reservoir =
-    Reservoir.deserializeFrom(bytes)
+    else new GenericArrayData(buf.sortedSamples(ops.ordering).toArray)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ReservoirSampleAgg =
     copy(mutableAggBufferOffset = newOffset)

@@ -19,7 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Int, Long micros for TIMESTAMP, Int days for DATE, [[UTF8String]]
   * for STRING, [[org.apache.spark.sql.types.Decimal]] for DECIMAL.
   */
-final case class ValueOps(ordering: Ordering[Any], codec: ValueCodec[Any])
+final case class ValueOps(
+    ordering: Ordering[Any],
+    codec: ValueCodec[Any],
+    /** Defensive copy for values whose Catalyst representation may alias
+      * a reused row buffer (UTF8String); identity for immutable types. */
+    retain: Any => Any = identity)
 
 object ValueOps {
 
@@ -48,7 +53,8 @@ object ValueOps {
 
   private val stringOps = ValueOps(
     ord(utf8Ordering),
-    new ValueCodec[Any] {
+    retain = v => v.asInstanceOf[UTF8String].clone(),
+    codec = new ValueCodec[Any] {
       def write(buf: ByteBuffer, v: Any): Unit = {
         val b = v.asInstanceOf[UTF8String].getBytes
         buf.putInt(b.length); buf.put(b)

@@ -4,14 +4,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ReservoirSpec extends AnyFunSuite {
 
-  private def filled(vals: Seq[Double], k: Int, seed: Long = 1L): Reservoir = {
-    val r = Reservoir.empty(k, seed)
+  private def filled(vals: Seq[Double], k: Int, seed: Long = 1L): Reservoir[Double] = {
+    val r = Reservoir.empty[Double](k, seed)
     vals.foreach(v => r.insert(v, k))
     r
   }
 
   test("empty reservoir -> no median (SQL NULL)") {
-    assert(Reservoir.empty(10, 1L).medianUpper.isEmpty)
+    assert(Reservoir.empty[Double](10, 1L).medianUpper.isEmpty)
   }
 
   test("exact regime k >= n: upper-middle median, no interpolation") {
@@ -63,7 +63,7 @@ class ReservoirSpec extends AnyFunSuite {
   test("serialization round-trips values, keys, counts") {
     val r = filled((1 to 500).map(_.toDouble), 100, seed = 3L)
     r.assignKeys()
-    val back = Reservoir.deserializeFrom(r.serializeTo)
+    val back = Reservoir.deserializeFrom(r.serializeTo(Reservoir.DoubleCodec), Reservoir.DoubleCodec)
     assert(back.maxSamples == r.maxSamples)
     assert(back.sourceSize == r.sourceSize)
     assert(back.values == r.values)
