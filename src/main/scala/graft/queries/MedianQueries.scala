@@ -3,12 +3,14 @@ package graft.queries
 import graft.functions.GraftFunctions
 import graft.sources.Tables
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Queries exercising the reference UDA surface — `appx_median_bounded`
-  * and the generalized `reservoir_sample` (SURVEY §2.1, §7.1-3/4).
+/** Queries exercising the reference UDA surface — `appx_median_bounded`,
+  * the typed `appx_median_typed`, and the generalized `reservoir_sample`
+  * (SURVEY §2.1, §7.1-3/4).
   *
-  * All oracle-checked variants run in the exact regime (`max_samples >=
+  * Oracle-checked variants run in the exact regime (`max_samples >=
   * group size`, SURVEY §2.1 invariant 4) so results are deterministic:
   * the reservoir never evicts and the answer is exactly the value-sorted
   * element at 0-based index n/2 (upper middle, no interpolation —
@@ -16,15 +18,33 @@ import org.apache.spark.sql.functions._
   * explicitly via `row_number`, since DuckDB's `median` interpolates and
   * `quantile_disc` takes the LOWER middle (SURVEY §7.3-3).
   *
-  * Scale note: the aggregate's state is O(k) per group and merges
-  * partial states size-proportionally, so the same plan (partial agg →
-  * exchange → final agg) holds at 100 TB; only the exact-regime k must
-  * then be replaced by a bounded k with tolerance semantics.
+  * The exact-regime k is DERIVED from the data (one metadata-fast count
+  * per query) rather than hard-coded, so a scale-factor bump can never
+  * silently drop these queries into the sampling regime and
+  * hash-mismatch; past [[MedianQueries.ExactRegimeCeiling]] they fail
+  * loudly instead. The production path at 100 TB is the BOUNDED regime
+  * (O(k) state per group, size-weighted merge) exercised by the
+  * noOracle bench queries below and by tolerance unit tests.
   */
 object MedianQueries {
 
-  // k chosen >= any group size at every test SF (lineitem sf0.1 = 600k).
-  private val ExactK = 2 * 1000 * 1000
+  /** Above this many non-null rows the exact regime is a misuse — the
+    * O(n) buffer would no longer be "bounded"; callers must switch to a
+    * bounded k. Exact queries fail loudly past it. */
+  private val ExactRegimeCeiling = 50 * 1000 * 1000
+
+  /** k for the bounded-regime (production-path) bench queries. */
+  private val BoundedK = 1024
+
+  /** Smallest k that keeps `df`'s aggregate exact: the non-null count
+    * of the sampled column (>= every per-group count). */
+  private def exactK(df: DataFrame, c: Column, qname: String): Int = {
+    val n = df.where(c.isNotNull).count()
+    require(n <= ExactRegimeCeiling,
+      s"$qname: $n rows exceeds the exact-regime ceiling $ExactRegimeCeiling; " +
+        "use a bounded k (sampling regime) at this scale")
+    math.max(n, 1L).toInt
+  }
 
   private def upperMedianSql(table: String, col: String, out: String,
       partitionBy: Seq[String]): String = {
@@ -37,6 +57,7 @@ object MedianQueries {
        |         count(*) OVER ($pb) AS n
        |  FROM $table WHERE $col IS NOT NULL
        |) t WHERE rn = n // 2 + 1$orderBy""".stripMargin
+
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -46,18 +67,20 @@ object MedianQueries {
     QueryDef("q13_median_exact",
       upperMedianSql("lineitem", "l_quantity", "med", Seq.empty)) { (spark, dir) =>
       GraftFunctions.register(spark)
-      Tables.load(spark, dir, "lineitem")
-        .agg(GraftFunctions.appx_median_bounded(col("l_quantity"), ExactK)
-          .cast("double").as("med"))
+      val li = Tables.load(spark, dir, "lineitem")
+      val k = exactK(li, col("l_quantity"), "q13_median_exact")
+      li.agg(GraftFunctions.appx_median_bounded(col("l_quantity"), k)
+        .cast("double").as("med"))
     },
 
     // Grouped medians: one reservoir per group key.
     QueryDef("q14_median_by_flag",
       upperMedianSql("lineitem", "l_quantity", "med", Seq("l_returnflag"))) { (spark, dir) =>
       GraftFunctions.register(spark)
-      Tables.load(spark, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(GraftFunctions.appx_median_bounded_double(col("l_quantity"), ExactK).as("med"))
+      val li = Tables.load(spark, dir, "lineitem")
+      val k = exactK(li, col("l_quantity"), "q14_median_by_flag")
+      li.groupBy(col("l_returnflag"))
+        .agg(GraftFunctions.appx_median_bounded_double(col("l_quantity"), k).as("med"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -66,24 +89,66 @@ object MedianQueries {
     QueryDef("q15_median_events",
       upperMedianSql("events", "value", "med", Seq("event_type"))) { (spark, dir) =>
       GraftFunctions.register(spark)
-      Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+      val ev = Tables.load(spark, dir, "events")
+      ev.createOrReplaceTempView("events")
+      val k = exactK(ev, col("value"), "q15_median_events")
       spark.sql(s"""
         SELECT event_type,
-               CAST(appx_median_bounded(value, $ExactK) AS DOUBLE) AS med
+               CAST(appx_median_bounded(value, $k) AS DOUBLE) AS med
         FROM events GROUP BY event_type ORDER BY event_type""")
     },
 
-    // Generalized reservoir: exact regime returns every non-null value,
-    // value-sorted, as ARRAY<DOUBLE>.
+    // Generalized reservoir, exact regime: every non-null value comes
+    // back value-sorted. Declared to the gate as exploded scalar rows
+    // (l_returnflag, idx, v) — the driver's pandas compare can't hash
+    // array cells — matching the exact-regime invariant of the
+    // reference's own test (`median-test.cc:66-79`).
     QueryDef("q16_reservoir_exact",
-      s"""SELECT l_returnflag, list(l_quantity ORDER BY l_quantity) AS sample_vals
-         |FROM lineitem WHERE l_quantity IS NOT NULL
-         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      """SELECT l_returnflag,
+        |       CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - 1 AS INT) AS idx,
+        |       l_quantity AS v
+        |FROM lineitem WHERE l_quantity IS NOT NULL
+        |ORDER BY l_returnflag, idx""".stripMargin) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      val li = Tables.load(spark, dir, "lineitem")
+      val k = exactK(li, col("l_quantity"), "q16_reservoir_exact")
+      li.groupBy(col("l_returnflag"))
+        .agg(GraftFunctions.reservoir_sample(col("l_quantity"), k).as("s"))
+        .select(col("l_returnflag"), posexplode(col("s")).as(Seq("idx", "v")))
+        .orderBy(col("l_returnflag"), col("idx"))
+    },
+
+    // Typed median on a TIMESTAMP column — the reference's latent
+    // TimestampVal comparator (`median.cc:216-221`) made real.
+    QueryDef("q20_median_timestamp",
+      upperMedianSql("orders", "o_orderdate", "med", Seq("o_orderpriority"))) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      val ord = Tables.load(spark, dir, "orders")
+      val k = exactK(ord, col("o_orderdate"), "q20_median_timestamp")
+      ord.groupBy(col("o_orderpriority"))
+        .agg(GraftFunctions.appx_median_typed(col("o_orderdate"), k).as("med"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- Bounded regime (the actual 100 TB production path): O(k)
+    // state per group, size-weighted merge. Randomized, so no value
+    // oracle — the driver records a rows-only check; the estimate
+    // quality is asserted by tolerance unit tests (AppxMedianSpec).
+    QueryDef.noOracle("q24_median_bounded_bench") { (spark, dir) =>
       GraftFunctions.register(spark)
       Tables.load(spark, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(GraftFunctions.reservoir_sample(col("l_quantity"), ExactK).as("sample_vals"))
+        .agg(GraftFunctions.appx_median_bounded_double(
+          col("l_extendedprice"), BoundedK).as("med_est"))
         .orderBy(col("l_returnflag"))
+    },
+
+    QueryDef.noOracle("q25_reservoir_bounded_bench") { (spark, dir) =>
+      GraftFunctions.register(spark)
+      Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(GraftFunctions.reservoir_sample(col("l_quantity"), 64).as("s"))
+        .select(col("l_suppkey"), size(col("s")).as("n_sampled"))
     }
   )
 }
