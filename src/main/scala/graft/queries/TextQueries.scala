@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (SURVEY §2.3):
+  * token counting, character/punctuation stats, stopword ratio and a
+  * stopword-based language heuristic, plus a rolling content
+  * fingerprint. No reference implementation exists (the reference
+  * ships only the median UDA); these are driver-mandated
+  * LLM-pipeline extensions.
+  *
+  * Design for 100 TB: everything here is a narrow projection plus
+  * per-row expressions — no shuffle at all except the final
+  * aggregation in the profile query, which is a partial+final hash
+  * agg on a low-cardinality key (`lang`). All expressions are Spark
+  * built-ins (codegen'd); no UDFs.
+  */
+object TextQueries {
+
+  /** Tiny fixed stopword list (public-domain common English words);
+    * enough to drive ratio features deterministically. */
+  private val Stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  /** Number of tokens from `Stopwords` in the token list. */
+  private def stopCount(toks: Column): Column = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stopArr, t)))
+  }
+
+  private val stopListSql = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Per-document stats: chars, tokens, punctuation, stopwords,
+    // distinct-token (type) count. All counts as BIGINT on both sides.
+    QueryDef("q18_text_stats",
+      s"""SELECT doc_id,
+         |       length(text) AS n_chars,
+         |       len(string_split(text, ' ')) AS n_tokens,
+         |       len(list_distinct(string_split(text, ' '))) AS n_types,
+         |       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         |       len(list_filter(string_split(text, ' '),
+         |                       t -> list_contains($stopListSql, t))) AS n_stop
+         |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val toks = tokens(col("text"))
+      Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast("long").as("n_punct"),
+        stopCount(toks).cast("long").as("n_stop"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus profile by language: doc counts and exact integer sums
+    // (no floating aggregates — keeps the oracle hash bit-exact), plus
+    // the stopword-based language guess for quality filtering: a doc
+    // "looks English" when >= 5% of its tokens are stopwords.
+    QueryDef("q19_lang_profile",
+      s"""SELECT lang,
+         |       count(*) AS n_docs,
+         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+         |       CAST(sum(CASE WHEN len(list_filter(string_split(text, ' '),
+         |                       t -> list_contains($stopListSql, t))) * 20
+         |                     >= len(string_split(text, ' '))
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_looks_en
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val toks = tokens(col("text"))
+      Tables.load(spark, dir, "documents")
+        .select(col("lang"), col("text"),
+          // integer-only ratio test: n_stop/n_tokens >= 1/20
+          when(stopCount(toks) * 20 >= size(toks), 1L).otherwise(0L).as("looks_en"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          sum(size(tokens(col("text"))).cast("long")).as("sum_tokens"),
+          sum(col("looks_en")).as("n_looks_en"))
+        .orderBy(col("lang"))
+    },
+
+    // Document fingerprinting: content hash (sha256) + a cheap rolling
+    // 64-bit polynomial hash over tokens (Rabin-Karp-style), both
+    // deterministic and oracle-able. The rolling hash is the shingling
+    // primitive a streaming near-dup pass would key on.
+    // Position-weighted so token order matters; 28-bit per-token
+    // hashes keep the weighted sum far below BIGINT overflow (DuckDB
+    // errors on overflow where the JVM would wrap, so the arithmetic
+    // must stay exact on both sides).
+    QueryDef("q28_doc_fingerprint",
+      """SELECT doc_id,
+        |       sha256(text) AS content_fp,
+        |       list_aggregate(
+        |         [i * ('0x' || substr(md5(words[i]), 1, 7))::BIGINT
+        |          for i in generate_series(1, len(words))],
+        |         'sum')::BIGINT AS roll_fp
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val toks = tokens(col("text"))
+      Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        sha2(col("text"), 256).as("content_fp"),
+        aggregate(
+          zip_with(toks, sequence(lit(1), size(toks)),
+            (t, i) => i.cast("long") * conv(substring(md5(t), 1, 7), 16, 10).cast("long")),
+          lit(0L), (acc, h) => acc + h).as("roll_fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
