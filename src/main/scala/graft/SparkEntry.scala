@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    CoreQueries.defs ++ MedianQueries.defs ++ DedupQueries.defs ++ TextQueries.defs
+    CoreQueries.defs ++ MedianQueries.defs ++ DedupQueries.defs ++
+      TextQueries.defs ++ NearDupQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The reference README walkthrough (`README.md:61`) run on

@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents` via MinHash + banded LSH
+  * (SURVEY §2.3). No reference implementation exists; driver-mandated
+  * extension.
+  *
+  * Pipeline (deterministic, so DuckDB can replay it exactly):
+  *  1. shingle: word 3-grams of the space-tokenized text, de-duplicated;
+  *  2. MinHash: 16 hash functions `h_i(t) = md5(i ":" t)` (md5 hex is
+  *     identical in Spark and DuckDB); signature component = lexical min
+  *     over the shingle set — a seeded-permutation MinHash family built
+  *     only from a cryptographic hash both engines share;
+  *  3. LSH banding: 4 bands x 4 rows; band key = md5 of the band index
+  *     and its 4 signature components;
+  *  4. candidates = distinct doc pairs sharing >= 1 band key — found by
+  *     an equi-join on the band key, NEVER an all-pairs product;
+  *  5. verify: exact 3-gram Jaccard >= 0.7 on candidates only.
+  *
+  * Design for 100 TB:
+  *  - Steps 1–3 are pure per-row expressions (codegen'd built-ins, no
+  *    UDF, no shuffle).
+  *  - Step 4 shuffles (doc_id, band) pairs — 4 rows of ~50 bytes per
+  *    document, not the documents themselves — and the equi-join on
+  *    band hash-partitions; with b=4/r=4 a J=0.9 pair is caught with
+  *    p ~ 0.986 while J<=0.3 pairs collide per band with p <= 0.008,
+  *    so bucket sizes stay near 1 and the join output is ~linear.
+  *    A degenerate corpus (one band value shared by k docs) would make
+  *    a k^2 bucket; production guard = count per band and drop/salt
+  *    buckets over a cap, same plan shape.
+  *  - Step 5 re-joins only candidate ids back to shingle sets, so the
+  *    quadratic verify cost is bounded by the candidate count.
+  */
+object NearDupQueries {
+
+  private val NumHashes = 16
+  private val NumBands = 4
+  private val RowsPerBand = NumHashes / NumBands
+
+  private def hName(i: Int): String = f"h$i%02d"
+
+  // ---- Spark side ----------------------------------------------------
+
+  private def words: Column = split(col("text"), " ")
+
+  /** De-duplicated word 3-gram shingles (1-based element_at, matching
+    * DuckDB's 1-based list indexing in the oracle). */
+  private def shingles: Column =
+    array_distinct(
+      transform(sequence(lit(1), size(words) - 2),
+        i => concat_ws(" ",
+          element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
+
+  private def minhash(i: Int, sh: Column): Column =
+    array_min(transform(sh, t => md5(concat(lit(s"$i:"), t))))
+
+  /** (doc_id, h00..h15) signature frame; docs with <3 tokens have no
+    * 3-gram set and are excluded (both sides). */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .where(size(words) >= 3)
+      .select(col("doc_id"), shingles.as("s"))
+    base.select(
+      col("doc_id") +: (0 until NumHashes).map(i => minhash(i, col("s")).as(hName(i))): _*)
+  }
+
+  private def bandKey(j: Int): Column =
+    md5(concat(lit(s"$j|") +: (0 until RowsPerBand).map(r => col(hName(j * RowsPerBand + r))): _*))
+
+  /** (doc_id, band) rows: NumBands rows per doc. */
+  private def bandedKeys(spark: SparkSession, dir: String): DataFrame =
+    signatures(spark, dir).select(
+      col("doc_id"),
+      explode(array((0 until NumBands).map(bandKey): _*)).as("band"))
+
+  /** Distinct candidate pairs from the band-bucket equi-join. */
+  def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandedKeys(spark, dir)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // ---- DuckDB oracle -------------------------------------------------
+
+  private val hColsSql = (0 until NumHashes).map(i =>
+    s"list_aggregate(list_transform(s, t -> md5('$i:' || t)), 'min') AS ${hName(i)}")
+    .mkString(",\n       ")
+
+  private val sigCte =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |sh AS (SELECT doc_id, list_distinct([words[i]||' '||words[i+1]||' '||words[i+2]
+       |                                     for i in generate_series(1, len(words)-2)]) AS s
+       |       FROM tok WHERE len(words) >= 3),
+       |sig AS (SELECT doc_id,
+       |       $hColsSql
+       |FROM sh)""".stripMargin
+
+  private val bandsCte = (0 until NumBands).map { j =>
+    val cat = (0 until RowsPerBand).map(r => hName(j * RowsPerBand + r)).mkString(" || ")
+    s"SELECT doc_id, md5('$j|' || $cat) AS band FROM sig"
+  }.mkString("bands AS (", " UNION ALL ", ")")
+
+  private val candidatesSql =
+    s"""$sigCte,
+       |$bandsCte
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- declared queries ----------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // The deterministic MinHash signature itself (step 1–2).
+    QueryDef("q21_minhash_signature",
+      s"""$sigCte
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      signatures(spark, dir).orderBy(col("doc_id"))
+    },
+
+    // LSH candidate pairs (steps 3–4). With the fixture's planted
+    // near-dups this yields exactly the J>=0.9 pairs.
+    QueryDef("q22_neardup_candidates", candidatesSql) { (spark, dir) =>
+      candidatePairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Verified near-dup pairs (step 5): exact 3-gram Jaccard on the
+    // candidate set only. Integer-only threshold (10*|A∩B| >= 7*|A∪B|)
+    // keeps the compare bit-exact; |A∪B| = |A|+|B|-|A∩B| since the
+    // shingle sets are distinct.
+    QueryDef("q23_neardup_pairs",
+      s"""$sigCte,
+         |$bandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, n_common, n_union
+         |FROM (
+         |  SELECT doc_a, doc_b,
+         |         len(list_intersect(sa.s, sb.s))::BIGINT AS n_common,
+         |         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::BIGINT AS n_union
+         |  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+         |            JOIN sh sb ON cand.doc_b = sb.doc_id) t
+         |WHERE n_common * 10 >= n_union * 7
+         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+      val sh = Tables.load(spark, dir, "documents")
+        .where(size(words) >= 3)
+        .select(col("doc_id"), shingles.as("s"))
+      val nCommon = size(array_intersect(col("sa.s"), col("sb.s"))).cast("long")
+      val nUnion = (size(col("sa.s")) + size(col("sb.s"))).cast("long") - nCommon
+      candidatePairs(spark, dir)
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          nCommon.as("n_common"), nUnion.as("n_union"))
+        .where(col("n_common") * 10 >= col("n_union") * 7)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  )
+}
