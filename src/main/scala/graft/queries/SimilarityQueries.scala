@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY §2.3):
+  * exact brute-force cosine top-k as the baseline, and a
+  * random-hyperplane LSH (SimHash-style) bucketed variant as the
+  * scale path. No reference implementation; driver-mandated.
+  *
+  * All arithmetic is double-precision with a LEFT-TO-RIGHT fold over
+  * the vector (Spark `aggregate` and DuckDB `list_aggregate 'sum'`
+  * both fold sequentially), so the oracle compare is bit-exact —
+  * float inputs widen exactly to double before any multiply.
+  *
+  * Design for 100 TB:
+  *  - Brute force is the RIGHT baseline plan at scale when the query
+  *    set is small: broadcast the k query vectors, scan the corpus
+  *    once (no shuffle of the corpus), per-partition top-k then a
+  *    k-row final merge. The per-query window below is that shape:
+  *    the only shuffled rows are (query x corpus) scores, and AQE
+  *    coalesces; for very large corpora replace the window with
+  *    per-partition heaps via the same reservoir machinery.
+  *  - The LSH variant buckets the corpus by an 8-bit hyperplane
+  *    signature (pure per-row expression), then equi-joins query
+  *    buckets — candidate sets shrink ~256x and the join never goes
+  *    all-pairs. Hyperplane entries are deterministic Rademacher
+  *    (+/-1) weights derived from md5, shared verbatim with the
+  *    oracle SQL.
+  */
+object SimilarityQueries {
+
+  private val Dim = 64
+  private val NumPlanes = 8
+  private val NumQueries = 5
+  private val TopK = 10
+
+  /** Deterministic Rademacher hyperplanes: sign of the first nibble of
+    * md5("p:i"). Same constants are inlined into the oracle SQL. */
+  private[queries] val Planes: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map { i =>
+        val h = md.digest(s"$p:$i".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+      }
+    }
+  }
+
+  // ---- Spark side ----------------------------------------------------
+
+  private def vecD(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential left-fold dot product — bit-exact vs the oracle. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** 8-bit hyperplane signature, e.g. "10110100". */
+  private def planeSig(v: Column): Column = {
+    val bits = Planes.map { plane =>
+      val w = typedlit(plane.map(_.toDouble))
+      when(dot(v, w) >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  private def normed(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Query set: the NumQueries lowest vec_ids — broadcast side. */
+  private def queriesDf(e: DataFrame): DataFrame =
+    broadcast(e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm")))
+
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = normed(spark, dir)
+    val sims = queriesDf(e).crossJoin(e)
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = normed(spark, dir).withColumn("sig", planeSig(col("v")))
+    val q = broadcast(e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("sig").as("qsig")))
+    val sims = q.join(e, col("qsig") === col("sig"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ---- DuckDB oracle -------------------------------------------------
+
+  private val normedCte =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_aggregate([x*x for x in v], 'sum')) AS nrm FROM e)""".stripMargin
+
+  private def planesSqlLit: String =
+    Planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  private val sigSql =
+    (1 to NumPlanes).map { p =>
+      s"CASE WHEN list_aggregate([v[i] * (planes[$p][i])::DOUBLE " +
+        s"for i in generate_series(1, ${Dim})], 'sum') >= 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+
+  private val bruteSql =
+    s"""$normedCte,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < $NumQueries),
+       |sims AS (
+       |  SELECT qid, n.vec_id AS nid,
+       |         list_aggregate([qv[i]*v[i] for i in generate_series(1, $Dim)], 'sum')
+       |           / (qnrm * n.nrm) AS sim
+       |  FROM q, n)
+       |SELECT qid, nid, sim, rank FROM (
+       |  SELECT qid, nid, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+       |  FROM sims) t
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
+  private val lshSql =
+    s"""$normedCte,
+       |pl AS (SELECT $planesSqlLit AS planes),
+       |s AS (SELECT vec_id, v, nrm, $sigSql AS sig FROM n CROSS JOIN pl),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, sig AS qsig FROM s WHERE vec_id < $NumQueries),
+       |sims AS (
+       |  SELECT qid, s.vec_id AS nid,
+       |         list_aggregate([qv[i]*v[i] for i in generate_series(1, $Dim)], 'sum')
+       |           / (qnrm * s.nrm) AS sim
+       |  FROM q JOIN s ON q.qsig = s.sig)
+       |SELECT qid, nid, sim, rank FROM (
+       |  SELECT qid, nid, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+       |  FROM sims) t
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
+  // ---- declared queries ----------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q26_similarity_topk", bruteSql)(bruteForceTopK),
+    QueryDef("q27_ann_lsh_topk", lshSql)(lshTopK)
+  )
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+
+  /** 40 vectors in two tight clusters around two random centroids plus
+    * per-vector noise; queries 0..4 land in cluster A. */
+  private def writeClustered(path: String): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centA = Array.fill(64)(rnd.nextGaussian())
+    val centB = Array.fill(64)(rnd.nextGaussian())
+    val rows = (0 until 40).map { i =>
+      val cent = if (i % 2 == 0) centA else centB
+      val v = cent.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v.toSeq, i % 2)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+  }
+
+  test("brute-force top-k: self first with sim=1, then own-cluster members") {
+    writeClustered("/tmp/simfix")
+    val rows = SimilarityQueries.bruteForceTopK(spark, "/tmp/simfix").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    for ((q, rs) <- byQ) {
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.head.getLong(1) == q, "rank 1 must be the query itself")
+      assert(math.abs(sorted.head.getDouble(2) - 1.0) < 1e-12)
+      // every neighbor after self shares the query's cluster (parity)
+      sorted.tail.foreach { r =>
+        assert(r.getLong(1) % 2 == q % 2,
+          s"query $q pulled cross-cluster neighbor ${r.getLong(1)}")
+      }
+    }
+  }
+
+  test("LSH top-k recalls the brute-force neighbors on clustered data") {
+    writeClustered("/tmp/simfix")
+    val brute = SimilarityQueries.bruteForceTopK(spark, "/tmp/simfix")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityQueries.lshTopK(spark, "/tmp/simfix")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // clusters this tight share hyperplane signatures: recall ~1
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"LSH recall $recall too low; lsh=$lsh brute=$brute")
+  }
+
+  test("LSH candidate join is an equi-join on the signature, not all-pairs") {
+    writeClustered("/tmp/simfix")
+    val plan = SimilarityQueries.lshTopK(spark, "/tmp/simfix")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the join keys include the signature equality -> hash/broadcast
+    // equi-join, and the corpus side is never replicated per query
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+  }
+}
