@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.functions.GraftFunctions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event after time normalization (events.ts arrives as raw
+  * parquet nanos — see [[graft.sources.Tables.requiredConf]]). */
+case class Event(eventId: Long, eventTimeMicros: Long, userId: Long,
+    eventType: String, value: Double)
+
+/** A gap-based user session produced by [[EventStreams.sessionize]]. */
+case class UserSession(userId: Long, startMicros: Long, endMicros: Long,
+    nEvents: Long, sumValue: Double)
+
+private case class SessionState(startMicros: Long, endMicros: Long,
+    nEvents: Long, sumValue: Double)
+
+/** Structured Streaming surface over the `events` table shape
+  * (SURVEY §2.2 "Streaming"). The reference has no streaming code —
+  * its UDA is incremental by construction, and these transforms show
+  * the same operators running under Spark's streaming engine.
+  *
+  * Every transform here is DataFrame-in → DataFrame-out and works
+  * identically on a batch frame or a `readStream` frame; the specs
+  * drive them through `MemoryStream` with real triggers.
+  *
+  * Scale posture: streaming state is bounded — windowed aggs expire by
+  * watermark, dedup state is watermark-scoped, and sessionization
+  * state is one small struct per active user with a processing-time
+  * timeout. Nothing accumulates unboundedly on a 1000-executor
+  * cluster.
+  */
+object EventStreams {
+
+  /** Raw-nanos `ts` → TIMESTAMP `event_time` (micros precision). */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  /** Tumbling-window per-type stats with a late-data watermark.
+    * Partial aggregation happens before the shuffle exactly as in the
+    * batch plan; the watermark bounds state retention. */
+  def windowedStats(events: DataFrame, windowLen: String = "1 minute",
+      watermark: String = "5 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"),
+        max(col("value")).as("max_value"))
+
+  /** Streaming exact dedup by event id, state scoped to the watermark
+    * (duplicates arriving later than the watermark are already
+    * impossible to distinguish — same trade every at-least-once
+    * ingestion pipeline makes). */
+  def dedupByEventId(events: DataFrame, watermark: String = "5 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicates("event_id", "event_time")
+
+  /** The reference UDA under streaming: per-type approximate median
+    * over all events seen so far (complete output mode). The reservoir
+    * buffer IS the streaming state — O(k) per group, merged
+    * incrementally per micro-batch, the same contract the Impala UDA
+    * lifecycle encodes (SURVEY §3.1). */
+  def streamingMedian(events: DataFrame, maxSamples: Int): DataFrame = {
+    GraftFunctions.register(events.sparkSession)
+    events.groupBy(col("event_type"))
+      .agg(GraftFunctions.appx_median_bounded_double(col("value"), maxSamples).as("med"))
+  }
+
+  /** Gap-based sessionization with custom state via
+    * `flatMapGroupsWithState`: a session closes when `gapMicros` of
+    * event-time silence passes within a group's arriving batch, or on
+    * processing-time timeout for idle users (`idleTimeoutMs > 0`;
+    * pass 0 to disable — a processing-time timeout makes the engine
+    * run timeout-check batches forever, which a drain-and-stop test
+    * harness can never wait out). */
+  def sessionize(events: Dataset[Event], gapMicros: Long,
+      idleTimeoutMs: Long = 60000L): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), timeoutConf) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(s =>
+              UserSession(userId, s.startMicros, s.endMicros, s.nEvents, s.sumValue))
+            state.remove()
+            closed.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.eventTimeMicros)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.eventTimeMicros - s.endMicros <= gapMicros =>
+                  cur = Some(SessionState(s.startMicros, e.eventTimeMicros,
+                    s.nEvents + 1, s.sumValue + e.value))
+                case Some(s) =>
+                  closed += UserSession(userId, s.startMicros, s.endMicros,
+                    s.nEvents, s.sumValue)
+                  cur = Some(SessionState(e.eventTimeMicros, e.eventTimeMicros, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.eventTimeMicros, e.eventTimeMicros, 1L, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkTestBase {
+
+  private def microsOf(s: String): Long =
+    java.time.Instant.parse(s).toEpochMilli * 1000L
+
+  // (event_id, ts nanos, user_id, event_type, value)
+  private def row(id: Long, iso: String, user: Long, typ: String, v: Double) =
+    (id, microsOf(iso) * 1000L, user, typ, v)
+
+  test("windowed stats aggregate a real micro-batch stream with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val q = EventStreams.windowedStats(df, "1 minute", "5 minutes")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode("complete").start()
+    mem.addData(
+      row(1, "2026-01-01T10:00:10Z", 1, "click", 1.0),
+      row(2, "2026-01-01T10:00:40Z", 2, "click", 3.0),
+      row(3, "2026-01-01T10:01:10Z", 1, "view", 5.0))
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.sql(
+      "SELECT event_type, n_events, sum_value FROM win_stats ORDER BY event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("click", 2L, 4.0), ("view", 1L, 5.0)))
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val q = EventStreams.dedupByEventId(df)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData(
+      row(1, "2026-01-01T10:00:10Z", 1, "click", 1.0),
+      row(1, "2026-01-01T10:00:10Z", 1, "click", 1.0), // exact dup
+      row(2, "2026-01-01T10:00:20Z", 1, "click", 2.0))
+    q.processAllAvailable(); q.stop()
+
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("the reservoir UDA runs as streaming state (complete mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val q = EventStreams.streamingMedian(df, maxSamples = 100)
+      .writeStream.format("memory").queryName("stream_med")
+      .outputMode("complete").start()
+    mem.addData(row(1, "2026-01-01T10:00:01Z", 1, "m", 1.0))
+    q.processAllAvailable()
+    mem.addData(
+      row(2, "2026-01-01T10:00:02Z", 1, "m", 2.0),
+      row(3, "2026-01-01T10:00:03Z", 1, "m", 3.0))
+    q.processAllAvailable(); q.stop()
+
+    // exact regime across two micro-batches: median of {1,2,3} = 2
+    val med = spark.table("stream_med").collect()(0).getDouble(1)
+    assert(med == 2.0)
+  }
+
+  test("sessionization closes a session on an event-time gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val gapMicros = 30L * 60 * 1000 * 1000 // 30 min
+
+    val q = EventStreams.sessionize(mem.toDS(), gapMicros, idleTimeoutMs = 0L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    mem.addData(
+      Event(1, microsOf("2026-01-01T10:00:00Z"), 7, "click", 1.0),
+      Event(2, microsOf("2026-01-01T10:10:00Z"), 7, "click", 2.0),
+      // 2h gap -> closes first session
+      Event(3, microsOf("2026-01-01T12:30:00Z"), 7, "view", 4.0))
+    q.processAllAvailable(); q.stop()
+
+    val closed = spark.table("sessions").as[UserSession].collect()
+    assert(closed.length == 1)
+    assert(closed(0).userId == 7L)
+    assert(closed(0).nEvents == 2L && closed(0).sumValue == 3.0)
+    assert(closed(0).startMicros == microsOf("2026-01-01T10:00:00Z"))
+    assert(closed(0).endMicros == microsOf("2026-01-01T10:10:00Z"))
+  }
+}
