@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic text-sketch primitives shared by the near-dup
+  * operators (SURVEY §2.3): tokenization, word n-gram shingles,
+  * md5-family MinHash, and a 60-bit SimHash. Everything is built from
+  * Spark built-ins (codegen-friendly, no UDF) and from md5 — the one
+  * hash primitive DuckDB reproduces bit-for-bit, which keeps every
+  * sketch oracle-checkable.
+  *
+  * All sketches are pure per-row expressions: at 100 TB they run
+  * inside the scan stage with zero shuffle.
+  */
+object TextSketches {
+
+  val SimHashBits = 60 // 15 md5 hex chars -> fits a signed 64-bit lane
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** De-duplicated word n-gram shingles (1-based element_at, matching
+    * DuckDB list indexing in oracle SQL). */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    array_distinct(
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
+  }
+
+  /** MinHash component `i`: lexical min of md5("i:" + shingle). */
+  def minhash(i: Int, shingleSet: Column): Column =
+    array_min(transform(shingleSet, t => md5(concat(lit(s"$i:"), t))))
+
+  /** 60-bit token hash: first 15 md5 hex chars as a BIGINT. */
+  private def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** Frequency-weighted 60-bit SimHash over the token multiset: bit j
+    * is set when the sum of (+/-1) votes from each token's hash bit j
+    * is >= 0. One fold over the tokens with an array accumulator;
+    * per-bit literal masks avoid variable shift amounts (the Column
+    * API's shiftright only takes a literal count). */
+  def simhash(text: Column): Column = {
+    val masks = typedlit((0 until SimHashBits).map(1L << _))
+    val hashes = transform(tokens(text), t => tokenHash(t))
+    val bitSums = aggregate(
+      hashes,
+      array_repeat(lit(0L), SimHashBits),
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, masks,
+        (s, m) => when(s >= 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
+  }
+
+  /** Hamming distance between two SimHash values. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+}

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.TextSketches
 import graft.sources.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -45,18 +46,11 @@ object NearDupQueries {
 
   // ---- Spark side ----------------------------------------------------
 
-  private def words: Column = split(col("text"), " ")
+  private def words: Column = TextSketches.tokens(col("text"))
 
-  /** De-duplicated word 3-gram shingles (1-based element_at, matching
-    * DuckDB's 1-based list indexing in the oracle). */
-  private def shingles: Column =
-    array_distinct(
-      transform(sequence(lit(1), size(words) - 2),
-        i => concat_ws(" ",
-          element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
+  private def shingles: Column = TextSketches.shingles(col("text"), 3)
 
-  private def minhash(i: Int, sh: Column): Column =
-    array_min(transform(sh, t => md5(concat(lit(s"$i:"), t))))
+  private def minhash(i: Int, sh: Column): Column = TextSketches.minhash(i, sh)
 
   /** (doc_id, h00..h15) signature frame; docs with <3 tokens have no
     * 3-gram set and are excluded (both sides). */
@@ -161,6 +155,61 @@ object NearDupQueries {
         .select(col("doc_a"), col("doc_b"),
           nCommon.as("n_common"), nUnion.as("n_union"))
         .where(col("n_common") * 10 >= col("n_union") * 7)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // 60-bit frequency-weighted SimHash per document (TextSketches) —
+    // the second classic near-dup sketch; bit j votes +/-1 per token
+    // occurrence by bit j of the token's 60-bit md5 hash.
+    QueryDef("q31_simhash_signature",
+      """SELECT doc_id,
+        |       list_aggregate(
+        |         [CASE WHEN list_sum([((h >> j) & 1)*2 - 1 for h in hashes]) >= 0
+        |               THEN (1::BIGINT << j) ELSE 0 END
+        |          for j in generate_series(0, 59)], 'sum')::BIGINT AS simhash
+        |FROM (SELECT doc_id,
+        |             list_transform(string_split(text, ' '),
+        |                            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hashes
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TextSketches.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Cross-sketch confirmation: Hamming distance between SimHash
+    // values of the MinHash-LSH candidate pairs. Near-dups sit at
+    // small distances; the threshold (<= 20 of 60 bits) is integer
+    // arithmetic on both sides.
+    QueryDef("q32_simhash_hamming",
+      s"""$sigCte,
+         |$bandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |sim AS (
+         |  SELECT doc_id,
+         |         list_aggregate(
+         |           [CASE WHEN list_sum([((h >> j) & 1)*2 - 1 for h in hashes]) >= 0
+         |                 THEN (1::BIGINT << j) ELSE 0 END
+         |            for j in generate_series(0, 59)], 'sum')::BIGINT AS sh
+         |  FROM (SELECT doc_id,
+         |               list_transform(string_split(text, ' '),
+         |                              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hashes
+         |        FROM documents))
+         |SELECT doc_a, doc_b, bit_count(xor(sa.sh, sb.sh))::BIGINT AS hamming
+         |FROM cand JOIN sim sa ON cand.doc_a = sa.doc_id
+         |          JOIN sim sb ON cand.doc_b = sb.doc_id
+         |WHERE bit_count(xor(sa.sh, sb.sh)) <= 20
+         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+      val sim = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TextSketches.simhash(col("text")).as("sh"))
+      candidatePairs(spark, dir)
+        .join(sim.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sim.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          TextSketches.hamming(col("sa.sh"), col("sb.sh")).as("hamming"))
+        .where(col("hamming") <= 20)
         .orderBy(col("doc_a"), col("doc_b"))
     }
   )
