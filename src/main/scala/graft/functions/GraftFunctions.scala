@@ -68,10 +68,22 @@ object GraftFunctions {
         ReservoirSampleAgg(v, k)
       },
       "scala_udf")
+
+    registry.createOrReplaceTempFunction(
+      "vec_dot",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"vec_dot(a, b) takes 2 arguments, got ${exprs.length}")
+        VecDotProduct(exprs.head, exprs(1))
+      },
+      "scala_udf")
   }
 
   // ---- DataFrame/Column API (requires register(spark) on the active
   // session; resolved at analysis time via the function registry) ----
+
+  /** Codegen'd dot product over ARRAY<DOUBLE> columns. */
+  def vec_dot(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
 
   /** STRING-returning form, signature-parity with the reference UDA. */
   def appx_median_bounded(value: Column, maxSamples: Int): Column =

@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   *
   * Pipeline (deterministic, so DuckDB can replay it exactly):
   *  1. shingle: word 3-grams of the space-tokenized text, de-duplicated;
-  *  2. MinHash: 16 hash functions `h_i(t) = md5(i ":" t)` (md5 hex is
-  *     identical in Spark and DuckDB); signature component = lexical min
-  *     over the shingle set — a seeded-permutation MinHash family built
-  *     only from a cryptographic hash both engines share;
+  *  2. MinHash: 16 independent hash functions from FOUR md5 calls per
+  *     shingle — component 4k+r is the 32-bit hex slice r of
+  *     md5(k ":" shingle), numeric-min'd over the shingle set (md5
+  *     bits are independent, and md5 is identical in Spark and
+  *     DuckDB);
   *  3. LSH banding: 4 bands x 4 rows; band key = md5 of the band index
   *     and its 4 signature components;
   *  4. candidates = distinct doc pairs sharing >= 1 band key — found by
@@ -50,26 +51,45 @@ object NearDupQueries {
 
   private def shingles: Column = TextSketches.shingles(col("text"), 3)
 
-  private def minhash(i: Int, sh: Column): Column = TextSketches.minhash(i, sh)
+  /** The fixture is a single small parquet file, i.e. ONE input split —
+    * fan the rows across the cores before the (CPU-bound) shingle and
+    * hash expressions. On a real corpus the scan already yields
+    * thousands of splits and this repartition collapses into the
+    * existing distribution (tiny fixed cost, never a correctness
+    * change: every declared query orders its output). */
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
 
   /** (doc_id, h00..h15) signature frame; docs with <3 tokens have no
-    * 3-gram set and are excluded (both sides). */
+    * 3-gram set and are excluded (both sides). The four per-seed md5
+    * arrays live in their own projection so each md5 runs once and
+    * feeds four 32-bit slice components (TextSketches.minhashSlice). */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.load(spark, dir, "documents")
+    val base = docs(spark, dir)
       .where(size(words) >= 3)
       .select(col("doc_id"), shingles.as("s"))
-    base.select(
-      col("doc_id") +: (0 until NumHashes).map(i => minhash(i, col("s")).as(hName(i))): _*)
+    val withMd5 = base.select(
+      col("doc_id") +: (0 until NumHashes / 4)
+        .map(k => TextSketches.minhashMd5(k, col("s")).as(s"m$k")): _*)
+    withMd5.select(
+      col("doc_id") +: (0 until NumHashes)
+        .map(i => TextSketches.minhashSlice(i % 4, col(s"m${i / 4}")).as(hName(i))): _*)
   }
 
   private def bandKey(j: Int): Column =
-    md5(concat(lit(s"$j|") +: (0 until RowsPerBand).map(r => col(hName(j * RowsPerBand + r))): _*))
+    md5(concat_ws(",", lit(s"$j") +:
+      (0 until RowsPerBand).map(r => col(hName(j * RowsPerBand + r)).cast("string")): _*))
 
-  /** (doc_id, band) rows: NumBands rows per doc. */
+  /** (doc_id, band) rows: NumBands rows per doc. Cached: the
+    * candidate self-join reads it twice, and at scale this tiny
+    * (doc_id, 32-byte band) frame is exactly what one would
+    * materialize before the bucket join. */
   private def bandedKeys(spark: SparkSession, dir: String): DataFrame =
     signatures(spark, dir).select(
       col("doc_id"),
       explode(array((0 until NumBands).map(bandKey): _*)).as("band"))
+      .cache()
 
   /** Distinct candidate pairs from the band-bucket equi-join. */
   def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
@@ -84,7 +104,7 @@ object NearDupQueries {
   // ---- DuckDB oracle -------------------------------------------------
 
   private val hColsSql = (0 until NumHashes).map(i =>
-    s"list_aggregate(list_transform(s, t -> md5('$i:' || t)), 'min') AS ${hName(i)}")
+    s"list_aggregate(list_transform(s, t -> ('0x' || substr(md5('${i / 4}:' || t), ${1 + 8 * (i % 4)}, 8))::BIGINT), 'min')::BIGINT AS ${hName(i)}")
     .mkString(",\n       ")
 
   private val sigCte =
@@ -97,8 +117,8 @@ object NearDupQueries {
        |FROM sh)""".stripMargin
 
   private val bandsCte = (0 until NumBands).map { j =>
-    val cat = (0 until RowsPerBand).map(r => hName(j * RowsPerBand + r)).mkString(" || ")
-    s"SELECT doc_id, md5('$j|' || $cat) AS band FROM sig"
+    val cat = (0 until RowsPerBand).map(r => hName(j * RowsPerBand + r) + "::VARCHAR").mkString(" || ',' || ")
+    s"SELECT doc_id, md5('$j' || ',' || $cat) AS band FROM sig"
   }.mkString("bands AS (", " UNION ALL ", ")")
 
   private val candidatesSql =
@@ -144,7 +164,7 @@ object NearDupQueries {
          |            JOIN sh sb ON cand.doc_b = sb.doc_id) t
          |WHERE n_common * 10 >= n_union * 7
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-      val sh = Tables.load(spark, dir, "documents")
+      val sh = docs(spark, dir)
         .where(size(words) >= 3)
         .select(col("doc_id"), shingles.as("s"))
       val nCommon = size(array_intersect(col("sa.s"), col("sb.s"))).cast("long")
@@ -172,7 +192,7 @@ object NearDupQueries {
         |                            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hashes
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      Tables.load(spark, dir, "documents")
+      docs(spark, dir)
         .select(col("doc_id"), TextSketches.simhash(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     },
@@ -202,7 +222,7 @@ object NearDupQueries {
          |          JOIN sim sb ON cand.doc_b = sb.doc_id
          |WHERE bit_count(xor(sa.sh, sb.sh)) <= 20
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-      val sim = Tables.load(spark, dir, "documents")
+      val sim = docs(spark, dir)
         .select(col("doc_id"), TextSketches.simhash(col("text")).as("sh"))
       candidatePairs(spark, dir)
         .join(sim.as("sa"), col("doc_a") === col("sa.doc_id"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.GraftFunctions
 import graft.sources.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -54,12 +55,12 @@ object SimilarityQueries {
 
   private def vecD(c: Column): Column = c.cast("array<double>")
 
-  /** Sequential left-fold dot product — bit-exact vs the oracle. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd sequential dot product (VecDotProduct) — the same
+    * left-to-right summation as a HOF fold, bit-exact vs the oracle,
+    * but a generated Java loop instead of per-element closure calls. */
+  private def dot(a: Column, b: Column): Column = GraftFunctions.vec_dot(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  private def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
@@ -73,19 +74,30 @@ object SimilarityQueries {
     concat(bits: _*)
   }
 
-  private def normed(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+  private def normed(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), vecD(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
 
-  /** Query set: the NumQueries lowest vec_ids — broadcast side. */
-  private def queriesDf(e: DataFrame): DataFrame =
-    broadcast(e.where(col("vec_id") < NumQueries)
+  /** Corpus side: the fixture is one parquet split — spread rows
+    * across cores before the CPU-bound fold expressions (no-op
+    * redistribution on a real multi-split corpus; output order is
+    * imposed downstream). */
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    normed(Tables.load(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism))
+
+  /** Query side: built from its OWN scan so the vec_id predicate
+    * pushes down to parquet — the broadcast never waits on the
+    * corpus-wide shuffle or recomputes norms through it. */
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    broadcast(normed(
+      Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumQueries))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm")))
 
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = normed(spark, dir)
-    val sims = queriesDf(e).crossJoin(e)
+    GraftFunctions.register(spark)
+    val e = corpus(spark, dir)
+    val sims = queriesDf(spark, dir).crossJoin(e)
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
@@ -95,8 +107,11 @@ object SimilarityQueries {
   }
 
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = normed(spark, dir).withColumn("sig", planeSig(col("v")))
-    val q = broadcast(e.where(col("vec_id") < NumQueries)
+    GraftFunctions.register(spark)
+    val e = corpus(spark, dir).withColumn("sig", planeSig(col("v")))
+    val q = broadcast(normed(
+      Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumQueries))
+      .withColumn("sig", planeSig(col("v")))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("sig").as("qsig")))
     val sims = q.join(e, col("qsig") === col("sig"))
