@@ -185,6 +185,44 @@ object CoreQueries {
         .orderBy(col("rflag"), col("lstatus"))
     },
 
+    // CUBE: all 2^2 grouping combinations (rollup's sibling; Catalyst
+    // expands both into a single Expand + hash agg — one shuffle).
+    QueryDef("q33_cube",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("rflag"), col("lstatus"))
+    },
+
+    // Explicit GROUPING SETS through the SQL surface (no 'ALL' row:
+    // the chosen sets are the two single-key groupings).
+    QueryDef("q34_grouping_sets",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rflag, lstatus""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+      spark.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+          |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+          |       sum(l_quantity) AS sum_qty, count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY rflag, lstatus""".stripMargin)
+    },
+
     // Scalar string functions.
     QueryDef("q10_scalar_string",
       """SELECT p_partkey,

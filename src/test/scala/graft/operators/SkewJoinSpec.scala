@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+
+class SkewJoinSpec extends SparkTestBase {
+
+  test("salted join returns exactly the plain join's rows") {
+    import spark.implicits._
+    // skewed left: key 1 is hot (10k rows), others sparse
+    val left = ((1 to 10000).map(i => (1L, s"v$i")) ++
+      (2L to 50L).map(k => (k, s"w$k"))).toDF("k", "lval").repartition(8)
+    val right = (1L to 50L).map(k => (k, s"dim$k")).toDF("k", "rval")
+
+    val plain = left.join(right, Seq("k"), "inner")
+      .select("k", "lval", "rval").collect().map(_.toSeq).toSet
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", n = 8,
+      saltBy = Seq("lval"))
+      .select("k", "lval", "rval").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.size == 10000 + 49)
+  }
+
+  test("the hot key's rows spread across salt subkeys") {
+    import spark.implicits._
+    val left = (1 to 10000).map(i => (1L, s"v$i")).toDF("k", "lval")
+    val salts = left.withColumn("_salt", pmod(hash(col("lval")), lit(8)))
+      .groupBy("_salt").count().collect().map(r => r.getLong(1))
+    assert(salts.length == 8, "all 8 salt buckets should be populated")
+    assert(salts.max < 10000 * 0.25,
+      s"no salt bucket may hold the whole hot key: ${salts.toSeq}")
+  }
+}
