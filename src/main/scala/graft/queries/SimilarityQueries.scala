@@ -37,6 +37,7 @@ object SimilarityQueries {
   private val Dim = 64
   private val NumPlanes = 8
   private val NumQueries = 5
+  private val NumCentroids = 16
   private val TopK = 10
 
   /** Deterministic Rademacher hyperplanes: sign of the first nibble of
@@ -123,6 +124,38 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF-style ANN: a deterministic "coarse quantizer" (the first
+    * NumCentroids vectors stand in for k-means centroids — a real
+    * build would Lloyd-iterate, same plan shape), each vector assigned
+    * to its max-cosine cell, queries probing only their own cell.
+    * The assigned index is cached — it IS the IVF index one would
+    * materialize at scale; the probe join is an equi-join on cell id. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = broadcast(normed(
+      Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumCentroids))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = corpus(spark, dir).crossJoin(cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        cosine(col("cv"), col("v"), col("cnrm"), col("nrm")).as("csim"))
+      .withColumn("rn", row_number().over(wCell))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+      .cache()
+    val q = broadcast(assigned.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cid").as("qcid")))
+    val sims = q.join(assigned, col("qcid") === col("cid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---- DuckDB oracle -------------------------------------------------
 
   private val normedCte =
@@ -170,8 +203,31 @@ object SimilarityQueries {
 
   // ---- declared queries ----------------------------------------------
 
+  private val ivfSql =
+    s"""$normedCte,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NumCentroids),
+       |cell AS (
+       |  SELECT vec_id, v, nrm, cid FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |             list_aggregate([n.v[i]*cv[i] for i in generate_series(1, $Dim)], 'sum')
+       |               / (n.nrm*cnrm) DESC, c.cid) AS rn
+       |    FROM n CROSS JOIN c) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS qcid FROM cell WHERE vec_id < $NumQueries),
+       |sims AS (
+       |  SELECT qid, cell.vec_id AS nid,
+       |         list_aggregate([qv[i]*cell.v[i] for i in generate_series(1, $Dim)], 'sum')
+       |           / (qnrm*cell.nrm) AS sim
+       |  FROM q JOIN cell ON q.qcid = cell.cid)
+       |SELECT qid, nid, sim, rank FROM (
+       |  SELECT qid, nid, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+       |  FROM sims) t
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q26_similarity_topk", bruteSql)(bruteForceTopK),
-    QueryDef("q27_ann_lsh_topk", lshSql)(lshTopK)
+    QueryDef("q27_ann_lsh_topk", lshSql)(lshTopK),
+    QueryDef("q35_ann_ivf_topk", ivfSql)(ivfTopK)
   )
 }

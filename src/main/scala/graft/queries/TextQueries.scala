@@ -44,6 +44,7 @@ object TextQueries {
          |       len(string_split(text, ' ')) AS n_tokens,
          |       len(list_distinct(string_split(text, ' '))) AS n_types,
          |       len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+         |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens,
          |       len(list_filter(string_split(text, ' '),
          |                       t -> list_contains($stopListSql, t))) AS n_stop
          |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
@@ -54,6 +55,11 @@ object TextQueries {
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_types"),
         size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast("long").as("n_punct"),
+        // BPE-ish subword segmentation: letter runs, digit runs, and
+        // single non-alphanumeric marks (the pre-tokenization pass a
+        // byte-pair tokenizer applies before merges)
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_subtokens"),
         stopCount(toks).cast("long").as("n_stop"))
         .orderBy(col("doc_id"))
     },

@@ -1,0 +1,29 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Non-parquet source/sink surface (SURVEY §2.2 "Scans / sources /
+  * sinks"): CSV and JSON-lines with EXPLICIT schemas.
+  *
+  * Scale rule encoded here: never `inferSchema` — on a 100 TB input
+  * that option triggers a full extra pass before the real scan. The
+  * caller always supplies the `StructType` (or reuses one captured
+  * from a parquet sibling via `df.schema`). CSV/JSON scans still get
+  * partition-parallel reads and (for CSV) filter/column pushdown from
+  * the DataSource V2 framework.
+  */
+object Formats {
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

@@ -1,0 +1,39 @@
+package graft.sources
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+
+class FormatsSpec extends SparkTestBase {
+
+  private def nationDf = Tables.load(spark, sf0001, "nation")
+
+  test("CSV round-trip preserves rows and schema (explicit schema, no infer pass)") {
+    val src = nationDf
+    Formats.writeCsv(src, "/tmp/fmt_nation_csv")
+    val back = Formats.readCsv(spark, "/tmp/fmt_nation_csv", src.schema)
+    assert(back.schema == src.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("JSON-lines round-trip preserves rows") {
+    val src = nationDf
+    Formats.writeJsonLines(src, "/tmp/fmt_nation_json")
+    val back = Formats.readJsonLines(spark, "/tmp/fmt_nation_json", src.schema)
+    assert(back.count() == src.count())
+    assert(back.where(col("n_name") === "CHINA").count() ==
+      src.where(col("n_name") === "CHINA").count())
+  }
+
+  test("CSV scan pushes filters down to the source") {
+    val src = nationDf
+    Formats.writeCsv(src, "/tmp/fmt_nation_csv")
+    val plan = Formats.readCsv(spark, "/tmp/fmt_nation_csv", src.schema)
+      .where(col("n_regionkey") === 2)
+      .select("n_name")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,2)]")
+      || plan.contains("EqualTo(n_regionkey,2)"), plan)
+  }
+}
