@@ -1,16 +1,21 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. A warmup pass (tiny range job + one parquet
+  * scan) runs before timing so session/JIT/parquet-footer startup is
+  * reported separately (`warmup_sec`) instead of inflating whichever
+  * query happens to run first. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config(graft.sources.Tables.requiredConf)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build("graft-bench", cpus.toInt)
+
+    val w0 = System.nanoTime()
+    spark.range(100000).selectExpr("sum(id)").collect()
+    graft.sources.Tables.load(spark, sfDir, "region").count()
+    val warmup = (System.nanoTime() - w0) / 1e9
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -19,7 +24,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

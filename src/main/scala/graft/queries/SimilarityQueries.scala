@@ -225,9 +225,47 @@ object SimilarityQueries {
        |  FROM sims) t
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
+  /** Embedding-cosine near-dup with metadata BLOCKING: candidate pairs
+    * come from an equi-join on `label` (entity-resolution blocking —
+    * never an all-pairs product; at scale the blocking key must be
+    * selective, else fall back to the hyperplane buckets of
+    * [[lshTopK]]), then a cosine threshold filters. The fixture's
+    * vectors are near-orthogonal, so the demo threshold is 0.4; a real
+    * near-dup pass would use ~0.95 with multi-table LSH blocking. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = corpus(spark, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val lbl = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    a.join(lbl.select(col("vec_id").as("id_a"), col("label").as("la")), "id_a")
+      .join(b.join(lbl.select(col("vec_id").as("id_b"), col("label").as("lb")), "id_b"),
+        col("la") === col("lb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("la").as("label"),
+        cosine(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+      .where(col("sim") >= 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val nearDupSql =
+    s"""$normedCte,
+       |l AS (SELECT vec_id, label FROM embeddings),
+       |j AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, la.label AS label,
+       |         list_aggregate([a.v[i]*b.v[i] for i in generate_series(1, $Dim)], 'sum')
+       |           / (a.nrm*b.nrm) AS sim
+       |  FROM n a JOIN l la ON a.vec_id = la.vec_id
+       |       JOIN l lb ON la.label = lb.label
+       |       JOIN n b ON b.vec_id = lb.vec_id AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, label, sim FROM j
+       |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q26_similarity_topk", bruteSql)(bruteForceTopK),
     QueryDef("q27_ann_lsh_topk", lshSql)(lshTopK),
-    QueryDef("q35_ann_ivf_topk", ivfSql)(ivfTopK)
+    QueryDef("q35_ann_ivf_topk", ivfSql)(ivfTopK),
+    QueryDef("q36_embedding_neardup", nearDupSql)(embeddingNearDup)
   )
 }
