@@ -70,6 +70,22 @@ object GraftFunctions {
       "scala_udf")
 
     registry.createOrReplaceTempFunction(
+      "max_k",
+      (exprs: Seq[Expression]) => {
+        val (v, k) = twoTyped("max_k")(exprs)
+        TopKAgg(v, k, descending = true)
+      },
+      "scala_udf")
+
+    registry.createOrReplaceTempFunction(
+      "min_k",
+      (exprs: Seq[Expression]) => {
+        val (v, k) = twoTyped("min_k")(exprs)
+        TopKAgg(v, k, descending = false)
+      },
+      "scala_udf")
+
+    registry.createOrReplaceTempFunction(
       "vec_dot",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"vec_dot(a, b) takes 2 arguments, got ${exprs.length}")
@@ -101,4 +117,13 @@ object GraftFunctions {
   /** Bounded sample of a column as a value-sorted ARRAY of its type. */
   def reservoir_sample(value: Column, k: Int): Column =
     call_function("reservoir_sample", value, lit(k))
+
+  /** The k largest values per group, descending — O(k) state, map-side
+    * combined (vs a full window sort). */
+  def max_k(value: Column, k: Int): Column =
+    call_function("max_k", value, lit(k))
+
+  /** The k smallest values per group, ascending. */
+  def min_k(value: Column, k: Int): Column =
+    call_function("min_k", value, lit(k))
 }

@@ -149,6 +149,24 @@ object MedianQueries {
         .groupBy(col("l_suppkey"))
         .agg(GraftFunctions.reservoir_sample(col("l_quantity"), 64).as("s"))
         .select(col("l_suppkey"), size(col("s")).as("n_sampled"))
+    },
+
+    // Bounded-heap top-k per group (max_k): O(k) state + map-side
+    // combine instead of the window sort of every row. Exploded to
+    // scalar rows for the gate, like q16.
+    QueryDef("q37_topk_per_group",
+      """SELECT l_returnflag, CAST(rn - 1 AS INT) AS idx, v FROM (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY l_extendedprice DESC) AS rn
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL) t
+        |WHERE rn <= 5 ORDER BY l_returnflag, idx""".stripMargin) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(GraftFunctions.max_k(col("l_extendedprice"), 5).as("s"))
+        .select(col("l_returnflag"), posexplode(col("s")).as(Seq("idx", "v")))
+        .orderBy(col("l_returnflag"), col("idx"))
     }
   )
 }
