@@ -130,6 +130,35 @@ object MedianQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Typed median over DECIMAL (ValueOps decimal ordering + codec);
+    // result cast back to DOUBLE for a dtype-stable gate compare.
+    QueryDef("q38_median_decimal",
+      """SELECT CAST(med AS DOUBLE) AS med FROM (
+        |  SELECT d AS med FROM (
+        |    SELECT CAST(l_quantity AS DECIMAL(12,2)) AS d,
+        |           row_number() OVER (ORDER BY CAST(l_quantity AS DECIMAL(12,2))) AS rn,
+        |           count(*) OVER () AS n
+        |    FROM lineitem WHERE l_quantity IS NOT NULL
+        |  ) t WHERE rn = n // 2 + 1) m""".stripMargin) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      val li = Tables.load(spark, dir, "lineitem")
+      val k = exactK(li, col("l_quantity"), "q38_median_decimal")
+      li.agg(GraftFunctions.appx_median_typed(
+          col("l_quantity").cast("decimal(12,2)"), k).cast("double").as("med"))
+    },
+
+    // Typed median over STRING (the reference's memcmp comparator,
+    // median.cc:201-208), grouped.
+    QueryDef("q39_median_string",
+      upperMedianSql("part", "p_brand", "med", Seq("p_type"))) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      val pt = Tables.load(spark, dir, "part")
+      val k = exactK(pt, col("p_brand"), "q39_median_string")
+      pt.groupBy(col("p_type"))
+        .agg(GraftFunctions.appx_median_typed(col("p_brand"), k).as("med"))
+        .orderBy(col("p_type"))
+    },
+
     // ---- Bounded regime (the actual 100 TB production path): O(k)
     // state per group, size-weighted merge. Randomized, so no value
     // oracle — the driver records a rows-only check; the estimate
