@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over `events` — the BATCH equivalents of the
+  * [[graft.streaming.EventStreams]] transforms, declared to the
+  * correctness gate (streaming queries cannot run under the batch
+  * verify harness; these pin the same semantics against the oracle).
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS): Spark reads raw nanos
+  * (LongType, see Tables.requiredConf), DuckDB reads TIMESTAMP_NS —
+  * both sides normalize to integer epoch MICROS so every comparison
+  * and bucket boundary is exact integer arithmetic.
+  *
+  * Scale: sessionization is one shuffle on user_id (window lag +
+  * running sum — Catalyst executes both window functions over a single
+  * sort within the partition); windowed stats are a plain partial+
+  * final hash agg on (bucket, type). Aggregates emitted are
+  * order-independent (counts, min/max) so the oracle hash is stable
+  * under any parallelism.
+  */
+object EventQueries {
+
+  private val GapMicros = 30L * 60 * 1000 * 1000 // 30 min
+  private val HourMicros = 3600L * 1000 * 1000
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Gap-based sessionization in one pass: new-session flag via lag,
+    // session id via running sum, then per-session stats.
+    QueryDef("q40_sessionize_batch",
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+         |flags AS (
+         |  SELECT user_id, t,
+         |         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+         |                OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > $GapMicros
+         |              THEN 1 ELSE 0 END AS new_s
+         |  FROM e),
+         |sess AS (
+         |  SELECT user_id, t,
+         |         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM flags)
+         |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+         |       min(t) AS start_us, max(t) AS end_us,
+         |       count(*) AS n_events
+         |FROM sess GROUP BY user_id, sid
+         |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
+      val t = expr("ts DIV 1000") // integer division: ts/1000 via `/` is DOUBLE division and loses micros at nano magnitudes
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      val newSession = when(
+        lag(col("t"), 1).over(byUser).isNull ||
+          col("t") - lag(col("t"), 1).over(byUser) > GapMicros, 1L).otherwise(0L)
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), t.as("t"))
+        .withColumn("new_s", newSession)
+        .withColumn("sid", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("t")).as("start_us"), max(col("t")).as("end_us"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sid").as("session_id"),
+          col("start_us"), col("end_us"), col("n_events"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // Tumbling 1-hour event-time windows per type (batch twin of
+    // EventStreams.windowedStats): epoch-aligned integer buckets.
+    QueryDef("q41_windowed_stats",
+      s"""SELECT (epoch_us(ts) // $HourMicros) * $HourMicros AS bucket_us,
+         |       event_type,
+         |       count(*) AS n_events,
+         |       max(value) AS max_value
+         |FROM events GROUP BY 1, 2
+         |ORDER BY bucket_us, event_type""".stripMargin) { (spark, dir) =>
+      val t = expr("ts DIV 1000") // integer division: ts/1000 via `/` is DOUBLE division and loses micros at nano magnitudes
+      Tables.load(spark, dir, "events")
+        .select((floor(t / HourMicros) * HourMicros).cast("long").as("bucket_us"),
+          col("event_type"), col("value"))
+        .groupBy(col("bucket_us"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+        .orderBy(col("bucket_us"), col("event_type"))
+    }
+  )
+}

@@ -37,7 +37,7 @@ object EventStreams {
 
   /** Raw-nanos `ts` → TIMESTAMP `event_time` (micros precision). */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+    df.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
 
   /** Tumbling-window per-type stats with a late-data watermark.
     * Partial aggregation happens before the shuffle exactly as in the

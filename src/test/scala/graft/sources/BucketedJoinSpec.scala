@@ -16,6 +16,18 @@ class BucketedJoinSpec extends SparkTestBase {
       // force a non-broadcast join so the exchange question is real
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
+      // idempotence: a fresh session's catalog does not know about a
+      // previous JVM's managed-table directories, and saveAsTable
+      // refuses to reuse the leftover location
+      for (t <- Seq("t_facts_bkt", "t_dims_bkt", "t_facts_plain")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val dir = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (dir.exists()) {
+          dir.listFiles().foreach(_.delete()); dir.delete()
+        }
+      }
+
       (1 to 10000).map(i => (i.toLong % 100, s"f$i")).toDF("k", "fv")
         .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
         .saveAsTable("t_facts_bkt")
