@@ -76,9 +76,10 @@ object EventQueries {
          |       max(value) AS max_value
          |FROM events GROUP BY 1, 2
          |ORDER BY bucket_us, event_type""".stripMargin) { (spark, dir) =>
-      val t = expr("ts DIV 1000") // integer division: ts/1000 via `/` is DOUBLE division and loses micros at nano magnitudes
+      // end-to-end integer arithmetic: `/` on longs is double division
+      val bucket = expr(s"(ts DIV 1000) DIV $HourMicros * $HourMicros")
       Tables.load(spark, dir, "events")
-        .select((floor(t / HourMicros) * HourMicros).cast("long").as("bucket_us"),
+        .select(bucket.cast("long").as("bucket_us"),
           col("event_type"), col("value"))
         .groupBy(col("bucket_us"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
