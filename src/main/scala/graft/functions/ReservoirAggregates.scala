@@ -127,7 +127,9 @@ case class AppxMedianBounded(
     copy(child = newChildren(0), maxSamplesExp = newChildren(1))
 
   override def prettyName: String =
-    if (asString) "appx_median_bounded" else "appx_median_bounded_typed"
+    if (asString) "appx_median_bounded"
+    else if (child.dataType == DoubleType) "appx_median_bounded_double"
+    else "appx_median_typed"
 }
 
 object AppxMedianBounded {

@@ -20,12 +20,16 @@ object TextSketches {
   def tokens(text: Column): Column = split(text, " ")
 
   /** De-duplicated word n-gram shingles (1-based element_at, matching
-    * DuckDB list indexing in oracle SQL). */
+    * DuckDB list indexing in oracle SQL). Texts with fewer than n
+    * tokens yield an EMPTY array — without the guard,
+    * `sequence(1, 0)` counts DOWN in Spark and `element_at(w, 0)`
+    * throws INVALID_INDEX_OF_ZERO. */
   def shingles(text: Column, n: Int): Column = {
     val w = tokens(text)
-    array_distinct(
+    val grams = array_distinct(
       transform(sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
+    when(size(w) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
   /** MinHash components 0..n-1 in one pass via Kirsch–Mitzenmacher

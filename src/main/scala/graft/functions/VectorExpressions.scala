@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Null handling: a null array yields null; null ELEMENTS contribute
   * 0 (the fixture schema never produces them; documented trade vs the
-  * SQL-NULL-propagating HOF form). Lengths must match.
+  * SQL-NULL-propagating HOF form). Mismatched lengths throw — a
+  * silent partial dot product would hide corrupt embeddings.
   */
 case class VecDotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -41,7 +42,11 @@ case class VecDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"vec_dot: length mismatch (${x.numElements()} vs ${y.numElements()})")
+    }
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -59,7 +64,11 @@ case class VecDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: length mismatch (" + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {

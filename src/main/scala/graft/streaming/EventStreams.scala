@@ -100,7 +100,11 @@ object EventStreams {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.eventTimeMicros - s.endMicros <= gapMicros =>
-                  cur = Some(SessionState(s.startMicros, e.eventTimeMicros,
+                  // a late (out-of-order) event from a later micro-batch
+                  // must never move the session end backwards
+                  cur = Some(SessionState(
+                    math.min(s.startMicros, e.eventTimeMicros),
+                    math.max(s.endMicros, e.eventTimeMicros),
                     s.nEvents + 1, s.sumValue + e.value))
                 case Some(s) =>
                   closed += UserSession(userId, s.startMicros, s.endMicros,

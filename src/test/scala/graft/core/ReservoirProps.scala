@@ -9,8 +9,10 @@ import org.scalacheck.Prop.forAll
   * grouping must preserve these). */
 object ReservoirProps extends Properties("Reservoir") {
 
+  /** Variable-size lists INCLUDING empty and tiny — the n=0 / n<k
+    * branches are exactly where regressions would hide. */
   private val values: Gen[List[Double]] =
-    Gen.listOfN(200, Gen.choose(-1e6, 1e6)).map(_.take(200))
+    Gen.choose(0, 200).flatMap(n => Gen.listOfN(n, Gen.choose(-1e6, 1e6)))
 
   private def filled(vs: Seq[Double], k: Int, seed: Long = 1L): Reservoir[Double] = {
     val r = Reservoir.empty[Double](k, seed)
@@ -49,14 +51,18 @@ object ReservoirProps extends Properties("Reservoir") {
     }
 
   property("merge: counts add, size caps at max k, samples from the union") =
-    forAll(values, values, Gen.choose(1, 50), Gen.choose(1, 50)) { (a, b, ka, kb) =>
+    forAll(values, values, Gen.choose(1, 50), Gen.choose(1, 50)) { (a, b, ka0, kb0) =>
+      // clamp: ScalaCheck shrinking does not respect generator bounds
+      val (ka, kb) = (math.max(ka0, 1), math.max(kb0, 1))
       val ra = filled(a, ka, seed = 2L)
       val rb = filled(b, kb, seed = 3L)
+      val retained = ra.numSamples + rb.numSamples
       ra.assignKeys(); rb.assignKeys()
       ra.merge(rb)
       val all = a ++ b
       ra.sourceSize == all.length.toLong &&
-        ra.numSamples == math.min(all.length, math.max(ka, kb)) &&
+        // merge can keep at most what both sides RETAINED, capped at max k
+        ra.numSamples == math.min(retained, math.max(ka, kb)) &&
         ra.sortedSamples.forall(all.contains)
     }
 
