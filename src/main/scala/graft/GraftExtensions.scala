@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions._
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Production registration path: inject every graft function at
+  * session build via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — the cluster
+  * analog of the reference's one-time `CREATE AGGREGATE FUNCTION` DDL
+  * (`/root/reference/README.md:40-46`). Unlike
+  * [[graft.functions.GraftFunctions.register]] (temp functions on one
+  * session), the extension applies to every session the cluster
+  * builds, including Thrift-server/SQL-only clients that never touch
+  * Scala code. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def inject(ext: SparkSessionExtensions, name: String, usage: String)(
+      builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    inject(ext, "appx_median_bounded",
+      "_FUNC_(value, max_samples) - bounded-reservoir approximate median as STRING (reference parity)") {
+      exprs => GraftFunctions.buildAppxMedianBounded(exprs, asString = true)
+    }
+    inject(ext, "appx_median_bounded_double",
+      "_FUNC_(value, max_samples) - bounded-reservoir approximate median as DOUBLE") {
+      exprs => GraftFunctions.buildAppxMedianBounded(exprs, asString = false)
+    }
+    inject(ext, "appx_median_typed",
+      "_FUNC_(value, max_samples) - typed bounded-reservoir median (numeric/string/decimal/date/timestamp)") {
+      exprs => GraftFunctions.buildAppxMedianTyped(exprs)
+    }
+    inject(ext, "reservoir_sample",
+      "_FUNC_(value, k) - value-sorted bounded reservoir sample as ARRAY") {
+      exprs => GraftFunctions.buildReservoirSample(exprs)
+    }
+    inject(ext, "max_k",
+      "_FUNC_(value, k) - the k largest values per group, descending") {
+      exprs => GraftFunctions.buildTopK(exprs, descending = true)
+    }
+    inject(ext, "min_k",
+      "_FUNC_(value, k) - the k smallest values per group, ascending") {
+      exprs => GraftFunctions.buildTopK(exprs, descending = false)
+    }
+    inject(ext, "vec_dot",
+      "_FUNC_(a, b) - codegen'd dot product of two ARRAY<DOUBLE> vectors") {
+      exprs => GraftFunctions.buildVecDot(exprs)
+    }
+  }
+}

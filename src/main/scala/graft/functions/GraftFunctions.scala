@@ -31,67 +31,52 @@ object GraftFunctions {
     (exprs.head, Cast(exprs(1), IntegerType))
   }
 
+  // ---- Expression builders, shared by the temp-function path below
+  // and the cluster-wide GraftExtensions injection path ----
+
+  private[graft] def buildAppxMedianBounded(exprs: Seq[Expression],
+      asString: Boolean): Expression = {
+    val name = if (asString) "appx_median_bounded" else "appx_median_bounded_double"
+    val (v, k) = two(name)(exprs)
+    AppxMedianBounded(v, k, asString)
+  }
+
+  // Typed forms: value keeps its own type (numeric/string/decimal/
+  // date/timestamp), realizing the reference's latent per-type
+  // comparators (median.cc:196-221) — no cast to DOUBLE.
+  private[graft] def buildAppxMedianTyped(exprs: Seq[Expression]): Expression = {
+    val (v, k) = twoTyped("appx_median_typed")(exprs)
+    AppxMedianBounded(v, k, asString = false)
+  }
+
+  private[graft] def buildReservoirSample(exprs: Seq[Expression]): Expression = {
+    val (v, k) = twoTyped("reservoir_sample")(exprs)
+    ReservoirSampleAgg(v, k)
+  }
+
+  private[graft] def buildTopK(exprs: Seq[Expression],
+      descending: Boolean): Expression = {
+    val (v, k) = twoTyped(if (descending) "max_k" else "min_k")(exprs)
+    TopKAgg(v, k, descending)
+  }
+
+  private[graft] def buildVecDot(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"vec_dot(a, b) takes 2 arguments, got ${exprs.length}")
+    VecDotProduct(exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    def reg(name: String)(b: Seq[Expression] => Expression): Unit =
+      registry.createOrReplaceTempFunction(name, b, "scala_udf")
 
-    registry.createOrReplaceTempFunction(
-      "appx_median_bounded",
-      (exprs: Seq[Expression]) => {
-        val (v, k) = two("appx_median_bounded")(exprs)
-        AppxMedianBounded(v, k, asString = true)
-      },
-      "scala_udf")
-
-    registry.createOrReplaceTempFunction(
-      "appx_median_bounded_double",
-      (exprs: Seq[Expression]) => {
-        val (v, k) = two("appx_median_bounded_double")(exprs)
-        AppxMedianBounded(v, k, asString = false)
-      },
-      "scala_udf")
-
-    // Typed forms: value keeps its own type (numeric/string/decimal/
-    // date/timestamp), realizing the reference's latent per-type
-    // comparators (median.cc:196-221) — no cast to DOUBLE.
-    registry.createOrReplaceTempFunction(
-      "appx_median_typed",
-      (exprs: Seq[Expression]) => {
-        val (v, k) = twoTyped("appx_median_typed")(exprs)
-        AppxMedianBounded(v, k, asString = false)
-      },
-      "scala_udf")
-
-    registry.createOrReplaceTempFunction(
-      "reservoir_sample",
-      (exprs: Seq[Expression]) => {
-        val (v, k) = twoTyped("reservoir_sample")(exprs)
-        ReservoirSampleAgg(v, k)
-      },
-      "scala_udf")
-
-    registry.createOrReplaceTempFunction(
-      "max_k",
-      (exprs: Seq[Expression]) => {
-        val (v, k) = twoTyped("max_k")(exprs)
-        TopKAgg(v, k, descending = true)
-      },
-      "scala_udf")
-
-    registry.createOrReplaceTempFunction(
-      "min_k",
-      (exprs: Seq[Expression]) => {
-        val (v, k) = twoTyped("min_k")(exprs)
-        TopKAgg(v, k, descending = false)
-      },
-      "scala_udf")
-
-    registry.createOrReplaceTempFunction(
-      "vec_dot",
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, s"vec_dot(a, b) takes 2 arguments, got ${exprs.length}")
-        VecDotProduct(exprs.head, exprs(1))
-      },
-      "scala_udf")
+    reg("appx_median_bounded")(buildAppxMedianBounded(_, asString = true))
+    reg("appx_median_bounded_double")(buildAppxMedianBounded(_, asString = false))
+    reg("appx_median_typed")(buildAppxMedianTyped)
+    reg("reservoir_sample")(buildReservoirSample)
+    reg("max_k")(buildTopK(_, descending = true))
+    reg("min_k")(buildTopK(_, descending = false))
+    reg("vec_dot")(buildVecDot)
   }
 
   // ---- DataFrame/Column API (requires register(spark) on the active
