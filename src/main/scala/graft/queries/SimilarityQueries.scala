@@ -124,6 +124,36 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Multi-probe LSH: each query probes its OWN bucket plus every
+    * HAMMING-1 neighbor bucket (one plane's bit flipped) — the
+    * standard recall remedy for hyperplane LSH: a near neighbor on the
+    * wrong side of exactly one plane is recovered at the cost of
+    * NumPlanes extra (still tiny) probe keys per query. The corpus
+    * side is untouched — only the broadcast query set fans out 9x. */
+  def lshMultiProbeTopK(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = corpus(spark, dir).withColumn("sig", planeSig(col("v")))
+    val flip = (sig: Column, i: Int) => concat(
+      substring(sig, 1, i - 1),
+      when(substring(sig, i, 1) === "1", "0").otherwise("1"),
+      substring(sig, i + 1, NumPlanes - i))
+    val probes = (sig: Column) =>
+      array(sig +: (1 to NumPlanes).map(i => flip(sig, i)): _*)
+    val q = broadcast(normed(
+      Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumQueries))
+      .withColumn("sig", planeSig(col("v")))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(probes(col("sig"))).as("psig")))
+    val sims = q.join(e, col("psig") === col("sig"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
+      .distinct() // a neighbor can land in several probe buckets
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** IVF-style ANN: a deterministic "coarse quantizer" (the first
     * NumCentroids vectors stand in for k-means centroids — a real
     * build would Lloyd-iterate, same plan shape), each vector assigned
@@ -262,10 +292,32 @@ object SimilarityQueries {
        |SELECT id_a, id_b, label, sim FROM j
        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
+  private val multiProbeSql = {
+    val flips = (1 to NumPlanes).map { i =>
+      s"substr(qsig, 1, ${i - 1}) || (CASE WHEN substr(qsig, $i, 1) = '1' THEN '0' ELSE '1' END) || substr(qsig, ${i + 1}, ${NumPlanes - i})"
+    }.mkString(", ")
+    s"""$normedCte,
+       |pl AS (SELECT $planesSqlLit AS planes),
+       |s AS (SELECT vec_id, v, nrm, $sigSql AS sig FROM n CROSS JOIN pl),
+       |q0 AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, sig AS qsig FROM s WHERE vec_id < $NumQueries),
+       |q AS (SELECT qid, qv, qnrm, unnest([qsig, $flips]) AS psig FROM q0),
+       |sims AS (
+       |  SELECT DISTINCT qid, s.vec_id AS nid,
+       |         list_aggregate([qv[i]*v[i] for i in generate_series(1, $Dim)], 'sum')
+       |           / (qnrm * s.nrm) AS sim
+       |  FROM q JOIN s ON q.psig = s.sig)
+       |SELECT qid, nid, sim, rank FROM (
+       |  SELECT qid, nid, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+       |  FROM sims) t
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q26_similarity_topk", bruteSql)(bruteForceTopK),
     QueryDef("q27_ann_lsh_topk", lshSql)(lshTopK),
     QueryDef("q35_ann_ivf_topk", ivfSql)(ivfTopK),
-    QueryDef("q36_embedding_neardup", nearDupSql)(embeddingNearDup)
+    QueryDef("q36_embedding_neardup", nearDupSql)(embeddingNearDup),
+    QueryDef("q42_ann_multiprobe", multiProbeSql)(lshMultiProbeTopK)
   )
 }

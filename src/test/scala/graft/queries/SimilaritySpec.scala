@@ -50,6 +50,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.9, s"LSH recall $recall too low; lsh=$lsh brute=$brute")
   }
 
+  test("multi-probe LSH recall dominates single-probe") {
+    writeClustered("/tmp/simfix")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(SimilarityQueries.bruteForceTopK(spark, "/tmp/simfix"))
+    val single = pairs(SimilarityQueries.lshTopK(spark, "/tmp/simfix"))
+    val multi = pairs(SimilarityQueries.lshMultiProbeTopK(spark, "/tmp/simfix"))
+    assert((single -- multi).isEmpty,
+      "multi-probe must cover every single-probe hit")
+    val recallS = (brute intersect single).size.toDouble / brute.size
+    val recallM = (brute intersect multi).size.toDouble / brute.size
+    assert(recallM >= recallS, s"multi $recallM < single $recallS")
+  }
+
   test("LSH candidate join is an equi-join on the signature, not all-pairs") {
     writeClustered("/tmp/simfix")
     val plan = SimilarityQueries.lshTopK(spark, "/tmp/simfix")
