@@ -91,11 +91,30 @@ object NearDupQueries {
       explode(array((0 until NumBands).map(bandKey): _*)).as("band"))
       .cache()
 
-  /** Distinct candidate pairs from the band-bucket equi-join. */
-  def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct candidate pairs from the band-bucket equi-join.
+    *
+    * @param maxBucketSize degenerate-corpus guard: a band value shared
+    *   by k documents yields k^2/2 pairs, so buckets above the cap are
+    *   DROPPED before the self-join (boilerplate/empty-shingle bands
+    *   are near-dup noise anyway). The cap filter is a groupBy on the
+    *   same key the join shuffles on — co-partitioned, no extra
+    *   exchange of the bands frame. Int.MaxValue disables (the
+    *   declared gate queries run uncapped so the oracle semantics
+    *   match exactly). */
+  def candidatePairs(spark: SparkSession, dir: String,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val bands = bandedKeys(spark, dir)
-    bands.as("a")
-      .join(bands.as("b"),
+    val kept =
+      if (maxBucketSize == Int.MaxValue) bands
+      else {
+        val ok = bands.groupBy(col("band"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .where(col("bucket_n") <= maxBucketSize)
+          .select(col("band"))
+        bands.join(ok, "band")
+      }
+    kept.as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()

@@ -92,6 +92,32 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // Quality filter: the keep/drop decision an LLM-data pipeline makes
+    // per document, from integer-only rubric flags (each condition is
+    // exact arithmetic so the oracle hash is stable).
+    QueryDef("q43_quality_filter",
+      s"""SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) BETWEEN 10 AND 1000 AS BIGINT) AS ok_len,
+         |       CAST(len(regexp_extract_all(text, '[.,!?;:]')) * 5
+         |            <= len(string_split(text, ' ')) AS BIGINT) AS ok_punct,
+         |       CAST(len(list_filter(string_split(text, ' '),
+         |                 t -> list_contains($stopListSql, t))) * 50
+         |            >= len(string_split(text, ' ')) AS BIGINT) AS ok_stop,
+         |       CAST(len(list_distinct(string_split(text, ' '))) * 100
+         |            >= len(string_split(text, ' ')) * 5 AS BIGINT) AS ok_diversity
+         |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val toks = tokens(col("text"))
+      def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+      Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        flag(size(toks).between(10, 1000)).as("ok_len"),
+        flag(size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))) * 5
+          <= size(toks)).as("ok_punct"),
+        flag(stopCount(toks) * 50 >= size(toks)).as("ok_stop"),
+        flag(size(array_distinct(toks)) * 100 >= size(toks) * 5).as("ok_diversity"))
+        .orderBy(col("doc_id"))
+    },
+
     // Document fingerprinting: content hash (sha256) + a cheap rolling
     // 64-bit polynomial hash over tokens (Rabin-Karp-style), both
     // deterministic and oracle-able. The rolling hash is the shingling

@@ -29,6 +29,19 @@ class NearDupSpec extends SparkTestBase {
       s"unrelated doc produced a candidate: $pairs")
   }
 
+  test("bucket cap drops a degenerate bucket instead of exploding quadratically") {
+    import spark.implicits._
+    // 20 identical docs -> every band bucket holds all 20 -> 190 pairs uncapped
+    (1L to 20L).map(i => (i, "x y z w v u t s"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/neardup_degen/documents.parquet")
+    val uncapped = NearDupQueries.candidatePairs(spark, "/tmp/neardup_degen").count()
+    assert(uncapped == 190L, s"expected 20*19/2 pairs, got $uncapped")
+    val capped = NearDupQueries.candidatePairs(spark, "/tmp/neardup_degen",
+      maxBucketSize = 10).count()
+    assert(capped == 0L, s"capped run must drop the degenerate bucket, got $capped")
+  }
+
   test("identical docs share a full signature; disjoint docs share no band") {
     import spark.implicits._
     val a = "w1 w2 w3 w4 w5 w6"
