@@ -17,40 +17,45 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Scala code. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
-
-  private def inject(ext: SparkSessionExtensions, name: String, usage: String)(
-      builder: Seq[Expression] => Expression): Unit =
-    ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+  private def inject(ext: SparkSessionExtensions, name: String, usage: String,
+      impl: Class[_])(builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo(impl.getName, null, name, usage, ""), builder))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     inject(ext, "appx_median_bounded",
-      "_FUNC_(value, max_samples) - bounded-reservoir approximate median as STRING (reference parity)") {
+      "_FUNC_(value, max_samples) - bounded-reservoir approximate median as STRING (reference parity)",
+      classOf[AppxMedianBounded]) {
       exprs => GraftFunctions.buildAppxMedianBounded(exprs, asString = true)
     }
     inject(ext, "appx_median_bounded_double",
-      "_FUNC_(value, max_samples) - bounded-reservoir approximate median as DOUBLE") {
+      "_FUNC_(value, max_samples) - bounded-reservoir approximate median as DOUBLE",
+      classOf[AppxMedianBounded]) {
       exprs => GraftFunctions.buildAppxMedianBounded(exprs, asString = false)
     }
     inject(ext, "appx_median_typed",
-      "_FUNC_(value, max_samples) - typed bounded-reservoir median (numeric/string/decimal/date/timestamp)") {
+      "_FUNC_(value, max_samples) - typed bounded-reservoir median (numeric/string/decimal/date/timestamp)",
+      classOf[AppxMedianBounded]) {
       exprs => GraftFunctions.buildAppxMedianTyped(exprs)
     }
     inject(ext, "reservoir_sample",
-      "_FUNC_(value, k) - value-sorted bounded reservoir sample as ARRAY") {
+      "_FUNC_(value, k) - value-sorted bounded reservoir sample as ARRAY",
+      classOf[ReservoirSampleAgg]) {
       exprs => GraftFunctions.buildReservoirSample(exprs)
     }
     inject(ext, "max_k",
-      "_FUNC_(value, k) - the k largest values per group, descending") {
+      "_FUNC_(value, k) - the k largest values per group, descending",
+      classOf[TopKAgg]) {
       exprs => GraftFunctions.buildTopK(exprs, descending = true)
     }
     inject(ext, "min_k",
-      "_FUNC_(value, k) - the k smallest values per group, ascending") {
+      "_FUNC_(value, k) - the k smallest values per group, ascending",
+      classOf[TopKAgg]) {
       exprs => GraftFunctions.buildTopK(exprs, descending = false)
     }
     inject(ext, "vec_dot",
-      "_FUNC_(a, b) - codegen'd dot product of two ARRAY<DOUBLE> vectors") {
+      "_FUNC_(a, b) - codegen'd dot product of two ARRAY<DOUBLE> vectors",
+      classOf[VecDotProduct]) {
       exprs => GraftFunctions.buildVecDot(exprs)
     }
   }

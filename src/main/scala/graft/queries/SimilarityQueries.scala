@@ -95,16 +95,23 @@ object SimilarityQueries {
       Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumQueries))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm")))
 
+  /** Shared ranking tail: per-query top-k by similarity with a
+    * deterministic neighbor-id tie-break (Spark pushes a partial
+    * WindowGroupLimit below the exchange — see PLANS.md). */
+  private def topKBySim(sims: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val e = corpus(spark, dir)
     val sims = queriesDf(spark, dir).crossJoin(e)
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= TopK)
-      .orderBy(col("qid"), col("rank"))
+    topKBySim(sims)
   }
 
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -118,10 +125,7 @@ object SimilarityQueries {
     val sims = q.join(e, col("qsig") === col("sig"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= TopK)
-      .orderBy(col("qid"), col("rank"))
+    topKBySim(sims)
   }
 
   /** Multi-probe LSH: each query probes its OWN bucket plus every
@@ -144,14 +148,12 @@ object SimilarityQueries {
       .withColumn("sig", planeSig(col("v")))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
         explode(probes(col("sig"))).as("psig")))
+    // no dedup needed: the 9 probe keys are pairwise distinct and each
+    // corpus row has exactly one sig, so (qid, nid) appears at most once
     val sims = q.join(e, col("psig") === col("sig"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
-      .distinct() // a neighbor can land in several probe buckets
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= TopK)
-      .orderBy(col("qid"), col("rank"))
+    topKBySim(sims)
   }
 
   /** IVF-style ANN: a deterministic "coarse quantizer" (the first
@@ -180,10 +182,7 @@ object SimilarityQueries {
     val sims = q.join(assigned, col("qcid") === col("cid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= TopK)
-      .orderBy(col("qid"), col("rank"))
+    topKBySim(sims)
   }
 
   // ---- DuckDB oracle -------------------------------------------------
@@ -302,7 +301,7 @@ object SimilarityQueries {
        |q0 AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, sig AS qsig FROM s WHERE vec_id < $NumQueries),
        |q AS (SELECT qid, qv, qnrm, unnest([qsig, $flips]) AS psig FROM q0),
        |sims AS (
-       |  SELECT DISTINCT qid, s.vec_id AS nid,
+       |  SELECT qid, s.vec_id AS nid,
        |         list_aggregate([qv[i]*v[i] for i in generate_series(1, $Dim)], 'sum')
        |           / (qnrm * s.nrm) AS sim
        |  FROM q JOIN s ON q.psig = s.sig)

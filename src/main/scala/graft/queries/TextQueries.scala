@@ -107,7 +107,9 @@ object TextQueries {
          |            >= len(string_split(text, ' ')) * 5 AS BIGINT) AS ok_diversity
          |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       val toks = tokens(col("text"))
-      def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+      // cast, not when/otherwise: CAST(NULL-condition AS BIGINT) is NULL
+      // in DuckDB, and the gate convention is to preserve that
+      def flag(c: Column): Column = c.cast("long")
       Tables.load(spark, dir, "documents").select(
         col("doc_id"),
         flag(size(toks).between(10, 1000)).as("ok_len"),

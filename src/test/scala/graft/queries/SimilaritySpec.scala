@@ -57,8 +57,11 @@ class SimilaritySpec extends SparkTestBase {
     val brute = pairs(SimilarityQueries.bruteForceTopK(spark, "/tmp/simfix"))
     val single = pairs(SimilarityQueries.lshTopK(spark, "/tmp/simfix"))
     val multi = pairs(SimilarityQueries.lshMultiProbeTopK(spark, "/tmp/simfix"))
-    assert((single -- multi).isEmpty,
-      "multi-probe must cover every single-probe hit")
+    // NOT asserted: multi-top-k superset of single-top-k — a better
+    // candidate surfaced by a probe can displace a single-probe hit
+    // past rank k. What IS guaranteed: any TRUE top-k member found by
+    // single-probe survives in multi-probe (at most k-1 candidates can
+    // outscore it), so recall vs brute force can only improve.
     val recallS = (brute intersect single).size.toDouble / brute.size
     val recallM = (brute intersect multi).size.toDouble / brute.size
     assert(recallM >= recallS, s"multi $recallM < single $recallS")
