@@ -47,9 +47,9 @@ object NearDupQueries {
 
   // ---- Spark side ----------------------------------------------------
 
-  private def words: Column = TextSketches.tokens(col("text"))
+  private[queries] def words: Column = TextSketches.tokens(col("text"))
 
-  private def shingles: Column = TextSketches.shingles(col("text"), 3)
+  private[queries] def shingles: Column = TextSketches.shingles(col("text"), 3)
 
   /** The fixture is a single small parquet file, i.e. ONE input split —
     * fan the rows across the cores before the (CPU-bound) shingle and
@@ -57,7 +57,7 @@ object NearDupQueries {
     * thousands of splits and this repartition collapses into the
     * existing distribution (tiny fixed cost, never a correctness
     * change: every declared query orders its output). */
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
 
@@ -120,13 +120,32 @@ object NearDupQueries {
       .distinct()
   }
 
+  /** Jaccard-verified near-dup pairs (q23's Spark pipeline as a
+    * reusable frame). */
+  def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    // cached like the band index: q23 and the composed pipeline (q44)
+    // both join against the same shingle-set frame
+    val sh = docs(spark, dir)
+      .where(size(words) >= 3)
+      .select(col("doc_id"), shingles.as("s"))
+      .cache()
+    val nCommon = size(array_intersect(col("sa.s"), col("sb.s"))).cast("long")
+    val nUnion = (size(col("sa.s")) + size(col("sb.s"))).cast("long") - nCommon
+    candidatePairs(spark, dir)
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        nCommon.as("n_common"), nUnion.as("n_union"))
+      .where(col("n_common") * 10 >= col("n_union") * 7)
+  }
+
   // ---- DuckDB oracle -------------------------------------------------
 
   private val hColsSql = (0 until NumHashes).map(i =>
     s"list_aggregate(list_transform(s, t -> ('0x' || substr(md5('${i / 4}:' || t), ${1 + 8 * (i % 4)}, 8))::BIGINT), 'min')::BIGINT AS ${hName(i)}")
     .mkString(",\n       ")
 
-  private val sigCte =
+  private[queries] val sigCte =
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
        |sh AS (SELECT doc_id, list_distinct([words[i]||' '||words[i+1]||' '||words[i+2]
        |                                     for i in generate_series(1, len(words)-2)]) AS s
@@ -135,7 +154,7 @@ object NearDupQueries {
        |       $hColsSql
        |FROM sh)""".stripMargin
 
-  private val bandsCte = (0 until NumBands).map { j =>
+  private[queries] val bandsCte = (0 until NumBands).map { j =>
     val cat = (0 until RowsPerBand).map(r => hName(j * RowsPerBand + r) + "::VARCHAR").mkString(" || ',' || ")
     s"SELECT doc_id, md5('$j' || ',' || $cat) AS band FROM sig"
   }.mkString("bands AS (", " UNION ALL ", ")")
@@ -183,18 +202,7 @@ object NearDupQueries {
          |            JOIN sh sb ON cand.doc_b = sb.doc_id) t
          |WHERE n_common * 10 >= n_union * 7
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-      val sh = docs(spark, dir)
-        .where(size(words) >= 3)
-        .select(col("doc_id"), shingles.as("s"))
-      val nCommon = size(array_intersect(col("sa.s"), col("sb.s"))).cast("long")
-      val nUnion = (size(col("sa.s")) + size(col("sb.s"))).cast("long") - nCommon
-      candidatePairs(spark, dir)
-        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          nCommon.as("n_common"), nUnion.as("n_union"))
-        .where(col("n_common") * 10 >= col("n_union") * 7)
-        .orderBy(col("doc_a"), col("doc_b"))
+      verifiedPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
     },
 
     // 60-bit frequency-weighted SimHash per document (TextSketches) —

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.sources.Tables
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The composed corpus-cleaning pass an LLM-data pipeline actually
+  * runs, end to end in ONE declared query: quality rubric → exact
+  * dedup (keep lowest doc_id per content hash) → near-dup removal
+  * (drop the higher id of every Jaccard-verified pair). Each stage is
+  * an operator already gated on its own (q17, q23, q43); this pins
+  * their COMPOSITION — survivors only.
+  *
+  * Scale shape: quality is a per-row filter inside the scan; dedup is
+  * the fingerprint aggregation; near-dup is the banded-LSH join; the
+  * final survivor check is two joins on doc_id (semi + anti), all
+  * equi-joins. Nothing quadratic, nothing driver-side.
+  */
+object PipelineQueries {
+
+  private val stopListSql =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+
+  private def qualityOk(toks: Column, text: Column): Column = {
+    val stopArr = array(Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for").map(lit): _*)
+    size(toks).between(10, 1000) &&
+      size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))) * 5 <= size(toks) &&
+      size(filter(toks, t => array_contains(stopArr, t))) * 50 >= size(toks) &&
+      size(array_distinct(toks)) * 100 >= size(toks) * 5
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q44_clean_corpus",
+      s"""${NearDupQueries.sigCte},
+         |${NearDupQueries.bandsCte},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |neardup_drop AS (
+         |  SELECT DISTINCT doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |           len(list_intersect(sa.s, sb.s)) AS nc,
+         |           len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS nu
+         |    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+         |              JOIN sh sb ON cand.doc_b = sb.doc_id) t
+         |  WHERE nc * 10 >= nu * 7),
+         |dedup_keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |quality AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE len(string_split(text, ' ')) BETWEEN 10 AND 1000
+         |    AND len(regexp_extract_all(text, '[.,!?;:]')) * 5
+         |          <= len(string_split(text, ' '))
+         |    AND len(list_filter(string_split(text, ' '),
+         |              t -> list_contains($stopListSql, t))) * 50
+         |          >= len(string_split(text, ' '))
+         |    AND len(list_distinct(string_split(text, ' '))) * 100
+         |          >= len(string_split(text, ' ')) * 5)
+         |SELECT d.doc_id FROM documents d
+         |JOIN dedup_keep k ON d.doc_id = k.doc_id
+         |JOIN quality q ON d.doc_id = q.doc_id
+         |LEFT JOIN neardup_drop nd ON d.doc_id = nd.doc_b
+         |WHERE nd.doc_b IS NULL
+         |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+      val base = Tables.load(spark, dir, "documents")
+      val toks = split(col("text"), " ")
+      val quality = base.where(qualityOk(toks, col("text"))).select(col("doc_id"))
+      val dedupKeep = base
+        .groupBy(sha2(col("text"), 256))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val nearDupDrop = NearDupQueries.verifiedPairs(spark, dir)
+        .select(col("doc_b").as("doc_id")).distinct()
+      base.select(col("doc_id"))
+        .join(dedupKeep, Seq("doc_id"), "left_semi")
+        .join(quality, Seq("doc_id"), "left_semi")
+        .join(nearDupDrop, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    }
+  )
+}
