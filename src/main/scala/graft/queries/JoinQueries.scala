@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.sources.Tables
+
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the time-series join operators Spark lacks
+  * natively (SURVEY §2.2 joins: as-of, range/interval) — DuckDB has
+  * both built in (`ASOF JOIN`, inequality joins), giving an exact
+  * oracle for the Spark-side decompositions in
+  * [[graft.operators.AsOfJoin]] / [[graft.operators.RangeJoin]]. */
+object JoinQueries {
+
+  private val HalfDayMicros = 12L * 3600 * 1000 * 1000
+  private val HourMicros = 3600L * 1000 * 1000
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // As-of: each click joined to the user's latest view at-or-before
+    // it. The fixture has no (user_id, ts) duplicates, so the match is
+    // unique and the compare exact.
+    QueryDef("q45_asof_join",
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type FROM events),
+        |clicks AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'click'),
+        |views AS (SELECT event_id AS v_id, user_id, t AS vt FROM e WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, c.t,
+        |       v.v_id AS asof_event_id, v.vt AS asof_t
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.t >= v.vt
+        |ORDER BY c.event_id""".stripMargin) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("t"), col("event_type"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"), col("t").as("vt"))
+      AsOfJoin.asOf(clicks, views, key = "user_id",
+          leftTime = "t", rightTime = "vt")
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("asof_v_id").as("asof_event_id"), col("asof_vt").as("asof_t"))
+        .orderBy(col("event_id"))
+    },
+
+    // Range join without a shared key: per event type, a 12-hour
+    // window from its first occurrence; count ALL events falling in
+    // each window. Bucket-decomposed equi-join (no nested-loop).
+    QueryDef("q46_range_join",
+      s"""WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t FROM events),
+         |iv AS (SELECT event_type AS itype, min(t) AS s,
+         |              min(t) + $HalfDayMicros AS e_ FROM e GROUP BY event_type)
+         |SELECT itype, count(*) AS n_in_window
+         |FROM iv JOIN e ON e.t >= iv.s AND e.t < iv.e_
+         |GROUP BY itype ORDER BY itype""".stripMargin) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("event_type"), expr("ts DIV 1000").as("t"))
+      val intervals = e.groupBy(col("event_type").as("itype"))
+        .agg(min(col("t")).as("s"))
+        .withColumn("e_", col("s") + HalfDayMicros)
+      RangeJoin.pointInInterval(
+          e.select(col("event_id"), col("t")), intervals,
+          pointCol = "t", startCol = "s", endCol = "e_",
+          bucketWidth = HourMicros)
+        .groupBy(col("itype"))
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy(col("itype"))
+    }
+  )
+}
