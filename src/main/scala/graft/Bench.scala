@@ -16,14 +16,17 @@ object Bench {
     graft.sources.Tables.load(spark, sfDir, "region").count()
     val warmup = (System.nanoTime() - w0) / 1e9
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted name order: deterministic run order across rounds (Map
+    // iteration order shifts whenever a query is added, silently
+    // reassigning cache-fill/codegen warmup costs between queries)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"sf":"$sfDir"}""")
     spark.stop()
   }

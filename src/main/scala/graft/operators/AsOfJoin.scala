@@ -32,6 +32,15 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String): DataFrame = {
     val rightPayload = right.columns.filter(_ != key).toSeq
+    val reserved = Set("_t", "_side", "_rv", "_asof")
+    require(!(left.columns ++ right.columns).exists(reserved),
+      s"asOf: column names ${reserved.mkString("/")} are reserved")
+    val overlap = left.columns.toSet intersect rightPayload.toSet
+    require(overlap.isEmpty,
+      s"asOf: left and right must not share non-key columns, got $overlap")
+    require(!left.columns.exists(c => rightPayload.contains(c.stripPrefix("asof_"))) &&
+      !left.columns.exists(_.startsWith("asof_")),
+      "asOf: left columns must not collide with asof_-prefixed outputs")
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
@@ -39,6 +48,10 @@ object AsOfJoin {
         org.apache.spark.sql.types.StructType(
           right.select(rightPayload.map(col): _*).schema.fields)))
     val r = right
+      // a NULL rightTime can never satisfy rightTime <= leftTime; drop
+      // such rows here or NULLS-FIRST ordering would make them the
+      // running match for everything after them
+      .where(col(rightTime).isNotNull)
       .select(col(key) +: rightPayload.map(col): _*)
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))

@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions._
   * becomes a hash join on bucket id whose fan-out is
   * interval_len/bucket_width rows per interval — linear, shuffled on a
   * well-distributed key, never quadratic.
+  *
+  * Domain: point/start/end must be NON-NEGATIVE longs (integer DIV is
+  * used for bucketing; truncation == floor only for >= 0).
   */
 object RangeJoin {
 
@@ -32,12 +35,18 @@ object RangeJoin {
       pointCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val bucketed = points.withColumn("_bucket",
-      floor(col(pointCol) / bucketWidth).cast("long"))
-    val exploded = intervals.withColumn("_bucket",
-      explode(sequence(
-        floor(col(startCol) / bucketWidth).cast("long"),
-        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+    // integer DIV, not `/`: double division mis-buckets long values
+    // above 2^53 (same pitfall as the nanos timestamps elsewhere in
+    // this repo). DIV truncates toward zero == floor for the
+    // non-negative domain this operator is documented for.
+    def bucketOf(c: String) = expr(s"`$c` DIV $bucketWidth")
+    val bucketed = points.withColumn("_bucket", bucketOf(pointCol))
+    val exploded = intervals
+      // empty/inverted intervals ([e <= s]) contain nothing; drop them
+      // rather than letting a descending sequence fabricate buckets
+      .where(col(endCol) > col(startCol))
+      .withColumn("_bucket",
+        explode(sequence(bucketOf(startCol), expr(s"(`$endCol` - 1) DIV $bucketWidth"))))
     bucketed.join(exploded, Seq("_bucket"))
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_bucket")

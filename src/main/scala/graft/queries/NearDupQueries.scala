@@ -47,9 +47,9 @@ object NearDupQueries {
 
   // ---- Spark side ----------------------------------------------------
 
-  private[queries] def words: Column = TextSketches.tokens(col("text"))
+  private def words: Column = TextSketches.tokens(col("text"))
 
-  private[queries] def shingles: Column = TextSketches.shingles(col("text"), 3)
+  private def shingles: Column = TextSketches.shingles(col("text"), 3)
 
   /** The fixture is a single small parquet file, i.e. ONE input split —
     * fan the rows across the cores before the (CPU-bound) shingle and
@@ -57,7 +57,7 @@ object NearDupQueries {
     * thousands of splits and this repartition collapses into the
     * existing distribution (tiny fixed cost, never a correctness
     * change: every declared query orders its output). */
-  private[queries] def docs(spark: SparkSession, dir: String): DataFrame =
+  private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
 

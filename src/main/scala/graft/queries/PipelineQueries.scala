@@ -19,12 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  private val stopListSql =
+  private val StopWords =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
-      .map(s => s"'$s'").mkString("[", ", ", "]")
+
+  private val stopListSql = StopWords.map(s => s"'$s'").mkString("[", ", ", "]")
 
   private def qualityOk(toks: Column, text: Column): Column = {
-    val stopArr = array(Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for").map(lit): _*)
+    val stopArr = array(StopWords.map(lit): _*)
     size(toks).between(10, 1000) &&
       size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))) * 5 <= size(toks) &&
       size(filter(toks, t => array_contains(stopArr, t))) * 50 >= size(toks) &&
