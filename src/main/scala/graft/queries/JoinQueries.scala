@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
 import graft.sources.Tables
 
 import org.apache.spark.sql.functions._
@@ -65,6 +65,29 @@ object JoinQueries {
         .groupBy(col("itype"))
         .agg(count(lit(1)).as("n_in_window"))
         .orderBy(col("itype"))
+    },
+
+    // Salted skew join: fan the (skewed) lineitem side over 8 salt
+    // subkeys with supplier-side replication; the oracle is the PLAIN
+    // join — salting must be invisible in the result.
+    QueryDef("q47_salted_join",
+      """SELECT s_name,
+        |       count(*) AS n_items,
+        |       CAST(sum(l_quantity * 100) AS BIGINT) AS sum_qty_c
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin) { (spark, dir) =>
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"), col("l_orderkey"))
+      val sup = Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      SkewJoin.saltedInnerJoin(li, sup, key = "suppkey", n = 8,
+          saltBy = Seq("l_orderkey"))
+        .groupBy(col("s_name"))
+        // integer cents: quantity is a 2-decimal double; *100 keeps the
+        // sum exact under any aggregation order
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_quantity") * 100).cast("long")).as("sum_qty_c"))
+        .orderBy(col("s_name"))
     }
   )
 }
