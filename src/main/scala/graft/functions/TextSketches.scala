@@ -32,13 +32,6 @@ object TextSketches {
     when(size(w) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash components 0..n-1 in one pass via Kirsch–Mitzenmacher
-    * double hashing: ONE md5 per shingle yields two 52-bit halves
-    * (h1, h2); the family is `h_i = h1 + i*h2` (exact in 64-bit signed
-    * for i <= 15) and each component is the numeric min over the
-    * shingle set. 16x fewer hash computations than one md5 per
-    * (i, shingle), and a long min instead of a string min — this is
-    * what makes the signature pass scan-speed at 100 TB. */
   /** Per-shingle md5 array for seed `k` — materialize each seed's
     * array in its own projection, then slice 4 components out of it,
     * so one md5 call feeds 4 signature components. */

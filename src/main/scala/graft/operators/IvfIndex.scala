@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index build, Spark-first (SURVEY §2.3
+  * similarity; no reference implementation — driver-mandated scale
+  * path).
+  *
+  * Two properties matter at 100 TB:
+  *
+  *  1. **Cell assignment is a per-row fold, not a join.** The naive
+  *     plan (crossJoin corpus x centroids, then `row_number` over a
+  *     window partitioned by vector id) shuffles k copies of the
+  *     corpus through an exchange just to pick each row's argmax.
+  *     Here the (tiny) centroid table is collapsed to ONE row holding
+  *     a sorted array of (cid, cv, cnrm) structs, broadcast, and each
+  *     corpus row folds over it with `aggregate` + the codegen'd
+  *     `vec_dot` — zero shuffle, zero window, corpus scanned once.
+  *     Ties take the LOWEST cid (the fold only replaces on strictly
+  *     greater similarity and iterates in ascending cid order).
+  *
+  *  2. **Lloyd refinement with order-independent means.** K-means
+  *     averages are float sums, whose value depends on partial-
+  *     aggregation order — poison for a bit-exact oracle. Centroid
+  *     means are therefore computed over coordinates quantized to
+  *     `floor(x * 2^20)` (exact BIGINT sums in ANY aggregation order,
+  *     magnitudes bounded by count * 2^21 << 2^63), divided back as
+  *     one double division. The quantization error (<= 2^-20 per
+  *     coordinate) is far below any meaningful centroid movement, and
+  *     the whole iteration — assign, per-(cell, dim) partial-agg sum
+  *     (map-side combined, shuffle carries cells x dims rows, not the
+  *     corpus), re-centroid — is deterministic and replayable in SQL.
+  *     Cells that lose all members simply drop out of the next round
+  *     (standard Lloyd degeneracy handling; both engines agree because
+  *     membership is identical).
+  */
+object IvfIndex {
+
+  /** Quantization scale for order-independent centroid means. */
+  val Scale: Double = 1048576.0 // 2^20
+
+  private def dot(a: Column, b: Column): Column = GraftFunctions.vec_dot(a, b)
+
+  /** Assign each corpus row (vec_id, v, nrm) to its max-cosine cell
+    * from `cents` (cid, cv, cnrm) — per-row argmax fold over the
+    * broadcast centroid array; adds `cid`, keeps the input columns. */
+  def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val centsRow = cents.agg(
+      sort_array(collect_list(struct(col("cid"), col("cv"), col("cnrm"))))
+        .as("cs"))
+    corpus.crossJoin(broadcast(centsRow))
+      .withColumn("_best",
+        aggregate(col("cs"),
+          struct(lit(-1L).as("cid"), lit(Double.NegativeInfinity).as("sim")),
+          (acc, c) => {
+            val sim = dot(col("v"), c.getField("cv")) /
+              (col("nrm") * c.getField("cnrm"))
+            when(sim > acc.getField("sim"),
+              struct(c.getField("cid").as("cid"), sim.as("sim")))
+              .otherwise(acc)
+          }))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("_best").getField("cid").as("cid"))
+  }
+
+  /** One Lloyd update: new centroids = quantized per-cell coordinate
+    * means of `assigned` (vec_id, v, nrm, cid). The per-(cid, dim)
+    * sum partial-aggregates map-side, so the exchange carries
+    * |cells| x dim rows per partition — never the vectors. */
+  def lloydUpdate(assigned: DataFrame): DataFrame = {
+    val sums = assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cid"), col("i"))
+      .agg(sum(floor(col("x") * Scale)).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("cid"), col("i"),
+        (col("sv").cast("double") / (col("cnt").cast("double") * Scale)).as("m"))
+    sums.groupBy(col("cid"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+  }
+
+  /** Build the index: seed centroids -> `iterations` Lloyd rounds ->
+    * final cell assignment of the corpus. Each round's (tiny) centroid
+    * frame is localCheckpoint'ed so iteration plans stay flat instead
+    * of re-embedding the whole corpus lineage per round. */
+  def build(corpus: DataFrame, seeds: DataFrame, iterations: Int): DataFrame = {
+    var cents = seeds
+    for (_ <- 0 until iterations)
+      cents = lloydUpdate(assignCells(corpus, cents)).localCheckpoint()
+    assignCells(corpus, cents)
+  }
+}

@@ -32,6 +32,8 @@ object SkewJoin {
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
       n: Int, saltBy: Seq[String]): DataFrame = {
     require(n > 0, "salt fan-out must be positive")
+    require(!(left.columns ++ right.columns).contains("_salt"),
+      "saltedInnerJoin reserves the column name _salt; rename it on the input")
     val saltedLeft = left.withColumn("_salt",
       pmod(hash(saltBy.map(col): _*), lit(n)))
     val saltedRight = right.withColumn("_salt",

@@ -83,10 +83,12 @@ object JoinQueries {
       SkewJoin.saltedInnerJoin(li, sup, key = "suppkey", n = 8,
           saltBy = Seq("l_orderkey"))
         .groupBy(col("s_name"))
-        // integer cents: quantity is a 2-decimal double; *100 keeps the
-        // sum exact under any aggregation order
+        // integer cents: quantity is a 2-decimal double, but x*100 in
+        // binary floating point can land just below the integer (0.29
+        // * 100 = 28.999...), so round before the long cast — then the
+        // sum is exact under any aggregation order
         .agg(count(lit(1)).as("n_items"),
-          sum((col("l_quantity") * 100).cast("long")).as("sum_qty_c"))
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"))
         .orderBy(col("s_name"))
     }
   )

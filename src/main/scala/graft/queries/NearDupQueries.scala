@@ -51,6 +51,14 @@ object NearDupQueries {
 
   private def shingles: Column = TextSketches.shingles(col("text"), 3)
 
+  /** Materialized sketch frames, memoized per (session, dir) via
+    * [[FrameMemo]] — each wide md5 projection compiles and runs once
+    * per session instead of once per consuming query (q22/q23/q32/q44
+    * used to pay ~35 s of repeat Janino compilation at sf0.1). */
+  private def memoized(spark: SparkSession, dir: String, tag: String)(
+      build: => DataFrame): DataFrame =
+    FrameMemo.memoized(spark, s"neardup#$dir#$tag")(build)
+
   /** The fixture is a single small parquet file, i.e. ONE input split —
     * fan the rows across the cores before the (CPU-bound) shingle and
     * hash expressions. On a real corpus the scan already yields
@@ -61,35 +69,49 @@ object NearDupQueries {
     Tables.load(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
 
-  /** (doc_id, h00..h15) signature frame; docs with <3 tokens have no
+  /** (doc_id, s, h00..h15): shingle set + MinHash signature in ONE
+    * materialized frame, consumed by the signature gate (q21), the
+    * band index, and the Jaccard verify. Docs with <3 tokens have no
     * 3-gram set and are excluded (both sides). The four per-seed md5
     * arrays live in their own projection so each md5 runs once and
     * feeds four 32-bit slice components (TextSketches.minhashSlice). */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir)
-      .where(size(words) >= 3)
-      .select(col("doc_id"), shingles.as("s"))
-    val withMd5 = base.select(
-      col("doc_id") +: (0 until NumHashes / 4)
-        .map(k => TextSketches.minhashMd5(k, col("s")).as(s"m$k")): _*)
-    withMd5.select(
-      col("doc_id") +: (0 until NumHashes)
-        .map(i => TextSketches.minhashSlice(i % 4, col(s"m${i / 4}")).as(hName(i))): _*)
-  }
+  private def sketches(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "sketches") {
+      val base = docs(spark, dir)
+        .where(size(words) >= 3)
+        .select(col("doc_id"), shingles.as("s"))
+      val withMd5 = base.select(
+        col("doc_id") +: col("s") +: (0 until NumHashes / 4)
+          .map(k => TextSketches.minhashMd5(k, col("s")).as(s"m$k")): _*)
+      withMd5.select(
+        col("doc_id") +: col("s") +: (0 until NumHashes)
+          .map(i => TextSketches.minhashSlice(i % 4, col(s"m${i / 4}")).as(hName(i))): _*)
+    }
+
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    sketches(spark, dir).drop("s")
+
+  /** (doc_id, sh) 60-bit SimHash over ALL docs (no shingle-count
+    * filter — SimHash is defined on any non-empty token list). */
+  private def simhashes(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "simhash") {
+      docs(spark, dir)
+        .select(col("doc_id"), TextSketches.simhash(col("text")).as("sh"))
+    }
 
   private def bandKey(j: Int): Column =
     md5(concat_ws(",", lit(s"$j") +:
       (0 until RowsPerBand).map(r => col(hName(j * RowsPerBand + r)).cast("string")): _*))
 
-  /** (doc_id, band) rows: NumBands rows per doc. Cached: the
-    * candidate self-join reads it twice, and at scale this tiny
+  /** (doc_id, band) rows: NumBands rows per doc. Derived from the
+    * checkpointed signatures — the band md5 over 4 long columns is
+    * cheap enough to recompute on each read; at scale this tiny
     * (doc_id, 32-byte band) frame is exactly what one would
     * materialize before the bucket join. */
   private def bandedKeys(spark: SparkSession, dir: String): DataFrame =
     signatures(spark, dir).select(
       col("doc_id"),
       explode(array((0 until NumBands).map(bandKey): _*)).as("band"))
-      .cache()
 
   /** Distinct candidate pairs from the band-bucket equi-join.
     *
@@ -103,41 +125,47 @@ object NearDupQueries {
     *   match exactly). */
   def candidatePairs(spark: SparkSession, dir: String,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val bands = bandedKeys(spark, dir)
-    val kept =
-      if (maxBucketSize == Int.MaxValue) bands
-      else {
-        val ok = bands.groupBy(col("band"))
-          .agg(count(lit(1)).as("bucket_n"))
-          .where(col("bucket_n") <= maxBucketSize)
-          .select(col("band"))
-        bands.join(ok, "band")
-      }
-    kept.as("a")
-      .join(kept.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    def build = {
+      val bands = bandedKeys(spark, dir)
+      val kept =
+        if (maxBucketSize == Int.MaxValue) bands
+        else {
+          val ok = bands.groupBy(col("band"))
+            .agg(count(lit(1)).as("bucket_n"))
+            .where(col("bucket_n") <= maxBucketSize)
+            .select(col("band"))
+          bands.join(ok, "band")
+        }
+      kept.as("a")
+        .join(kept.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    }
+    // only the uncapped default path is shared by q22/q23/q32/q44 —
+    // capped variants (tests) build fresh
+    if (maxBucketSize == Int.MaxValue) memoized(spark, dir, "candidates")(build)
+    else build
   }
 
   /** Jaccard-verified near-dup pairs (q23's Spark pipeline as a
-    * reusable frame). */
-  def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    // cached like the band index: q23 and the composed pipeline (q44)
-    // both join against the same shingle-set frame
-    val sh = docs(spark, dir)
-      .where(size(words) >= 3)
-      .select(col("doc_id"), shingles.as("s"))
-      .cache()
-    val nCommon = size(array_intersect(col("sa.s"), col("sb.s"))).cast("long")
-    val nUnion = (size(col("sa.s")) + size(col("sb.s"))).cast("long") - nCommon
-    candidatePairs(spark, dir)
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        nCommon.as("n_common"), nUnion.as("n_union"))
-      .where(col("n_common") * 10 >= col("n_union") * 7)
-  }
+    * reusable frame, shared with the composed pipeline q44). The
+    * intersect size is aliased in its own projection so
+    * `array_intersect` runs once per candidate, not once for n_common
+    * and again inside n_union. */
+  def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "verified") {
+      val sh = sketches(spark, dir).select(col("doc_id"), col("s"))
+      candidatePairs(spark, dir)
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sa.s"), col("sb.s"))).cast("long").as("n_common"),
+          (size(col("sa.s")) + size(col("sb.s"))).cast("long").as("n_ab"))
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          (col("n_ab") - col("n_common")).as("n_union"))
+        .where(col("n_common") * 10 >= col("n_union") * 7)
+    }
 
   // ---- DuckDB oracle -------------------------------------------------
 
@@ -219,8 +247,8 @@ object NearDupQueries {
         |                            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hashes
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      docs(spark, dir)
-        .select(col("doc_id"), TextSketches.simhash(col("text")).as("simhash"))
+      simhashes(spark, dir)
+        .select(col("doc_id"), col("sh").as("simhash"))
         .orderBy(col("doc_id"))
     },
 
@@ -249,8 +277,7 @@ object NearDupQueries {
          |          JOIN sim sb ON cand.doc_b = sb.doc_id
          |WHERE bit_count(xor(sa.sh, sb.sh)) <= 20
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-      val sim = docs(spark, dir)
-        .select(col("doc_id"), TextSketches.simhash(col("text")).as("sh"))
+      val sim = simhashes(spark, dir)
       candidatePairs(spark, dir)
         .join(sim.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sim.as("sb"), col("doc_b") === col("sb.doc_id"))

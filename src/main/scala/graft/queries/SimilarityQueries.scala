@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.GraftFunctions
+import graft.operators.IvfIndex
 import graft.sources.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -156,26 +157,27 @@ object SimilarityQueries {
     topKBySim(sims)
   }
 
-  /** IVF-style ANN: a deterministic "coarse quantizer" (the first
-    * NumCentroids vectors stand in for k-means centroids — a real
-    * build would Lloyd-iterate, same plan shape), each vector assigned
-    * to its max-cosine cell, queries probing only their own cell.
-    * The assigned index is cached — it IS the IVF index one would
-    * materialize at scale; the probe join is an equi-join on cell id. */
+  /** IVF ANN with a real coarse quantizer: seed centroids (the first
+    * NumCentroids vectors, deterministic) refined by [[IvfIndex]]'s
+    * Lloyd iterations, each vector assigned to its max-cosine cell by
+    * a PER-ROW ARGMAX FOLD over the broadcast centroid array — no
+    * Exchange and no Window over the corpus; the probe is an equi-join
+    * on cell id. The built index is memoized + materialized — it IS
+    * the IVF index one would persist at scale. */
+  private val LloydIterations = 2
+
+  def ivfIndex(spark: SparkSession, dir: String): DataFrame =
+    FrameMemo.memoized(spark, s"ivf#$dir") {
+      GraftFunctions.register(spark)
+      val seeds = normed(
+        Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumCentroids))
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      IvfIndex.build(corpus(spark, dir), seeds, LloydIterations)
+    }
+
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val cents = broadcast(normed(
-      Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumCentroids))
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    val assigned = corpus(spark, dir).crossJoin(cents)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        cosine(col("cv"), col("v"), col("cnrm"), col("nrm")).as("csim"))
-      .withColumn("rn", row_number().over(wCell))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-      .cache()
+    val assigned = ivfIndex(spark, dir)
     val q = broadcast(assigned.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cid").as("qcid")))
@@ -232,16 +234,43 @@ object SimilarityQueries {
 
   // ---- declared queries ----------------------------------------------
 
-  private val ivfSql =
-    s"""$normedCte,
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NumCentroids),
-       |cell AS (
+  /** One IVF cell-assignment CTE: every vector to its max-cosine
+    * centroid from `cents`, ties to the lowest cid (mirrors the Spark
+    * fold's strict-greater replacement). The oracle may use the
+    * crossJoin+window shape freely — only the Spark plan must scale. */
+  private def ivfAssignSql(cents: String, out: String): String =
+    s"""$out AS (
        |  SELECT vec_id, v, nrm, cid FROM (
        |    SELECT n.vec_id, n.v, n.nrm, c.cid,
        |           row_number() OVER (PARTITION BY n.vec_id ORDER BY
-       |             list_aggregate([n.v[i]*cv[i] for i in generate_series(1, $Dim)], 'sum')
-       |               / (n.nrm*cnrm) DESC, c.cid) AS rn
-       |    FROM n CROSS JOIN c) t WHERE rn = 1),
+       |             list_aggregate([n.v[i]*c.cv[i] for i in generate_series(1, $Dim)], 'sum')
+       |               / (n.nrm*c.cnrm) DESC, c.cid) AS rn
+       |    FROM n CROSS JOIN $cents c) t WHERE rn = 1)"""
+
+  /** One Lloyd update CTE: per-cell coordinate means over coordinates
+    * quantized with floor(x * 2^20) — BIGINT sums are exact in any
+    * aggregation order, which is what makes k-means oracle-checkable
+    * (see [[graft.operators.IvfIndex]]). */
+  private def ivfLloydSql(assigned: String, out: String): String =
+    s"""${out}s AS (
+       |  SELECT cid, i,
+       |         CAST(sum(CAST(floor(v[i] * ${IvfIndex.Scale}) AS BIGINT)) AS BIGINT) AS sv,
+       |         count(*)::BIGINT AS cnt
+       |  FROM $assigned CROSS JOIN generate_series(1, $Dim) t(i)
+       |  GROUP BY cid, i),
+       |$out AS (
+       |  SELECT cid, cv, sqrt(list_aggregate([x*x for x in cv], 'sum')) AS cnrm FROM (
+       |    SELECT cid, list(sv::DOUBLE / (cnt::DOUBLE * ${IvfIndex.Scale}) ORDER BY i) AS cv
+       |    FROM ${out}s GROUP BY cid) z)"""
+
+  private val ivfSql =
+    s"""$normedCte,
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NumCentroids),
+       |${ivfAssignSql("c0", "a0")},
+       |${ivfLloydSql("a0", "c1")},
+       |${ivfAssignSql("c1", "a1")},
+       |${ivfLloydSql("a1", "c2")},
+       |${ivfAssignSql("c2", "cell")},
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS qcid FROM cell WHERE vec_id < $NumQueries),
        |sims AS (
        |  SELECT qid, cell.vec_id AS nid,

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.GraftFunctions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus = {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(GraftFunctions.vec_dot(col("v"), col("v"))))
+  }
+
+  private def seeds = corpus.where(col("vec_id") < 8)
+    .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+
+  test("cell-assignment plan is a per-row fold: no Window, no corpus shuffle") {
+    val plan = IvfIndex.assignCells(corpus, seeds)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // the only exchange allowed is collapsing the tiny centroid frame
+    // to its broadcast single row — never a hash exchange of the corpus
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("argmax fold matches the crossJoin+window reference shape, ties included") {
+    val ref = corpus.crossJoin(seeds)
+      .select(col("vec_id"), col("cid"),
+        (GraftFunctions.vec_dot(col("v"), col("cv")) /
+          (col("nrm") * col("cnrm"))).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val got = IvfIndex.assignCells(corpus, seeds).select(col("vec_id"), col("cid"))
+    assert(got.except(ref).count() == 0, "fold assigned cells the window would not")
+    assert(ref.except(got).count() == 0, "fold missed cells the window assigns")
+  }
+
+  test("Lloyd update moves the seed centroids and keeps assignment total") {
+    val n = corpus.count()
+    val a0 = IvfIndex.assignCells(corpus, seeds)
+    assert(a0.count() == n, "every vector must land in a cell")
+    val c1 = IvfIndex.lloydUpdate(a0)
+    val moved = c1.as("n").join(seeds.as("s"), col("n.cid") === col("s.cid"))
+      .where(col("n.cv") =!= col("s.cv")).count()
+    assert(moved > 0, "Lloyd update left every centroid at its seed")
+    assert(IvfIndex.assignCells(corpus, c1).count() == n,
+      "reassignment after the update must stay total")
+  }
+
+  test("built index is deterministic across two builds") {
+    val i1 = IvfIndex.build(corpus, seeds, iterations = 2)
+      .select(col("vec_id"), col("cid"))
+    val i2 = IvfIndex.build(corpus, seeds, iterations = 2)
+      .select(col("vec_id"), col("cid"))
+    assert(i1.except(i2).count() == 0 && i2.except(i1).count() == 0)
+  }
+}
