@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   * silently drop these queries into the sampling regime and
   * hash-mismatch; past [[MedianQueries.ExactRegimeCeiling]] they fail
   * loudly instead. The production path at 100 TB is the BOUNDED regime
-  * (O(k) state per group, size-weighted merge) exercised by the
-  * noOracle bench queries below and by tolerance unit tests.
+  * (O(k) state per group, size-weighted merge) gated by the
+  * deterministic error-bound queries below (q24/q25) and by tolerance
+  * unit tests.
   */
 object MedianQueries {
 
@@ -33,8 +34,10 @@ object MedianQueries {
     * bounded k. Exact queries fail loudly past it. */
   private val ExactRegimeCeiling = 50 * 1000 * 1000
 
-  /** k for the bounded-regime (production-path) bench queries. */
-  private val BoundedK = 1024
+  /** k for the bounded-regime (production-path) gate query — chosen so
+    * the sample-median error sits far inside the gate's 10% bound (see
+    * q24's comment) while staying well below the per-group row count. */
+  private val GateK = 4096
 
   /** Memo for [[exactK]]: several exact-regime queries derive k from
     * the same (table, column) — the isNotNull count cannot use parquet
@@ -168,24 +171,59 @@ object MedianQueries {
     },
 
     // ---- Bounded regime (the actual 100 TB production path): O(k)
-    // state per group, size-weighted merge. Randomized, so no value
-    // oracle — the driver records a rows-only check; the estimate
-    // quality is asserted by tolerance unit tests (AppxMedianSpec).
-    QueryDef.noOracle("q24_median_bounded_bench") { (spark, dir) =>
+    // state per group, size-weighted merge. The estimate is randomized
+    // (merge order varies with task scheduling), so the gate checks a
+    // DETERMINISTIC error-bound boolean instead of the value: the
+    // Spark side emits `abs(est - true) * 10 <= true` and the oracle
+    // emits literal true. Margin is empirical: 8 repartition-varied
+    // trials at sf0.01 put the worst relative error for k=4096 at
+    // 2.2%, so the 10% bound sits ~5x above observed worst (~6 sigma
+    // for a sample-median of 4096 draws). k stays well below the
+    // ~20k-row groups, so the SAMPLING regime is genuinely exercised.
+    QueryDef("q24_median_bounded_gate",
+      """SELECT l_returnflag, count(l_extendedprice)::BIGINT AS n_rows, true AS ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
       GraftFunctions.register(spark)
-      Tables.load(spark, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(spark, dir, "lineitem")
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      val wp = Window.partitionBy(col("l_returnflag"))
+      val truth = li.where(col("l_extendedprice").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wp))
+        .where(expr("rn = n DIV 2 + 1")) // upper-middle, integer division
+        .select(col("l_returnflag"), col("l_extendedprice").as("tru"))
+      li.groupBy(col("l_returnflag"))
         .agg(GraftFunctions.appx_median_bounded_double(
-          col("l_extendedprice"), BoundedK).as("med_est"))
+            col("l_extendedprice"), GateK).as("est"),
+          count(col("l_extendedprice")).as("n_rows"))
+        .join(truth, "l_returnflag")
+        .select(col("l_returnflag"), col("n_rows"),
+          (abs(col("est") - col("tru")) * 10 <= col("tru")).as("ok"))
         .orderBy(col("l_returnflag"))
     },
 
-    QueryDef.noOracle("q25_reservoir_bounded_bench") { (spark, dir) =>
+    // Bounded reservoir: sample CONTENTS are randomized but the
+    // sample's structure is not — per group the size is exactly
+    // least(k, n), the finalize order is value-sorted, and every
+    // element lies within the group's [min, max]. All four facts are
+    // emitted as one deterministic boolean.
+    QueryDef("q25_reservoir_bounded_gate",
+      """SELECT l_suppkey, least(64, count(l_quantity))::BIGINT AS n_sampled, true AS ok
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (spark, dir) =>
       GraftFunctions.register(spark)
       Tables.load(spark, dir, "lineitem")
         .groupBy(col("l_suppkey"))
-        .agg(GraftFunctions.reservoir_sample(col("l_quantity"), 64).as("s"))
-        .select(col("l_suppkey"), size(col("s")).as("n_sampled"))
+        .agg(GraftFunctions.reservoir_sample(col("l_quantity"), 64).as("s"),
+          min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"),
+          count(col("l_quantity")).as("n"))
+        .select(col("l_suppkey"),
+          size(col("s")).cast("long").as("n_sampled"),
+          (size(col("s")).cast("long") === least(lit(64L), col("n")) &&
+            col("s") === sort_array(col("s")) &&
+            array_min(col("s")) >= col("mn") &&
+            array_max(col("s")) <= col("mx")).as("ok"))
+        .orderBy(col("l_suppkey"))
     },
 
     // Bounded-heap top-k per group (max_k): O(k) state + map-side

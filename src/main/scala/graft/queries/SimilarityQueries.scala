@@ -41,6 +41,12 @@ object SimilarityQueries {
   private val NumCentroids = 16
   private val TopK = 10
 
+  // multi-table LSH near-dup (q48)
+  private val NumTables = 4
+  private val NumPlanted = 8
+  private val PlantOffset = 1000L
+  private val NearDupThreshold = 0.95
+
   /** Deterministic Rademacher hyperplanes: sign of the first nibble of
     * md5("p:i"). Same constants are inlined into the oracle SQL. */
   private[queries] val Planes: Seq[Seq[Int]] = {
@@ -49,6 +55,20 @@ object SimilarityQueries {
       (0 until Dim).map { i =>
         val h = md.digest(s"$p:$i".getBytes("UTF-8"))
         if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+      }
+    }
+  }
+
+  /** Independent hyperplane families for the multi-table LSH tables,
+    * keyed md5("t:p:i") — disjoint from [[Planes]]' "p:i" family. */
+  private[queries] val TablePlanes: Seq[Seq[Seq[Int]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NumTables).map { t =>
+      (0 until NumPlanes).map { p =>
+        (0 until Dim).map { i =>
+          val h = md.digest(s"$t:$p:$i".getBytes("UTF-8"))
+          if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+        }
       }
     }
   }
@@ -186,6 +206,57 @@ object SimilarityQueries {
         cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
     topKBySim(sims)
   }
+
+  /** Multi-table LSH embedding near-dup at a REAL threshold (0.95
+    * cosine) — the scale path q36's label blocking only demos. The
+    * fixture's vectors are near-orthogonal (max pairwise cosine 0.51),
+    * so the corpus is AUGMENTED with deterministic planted near-dups:
+    * for vec_id < NumPlanted, a copy at vec_id + PlantOffset with
+    * every coordinate perturbed +/-0.1% (cosine vs the original
+    * ~0.999998, replayable in SQL). Candidates come from NumTables
+    * independent 8-plane hyperplane tables OR'd together (equi-join on
+    * (table, signature) — never all-pairs); a pair split by one table
+    * is caught by another (miss probability ~(1-0.965)^4 ~ 1.5e-6 at
+    * this similarity). The ORACLE is brute force at the same
+    * threshold, so the gate is a genuine RECALL check: if any table
+    * layout dropped a planted pair, the row sets would differ. */
+  def embeddingNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val aug = FrameMemo.memoized(spark, s"emb_aug#$dir") {
+      val planted = normed(
+        Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumPlanted)
+          .select((col("vec_id") + PlantOffset).as("vec_id"),
+            transform(vecD(col("embedding")), (x, i) =>
+              x * (lit(1.0) + when(i % 2 === 0, -0.001).otherwise(0.001)))
+              .as("embedding")))
+      corpus(spark, dir).unionByName(planted)
+    }
+    val keyed = FrameMemo.memoized(spark, s"emb_lsh_keys#$dir") {
+      aug.select(col("vec_id"),
+        explode(array((0 until NumTables).map(t =>
+          struct(lit(t).as("t"), tableSig(col("v"), t).as("sig"))): _*)).as("k"))
+        .select(col("vec_id"), col("k.t").as("t"), col("k.sig").as("sig"))
+    }
+    val cand = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val av = aug.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val bv = aug.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(av, "id_a").join(bv, "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+      .where(col("sim") >= NearDupThreshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def tableSig(v: Column, t: Int): Column =
+    concat(TablePlanes(t).map { plane =>
+      val w = typedlit(plane.map(_.toDouble))
+      when(dot(v, w) >= 0, "1").otherwise("0")
+    }: _*)
 
   // ---- DuckDB oracle -------------------------------------------------
 
@@ -341,11 +412,32 @@ object SimilarityQueries {
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
   }
 
+  /** Brute-force oracle for [[embeddingNearDupLsh]] — deliberately
+    * NOT the LSH decomposition: equality of the row sets proves the
+    * multi-table index recalled every above-threshold pair. */
+  private val nearDupLshSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id + $PlantOffset AS vec_id,
+       |             [v[i] * (1 + CASE WHEN i % 2 = 1 THEN -0.001 ELSE 0.001 END)
+       |              for i in generate_series(1, $Dim)] AS v
+       |      FROM e WHERE vec_id < $NumPlanted),
+       |a0 AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM p),
+       |aug AS (SELECT vec_id, v,
+       |               sqrt(list_aggregate([x*x for x in v], 'sum')) AS nrm FROM a0)
+       |SELECT id_a, id_b, sim FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         list_aggregate([a.v[i]*b.v[i] for i in generate_series(1, $Dim)], 'sum')
+       |           / (a.nrm*b.nrm) AS sim
+       |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id) t
+       |WHERE sim >= $NearDupThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q26_similarity_topk", bruteSql)(bruteForceTopK),
     QueryDef("q27_ann_lsh_topk", lshSql)(lshTopK),
     QueryDef("q35_ann_ivf_topk", ivfSql)(ivfTopK),
     QueryDef("q36_embedding_neardup", nearDupSql)(embeddingNearDup),
-    QueryDef("q42_ann_multiprobe", multiProbeSql)(lshMultiProbeTopK)
+    QueryDef("q42_ann_multiprobe", multiProbeSql)(lshMultiProbeTopK),
+    QueryDef("q48_embedding_neardup_lsh", nearDupLshSql)(embeddingNearDupLsh)
   )
 }
