@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import java.nio.ByteBuffer
+import java.util.zip.CRC32
+
+/** Minimal pure-JVM image header codec for the decode boundary —
+  * PUBLIC format knowledge only: the PNG signature + IHDR chunk
+  * layout (W3C PNG spec §11.2.2) and the JPEG SOF frame-header
+  * layout (ITU-T T.81 §B.2.2). Encoding exists to plant REAL headers
+  * on the text fixture; decoding reads dimensions back from the bytes
+  * alone — no codec libraries involved, which is exactly what a
+  * 100 TB metadata-extraction pass wants: dimensions come from the
+  * first few hundred bytes without decompressing pixel data.
+  */
+object MediaCodec {
+
+  val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG: signature + a real IHDR chunk (13-byte payload, CRC32 over
+    * chunk type + data), then `body` as opaque trailing bytes.
+    * Header is exactly 33 bytes. */
+  def pngBytes(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+    val ihdr = ByteBuffer.allocate(17)
+    ihdr.put("IHDR".getBytes("US-ASCII"))
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte)                             // bit depth
+    ihdr.put(2.toByte)                             // color type: truecolor
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+    val crc = new CRC32
+    crc.update(ihdr.array())
+    val out = ByteBuffer.allocate(33 + body.length)
+    out.put(PngSignature).putInt(13).put(ihdr.array()).putInt(crc.getValue.toInt)
+    out.put(body)
+    out.array()
+  }
+
+  /** JPEG: SOI + one SOF0 frame header (8-bit precision, single
+    * component), then `body` as opaque trailing bytes. Header is
+    * exactly 15 bytes. */
+  def jpegBytes(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+    val out = ByteBuffer.allocate(15 + body.length)
+    out.put(0xff.toByte).put(0xd8.toByte)          // SOI
+    out.put(0xff.toByte).put(0xc0.toByte)          // SOF0
+    out.putShort(11.toShort)                       // segment length
+    out.put(8.toByte)                              // sample precision
+    out.putShort(height.toShort).putShort(width.toShort)
+    out.put(1.toByte)                              // component count
+    out.put(1.toByte).put(0x11.toByte).put(0.toByte) // id / sampling / quant
+    out.put(body)
+    out.array()
+  }
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private def i32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** Parse (width, height) out of PNG IHDR bytes or a JPEG SOF
+    * segment (walking marker segments, so APP0/EXIF prefixes are
+    * skipped); None when the payload is neither — callers fall back
+    * to their non-image handling. */
+  def decodeDims(p: Array[Byte]): Option[(Int, Int)] = {
+    if (p.length >= 24 && p.take(8).sameElements(PngSignature) &&
+        new String(p.slice(12, 16), "US-ASCII") == "IHDR") {
+      Some((i32(p, 16), i32(p, 20)))
+    } else if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 9 <= p.length && (p(i) & 0xff) == 0xff) {
+        val marker = p(i + 1) & 0xff
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) return Some((u16(p, i + 7), u16(p, i + 5)))
+        i += 2 + u16(p, i + 2)
+      }
+      None
+    } else None
+  }
+}

@@ -20,16 +20,17 @@ case class MediaFeature(mediaId: Long, kind: String, feature: Array[Float])
   * typed metadata, decode / feature-extract / frame-sample stages as
   * partition-batched transforms over `Dataset[MediaFile]`.
   *
-  * The DECODE STEP IS A STUB: real image/audio codecs are not
-  * available in this environment, so `decodeStub` derives
-  * deterministic fake dimensions/duration/features from the payload's
-  * SHA-256. Everything around the stub — the binary column schema,
-  * the `mapPartitions` batch shape (one codec init per partition, not
-  * per row), the typed Dataset boundaries, and the partitioning
-  * behavior — is real, which is the part that matters for the Spark
-  * plumbing at 100 TB: payloads never pass through a shuffle unless
-  * the caller asks for one, and the decode cost is linear per
-  * partition with no driver involvement.
+  * IMAGE DIMENSION DECODE IS REAL: [[MediaCodec]] parses width/height
+  * straight out of PNG IHDR / JPEG SOF header bytes (pure JVM, public
+  * formats, no codec libraries). Only the parts that genuinely need a
+  * media library remain stubs — duration for audio/video kinds and
+  * the feature extractor (`featureStub`), which derive deterministic
+  * values from the payload's SHA-256. The Spark plumbing — binary
+  * column schema, the `mapPartitions` batch shape (one codec init per
+  * partition, not per row), typed Dataset boundaries, partitioning —
+  * is real: payloads never pass through a shuffle unless the caller
+  * asks for one, and the decode cost is linear per partition with no
+  * driver involvement.
   */
 object MediaOps {
 
@@ -63,32 +64,49 @@ object MediaOps {
     out
   }
 
-  /** Wrap a text table as fake media files (payload = utf-8 bytes) —
-    * the fixture generator for specs and the declared query. */
+  /** Wrap the text table as media files carrying REAL image headers:
+    * even doc_ids become PNGs, odd become JPEGs, with dimensions
+    * derived from the id and the utf-8 text as opaque trailing bytes.
+    * The dimensions travel ONLY through the encoded header bytes —
+    * [[extractMeta]] must genuinely parse them back out, which is what
+    * the q29 gate checks against an oracle that re-derives them from
+    * the id arithmetic independently. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaFile] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id").as("mediaId"),
-        lit("image").as("kind"),
-        encode(col("text"), "utf-8").as("payload"))
-      .as[MediaFile]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val w = (id * 7 % 1920 + 1).toInt
+        val h = (id * 13 % 1080 + 1).toInt
+        val body = text.getBytes("UTF-8")
+        if (id % 2 == 0) MediaFile(id, "image/png", MediaCodec.pngBytes(w, h, body))
+        else MediaFile(id, "image/jpeg", MediaCodec.jpegBytes(w, h, body))
+      }
   }
 
   /** Decode boundary: one `mapPartitions` pass — codec state (here the
     * MessageDigest) IS initialized once per partition and the payload
-    * is hashed exactly once per row, with both the content hex and the
-    * fake decode derived from that single digest — the amortization
-    * shape a real decoder (model weights, codec contexts) would keep. */
+    * is hashed exactly once per row — the amortization shape a heavier
+    * decoder (model weights, codec contexts) would keep. Image
+    * payloads get their true header-parsed dimensions (duration 0);
+    * payloads with no parseable image header fall back to the
+    * documented sha-derived stub. */
   def extractMeta(files: Dataset[MediaFile]): Dataset[MediaMeta] = {
     import files.sparkSession.implicits._
     files.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("SHA-256")
       it.map { f =>
         val h = md.digest(f.payload) // digest() resets md for reuse
-        def u16(i: Int): Int = ((h(i) & 0xff) << 8) | (h(i + 1) & 0xff)
-        MediaMeta(f.mediaId, f.kind, f.payload.length.toLong,
-          h.map(b => f"$b%02x").mkString,
-          u16(0) % 1920 + 1, u16(2) % 1080 + 1, (u16(4).toLong * 100) + 1)
+        val sha = h.map(b => f"$b%02x").mkString
+        MediaCodec.decodeDims(f.payload) match {
+          case Some((w, ht)) =>
+            MediaMeta(f.mediaId, f.kind, f.payload.length.toLong, sha, w, ht, 0L)
+          case None =>
+            def u16(i: Int): Int = ((h(i) & 0xff) << 8) | (h(i + 1) & 0xff)
+            MediaMeta(f.mediaId, f.kind, f.payload.length.toLong, sha,
+              u16(0) % 1920 + 1, u16(2) % 1080 + 1, (u16(4).toLong * 100) + 1)
+        }
       }
     }
   }

@@ -5,30 +5,32 @@ import graft.multimodal.MediaOps
 import org.apache.spark.sql.functions._
 
 /** Declared queries for the multimodal column pipeline (SURVEY §2.3).
-  * The decode stage is a documented stub (`MediaOps.decodeStub`), but
-  * it is a DETERMINISTIC function of the payload hash, so the oracle
-  * can replay the fake decode arithmetic from sha256 hex — the gate
-  * checks the real plumbing end to end: binary encode, Dataset
-  * mapPartitions decode pass, typed output schema. */
+  * Image dimensions are REALLY decoded: `mediaFromDocuments` plants
+  * PNG IHDR / JPEG SOF headers carrying id-derived dimensions, the
+  * Spark side recovers them by parsing the BYTES ([[graft.multimodal
+  * .MediaCodec]]), and the oracle re-derives them from the id
+  * arithmetic independently — the compare can only pass if the header
+  * parse is correct. */
 object MultimodalQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // Metadata extraction over binary payloads. The fake decode's
-    // width/height/duration are u16 reads of the payload's sha256 —
-    // hex-sliceable in SQL.
+    // Metadata extraction over binary payloads: kind by id parity,
+    // n_bytes = real header size (PNG 33 / JPEG 15) + utf-8 body,
+    // width/height parsed from the header bytes, duration 0 (image).
     QueryDef("q29_media_meta",
       """SELECT doc_id AS media_id,
-        |       octet_length(encode(text))::BIGINT AS n_bytes,
-        |       sha256(text) AS sha,
-        |       (('0x' || substr(sha256(text), 1, 4))::INT % 1920 + 1) AS width,
-        |       (('0x' || substr(sha256(text), 5, 4))::INT % 1080 + 1) AS height,
-        |       (('0x' || substr(sha256(text), 9, 4))::BIGINT * 100 + 1) AS duration_ms
+        |       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS kind,
+        |       (CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 15 END
+        |          + octet_length(encode(text)))::BIGINT AS n_bytes,
+        |       (doc_id * 7 % 1920 + 1)::INT AS width,
+        |       (doc_id * 13 % 1080 + 1)::INT AS height,
+        |       0::BIGINT AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin) { (spark, dir) =>
       MediaOps.extractMeta(MediaOps.mediaFromDocuments(spark, dir))
         .toDF()
-        .select(col("mediaId").as("media_id"), col("nBytes").as("n_bytes"),
-          col("sha256").as("sha"), col("width"), col("height"),
+        .select(col("mediaId").as("media_id"), col("kind"),
+          col("nBytes").as("n_bytes"), col("width"), col("height"),
           col("durationMs").as("duration_ms"))
         .orderBy(col("media_id"))
     },

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.sources.{Formats, Tables}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the non-parquet sources and the bucketed join
+  * (SURVEY §2.2 "Scans / sources / sinks", previously spec-only).
+  *
+  * CSV/JSON gating trick: the Spark side WRITES the table through the
+  * sink under test to a fixed path, then READS it back through the
+  * source under test; the DuckDB oracle reads the very same files with
+  * its own native CSV/JSON readers — so a row surviving the compare
+  * has round-tripped Spark sink -> Spark source AND parsed identically
+  * under an independent implementation. The staged table is `nation`,
+  * which the fixture keeps byte-identical across scale factors (the
+  * oracle SQL string must be static, so the path cannot depend on the
+  * scale dir).
+  *
+  * The bucketed join's oracle is the PLAIN join on the parquet tables:
+  * bucketing must be result-invisible; its no-Exchange property is
+  * asserted separately in BucketedJoinSpec.
+  */
+object SourceQueries {
+
+  private val CsvPath = "/tmp/graft_formats/nation_csv"
+  private val JsonPath = "/tmp/graft_formats/nation_json"
+
+  private def nationSlim(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+
+  /** One-time-per-(session, dir) bucketed ETL: orders + customer
+    * hashed into 8 buckets on the customer key. The write is the
+    * standard one-off cost that buys every later join on that key a
+    * shuffle-free plan; re-registration handles a stale warehouse
+    * directory left by a previous JVM. */
+  private val bucketSetup =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+
+  private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
+    bucketSetup.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (to, tc) = (s"graft_bkt_orders$tag", s"graft_bkt_customer$tag")
+      for (t <- Seq(to, tc)) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (wh.exists()) { wh.listFiles().foreach(_.delete()); wh.delete() }
+      }
+      Tables.load(spark, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(to)
+      Tables.load(spark, dir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tc)
+      (to, tc)
+    })
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // CSV sink -> CSV source -> aggregate; oracle re-reads the files
+    // with DuckDB's native CSV reader.
+    QueryDef("q49_csv_source",
+      s"""SELECT n_regionkey, count(*)::BIGINT AS n_nations, min(n_name) AS first_name
+         |FROM read_csv('$CsvPath/*.csv', header=true,
+         |  columns={'n_nationkey': 'INTEGER', 'n_name': 'VARCHAR', 'n_regionkey': 'INTEGER'})
+         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (spark, dir) =>
+      val nation = nationSlim(spark, dir)
+      Formats.writeCsv(nation, CsvPath)
+      Formats.readCsv(spark, CsvPath, nation.schema)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_name"))
+        .orderBy(col("n_regionkey"))
+    },
+
+    // JSON-lines sink -> source -> full row echo; oracle re-reads the
+    // files with DuckDB's native newline-delimited JSON reader.
+    QueryDef("q50_json_source",
+      s"""SELECT n_nationkey, n_name, n_regionkey
+         |FROM read_json('$JsonPath/*.json', format='newline_delimited',
+         |  columns={'n_nationkey': 'INTEGER', 'n_name': 'VARCHAR', 'n_regionkey': 'INTEGER'})
+         |ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+      val nation = nationSlim(spark, dir)
+      Formats.writeJsonLines(nation, JsonPath)
+      Formats.readJsonLines(spark, JsonPath, nation.schema)
+        .orderBy(col("n_nationkey"))
+    },
+
+    // Bucket-co-located join; the oracle joins the plain parquet
+    // tables, proving bucketing never changes the result.
+    QueryDef("q51_bucketed_join",
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      val (to, tc) = bucketedTables(spark, dir)
+      spark.table(to).join(spark.table(tc), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_c"))
+        .orderBy(col("c_mktsegment"))
+    }
+  )
+}
