@@ -3,9 +3,7 @@ package graft.functions
 import graft.core.Reservoir
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,47 +24,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * (SURVEY §3.1). State stays O(k) per group regardless of input size:
   * the property that keeps the plan safe at 100 TB.
   */
-abstract class ReservoirAggBase extends TypedImperativeAggregate[Reservoir[Any]] {
-  def child: Expression
+abstract class ReservoirAggBase extends ConstantKAggregate[Reservoir[Any]] {
   def maxSamplesExp: Expression
   def seed: Long
 
-  override def children: Seq[Expression] = Seq(child, maxSamplesExp)
-  override def nullable: Boolean = true
-
-  @transient protected lazy val ops: ValueOps =
-    ValueOps.forType(child.dataType).getOrElse(throw new IllegalStateException(
-      s"$prettyName: unsupported value type ${child.dataType.sql}"))
-
-  protected lazy val maxSamples: Int = maxSamplesExp.eval() match {
-    case n: java.lang.Number => n.intValue()
-    case other => throw new IllegalArgumentException(
-      s"$prettyName: max_samples must be an integer constant, got $other")
-  }
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    if (ValueOps.forType(child.dataType).isEmpty) {
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: unsupported value type ${child.dataType.sql} " +
-          "(expected numeric, string, decimal, date or timestamp)")
-    } else if (maxSamplesExp.dataType != IntegerType) {
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: max_samples must be INT, got ${maxSamplesExp.dataType.sql}")
-    } else if (!maxSamplesExp.foldable) {
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: max_samples must be a constant (foldable) expression")
-    } else if (maxSamplesExp.eval() == null || maxSamples <= 0) {
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: max_samples must be a positive integer")
-    } else TypeCheckResult.TypeCheckSuccess
-  }
+  final override def kExp: Expression = maxSamplesExp
+  override protected def kName: String = "max_samples"
 
   override def createAggregationBuffer(): Reservoir[Any] =
-    Reservoir.empty[Any](maxSamples, seed)
+    Reservoir.empty[Any](k, seed)
 
   override def update(buf: Reservoir[Any], input: InternalRow): Reservoir[Any] = {
     val v = child.eval(input)
-    if (v != null) buf.insert(ops.retain(v), maxSamples)
+    if (v != null) buf.insert(ops.retain(v), k)
     buf
   }
 

@@ -5,9 +5,7 @@ import java.nio.ByteBuffer
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
@@ -32,38 +30,14 @@ case class TopKAgg(
     descending: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends ConstantKAggregate[TopKBuffer] {
 
-  override def children: Seq[Expression] = Seq(child, kExp)
-  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
-
-  @transient private lazy val ops: ValueOps =
-    ValueOps.forType(child.dataType).getOrElse(throw new IllegalStateException(
-      s"$prettyName: unsupported value type ${child.dataType.sql}"))
 
   /** Heap ordering: for max_k keep the k LARGEST -> evict the smallest
     * first (min-heap); for min_k the mirror. */
   @transient private lazy val heapOrd: Ordering[Any] =
     if (descending) ops.ordering.reverse else ops.ordering
-
-  private lazy val k: Int = kExp.eval() match {
-    case n: java.lang.Number => n.intValue()
-    case other => throw new IllegalArgumentException(
-      s"$prettyName: k must be an integer constant, got $other")
-  }
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    if (ValueOps.forType(child.dataType).isEmpty) {
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: unsupported value type ${child.dataType.sql}")
-    } else if (kExp.dataType != IntegerType || !kExp.foldable) {
-      TypeCheckResult.TypeCheckFailure(
-        s"$prettyName: k must be a constant INT")
-    } else if (kExp.eval() == null || k <= 0) {
-      TypeCheckResult.TypeCheckFailure(s"$prettyName: k must be positive")
-    } else TypeCheckResult.TypeCheckSuccess
-  }
 
   override def createAggregationBuffer(): TopKBuffer =
     new TopKBuffer(k, mutable.PriorityQueue.empty(heapOrd))
