@@ -359,8 +359,9 @@ object SimilarityQueries {
     * never an all-pairs product; at scale the blocking key must be
     * selective, else fall back to the hyperplane buckets of
     * [[lshTopK]]), then a cosine threshold filters. The fixture's
-    * vectors are near-orthogonal, so the demo threshold is 0.4; a real
-    * near-dup pass would use ~0.95 with multi-table LSH blocking. */
+    * vectors are near-orthogonal, so the demo threshold is 0.4; the
+    * production-threshold (~0.95) scale path is the multi-table LSH of
+    * [[embeddingNearDupLsh]] (q48). */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val e = corpus(spark, dir)
