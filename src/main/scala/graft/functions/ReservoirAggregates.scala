@@ -85,7 +85,7 @@ case class AppxMedianBounded(
   override def eval(buf: Reservoir[Any]): Any = buf.medianUpper(ops.ordering) match {
     case None => null
     case Some(m) =>
-      if (asString) UTF8String.fromString(m.toString) else m
+      if (asString) UTF8String.fromString(AppxMedianBounded.render(m)) else m
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): AppxMedianBounded =
@@ -108,6 +108,21 @@ object AppxMedianBounded {
     * regime is verified by tolerance tests, so a fixed seed just makes
     * local debugging reproducible. */
   val DefaultSeed: Long = 42L
+
+  /** STRING-form rendering. The reference's stringstream prints
+    * integral doubles without a decimal point ("500", `median.cc:
+    * 29-37`), so integral values in the exactly-representable long
+    * range render the same way here; other values keep Java's
+    * shortest-round-trip form (the stringstream's 6-significant-digit
+    * truncation is deliberately NOT mirrored — it would corrupt the
+    * documented CAST-back-to-DOUBLE round trip; see README). */
+  private[functions] def render(m: Any): String = m match {
+    case d: java.lang.Double
+        if d.doubleValue == math.rint(d.doubleValue) &&
+          math.abs(d.doubleValue) < 1e15 =>
+      d.doubleValue.toLong.toString
+    case other => other.toString
+  }
 }
 
 /** `reservoir_sample(value, k INT) -> ARRAY<value type>` — the

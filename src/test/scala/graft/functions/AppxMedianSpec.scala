@@ -36,6 +36,20 @@ class AppxMedianSpec extends SparkTestBase {
     assert(medianOf(Seq.empty, 5, 1).isEmpty)
   }
 
+  test("STRING form renders integral medians like the reference (median.cc:29-37)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def stringForm(vals: Seq[Double]): String =
+      vals.toDF("x") // k >= n: exact regime, deterministic median
+        .agg(GraftFunctions.appx_median_bounded(col("x"), vals.length).as("m"))
+        .collect()(0).getString(0)
+    // stringstream prints "500", not Java's "500.0"
+    assert(stringForm((0 to 1000).map(_.toDouble)) == "500")
+    // non-integral values keep the exact round-trip form (documented
+    // divergence from the stringstream's 6-digit truncation)
+    assert(stringForm(Seq(1.1, 2.2, 3.3, 4.4, 5.5)) == "3.3")
+  }
+
   test("nulls are skipped, not counted (median.cc:130)") {
     val vals: Seq[java.lang.Double] =
       Seq[java.lang.Double](1.0, null, 2.0, null, 3.0, null, null)
