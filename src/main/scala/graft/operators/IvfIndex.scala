@@ -83,14 +83,19 @@ object IvfIndex {
       .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
   }
 
-  /** Build the index: seed centroids -> `iterations` Lloyd rounds ->
-    * final cell assignment of the corpus. Each round's (tiny) centroid
-    * frame is localCheckpoint'ed so iteration plans stay flat instead
-    * of re-embedding the whole corpus lineage per round. */
-  def build(corpus: DataFrame, seeds: DataFrame, iterations: Int): DataFrame = {
+  /** Refine seed centroids with `iterations` Lloyd rounds; returns the
+    * final (cid, cv, cnrm) frame. Each round's (tiny) centroid frame
+    * is localCheckpoint'ed so iteration plans stay flat instead of
+    * re-embedding the whole corpus lineage per round. */
+  def refine(corpus: DataFrame, seeds: DataFrame, iterations: Int): DataFrame = {
     var cents = seeds
     for (_ <- 0 until iterations)
       cents = lloydUpdate(assignCells(corpus, cents)).localCheckpoint()
-    assignCells(corpus, cents)
+    cents
   }
+
+  /** Build the index: seed centroids -> `iterations` Lloyd rounds ->
+    * final cell assignment of the corpus. */
+  def build(corpus: DataFrame, seeds: DataFrame, iterations: Int): DataFrame =
+    assignCells(corpus, refine(corpus, seeds, iterations))
 }

@@ -33,6 +33,44 @@ object DedupQueries {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("fp"), col("n_copies"))
         .orderBy(col("keep_id"))
+    },
+
+    // Normalization-aware dedup: case-fold, strip punctuation,
+    // collapse whitespace BEFORE fingerprinting — catches the trivial
+    // reformattings exact dedup misses while keeping the same
+    // 32-byte-key shuffle shape. (Spark's regexp_replace is global by
+    // default; DuckDB needs the 'g' flag.)
+    QueryDef("q54_dedup_normalized",
+      """SELECT min(doc_id) AS keep_id,
+        |       sha256(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 2 ORDER BY keep_id""".stripMargin) { (spark, dir) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[.,!?;:]", ""), " +", " "))
+      Tables.load(spark, dir, "documents")
+        .groupBy(sha2(norm, 256).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("fp"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // Cardinality sketch (HyperLogLog++ via approx_count_distinct):
+    // the count-distinct that still works when the key set itself
+    // cannot fit anywhere. The sketch is deterministic (hash-based),
+    // so like q24 the gate emits a deterministic error-bound boolean
+    // (default rsd is 5%; the 10% bound is 2x that) next to the exact
+    // count the oracle can state directly.
+    QueryDef("q55_approx_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS n_exact, true AS ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+          approx_count_distinct(col("l_orderkey")).as("n_appx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("n_appx") - col("n_exact")) * 10 <= col("n_exact")).as("ok"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

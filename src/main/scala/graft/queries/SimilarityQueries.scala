@@ -185,14 +185,20 @@ object SimilarityQueries {
     * on cell id. The built index is memoized + materialized — it IS
     * the IVF index one would persist at scale. */
   private val LloydIterations = 2
+  private val NumProbes = 2
 
-  def ivfIndex(spark: SparkSession, dir: String): DataFrame =
-    FrameMemo.memoized(spark, s"ivf#$dir") {
+  def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    FrameMemo.memoized(spark, s"ivf_cents#$dir") {
       GraftFunctions.register(spark)
       val seeds = normed(
         Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumCentroids))
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      IvfIndex.build(corpus(spark, dir), seeds, LloydIterations)
+      IvfIndex.refine(corpus(spark, dir), seeds, LloydIterations)
+    }
+
+  def ivfIndex(spark: SparkSession, dir: String): DataFrame =
+    FrameMemo.memoized(spark, s"ivf#$dir") {
+      IvfIndex.assignCells(corpus(spark, dir), ivfCentroids(spark, dir))
     }
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -202,6 +208,32 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cid").as("qcid")))
     val sims = q.join(assigned, col("qcid") === col("cid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
+    topKBySim(sims)
+  }
+
+  /** IVF with nprobe=2: each query searches its own cell plus the
+    * next-nearest — the standard recall knob for a vector split across
+    * a cell boundary. The cell ranking window runs over the
+    * BROADCAST-SMALL query x centroid frame (NumQueries x NumCentroids
+    * rows), never the corpus; the probe stays an equi-join on cell id
+    * and the probed cells are disjoint, so no (qid, nid) dedup is
+    * needed. */
+  def ivfTopKProbe(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val assigned = ivfIndex(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    val q = assigned.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cid"))
+    val probes = broadcast(q.crossJoin(cents)
+      .select(col("qid"), col("qv"), col("qnrm"), col("cid"),
+        cosine(col("qv"), col("cv"), col("qnrm"), col("cnrm")).as("psim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= NumProbes)
+      .select(col("qid"), col("qv"), col("qnrm"), col("cid")))
+    val sims = probes.join(assigned, Seq("cid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
     topKBySim(sims)
@@ -413,6 +445,35 @@ object SimilarityQueries {
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
   }
 
+  /** nprobe=2 oracle: same 2-iteration Lloyd chain, then each query
+    * ranks ALL cells and searches its top two. */
+  private val ivfProbeSql =
+    s"""$normedCte,
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NumCentroids),
+       |${ivfAssignSql("c0", "a0")},
+       |${ivfLloydSql("a0", "c1")},
+       |${ivfAssignSql("c1", "a1")},
+       |${ivfLloydSql("a1", "c2")},
+       |${ivfAssignSql("c2", "cell")},
+       |probe AS (
+       |  SELECT qid, qv, qnrm, cid FROM (
+       |    SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qnrm, c.cid,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             list_aggregate([q.v[i]*c.cv[i] for i in generate_series(1, $Dim)], 'sum')
+       |               / (q.nrm*c.cnrm) DESC, c.cid) AS rn
+       |    FROM n q CROSS JOIN c2 c WHERE q.vec_id < $NumQueries) t
+       |  WHERE rn <= $NumProbes),
+       |sims AS (
+       |  SELECT qid, cell.vec_id AS nid,
+       |         list_aggregate([qv[i]*cell.v[i] for i in generate_series(1, $Dim)], 'sum')
+       |           / (qnrm*cell.nrm) AS sim
+       |  FROM probe JOIN cell ON probe.cid = cell.cid)
+       |SELECT qid, nid, sim, rank FROM (
+       |  SELECT qid, nid, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+       |  FROM sims) t
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
   /** Brute-force oracle for [[embeddingNearDupLsh]] — deliberately
     * NOT the LSH decomposition: equality of the row sets proves the
     * multi-table index recalled every above-threshold pair. */
@@ -439,6 +500,7 @@ object SimilarityQueries {
     QueryDef("q35_ann_ivf_topk", ivfSql)(ivfTopK),
     QueryDef("q36_embedding_neardup", nearDupSql)(embeddingNearDup),
     QueryDef("q42_ann_multiprobe", multiProbeSql)(lshMultiProbeTopK),
-    QueryDef("q48_embedding_neardup_lsh", nearDupLshSql)(embeddingNearDupLsh)
+    QueryDef("q48_embedding_neardup_lsh", nearDupLshSql)(embeddingNearDupLsh),
+    QueryDef("q52_ann_ivf_nprobe", ivfProbeSql)(ivfTopKProbe)
   )
 }

@@ -146,6 +146,39 @@ object TextQueries {
             (t, i) => i.cast("long") * conv(substring(md5(t), 1, 7), 16, 10).cast("long")),
           lit(0L), (acc, h) => acc + h).as("roll_fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // TF-IDF keyword extraction: top-3 terms per document by tf/df.
+    // The ranking key is a DOUBLE division of two BIGINTs — both
+    // engines divide the identical integers, so the doubles (and the
+    // ordering) are bit-identical; ties break on the term. Shape at
+    // scale: tf is a map-side-combined groupBy, df a two-phase
+    // distinct-count, the join shuffles on term, and the final window
+    // sorts only each document's own term list.
+    QueryDef("q53_tfidf_keywords",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1)
+        |SELECT doc_id, CAST(rn AS INT) AS kw_rank, term, tf, df FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |                            ORDER BY tf.tf::DOUBLE / df.df DESC, tf.term) AS rn
+        |  FROM tf JOIN df ON tf.term = df.term) t
+        |WHERE rn <= 3 ORDER BY doc_id, kw_rank""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
+      tf.join(df, "term")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("rn").cast("int").as("kw_rank"),
+          col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("kw_rank"))
     }
   )
 }
