@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[AppxMedianBounded]) {
       exprs => GraftFunctions.buildAppxMedianTyped(exprs)
     }
+    inject(ext, "appx_quantile_typed",
+      "_FUNC_(value, q, max_samples) - typed bounded-reservoir quantile (q in [0, 1])",
+      classOf[AppxQuantileBounded]) {
+      exprs => GraftFunctions.buildAppxQuantileTyped(exprs)
+    }
     inject(ext, "reservoir_sample",
       "_FUNC_(value, k) - value-sorted bounded reservoir sample as ARRAY",
       classOf[ReservoirSampleAgg]) {

@@ -49,6 +49,13 @@ object GraftFunctions {
     AppxMedianBounded(v, k, asString = false)
   }
 
+  private[graft] def buildAppxQuantileTyped(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"appx_quantile_typed(value, q, max_samples) takes 3 arguments, got ${exprs.length}")
+    AppxQuantileBounded(exprs.head,
+      Cast(exprs(1), DoubleType), Cast(exprs(2), IntegerType))
+  }
+
   private[graft] def buildReservoirSample(exprs: Seq[Expression]): Expression = {
     val (v, k) = twoTyped("reservoir_sample")(exprs)
     ReservoirSampleAgg(v, k)
@@ -73,6 +80,7 @@ object GraftFunctions {
     reg("appx_median_bounded")(buildAppxMedianBounded(_, asString = true))
     reg("appx_median_bounded_double")(buildAppxMedianBounded(_, asString = false))
     reg("appx_median_typed")(buildAppxMedianTyped)
+    reg("appx_quantile_typed")(buildAppxQuantileTyped)
     reg("reservoir_sample")(buildReservoirSample)
     reg("max_k")(buildTopK(_, descending = true))
     reg("min_k")(buildTopK(_, descending = false))
@@ -98,6 +106,11 @@ object GraftFunctions {
     * string, decimal, date, timestamp). */
   def appx_median_typed(value: Column, maxSamples: Int): Column =
     call_function("appx_median_typed", value, lit(maxSamples))
+
+  /** Typed quantile: sorted samples[floor(q * n)], the median's
+    * upper-middle rule generalized; exact when maxSamples >= n. */
+  def appx_quantile_typed(value: Column, q: Double, maxSamples: Int): Column =
+    call_function("appx_quantile_typed", value, lit(q), lit(maxSamples))
 
   /** Bounded sample of a column as a value-sorted ARRAY of its type. */
   def reservoir_sample(value: Column, k: Int): Column =

@@ -3,6 +3,7 @@ package graft.functions
 import graft.core.Reservoir
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -123,6 +124,66 @@ object AppxMedianBounded {
       d.doubleValue.toLong.toString
     case other => other.toString
   }
+}
+
+/** `appx_quantile_typed(value, q DOUBLE, max_samples INT)` — the
+  * reference UDA's finalize generalized from the upper-middle median
+  * to any quantile: result = value-sorted samples[min(floor(q * n),
+  * n - 1)] (q = 0.5 reproduces the median's n/2 index exactly,
+  * `median.cc:299-301`); NULL on empty. Exact when `max_samples >= n`;
+  * bounded-regime estimate otherwise. Same typed comparator surface
+  * as `appx_median_typed`. */
+case class AppxQuantileBounded(
+    child: Expression,
+    qExp: Expression,
+    maxSamplesExp: Expression,
+    seed: Long = AppxMedianBounded.DefaultSeed,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends ReservoirAggBase {
+
+  override def children: Seq[Expression] = Seq(child, qExp, maxSamplesExp)
+  override def dataType: DataType = child.dataType
+
+  private lazy val q: Double = qExp.eval() match {
+    case n: java.lang.Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"$prettyName: q must be a numeric constant, got $other")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    super.checkInputDataTypes() match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        if (qExp.dataType != DoubleType) {
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: q must be DOUBLE, got ${qExp.dataType.sql}")
+        } else if (!qExp.foldable) {
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: q must be a constant (foldable) expression")
+        } else if (qExp.eval() == null || q < 0.0 || q > 1.0) {
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: q must be in [0, 1]")
+        } else TypeCheckResult.TypeCheckSuccess
+      case failure => failure
+    }
+
+  override def eval(buf: Reservoir[Any]): Any =
+    if (buf.numSamples == 0) null
+    else {
+      val s = buf.sortedSamples(ops.ordering)
+      s(math.min((q * s.length).toInt, s.length - 1))
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): AppxQuantileBounded =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): AppxQuantileBounded =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AppxQuantileBounded =
+    copy(child = newChildren(0), qExp = newChildren(1),
+      maxSamplesExp = newChildren(2))
+
+  override def prettyName: String = "appx_quantile_typed"
 }
 
 /** `reservoir_sample(value, k INT) -> ARRAY<value type>` — the

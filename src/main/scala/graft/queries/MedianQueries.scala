@@ -226,6 +226,26 @@ object MedianQueries {
         .orderBy(col("l_suppkey"))
     },
 
+    // Typed quantile (p90), exact regime: the generalized finalize's
+    // index floor(0.9 * n) replayed by the oracle window (both engines
+    // compute the identical 0.9 * n double from the same integer n).
+    QueryDef("q56_quantile_typed",
+      """SELECT l_returnflag, p90 FROM (
+        |  SELECT l_returnflag, l_extendedprice AS p90,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL) t
+        |WHERE rn = CAST(floor(0.9 * n) AS BIGINT) + 1
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      val li = Tables.load(spark, dir, "lineitem")
+      val k = exactK(li, col("l_extendedprice"), "q56_quantile_typed")
+      li.groupBy(col("l_returnflag"))
+        .agg(GraftFunctions.appx_quantile_typed(
+          col("l_extendedprice"), 0.9, k).as("p90"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Bounded-heap top-k per group (max_k): O(k) state + map-side
     // combine instead of the window sort of every row. Exploded to
     // scalar rows for the gate, like q16.

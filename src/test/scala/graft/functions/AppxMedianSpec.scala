@@ -36,6 +36,19 @@ class AppxMedianSpec extends SparkTestBase {
     assert(medianOf(Seq.empty, 5, 1).isEmpty)
   }
 
+  test("appx_quantile_typed generalizes the median index (exact regime)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = (0 to 1000).map(_.toDouble).toDF("x").repartition(4)
+    def quant(q: Double): Double =
+      df.agg(GraftFunctions.appx_quantile_typed(col("x"), q, 1001).as("m"))
+        .collect()(0).getDouble(0)
+    assert(quant(0.25) == 250.0) // floor(0.25 * 1001)
+    assert(quant(0.5) == 500.0)  // the median's own n/2 index
+    assert(quant(1.0) == 1000.0) // clamped to the last sample
+    assert(quant(0.0) == 0.0)
+  }
+
   test("STRING form renders integral medians like the reference (median.cc:29-37)") {
     import spark.implicits._
     GraftFunctions.register(spark)
