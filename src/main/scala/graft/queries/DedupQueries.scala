@@ -55,6 +55,28 @@ object DedupQueries {
         .orderBy(col("keep_id"))
     },
 
+    // Incremental dedup — the shape every ingestion pipeline actually
+    // runs: a new batch (doc_id >= 400) checked against the historical
+    // corpus's fingerprint set with a LEFT ANTI join on the 32-byte
+    // key. At 100 TB the history side is a compact fingerprint store,
+    // not the documents.
+    QueryDef("q58_incremental_dedup",
+      """WITH hist AS (
+        |  SELECT DISTINCT sha256(text) AS fp FROM documents WHERE doc_id < 400),
+        |newb AS (
+        |  SELECT doc_id, sha256(text) AS fp FROM documents WHERE doc_id >= 400)
+        |SELECT n.doc_id FROM newb n LEFT JOIN hist h ON n.fp = h.fp
+        |WHERE h.fp IS NULL ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val hist = docs.where(col("doc_id") < 400)
+        .select(sha2(col("text"), 256).as("fp")).distinct()
+      docs.where(col("doc_id") >= 400)
+        .select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+        .join(hist, Seq("fp"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Cardinality sketch (HyperLogLog++ via approx_count_distinct):
     // the count-distinct that still works when the key set itself
     // cannot fit anywhere. The sketch is deterministic (hash-based),

@@ -262,6 +262,22 @@ object MedianQueries {
         .agg(GraftFunctions.max_k(col("l_extendedprice"), 5).as("s"))
         .select(col("l_returnflag"), posexplode(col("s")).as(Seq("idx", "v")))
         .orderBy(col("l_returnflag"), col("idx"))
+    },
+
+    // min_k, the ascending mirror — same O(k) heap, same gate shape.
+    QueryDef("q57_bottomk_per_group",
+      """SELECT l_returnflag, CAST(rn - 1 AS INT) AS idx, v FROM (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY l_extendedprice) AS rn
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL) t
+        |WHERE rn <= 5 ORDER BY l_returnflag, idx""".stripMargin) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(GraftFunctions.min_k(col("l_extendedprice"), 5).as("s"))
+        .select(col("l_returnflag"), posexplode(col("s")).as(Seq("idx", "v")))
+        .orderBy(col("l_returnflag"), col("idx"))
     }
   )
 }

@@ -501,6 +501,31 @@ object SimilarityQueries {
     QueryDef("q36_embedding_neardup", nearDupSql)(embeddingNearDup),
     QueryDef("q42_ann_multiprobe", multiProbeSql)(lshMultiProbeTopK),
     QueryDef("q48_embedding_neardup_lsh", nearDupLshSql)(embeddingNearDupLsh),
-    QueryDef("q52_ann_ivf_nprobe", ivfProbeSql)(ivfTopKProbe)
+    QueryDef("q52_ann_ivf_nprobe", ivfProbeSql)(ivfTopKProbe),
+
+    // Symmetric int8 vector quantization — the storage-compression
+    // pass a 100 TB embedding corpus runs before indexing: per-vector
+    // scale = max |x| / 127, every coordinate floored after scaling.
+    // Pure per-row expressions, zero shuffle; both engines do the
+    // identical double arithmetic so the quantized integers match
+    // bit-for-bit. Emitted as exploded scalar rows for the gate.
+    QueryDef("q59_embedding_quantize",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (SELECT vec_id, v,
+         |             list_aggregate([abs(x) for x in v], 'max') AS mx FROM e)
+         |SELECT vec_id, i::BIGINT AS i, CAST(floor(v[i] * 127.0 / mx) AS BIGINT) AS qval
+         |FROM m CROSS JOIN generate_series(1, $Dim) t(i)
+         |WHERE mx > 0
+         |ORDER BY vec_id, i""".stripMargin) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), vecD(col("embedding")).as("v"))
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      e.where(col("mx") > 0)
+        .select(col("vec_id"),
+          posexplode(transform(col("v"),
+            x => floor(x * 127.0 / col("mx")))).as(Seq("i0", "qval")))
+        .select(col("vec_id"), (col("i0") + 1).cast("long").as("i"), col("qval"))
+        .orderBy(col("vec_id"), col("i"))
+    }
   )
 }
