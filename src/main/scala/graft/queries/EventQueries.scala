@@ -84,6 +84,31 @@ object EventQueries {
         .groupBy(col("bucket_us"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
         .orderBy(col("bucket_us"), col("event_type"))
+    },
+
+    // The stream-stream interval join's batch twin: the SAME
+    // EventStreams.clickViewJoin column definitions run on batch
+    // frames (watermarks no-op in batch), so the oracle pins the exact
+    // semantics the streaming spec exercises through MemoryStream.
+    // 10 minutes = 600,000,000 micros; timestamps emitted as epoch
+    // micros for exact integer compare.
+    QueryDef("q61_interval_join_batch",
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, t AS ct FROM e WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_id, user_id, t AS vt FROM e WHERE event_type = 'view')
+        |SELECT c.click_id, c.user_id, v.view_id, c.ct AS click_t, v.vt AS view_t
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.vt >= c.ct - 600000000 AND v.vt <= c.ct
+        |ORDER BY click_id, view_id""".stripMargin) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "events")
+      graft.streaming.EventStreams.clickViewJoin(
+          e.where(col("event_type") === "click"),
+          e.where(col("event_type") === "view"),
+          within = "10 minutes")
+        .select(col("click_id"), col("user_id"), col("view_id"),
+          unix_micros(col("click_time")).as("click_t"),
+          unix_micros(col("view_time")).as("view_t"))
+        .orderBy(col("click_id"), col("view_id"))
     }
   )
 }

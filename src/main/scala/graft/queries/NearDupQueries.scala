@@ -148,6 +148,40 @@ object NearDupQueries {
     else build
   }
 
+  /** Connected components over the verified-pair graph by iterative
+    * min-label propagation: every doc's cluster id converges to the
+    * smallest doc_id reachable through near-dup edges. This is the
+    * TRANSITIVE-CLOSURE step a real dedup needs beyond pairs (A~B,
+    * B~C must collapse to ONE surviving doc even when A~C was never a
+    * candidate). Each iteration is an equi-join + min aggregate
+    * (map-side combined) and the loop runs at most graph-diameter
+    * times — the standard big-graph CC shape; the per-iteration
+    * convergence count is a distributed aggregate, not a data
+    * collect. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("id", "nb").localCheckpoint()
+    var labels = edges.select(col("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val nbMin = edges
+        .join(labels.select(col("id").as("nb"), col("lbl").as("nlbl")), "nb")
+        .groupBy(col("id")).agg(min(col("nlbl")).as("mn"))
+      val next = labels.join(nbMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .where(col("lbl") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster_id")).orderBy(col("id"))
+  }
+
   /** Jaccard-verified near-dup pairs (q23's Spark pipeline as a
     * reusable frame, shared with the composed pipeline q44). The
     * intersect size is aliased in its own projection so
@@ -285,6 +319,36 @@ object NearDupQueries {
           TextSketches.hamming(col("sa.sh"), col("sb.sh")).as("hamming"))
         .where(col("hamming") <= 20)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Transitive near-dup clusters: min-reachable-doc_id per node of
+    // the verified-pair graph. Spark converges by min-label
+    // propagation; the oracle computes the same closure with a
+    // recursive CTE — two entirely different algorithms agreeing on
+    // the fixpoint.
+    QueryDef("q60_neardup_clusters",
+      s"""WITH RECURSIVE ${sigCte.stripPrefix("WITH ")},
+         |$bandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |           len(list_intersect(sa.s, sb.s))::BIGINT AS nc,
+         |           (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::BIGINT AS nu
+         |    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+         |              JOIN sh sb ON cand.doc_b = sb.doc_id) t
+         |  WHERE nc * 10 >= nu * 7),
+         |edges AS (SELECT doc_a AS id, doc_b AS nb FROM pairs
+         |          UNION ALL SELECT doc_b AS id, doc_a AS nb FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM edges) n
+         |  UNION
+         |  SELECT e.id, reach.r FROM edges e JOIN reach ON e.nb = reach.id)
+         |SELECT id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id
+         |ORDER BY id""".stripMargin) { (spark, dir) =>
+      nearDupClusters(spark, dir)
     }
   )
 }

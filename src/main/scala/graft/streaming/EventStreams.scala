@@ -71,6 +71,28 @@ object EventStreams {
       .agg(GraftFunctions.appx_median_bounded_double(col("value"), maxSamples).as("med"))
   }
 
+  /** Stream-stream interval join: each click enriched with the same
+    * user's views from the preceding `within` window — the canonical
+    * streaming enrichment shape (clicks ⋈ impressions). Both sides
+    * carry watermarks AND the join condition bounds event time on both
+    * sides, which is exactly what lets Spark expire buffered join
+    * state instead of holding both streams forever. */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+      watermark: String = "5 minutes", within: String = "10 minutes"): DataFrame = {
+    val c = withEventTime(clicks).withWatermark("event_time", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_time").as("click_time"))
+    val v = withEventTime(views).withWatermark("event_time", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("event_time").as("view_time"))
+    c.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("view_time") >= col("click_time") - expr(s"INTERVAL $within") &&
+          col("view_time") <= col("click_time"))
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        col("click_time"), col("view_time"))
+  }
+
   /** Gap-based sessionization with custom state via
     * `flatMapGroupsWithState`: a session closes when `gapMicros` of
     * event-time silence passes within a group's arriving batch, or on

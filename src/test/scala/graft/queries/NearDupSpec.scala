@@ -52,4 +52,30 @@ class NearDupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), pairs.toString)
   }
+
+  test("clusters collapse a transitive chain whose endpoints are not a pair") {
+    import spark.implicits._
+    // a~b and b~c are verified near-dups (2 changed tokens, J=0.81);
+    // a vs c differ in 4 tokens (J=0.66 < 0.7) -> never a direct pair,
+    // yet all three must land in doc 1's cluster transitively
+    val base = (1 to 60).map(i => s"tok$i").toVector
+    val a = base.mkString(" ")
+    val b = base.updated(9, "B1").updated(19, "B2").mkString(" ")
+    val c = base.updated(9, "B1").updated(19, "B2")
+      .updated(29, "C1").updated(39, "C2").mkString(" ")
+    val far = (200 to 260).map(i => s"other$i").mkString(" ")
+    Seq((1L, a), (2L, b), (3L, c), (9L, far))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/neardup_chain/documents.parquet")
+
+    val pairSet = NearDupQueries.verifiedPairs(spark, "/tmp/neardup_chain")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == Set((1L, 2L), (2L, 3L)),
+      s"expected exactly the chain pairs, got $pairSet")
+
+    val clusters = NearDupQueries.nearDupClusters(spark, "/tmp/neardup_chain")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"chain must collapse into doc 1's cluster, got $clusters")
+  }
 }

@@ -53,6 +53,33 @@ class EventStreamsSpec extends SparkTestBase {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("stream-stream interval join matches clicks to preceding views only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Long, String, Double)]
+    val views = MemoryStream[(Long, Long, Long, String, Double)]
+    val cdf = clicks.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val vdf = views.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val q = EventStreams.clickViewJoin(cdf, vdf, within = "10 minutes")
+      .writeStream.format("memory").queryName("cv_join")
+      .outputMode("append").start()
+    views.addData(
+      row(100, "2026-01-01T10:00:00Z", 1, "view", 0.0), // 5 min before -> match
+      row(101, "2026-01-01T09:40:00Z", 1, "view", 0.0), // 25 min before -> out of window
+      row(102, "2026-01-01T10:10:00Z", 1, "view", 0.0), // AFTER the click -> no match
+      row(103, "2026-01-01T10:00:00Z", 3, "view", 0.0)) // other user
+    clicks.addData(
+      row(1, "2026-01-01T10:05:00Z", 1, "click", 1.0),
+      row(2, "2026-01-01T10:05:00Z", 2, "click", 1.0)) // user 2 has no views
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("cv_join")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 100L)),
+      s"exactly click 1 x view 100 must match, got ${out.toSeq}")
+  }
+
   test("the reservoir UDA runs as streaming state (complete mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
