@@ -170,7 +170,9 @@ object TextQueries {
       val tok = Tables.load(spark, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      // df derives from tf (one row per (doc, term) already): no second
+      // corpus scan and a plain count instead of a distinct-count
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
       tf.join(df, "term")
