@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic text-sketch primitives shared by the near-dup
@@ -17,7 +17,29 @@ object TextSketches {
 
   val SimHashBits = 60 // 15 md5 hex chars -> fits a signed 64-bit lane
 
+  /** The MinHash signature width every consumer (batch near-dup,
+    * streaming sketches, their oracles) must agree on. */
+  val NumMinhashes = 16
+
   def tokens(text: Column): Column = split(text, " ")
+
+  /** Signature column name of component `i` ("h00".."h15"). */
+  def minhashColName(i: Int): String = f"h$i%02d"
+
+  /** Append the NumMinhashes-component MinHash signature (columns
+    * h00..h15) to a frame holding a shingle-set column — THE single
+    * definition of the signature layout, shared by the batch near-dup
+    * pipeline and the streaming sketcher so the two can never drift.
+    * Two projections so each per-seed md5 array is materialized once
+    * and feeds four 32-bit slice components. */
+  def withMinhashSignature(df: DataFrame, shingleCol: String): DataFrame = {
+    val keep = df.columns.toSeq.map(col)
+    val withMd5 = df.select(keep ++ (0 until NumMinhashes / 4)
+      .map(k => minhashMd5(k, col(shingleCol)).as(s"_m$k")): _*)
+    withMd5.select(keep ++ (0 until NumMinhashes)
+      .map(i => minhashSlice(i % 4, col(s"_m${i / 4}"))
+        .as(minhashColName(i))): _*)
+  }
 
   /** De-duplicated word n-gram shingles (1-based element_at, matching
     * DuckDB list indexing in oracle SQL). Texts with fewer than n

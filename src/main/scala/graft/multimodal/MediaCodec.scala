@@ -68,12 +68,25 @@ object MediaCodec {
       Some((i32(p, 16), i32(p, 20)))
     } else if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
       var i = 2
-      while (i + 9 <= p.length && (p(i) & 0xff) == 0xff) {
-        val marker = p(i + 1) & 0xff
-        val isSof = marker >= 0xc0 && marker <= 0xcf &&
-          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-        if (isSof) return Some((u16(p, i + 7), u16(p, i + 5)))
-        i += 2 + u16(p, i + 2)
+      while (i + 1 < p.length && (p(i) & 0xff) == 0xff) {
+        // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        var j = i + 1
+        while (j < p.length && (p(j) & 0xff) == 0xff) j += 1
+        if (j >= p.length) return None
+        val marker = p(j) & 0xff
+        if (marker == 0xd9) return None // EOI: no frame header found
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+          i = j + 1 // TEM / RSTn / SOI: standalone, no length field
+        } else {
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (j + 8 > p.length) return None // truncated frame header
+            return Some((u16(p, j + 6), u16(p, j + 4)))
+          }
+          if (j + 3 > p.length) return None // truncated length field
+          i = j + 1 + u16(p, j + 1) // skip payload (length includes itself)
+        }
       }
       None
     } else None

@@ -81,8 +81,10 @@ object DedupQueries {
     // the count-distinct that still works when the key set itself
     // cannot fit anywhere. The sketch is deterministic (hash-based),
     // so like q24 the gate emits a deterministic error-bound boolean
-    // (default rsd is 5%; the 10% bound is 2x that) next to the exact
-    // count the oracle can state directly.
+    // next to the exact count the oracle can state directly. Margin:
+    // default rsd is 5% (1 sigma), so the 20% bound is 4 sigma —
+    // dataset-dependent HLL error at an untested scale factor must
+    // not be able to flip the gate.
     QueryDef("q55_approx_distinct",
       """SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS n_exact, true AS ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
@@ -91,7 +93,7 @@ object DedupQueries {
         .agg(countDistinct(col("l_orderkey")).as("n_exact"),
           approx_count_distinct(col("l_orderkey")).as("n_appx"))
         .select(col("l_returnflag"), col("n_exact"),
-          (abs(col("n_appx") - col("n_exact")) * 10 <= col("n_exact")).as("ok"))
+          (abs(col("n_appx") - col("n_exact")) * 5 <= col("n_exact")).as("ok"))
         .orderBy(col("l_returnflag"))
     }
   )

@@ -39,11 +39,11 @@ import org.apache.spark.sql.functions._
   */
 object NearDupQueries {
 
-  private val NumHashes = 16
+  private val NumHashes = TextSketches.NumMinhashes
   private val NumBands = 4
   private val RowsPerBand = NumHashes / NumBands
 
-  private def hName(i: Int): String = f"h$i%02d"
+  private def hName(i: Int): String = TextSketches.minhashColName(i)
 
   // ---- Spark side ----------------------------------------------------
 
@@ -77,15 +77,11 @@ object NearDupQueries {
     * feeds four 32-bit slice components (TextSketches.minhashSlice). */
   private def sketches(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "sketches") {
-      val base = docs(spark, dir)
-        .where(size(words) >= 3)
-        .select(col("doc_id"), shingles.as("s"))
-      val withMd5 = base.select(
-        col("doc_id") +: col("s") +: (0 until NumHashes / 4)
-          .map(k => TextSketches.minhashMd5(k, col("s")).as(s"m$k")): _*)
-      withMd5.select(
-        col("doc_id") +: col("s") +: (0 until NumHashes)
-          .map(i => TextSketches.minhashSlice(i % 4, col(s"m${i / 4}")).as(hName(i))): _*)
+      TextSketches.withMinhashSignature(
+        docs(spark, dir)
+          .where(size(words) >= 3)
+          .select(col("doc_id"), shingles.as("s")),
+        shingleCol = "s")
     }
 
   private def signatures(spark: SparkSession, dir: String): DataFrame =
@@ -179,6 +175,12 @@ object NearDupQueries {
       labels = next
       iter += 1
     }
+    // a silent partial answer is worse than an error: label propagation
+    // needs graph-diameter rounds, so hitting the cap means the labels
+    // are NOT yet cluster minima
+    require(changed == 0,
+      s"nearDupClusters: not converged after $iter iterations " +
+        "(graph diameter exceeds the cap); raise the iteration cap")
     labels.select(col("id"), col("lbl").as("cluster_id")).orderBy(col("id"))
   }
 

@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object SourceQueries {
 
-  private val CsvPath = "/tmp/graft_formats/nation_csv"
-  private val JsonPath = "/tmp/graft_formats/nation_json"
+  // repo-local (gitignored) rather than /tmp: no cross-user sharing of
+  // a world-writable path, and the Spark sink must have produced the
+  // files before the oracle phase reads them (the driver runs Verify
+  // first, then the DuckDB compare)
+  private val CsvPath = "/root/repo/target/graft_formats/nation_csv"
+  private val JsonPath = "/root/repo/target/graft_formats/nation_json"
 
   private def nationSlim(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "nation")
@@ -43,11 +47,17 @@ object SourceQueries {
     bucketSetup.getOrElseUpdate((System.identityHashCode(spark), dir), {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val (to, tc) = (s"graft_bkt_orders$tag", s"graft_bkt_customer$tag")
+      def deleteRec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+        f.delete()
+      }
       for (t <- Seq(to, tc)) {
         spark.sql(s"DROP TABLE IF EXISTS $t")
+        // a crashed previous JVM can leave a non-empty table dir
+        // (including nested _temporary trees) that saveAsTable refuses
         val wh = new java.io.File(
           spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-        if (wh.exists()) { wh.listFiles().foreach(_.delete()); wh.delete() }
+        if (wh.exists()) deleteRec(wh)
       }
       Tables.load(spark, dir, "orders").write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(to)

@@ -16,9 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object DocStreams {
 
-  private val NumHashes = 16
-
-  /** doc_id + 16-component MinHash signature + 60-bit SimHash for any
+  /** doc_id + MinHash signature (h00..h15, the one layout defined by
+    * [[TextSketches.withMinhashSignature]]) + 60-bit SimHash for any
     * (doc_id, text) frame — batch or streaming; docs with fewer than 3
     * tokens carry no 3-gram sketch and are dropped, mirroring
     * [[graft.queries.NearDupQueries]]. */
@@ -27,14 +26,8 @@ object DocStreams {
       .where(size(TextSketches.tokens(col("text"))) >= 3)
       .select(col("doc_id"), col("text"),
         TextSketches.shingles(col("text"), 3).as("s"))
-    val withMd5 = filtered.select(
-      col("doc_id") +: col("text") +: (0 until NumHashes / 4)
-        .map(k => TextSketches.minhashMd5(k, col("s")).as(s"m$k")): _*)
-    withMd5.select(
-      col("doc_id") +:
-        TextSketches.simhash(col("text")).as("simhash") +:
-        (0 until NumHashes)
-          .map(i => TextSketches.minhashSlice(i % 4, col(s"m${i / 4}"))
-            .as(f"h$i%02d")): _*)
+    TextSketches.withMinhashSignature(filtered, shingleCol = "s")
+      .withColumn("simhash", TextSketches.simhash(col("text")))
+      .drop("text", "s")
   }
 }

@@ -27,6 +27,16 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeDims(bytes) == Some((33, 17)))
   }
 
+  test("JPEG walk tolerates fill bytes and standalone markers (T.81 B.1.1.2)") {
+    val sof = MediaCodec.jpegBytes(12, 34, Array.emptyByteArray).drop(2)
+    // SOI, two fill 0xFFs before a TEM, then a standalone RST0, then SOF
+    val bytes = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0x01, 0xff, 0xd0)
+      .map(_.toByte) ++ sof
+    assert(MediaCodec.decodeDims(bytes) == Some((12, 34)))
+    // EOI before any SOF -> None, not a bogus parse
+    assert(MediaCodec.decodeDims(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+  }
+
   test("non-image payloads return None instead of garbage") {
     assert(MediaCodec.decodeDims("plain text payload".getBytes("UTF-8")).isEmpty)
     assert(MediaCodec.decodeDims(Array.emptyByteArray).isEmpty)
