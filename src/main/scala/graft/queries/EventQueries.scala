@@ -109,6 +109,34 @@ object EventQueries {
           unix_micros(col("click_time")).as("click_t"),
           unix_micros(col("view_time")).as("view_t"))
         .orderBy(col("click_id"), col("view_id"))
+    },
+
+    // Event-time SLIDING window per user: for every event, stats over
+    // the preceding 10 minutes via a RANGE frame on epoch micros —
+    // value-based framing is tie-order-independent (peers always share
+    // a frame), so the gate is exact; the running sum uses integer
+    // cents. One shuffle on user_id, one sort, both window functions
+    // share the frame.
+    QueryDef("q63_sliding_window",
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id, t,
+        |       count(*) OVER w AS n_prec,
+        |       CAST(sum(cents) OVER w AS BIGINT) AS sum_cents
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+        .rangeBetween(-600000000L, 0L)
+      Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("t"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), col("user_id"), col("t"),
+          count(lit(1)).over(w).as("n_prec"),
+          sum(col("cents")).over(w).as("sum_cents"))
+        .orderBy(col("event_id"))
     }
   )
 }

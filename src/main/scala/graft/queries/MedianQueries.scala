@@ -264,6 +264,32 @@ object MedianQueries {
         .orderBy(col("l_returnflag"), col("idx"))
     },
 
+    // Bounded-regime QUANTILE gate, q24's shape at p90: the sampled
+    // p90's rank error (sd ~ sqrt(0.9*0.1/4096) ~ 0.47% of n) sits an
+    // order of magnitude inside the 10% value bound.
+    QueryDef("q62_quantile_bounded_gate",
+      """SELECT l_returnflag, count(l_extendedprice)::BIGINT AS n_rows, true AS ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(spark, dir, "lineitem")
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      val wp = Window.partitionBy(col("l_returnflag"))
+      val truth = li.where(col("l_extendedprice").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wp))
+        .where(expr("rn = CAST(floor(0.9 * n) AS BIGINT) + 1"))
+        .select(col("l_returnflag"), col("l_extendedprice").as("tru"))
+      li.groupBy(col("l_returnflag"))
+        .agg(GraftFunctions.appx_quantile_typed(
+            col("l_extendedprice"), 0.9, GateK).as("est"),
+          count(col("l_extendedprice")).as("n_rows"))
+        .join(truth, "l_returnflag")
+        .select(col("l_returnflag"), col("n_rows"),
+          (abs(col("est") - col("tru")) * 10 <= col("tru")).as("ok"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // min_k, the ascending mirror — same O(k) heap, same gate shape.
     QueryDef("q57_bottomk_per_group",
       """SELECT l_returnflag, CAST(rn - 1 AS INT) AS idx, v FROM (
