@@ -281,6 +281,30 @@ object CoreQueries {
           ceil(col("l_tax") * lit(100.0)).as("tax_pct"),
           (col("l_orderkey") % 7).as("bucket"))
         .orderBy(col("l_orderkey"))
+    },
+
+    // Distribution window functions: ntile / percent_rank / cume_dist.
+    // The ordering key (o_totalprice, o_orderkey) is UNIQUE, so every
+    // rank is tie-free and percent_rank's (rank-1)/(n-1) divides the
+    // same integers in both engines — bit-exact doubles. A single
+    // global window is fine for a gate; a production distribution pass
+    // partitions first (as q06 does) so each window sorts one group.
+    QueryDef("q66_window_distribution",
+      """SELECT o_orderkey,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("o_orderkey"))
     }
   )
 }

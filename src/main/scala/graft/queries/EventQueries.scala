@@ -137,6 +137,63 @@ object EventQueries {
           count(lit(1)).over(w).as("n_prec"),
           sum(col("cents")).over(w).as("sum_cents"))
         .orderBy(col("event_id"))
+    },
+
+    // Spark's NATIVE session_window operator cross-validated against
+    // the manual lag/running-sum decomposition the oracle replays —
+    // including the boundary rule: an event exactly `gap` after the
+    // session's last event starts a NEW session (session end is
+    // exclusive), hence `>=` in the oracle's split flag where q40's
+    // own definition uses `>`.
+    QueryDef("q64_session_window_native",
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+         |flags AS (
+         |  SELECT user_id, t,
+         |         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+         |                OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= $GapMicros
+         |              THEN 1 ELSE 0 END AS new_s
+         |  FROM e),
+         |sess AS (
+         |  SELECT user_id, t,
+         |         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+         |                          ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM flags)
+         |SELECT user_id, min(t) AS start_us, max(t) + $GapMicros AS end_us,
+         |       count(*) AS n_events
+         |FROM sess GROUP BY user_id, sid
+         |ORDER BY user_id, start_us""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts DIV 1000")).as("event_time"))
+        .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
+    },
+
+    // Pivot: per-user event-type counts as columns. Spark's pivot
+    // with an explicit value list (never value discovery at scale —
+    // that is an extra distinct scan); the oracle states the same
+    // thing with FILTERed counts.
+    QueryDef("q65_pivot_event_counts",
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+        |       count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+        |       count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+        |       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.load(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .count()
+      types.foldLeft(pivoted) { (df, t) =>
+        df.withColumn(s"n_$t", coalesce(col(s"`$t`"), lit(0L))).drop(t)
+      }.orderBy(col("user_id"))
     }
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.TextSketches
 import graft.sources.Tables
 
 import org.apache.spark.sql.Column
@@ -181,6 +182,29 @@ object TextQueries {
         .select(col("doc_id"), col("rn").cast("int").as("kw_rank"),
           col("term"), col("tf"), col("df"))
         .orderBy(col("doc_id"), col("kw_rank"))
+    },
+
+    // Complex-type surface: build, sort, slice, and explode an array
+    // column (the first three shingles, lexicographic). Binary string
+    // collation matches across engines, and posexplode's 0-based index
+    // maps to generate_series' 1-based i.
+    QueryDef("q67_array_ops",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct([words[i]||' '||words[i+1]||' '||words[i+2]
+        |                                  for i in generate_series(1, len(words)-2)])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |  WHERE len(words) >= 3)
+        |SELECT doc_id,
+        |       (unnest(generate_series(1, least(3, len(s)))) - 1)::INT AS idx,
+        |       unnest(s[1:3]) AS shingle
+        |FROM sh ORDER BY doc_id, idx""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .where(size(tokens(col("text"))) >= 3)
+        .select(col("doc_id"),
+          posexplode(slice(sort_array(TextSketches.shingles(col("text"), 3)), 1, 3))
+            .as(Seq("idx", "shingle")))
+        .orderBy(col("doc_id"), col("idx"))
     }
   )
 }
