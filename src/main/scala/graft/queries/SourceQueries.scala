@@ -66,7 +66,41 @@ object SourceQueries {
       (to, tc)
     })
 
+  /** One-time-per-(session, dir) partitioned rewrite of `events` by
+    * event_type — the layout that turns a type-filtered scan into a
+    * directory prune (verified in PartitionPruneSpec: only the
+    * matching partition's files are read). */
+  private val partitionSetup =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  private[graft] def partitionedEvents(spark: SparkSession, dir: String): String =
+    partitionSetup.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/root/repo/target/graft_partitioned/events$tag"
+      Tables.load(spark, dir, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      path
+    })
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Partitioned sink -> partition-pruned source: the filter on the
+    // partition column must produce the same rows the oracle gets from
+    // the unpartitioned original — while the spec proves the scan
+    // touched only the one matching directory.
+    QueryDef("q68_partitioned_prune",
+      """SELECT user_id, count(*)::BIGINT AS n_clicks,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val path = partitionedEvents(spark, dir)
+      spark.read.parquet(path)
+        .where(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy(col("user_id"))
+    },
 
     // CSV sink -> CSV source -> aggregate; oracle re-reads the files
     // with DuckDB's native CSV reader.
