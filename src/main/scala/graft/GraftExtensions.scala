@@ -63,5 +63,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[VecDotProduct]) {
       exprs => GraftFunctions.buildVecDot(exprs)
     }
+    inject(ext, "bloom_agg",
+      "_FUNC_(key, num_bits, num_hashes) - bloom-filter bit set over BIGINT keys as BINARY",
+      classOf[BloomAgg]) {
+      exprs => GraftFunctions.buildBloomAgg(exprs)
+    }
+    inject(ext, "bloom_might_contain",
+      "_FUNC_(bloom, key, num_hashes) - bloom-filter membership probe",
+      classOf[BloomMightContain]) {
+      exprs => GraftFunctions.buildBloomMightContain(exprs)
+    }
   }
 }

@@ -72,6 +72,18 @@ object GraftFunctions {
     VecDotProduct(exprs.head, exprs(1))
   }
 
+  private[graft] def buildBloomAgg(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"bloom_agg(key, num_bits, num_hashes) takes 3 arguments, got ${exprs.length}")
+    BloomAgg(exprs.head, Cast(exprs(1), IntegerType), Cast(exprs(2), IntegerType))
+  }
+
+  private[graft] def buildBloomMightContain(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"bloom_might_contain(bloom, key, num_hashes) takes 3 arguments, got ${exprs.length}")
+    BloomMightContain(exprs.head, exprs(1), Cast(exprs(2), IntegerType))
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     def reg(name: String)(b: Seq[Expression] => Expression): Unit =
@@ -85,6 +97,8 @@ object GraftFunctions {
     reg("max_k")(buildTopK(_, descending = true))
     reg("min_k")(buildTopK(_, descending = false))
     reg("vec_dot")(buildVecDot)
+    reg("bloom_agg")(buildBloomAgg)
+    reg("bloom_might_contain")(buildBloomMightContain)
   }
 
   // ---- DataFrame/Column API (requires register(spark) on the active
@@ -124,4 +138,12 @@ object GraftFunctions {
   /** The k smallest values per group, ascending. */
   def min_k(value: Column, k: Int): Column =
     call_function("min_k", value, lit(k))
+
+  /** Bloom-filter build over BIGINT keys -> BINARY bit set. */
+  def bloom_agg(key: Column, numBits: Int, numHashes: Int): Column =
+    call_function("bloom_agg", key, lit(numBits), lit(numHashes))
+
+  /** Bloom-filter probe; numHashes must match the build. */
+  def bloom_might_contain(bloom: Column, key: Column, numHashes: Int): Column =
+    call_function("bloom_might_contain", bloom, key, lit(numHashes))
 }

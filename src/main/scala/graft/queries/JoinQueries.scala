@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.GraftFunctions
 import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
 import graft.sources.Tables
 
@@ -90,6 +91,36 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_items"),
           sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"))
         .orderBy(col("s_name"))
+    },
+
+    // Bloom-prefiltered semi-join: a bloom filter built over the
+    // (selective) small side's keys is broadcast and probes the large
+    // side BEFORE the exact semi-join — the classic shuffle reducer
+    // when the small side is too big to broadcast whole but its key
+    // set fits a few KB of bits. The oracle is the PLAIN semi-join:
+    // equality proves the bloom admitted every true match (no false
+    // negatives), while its false positives were removed by the exact
+    // join. Build/probe are the custom BloomAgg / codegen'd
+    // BloomMightContain pair.
+    QueryDef("q69_bloom_semi_join",
+      """SELECT l_returnflag, count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      val keys = Tables.load(spark, dir, "supplier")
+        .where(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey"))
+      val bloomRow = keys.agg(
+        GraftFunctions.bloom_agg(col("s_suppkey"), 8192, 5).as("bf"))
+      Tables.load(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_suppkey"))
+        .crossJoin(broadcast(bloomRow))
+        .where(GraftFunctions.bloom_might_contain(col("bf"), col("l_suppkey"), 5))
+        .join(keys, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }
