@@ -305,6 +305,48 @@ object CoreQueries {
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // FULL OUTER join (the one join type q03-q05/q45 left ungated):
+    // unmatched rows from BOTH sides survive with nulls, counted on
+    // each side of the seam.
+    QueryDef("q70_full_outer_join",
+      """WITH j AS (
+        |  SELECT c.c_custkey, o.o_orderkey
+        |  FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |       count(*) FILTER (WHERE o_orderkey IS NULL)::BIGINT AS customers_no_orders,
+        |       count(*) FILTER (WHERE c_custkey IS NULL)::BIGINT AS orphan_orders
+        |FROM j""".stripMargin) { (spark, dir) =>
+      val c = Tables.load(spark, dir, "customer").select(col("c_custkey"))
+      val o = Tables.load(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("o_orderkey").isNull, 1)).as("customers_no_orders"),
+          count(when(col("c_custkey").isNull, 1)).as("orphan_orders"))
+    },
+
+    // JSON scalar functions: both engines build the IDENTICAL json
+    // text by string concat, then each parses it back with its own
+    // extractor (get_json_object vs json_extract_string) — the gate
+    // checks the parse, not the formatting.
+    QueryDef("q71_json_funcs",
+      """WITH js AS (
+        |  SELECT n_nationkey,
+        |         '{"k":' || n_nationkey || ',"name":"' || n_name || '"}' AS j
+        |  FROM nation)
+        |SELECT n_nationkey,
+        |       json_extract_string(j, '$.name') AS name_out,
+        |       json_extract(j, '$.k')::BIGINT AS k_out
+        |FROM js ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey"),
+          concat(lit("{\"k\":"), col("n_nationkey"),
+            lit(",\"name\":\""), col("n_name"), lit("\"}")).as("j"))
+        .select(col("n_nationkey"),
+          get_json_object(col("j"), "$.name").as("name_out"),
+          get_json_object(col("j"), "$.k").cast("long").as("k_out"))
+        .orderBy(col("n_nationkey"))
     }
   )
 }
