@@ -79,6 +79,62 @@ object PipelineQueries {
         .join(quality, Seq("doc_id"), "left_semi")
         .join(nearDupDrop, Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id"))
+    },
+
+    // Keep-BEST dedup: real pipelines keep the richest member of each
+    // near-dup CLUSTER (transitive closure, q60), not blindly the
+    // lowest id of each pair. Unclustered docs are their own cluster;
+    // "best" = most tokens, ties to the lowest doc_id. Composes the
+    // cluster operator with text stats in two equi-joins + one
+    // per-cluster window.
+    QueryDef("q72_cluster_keep_best",
+      s"""WITH RECURSIVE ${NearDupQueries.sigCte.stripPrefix("WITH ")},
+         |${NearDupQueries.bandsCte},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |           len(list_intersect(sa.s, sb.s))::BIGINT AS nc,
+         |           (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::BIGINT AS nu
+         |    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+         |              JOIN sh sb ON cand.doc_b = sb.doc_id) t
+         |  WHERE nc * 10 >= nu * 7),
+         |edges AS (SELECT doc_a AS id, doc_b AS nb FROM pairs
+         |          UNION ALL SELECT doc_b AS id, doc_a AS nb FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM edges) n
+         |  UNION
+         |  SELECT e.id, reach.r FROM edges e JOIN reach ON e.nb = reach.id),
+         |clu AS (SELECT id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id),
+         |toks AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+         |         FROM documents),
+         |labeled AS (
+         |  SELECT t.doc_id, COALESCE(c.cluster_id, t.doc_id) AS cluster_id, t.n_tokens
+         |  FROM toks t LEFT JOIN clu c ON t.doc_id = c.id)
+         |SELECT cluster_id, doc_id AS keep_id, n_tokens FROM (
+         |  SELECT cluster_id, doc_id, n_tokens,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |                            ORDER BY n_tokens DESC, doc_id) AS rn
+         |  FROM labeled) t
+         |WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val clusters = NearDupQueries.nearDupClusters(spark, dir)
+      val toks = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val labeled = toks
+        .join(clusters, toks("doc_id") === clusters("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          col("n_tokens"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      labeled.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_tokens"))
+        .orderBy(col("cluster_id"))
     }
   )
 }
