@@ -36,6 +36,7 @@ object BloomFilter {
   }
 
   def set(bits: Array[Byte], key: Long, numHashes: Int): Unit = {
+    if (bits.length == 0) return // nothing to set; mirror of the probe guard
     val numBits = bits.length.toLong * 8
     val h1 = mix64(key)
     val h2 = mix64(key ^ 0x5851f42d4c957f2dL) | 1L
@@ -48,6 +49,10 @@ object BloomFilter {
   }
 
   def mightContain(bits: Array[Byte], key: Long, numHashes: Int): Boolean = {
+    // an empty bit set holds nothing — and floorMod by 0 must not
+    // reach the hashing below (the SQL function is user-facing and a
+    // zero-length BINARY argument is expressible)
+    if (bits.length == 0) return false
     val numBits = bits.length.toLong * 8
     val h1 = mix64(key)
     val h2 = mix64(key ^ 0x5851f42d4c957f2dL) | 1L

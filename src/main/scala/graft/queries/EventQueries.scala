@@ -187,13 +187,13 @@ object EventQueries {
         |       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
       val types = Seq("click", "error", "purchase", "signup", "view")
-      val pivoted = Tables.load(spark, dir, "events")
+      Tables.load(spark, dir, "events")
         .groupBy(col("user_id"))
         .pivot("event_type", types)
         .count()
-      types.foldLeft(pivoted) { (df, t) =>
-        df.withColumn(s"n_$t", coalesce(col(s"`$t`"), lit(0L))).drop(t)
-      }.orderBy(col("user_id"))
+        .select(col("user_id") +:
+          types.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"n_$t")): _*)
+        .orderBy(col("user_id"))
     }
   )
 }

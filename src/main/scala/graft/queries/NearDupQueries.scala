@@ -154,7 +154,10 @@ object NearDupQueries {
     * times — the standard big-graph CC shape; the per-iteration
     * convergence count is a distributed aggregate, not a data
     * collect. */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "clusters")(buildClusters(spark, dir))
+
+  private def buildClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("id", "nb").localCheckpoint()
@@ -222,6 +225,30 @@ object NearDupQueries {
     val cat = (0 until RowsPerBand).map(r => hName(j * RowsPerBand + r) + "::VARCHAR").mkString(" || ',' || ")
     s"SELECT doc_id, md5('$j' || ',' || $cat) AS band FROM sig"
   }.mkString("bands AS (", " UNION ALL ", ")")
+
+  /** cand -> pairs -> edges -> reach(transitive closure) CTE chain,
+    * shared by the q60 and q72 oracles — ONE statement of the
+    * candidate/verify/closure rules (including the 7/10 Jaccard
+    * threshold) so a tuning change cannot silently fork the gates.
+    * Must follow sigCte + bandsCte, under a WITH RECURSIVE head. */
+  private[queries] val closureCte =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |           len(list_intersect(sa.s, sb.s))::BIGINT AS nc,
+      |           (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::BIGINT AS nu
+      |    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+      |              JOIN sh sb ON cand.doc_b = sb.doc_id) t
+      |  WHERE nc * 10 >= nu * 7),
+      |edges AS (SELECT doc_a AS id, doc_b AS nb FROM pairs
+      |          UNION ALL SELECT doc_b AS id, doc_a AS nb FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM (SELECT DISTINCT id FROM edges) n
+      |  UNION
+      |  SELECT e.id, reach.r FROM edges e JOIN reach ON e.nb = reach.id)""".stripMargin
 
   private val candidatesSql =
     s"""$sigCte,
@@ -331,23 +358,7 @@ object NearDupQueries {
     QueryDef("q60_neardup_clusters",
       s"""WITH RECURSIVE ${sigCte.stripPrefix("WITH ")},
          |$bandsCte,
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT doc_a, doc_b,
-         |           len(list_intersect(sa.s, sb.s))::BIGINT AS nc,
-         |           (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::BIGINT AS nu
-         |    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
-         |              JOIN sh sb ON cand.doc_b = sb.doc_id) t
-         |  WHERE nc * 10 >= nu * 7),
-         |edges AS (SELECT doc_a AS id, doc_b AS nb FROM pairs
-         |          UNION ALL SELECT doc_b AS id, doc_a AS nb FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM (SELECT DISTINCT id FROM edges) n
-         |  UNION
-         |  SELECT e.id, reach.r FROM edges e JOIN reach ON e.nb = reach.id)
+         |$closureCte
          |SELECT id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id
          |ORDER BY id""".stripMargin) { (spark, dir) =>
       nearDupClusters(spark, dir)

@@ -90,23 +90,7 @@ object PipelineQueries {
     QueryDef("q72_cluster_keep_best",
       s"""WITH RECURSIVE ${NearDupQueries.sigCte.stripPrefix("WITH ")},
          |${NearDupQueries.bandsCte},
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT doc_a, doc_b,
-         |           len(list_intersect(sa.s, sb.s))::BIGINT AS nc,
-         |           (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::BIGINT AS nu
-         |    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
-         |              JOIN sh sb ON cand.doc_b = sb.doc_id) t
-         |  WHERE nc * 10 >= nu * 7),
-         |edges AS (SELECT doc_a AS id, doc_b AS nb FROM pairs
-         |          UNION ALL SELECT doc_b AS id, doc_a AS nb FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM (SELECT DISTINCT id FROM edges) n
-         |  UNION
-         |  SELECT e.id, reach.r FROM edges e JOIN reach ON e.nb = reach.id),
+         |${NearDupQueries.closureCte},
          |clu AS (SELECT id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id),
          |toks AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
          |         FROM documents),

@@ -24,9 +24,12 @@ object MediaCodecProps extends Properties("MediaCodec") {
 
   property("arbitrary non-image bytes never decode") =
     forAll(body) { b =>
-      // exclude the 1-in-2^16+ chance of a generated JPEG/PNG prefix
-      val looksLike = b.length >= 2 &&
-        ((b(0) & 0xff) == 0xff || (b(0) & 0xff) == 0x89)
+      // only a true SOI or full PNG signature prefix can ever decode —
+      // anything else (including near-miss 0xff/0x89 leading bytes)
+      // must return None
+      val looksLike =
+        b.startsWith(Array(0xff, 0xd8).map(_.toByte)) ||
+          b.startsWith(MediaCodec.PngSignature)
       looksLike || MediaCodec.decodeDims(b).isEmpty
     }
 }
