@@ -121,6 +121,27 @@ object JoinQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Key histogram — the skew DIAGNOSIS that precedes q47's salted
+    // remedy: the hottest join keys with their row counts and their
+    // share of the table in basis points (integer arithmetic). At
+    // scale this is the map-side-combined count + TakeOrdered one
+    // runs to size a salt fan-out (n ~ hot-key rows / rows-per-task).
+    QueryDef("q73_key_histogram",
+      """SELECT l_suppkey, count(*)::BIGINT AS n_rows,
+        |       (count(*) * 10000 // (SELECT count(*) FROM lineitem)) AS share_bp
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY n_rows DESC, l_suppkey LIMIT 5""".stripMargin) { (spark, dir) =>
+      val li = Tables.load(spark, dir, "lineitem")
+      val total = li.select(count(lit(1)).as("_total"))
+      li.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(total))
+        .select(col("l_suppkey"), col("n_rows"),
+          expr("n_rows * 10000 DIV _total").as("share_bp"))
+        .orderBy(col("n_rows").desc, col("l_suppkey"))
+        .limit(5)
     }
   )
 }
