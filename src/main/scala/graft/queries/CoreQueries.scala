@@ -347,6 +347,36 @@ object CoreQueries {
           get_json_object(col("j"), "$.name").as("name_out"),
           get_json_object(col("j"), "$.k").cast("long").as("k_out"))
         .orderBy(col("n_nationkey"))
+    },
+
+    // Boolean aggregates (every/any) + a FILTERed count: comparisons
+    // of identical doubles are engine-identical, so the booleans are
+    // exact.
+    QueryDef("q75_bool_aggs",
+      """SELECT l_returnflag,
+        |       bool_and(l_quantity > 0) AS all_pos,
+        |       bool_or(l_discount > 0.05) AS any_disc,
+        |       count(*) FILTER (WHERE l_tax = 0)::BIGINT AS n_notax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("bool_and(l_quantity > 0)").as("all_pos"),
+          expr("bool_or(l_discount > 0.05)").as("any_disc"),
+          count(when(col("l_tax") === 0, 1)).as("n_notax"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Ordered string aggregation: Spark expresses DuckDB's
+    // string_agg(x, ',' ORDER BY x) as sort_array(collect_list) +
+    // array_join — the sort makes the nondeterministic collect order
+    // irrelevant.
+    QueryDef("q76_string_agg",
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("names"))
+        .orderBy(col("n_regionkey"))
     }
   )
 }

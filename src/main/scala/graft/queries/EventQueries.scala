@@ -27,6 +27,18 @@ object EventQueries {
   private val GapMicros = 30L * 60 * 1000 * 1000 // 30 min
   private val HourMicros = 3600L * 1000 * 1000
 
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** (user_id, n_click..n_view) pivot matrix shared by q65/q74. */
+  private def pivotCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .count()
+      .select(col("user_id") +:
+        EventTypes.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"n_$t")): _*)
+
   val defs: Seq[QueryDef] = Seq(
 
     // Gap-based sessionization in one pass: new-session flag via lag,
@@ -186,14 +198,24 @@ object EventQueries {
         |       count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
         |       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      Tables.load(spark, dir, "events")
-        .groupBy(col("user_id"))
-        .pivot("event_type", types)
-        .count()
-        .select(col("user_id") +:
-          types.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"n_$t")): _*)
-        .orderBy(col("user_id"))
+      pivotCounts(spark, dir).orderBy(col("user_id"))
+    },
+
+    // UNPIVOT via stack: q65's wide matrix melted back to
+    // (user_id, event_type, n) rows — zero-count combinations
+    // included, which is exactly what distinguishes the unpivot from
+    // a plain groupBy.
+    QueryDef("q74_unpivot",
+      s"""SELECT user_id, etype AS event_type, n FROM (
+         |${EventTypes.map(t =>
+              s"  SELECT user_id, '$t' AS etype, count(*) FILTER (WHERE event_type = '$t')::BIGINT AS n FROM events GROUP BY user_id")
+              .mkString("\n  UNION ALL\n")}
+         |) t ORDER BY user_id, event_type""".stripMargin) { (spark, dir) =>
+      val stackExpr = EventTypes.map(t => s"'$t', n_$t")
+        .mkString(s"stack(${EventTypes.length}, ", ", ", ") as (event_type, n)")
+      pivotCounts(spark, dir)
+        .selectExpr("user_id", stackExpr)
+        .orderBy(col("user_id"), col("event_type"))
     }
   )
 }
