@@ -31,4 +31,14 @@ class SkewJoinSpec extends SparkTestBase {
     assert(salts.max < 10000 * 0.25,
       s"no salt bucket may hold the whole hot key: ${salts.toSeq}")
   }
+
+  test("a pre-existing _salt column is rejected, not silently clobbered") {
+    import spark.implicits._
+    val tainted = Seq((1L, 0)).toDF("k", "_salt")
+    val clean = Seq((1L, "d")).toDF("k", "rval")
+    val ex = intercept[IllegalArgumentException] {
+      SkewJoin.saltedInnerJoin(tainted, clean, "k", n = 2, saltBy = Seq("k"))
+    }
+    assert(ex.getMessage.contains("_salt"))
+  }
 }
