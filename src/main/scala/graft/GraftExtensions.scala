@@ -73,5 +73,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[BloomMightContain]) {
       exprs => GraftFunctions.buildBloomMightContain(exprs)
     }
+    // whole-plan rewrite (off unless spark.graft.bloomSemiJoin.enabled):
+    // auto-insert the bloom prefilter under eligible left-semi joins
+    ext.injectOptimizerRule(graft.plans.BloomSemiJoinRule)
   }
 }

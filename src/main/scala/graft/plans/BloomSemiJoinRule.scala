@@ -1,0 +1,64 @@
+package graft.plans
+
+import graft.functions.{BloomAgg, BloomMightContain}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, Literal, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Optimizer rule: rewrite `large LEFT SEMI JOIN small ON lk = rk`
+  * into `Filter(bloom_might_contain(<bloom over small's rk>, lk))`
+  * above the large side, keeping the exact semi-join on top — the
+  * bloom prunes non-matching rows inside the large side's scan stage
+  * BEFORE the join's exchange, the same shape Spark's own
+  * InjectRuntimeFilter emits (the bloom rides a scalar subquery that
+  * the planner executes once and broadcasts).
+  *
+  * The whole-plan rewrite is the Catalyst `Rule[LogicalPlan]` entry
+  * point of this library (SURVEY §2.2 "custom operators" option (c)),
+  * registered cluster-wide by [[graft.GraftExtensions]] and locally
+  * via `spark.experimental.extraOptimizations`. OFF by default —
+  * enable with `spark.graft.bloomSemiJoin.enabled=true`; correctness
+  * is semantics-preserving either way (false positives are removed by
+  * the retained exact join; no false negatives by construction,
+  * proven in `BloomSemiJoinRuleSpec` and by q69's gate on the manual
+  * form).
+  */
+case class BloomSemiJoinRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.bloomSemiJoin.enabled"
+  private val NumBits = 65536 // 8 KB of bits
+  private val NumHashes = 5
+
+  private def enabled: Boolean =
+    spark.conf.get(EnabledKey, "false").toBoolean
+
+  private def alreadyFiltered(plan: LogicalPlan): Boolean = plan match {
+    case Filter(cond, _) =>
+      cond.exists(_.isInstanceOf[BloomMightContain])
+    case _ => false
+  }
+
+  private def bloomOver(side: LogicalPlan, key: Expression): Expression = {
+    val agg = Alias(AggregateExpression(
+      BloomAgg(key, Literal(NumBits), Literal(NumHashes)),
+      Complete, isDistinct = false), "graft_bloom")()
+    ScalarSubquery(Aggregate(Nil, Seq(agg), side))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case j @ Join(left, right, LeftSemi, Some(EqualTo(lk: AttributeReference,
+          rk: AttributeReference)), _)
+          if lk.dataType == LongType && rk.dataType == LongType &&
+            left.outputSet.contains(lk) && right.outputSet.contains(rk) &&
+            !alreadyFiltered(left) =>
+        val probe = BloomMightContain(bloomOver(right, rk), lk, Literal(NumHashes))
+        j.copy(left = Filter(probe, left))
+    }
+}
