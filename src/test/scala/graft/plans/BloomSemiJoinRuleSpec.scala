@@ -53,4 +53,38 @@ class BloomSemiJoinRuleSpec extends SparkTestBase {
       assert(once == twice, "re-applying the rule must be a no-op")
     }
   }
+
+  test("fixed-point safe: interleaving with predicate pushdown never stacks blooms") {
+    // the production registration (injectOptimizerRule) lands in the
+    // fixed-point operator batch where PushDownPredicates MOVES the
+    // inserted Filter below intervening Projects between iterations —
+    // simulate that interleaving and require exactly one probe
+    import org.apache.spark.sql.catalyst.optimizer.PushDownPredicates
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import graft.functions.BloomMightContain
+    import spark.implicits._
+    spark.conf.set(rule.EnabledKey, "true")
+    try {
+      val big = (1L to 1000L).toDF("k").select(col("k"), lit(1).as("extra"))
+      val small = (1L to 20L).toDF("j")
+      var p = big.join(small, col("k") === col("j"), "left_semi")
+        .queryExecution.analyzed
+      for (_ <- 1 to 5) p = PushDownPredicates(rule(p))
+      val probes = p.collect {
+        case f: LFilter if f.condition.exists(_.isInstanceOf[BloomMightContain]) => f
+      }
+      assert(probes.size == 1,
+        s"expected exactly one bloom probe after 5 interleaved passes, got ${probes.size}:\n$p")
+    } finally spark.conf.set(rule.EnabledKey, "false")
+  }
+
+  test("oversized build sides are left alone (saturation guard)") {
+    withRule(enabled = true) {
+      spark.conf.set(rule.MaxBuildBytesKey, "1")
+      try {
+        val optimized = semiJoin.queryExecution.optimizedPlan.toString
+        assert(!optimized.contains("bloom_might_contain"), optimized)
+      } finally spark.conf.unset(rule.MaxBuildBytesKey)
+    }
+  }
 }

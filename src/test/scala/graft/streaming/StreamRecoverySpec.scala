@@ -12,7 +12,10 @@ import org.apache.spark.sql.types._
   * (exactly-once file sink semantics). */
 class StreamRecoverySpec extends SparkTestBase {
 
-  private val root = "/tmp/graft_stream_recovery"
+  // fresh per-run root: concurrent suites on one host must not share
+  // checkpoint/source dirs
+  private val root = java.nio.file.Files
+    .createTempDirectory("graft_stream_recovery").toString
 
   private def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
     val dir = new java.io.File(s"$root/in")
@@ -21,13 +24,13 @@ class StreamRecoverySpec extends SparkTestBase {
     val out = new java.io.PrintWriter(tmp, "UTF-8")
     rows.foreach { case (id, t) => out.println(s"""{"doc_id":$id,"text":"$t"}""") }
     out.close()
-    // atomic move: the file source must never see a half-written file
-    tmp.renameTo(new java.io.File(dir, s"$name.json"))
+    // atomic move (throws on failure — a silently missing batch would
+    // surface as a baffling empty-output assertion)
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, s"$name.json").toPath)
   }
 
   test("a restarted query resumes from the checkpoint exactly once") {
-    import scala.reflect.io.Directory
-    new Directory(new java.io.File(root)).deleteRecursively()
 
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
