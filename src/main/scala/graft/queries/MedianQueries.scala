@@ -290,6 +290,37 @@ object MedianQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // The reference UDA as a WINDOW function: running median per
+    // event type over an ever-growing ROWS frame — the reservoir
+    // aggregate plugs into Spark's object window frames unchanged.
+    // The event_id < 2000 slice keeps every partition inside the
+    // exact regime (k = 2048 >= any prefix), so each row's value is
+    // the deterministic upper-middle of its prefix, which the oracle
+    // replays with a sorted list() window aggregate.
+    QueryDef("q77_running_median",
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t, value
+        |           FROM events WHERE event_id < 2000)
+        |SELECT event_id, event_type,
+        |       (list_sort(list(value) OVER w))[(count(*) OVER w) // 2 + 1] AS run_med
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(spark, dir, "events")
+        .where(col("event_id") < 2000)
+        .select(col("event_id"), col("event_type"),
+          expr("ts DIV 1000").as("t"), col("value"))
+        .select(col("event_id"), col("event_type"),
+          GraftFunctions.appx_median_bounded_double(col("value"), 2048)
+            .over(w).as("run_med"))
+        .orderBy(col("event_id"))
+    },
+
     // min_k, the ascending mirror — same O(k) heap, same gate shape.
     QueryDef("q57_bottomk_per_group",
       """SELECT l_returnflag, CAST(rn - 1 AS INT) AS idx, v FROM (
