@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[VecDotProduct]) {
       exprs => GraftFunctions.buildVecDot(exprs)
     }
+    inject(ext, "simhash60",
+      "_FUNC_(text) - codegen'd 60-bit frequency-weighted SimHash",
+      classOf[SimHash60]) {
+      exprs => GraftFunctions.buildSimHash60(exprs)
+    }
     inject(ext, "bloom_agg",
       "_FUNC_(key, num_bits, num_hashes) - bloom-filter bit set over BIGINT keys as BINARY",
       classOf[BloomAgg]) {

@@ -72,6 +72,12 @@ object GraftFunctions {
     VecDotProduct(exprs.head, exprs(1))
   }
 
+  private[graft] def buildSimHash60(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"simhash60(text) takes 1 argument, got ${exprs.length}")
+    SimHash60(exprs.head)
+  }
+
   private[graft] def buildBloomAgg(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3,
       s"bloom_agg(key, num_bits, num_hashes) takes 3 arguments, got ${exprs.length}")
@@ -97,6 +103,7 @@ object GraftFunctions {
     reg("max_k")(buildTopK(_, descending = true))
     reg("min_k")(buildTopK(_, descending = false))
     reg("vec_dot")(buildVecDot)
+    reg("simhash60")(buildSimHash60)
     reg("bloom_agg")(buildBloomAgg)
     reg("bloom_might_contain")(buildBloomMightContain)
   }
@@ -138,6 +145,11 @@ object GraftFunctions {
   /** The k smallest values per group, ascending. */
   def min_k(value: Column, k: Int): Column =
     call_function("min_k", value, lit(k))
+
+  /** Codegen'd 60-bit SimHash of a STRING column (the scan-speed form
+    * of TextSketches.simhash). */
+  def simhash60(text: Column): Column =
+    call_function("simhash60", text)
 
   /** Bloom-filter build over BIGINT keys -> BINARY bit set. */
   def bloom_agg(key: Column, numBits: Int, numHashes: Int): Column =

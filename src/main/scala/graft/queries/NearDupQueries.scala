@@ -88,11 +88,14 @@ object NearDupQueries {
     sketches(spark, dir).drop("s")
 
   /** (doc_id, sh) 60-bit SimHash over ALL docs (no shingle-count
-    * filter — SimHash is defined on any non-empty token list). */
+    * filter — SimHash is defined on any non-empty token list). Uses
+    * the codegen'd kernel, bit-identical to the HOF reference form
+    * (TextSketchesSpec pins the parity). */
   private def simhashes(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "simhash") {
+      graft.functions.GraftFunctions.register(spark)
       docs(spark, dir)
-        .select(col("doc_id"), TextSketches.simhash(col("text")).as("sh"))
+        .select(col("doc_id"), graft.functions.GraftFunctions.simhash60(col("text")).as("sh"))
     }
 
   private def bandKey(j: Int): Column =

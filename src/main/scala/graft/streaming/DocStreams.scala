@@ -22,12 +22,13 @@ object DocStreams {
     * tokens carry no 3-gram sketch and are dropped, mirroring
     * [[graft.queries.NearDupQueries]]. */
   def sketched(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val filtered = docs
       .where(size(TextSketches.tokens(col("text"))) >= 3)
       .select(col("doc_id"), col("text"),
         TextSketches.shingles(col("text"), 3).as("s"))
     TextSketches.withMinhashSignature(filtered, shingleCol = "s")
-      .withColumn("simhash", TextSketches.simhash(col("text")))
+      .withColumn("simhash", graft.functions.GraftFunctions.simhash60(col("text")))
       .drop("text", "s")
   }
 }

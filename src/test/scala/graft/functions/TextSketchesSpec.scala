@@ -18,6 +18,33 @@ class TextSketchesSpec extends SparkTestBase {
     assert(simhashOf("the cat sat") == 954273034597534321L)
   }
 
+  test("codegen'd simhash60 kernel is bit-identical to the HOF reference") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val texts = Seq(
+      "the quick brown fox",
+      "single",
+      "trailing space ",          // split(-1) keeps the empty token
+      " leading",
+      "double  space",            // empty token in the middle
+      "unicode café naïve 日本語",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    // repartition blocks ConvertToLocalRelation from constant-folding
+    // the expressions away, so the executed plan really runs the kernel
+    val df = texts.toDF("text").repartition(2)
+      .select(col("text"),
+        TextSketches.simhash(col("text")).as("hof"),
+        GraftFunctions.simhash60(col("text")).as("gen"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"kernel diverged from HOF on '${r.getString(0)}'")
+    }
+    // and the kernel runs inside whole-stage codegen
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("simhash60"), plan)
+  }
+
   test("simhash of near-identical texts is close, disjoint texts far") {
     val base = (1 to 50).map(i => s"tok$i").mkString(" ")
     val near = (1 to 50).map(i => if (i == 25) "CHANGED" else s"tok$i").mkString(" ")
