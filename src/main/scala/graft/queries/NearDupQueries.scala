@@ -87,6 +87,12 @@ object NearDupQueries {
   private def signatures(spark: SparkSession, dir: String): DataFrame =
     sketches(spark, dir).drop("s")
 
+  /** (doc_id, s): the materialized 3-gram shingle sets (docs with
+    * >= 3 tokens) — shared with consumers outside this module (q67)
+    * so the shingle expressions build once per session. */
+  def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    sketches(spark, dir).select(col("doc_id"), col("s"))
+
   /** (doc_id, sh) 60-bit SimHash over ALL docs (no shingle-count
     * filter — SimHash is defined on any non-empty token list). Uses
     * the codegen'd kernel, bit-identical to the HOF reference form

@@ -199,11 +199,11 @@ object TextQueries {
         |       (unnest(generate_series(1, least(3, len(s)))) - 1)::INT AS idx,
         |       unnest(s[1:3]) AS shingle
         |FROM sh ORDER BY doc_id, idx""".stripMargin) { (spark, dir) =>
-      Tables.load(spark, dir, "documents")
-        .where(size(tokens(col("text"))) >= 3)
+      // read the session-shared materialized shingle sets instead of
+      // recomputing the (expensive, interpreted-HOF) shingle columns
+      NearDupQueries.shingleSets(spark, dir)
         .select(col("doc_id"),
-          posexplode(slice(sort_array(TextSketches.shingles(col("text"), 3)), 1, 3))
-            .as(Seq("idx", "shingle")))
+          posexplode(slice(sort_array(col("s")), 1, 3)).as(Seq("idx", "shingle")))
         .orderBy(col("doc_id"), col("idx"))
     }
   )
