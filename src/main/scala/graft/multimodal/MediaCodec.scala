@@ -58,37 +58,61 @@ object MediaCodec {
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
       ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
 
+  private def isPng(p: Array[Byte]): Boolean =
+    p.length >= 24 && p.take(8).sameElements(PngSignature) &&
+      new String(p.slice(12, 16), "US-ASCII") == "IHDR"
+
+  private def isJpeg(p: Array[Byte]): Boolean =
+    p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8
+
+  /** Marker-segment walk to the first SOF marker: returns the index of
+    * the SOF marker byte (the byte after its 0xFF prefix run), or None
+    * when the stream ends / hits EOI first. */
+  private def jpegSofIndex(p: Array[Byte]): Option[Int] = {
+    var i = 2
+    while (i + 1 < p.length && (p(i) & 0xff) == 0xff) {
+      // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+      var j = i + 1
+      while (j < p.length && (p(j) & 0xff) == 0xff) j += 1
+      if (j >= p.length) return None
+      val marker = p(j) & 0xff
+      if (marker == 0xd9) return None // EOI: no frame header found
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+        i = j + 1 // TEM / RSTn / SOI: standalone, no length field
+      } else {
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) return Some(j)
+        if (j + 3 > p.length) return None // truncated length field
+        i = j + 1 + u16(p, j + 1) // skip payload (length includes itself)
+      }
+    }
+    None
+  }
+
   /** Parse (width, height) out of PNG IHDR bytes or a JPEG SOF
     * segment (walking marker segments, so APP0/EXIF prefixes are
     * skipped); None when the payload is neither — callers fall back
     * to their non-image handling. */
   def decodeDims(p: Array[Byte]): Option[(Int, Int)] = {
-    if (p.length >= 24 && p.take(8).sameElements(PngSignature) &&
-        new String(p.slice(12, 16), "US-ASCII") == "IHDR") {
-      Some((i32(p, 16), i32(p, 20)))
-    } else if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
-      var i = 2
-      while (i + 1 < p.length && (p(i) & 0xff) == 0xff) {
-        // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
-        var j = i + 1
-        while (j < p.length && (p(j) & 0xff) == 0xff) j += 1
-        if (j >= p.length) return None
-        val marker = p(j) & 0xff
-        if (marker == 0xd9) return None // EOI: no frame header found
-        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
-          i = j + 1 // TEM / RSTn / SOI: standalone, no length field
-        } else {
-          val isSof = marker >= 0xc0 && marker <= 0xcf &&
-            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-          if (isSof) {
-            if (j + 8 > p.length) return None // truncated frame header
-            return Some((u16(p, j + 6), u16(p, j + 4)))
-          }
-          if (j + 3 > p.length) return None // truncated length field
-          i = j + 1 + u16(p, j + 1) // skip payload (length includes itself)
-        }
-      }
-      None
+    if (isPng(p)) Some((i32(p, 16), i32(p, 20)))
+    else if (isJpeg(p)) jpegSofIndex(p).flatMap { j =>
+      if (j + 8 > p.length) None // truncated frame header
+      else Some((u16(p, j + 6), u16(p, j + 4)))
+    } else None
+  }
+
+  /** Container-header length: the offset where the content stream
+    * starts — after the IHDR chunk (signature + length + type + data +
+    * CRC) for PNG, after the first SOF segment for JPEG. Lets feature
+    * extraction run over CONTENT bytes only, excluding bytes that only
+    * describe the container. None for non-image payloads (callers
+    * treat the whole payload as content). */
+  def headerLength(p: Array[Byte]): Option[Int] = {
+    if (isPng(p)) Some(math.min(p.length, 8 + 4 + 4 + i32(p, 8) + 4))
+    else if (isJpeg(p)) jpegSofIndex(p).flatMap { j =>
+      if (j + 3 > p.length) None
+      else Some(math.min(p.length, j + 1 + u16(p, j + 1)))
     } else None
   }
 }

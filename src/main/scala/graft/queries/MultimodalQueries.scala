@@ -35,16 +35,52 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     },
 
-    // Feature extraction shape: rows-only driver check (the stub
-    // features are deterministic but not worth 64 columns of oracle
-    // SQL); spec-verified instead.
-    QueryDef.noOracle("q30_media_features") { (spark, dir) =>
-      MediaOps.extractFeatures(MediaOps.mediaFromDocuments(spark, dir), dim = 16)
+    // REAL content features, fully oracle-gated: f1/f2 are the
+    // header-parsed dimensions (normalized), f3..f8 are byte
+    // statistics over the content stream AFTER the container header —
+    // which is exactly the utf-8 text, so the oracle re-derives every
+    // component from (doc_id, text) without ever seeing the payload.
+    // Each feature is one double expression rounded once to float on
+    // both sides (IEEE round-to-nearest on both engines), re-widened
+    // to double for the value compare. Emitted as exploded scalar rows
+    // (the driver compare can't hash array cells).
+    QueryDef("q30_media_features",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS kind,
+        |         (doc_id * 7 % 1920 + 1) AS w,
+        |         (doc_id * 13 % 1080 + 1) AS h,
+        |         length(text) AS len,
+        |         list_aggregate([ord(substr(text, i, 1))
+        |                         for i in generate_series(1, length(text))], 'sum') AS sbytes,
+        |         length(text) - length(replace(text, ' ', '')) AS nws,
+        |         length(regexp_replace(text, '[^a-z]', '', 'g')) AS nlower,
+        |         length(regexp_replace(text, '[^0-9]', '', 'g')) AS ndigit,
+        |         len(list_distinct([substr(text, i, 1)
+        |                            for i in generate_series(1, length(text))])) AS ndist
+        |  FROM documents),
+        |fv AS (
+        |  SELECT doc_id AS media_id, kind,
+        |         [ w::DOUBLE / 1920.0, h::DOUBLE / 1080.0,
+        |           len::DOUBLE / (len + 1024)::DOUBLE,
+        |           sbytes::DOUBLE / (len * 255)::DOUBLE,
+        |           nws::DOUBLE / len::DOUBLE,
+        |           nlower::DOUBLE / len::DOUBLE,
+        |           ndigit::DOUBLE / len::DOUBLE,
+        |           ndist::DOUBLE / len::DOUBLE ] AS f
+        |  FROM s)
+        |SELECT media_id, kind, i::BIGINT AS i,
+        |       CAST(CAST(f[i] AS FLOAT) AS DOUBLE) AS fval
+        |FROM fv CROSS JOIN generate_series(1, 8) t(i)
+        |ORDER BY media_id, i""".stripMargin) { (spark, dir) =>
+      MediaOps.extractFeatures(MediaOps.mediaFromDocuments(spark, dir))
         .toDF()
-        .select(col("mediaId").as("media_id"),
-          size(col("feature")).as("dim"),
-          element_at(col("feature"), 1).as("f0"))
-        .orderBy(col("media_id"))
+        .select(col("mediaId").as("media_id"), col("kind"),
+          posexplode(col("feature")).as(Seq("i0", "f")))
+        .select(col("media_id"), col("kind"),
+          (col("i0") + 1).cast("long").as("i"),
+          col("f").cast("double").as("fval"))
+        .orderBy(col("media_id"), col("i"))
     }
   )
 }

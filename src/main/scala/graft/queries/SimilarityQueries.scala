@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.GraftFunctions
-import graft.operators.IvfIndex
+import graft.operators.{IndexStore, IvfIndex}
 import graft.sources.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -182,24 +182,52 @@ object SimilarityQueries {
     * Lloyd iterations, each vector assigned to its max-cosine cell by
     * a PER-ROW ARGMAX FOLD over the broadcast centroid array — no
     * Exchange and no Window over the corpus; the probe is an equi-join
-    * on cell id. The built index is memoized + materialized — it IS
-    * the IVF index one would persist at scale. */
+    * on cell id. The built index is PERSISTED as a parquet artifact
+    * via [[graft.operators.IndexStore]] — probes (q35/q52/q80) scan
+    * the artifact; the build cost is paid (and bench-timed) only by
+    * the declared build query q00. */
   private val LloydIterations = 2
   private val NumProbes = 2
 
+  private def embSource(dir: String): String = s"$dir/embeddings.parquet"
+
+  private def buildCentroids(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val seeds = normed(
+      Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumCentroids))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    IvfIndex.refine(corpus(spark, dir), seeds, LloydIterations)
+  }
+
   def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
-    FrameMemo.memoized(spark, s"ivf_cents#$dir") {
-      GraftFunctions.register(spark)
-      val seeds = normed(
-        Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumCentroids))
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      IvfIndex.refine(corpus(spark, dir), seeds, LloydIterations)
+    IndexStore.readOrBuild(spark,
+      IndexStore.artifactPath(dir, "ivf_centroids"), embSource(dir)) {
+      buildCentroids(spark, dir)
     }
 
   def ivfIndex(spark: SparkSession, dir: String): DataFrame =
-    FrameMemo.memoized(spark, s"ivf#$dir") {
+    IndexStore.readOrBuild(spark,
+      IndexStore.artifactPath(dir, "ivf_index"), embSource(dir)) {
       IvfIndex.assignCells(corpus(spark, dir), ivfCentroids(spark, dir))
     }
+
+  /** Force-rebuild both IVF artifacts and emit the refined centroid
+    * coordinates — the declared build entry: correctness-gated against
+    * the full 2-iteration Lloyd chain, and the ONLY query that pays
+    * the build (probes read the persisted parquet). */
+  def ivfBuild(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = IndexStore.rebuild(spark,
+      IndexStore.artifactPath(dir, "ivf_centroids")) {
+      buildCentroids(spark, dir)
+    }
+    IndexStore.rebuild(spark, IndexStore.artifactPath(dir, "ivf_index")) {
+      IvfIndex.assignCells(corpus(spark, dir), cents)
+    }
+    cents.select(col("cid"), posexplode(col("cv")).as(Seq("i0", "cval")))
+      .select(col("cid"), (col("i0") + 1).cast("long").as("i"), col("cval"))
+      .orderBy(col("cid"), col("i"))
+  }
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -494,7 +522,24 @@ object SimilarityQueries {
        |WHERE sim >= $NearDupThreshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q00 oracle: the refined (2-iteration Lloyd) centroid coordinates
+    * — the same CTE chain the probe oracles embed, surfaced directly.
+    * Quantized-integer sums make every coordinate an exact double. */
+  private val ivfBuildSql =
+    s"""$normedCte,
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NumCentroids),
+       |${ivfAssignSql("c0", "a0")},
+       |${ivfLloydSql("a0", "c1")},
+       |${ivfAssignSql("c1", "a1")},
+       |${ivfLloydSql("a1", "c2")}
+       |SELECT cid, i::BIGINT AS i, cv[i] AS cval
+       |FROM c2 CROSS JOIN generate_series(1, $Dim) t(i)
+       |ORDER BY cid, i""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    // Sorts FIRST in the bench's name-ordered run: the index build is
+    // paid and timed here, once; q35/q52/q80 then scan the artifact.
+    QueryDef("q00_ivf_build", ivfBuildSql)(ivfBuild),
     QueryDef("q26_similarity_topk", bruteSql)(bruteForceTopK),
     QueryDef("q27_ann_lsh_topk", lshSql)(lshTopK),
     QueryDef("q35_ann_ivf_topk", ivfSql)(ivfTopK),

@@ -25,13 +25,37 @@ class MediaOpsSpec extends SparkTestBase {
     }
   }
 
-  test("feature vectors have the requested dim and bounded values") {
-    val feats = MediaOps.extractFeatures(files(10), dim = 48).collect()
+  test("feature vectors are deterministic content statistics in [0, 1]") {
+    val feats = MediaOps.extractFeatures(files(10)).collect().sortBy(_.mediaId)
+    val again = MediaOps.extractFeatures(files(10)).collect().sortBy(_.mediaId)
     assert(feats.length == 10)
+    assert(feats.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq,
+      "content features must be deterministic")
     feats.foreach { f =>
-      assert(f.feature.length == 48)
-      assert(f.feature.forall(x => x >= -1.0f && x < 1.0f))
+      assert(f.feature.length == MediaOps.FeatureDim)
+      assert(f.feature.forall(x => x >= 0.0f && x <= 1.0f))
+      // non-image payloads carry no parsed dimensions
+      assert(f.feature(0) == 0.0f && f.feature(1) == 0.0f)
     }
+  }
+
+  test("image features recover header dims and exclude header bytes") {
+    import spark.implicits._
+    val body = "abc 123 abc".getBytes("UTF-8")
+    val ds = Seq(
+      MediaFile(0L, "image/png", MediaCodec.pngBytes(960, 540, body)),
+      MediaFile(1L, "image/jpeg", MediaCodec.jpegBytes(192, 108, body))).toDS()
+    val feats = MediaOps.extractFeatures(ds).collect().sortBy(_.mediaId)
+    assert(feats(0).feature(0) == (960 / 1920.0).toFloat)
+    assert(feats(0).feature(1) == (540 / 1080.0).toFloat)
+    assert(feats(1).feature(0) == (192 / 1920.0).toFloat)
+    assert(feats(1).feature(1) == (108 / 1080.0).toFloat)
+    // byte stats over the CONTENT stream only: identical body =>
+    // identical content components despite different headers
+    assert(feats(0).feature.drop(2).toSeq == feats(1).feature.drop(2).toSeq)
+    // whitespace fraction of "abc 123 abc": 2 spaces / 11 bytes
+    assert(feats(0).feature(4) == (2.0 / 11).toFloat)
+    assert(feats(0).feature(6) == (3.0 / 11).toFloat) // digits
   }
 
   test("frame sampling splits payloads and preserves all bytes in order") {
