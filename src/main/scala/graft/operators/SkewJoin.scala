@@ -40,4 +40,44 @@ object SkewJoin {
       explode(sequence(lit(0), lit(n - 1))))
     saltedLeft.join(saltedRight, Seq(key, "_salt"), "inner").drop("_salt")
   }
+
+  /** Per-key salt fan-outs DERIVED FROM THE DATA: the key histogram of
+    * `left` (the q73 diagnostic as an operator input), one fan-out per
+    * key = ceil(rows / targetRowsPerSalt) clamped to [1, maxFanout].
+    * Cold keys get fan-out 1 — no replication cost where there is no
+    * skew; only genuinely hot keys pay (and bound) their spread. */
+  def fanouts(left: DataFrame, key: String, targetRowsPerSalt: Long,
+      maxFanout: Int): DataFrame = {
+    require(targetRowsPerSalt > 0, "targetRowsPerSalt must be positive")
+    require(maxFanout > 0, "maxFanout must be positive")
+    left.groupBy(col(key))
+      .agg(count(lit(1)).as("_keyrows"))
+      .select(col(key),
+        least(greatest(
+            ceil(col("_keyrows").cast("double") / targetRowsPerSalt), lit(1L)),
+          lit(maxFanout.toLong)).cast("int").as("_fan"))
+  }
+
+  /** Auto-tuned salted inner join: like [[saltedInnerJoin]], but the
+    * fan-out is PER KEY, sized from the left side's key histogram
+    * instead of a global constant — a cold key joins 1:1 while a hot
+    * key spreads over ceil(rows/targetRowsPerSalt) subkeys. The
+    * histogram is one map-side-combined aggregate over the left keys
+    * (the diagnostic pass q73 already runs), broadcast onto both
+    * sides; keys appearing only in `right` are dropped by the fan
+    * join, which matches inner-join semantics exactly. */
+  def autoSaltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
+      targetRowsPerSalt: Long, maxFanout: Int, saltBy: Seq[String]): DataFrame = {
+    val reserved = Seq("_salt", "_fan")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      "autoSaltedInnerJoin reserves the column names _salt/_fan; rename them on the input")
+    val fan = broadcast(fanouts(left, key, targetRowsPerSalt, maxFanout))
+    val saltedLeft = left.join(fan, key)
+      .withColumn("_salt", pmod(hash(saltBy.map(col): _*), col("_fan")))
+      .drop("_fan")
+    val saltedRight = right.join(fan, key)
+      .withColumn("_salt", explode(sequence(lit(0), col("_fan") - 1)))
+      .drop("_fan")
+    saltedLeft.join(saltedRight, Seq(key, "_salt"), "inner").drop("_salt")
+  }
 }

@@ -123,6 +123,34 @@ object JoinQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // AUTO-TUNED salted join: q73's key histogram feeds the salt
+    // fan-out — each key spreads over ceil(rows/target) subkeys
+    // (clamped to [1, 16]) instead of a global constant, so cold keys
+    // pay zero replication. The oracle is again the PLAIN join:
+    // data-derived salting must be invisible in the result. Summed in
+    // integer cents via round(x*100) — extendedprice is genuinely
+    // fractional (2-decimal), so the round is what keeps the sum
+    // exact under any aggregation order.
+    QueryDef("q79_auto_salted_join",
+      """SELECT s_name,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin) { (spark, dir) =>
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"),
+          col("l_orderkey"))
+      val sup = Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      SkewJoin.autoSaltedInnerJoin(li, sup, key = "suppkey",
+          targetRowsPerSalt = 200L, maxFanout = 16,
+          saltBy = Seq("l_orderkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"))
+        .orderBy(col("s_name"))
+    },
+
     // Key histogram — the skew DIAGNOSIS that precedes q47's salted
     // remedy: the hottest join keys with their row counts and their
     // share of the table in basis points (integer arithmetic). At

@@ -108,15 +108,31 @@ object NearDupQueries {
     md5(concat_ws(",", lit(s"$j") +:
       (0 until RowsPerBand).map(r => col(hName(j * RowsPerBand + r)).cast("string")): _*))
 
+  /** (doc_id, band) rows for ANY signature frame carrying h00..h15 —
+    * shared by the per-fixture pipeline below and the streaming
+    * sketch store ([[graft.streaming.StreamNearDup]]), so the banding
+    * layout can never drift between the two. */
+  private[graft] def bandsOf(signatures: DataFrame): DataFrame =
+    signatures.select(
+      col("doc_id"),
+      explode(array((0 until NumBands).map(bandKey): _*)).as("band"))
+
+  /** Distinct candidate pairs of a banded frame: the band-bucket
+    * equi-join (never all-pairs). */
+  private[graft] def candidatesOf(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
   /** (doc_id, band) rows: NumBands rows per doc. Derived from the
     * checkpointed signatures — the band md5 over 4 long columns is
     * cheap enough to recompute on each read; at scale this tiny
     * (doc_id, 32-byte band) frame is exactly what one would
     * materialize before the bucket join. */
   private def bandedKeys(spark: SparkSession, dir: String): DataFrame =
-    signatures(spark, dir).select(
-      col("doc_id"),
-      explode(array((0 until NumBands).map(bandKey): _*)).as("band"))
+    bandsOf(signatures(spark, dir))
 
   /** Distinct candidate pairs from the band-bucket equi-join.
     *
@@ -141,11 +157,7 @@ object NearDupQueries {
             .select(col("band"))
           bands.join(ok, "band")
         }
-      kept.as("a")
-        .join(kept.as("b"),
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      candidatesOf(kept)
     }
     // only the uncapped default path is shared by q22/q23/q32/q44 —
     // capped variants (tests) build fresh
@@ -164,10 +176,13 @@ object NearDupQueries {
     * convergence count is a distributed aggregate, not a data
     * collect. */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "clusters")(buildClusters(spark, dir))
+    memoized(spark, dir, "clusters")(
+      clustersFromPairs(verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))))
 
-  private def buildClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+  /** Min-label propagation over an ARBITRARY undirected pair frame
+    * (doc_a, doc_b) — shared by the text-only clusters (q60) and the
+    * hybrid text+embedding closure (q81). */
+  private[graft] def clustersFromPairs(pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("id", "nb").localCheckpoint()
     var labels = edges.select(col("id")).distinct()
@@ -235,12 +250,12 @@ object NearDupQueries {
     s"SELECT doc_id, md5('$j' || ',' || $cat) AS band FROM sig"
   }.mkString("bands AS (", " UNION ALL ", ")")
 
-  /** cand -> pairs -> edges -> reach(transitive closure) CTE chain,
-    * shared by the q60 and q72 oracles — ONE statement of the
-    * candidate/verify/closure rules (including the 7/10 Jaccard
-    * threshold) so a tuning change cannot silently fork the gates.
-    * Must follow sigCte + bandsCte, under a WITH RECURSIVE head. */
-  private[queries] val closureCte =
+  /** cand -> pairs (verified text near-dup pairs) CTE pair — ONE
+    * statement of the candidate/verify rules (including the 7/10
+    * Jaccard threshold) shared by the q60/q72 closures AND the q81
+    * hybrid closure, so a tuning change cannot silently fork the
+    * gates. Must follow sigCte + bandsCte. */
+  private[queries] val candPairsCte =
     """cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
@@ -251,13 +266,19 @@ object NearDupQueries {
       |           (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::BIGINT AS nu
       |    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
       |              JOIN sh sb ON cand.doc_b = sb.doc_id) t
-      |  WHERE nc * 10 >= nu * 7),
-      |edges AS (SELECT doc_a AS id, doc_b AS nb FROM pairs
-      |          UNION ALL SELECT doc_b AS id, doc_a AS nb FROM pairs),
-      |reach(id, r) AS (
-      |  SELECT id, id FROM (SELECT DISTINCT id FROM edges) n
-      |  UNION
-      |  SELECT e.id, reach.r FROM edges e JOIN reach ON e.nb = reach.id)""".stripMargin
+      |  WHERE nc * 10 >= nu * 7)""".stripMargin
+
+  /** edges -> reach(transitive closure) over the text `pairs` CTE;
+    * with [[candPairsCte]] this is the q60/q72 closure chain. Must sit
+    * under a WITH RECURSIVE head. */
+  private[queries] val closureCte =
+    s"""$candPairsCte,
+       |edges AS (SELECT doc_a AS id, doc_b AS nb FROM pairs
+       |          UNION ALL SELECT doc_b AS id, doc_a AS nb FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM (SELECT DISTINCT id FROM edges) n
+       |  UNION
+       |  SELECT e.id, reach.r FROM edges e JOIN reach ON e.nb = reach.id)""".stripMargin
 
   private val candidatesSql =
     s"""$sigCte,
@@ -356,6 +377,29 @@ object NearDupQueries {
         .select(col("doc_a"), col("doc_b"),
           TextSketches.hamming(col("sa.sh"), col("sb.sh")).as("hamming"))
         .where(col("hamming") <= 20)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Batch twin of the STREAMING near-dup pipeline
+    // (graft.streaming.StreamNearDup): docs arrive in two batches
+    // (even ids, then odd); after batch 1 the candidate pass runs
+    // over the store, after batch 2 an INCREMENTAL pass joins only
+    // the new batch's bands against the accumulated store. The union
+    // must equal the full-batch candidate set — the oracle IS q22's
+    // (full-batch) SQL, so the gate proves incremental arrival loses
+    // and invents nothing.
+    QueryDef("q78_streaming_neardup_twin", candidatesSql) { (spark, dir) =>
+      val sigs = signatures(spark, dir)
+      val firstBatch = candidatesOf(bandsOf(sigs.where(col("doc_id") % 2 === 0)))
+      val newBands = bandsOf(sigs.where(col("doc_id") % 2 === 1))
+      val storeBands = bandsOf(sigs) // accumulated store after batch 2
+      val incremental = newBands.as("a")
+        .join(storeBands.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        .distinct()
+      firstBatch.unionByName(incremental).distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     },
 

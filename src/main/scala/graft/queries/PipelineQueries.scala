@@ -119,6 +119,60 @@ object PipelineQueries {
         .where(col("rn") === 1)
         .select(col("cluster_id"), col("doc_id").as("keep_id"), col("n_tokens"))
         .orderBy(col("cluster_id"))
+    },
+
+    // HYBRID doc<->embedding dedup: near-dup edges from BOTH
+    // modalities — text (MinHash-LSH + Jaccard verify, q23's rules)
+    // and embedding space (label-blocked cosine >= 0.4, q36's rules,
+    // under the fixture convention doc i's embedding is vec i where
+    // one exists) — unioned into ONE graph before the transitive
+    // closure. This is the production shape: a paraphrase caught only
+    // by embeddings and a boilerplate copy caught only by text land
+    // in the SAME cluster, so keep-best (q72's window) can never keep
+    // two documents that any modality considers duplicates. The
+    // oracle recomputes both edge sets independently and closes them
+    // with one recursive CTE.
+    QueryDef("q81_hybrid_dedup_clusters",
+      s"""WITH RECURSIVE ${NearDupQueries.sigCte.stripPrefix("WITH ")},
+         |${NearDupQueries.bandsCte},
+         |${NearDupQueries.candPairsCte},
+         |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n2 AS (SELECT vec_id, v,
+         |              sqrt(list_aggregate([x*x for x in v], 'sum')) AS nrm FROM emb),
+         |lbl AS (SELECT vec_id, label FROM embeddings),
+         |epairs AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM n2 a JOIN lbl la ON a.vec_id = la.vec_id
+         |       JOIN lbl lb ON la.label = lb.label
+         |       JOIN n2 b ON b.vec_id = lb.vec_id AND a.vec_id < b.vec_id
+         |  WHERE list_aggregate([a.v[i]*b.v[i]
+         |                        for i in generate_series(1, ${SimilarityQueries.Dim})], 'sum')
+         |          / (a.nrm*b.nrm) >= 0.4
+         |    AND a.vec_id IN (SELECT doc_id FROM documents)
+         |    AND b.vec_id IN (SELECT doc_id FROM documents)),
+         |hedges AS (
+         |  SELECT doc_a AS id, doc_b AS nb FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |  UNION SELECT doc_a, doc_b FROM epairs
+         |  UNION SELECT doc_b, doc_a FROM epairs),
+         |hreach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM hedges) z
+         |  UNION
+         |  SELECT e2.id, hreach.r FROM hedges e2 JOIN hreach ON e2.nb = hreach.id)
+         |SELECT id, min(r)::BIGINT AS cluster_id FROM hreach GROUP BY id
+         |ORDER BY id""".stripMargin) { (spark, dir) =>
+      val text = NearDupQueries.verifiedPairs(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val docIds = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      // embedding edges restricted to ids that ARE documents (the
+      // doc_id = vec_id fixture mapping; at sf0.1 only 2000 of 5000
+      // docs carry an embedding)
+      val emb = SimilarityQueries.embeddingNearDup(spark, dir)
+        .select(col("id_a"), col("id_b"))
+        .join(docIds.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(docIds.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      NearDupQueries.clustersFromPairs(text.unionByName(emb).distinct())
     }
   )
 }

@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  private val Dim = 64
+  private[queries] val Dim = 64
   private val NumPlanes = 8
   private val NumQueries = 5
   private val NumCentroids = 16
@@ -265,6 +265,51 @@ object SimilarityQueries {
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
     topKBySim(sims)
+  }
+
+  /** Quantized-scoring ANN — the PQ-style two-stage search pattern:
+    * stage 1 scores IVF-probe candidates with INT8 dot products
+    * (symmetric per-vector quantization, q59's scheme — exact BIGINT
+    * arithmetic, so the shortlist is bit-reproducible), stage 2
+    * re-ranks only the shortlist in double-precision cosine. At scale
+    * stage 1 reads 64 bytes/vector instead of 512 and runs integer
+    * multiplies — the memory-bandwidth win PQ exists for — while
+    * stage 2 restores exact ranking on a per-query constant number of
+    * rows. Shortlist 3x the final k: a near neighbor displaced past
+    * rank 30 by int8 rounding would need ~25% relative score error,
+    * far beyond the quantizer's worst case. */
+  private val Int8Shortlist = 3 * TopK
+
+  def int8RerankTopK(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val q8 = ivfIndex(spark, dir)
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .where(col("mx") > 0)
+      .withColumn("v8", transform(col("v"), x => floor(x * 127.0 / col("mx"))))
+      .drop("mx")
+    val cents = ivfCentroids(spark, dir)
+    val q = q8.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("v8").as("qv8"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cid"))
+    val probes = broadcast(q.crossJoin(cents)
+      .select(col("qid"), col("qv"), col("qnrm"), col("qv8"), col("cid"),
+        cosine(col("qv"), col("cv"), col("qnrm"), col("cnrm")).as("psim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= NumProbes)
+      .select(col("qid"), col("qv"), col("qnrm"), col("qv8"), col("cid")))
+    val scored = probes.join(q8, Seq("cid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        col("qv"), col("qnrm"), col("v"), col("nrm"),
+        aggregate(zip_with(col("qv8"), col("v8"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("iscore"))
+    // the shortlist window runs per query over <= nprobe cells' rows,
+    // never the corpus; ties break on neighbor id
+    val wShort = Window.partitionBy(col("qid")).orderBy(col("iscore").desc, col("nid"))
+    val shortlist = scored.withColumn("srn", row_number().over(wShort))
+      .where(col("srn") <= Int8Shortlist)
+    topKBySim(shortlist.select(col("qid"), col("nid"),
+      cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim")))
   }
 
   /** Multi-table LSH embedding near-dup at a REAL threshold (0.95
@@ -536,10 +581,59 @@ object SimilarityQueries {
        |FROM c2 CROSS JOIN generate_series(1, $Dim) t(i)
        |ORDER BY cid, i""".stripMargin
 
+  /** q80 oracle: the full Lloyd chain, then the SAME two-stage search
+    * — int8 shortlist (exact integer scores) then double rerank. */
+  private val int8RerankSql =
+    s"""$normedCte,
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NumCentroids),
+       |${ivfAssignSql("c0", "a0")},
+       |${ivfLloydSql("a0", "c1")},
+       |${ivfAssignSql("c1", "a1")},
+       |${ivfLloydSql("a1", "c2")},
+       |${ivfAssignSql("c2", "cell")},
+       |q8 AS (
+       |  SELECT vec_id, v, nrm, cid,
+       |         [CAST(floor(v[i] * 127.0 / mx) AS BIGINT)
+       |          for i in generate_series(1, $Dim)] AS v8
+       |  FROM (SELECT vec_id, v, nrm, cid,
+       |               list_aggregate([abs(x) for x in v], 'max') AS mx
+       |        FROM cell) t
+       |  WHERE mx > 0),
+       |probe AS (
+       |  SELECT qid, qv, qnrm, qv8, cid FROM (
+       |    SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qnrm, q.v8 AS qv8, c.cid,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             list_aggregate([q.v[i]*c.cv[i] for i in generate_series(1, $Dim)], 'sum')
+       |               / (q.nrm*c.cnrm) DESC, c.cid) AS rn
+       |    FROM q8 q CROSS JOIN c2 c WHERE q.vec_id < $NumQueries) t
+       |  WHERE rn <= $NumProbes),
+       |scored AS (
+       |  SELECT probe.qid, s.vec_id AS nid, probe.qv, probe.qnrm, s.v, s.nrm,
+       |         list_aggregate([probe.qv8[i]*s.v8[i]
+       |                         for i in generate_series(1, $Dim)], 'sum') AS iscore
+       |  FROM probe JOIN q8 s ON probe.cid = s.cid),
+       |short AS (
+       |  SELECT qid, nid, qv, qnrm, v, nrm FROM (
+       |    SELECT qid, nid, qv, qnrm, v, nrm,
+       |           row_number() OVER (PARTITION BY qid ORDER BY iscore DESC, nid) AS srn
+       |    FROM scored) t
+       |  WHERE srn <= $Int8Shortlist),
+       |sims AS (
+       |  SELECT qid, nid,
+       |         list_aggregate([qv[i]*v[i] for i in generate_series(1, $Dim)], 'sum')
+       |           / (qnrm*nrm) AS sim
+       |  FROM short)
+       |SELECT qid, nid, sim, rank FROM (
+       |  SELECT qid, nid, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+       |  FROM sims) t
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // Sorts FIRST in the bench's name-ordered run: the index build is
     // paid and timed here, once; q35/q52/q80 then scan the artifact.
     QueryDef("q00_ivf_build", ivfBuildSql)(ivfBuild),
+    QueryDef("q80_ann_int8_rerank", int8RerankSql)(int8RerankTopK),
     QueryDef("q26_similarity_topk", bruteSql)(bruteForceTopK),
     QueryDef("q27_ann_lsh_topk", lshSql)(lshTopK),
     QueryDef("q35_ann_ivf_topk", ivfSql)(ivfTopK),

@@ -41,4 +41,42 @@ class SkewJoinSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("_salt"))
   }
+
+  test("auto-tune: a cold key gets fan-out 1, a hot key is spread") {
+    import spark.implicits._
+    val left = ((1 to 5000).map(i => (1L, s"v$i")) ++     // hot: 5000 rows
+      (1 to 150).map(i => (2L, s"m$i")) ++                // warm: 150 rows
+      Seq((3L, "w3"))).toDF("k", "lval")                  // cold: 1 row
+    val fans = SkewJoin.fanouts(left, "k", targetRowsPerSalt = 100L,
+      maxFanout = 16).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fans(3L) == 1, "cold key must not be replicated")
+    assert(fans(2L) == 2, s"150 rows / 100 target => fan-out 2: $fans")
+    assert(fans(1L) == 16, "hot key clamps to maxFanout")
+  }
+
+  test("auto-salted join returns exactly the plain join's rows") {
+    import spark.implicits._
+    val left = ((1 to 5000).map(i => (1L, s"v$i")) ++
+      (2L to 50L).map(k => (k, s"w$k"))).toDF("k", "lval").repartition(8)
+    // right carries a key (99) absent from left: inner join drops it
+    val right = ((1L to 50L) :+ 99L).map(k => (k, s"dim$k")).toDF("k", "rval")
+    val plain = left.join(right, Seq("k"), "inner")
+      .select("k", "lval", "rval").collect().map(_.toSeq).toSet
+    val salted = SkewJoin.autoSaltedInnerJoin(left, right, "k",
+      targetRowsPerSalt = 500L, maxFanout = 8, saltBy = Seq("lval"))
+      .select("k", "lval", "rval").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.size == 5000 + 49)
+  }
+
+  test("auto-salted join rejects reserved columns on either input") {
+    import spark.implicits._
+    val tainted = Seq((1L, 0)).toDF("k", "_fan")
+    val clean = Seq((1L, "d")).toDF("k", "rval")
+    val ex = intercept[IllegalArgumentException] {
+      SkewJoin.autoSaltedInnerJoin(clean, tainted, "k",
+        targetRowsPerSalt = 10L, maxFanout = 4, saltBy = Seq("k"))
+    }
+    assert(ex.getMessage.contains("_fan"))
+  }
 }
