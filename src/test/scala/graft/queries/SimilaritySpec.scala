@@ -77,4 +77,51 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
       || plan.contains("ShuffledHashJoin"), plan)
   }
+
+  private def withIsolatedStore[A](body: => A): A = {
+    val prev = sys.props.get("graft.index.store")
+    sys.props("graft.index.store") =
+      java.nio.file.Files.createTempDirectory("graft_ivf_store").toString
+    try body
+    finally prev match {
+      case Some(p) => sys.props("graft.index.store") = p
+      case None => sys.props.remove("graft.index.store")
+    }
+  }
+
+  test("IVF probes scan the persisted index artifact, not the build lineage") {
+    withIsolatedStore {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+      writeClustered(dir)
+      SimilarityQueries.ivfBuild(spark, dir).collect() // persist both artifacts
+      val probeInputs = SimilarityQueries.ivfTopK(spark, dir).inputFiles.toSeq
+      assert(probeInputs.nonEmpty && probeInputs.forall(_.contains("ivf_index")),
+        s"probe must read ONLY the persisted index artifact: $probeInputs")
+      assert(!probeInputs.exists(_.contains("embeddings.parquet")),
+        "probe must not rescan the corpus once the index is built")
+      // int8 rerank reads the artifact too (index + centroids for probing)
+      val rerankInputs = SimilarityQueries.int8RerankTopK(spark, dir).inputFiles.toSeq
+      assert(rerankInputs.exists(_.contains("ivf_index")) &&
+        !rerankInputs.exists(_.contains("embeddings.parquet")), s"$rerankInputs")
+    }
+  }
+
+  test("int8 shortlist + double rerank equals double scoring on the same candidates") {
+    // the quantizer's job is to NOT perturb the final ranking: over the
+    // identical nprobe=2 candidate set, shortlisting by exact-integer
+    // int8 scores then reranking the top 3k in double must produce the
+    // same top-k as scoring every candidate in double (ivfTopKProbe)
+    withIsolatedStore {
+      val dir = java.nio.file.Files.createTempDirectory("graft_i8_spec").toString
+      writeClustered(dir)
+      val full = SimilarityQueries.ivfTopKProbe(spark, dir)
+        .select("qid", "rank", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val rerank = SimilarityQueries.int8RerankTopK(spark, dir)
+        .select("qid", "rank", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rerank == full,
+        s"int8 shortlist must not change the final ranking: ${full.diff(rerank)}")
+    }
+  }
 }
