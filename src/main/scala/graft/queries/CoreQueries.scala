@@ -377,6 +377,42 @@ object CoreQueries {
         .groupBy(col("n_regionkey"))
         .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("names"))
         .orderBy(col("n_regionkey"))
-    }
+    },
+
+    // ---- SQL subquery surface (q82-q84): the reference's users write
+    // SQL through the host engine (README.md:51-61), so these three
+    // gates drive spark.sql DIRECTLY with the IDENTICAL ANSI text the
+    // oracle runs — one string, two engines, hash-equal results.
+    // Catalyst decorrelates/rewrites them into the join shapes gated
+    // elsewhere (scalar subquery -> agg+join, NOT EXISTS -> anti join,
+    // IN -> semi join), which .explain confirms — no nested-loop
+    // per-row execution.
+
+    // Correlated scalar subquery with an aggregate: each customer's
+    // most expensive order (max is order-independent -> exact).
+    QueryDef.sqlSurface("q82_sql_correlated_scalar",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin, Seq("orders")),
+
+    // NOT EXISTS (anti-join form): customers with no order beyond the
+    // threshold.
+    QueryDef.sqlSurface("q83_sql_not_exists",
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin, Seq("customer", "orders")),
+
+    // IN subquery (semi-join form) against a filtered column set.
+    QueryDef.sqlSurface("q84_sql_in_subquery",
+      """SELECT p_partkey, p_name
+        |FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+        |                    WHERE l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin, Seq("part", "lineitem"))
   )
 }

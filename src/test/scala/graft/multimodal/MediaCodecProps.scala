@@ -32,4 +32,28 @@ object MediaCodecProps extends Properties("MediaCodec") {
           b.startsWith(MediaCodec.PngSignature)
       looksLike || MediaCodec.decodeDims(b).isEmpty
     }
+
+  property("headerLength splits header from content exactly") =
+    forAll(Gen.choose(1, 65535), Gen.choose(1, 65535), body) { (w, h, b) =>
+      val png = MediaCodec.pngBytes(w, h, b)
+      val jpg = MediaCodec.jpegBytes(w, h, b)
+      // the content stream after the parsed header IS the body, byte
+      // for byte, in both containers
+      MediaCodec.headerLength(png).exists(o =>
+        png.drop(o).sameElements(b)) &&
+        MediaCodec.headerLength(jpg).exists(o => jpg.drop(o).sameElements(b))
+    }
+
+  property("content features are container-invariant and bounded") =
+    forAll(Gen.choose(1, 1920), Gen.choose(1, 1080), body) { (w, h, b) =>
+      val fp = MediaOps.contentFeatures(MediaCodec.pngBytes(w, h, b))
+      val fj = MediaOps.contentFeatures(MediaCodec.jpegBytes(w, h, b))
+      // identical body => identical content stats (components 2..7)
+      // regardless of container; every component bounded in [0, 1];
+      // the three class fractions cannot sum past 1
+      fp.drop(2).sameElements(fj.drop(2)) &&
+        fp.forall(x => x >= 0f && x <= 1f) &&
+        fp(4).toDouble + fp(5) + fp(6) <= 1.0000001 &&
+        fp(0) == (w / 1920.0).toFloat && fp(1) == (h / 1080.0).toFloat
+    }
 }
