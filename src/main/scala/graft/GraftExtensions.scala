@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[TopKAgg]) {
       exprs => GraftFunctions.buildTopK(exprs, descending = false)
     }
+    inject(ext, "heavy_hitters",
+      "_FUNC_(value, capacity) - Misra-Gries frequent-items summary as MAP<value, BIGINT>",
+      classOf[HeavyHittersAgg]) {
+      exprs => GraftFunctions.buildHeavyHitters(exprs)
+    }
     inject(ext, "vec_dot",
       "_FUNC_(a, b) - codegen'd dot product of two ARRAY<DOUBLE> vectors",
       classOf[VecDotProduct]) {

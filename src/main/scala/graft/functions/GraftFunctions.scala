@@ -67,6 +67,11 @@ object GraftFunctions {
     TopKAgg(v, k, descending)
   }
 
+  private[graft] def buildHeavyHitters(exprs: Seq[Expression]): Expression = {
+    val (v, k) = twoTyped("heavy_hitters")(exprs)
+    HeavyHittersAgg(v, k)
+  }
+
   private[graft] def buildVecDot(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"vec_dot(a, b) takes 2 arguments, got ${exprs.length}")
     VecDotProduct(exprs.head, exprs(1))
@@ -102,6 +107,7 @@ object GraftFunctions {
     reg("reservoir_sample")(buildReservoirSample)
     reg("max_k")(buildTopK(_, descending = true))
     reg("min_k")(buildTopK(_, descending = false))
+    reg("heavy_hitters")(buildHeavyHitters)
     reg("vec_dot")(buildVecDot)
     reg("simhash60")(buildSimHash60)
     reg("bloom_agg")(buildBloomAgg)
@@ -145,6 +151,11 @@ object GraftFunctions {
   /** The k smallest values per group, ascending. */
   def min_k(value: Column, k: Int): Column =
     call_function("min_k", value, lit(k))
+
+  /** Misra-Gries frequent-items summary: MAP<value, BIGINT> of at most
+    * `capacity` items with guaranteed-bounded undercounts. */
+  def heavy_hitters(value: Column, capacity: Int): Column =
+    call_function("heavy_hitters", value, lit(capacity))
 
   /** Codegen'd 60-bit SimHash of a STRING column (the scan-speed form
     * of TextSketches.simhash). */

@@ -413,6 +413,51 @@ object CoreQueries {
         |FROM part
         |WHERE p_partkey IN (SELECT l_partkey FROM lineitem
         |                    WHERE l_quantity >= 49)
-        |ORDER BY p_partkey""".stripMargin, Seq("part", "lineitem"))
+        |ORDER BY p_partkey""".stripMargin, Seq("part", "lineitem")),
+
+    // ---- Whole TPC-H-shaped analytic SQL (q85-q86): the full
+    // multi-join queries a reference user migrates, as ONE shared ANSI
+    // string. Revenue sums route through DECIMAL(20,4) (exact,
+    // associative — q01's idiom) so the double result is engine-
+    // identical; ORDER BY carries a full tie-break. Dates adapted to
+    // the fixture's 1995-2001 span.
+
+    // TPC-H Q3 shape — shipping priority: 3-way join, filtered both
+    // sides of the date, grouped revenue, top 10.
+    QueryDef.sqlSurface("q85_sql_tpch_q3",
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+        |       CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+        |            + day(o_orderdate) AS BIGINT) AS o_date_key,
+        |       o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-03-15'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_date_key, l_orderkey
+        |LIMIT 10""".stripMargin, Seq("customer", "orders", "lineitem")),
+
+    // TPC-H Q5 shape — local supplier volume: 6-way join through
+    // customer/orders/lineitem/supplier/nation/region with the
+    // same-nation constraint, one year of orders, revenue per nation.
+    QueryDef.sqlSurface("q86_sql_tpch_q5",
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region"))
   )
 }

@@ -205,6 +205,38 @@ object TextQueries {
         .select(col("doc_id"),
           posexplode(slice(sort_array(col("s")), 1, 3)).as(Seq("idx", "shingle")))
         .orderBy(col("doc_id"), col("idx"))
+    },
+
+    // Misra-Gries heavy hitters over the corpus tokens — boilerplate /
+    // stopword discovery with O(capacity) state. The sketch's content
+    // depends on processing order (partition boundaries), so like
+    // q24/q55 the gate checks the ORDER-INDEPENDENT GUARANTEE: for
+    // each exact top-10 token, est <= true and (true - est) *
+    // (capacity + 1) <= n_total. Capacity 8 is deliberately SMALLER
+    // than the 31-token vocabulary so evictions and the subtract-merge
+    // genuinely fire; the oracle states the exact counts and a
+    // literal true.
+    QueryDef("q87_heavy_hitters",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |ex AS (SELECT token, count(*)::BIGINT AS n_exact FROM tok GROUP BY token)
+        |SELECT token, n_exact, true AS ok FROM ex
+        |ORDER BY n_exact DESC, token LIMIT 10""".stripMargin) { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
+      val capacity = 8
+      val toks = Tables.load(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+      val total = toks.select(count(lit(1)).as("_n"))
+      val sketch = toks.agg(
+        graft.functions.GraftFunctions.heavy_hitters(col("token"), capacity).as("mg"))
+      val est = coalesce(element_at(col("mg"), col("token")), lit(0L))
+      exact.orderBy(col("n_exact").desc, col("token")).limit(10)
+        .crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+        .select(col("token"), col("n_exact"),
+          (est <= col("n_exact") &&
+            (col("n_exact") - est) * (capacity + 1) <= col("_n")).as("ok"))
+        .orderBy(col("n_exact").desc, col("token"))
     }
   )
 }
