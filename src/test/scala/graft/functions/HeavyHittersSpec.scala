@@ -55,6 +55,26 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(row.isNullAt(0), "empty group must evaluate to NULL")
   }
 
+  test("runs as streaming state: complete-mode aggregate over micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    GraftFunctions.register(spark)
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("v")
+      .agg(GraftFunctions.heavy_hitters(col("v"), 4).as("mg"))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    mem.addData(Seq.fill(30)("x") ++ Seq.fill(5)("y"): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(20)("x") ++ Seq.fill(9)("z"): _*)
+    q.processAllAvailable(); q.stop()
+    val est = spark.table("hh_stream").collect()(0).getMap[String, Long](0).toMap
+    // 64 items total, capacity 4 -> undercount bound 64/5
+    assert(est.getOrElse("x", 0L) <= 50L && 50L - est.getOrElse("x", 0L) <= 64 / 5,
+      s"streaming estimate out of bounds: $est")
+  }
+
   test("SQL registration: heavy_hitters parses and enforces constant capacity") {
     import spark.implicits._
     GraftFunctions.register(spark)
