@@ -107,12 +107,32 @@ object MediaCodec {
     * CRC) for PNG, after the first SOF segment for JPEG. Lets feature
     * extraction run over CONTENT bytes only, excluding bytes that only
     * describe the container. None for non-image payloads (callers
-    * treat the whole payload as content). */
+    * treat the whole payload as content). The PNG chunk-length field
+    * is attacker-controlled bytes: computed in Long arithmetic and
+    * rejected when negative, so a crafted length can never produce a
+    * negative offset (which would crash the feature loop). */
   def headerLength(p: Array[Byte]): Option[Int] = {
-    if (isPng(p)) Some(math.min(p.length, 8 + 4 + 4 + i32(p, 8) + 4))
-    else if (isJpeg(p)) jpegSofIndex(p).flatMap { j =>
+    if (isPng(p)) {
+      val chunkLen = i32(p, 8).toLong
+      if (chunkLen < 0) None
+      else Some(math.min(p.length.toLong, 8L + 4 + 4 + chunkLen + 4).toInt)
+    } else if (isJpeg(p)) jpegSofIndex(p).flatMap { j =>
       if (j + 3 > p.length) None
       else Some(math.min(p.length, j + 1 + u16(p, j + 1)))
+    } else None
+  }
+
+  /** One-walk combined parse: (width, height, headerLength). The
+    * per-row feature path uses this so the JPEG marker walk / PNG
+    * header parse runs once per payload, not once for dims and again
+    * for the header length. */
+  def decodeHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (isPng(p)) {
+      headerLength(p).map(off => (i32(p, 16), i32(p, 20), off))
+    } else if (isJpeg(p)) jpegSofIndex(p).flatMap { j =>
+      if (j + 8 > p.length) None
+      else Some((u16(p, j + 6), u16(p, j + 4),
+        math.min(p.length, j + 1 + u16(p, j + 1))))
     } else None
   }
 }

@@ -63,7 +63,7 @@ object MediaOps {
     * by the q30 oracle. A real vision/audio encoder would slot in
     * per partition-batch with the same signature. */
   private[multimodal] def contentFeatures(payload: Array[Byte]): Array[Float] = {
-    val off = MediaCodec.headerLength(payload).getOrElse(0)
+    val (w, h, off) = MediaCodec.decodeHeader(payload).getOrElse((0, 0, 0))
     val len = payload.length - off
     var sum = 0L; var ws = 0L; var lower = 0L; var digit = 0L
     val seen = new Array[Boolean](256)
@@ -78,7 +78,6 @@ object MediaOps {
       if (!seen(b)) { seen(b) = true; distinct += 1 }
       i += 1
     }
-    val (w, h) = MediaCodec.decodeDims(payload).getOrElse((0, 0))
     def frac(n: Long): Float = if (len == 0) 0f else (n.toDouble / len).toFloat
     Array(
       (w / 1920.0).toFloat,

@@ -25,21 +25,35 @@ object IndexStore {
   /** Artifact root — a JVM property so tests can isolate themselves. */
   def root: String = sys.props.getOrElse("graft.index.store", "/tmp/graft_index")
 
-  private def slug(sfDir: String): String =
-    sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** Collision-proof per-fixture directory: the readable sanitized
+    * path PLUS a hash of the exact original — two distinct fixture
+    * dirs that sanitize identically ("/d/sf_1" vs "/d/sf/1") must
+    * never share an artifact, or one corpus would silently probe the
+    * other's index. */
+  private def slug(sfDir: String): String = {
+    val readable = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tag = md.digest(sfDir.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    s"$readable-$tag"
+  }
 
+  /** Artifact names should embed the build configuration (e.g.
+    * "ivf_centroids_c16_i2") so a config change addresses a NEW
+    * artifact instead of serving one built under old parameters —
+    * mtime freshness alone cannot see code/config changes. */
   def artifactPath(sfDir: String, name: String): String =
     s"$root/${slug(sfDir)}/$name"
 
-  /** Fresh = parquet commit marker exists and is at least as new as
-    * the source file the index was derived from. */
+  /** Fresh = parquet commit marker exists, the source file exists,
+    * and the marker is at least as new as the source. A MISSING
+    * source is deliberately not-fresh: rebuilding then fails loudly
+    * on the bad path instead of silently serving a stale artifact. */
   private[operators] def isFresh(path: String, sourceFile: String): Boolean = {
     val ok = Paths.get(path, "_SUCCESS")
-    Files.exists(ok) && {
-      val src = Paths.get(sourceFile)
-      !Files.exists(src) ||
-        Files.getLastModifiedTime(ok).compareTo(Files.getLastModifiedTime(src)) >= 0
-    }
+    val src = Paths.get(sourceFile)
+    Files.exists(ok) && Files.exists(src) &&
+      Files.getLastModifiedTime(ok).compareTo(Files.getLastModifiedTime(src)) >= 0
   }
 
   /** Force-build: evaluate `build`, persist to `path`, return a frame

@@ -40,10 +40,17 @@ object MultimodalQueries {
     // statistics over the content stream AFTER the container header —
     // which is exactly the utf-8 text, so the oracle re-derives every
     // component from (doc_id, text) without ever seeing the payload.
-    // Each feature is one double expression rounded once to float on
-    // both sides (IEEE round-to-nearest on both engines), re-widened
-    // to double for the value compare. Emitted as exploded scalar rows
-    // (the driver compare can't hash array cells).
+    // LOAD-BEARING fixture invariant: the text is pure ASCII
+    // (octet_length(encode(text)) = length(text) for every row, all
+    // SFs — verified), so the oracle's per-CHARACTER ord/substr stats
+    // equal Spark's per-BYTE stats; a non-ASCII fixture would need
+    // the oracle rewritten over encode(text). Each feature is one
+    // double expression rounded once to float on both sides (IEEE
+    // round-to-nearest on both engines), re-widened to double for the
+    // value compare; empty text yields 0 fractions on both sides
+    // (Spark guards len == 0, the oracle CASE-guards the division).
+    // Emitted as exploded scalar rows (the driver compare can't hash
+    // array cells).
     QueryDef("q30_media_features",
       """WITH s AS (
         |  SELECT doc_id,
@@ -63,11 +70,11 @@ object MultimodalQueries {
         |  SELECT doc_id AS media_id, kind,
         |         [ w::DOUBLE / 1920.0, h::DOUBLE / 1080.0,
         |           len::DOUBLE / (len + 1024)::DOUBLE,
-        |           sbytes::DOUBLE / (len * 255)::DOUBLE,
-        |           nws::DOUBLE / len::DOUBLE,
-        |           nlower::DOUBLE / len::DOUBLE,
-        |           ndigit::DOUBLE / len::DOUBLE,
-        |           ndist::DOUBLE / len::DOUBLE ] AS f
+        |           CASE WHEN len = 0 THEN 0.0 ELSE sbytes::DOUBLE / (len * 255)::DOUBLE END,
+        |           CASE WHEN len = 0 THEN 0.0 ELSE nws::DOUBLE / len::DOUBLE END,
+        |           CASE WHEN len = 0 THEN 0.0 ELSE nlower::DOUBLE / len::DOUBLE END,
+        |           CASE WHEN len = 0 THEN 0.0 ELSE ndigit::DOUBLE / len::DOUBLE END,
+        |           CASE WHEN len = 0 THEN 0.0 ELSE ndist::DOUBLE / len::DOUBLE END ] AS f
         |  FROM s)
         |SELECT media_id, kind, i::BIGINT AS i,
         |       CAST(CAST(f[i] AS FLOAT) AS DOUBLE) AS fval

@@ -147,7 +147,7 @@ object PipelineQueries {
          |       JOIN n2 b ON b.vec_id = lb.vec_id AND a.vec_id < b.vec_id
          |  WHERE list_aggregate([a.v[i]*b.v[i]
          |                        for i in generate_series(1, ${SimilarityQueries.Dim})], 'sum')
-         |          / (a.nrm*b.nrm) >= 0.4
+         |          / (a.nrm*b.nrm) >= ${SimilarityQueries.BlockedNearDupThreshold}
          |    AND a.vec_id IN (SELECT doc_id FROM documents)
          |    AND b.vec_id IN (SELECT doc_id FROM documents)),
          |hedges AS (

@@ -47,6 +47,11 @@ object SimilarityQueries {
   private val PlantOffset = 1000L
   private val NearDupThreshold = 0.95
 
+  /** The label-blocked demo threshold (q36) — shared with the q81
+    * hybrid closure's embedding-edge rule so a tuning change cannot
+    * fork the two gates. */
+  private[queries] val BlockedNearDupThreshold = 0.4
+
   /** Deterministic Rademacher hyperplanes: sign of the first nibble of
     * md5("p:i"). Same constants are inlined into the oracle SQL. */
   private[queries] val Planes: Seq[Seq[Int]] = {
@@ -191,6 +196,15 @@ object SimilarityQueries {
 
   private def embSource(dir: String): String = s"$dir/embeddings.parquet"
 
+  /** Artifact names embed the build configuration: changing the
+    * centroid count or Lloyd depth addresses a NEW artifact rather
+    * than serving one built under the old parameters (IndexStore's
+    * mtime freshness cannot see config changes). */
+  private def centroidsArtifact(dir: String): String =
+    IndexStore.artifactPath(dir, s"ivf_centroids_c${NumCentroids}_i$LloydIterations")
+  private def indexArtifact(dir: String): String =
+    IndexStore.artifactPath(dir, s"ivf_index_c${NumCentroids}_i$LloydIterations")
+
   private def buildCentroids(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val seeds = normed(
@@ -200,14 +214,12 @@ object SimilarityQueries {
   }
 
   def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
-    IndexStore.readOrBuild(spark,
-      IndexStore.artifactPath(dir, "ivf_centroids"), embSource(dir)) {
+    IndexStore.readOrBuild(spark, centroidsArtifact(dir), embSource(dir)) {
       buildCentroids(spark, dir)
     }
 
   def ivfIndex(spark: SparkSession, dir: String): DataFrame =
-    IndexStore.readOrBuild(spark,
-      IndexStore.artifactPath(dir, "ivf_index"), embSource(dir)) {
+    IndexStore.readOrBuild(spark, indexArtifact(dir), embSource(dir)) {
       IvfIndex.assignCells(corpus(spark, dir), ivfCentroids(spark, dir))
     }
 
@@ -217,11 +229,10 @@ object SimilarityQueries {
     * the build (probes read the persisted parquet). */
   def ivfBuild(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val cents = IndexStore.rebuild(spark,
-      IndexStore.artifactPath(dir, "ivf_centroids")) {
+    val cents = IndexStore.rebuild(spark, centroidsArtifact(dir)) {
       buildCentroids(spark, dir)
     }
-    IndexStore.rebuild(spark, IndexStore.artifactPath(dir, "ivf_index")) {
+    IndexStore.rebuild(spark, indexArtifact(dir)) {
       IvfIndex.assignCells(corpus(spark, dir), cents)
     }
     cents.select(col("cid"), posexplode(col("cv")).as(Seq("i0", "cval")))
@@ -248,19 +259,29 @@ object SimilarityQueries {
     * rows), never the corpus; the probe stays an equi-join on cell id
     * and the probed cells are disjoint, so no (qid, nid) dedup is
     * needed. */
+  /** Shared probe selection: rank every centroid per query (window
+    * over the broadcast-small query x centroid frame only) and keep
+    * the top NumProbes cells. The query frame must carry qid/qv/qnrm;
+    * any EXTRA columns (e.g. the int8 form qv8) pass through — ONE
+    * definition of the probe rule for both ANN paths, so a tie-break
+    * or nprobe change cannot fork them. */
+  private def probedCells(q: DataFrame, cents: DataFrame): DataFrame = {
+    val keep = q.columns.map(col).toSeq :+ col("cid")
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cid"))
+    broadcast(q.crossJoin(cents)
+      .select(keep :+
+        cosine(col("qv"), col("cv"), col("qnrm"), col("cnrm")).as("psim"): _*)
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= NumProbes)
+      .select(keep: _*))
+  }
+
   def ivfTopKProbe(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val assigned = ivfIndex(spark, dir)
-    val cents = ivfCentroids(spark, dir)
     val q = assigned.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cid"))
-    val probes = broadcast(q.crossJoin(cents)
-      .select(col("qid"), col("qv"), col("qnrm"), col("cid"),
-        cosine(col("qv"), col("cv"), col("qnrm"), col("cnrm")).as("psim"))
-      .withColumn("rn", row_number().over(wProbe))
-      .where(col("rn") <= NumProbes)
-      .select(col("qid"), col("qv"), col("qnrm"), col("cid")))
+    val probes = probedCells(q, ivfCentroids(spark, dir))
     val sims = probes.join(assigned, Seq("cid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
@@ -287,17 +308,10 @@ object SimilarityQueries {
       .where(col("mx") > 0)
       .withColumn("v8", transform(col("v"), x => floor(x * 127.0 / col("mx"))))
       .drop("mx")
-    val cents = ivfCentroids(spark, dir)
     val q = q8.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("v8").as("qv8"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cid"))
-    val probes = broadcast(q.crossJoin(cents)
-      .select(col("qid"), col("qv"), col("qnrm"), col("qv8"), col("cid"),
-        cosine(col("qv"), col("cv"), col("qnrm"), col("cnrm")).as("psim"))
-      .withColumn("rn", row_number().over(wProbe))
-      .where(col("rn") <= NumProbes)
-      .select(col("qid"), col("qv"), col("qnrm"), col("qv8"), col("cid")))
+    val probes = probedCells(q, ivfCentroids(spark, dir))
     val scored = probes.join(q8, Seq("cid"))
       .select(col("qid"), col("vec_id").as("nid"),
         col("qv"), col("qnrm"), col("v"), col("nrm"),
@@ -480,7 +494,7 @@ object SimilarityQueries {
         col("la") === col("lb") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("la").as("label"),
         cosine(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
-      .where(col("sim") >= 0.4)
+      .where(col("sim") >= BlockedNearDupThreshold)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -495,7 +509,7 @@ object SimilarityQueries {
        |       JOIN l lb ON la.label = lb.label
        |       JOIN n b ON b.vec_id = lb.vec_id AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, label, sim FROM j
-       |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
+       |WHERE sim >= $BlockedNearDupThreshold ORDER BY id_a, id_b""".stripMargin
 
   private val multiProbeSql = {
     val flips = (1 to NumPlanes).map { i =>

@@ -227,12 +227,13 @@ object TextQueries {
       val toks = Tables.load(spark, dir, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
       val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
-      val total = toks.select(count(lit(1)).as("_n"))
-      val sketch = toks.agg(
+      // total count and the sketch are both global aggregates over the
+      // same frame: ONE pass computes both (vs a scan each)
+      val sketch = toks.agg(count(lit(1)).as("_n"),
         graft.functions.GraftFunctions.heavy_hitters(col("token"), capacity).as("mg"))
       val est = coalesce(element_at(col("mg"), col("token")), lit(0L))
       exact.orderBy(col("n_exact").desc, col("token")).limit(10)
-        .crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+        .crossJoin(broadcast(sketch))
         .select(col("token"), col("n_exact"),
           (est <= col("n_exact") &&
             (col("n_exact") - est) * (capacity + 1) <= col("_n")).as("ok"))

@@ -42,7 +42,15 @@ object StreamNearDup {
       .start()
 
   /** The periodic candidate pass over the whole accumulated store:
-    * banded LSH candidates from every signature written so far. */
+    * banded LSH candidates from every signature written so far.
+    *
+    * Run this on a QUIESCED store (between micro-batches, or after
+    * `StreamingQuery.processAllAvailable`/`stop`): the sink's
+    * overwrite of a replayed `batch=<id>` partition is not atomic
+    * with respect to a concurrent reader, so a pass racing a live
+    * replay could miss that batch's files. In production the pass is
+    * a scheduled batch job reading a snapshot/previous-batch
+    * watermark, not a concurrent tail. */
   def storeCandidates(spark: SparkSession, storePath: String): DataFrame =
     NearDupQueries.candidatesOf(NearDupQueries.bandsOf(
         spark.read.parquet(storePath)))

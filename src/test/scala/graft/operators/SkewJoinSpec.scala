@@ -14,12 +14,14 @@ class SkewJoinSpec extends SparkTestBase {
     val right = (1L to 50L).map(k => (k, s"dim$k")).toDF("k", "rval")
 
     val plain = left.join(right, Seq("k"), "inner")
-      .select("k", "lval", "rval").collect().map(_.toSeq).toSet
+      .select("k", "lval", "rval").collect().map(_.toSeq)
     val salted = SkewJoin.saltedInnerJoin(left, right, "k", n = 8,
       saltBy = Seq("lval"))
-      .select("k", "lval", "rval").collect().map(_.toSeq).toSet
-    assert(salted == plain)
-    assert(salted.size == 10000 + 49)
+      .select("k", "lval", "rval").collect().map(_.toSeq)
+    assert(salted.length == plain.length,
+      s"row multiplicity must match: ${salted.length} vs ${plain.length}")
+    assert(salted.map(_.toString).sorted.toSeq == plain.map(_.toString).sorted.toSeq)
+    assert(salted.length == 10000 + 49)
   }
 
   test("the hot key's rows spread across salt subkeys") {
@@ -61,12 +63,16 @@ class SkewJoinSpec extends SparkTestBase {
     // right carries a key (99) absent from left: inner join drops it
     val right = ((1L to 50L) :+ 99L).map(k => (k, s"dim$k")).toDF("k", "rval")
     val plain = left.join(right, Seq("k"), "inner")
-      .select("k", "lval", "rval").collect().map(_.toSeq).toSet
+      .select("k", "lval", "rval").collect().map(_.toSeq)
     val salted = SkewJoin.autoSaltedInnerJoin(left, right, "k",
       targetRowsPerSalt = 500L, maxFanout = 8, saltBy = Seq("lval"))
-      .select("k", "lval", "rval").collect().map(_.toSeq).toSet
-    assert(salted == plain)
-    assert(salted.size == 5000 + 49)
+      .select("k", "lval", "rval").collect().map(_.toSeq)
+    // multiset compare: a row matched under two salts would duplicate,
+    // which a Set comparison could not see
+    assert(salted.length == plain.length,
+      s"row multiplicity must match: ${salted.length} vs ${plain.length}")
+    assert(salted.map(_.toString).sorted.toSeq == plain.map(_.toString).sorted.toSeq)
+    assert(salted.length == 5000 + 49)
   }
 
   test("auto-salted join rejects reserved columns on either input") {
