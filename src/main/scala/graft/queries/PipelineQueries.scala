@@ -173,6 +173,32 @@ object PipelineQueries {
         .join(docIds.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       NearDupQueries.clustersFromPairs(text.unionByName(emb).distinct())
+    },
+
+    // Deterministic train/val/test split: fold = f(seed, doc_id) only
+    // — stable under reprocessing/growth, leak-proof per id, zero
+    // shuffle (one codegen'd hash expression; the oracle replays the
+    // exact md5-slice arithmetic). The gate pins counts AND exact
+    // per-fold id extremes + id sums, so a single reassigned id fails.
+    QueryDef("q100_hash_split",
+      """SELECT fold, count(*)::BIGINT AS n_docs,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       sum(doc_id)::BIGINT AS id_sum
+        |FROM (SELECT doc_id,
+        |             CASE WHEN bp < 8000 THEN 'train'
+        |                  WHEN bp < 9000 THEN 'val'
+        |                  ELSE 'test' END AS fold
+        |      FROM (SELECT doc_id,
+        |                   ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000 AS bp
+        |            FROM documents))
+        |GROUP BY fold ORDER BY fold""".stripMargin) { (spark, dir) =>
+      graft.operators.DataSplit
+        .withFold(Tables.load(spark, dir, "documents"), "doc_id", "42")
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("fold"))
     }
   )
 }

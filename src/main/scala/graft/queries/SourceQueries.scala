@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.ZoneMap
 import graft.sources.{Formats, Tables}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -143,6 +144,50 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_c"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // Zone-map data skipping over a range-clustered layout: the scan
+    // opens ONLY the files whose min/max zone overlaps the key range
+    // (ZoneMapSpec proves the file-count reduction); the clustered
+    // copy is a row-permutation of lineitem, so the oracle filters the
+    // ORIGINAL table — skipping must be result-invisible.
+    QueryDef("q99_zonemap_skipping",
+      """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 400
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val path = clusteredLineitem(spark, dir)
+      val zmap = lineitemZoneMap(spark, dir)
+      ZoneMap.skippingScan(spark, path, zmap, "l_orderkey", 100L, 400L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("l_returnflag"))
     }
   )
+
+  /** One-time-per-(session, dir) range-clustered rewrite of lineitem
+    * by l_orderkey (16 files) — the layout that makes zone-map
+    * skipping effective: zones are near-disjoint, so a key-range scan
+    * touches O(selectivity) of the files. */
+  private val clusterSetup =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  private[graft] def clusteredLineitem(spark: SparkSession, dir: String): String =
+    clusterSetup.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/root/repo/target/graft_clustered/lineitem$tag"
+      ZoneMap.writeClustered(
+        Tables.load(spark, dir, "lineitem"), "l_orderkey", 16, path)
+      path
+    })
+
+  /** The per-file min/max zone map of the clustered copy, built once
+    * per (session, dir) and materialized (FrameMemo) so each
+    * skipping-scan's driver-side prune reads 16 memoized rows instead
+    * of re-aggregating the table. */
+  private[graft] def lineitemZoneMap(spark: SparkSession, dir: String): DataFrame =
+    FrameMemo.memoized(spark, s"zonemap_lineitem_$dir") {
+      ZoneMap.build(spark, clusteredLineitem(spark, dir), "l_orderkey")
+    }
 }
