@@ -74,7 +74,7 @@ object JoinQueries {
     QueryDef("q47_salted_join",
       """SELECT s_name,
         |       count(*) AS n_items,
-        |       CAST(sum(l_quantity * 100) AS BIGINT) AS sum_qty_c
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin) { (spark, dir) =>
       val li = Tables.load(spark, dir, "lineitem")

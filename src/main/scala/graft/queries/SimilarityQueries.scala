@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.GraftFunctions
-import graft.operators.{IndexStore, IvfIndex}
+import graft.operators.{IndexStore, IvfIndex, PqIndex}
 import graft.sources.Tables
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -326,6 +326,89 @@ object SimilarityQueries {
       cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim")))
   }
 
+  /** Product-quantization ANN — the full PQ pipeline on top of
+    * [[graft.operators.PqIndex]]: per-subspace codebooks trained by
+    * quantized Lloyd (bit-replayable, like the IVF centroids), the
+    * corpus encoded ONCE into M=8 code ids and persisted as an
+    * artifact, and the probe scanning ONLY that artifact — per row:
+    * 8 map lookups against the broadcast per-query LUT (ADC), an
+    * approximate-cosine shortlist, then exact double rerank. At
+    * 100 TB stage 1 reads 8 code bytes + one norm per vector instead
+    * of 512 vector bytes — a ~50x scan-bandwidth reduction, which is
+    * the entire reason PQ exists. Shortlist 3x the final k, as in the
+    * int8 path (q80). */
+  private val PqIterations = 1
+  private val PqShortlist = 3 * TopK
+
+  private def pqCodebookArtifact(dir: String): String = IndexStore.artifactPath(
+    dir, s"pq_codebook_m${PqIndex.M}_k${PqIndex.Ks}_i$PqIterations")
+  private def pqCodesArtifact(dir: String): String = IndexStore.artifactPath(
+    dir, s"pq_codes_m${PqIndex.M}_k${PqIndex.Ks}_i$PqIterations")
+
+  private def buildPqCodebook(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    PqIndex.train(corpus(spark, dir), PqIterations)
+  }
+
+  def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    IndexStore.readOrBuild(spark, pqCodebookArtifact(dir), embSource(dir)) {
+      buildPqCodebook(spark, dir)
+    }
+
+  /** The encoded corpus: (vec_id, nrm, codes) — all a probe reads. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    IndexStore.readOrBuild(spark, pqCodesArtifact(dir), embSource(dir)) {
+      PqIndex.encode(corpus(spark, dir), pqCodebook(spark, dir))
+        .select(col("vec_id"), col("nrm"), col("codes"))
+    }
+
+  /** Force-rebuild both PQ artifacts and emit the trained codebook
+    * coordinates — the declared build entry (pays the train+encode
+    * cost once; the probe scans the artifacts), gated against the
+    * full per-subspace Lloyd chain in SQL. */
+  def pqBuild(spark: SparkSession, dir: String): DataFrame = {
+    val cb = IndexStore.rebuild(spark, pqCodebookArtifact(dir)) {
+      buildPqCodebook(spark, dir)
+    }
+    IndexStore.rebuild(spark, pqCodesArtifact(dir)) {
+      PqIndex.encode(corpus(spark, dir), cb)
+        .select(col("vec_id"), col("nrm"), col("codes"))
+    }
+    cb.select(col("m"), col("c"), posexplode(col("cw")).as(Seq("i0", "cval")))
+      .select(col("m"), col("c"), (col("i0") + 1).cast("long").as("i"),
+        col("cval"))
+      .orderBy(col("m"), col("c"), col("i"))
+  }
+
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val codes = pqCodes(spark, dir)
+    val cbRow = PqIndex.codebookRow(pqCodebook(spark, dir))
+    val q = broadcast(normed(
+      Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumQueries))
+      .crossJoin(broadcast(cbRow))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        PqIndex.queryLut(col("v"), col("cbs")).as("qlut")))
+    // stage 1: ADC over the code artifact only — approx cosine =
+    // (sum of M LUT entries) / stored corpus norm
+    val scored = q.crossJoin(codes)
+      .select(col("qid"), col("vec_id").as("nid"), col("qv"), col("qnrm"),
+        (PqIndex.adcScore(col("codes"), col("qlut")) / col("nrm")).as("ascore"))
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("ascore").desc, col("nid"))
+    val shortlist = broadcast(scored
+      .withColumn("srn", row_number().over(wShort))
+      .where(col("srn") <= PqShortlist)
+      .select(col("qid"), col("nid"), col("qv"), col("qnrm")))
+    // stage 2: exact double rerank of the tiny shortlist against the
+    // source vectors (broadcast semi-shaped join, corpus scanned once)
+    val tv = corpus(spark, dir).select(col("vec_id").as("nid"),
+      col("v").as("nv"), col("nrm").as("nnrm"))
+    topKBySim(shortlist.join(tv, "nid")
+      .select(col("qid"), col("nid"),
+        cosine(col("qv"), col("nv"), col("qnrm"), col("nnrm")).as("sim")))
+  }
+
   /** Multi-table LSH embedding near-dup at a REAL threshold (0.95
     * cosine) — the scale path q36's label blocking only demos. The
     * fixture's vectors are near-orthogonal (max pairwise cosine 0.51),
@@ -643,7 +726,95 @@ object SimilarityQueries {
        |  FROM sims) t
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
+  // ---- PQ oracle CTEs --------------------------------------------------
+
+  /** Subvector frame: every (vec_id, m) with its SubDim-slice. */
+  private val pqSubCte =
+    s"""sub AS (
+       |  SELECT vec_id, m,
+       |         [v[m*${PqIndex.SubDim}+i] for i in generate_series(1, ${PqIndex.SubDim})] AS sv
+       |  FROM n CROSS JOIN generate_series(0, ${PqIndex.M - 1}) t(m))"""
+
+  /** Argmin code assignment of every subvector against codebook `cb`
+    * — squared-L2 fold, ties to the lowest code (mirrors the Spark
+    * fold's strict-less replacement in ascending (m, c) order). */
+  private def pqAssignSql(cb: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, m, c FROM (
+       |    SELECT s.vec_id, s.m, c.c,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |             list_aggregate([(s.sv[i]-c.cw[i])*(s.sv[i]-c.cw[i])
+       |                             for i in generate_series(1, ${PqIndex.SubDim})], 'sum') ASC, c.c) AS rn
+       |    FROM sub s JOIN $cb c ON s.m = c.m) t WHERE rn = 1)"""
+
+  /** One per-subspace Lloyd update: quantized coordinate means, the
+    * same floor(x * 2^20) BIGINT-sum trick as [[IvfIndex]]. */
+  private def pqLloydSql(assigned: String, out: String): String =
+    s"""${out}s AS (
+       |  SELECT a.m, a.c, i,
+       |         CAST(sum(CAST(floor(s.sv[i] * ${IvfIndex.Scale}) AS BIGINT)) AS BIGINT) AS sv2,
+       |         count(*)::BIGINT AS cnt
+       |  FROM $assigned a JOIN sub s ON a.vec_id = s.vec_id AND a.m = s.m
+       |       CROSS JOIN generate_series(1, ${PqIndex.SubDim}) t(i)
+       |  GROUP BY a.m, a.c, i),
+       |$out AS (
+       |  SELECT m, c, list(sv2::DOUBLE / (cnt::DOUBLE * ${IvfIndex.Scale}) ORDER BY i) AS cw
+       |  FROM ${out}s GROUP BY m, c)"""
+
+  private val pqTrainChain =
+    s"""$normedCte,
+       |$pqSubCte,
+       |cb0 AS (SELECT m, vec_id AS c, sv AS cw FROM sub WHERE vec_id < ${PqIndex.Ks}),
+       |${pqAssignSql("cb0", "a0")},
+       |${pqLloydSql("a0", "cb1")}"""
+
+  /** q0b oracle: the trained per-subspace codebook coordinates. */
+  private val pqBuildSql =
+    s"""$pqTrainChain
+       |SELECT m, c, i::BIGINT AS i, cw[i] AS cval
+       |FROM cb1 CROSS JOIN generate_series(1, ${PqIndex.SubDim}) t(i)
+       |ORDER BY m, c, i""".stripMargin
+
+  /** q101 oracle: the full PQ pipeline — train, encode, per-query ADC
+    * LUT, shortlist by approx cosine (LUT entries summed in ascending
+    * m, the same order as the Spark fold), exact double rerank. */
+  private val pqAdcSql =
+    s"""$pqTrainChain,
+       |${pqAssignSql("cb1", "enc")},
+       |lut AS (
+       |  SELECT q.vec_id AS qid, c.m, c.c,
+       |         list_aggregate([q.sv[i]*c.cw[i] for i in generate_series(1, ${PqIndex.SubDim})], 'sum') AS l
+       |  FROM sub q JOIN cb1 c ON q.m = c.m
+       |  WHERE q.vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT l.qid, e.vec_id AS nid,
+       |         list_aggregate(list(l.l ORDER BY l.m), 'sum') AS adc
+       |  FROM enc e JOIN lut l ON e.m = l.m AND e.c = l.c
+       |  GROUP BY l.qid, e.vec_id),
+       |ascored AS (
+       |  SELECT qid, nid, adc / n.nrm AS ascore
+       |  FROM scored JOIN n ON n.vec_id = scored.nid),
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY ascore DESC, nid) AS srn
+       |    FROM ascored) t WHERE srn <= $PqShortlist),
+       |sims AS (
+       |  SELECT s.qid, s.nid,
+       |         list_aggregate([q.v[i]*x.v[i] for i in generate_series(1, $Dim)], 'sum')
+       |           / (q.nrm * x.nrm) AS sim
+       |  FROM short s JOIN n q ON q.vec_id = s.qid JOIN n x ON x.vec_id = s.nid)
+       |SELECT qid, nid, sim, rank FROM (
+       |  SELECT qid, nid, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+       |  FROM sims) t
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    // Sorts just after q00 in the bench's name-ordered run: the PQ
+    // train+encode is paid and timed here; q101 scans the artifacts.
+    QueryDef("q0b_pq_build", pqBuildSql)(pqBuild),
+    QueryDef("q101_pq_adc_rerank", pqAdcSql)(pqAdcTopK),
     // Sorts FIRST in the bench's name-ordered run: the index build is
     // paid and timed here, once; q35/q52/q80 then scan the artifact.
     QueryDef("q00_ivf_build", ivfBuildSql)(ivfBuild),

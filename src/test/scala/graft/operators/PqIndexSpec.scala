@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.queries.SimilarityQueries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PQ is approximate by design, so the q101 oracle gate only proves
+  * both engines compute the SAME approximation. This spec pins the
+  * properties the gate cannot: training determinism, the zero-shuffle
+  * encode plan, code validity, and — because the whole pipeline is
+  * deterministic — the fixture's exact retrieval quality (recall vs
+  * brute force, self-retrieval) as a regression bound. */
+class PqIndexSpec extends SparkTestBase {
+
+  private def corpus: DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.sources.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+  }
+
+  test("training is deterministic: two runs give the identical codebook") {
+    val a = PqIndex.train(corpus, 1).collect().map(_.toString).sorted
+    val b = PqIndex.train(corpus, 1).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("codebook shape: one cw per surviving (m, c), SubDim coordinates each") {
+    val cb = PqIndex.train(corpus, 1).collect()
+    assert(cb.length == PqIndex.M * PqIndex.Ks,
+      s"no codeword should lose all members on this fixture: ${cb.length}")
+    assert(cb.forall(_.getSeq[Double](2).length == PqIndex.SubDim))
+  }
+
+  test("encode is a map-only plan over the corpus: no Exchange") {
+    val cb = PqIndex.train(corpus, 1)
+    // encode a frame read straight from parquet (no test-side
+    // repartition) — the corpus side must stay shuffle-free; the
+    // codebook side is one broadcast row
+    val plan = PqIndex.encode(corpus, cb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("codes are valid: M entries, each a surviving code of its subspace") {
+    val cb = PqIndex.train(corpus, 1)
+    val valid = cb.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val codes = PqIndex.encode(corpus, cb)
+      .select(col("vec_id"), col("codes")).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val cs = r.getSeq[Long](1)
+      assert(cs.length == PqIndex.M)
+      cs.zipWithIndex.foreach { case (c, m) =>
+        assert(valid.contains((m.toLong, c)), s"vec ${r.getLong(0)}: ($m, $c)")
+      }
+    }
+  }
+
+  test("retrieval quality is pinned: recall@10 >= 0.7, perfect self-retrieval") {
+    val pq = SimilarityQueries.pqAdcTopK(spark, sf0001)
+      .select(col("qid"), col("nid"), col("rank")).collect()
+    val bf = SimilarityQueries.bruteForceTopK(spark, sf0001)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = pq.count(r => bf.contains((r.getLong(0), r.getLong(1))))
+    // deterministic pipeline -> deterministic recall; 0.76 measured on
+    // this fixture (near-orthogonal random vectors — PQ's hardest case)
+    assert(hits.toDouble / bf.size >= 0.7, s"recall ${hits.toDouble / bf.size}")
+    // every query is a corpus member and must retrieve itself first
+    pq.filter(_.getLong(2) == 1L).foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"rank-1 of ${r.getLong(0)}")
+    }
+  }
+}
