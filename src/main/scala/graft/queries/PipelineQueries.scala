@@ -199,6 +199,29 @@ object PipelineQueries {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
           sum(col("doc_id")).as("id_sum"))
         .orderBy(col("fold"))
+    },
+
+    // Deterministic stratified downsampling: cap English at 25% and
+    // Chinese at 50%, keep everything else — the corpus-rebalancing
+    // pass before training. Keep/drop = f(seed, doc_id) only (stable
+    // under reprocessing and growth, map-only plan); the oracle
+    // replays the md5 basis-point arithmetic and the per-stratum CASE.
+    QueryDef("q102_stratified_sample",
+      """SELECT lang, count(*)::BIGINT AS n_kept,
+        |       sum(doc_id)::BIGINT AS id_sum,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (SELECT doc_id, lang,
+        |             ('0x' || substr(md5('s7:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000 AS bp
+        |      FROM documents)
+        |WHERE bp < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE 10000 END
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+      graft.operators.StratifiedSample
+        .sampleBy(Tables.load(spark, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 2500, "zh" -> 5000), defaultBp = 10000, seed = "s7")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
     }
   )
 }
