@@ -215,6 +215,28 @@ object TpchQueries {
         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
-      Seq("orders", "lineitem"))
+      Seq("orders", "lineitem")),
+
+    // TPC-H Q15 shape — top supplier by quarterly revenue: a shared
+    // CTE consumed twice (once as the join input, once under the
+    // uncorrelated scalar-max subquery). The equality against the max
+    // runs on the EXACT decimal revenue — only the output is cast to
+    // double — so a float ulp can never drop the winning supplier.
+    // (Supplier address/phone columns don't exist in the fixture;
+    // the output keeps key + name + revenue.)
+    QueryDef.sqlSurface("q103_sql_tpch_q15",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+      Seq("supplier", "lineitem"))
   )
 }
