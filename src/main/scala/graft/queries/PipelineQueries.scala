@@ -222,6 +222,40 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("lang"))
+    },
+
+    // Token-budget sequence packing: shard by the deterministic id
+    // hash, then contiguous 1500-token bins within each shard
+    // (running BIGINT sum in ascending doc_id order; bin = start
+    // offset DIV budget). All-integer arithmetic, so the oracle
+    // replays the exact assignment; the gate pins per-(shard, bin)
+    // doc counts, token totals, and the id extremes — one document
+    // in a different bin fails the compare.
+    QueryDef("q104_sequence_pack",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |         (('0x' || substr(md5('pk:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000) % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT shard, CAST((cum - n_tokens) // 1500 AS BIGINT) AS bin,
+        |       count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS bin_tokens,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.SequencePack
+        .assignBins(docs, "doc_id", "n_tokens",
+          numShards = 8, budgetTokens = 1500L, seed = "pk")
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("shard"), col("bin"))
     }
   )
 }

@@ -146,6 +146,26 @@ object SourceQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // The declared zone-map build entry (sorts before q99 in the
+    // bench's name-ordered run, so the probe never pays the rewrite —
+    // the q00/q0b index-build pattern): force the range-clustered
+    // rewrite of lineitem, rebuild the per-file min/max zone map, and
+    // gate CONSERVATION — the zone map must account for exactly every
+    // source row and the true global key extremes, which fails if the
+    // clustered copy dropped/duplicated rows or a zone bound drifted.
+    // (Per-file bounds aren't SQL-replayable — the range partitioner's
+    // split points aren't a SQL-expressible function — so disjointness
+    // and the file count are pinned by ZoneMapSpec instead.)
+    QueryDef("q0z_zonemap_cluster",
+      """SELECT count(*)::BIGINT AS n_rows,
+        |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |FROM lineitem""".stripMargin) { (spark, dir) =>
+      val path = rebuildClusteredLineitem(spark, dir)
+      ZoneMap.build(spark, path, "l_orderkey")
+        .agg(sum(col("n")).cast("long").as("n_rows"),
+          min(col("lo")).as("min_key"), max(col("hi")).as("max_key"))
+    },
+
     // Zone-map data skipping over a range-clustered layout: the scan
     // opens ONLY the files whose min/max zone overlaps the key range
     // (ZoneMapSpec proves the file-count reduction); the clustered
@@ -174,13 +194,25 @@ object SourceQueries {
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   private[graft] def clusteredLineitem(spark: SparkSession, dir: String): String =
-    clusterSetup.getOrElseUpdate((System.identityHashCode(spark), dir), {
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"/root/repo/target/graft_clustered/lineitem$tag"
-      ZoneMap.writeClustered(
-        Tables.load(spark, dir, "lineitem"), "l_orderkey", 16, path)
-      path
-    })
+    clusterSetup.getOrElseUpdate((System.identityHashCode(spark), dir),
+      writeClusteredLineitem(spark, dir))
+
+  /** Force the rewrite (the declared q0z build entry) and mark it done
+    * for this (session, dir) so q99's probe reuses the files. */
+  private[graft] def rebuildClusteredLineitem(spark: SparkSession,
+      dir: String): String = {
+    val path = writeClusteredLineitem(spark, dir)
+    clusterSetup.put((System.identityHashCode(spark), dir), path)
+    path
+  }
+
+  private def writeClusteredLineitem(spark: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/graft_clustered/lineitem$tag"
+    ZoneMap.writeClustered(
+      Tables.load(spark, dir, "lineitem"), "l_orderkey", 16, path)
+    path
+  }
 
   /** The per-file min/max zone map of the clustered copy, built once
     * per (session, dir) and materialized (FrameMemo) so each
