@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[HeavyHittersAgg]) {
       exprs => GraftFunctions.buildHeavyHitters(exprs)
     }
+    inject(ext, "count_min",
+      "_FUNC_(value, width) - count-min sketch counter grid as ARRAY<BIGINT>",
+      classOf[CountMinAgg]) {
+      exprs => GraftFunctions.buildCountMin(exprs)
+    }
     inject(ext, "vec_dot",
       "_FUNC_(a, b) - codegen'd dot product of two ARRAY<DOUBLE> vectors",
       classOf[VecDotProduct]) {

@@ -72,6 +72,11 @@ object GraftFunctions {
     HeavyHittersAgg(v, k)
   }
 
+  private[graft] def buildCountMin(exprs: Seq[Expression]): Expression = {
+    val (v, k) = twoTyped("count_min")(exprs)
+    CountMinAgg(v, k)
+  }
+
   private[graft] def buildVecDot(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"vec_dot(a, b) takes 2 arguments, got ${exprs.length}")
     VecDotProduct(exprs.head, exprs(1))
@@ -108,6 +113,7 @@ object GraftFunctions {
     reg("max_k")(buildTopK(_, descending = true))
     reg("min_k")(buildTopK(_, descending = false))
     reg("heavy_hitters")(buildHeavyHitters)
+    reg("count_min")(buildCountMin)
     reg("vec_dot")(buildVecDot)
     reg("simhash60")(buildSimHash60)
     reg("bloom_agg")(buildBloomAgg)
@@ -156,6 +162,12 @@ object GraftFunctions {
     * `capacity` items with guaranteed-bounded undercounts. */
   def heavy_hitters(value: Column, capacity: Int): Column =
     call_function("heavy_hitters", value, lit(capacity))
+
+  /** Count-min sketch over a STRING column: Depth x width counter
+    * grid (flattened row-major ARRAY<BIGINT>), never-underestimating
+    * frequency lookups via the replayable md5-slice hash family. */
+  def count_min(value: Column, width: Int): Column =
+    call_function("count_min", value, lit(width))
 
   /** Codegen'd 60-bit SimHash of a STRING column (the scan-speed form
     * of TextSketches.simhash). */

@@ -238,6 +238,37 @@ object TextQueries {
           (est <= col("n_exact") &&
             (col("n_exact") - est) * (capacity + 1) <= col("_n")).as("ok"))
         .orderBy(col("n_exact").desc, col("token"))
+    },
+
+    // Count-min sketch over the token stream: the row hashes are the
+    // replayable md5-slice family, so — unlike the usual
+    // probabilistic-bound gates — EVERY counter cell of the 4 x 64
+    // grid is hash-compared against a DuckDB replay of the sketch
+    // (unmaterialized cells are zeros on both sides). With 31 vocab
+    // tokens on 64 columns, collisions fire and the compare still
+    // matches, proving update, map-side partials and the element-wise
+    // merge all land every increment in exactly the right cell.
+    QueryDef("q105_count_min",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |cells AS (
+        |  SELECT d, ('0x' || substr(md5('cm' || d || ':' || t), 1, 7))::BIGINT % 64 AS idx,
+        |         count(*)::BIGINT AS c
+        |  FROM tok CROSS JOIN generate_series(0, 3) g(d)
+        |  GROUP BY d, idx),
+        |grid AS (SELECT d, i FROM generate_series(0, 3) g1(d)
+        |         CROSS JOIN generate_series(0, 63) g2(i))
+        |SELECT (grid.d * 64 + grid.i)::BIGINT AS pos,
+        |       coalesce(cells.c, 0)::BIGINT AS counter
+        |FROM grid LEFT JOIN cells ON grid.d = cells.d AND grid.i = cells.idx
+        |ORDER BY pos""".stripMargin) { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
+      Tables.load(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .agg(graft.functions.GraftFunctions.count_min(col("t"), 64).as("sk"))
+        .select(posexplode(col("sk")).as(Seq("pos", "counter")))
+        .select(col("pos").cast("long").as("pos"), col("counter"))
+        .orderBy(col("pos"))
     }
   )
 }
