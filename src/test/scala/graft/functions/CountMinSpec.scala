@@ -58,6 +58,28 @@ class CountMinSpec extends SparkTestBase {
     assert(viaSql.sameElements(sketchOf(tokens)))
   }
 
+  test("runs as streaming state: counters are exact across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    GraftFunctions.register(spark)
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("t")
+      .agg(GraftFunctions.count_min(col("t"), Width).as("sk"))
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    mem.addData(Seq.fill(30)("x") ++ Seq.fill(5)("y"): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(20)("x") ++ Seq.fill(9)("z"): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cm_stream").collect()
+      .head.getSeq[Long](0).toArray
+    // counters are pure sums, so the streamed sketch must equal the
+    // batch sketch over the concatenated data exactly
+    val batch = sketchOf(
+      (Seq.fill(50)("x") ++ Seq.fill(5)("y") ++ Seq.fill(9)("z")).toDF("t"))
+    assert(streamed.sameElements(batch))
+  }
+
   test("misuse fails at analysis time with the constraint named") {
     GraftFunctions.register(spark)
     tokens.createOrReplaceTempView("cm_toks")
