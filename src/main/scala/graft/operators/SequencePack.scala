@@ -31,12 +31,17 @@ object SequencePack {
 
   /** Assign each row a `shard` and a `bin`: deterministic hash shard,
     * then contiguous token-budget packing within the shard in
-    * ascending `idCol` order. Keeps input columns. */
+    * ascending `idCol` order. Keeps input columns. `groupCols` adds
+    * packing boundaries ABOVE the shard (e.g. the train/val/test
+    * fold: a bin must never mix folds), each group packing its shards
+    * independently from bin 0. */
   def assignBins(df: DataFrame, idCol: String, tokensCol: String,
-      numShards: Int, budgetTokens: Long, seed: String): DataFrame = {
+      numShards: Int, budgetTokens: Long, seed: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
     require(numShards > 0, "numShards must be positive")
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    val w = Window.partitionBy((groupCols :+ "shard").map(col): _*)
+      .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", DataSplit.bucketBp(col(idCol), seed) % numShards)
       .withColumn("_cum", sum(col(tokensCol)).over(w))

@@ -32,53 +32,68 @@ object PipelineQueries {
       size(array_distinct(toks)) * 100 >= size(toks) * 5
   }
 
+  /** The q44 survivor CTE chain (cand → neardup_drop → dedup_keep →
+    * quality → surv), shared verbatim with the q107 end-to-end
+    * pipeline so the cleaning rules cannot fork between the two
+    * gates. Must follow sigCte + bandsCte. */
+  private val survivorsCte =
+    s"""cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |neardup_drop AS (
+       |  SELECT DISTINCT doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |           len(list_intersect(sa.s, sb.s)) AS nc,
+       |           len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS nu
+       |    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+       |              JOIN sh sb ON cand.doc_b = sb.doc_id) t
+       |  WHERE nc * 10 >= nu * 7),
+       |dedup_keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+       |quality AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE len(string_split(text, ' ')) BETWEEN 10 AND 1000
+       |    AND len(regexp_extract_all(text, '[.,!?;:]')) * 5
+       |          <= len(string_split(text, ' '))
+       |    AND len(list_filter(string_split(text, ' '),
+       |              t -> list_contains($stopListSql, t))) * 50
+       |          >= len(string_split(text, ' '))
+       |    AND len(list_distinct(string_split(text, ' '))) * 100
+       |          >= len(string_split(text, ' ')) * 5),
+       |surv AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM documents d
+       |  JOIN dedup_keep k ON d.doc_id = k.doc_id
+       |  JOIN quality q ON d.doc_id = q.doc_id
+       |  LEFT JOIN neardup_drop nd ON d.doc_id = nd.doc_b
+       |  WHERE nd.doc_b IS NULL)""".stripMargin
+
+  /** The q44 Spark pipeline as a reusable frame: survivors of
+    * quality → exact-dedup-keep → near-dup drop, with lang + text. */
+  private def cleanSurvivors(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    val quality = base.where(qualityOk(toks, col("text"))).select(col("doc_id"))
+    val dedupKeep = base
+      .groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nearDupDrop = NearDupQueries.verifiedPairs(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    base.select(col("doc_id"), col("lang"), col("text"))
+      .join(dedupKeep, Seq("doc_id"), "left_semi")
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(nearDupDrop, Seq("doc_id"), "left_anti")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q44_clean_corpus",
       s"""${NearDupQueries.sigCte},
          |${NearDupQueries.bandsCte},
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-         |neardup_drop AS (
-         |  SELECT DISTINCT doc_b FROM (
-         |    SELECT doc_a, doc_b,
-         |           len(list_intersect(sa.s, sb.s)) AS nc,
-         |           len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS nu
-         |    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
-         |              JOIN sh sb ON cand.doc_b = sb.doc_id) t
-         |  WHERE nc * 10 >= nu * 7),
-         |dedup_keep AS (
-         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
-         |quality AS (
-         |  SELECT doc_id FROM documents
-         |  WHERE len(string_split(text, ' ')) BETWEEN 10 AND 1000
-         |    AND len(regexp_extract_all(text, '[.,!?;:]')) * 5
-         |          <= len(string_split(text, ' '))
-         |    AND len(list_filter(string_split(text, ' '),
-         |              t -> list_contains($stopListSql, t))) * 50
-         |          >= len(string_split(text, ' '))
-         |    AND len(list_distinct(string_split(text, ' '))) * 100
-         |          >= len(string_split(text, ' ')) * 5)
-         |SELECT d.doc_id FROM documents d
-         |JOIN dedup_keep k ON d.doc_id = k.doc_id
-         |JOIN quality q ON d.doc_id = q.doc_id
-         |LEFT JOIN neardup_drop nd ON d.doc_id = nd.doc_b
-         |WHERE nd.doc_b IS NULL
-         |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
-      val base = Tables.load(spark, dir, "documents")
-      val toks = split(col("text"), " ")
-      val quality = base.where(qualityOk(toks, col("text"))).select(col("doc_id"))
-      val dedupKeep = base
-        .groupBy(sha2(col("text"), 256))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val nearDupDrop = NearDupQueries.verifiedPairs(spark, dir)
-        .select(col("doc_b").as("doc_id")).distinct()
-      base.select(col("doc_id"))
-        .join(dedupKeep, Seq("doc_id"), "left_semi")
-        .join(quality, Seq("doc_id"), "left_semi")
-        .join(nearDupDrop, Seq("doc_id"), "left_anti")
-        .orderBy(col("doc_id"))
+         |$survivorsCte
+         |SELECT doc_id FROM surv
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      cleanSurvivors(spark, dir).select(col("doc_id")).orderBy(col("doc_id"))
     },
 
     // Keep-BEST dedup: real pipelines keep the richest member of each
@@ -256,6 +271,67 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("shard"), col("bin"))
+    },
+
+    // The END-TO-END training-corpus materialization, every stage an
+    // already-gated operator, composed in production order: clean
+    // (quality → exact dedup → near-dup drop, the q44 chain verbatim)
+    // → fold assignment (q100's split) → stratified rebalance (q102's
+    // rates) → fold-pure sequence packing (q104, folds as packing
+    // boundaries). The gate pins per-(fold, shard) doc counts, bin
+    // counts, token totals and id sums — one document surviving,
+    // folding, sampling or packing differently anywhere in the chain
+    // fails the compare.
+    QueryDef("q107_training_corpus",
+      s"""${NearDupQueries.sigCte},
+         |${NearDupQueries.bandsCte},
+         |$survivorsCte,
+         |folded AS (
+         |  SELECT doc_id, lang, text,
+         |         CASE WHEN bp < 8000 THEN 'train'
+         |              WHEN bp < 9000 THEN 'val'
+         |              ELSE 'test' END AS fold
+         |  FROM (SELECT *,
+         |          ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000 AS bp
+         |        FROM surv) f),
+         |sampled AS (
+         |  SELECT doc_id, lang, text, fold FROM (
+         |    SELECT *,
+         |           ('0x' || substr(md5('s7:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000 AS sbp
+         |    FROM folded) s
+         |  WHERE sbp < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE 10000 END),
+         |t AS (
+         |  SELECT doc_id, fold,
+         |         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |         (('0x' || substr(md5('pk:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000) % 4 AS shard
+         |  FROM sampled),
+         |c AS (
+         |  SELECT doc_id, fold, shard, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY fold, shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT fold, shard, count(*)::BIGINT AS n_docs,
+         |       CAST(count(DISTINCT CAST((cum - n_tokens) // 1500 AS BIGINT)) AS BIGINT) AS n_bins,
+         |       sum(n_tokens)::BIGINT AS fold_tokens,
+         |       sum(doc_id)::BIGINT AS id_sum
+         |FROM c GROUP BY fold, shard ORDER BY fold, shard""".stripMargin) { (spark, dir) =>
+      val surv = cleanSurvivors(spark, dir)
+      val folded = graft.operators.DataSplit.withFold(surv, "doc_id", "42")
+      val sampled = graft.operators.StratifiedSample.sampleBy(
+        folded, "doc_id", "lang", Map("en" -> 2500, "zh" -> 5000),
+        defaultBp = 10000, seed = "s7")
+      val toks = sampled.select(col("doc_id"), col("fold"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.SequencePack
+        .assignBins(toks, "doc_id", "n_tokens",
+          numShards = 4, budgetTokens = 1500L, seed = "pk",
+          groupCols = Seq("fold"))
+        .groupBy(col("fold"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("bin")).as("n_bins"),
+          sum(col("n_tokens")).as("fold_tokens"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("fold"), col("shard"))
     }
   )
 }

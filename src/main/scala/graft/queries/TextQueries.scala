@@ -269,6 +269,46 @@ object TextQueries {
         .select(posexplode(col("sk")).as(Seq("pos", "counter")))
         .select(col("pos").cast("long").as("pos"), col("counter"))
         .orderBy(col("pos"))
+    },
+
+    // The lookup side of the sketch: per-token frequency ESTIMATES
+    // (min over the 4 rows' cells) next to the exact counts, for the
+    // top-10 tokens. Because the hash family is replayable, the
+    // estimates themselves hash-compare EXACTLY — the oracle computes
+    // the same min-of-cells from its own replayed grid; `est >= n_exact`
+    // is CMS's never-underestimate guarantee made visible in the row.
+    QueryDef("q106_count_min_lookup",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |cells AS (
+        |  SELECT d, ('0x' || substr(md5('cm' || d || ':' || t), 1, 7))::BIGINT % 64 AS idx,
+        |         count(*)::BIGINT AS c
+        |  FROM tok CROSS JOIN generate_series(0, 3) g(d)
+        |  GROUP BY d, idx),
+        |ex AS (SELECT t, count(*)::BIGINT AS n_exact FROM tok GROUP BY t),
+        |est AS (
+        |  SELECT ex.t, ex.n_exact, min(cells.c)::BIGINT AS est
+        |  FROM ex JOIN cells
+        |    ON cells.idx = ('0x' || substr(md5('cm' || cells.d || ':' || ex.t), 1, 7))::BIGINT % 64
+        |  GROUP BY ex.t, ex.n_exact)
+        |SELECT t AS token, n_exact, est, est >= n_exact AS never_under
+        |FROM est ORDER BY n_exact DESC, token LIMIT 10""".stripMargin) { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
+      val toks = Tables.load(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val sketch = toks
+        .agg(graft.functions.GraftFunctions.count_min(col("token"), 64).as("sk"))
+      def cellOf(d: Int): Column =
+        conv(substring(md5(concat(lit(s"cm$d:"), col("token"))), 1, 7), 16, 10)
+          .cast("long") % 64
+      val estCol = least((0 until 4).map(d =>
+        element_at(col("sk"), (cellOf(d) + lit(d * 64) + 1).cast("int"))): _*)
+      toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(10)
+        .crossJoin(broadcast(sketch))
+        .select(col("token"), col("n_exact"), estCol.as("est"),
+          (estCol >= col("n_exact")).as("never_under"))
+        .orderBy(col("n_exact").desc, col("token"))
     }
   )
 }
