@@ -68,6 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[CountMinAgg]) {
       exprs => GraftFunctions.buildCountMin(exprs)
     }
+    inject(ext, "quantile_sketch",
+      "_FUNC_(value, sub_bucket_bits) - HDR-style mergeable quantile sketch as MAP<BIGINT, BIGINT>",
+      classOf[QuantileSketchAgg]) {
+      exprs => GraftFunctions.buildQuantileSketch(exprs)
+    }
     inject(ext, "vec_dot",
       "_FUNC_(a, b) - codegen'd dot product of two ARRAY<DOUBLE> vectors",
       classOf[VecDotProduct]) {
@@ -91,5 +96,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-plan rewrite (off unless spark.graft.bloomSemiJoin.enabled):
     // auto-insert the bloom prefilter under eligible left-semi joins
     ext.injectOptimizerRule(graft.plans.BloomSemiJoinRule)
+    // whole-plan rewrite (off unless spark.graft.zoneMap.enabled):
+    // zone-map file skipping for range filters over clustered tables
+    ext.injectOptimizerRule(graft.plans.ZoneMapRule)
   }
 }

@@ -63,7 +63,13 @@ case class CountMinAgg(
     * md5("cm<d>:" + value), mod width — identical to the SQL replay
     * `('0x' || substr(md5('cm' || d || ':' || t), 1, 7))::BIGINT % w`.
     * (MessageDigest is stateful, hence the per-thread instance —
-    * expression trees can be shared across local-mode task threads.) */
+    * expression trees can be shared across local-mode task threads.)
+    *
+    * DELIBERATE perf trade-off: one MD5 + one string build per depth
+    * row (4x per input) keeps the hash family byte-replayable in the
+    * DuckDB grid oracle. A production-tuned variant would hash the
+    * value ONCE and derive the Depth cells from one digest — changing
+    * the oracle SQL in lockstep — for ~4x update throughput. */
   private def cell(d: Int, v: UTF8String): Int = {
     val digest = CountMinAgg.md5.get().digest(
       (s"cm$d:" + v.toString).getBytes(StandardCharsets.UTF_8))

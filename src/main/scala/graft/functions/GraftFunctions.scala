@@ -77,6 +77,11 @@ object GraftFunctions {
     CountMinAgg(v, k)
   }
 
+  private[graft] def buildQuantileSketch(exprs: Seq[Expression]): Expression = {
+    val (v, k) = twoTyped("quantile_sketch")(exprs)
+    QuantileSketchAgg(v, k)
+  }
+
   private[graft] def buildVecDot(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"vec_dot(a, b) takes 2 arguments, got ${exprs.length}")
     VecDotProduct(exprs.head, exprs(1))
@@ -114,6 +119,7 @@ object GraftFunctions {
     reg("min_k")(buildTopK(_, descending = false))
     reg("heavy_hitters")(buildHeavyHitters)
     reg("count_min")(buildCountMin)
+    reg("quantile_sketch")(buildQuantileSketch)
     reg("vec_dot")(buildVecDot)
     reg("simhash60")(buildSimHash60)
     reg("bloom_agg")(buildBloomAgg)
@@ -168,6 +174,13 @@ object GraftFunctions {
     * frequency lookups via the replayable md5-slice hash family. */
   def count_min(value: Column, width: Int): Column =
     call_function("count_min", value, lit(width))
+
+  /** HDR-style mergeable quantile sketch over non-negative BIGINT
+    * values: MAP<bucket, count> with relative quantile error below
+    * 2^-subBucketBits (deterministic and partition-independent; see
+    * [[QuantileSketchAgg]]). */
+  def quantile_sketch(value: Column, subBucketBits: Int): Column =
+    call_function("quantile_sketch", value, lit(subBucketBits))
 
   /** Codegen'd 60-bit SimHash of a STRING column (the scan-speed form
     * of TextSketches.simhash). */

@@ -89,7 +89,12 @@ case class HeavyHittersAgg(
   override def eval(buf: HeavyHittersBuffer): Any =
     if (buf.counts.isEmpty) null
     else {
+      // deterministic map layout (count desc, then key): HashMap
+      // iteration order varies across JVMs/runs, and a user hashing or
+      // diffing the emitted MAP directly would see spurious changes
+      implicit val keyOrd: Ordering[Any] = ops.ordering
       val entries = buf.counts.toArray
+        .sortBy { case (key, c) => (-c, key) }
       new ArrayBasedMapData(
         new GenericArrayData(entries.map(_._1)),
         new GenericArrayData(entries.map(e => e._2: Any)))

@@ -110,19 +110,37 @@ object AppxMedianBounded {
     * local debugging reproducible. */
   val DefaultSeed: Long = 42L
 
-  /** STRING-form rendering. The reference's stringstream prints
-    * integral doubles without a decimal point ("500", `median.cc:
-    * 29-37`), so integral values in the exactly-representable long
-    * range render the same way here; other values keep Java's
-    * shortest-round-trip form (the stringstream's 6-significant-digit
-    * truncation is deliberately NOT mirrored — it would corrupt the
-    * documented CAST-back-to-DOUBLE round trip; see README). */
+  /** STRING-form rendering — byte parity with the reference's
+    * `stringstream << double` (`median.cc:29-43`): C `%g` with the
+    * default precision 6. */
   private[functions] def render(m: Any): String = m match {
-    case d: java.lang.Double
-        if d.doubleValue == math.rint(d.doubleValue) &&
-          math.abs(d.doubleValue) < 1e15 =>
-      d.doubleValue.toLong.toString
+    case d: java.lang.Double => gFormat(d.doubleValue)
     case other => other.toString
+  }
+
+  /** C `printf("%g", d)` / C++ default-ostream formatting: round the
+    * EXACT binary value to 6 significant decimal digits (half-even,
+    * the IEEE correct rounding glibc and DuckDB's printf apply), then
+    * fixed notation when the decimal exponent lands in [-4, 6) and
+    * scientific with a sign and >= 2 exponent digits otherwise,
+    * trailing zeros stripped in both styles. Java's `%.6g` is NOT
+    * this: it keeps trailing zeros and rounds HALF_UP, which diverges
+    * from the stringstream on exact decimal ties. */
+  private[functions] def gFormat(d: Double): String = {
+    if (java.lang.Double.isNaN(d)) "nan"
+    else if (d == Double.PositiveInfinity) "inf"
+    else if (d == Double.NegativeInfinity) "-inf"
+    else if (d == 0.0) { if (1.0 / d < 0) "-0" else "0" }
+    else {
+      val rounded = new java.math.BigDecimal(d).round(
+        new java.math.MathContext(6, java.math.RoundingMode.HALF_EVEN))
+      val exp = rounded.precision - rounded.scale - 1
+      if (exp < -4 || exp >= 6) {
+        val mant = rounded.movePointLeft(exp).stripTrailingZeros.toPlainString
+        val sign = if (exp < 0) "-" else "+"
+        f"${mant}e$sign${math.abs(exp)}%02d"
+      } else rounded.stripTrailingZeros.toPlainString
+    }
   }
 }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -19,8 +19,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * declared build query (q00) uses it so the bench times the real
   * build cost in ONE attributed entry instead of smearing it into
   * whichever probe runs first.
+  *
+  * Freshness cannot see CODE changes (mtime only), so every path
+  * embeds [[FormatVersion]] — bump it when any build algorithm
+  * changes and stale artifacts from older code become unreachable
+  * instead of silently served. DERIVED artifacts (an index built
+  * from a persisted centroid artifact) must pass the upstream
+  * artifact's `_SUCCESS` marker as an extra source, so rebuilding
+  * the upstream alone invalidates them too.
+  *
+  * Writes go to a temp directory and move into place, so a reader in
+  * another session never scans a half-written artifact; the final
+  * swap (delete old, move new) assumes a SINGLE WRITER per artifact
+  * — the scheduled-ETL model this store miniaturizes.
   */
 object IndexStore {
+
+  /** Bump when any artifact-building algorithm changes shape or
+    * semantics: the version is part of every artifact path, so old
+    * artifacts are simply never addressed again. */
+  val FormatVersion = 2
 
   /** Artifact root — a JVM property so tests can isolate themselves. */
   def root: String = sys.props.getOrElse("graft.index.store", "/tmp/graft_index")
@@ -41,32 +59,54 @@ object IndexStore {
   /** Artifact names should embed the build configuration (e.g.
     * "ivf_centroids_c16_i2") so a config change addresses a NEW
     * artifact instead of serving one built under old parameters —
-    * mtime freshness alone cannot see code/config changes. */
+    * mtime freshness alone cannot see code/config changes. The code
+    * format version is a path segment for the same reason. */
   def artifactPath(sfDir: String, name: String): String =
-    s"$root/${slug(sfDir)}/$name"
+    s"$root/v$FormatVersion/${slug(sfDir)}/$name"
 
-  /** Fresh = parquet commit marker exists, the source file exists,
-    * and the marker is at least as new as the source. A MISSING
+  /** The artifact's parquet commit marker — pass this as an extra
+    * source when building a DERIVED artifact on top of it. */
+  def successMarker(path: String): String = s"$path/_SUCCESS"
+
+  /** Fresh = parquet commit marker exists, every source file exists,
+    * and the marker is at least as new as each source. A MISSING
     * source is deliberately not-fresh: rebuilding then fails loudly
     * on the bad path instead of silently serving a stale artifact. */
-  private[operators] def isFresh(path: String, sourceFile: String): Boolean = {
+  private[operators] def isFresh(path: String, sources: Seq[String]): Boolean = {
     val ok = Paths.get(path, "_SUCCESS")
-    val src = Paths.get(sourceFile)
-    Files.exists(ok) && Files.exists(src) &&
-      Files.getLastModifiedTime(ok).compareTo(Files.getLastModifiedTime(src)) >= 0
+    Files.exists(ok) && sources.forall { s =>
+      val src = Paths.get(s)
+      Files.exists(src) &&
+        Files.getLastModifiedTime(ok).compareTo(Files.getLastModifiedTime(src)) >= 0
+    }
   }
 
-  /** Force-build: evaluate `build`, persist to `path`, return a frame
-    * reading the persisted artifact (so downstream plans scan parquet,
-    * not the build lineage). */
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+
+  /** Force-build: evaluate `build`, persist to `path` (written to a
+    * temp sibling, then moved into place so concurrent readers never
+    * see a partial write), return a frame reading the persisted
+    * artifact (so downstream plans scan parquet, not the build
+    * lineage). Single writer per artifact assumed. */
   def rebuild(spark: SparkSession, path: String)(build: => DataFrame): DataFrame = {
-    build.write.mode("overwrite").parquet(path)
+    val tmp = s"$path.inprogress"
+    deleteRecursively(Paths.get(tmp))
+    build.write.mode("overwrite").parquet(tmp)
+    deleteRecursively(Paths.get(path))
+    Files.move(Paths.get(tmp), Paths.get(path),
+      StandardCopyOption.ATOMIC_MOVE)
     spark.read.parquet(path)
   }
 
-  /** Read the persisted artifact when fresh, else build + persist. */
-  def readOrBuild(spark: SparkSession, path: String, sourceFile: String)(
-      build: => DataFrame): DataFrame =
-    if (isFresh(path, sourceFile)) spark.read.parquet(path)
+  /** Read the persisted artifact when fresh against EVERY source
+    * (the raw table, plus upstream artifacts' `_SUCCESS` markers for
+    * derived artifacts), else build + persist. */
+  def readOrBuild(spark: SparkSession, path: String, sourceFile: String,
+      extraSources: String*)(build: => DataFrame): DataFrame =
+    if (isFresh(path, sourceFile +: extraSources)) spark.read.parquet(path)
     else rebuild(spark, path)(build)
 }

@@ -135,4 +135,21 @@ object PqIndex {
     aggregate(sequence(lit(0L), lit(M - 1L)), lit(0.0), (acc, m) =>
       acc + element_at(qlut, m * KeyStride +
         element_at(codes, (m + 1).cast("int"))))
+
+  /** The codeword assigned to subspace m by `codes`, looked up in the
+    * broadcast sorted-struct codebook array. */
+  private def assignedCw(cbs: Column, m: Column, codes: Column): Column =
+    element_at(filter(cbs, e =>
+      e.getField("m") === m &&
+        e.getField("c") === element_at(codes, (m + 1).cast("int"))), 1)
+      .getField("cw")
+
+  /** Stage-1 quantization residual of a full vector: per subspace,
+    * subVec(v, m) minus its assigned codeword, re-flattened to a full
+    * Dim-length vector — the input a SECOND (residual) codebook is
+    * trained on. Pure per-row expression over the broadcast codebook,
+    * so computing residuals for the whole corpus stays map-only. */
+  def residual(v: Column, codes: Column, cbs: Column): Column =
+    flatten(transform(sequence(lit(0L), lit(M - 1L)), m =>
+      zip_with(subVec(v, m), assignedCw(cbs, m, codes), (a, b) => a - b)))
 }

@@ -43,10 +43,15 @@ object SequencePack {
     val w = Window.partitionBy((groupCols :+ "shard").map(col): _*)
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // `_start` (the running token count BEFORE the document) is built
+    // with Column arithmetic so `tokensCol` resolves through analysis
+    // like every other column reference (a spliced SQL string would
+    // break on names needing backtick quoting); only the generated
+    // `_start` name and the numeric budget reach the DIV expr.
     df.withColumn("shard", DataSplit.bucketBp(col(idCol), seed) % numShards)
       .withColumn("_cum", sum(col(tokensCol)).over(w))
-      .withColumn("bin",
-        expr(s"(_cum - $tokensCol) DIV $budgetTokens"))
-      .drop("_cum")
+      .withColumn("_start", col("_cum") - col(tokensCol))
+      .withColumn("bin", expr(s"_start DIV $budgetTokens"))
+      .drop("_cum", "_start")
   }
 }

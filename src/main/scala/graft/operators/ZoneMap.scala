@@ -50,6 +50,23 @@ object ZoneMap {
       .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"),
         count(lit(1)).as("n"))
 
+  /** The sibling-directory convention [[graft.plans.ZoneMapRule]]
+    * discovers zone maps by: `<table>.zonemap.<col>` — NEXT TO the
+    * table, never inside it (a nested directory would be read back as
+    * table data). */
+  def zoneMapPath(tablePath: String, keyCol: String): String =
+    s"${tablePath.stripSuffix("/")}.zonemap.$keyCol"
+
+  /** Build and persist the zone map where [[graft.plans.ZoneMapRule]]
+    * looks for it. Call after (re)writing the table — the rule
+    * ignores maps older than any data file. */
+  def persist(spark: SparkSession, tablePath: String, keyCol: String): String = {
+    val out = zoneMapPath(tablePath, keyCol)
+    build(spark, tablePath, keyCol)
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    out
+  }
+
   /** Range scan `keyCol BETWEEN lo AND hi` that opens ONLY the files
     * whose zone overlaps the interval. The zone map is collected on
     * the driver (planning metadata); an empty survivor list

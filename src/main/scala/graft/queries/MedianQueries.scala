@@ -129,6 +129,32 @@ object MedianQueries {
         .orderBy(col("l_returnflag"), col("idx"))
     },
 
+    // STRING-form rendering parity, gated BYTE-FOR-BYTE: the reference
+    // formats the median through `stringstream << double` — C %g at
+    // the default precision 6 (`median.cc:29-43`) — and the oracle
+    // replays that with DuckDB's printf('%g', ...) over the exact
+    // upper-median. Values are scaled by 1e6 so the gate crosses the
+    // fixed -> scientific switch ("3.53e+07"-style), the formatting
+    // case a plain events median would never reach.
+    QueryDef("q110_median_string_format",
+      """SELECT event_type, printf('%g', med) AS med_str FROM (
+        |  SELECT event_type, v AS med FROM (
+        |    SELECT event_type, v,
+        |           row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |           count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM (SELECT event_type, value * 1000000.0 AS v
+        |          FROM events WHERE value IS NOT NULL) s
+        |  ) t WHERE rn = n // 2 + 1) m ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      val ev = Tables.load(spark, dir, "events")
+      val k = exactK(ev, col("value"), "q110_median_string_format")
+      ev.where(col("value").isNotNull)
+        .select(col("event_type"), (col("value") * 1000000.0).as("v"))
+        .groupBy(col("event_type"))
+        .agg(GraftFunctions.appx_median_bounded(col("v"), k).as("med_str"))
+        .orderBy(col("event_type"))
+    },
+
     // Typed median on a TIMESTAMP column — the reference's latent
     // TimestampVal comparator (`median.cc:216-221`) made real.
     QueryDef("q20_median_timestamp",

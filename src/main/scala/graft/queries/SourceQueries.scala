@@ -183,8 +183,40 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_lines"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // AUTOMATIC zone-map skipping (the round-5 verdict's item 2):
+    // the same physics as q99 but through a PLAIN declarative read —
+    // spark.read.parquet(path).where(range) — with the file pruning
+    // arriving via the conf-gated ZoneMapRule optimizer rewrite
+    // (ZoneMapRuleSpec pins the pruned FileScan; this gate pins
+    // result-invisibility against the unclustered oracle).
+    QueryDef("q111_zonemap_auto",
+      """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 400
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val path = clusteredLineitem(spark, dir)
+      persistedZoneMap(spark, dir, path)
+      graft.plans.ZoneMapRule.install(spark)
+      spark.read.parquet(path)
+        .where(col("l_orderkey").between(100L, 400L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("l_returnflag"))
     }
   )
+
+  /** Persist the clustered-lineitem zone map at the ZoneMapRule
+    * discovery path, once per (session, dir). */
+  private val zoneMapSetup =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  private def persistedZoneMap(spark: SparkSession, dir: String,
+      tablePath: String): String =
+    zoneMapSetup.getOrElseUpdate((System.identityHashCode(spark), dir),
+      ZoneMap.persist(spark, tablePath, "l_orderkey"))
 
   /** One-time-per-(session, dir) range-clustered rewrite of lineitem
     * by l_orderkey (16 files) — the layout that makes zone-map

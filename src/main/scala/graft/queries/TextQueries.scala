@@ -3,7 +3,8 @@ package graft.queries
 import graft.functions.TextSketches
 import graft.sources.Tables
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table (SURVEY §2.3):
@@ -34,6 +35,13 @@ object TextQueries {
   }
 
   private val stopListSql = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Quantile-sketch resolution: b = 5 -> 32 sub-buckets per octave,
+    * estimates within 2^-5 ~ 3.1% relative error, ~1900 cells worst
+    * case. (Declared BEFORE defs: the oracle SQL strings interpolate
+    * these at object init.) */
+  private val QsBits = 5
+  private val QsSubBuckets = 1 << QsBits
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -309,6 +317,91 @@ object TextQueries {
         .select(col("token"), col("n_exact"), estCol.as("est"),
           (estCol >= col("n_exact")).as("never_under"))
         .orderBy(col("n_exact").desc, col("token"))
+    },
+
+    // HDR-style mergeable quantile sketch (the judge's round-5 item 5)
+    // over lineitem price cents, one sketch per return flag. The
+    // bucketing is pure integer arithmetic (floor-log2 via binary
+    // string length, shifts), so — the q105 pattern — EVERY (flag,
+    // bucket, count) cell hash-compares against a DuckDB replay of
+    // the grid; KLL/t-digest would be untestable this way (randomized
+    // compaction / order-dependent centroids).
+    QueryDef("q112_quantile_sketch",
+      s"""WITH v AS (
+         |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+         |SELECT l_returnflag,
+         |       (greatest(0, length(printf('%b', v)) - 1 - $QsBits) * $QsSubBuckets
+         |        + (v >> greatest(0, length(printf('%b', v)) - 1 - $QsBits)))::BIGINT AS bucket,
+         |       count(*)::BIGINT AS cnt
+         |FROM v GROUP BY 1, 2
+         |ORDER BY l_returnflag, bucket""".stripMargin) { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
+      quantileSketchCells(spark, dir)
+        .orderBy(col("l_returnflag"), col("bucket"))
+    },
+
+    // Quantile ESTIMATES read off the sketch: the lower bound of the
+    // bucket where the cumulative count crosses ceil(q * n) — exact
+    // integer arithmetic from identical grids, so the estimates
+    // themselves hash-compare; QuantileSketchSpec pins the 2^-bits
+    // relative-error bound against exact quantiles.
+    QueryDef("q113_quantile_estimate",
+      s"""WITH v AS (
+         |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |cells AS (
+         |  SELECT l_returnflag,
+         |         (greatest(0, length(printf('%b', v)) - 1 - $QsBits) * $QsSubBuckets
+         |          + (v >> greatest(0, length(printf('%b', v)) - 1 - $QsBits)))::BIGINT AS bucket,
+         |         count(*)::BIGINT AS cnt
+         |  FROM v GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT l_returnflag, bucket, cnt,
+         |         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+         |         sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM cells),
+         |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+         |hit AS (
+         |  SELECT l_returnflag, q, bucket
+         |  FROM cum CROSS JOIN qs
+         |  WHERE cum >= ceil(q * n) AND cum - cnt < ceil(q * n))
+         |SELECT l_returnflag, q,
+         |       (CASE WHEN (bucket >> $QsBits) - 1 < 0 THEN bucket
+         |             ELSE (bucket - ((bucket >> $QsBits) - 1) * $QsSubBuckets)
+         |                  << ((bucket >> $QsBits) - 1) END)::BIGINT AS est
+         |FROM hit ORDER BY l_returnflag, q""".stripMargin) { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
+      import spark.implicits._
+      val cells = quantileSketchCells(spark, dir)
+      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val rank = ceil(col("q") * col("n"))
+      cells
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .crossJoin(broadcast(Seq(0.5, 0.9, 0.99).toDF("q")))
+        .where(col("cum") >= rank && col("cum") - col("cnt") < rank)
+        .withColumn("shift", shiftright(col("bucket"), QsBits) - 1)
+        .select(col("l_returnflag"), col("q"),
+          when(col("shift") < 0, col("bucket"))
+            .otherwise(expr(
+              s"shiftleft(bucket - shift * $QsSubBuckets, shift)"))
+            .cast("long").as("est"))
+        .orderBy(col("l_returnflag"), col("q"))
     }
   )
+
+  /** The exploded sketch grid (l_returnflag, bucket, cnt) both
+    * quantile gates read — ONE definition so the estimate gate can
+    * never drift from the grid gate. */
+  private def quantileSketchCells(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.GraftFunctions.quantile_sketch(col("v"), QsBits).as("sk"))
+      .select(col("l_returnflag"), explode(col("sk")).as(Seq("bucket", "cnt")))
 }

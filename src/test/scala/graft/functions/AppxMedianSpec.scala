@@ -58,9 +58,41 @@ class AppxMedianSpec extends SparkTestBase {
         .collect()(0).getString(0)
     // stringstream prints "500", not Java's "500.0"
     assert(stringForm((0 to 1000).map(_.toDouble)) == "500")
-    // non-integral values keep the exact round-trip form (documented
-    // divergence from the stringstream's 6-digit truncation)
     assert(stringForm(Seq(1.1, 2.2, 3.3, 4.4, 5.5)) == "3.3")
+    // the 6-significant-digit %g truncation, including the fixed ->
+    // scientific switch at exponent 6 (median.cc:29-43)
+    assert(stringForm(Seq(1234566.0, 1234567.0, 1234568.0)) == "1.23457e+06")
+  }
+
+  test("STRING rendering is byte-identical to C %g (median.cc:29-43)") {
+    // expected bytes verified against glibc printf("%g") and DuckDB's
+    // printf('%g') — including the exact-decimal-tie half-even case
+    // (1234565.0) where Java's %.6g HALF_UP would print ...57e+06
+    val cases = Seq(
+      1234567.0 -> "1.23457e+06",
+      500.0 -> "500",
+      0.5 -> "0.5",
+      123.456789 -> "123.457",
+      0.00001 -> "1e-05",
+      0.0001 -> "0.0001",
+      1000000.0 -> "1e+06",
+      999999.5 -> "1e+06",
+      1234565.0 -> "1.23456e+06",
+      -33.55 -> "-33.55",
+      25.0 -> "25",
+      3.3 -> "3.3",
+      1e100 -> "1e+100",
+      1.5e-7 -> "1.5e-07",
+      0.000123456789 -> "0.000123457",
+      1234564999999.0 -> "1.23456e+12",
+      0.0 -> "0")
+    cases.foreach { case (d, want) =>
+      assert(AppxMedianBounded.gFormat(d) == want, s"gFormat($d)")
+    }
+    assert(AppxMedianBounded.gFormat(-0.0) == "-0")
+    assert(AppxMedianBounded.gFormat(Double.NaN) == "nan")
+    assert(AppxMedianBounded.gFormat(Double.PositiveInfinity) == "inf")
+    assert(AppxMedianBounded.gFormat(Double.NegativeInfinity) == "-inf")
   }
 
   test("nulls are skipped, not counted (median.cc:130)") {

@@ -71,4 +71,44 @@ class IndexStoreSpec extends SparkTestBase {
     assert(!a.stripPrefix(IndexStore.root).contains("/root"),
       s"sfDir must be slug-escaped inside the store: $a")
   }
+
+  test("paths embed the code format version") {
+    val a = IndexStore.artifactPath("/data/sf1", "ivf")
+    assert(a.contains(s"/v${IndexStore.FormatVersion}/"),
+      s"artifacts from older build code must be unreachable: $a")
+  }
+
+  test("a derived artifact goes stale when its upstream is rebuilt") {
+    withIsolatedRoot { _ =>
+      val src = Files.createTempFile("graft_src", ".parquet")
+      val upPath = IndexStore.artifactPath("/data/sf1", "cents")
+      val downPath = IndexStore.artifactPath("/data/sf1", "index")
+      var downBuilds = 0
+      IndexStore.rebuild(spark, upPath)(spark.range(2).select(col("id")))
+      def down = { downBuilds += 1; spark.range(6).select(col("id")) }
+      IndexStore.readOrBuild(spark, downPath, src.toString,
+        IndexStore.successMarker(upPath))(down)
+      IndexStore.readOrBuild(spark, downPath, src.toString,
+        IndexStore.successMarker(upPath))(down)
+      assert(downBuilds == 1, "fresh chain must not rebuild")
+      // upstream rebuilt AFTER the derived artifact: derived is stale
+      val newer = Files.getLastModifiedTime(Paths.get(downPath, "_SUCCESS"))
+        .toMillis + 5000
+      IndexStore.rebuild(spark, upPath)(spark.range(3).select(col("id")))
+      Files.setLastModifiedTime(Paths.get(upPath, "_SUCCESS"),
+        java.nio.file.attribute.FileTime.fromMillis(newer))
+      IndexStore.readOrBuild(spark, downPath, src.toString,
+        IndexStore.successMarker(upPath))(down)
+      assert(downBuilds == 2, "derived artifact must rebuild after upstream")
+    }
+  }
+
+  test("rebuild leaves no in-progress temp directory behind") {
+    withIsolatedRoot { _ =>
+      val path = IndexStore.artifactPath("/data/sf3", "pq")
+      IndexStore.rebuild(spark, path)(spark.range(2).select(col("id")))
+      assert(!Files.exists(Paths.get(s"$path.inprogress")))
+      assert(Files.exists(Paths.get(path, "_SUCCESS")))
+    }
+  }
 }
