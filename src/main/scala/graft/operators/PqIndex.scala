@@ -136,20 +136,22 @@ object PqIndex {
       acc + element_at(qlut, m * KeyStride +
         element_at(codes, (m + 1).cast("int"))))
 
-  /** The codeword assigned to subspace m by `codes`, looked up in the
-    * broadcast sorted-struct codebook array. */
-  private def assignedCw(cbs: Column, m: Column, codes: Column): Column =
-    element_at(filter(cbs, e =>
-      e.getField("m") === m &&
-        e.getField("c") === element_at(codes, (m + 1).cast("int"))), 1)
-      .getField("cw")
+  /** The (m, c) -> codeword MAP form of a codebook-row's `cbs` array —
+    * same key scheme as [[queryLut]]; turns per-row codeword lookups
+    * into one map probe instead of a 128-struct filter scan. */
+  def codebookMap(cbs: Column): Column =
+    map_from_entries(transform(cbs, e =>
+      struct((e.getField("m") * KeyStride + e.getField("c")).as("k"),
+        e.getField("cw").as("w"))))
 
   /** Stage-1 quantization residual of a full vector: per subspace,
     * subVec(v, m) minus its assigned codeword, re-flattened to a full
     * Dim-length vector — the input a SECOND (residual) codebook is
-    * trained on. Pure per-row expression over the broadcast codebook,
-    * so computing residuals for the whole corpus stays map-only. */
-  def residual(v: Column, codes: Column, cbs: Column): Column =
+    * trained on. Pure per-row expression over the broadcast codebook
+    * map, so computing residuals for the whole corpus stays map-only. */
+  def residual(v: Column, codes: Column, cbMap: Column): Column =
     flatten(transform(sequence(lit(0L), lit(M - 1L)), m =>
-      zip_with(subVec(v, m), assignedCw(cbs, m, codes), (a, b) => a - b)))
+      zip_with(subVec(v, m),
+        element_at(cbMap, m * KeyStride + element_at(codes, (m + 1).cast("int"))),
+        (a, b) => a - b)))
 }

@@ -500,14 +500,20 @@ object SimilarityQueries {
     * exchange is the vec_id join against the code artifact, which at
     * scale is co-partitioned (both sides derive from the same corpus
     * scan). */
-  private def rqResidualCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val cbRow = PqIndex.codebookRow(pqCodebook(spark, dir))
-    corpus(spark, dir).select(col("vec_id"), col("v"))
-      .join(pqCodes(spark, dir).select(col("vec_id"), col("codes")), "vec_id")
-      .crossJoin(broadcast(cbRow))
-      .select(col("vec_id"),
-        PqIndex.residual(col("v"), col("codes"), col("cbs")).as("v"))
-  }
+  private def rqResidualCorpus(spark: SparkSession, dir: String): DataFrame =
+    // localCheckpoint: train/encode re-read this frame once per Lloyd
+    // stage — without the cut, every stage re-optimizes and re-runs
+    // the join + per-subspace reconstruction HOF lineage, and the
+    // deeply nested expression trees dominate the build's wall clock
+    FrameMemo.memoized(spark, s"rq_residuals#$dir") {
+      val cbMapRow = broadcast(PqIndex.codebookRow(pqCodebook(spark, dir))
+        .select(PqIndex.codebookMap(col("cbs")).as("cbm")))
+      corpus(spark, dir).select(col("vec_id"), col("v"))
+        .join(pqCodes(spark, dir).select(col("vec_id"), col("codes")), "vec_id")
+        .crossJoin(cbMapRow)
+        .select(col("vec_id"),
+          PqIndex.residual(col("v"), col("codes"), col("cbm")).as("v"))
+    }
 
   private def buildRqCodebook(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)

@@ -107,7 +107,8 @@ class PqIndexSpec extends SparkTestBase {
     val enc = PqIndex.encode(corpus, cb)
     val resid = enc.crossJoin(broadcast(PqIndex.codebookRow(cb)))
       .select(col("vec_id"), col("v"),
-        PqIndex.residual(col("v"), col("codes"), col("cbs")).as("r"),
+        PqIndex.residual(col("v"), col("codes"),
+          PqIndex.codebookMap(col("cbs"))).as("r"),
         col("codes"))
       .limit(20).collect()
     val cwOf = cb.collect().map(r =>
