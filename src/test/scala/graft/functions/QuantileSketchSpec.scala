@@ -95,6 +95,27 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(viaSql == sketchOf(values.toDF("v")))
   }
 
+  test("runs as streaming state: the grid is exact across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    GraftFunctions.register(spark)
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("v")
+      .agg(GraftFunctions.quantile_sketch(col("v"), Bits).as("sk"))
+      .writeStream.format("memory").queryName("qs_stream")
+      .outputMode("complete").start()
+    val (first, second) = values.splitAt(values.length / 3)
+    mem.addData(first: _*)
+    q.processAllAvailable()
+    mem.addData(second: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("qs_stream").collect()
+      .head.getMap[Long, Long](0).toMap
+    // cell counts are pure sums, so the streamed sketch must equal the
+    // batch sketch over the concatenated data exactly
+    assert(streamed == sketchOf(values.toDF("v")))
+  }
+
   test("rejects non-BIGINT values and non-constant bits at analysis time") {
     GraftFunctions.register(spark)
     values.toDF("v").createOrReplaceTempView("qs_vals")
