@@ -102,6 +102,18 @@ class PqIndexSpec extends SparkTestBase {
     assert(recall > 0.76, s"residual-PQ recall $recall must beat the 0.76 pin")
   }
 
+  test("IVF-PQ probe plan: broadcast probe side, partial top-k below the exchange") {
+    // artifacts exist after the recall test above; the probe must scan
+    // them with the tiny probe set broadcast (never shuffling the code
+    // table for the join) and push a partial WindowGroupLimit below
+    // the shortlist exchange so only ~shortlist rows per query cross
+    val plan = SimilarityQueries.ivfPqTopK(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(30).mkString("\n"))
+    assert(plan.contains("WindowGroupLimit"), "partial top-k must exist")
+    assert(!plan.contains("CartesianProduct"), "no all-pairs anywhere")
+  }
+
   test("residual computation reconstructs: residual + codeword = original subvector") {
     val cb = PqIndex.train(corpus, 1)
     val enc = PqIndex.encode(corpus, cb)
