@@ -68,6 +68,15 @@ object IndexStore {
     * source when building a DERIVED artifact on top of it. */
   def successMarker(path: String): String = s"$path/_SUCCESS"
 
+  /** Commit-marker mtime (0 when absent) — the freshness stamp a
+    * session-scoped memo of a DERIVED frame must carry in its key, so
+    * rebuilding the upstream artifact mid-session addresses a fresh
+    * memo entry instead of silently serving the stale frame. */
+  def markerMtime(path: String): Long = {
+    val ok = Paths.get(path, "_SUCCESS")
+    if (Files.exists(ok)) Files.getLastModifiedTime(ok).toMillis else 0L
+  }
+
   /** Fresh = parquet commit marker exists, every source file exists,
     * and the marker is at least as new as each source. A MISSING
     * source is deliberately not-fresh: rebuilding then fails loudly

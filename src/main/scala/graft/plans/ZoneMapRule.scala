@@ -68,6 +68,15 @@ case class ZoneMapRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (boundsByCol.isEmpty) return None
     val files = fs.location.listFiles(Nil, Nil).flatMap(_.files)
     if (files.isEmpty) return None
+    // Driver-memory bound: the zone map is one row per data file held
+    // on the driver during planning. Past the cap we decline to prune
+    // (correct, just unaccelerated) rather than risk planner OOM.
+    val maxFiles = spark.conf.get(MaxFilesKey, "100000").toInt
+    if (files.length > maxFiles) {
+      logWarning(s"zone-map skipping disabled for $root: ${files.length} " +
+        s"data files exceed $MaxFilesKey=$maxFiles; scanning unpruned")
+      return None
+    }
     val newestData = files.map(_.getModificationTime).max
     // first bounded column with a fresh persisted zone map wins
     boundsByCol.view.flatMap { case (colName, (lo, hi)) =>
@@ -145,6 +154,7 @@ case class ZoneMapRule(spark: SparkSession) extends Rule[LogicalPlan] {
 object ZoneMapRule {
 
   val EnabledKey = "spark.graft.zoneMap.enabled"
+  val MaxFilesKey = "spark.graft.zoneMap.maxFiles"
 
   final case class Zone(file: String, lo: Long, hi: Long)
 
@@ -165,10 +175,18 @@ object ZoneMapRule {
     val fsys = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fsys.exists(marker)) return None
     val mt = fsys.getFileStatus(marker).getModificationTime
-    if (mt < newestDataMtime) return None
+    // STRICTLY newer than the newest data file: a table rewrite landing
+    // within the filesystem's mtime granularity of the map must read as
+    // stale (no prune) — equality cannot distinguish map-then-rewrite
+    // from rewrite-then-map.
+    if (mt <= newestDataMtime) return None
     Some(zoneCache.getOrElseUpdate((zmPath, mt),
       spark.read.parquet(zmPath)
         .selectExpr("file", "CAST(lo AS BIGINT) AS lo", "CAST(hi AS BIGINT) AS hi")
+        // an all-NULL key column yields NULL min/max; such files carry
+        // no usable zone — treat them as unknown (always kept), and
+        // never NPE planning over them
+        .where("lo IS NOT NULL AND hi IS NOT NULL")
         .collect().toSeq
         .map(r => Zone(norm(r.getString(0)), r.getLong(1), r.getLong(2)))))
   }
@@ -183,6 +201,24 @@ object ZoneMapRule {
         spark.experimental.extraOptimizations :+ mine
     }
     spark.conf.set(EnabledKey, "true")
+  }
+
+  /** Run `body` with the rule installed and enabled, then restore the
+    * prior enabled state — so a single query can opt into automatic
+    * skipping without leaving every later parquet Filter in the session
+    * paying planning-time zone-map filesystem probes. Callers that need
+    * the rewrite to survive past the scope must force planning inside
+    * (e.g. touch `df.queryExecution.executedPlan`): QueryExecution's
+    * plans are lazy-once, so a plan materialized here keeps its pruned
+    * scan after the flag resets. */
+  def scoped[T](spark: SparkSession)(body: => T): T = {
+    val prior = spark.conf.getOption(EnabledKey)
+    install(spark)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(EnabledKey, v)
+      case None => spark.conf.set(EnabledKey, "false")
+    }
   }
 }
 

@@ -74,9 +74,15 @@ object MedianQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // The reference README walkthrough (`README.md:61`) on real data:
-    // CAST(appx_median_bounded(x, k) AS DOUBLE), exact regime.
+    // CAST(appx_median_bounded(x, k) AS DOUBLE), exact regime. The
+    // STRING form renders through %g (6 significant digits), so the
+    // oracle must model the SAME lossy round trip — comparing against
+    // the raw exact median only works when it happens to be
+    // 6-digit-representable.
     QueryDef("q13_median_exact",
-      upperMedianSql("lineitem", "l_quantity", "med", Seq.empty)) { (spark, dir) =>
+      s"""SELECT CAST(printf('%g', med) AS DOUBLE) AS med
+         |FROM (${upperMedianSql("lineitem", "l_quantity", "med", Seq.empty)}) g
+         |""".stripMargin) { (spark, dir) =>
       GraftFunctions.register(spark)
       val li = Tables.load(spark, dir, "lineitem")
       val k = exactK(li, col("l_quantity"), "q13_median_exact")
@@ -97,8 +103,11 @@ object MedianQueries {
 
     // A second column + group key shape (events.value by event_type),
     // driven through the SQL registration path (2-arg SQL parity).
+    // Oracle models the STRING form's %g round trip, as in q13.
     QueryDef("q15_median_events",
-      upperMedianSql("events", "value", "med", Seq("event_type"))) { (spark, dir) =>
+      s"""SELECT event_type, CAST(printf('%g', med) AS DOUBLE) AS med
+         |FROM (${upperMedianSql("events", "value", "med", Seq("event_type"))}) g
+         |ORDER BY event_type""".stripMargin) { (spark, dir) =>
       GraftFunctions.register(spark)
       val ev = Tables.load(spark, dir, "events")
       ev.createOrReplaceTempView("events")

@@ -500,20 +500,29 @@ object SimilarityQueries {
     * exchange is the vec_id join against the code artifact, which at
     * scale is co-partitioned (both sides derive from the same corpus
     * scan). */
-  private def rqResidualCorpus(spark: SparkSession, dir: String): DataFrame =
+  private def rqResidualCorpus(spark: SparkSession, dir: String): DataFrame = {
+    // force stage 1 to exist BEFORE stamping the memo key, then key
+    // the memo on the stage-1 markers' mtimes: a stage-1 rebuild later
+    // in the session addresses a fresh residual frame instead of
+    // training stage 2 on stale checkpointed residuals
+    val cb = pqCodebook(spark, dir)
+    val codes = pqCodes(spark, dir)
+    val stamp = Seq(pqCodebookArtifact(dir), pqCodesArtifact(dir))
+      .map(IndexStore.markerMtime).mkString(",")
     // localCheckpoint: train/encode re-read this frame once per Lloyd
     // stage — without the cut, every stage re-optimizes and re-runs
     // the join + per-subspace reconstruction HOF lineage, and the
     // deeply nested expression trees dominate the build's wall clock
-    FrameMemo.memoized(spark, s"rq_residuals#$dir") {
-      val cbMapRow = broadcast(PqIndex.codebookRow(pqCodebook(spark, dir))
+    FrameMemo.memoized(spark, s"rq_residuals#$dir@$stamp") {
+      val cbMapRow = broadcast(PqIndex.codebookRow(cb)
         .select(PqIndex.codebookMap(col("cbs")).as("cbm")))
       corpus(spark, dir).select(col("vec_id"), col("v"))
-        .join(pqCodes(spark, dir).select(col("vec_id"), col("codes")), "vec_id")
+        .join(codes.select(col("vec_id"), col("codes")), "vec_id")
         .crossJoin(cbMapRow)
         .select(col("vec_id"),
           PqIndex.residual(col("v"), col("codes"), col("cbm")).as("v"))
     }
+  }
 
   private def buildRqCodebook(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)

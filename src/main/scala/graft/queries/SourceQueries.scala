@@ -198,13 +198,20 @@ object SourceQueries {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
       val path = clusteredLineitem(spark, dir)
       persistedZoneMap(spark, dir, path)
-      graft.plans.ZoneMapRule.install(spark)
-      spark.read.parquet(path)
-        .where(col("l_orderkey").between(100L, 400L))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_lines"),
-          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
-        .orderBy(col("l_returnflag"))
+      // enable the rule only for this query's planning: forcing
+      // executedPlan inside the scope bakes the pruned scan into the
+      // returned frame, and later unrelated parquet Filters in the
+      // session don't pay zone-map filesystem probes
+      graft.plans.ZoneMapRule.scoped(spark) {
+        val df = spark.read.parquet(path)
+          .where(col("l_orderkey").between(100L, 400L))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+          .orderBy(col("l_returnflag"))
+        df.queryExecution.executedPlan
+        df
+      }
     }
   )
 
