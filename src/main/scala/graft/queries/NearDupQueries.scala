@@ -165,58 +165,110 @@ object NearDupQueries {
     else build
   }
 
-  /** Connected components over the verified-pair graph by iterative
-    * min-label propagation: every doc's cluster id converges to the
-    * smallest doc_id reachable through near-dup edges. This is the
-    * TRANSITIVE-CLOSURE step a real dedup needs beyond pairs (A~B,
-    * B~C must collapse to ONE surviving doc even when A~C was never a
-    * candidate). Each iteration is an equi-join + min aggregate
-    * (map-side combined) and the loop runs at most graph-diameter
-    * times — the standard big-graph CC shape; the per-iteration
-    * convergence count is a distributed aggregate, not a data
-    * collect. */
+  /** Connected components over the verified-pair graph: every doc's
+    * cluster id converges to the smallest doc_id reachable through
+    * near-dup edges. This is the TRANSITIVE-CLOSURE step a real dedup
+    * needs beyond pairs (A~B, B~C must collapse to ONE surviving doc
+    * even when A~C was never a candidate). */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "clusters")(
       clustersFromPairs(verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))))
 
-  /** Min-label propagation over an ARBITRARY undirected pair frame
-    * (doc_a, doc_b) — shared by the text-only clusters (q60) and the
-    * hybrid text+embedding closure (q81). */
-  private[graft] def clustersFromPairs(pairs: DataFrame): DataFrame = {
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("id", "nb").localCheckpoint()
-    var labels = edges.select(col("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
-    // labels are monotone non-increasing, so "unchanged across a
-    // CheckEvery-round batch" implies a fixpoint — checking every few
-    // rounds cuts convergence-count job submissions ~3x at the cost of
-    // at most CheckEvery - 1 extra (cheap, already-converged) rounds
-    val CheckEvery = 3
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 51) {
-      var next = labels
-      for (_ <- 0 until CheckEvery) {
-        val nbMin = edges
-          .join(next.select(col("id").as("nb"), col("lbl").as("nlbl")), "nb")
-          .groupBy(col("id")).agg(min(col("nlbl")).as("mn"))
-        next = next.join(nbMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        iter += 1
-      }
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .where(col("lbl") =!= col("prev")).count() == 0L
-      labels = next
+  /** Connected components over an ARBITRARY undirected pair frame
+    * (doc_a, doc_b) — shared by the text-only clusters (q60), the
+    * hybrid text+embedding closure (q81), and the paragraph grain
+    * (q114) — by alternating LARGE-STAR / SMALL-STAR contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): each phase is one shuffle (group-by-node min +
+    * equi-join), and the edge set converges to per-component stars
+    * centered at the component minimum in O(log n) alternations —
+    * unlike min-label propagation, whose round count is the GRAPH
+    * DIAMETER (a 100 TB web-scale dup graph has chains thousands
+    * long; log₂ of even a trillion nodes is 40). Between rounds the
+    * edge frame goes through a RELIABLE checkpoint (not
+    * localCheckpoint): the fixpoint loop survives executor loss, and
+    * each round's lineage starts from materialized files instead of
+    * re-deriving the whole chain. */
+  private[graft] def clustersFromPairs(pairs: DataFrame): DataFrame =
+    ccStarContraction(pairs)._1
+
+  /** Large-star phase: for every node u (edge list symmetrized), link
+    * each STRICTLY LARGER neighbor to m = min(N(u) ∪ {u}). Output is
+    * canonical (u > v) because emitted targets are minima. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star phase: direct each edge big→small, and for every node
+    * u link its smaller-or-equal neighborhood (and u itself) to its
+    * minimum. Output canonical (u > v). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val d = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+    val mins = d.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val fromNbrs = d.join(mins, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val self = mins.select(col("u"), col("m").as("v"))
+    fromNbrs.union(self)
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** The contraction loop, returning (labels, alternation count) —
+    * the count is exposed so NearDupSpec can pin the O(log n) round
+    * bound on an adversarial (diameter-n) chain graph. Convergence =
+    * edge set unchanged across one large+small alternation AND the
+    * star property holds (no node is both a leaf and a center); the
+    * star check makes the exit condition self-verifying rather than
+    * resting on the fixpoint theorem alone. */
+  private[graft] def ccStarContraction(pairs: DataFrame): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    // reliable checkpoint target: cluster deployments set a durable
+    // (HDFS/object-store) dir before calling; default to a local tmp
+    // dir so the loop is fault-tolerant to executor loss either way
+    if (sc.getCheckpointDir.isEmpty) {
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
     }
-    // a silent partial answer is worse than an error: label propagation
-    // needs graph-diameter rounds, so hitting the cap means the labels
-    // are NOT yet cluster minima
+    val nodes = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+    var edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct().checkpoint()
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 40) {
+      val next = smallStar(largeStar(edges)).checkpoint()
+      rounds += 1
+      // canonical big→small form on both sides, so set equality is an
+      // except-emptiness probe; the star check (left and right node
+      // sets disjoint) proves every edge is leaf→center
+      converged =
+        next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty &&
+        next.select(col("u")).intersect(next.select(col("v"))).isEmpty
+      edges = next
+    }
     require(converged,
-      s"nearDupClusters: not converged after $iter iterations " +
-        "(graph diameter exceeds the cap); raise the iteration cap")
-    labels.select(col("id"), col("lbl").as("cluster_id")).orderBy(col("id"))
+      s"ccStarContraction: not converged after $rounds alternations — " +
+        "edge frame is not yet a star forest; raise the cap")
+    val labels = nodes.join(edges.select(col("u").as("id"), col("v").as("lbl")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
+      .orderBy(col("id"))
+    (labels, rounds)
   }
 
   /** Jaccard-verified near-dup pairs (q23's Spark pipeline as a

@@ -78,4 +78,32 @@ class NearDupSpec extends SparkTestBase {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
       s"chain must collapse into doc 1's cluster, got $clusters")
   }
+
+  test("star contraction converges in O(log n) rounds on a 1000-node chain") {
+    import spark.implicits._
+    // the adversarial case for label propagation: a path graph of
+    // diameter 999 needs ~1000 propagation rounds, but large/small-star
+    // contraction must finish in <= 2*log2(n) alternations
+    val n = 1000
+    val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) = NearDupQueries.ccStarContraction(chain)
+    val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt
+    assert(rounds <= bound, s"took $rounds alternations, bound is $bound")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 1L),
+      s"every chain node must label to 1, got ${got.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
+  test("star contraction labels multiple components, isolated self-pairs, and reversed edges") {
+    import spark.implicits._
+    // two components with mixed edge orientation + one self-pair node
+    val pairs = Seq((5L, 3L), (3L, 7L), (20L, 10L), (42L, 42L))
+      .toDF("doc_a", "doc_b")
+    val (labels, _) = NearDupQueries.ccStarContraction(pairs)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 7L -> 3L,
+      10L -> 10L, 20L -> 10L, 42L -> 42L), s"got $got")
+  }
 }
