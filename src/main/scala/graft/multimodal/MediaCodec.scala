@@ -3,14 +3,17 @@ package graft.multimodal
 import java.nio.ByteBuffer
 import java.util.zip.CRC32
 
-/** Minimal pure-JVM image header codec for the decode boundary —
+/** Minimal pure-JVM media header codec for the decode boundary —
   * PUBLIC format knowledge only: the PNG signature + IHDR chunk
-  * layout (W3C PNG spec §11.2.2) and the JPEG SOF frame-header
-  * layout (ITU-T T.81 §B.2.2). Encoding exists to plant REAL headers
-  * on the text fixture; decoding reads dimensions back from the bytes
-  * alone — no codec libraries involved, which is exactly what a
-  * 100 TB metadata-extraction pass wants: dimensions come from the
-  * first few hundred bytes without decompressing pixel data.
+  * layout (W3C PNG spec §11.2.2), the JPEG SOF frame-header layout
+  * (ITU-T T.81 §B.2.2), the RIFF/WAVE fmt + data chunk layout
+  * (Microsoft/IBM WAVE spec, RIFF 1991), and the ISO BMFF box walk to
+  * the mvhd movie header (ISO/IEC 14496-12 §8.2.2). Encoding exists
+  * to plant REAL headers on the text fixture; decoding reads
+  * dimensions and durations back from the bytes alone — no codec
+  * libraries involved, which is exactly what a 100 TB
+  * metadata-extraction pass wants: dimensions come from the first few
+  * hundred bytes without decompressing pixel/sample data.
   */
 object MediaCodec {
 
@@ -51,6 +54,59 @@ object MediaCodec {
     out.array()
   }
 
+  /** RIFF/WAVE: "RIFF" + riffSize + "WAVE", a canonical 16-byte PCM
+    * fmt chunk, then `body` as the data-chunk payload (the sample
+    * stream, opaque here). Header is exactly 44 bytes; no pad byte is
+    * appended for odd body lengths since data is the final chunk. */
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      body: Array[Byte]): Array[Byte] = {
+    val byteRate = sampleRate * channels * (bitsPerSample / 8)
+    val blockAlign = channels * (bitsPerSample / 8)
+    val out = ByteBuffer.allocate(44 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + body.length)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1.toShort)                        // PCM
+    out.putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+    out.putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(body.length)
+    out.put(body)
+    out.array()
+  }
+
+  /** ISO BMFF (MP4): ftyp (20 bytes) + moov carrying one mvhd with
+    * the given timescale/duration (version 0 or 1) + mdat holding
+    * `body`. Header before the mdat payload is 144 bytes for v0 (156
+    * for v1, whose mvhd carries 64-bit times). */
+  def mp4Bytes(timescale: Int, durationTicks: Long, body: Array[Byte],
+      version: Int = 0): Array[Byte] = {
+    require(version == 0 || version == 1, s"mvhd version $version")
+    val mvhdLen = if (version == 0) 108 else 120
+    val out = ByteBuffer.allocate(20 + 8 + mvhdLen + 8 + body.length)
+    out.putInt(20).put("ftyp".getBytes("US-ASCII"))
+    out.put("isom".getBytes("US-ASCII")).putInt(0x200)
+    out.put("isom".getBytes("US-ASCII"))
+    out.putInt(8 + mvhdLen).put("moov".getBytes("US-ASCII"))
+    out.putInt(mvhdLen).put("mvhd".getBytes("US-ASCII"))
+    out.put(version.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    if (version == 0) {
+      out.putInt(0).putInt(0)                      // creation/modification
+      out.putInt(timescale).putInt(durationTicks.toInt)
+    } else {
+      out.putLong(0L).putLong(0L)
+      out.putInt(timescale).putLong(durationTicks)
+    }
+    out.putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+    out.putShort(0.toShort).putInt(0).putInt(0)     // reserved
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(out.putInt)
+    (0 until 6).foreach(_ => out.putInt(0))         // pre_defined
+    out.putInt(1)                                   // next_track_ID
+    out.putInt(8 + body.length).put("mdat".getBytes("US-ASCII"))
+    out.put(body)
+    out.array()
+  }
+
   private def u16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
 
@@ -58,12 +114,110 @@ object MediaCodec {
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
       ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
 
+  private def u32(b: Array[Byte], i: Int): Long = i32(b, i) & 0xffffffffL
+
+  private def u64(b: Array[Byte], i: Int): Long =
+    (u32(b, i) << 32) | u32(b, i + 4)
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
   private def isPng(p: Array[Byte]): Boolean =
     p.length >= 24 && p.take(8).sameElements(PngSignature) &&
       new String(p.slice(12, 16), "US-ASCII") == "IHDR"
 
   private def isJpeg(p: Array[Byte]): Boolean =
     p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8
+
+  private def isWav(p: Array[Byte]): Boolean =
+    p.length >= 12 && fourcc(p, 0) == "RIFF" && fourcc(p, 8) == "WAVE"
+
+  private def isMp4(p: Array[Byte]): Boolean =
+    p.length >= 8 && fourcc(p, 4) == "ftyp"
+
+  /** RIFF chunk walk: (byteRate from fmt, data-payload offset,
+    * data-payload length). Chunk sizes are attacker-controlled bytes —
+    * walked in Long arithmetic with the RIFF odd-size pad byte
+    * honored, and any truncated/overflowing chunk aborts to None. */
+  private def wavInfo(p: Array[Byte]): Option[(Long, Int, Long)] = {
+    var byteRate = -1L
+    var i = 12L
+    while (i + 8 <= p.length) {
+      val id = fourcc(p, i.toInt)
+      val size = le32(p, i.toInt + 4)
+      if (size < 0 || i + 8 + size > p.length) return None
+      if (id == "fmt ") {
+        if (size < 16) return None
+        byteRate = le32(p, i.toInt + 8 + 8)
+      } else if (id == "data") {
+        if (byteRate <= 0) return None // fmt must precede data (spec)
+        return Some((byteRate, i.toInt + 8, size))
+      }
+      i += 8 + size + (size % 2) // chunks pad to even byte boundaries
+    }
+    None
+  }
+
+  /** ISO BMFF box walk over `[from, until)`: returns the (payload
+    * offset, payload length) of the first box named `name`. 64-bit
+    * largesize boxes are honored; size-0 ("to end of file") only at
+    * top level. */
+  private def findBox(p: Array[Byte], from: Int, until: Int,
+      name: String): Option[(Int, Int)] = {
+    var i = from.toLong
+    while (i + 8 <= until) {
+      val size0 = u32(p, i.toInt)
+      val typ = fourcc(p, i.toInt + 4)
+      val (payloadOff, boxEnd) =
+        if (size0 == 1) {
+          if (i + 16 > until) return None
+          (i + 16, i + u64(p, i.toInt + 8))
+        } else if (size0 == 0) (i + 8, until.toLong)
+        else (i + 8, i + size0)
+      if (boxEnd < payloadOff || boxEnd > until) return None
+      if (typ == name)
+        return Some((payloadOff.toInt, (boxEnd - payloadOff).toInt))
+      i = boxEnd
+    }
+    None
+  }
+
+  /** mvhd read: (timescale, durationTicks), version 0 and 1. */
+  private def mp4Mvhd(p: Array[Byte]): Option[(Long, Long)] =
+    findBox(p, 0, p.length, "moov").flatMap { case (mOff, mLen) =>
+      findBox(p, mOff, mOff + mLen, "mvhd").flatMap { case (off, len) =>
+        val version = p(off) & 0xff
+        if (version == 0 && len >= 24)
+          Some((u32(p, off + 12), u32(p, off + 16)))
+        else if (version == 1 && len >= 32)
+          Some((u32(p, off + 20), u64(p, off + 24)))
+        else None
+      }
+    }
+
+  /** Duration in milliseconds, parsed from the container bytes alone:
+    * WAV = data-chunk length over the fmt chunk's byte rate; MP4 =
+    * mvhd duration ticks over the mvhd timescale. None for payloads
+    * that are neither (images report duration through their own
+    * path), or whose headers are malformed. */
+  def decodeDurationMs(p: Array[Byte]): Option[Long] = {
+    if (isWav(p))
+      wavInfo(p).collect { case (byteRate, _, dataLen) if byteRate > 0 =>
+        dataLen * 1000L / byteRate
+      }
+    else if (isMp4(p))
+      mp4Mvhd(p).collect { case (timescale, ticks) if timescale > 0 =>
+        ticks * 1000L / timescale
+      }
+    else None
+  }
 
   /** Marker-segment walk to the first SOF marker: returns the index of
     * the SOF marker byte (the byte after its 0xFF prefix run), or None
@@ -104,11 +258,12 @@ object MediaCodec {
 
   /** Container-header length: the offset where the content stream
     * starts — after the IHDR chunk (signature + length + type + data +
-    * CRC) for PNG, after the first SOF segment for JPEG. Lets feature
-    * extraction run over CONTENT bytes only, excluding bytes that only
-    * describe the container. None for non-image payloads (callers
-    * treat the whole payload as content). The PNG chunk-length field
-    * is attacker-controlled bytes: computed in Long arithmetic and
+    * CRC) for PNG, after the first SOF segment for JPEG, at the data
+    * chunk's payload for WAV, at the mdat box's payload for MP4. Lets
+    * feature extraction run over CONTENT bytes only, excluding bytes
+    * that only describe the container. None for unrecognized payloads
+    * (callers treat the whole payload as content). Length fields are
+    * attacker-controlled bytes: computed in Long arithmetic and
     * rejected when negative, so a crafted length can never produce a
     * negative offset (which would crash the feature loop). */
   def headerLength(p: Array[Byte]): Option[Int] = {
@@ -119,10 +274,13 @@ object MediaCodec {
     } else if (isJpeg(p)) jpegSofIndex(p).flatMap { j =>
       if (j + 3 > p.length) None
       else Some(math.min(p.length, j + 1 + u16(p, j + 1)))
-    } else None
+    } else if (isWav(p)) wavInfo(p).map { case (_, dataOff, _) => dataOff }
+    else if (isMp4(p)) findBox(p, 0, p.length, "mdat").map(_._1)
+    else None
   }
 
-  /** One-walk combined parse: (width, height, headerLength). The
+  /** One-walk combined parse: (width, height, headerLength) — width
+    * and height are 0 for the time-based containers (WAV/MP4). The
     * per-row feature path uses this so the JPEG marker walk / PNG
     * header parse runs once per payload, not once for dims and again
     * for the header length. */
@@ -133,6 +291,7 @@ object MediaCodec {
       if (j + 8 > p.length) None
       else Some((u16(p, j + 6), u16(p, j + 4),
         math.min(p.length, j + 1 + u16(p, j + 1))))
-    } else None
+    } else if (isWav(p) || isMp4(p)) headerLength(p).map(off => (0, 0, off))
+    else None
   }
 }

@@ -20,14 +20,15 @@ case class MediaFeature(mediaId: Long, kind: String, feature: Array[Float])
   * typed metadata, decode / feature-extract / frame-sample stages as
   * partition-batched transforms over `Dataset[MediaFile]`.
   *
-  * IMAGE DIMENSION DECODE IS REAL: [[MediaCodec]] parses width/height
-  * straight out of PNG IHDR / JPEG SOF header bytes (pure JVM, public
-  * formats, no codec libraries), and FEATURE EXTRACTION IS REAL:
-  * [[contentFeatures]] computes header-derived dimensions plus byte-
-  * level statistics over the content stream (after the parsed
-  * container header). The only remaining stub is duration for
-  * audio/video kinds, which derives deterministic values from the
-  * payload's SHA-256. The Spark plumbing — binary
+  * METADATA DECODE IS REAL FOR ALL FOUR KINDS: [[MediaCodec]] parses
+  * width/height straight out of PNG IHDR / JPEG SOF header bytes and
+  * duration out of WAV fmt/data chunk math / MP4 mvhd timescale
+  * (pure JVM, public formats, no codec libraries), and FEATURE
+  * EXTRACTION IS REAL: [[contentFeatures]] computes header-derived
+  * dimensions plus byte-level statistics over the content stream
+  * (after the parsed container header). A payload no parser
+  * recognizes reports zeros — an honest "unknown", never synthesized
+  * metadata. The Spark plumbing — binary
   * column schema, the `mapPartitions` batch shape (one codec init per
   * partition, not per row), typed Dataset boundaries, partitioning —
   * is real: payloads never pass through a shuffle unless the caller
@@ -35,20 +36,6 @@ case class MediaFeature(mediaId: Long, kind: String, feature: Array[Float])
   * driver involvement.
   */
 object MediaOps {
-
-  private def sha256Hex(bytes: Array[Byte]): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(bytes).map(b => f"$b%02x").mkString
-  }
-
-  /** STUB — stands in for a real codec (libjpeg/ffmpeg/...): derives
-    * deterministic pseudo-metadata from the payload hash. Replace the
-    * body with a real decoder; the signature and batch usage stay. */
-  private[multimodal] def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
-    val h = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
-    def u16(i: Int): Int = ((h(i) & 0xff) << 8) | (h(i + 1) & 0xff)
-    (u16(0) % 1920 + 1, u16(2) % 1080 + 1, (u16(4).toLong * 100) + 1)
-  }
 
   /** Number of content-feature components emitted per media object. */
   val FeatureDim = 8
@@ -87,24 +74,36 @@ object MediaOps {
       frac(ws), frac(lower), frac(digit), frac(distinct.toLong))
   }
 
-  /** Wrap the text table as media files carrying REAL image headers:
-    * even doc_ids become PNGs, odd become JPEGs, with dimensions
-    * derived from the id and the utf-8 text as opaque trailing bytes.
-    * The dimensions travel ONLY through the encoded header bytes —
-    * [[extractMeta]] must genuinely parse them back out, which is what
-    * the q29 gate checks against an oracle that re-derives them from
-    * the id arithmetic independently. */
+  /** Wrap the text table as media files carrying REAL container
+    * headers, kind by doc_id % 4: PNG, JPEG, WAV, MP4 — with the
+    * utf-8 text as the opaque content stream (trailing bytes / data
+    * chunk / mdat payload) in every case. Image dimensions, the WAV
+    * sample-rate/channel geometry, and the MP4 timescale/duration are
+    * derived from the id, but they travel ONLY through the encoded
+    * header bytes — [[extractMeta]] must genuinely parse them back
+    * out, which is what the q29 gate checks against an oracle that
+    * re-derives them from the id arithmetic independently. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaFile] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val w = (id * 7 % 1920 + 1).toInt
-        val h = (id * 13 % 1080 + 1).toInt
         val body = text.getBytes("UTF-8")
-        if (id % 2 == 0) MediaFile(id, "image/png", MediaCodec.pngBytes(w, h, body))
-        else MediaFile(id, "image/jpeg", MediaCodec.jpegBytes(w, h, body))
+        id % 4 match {
+          case 0 =>
+            MediaFile(id, "image/png", MediaCodec.pngBytes(
+              (id * 7 % 1920 + 1).toInt, (id * 13 % 1080 + 1).toInt, body))
+          case 1 =>
+            MediaFile(id, "image/jpeg", MediaCodec.jpegBytes(
+              (id * 7 % 1920 + 1).toInt, (id * 13 % 1080 + 1).toInt, body))
+          case 2 =>
+            MediaFile(id, "audio/wav", MediaCodec.wavBytes(
+              (8000 + id % 8 * 1000).toInt, (id / 4 % 2 + 1).toInt, 16, body))
+          case _ =>
+            MediaFile(id, "video/mp4", MediaCodec.mp4Bytes(
+              (600 + id % 7 * 100).toInt, id * 31 % 100000, body))
+        }
       }
   }
 
@@ -113,8 +112,9 @@ object MediaOps {
     * is hashed exactly once per row — the amortization shape a heavier
     * decoder (model weights, codec contexts) would keep. Image
     * payloads get their true header-parsed dimensions (duration 0);
-    * payloads with no parseable image header fall back to the
-    * documented sha-derived stub. */
+    * WAV/MP4 payloads get their true header-parsed duration
+    * (dimensions 0); anything unrecognized reports zeros rather than
+    * synthesized metadata. */
   def extractMeta(files: Dataset[MediaFile]): Dataset[MediaMeta] = {
     import files.sparkSession.implicits._
     files.mapPartitions { it =>
@@ -122,14 +122,9 @@ object MediaOps {
       it.map { f =>
         val h = md.digest(f.payload) // digest() resets md for reuse
         val sha = h.map(b => f"$b%02x").mkString
-        MediaCodec.decodeDims(f.payload) match {
-          case Some((w, ht)) =>
-            MediaMeta(f.mediaId, f.kind, f.payload.length.toLong, sha, w, ht, 0L)
-          case None =>
-            def u16(i: Int): Int = ((h(i) & 0xff) << 8) | (h(i + 1) & 0xff)
-            MediaMeta(f.mediaId, f.kind, f.payload.length.toLong, sha,
-              u16(0) % 1920 + 1, u16(2) % 1080 + 1, (u16(4).toLong * 100) + 1)
-        }
+        val (w, ht) = MediaCodec.decodeDims(f.payload).getOrElse((0, 0))
+        val durMs = MediaCodec.decodeDurationMs(f.payload).getOrElse(0L)
+        MediaMeta(f.mediaId, f.kind, f.payload.length.toLong, sha, w, ht, durMs)
       }
     }
   }

@@ -5,27 +5,36 @@ import graft.multimodal.MediaOps
 import org.apache.spark.sql.functions._
 
 /** Declared queries for the multimodal column pipeline (SURVEY §2.3).
-  * Image dimensions are REALLY decoded: `mediaFromDocuments` plants
-  * PNG IHDR / JPEG SOF headers carrying id-derived dimensions, the
-  * Spark side recovers them by parsing the BYTES ([[graft.multimodal
-  * .MediaCodec]]), and the oracle re-derives them from the id
-  * arithmetic independently — the compare can only pass if the header
-  * parse is correct. */
+  * Metadata is REALLY decoded for all four kinds: `mediaFromDocuments`
+  * plants PNG IHDR / JPEG SOF headers carrying id-derived dimensions
+  * and WAV fmt/data / MP4 mvhd headers carrying id-derived durations;
+  * the Spark side recovers them by parsing the BYTES ([[graft
+  * .multimodal.MediaCodec]]), and the oracle re-derives them from the
+  * id arithmetic independently — the compare can only pass if the
+  * header parses are correct. */
 object MultimodalQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // Metadata extraction over binary payloads: kind by id parity,
-    // n_bytes = real header size (PNG 33 / JPEG 15) + utf-8 body,
-    // width/height parsed from the header bytes, duration 0 (image).
+    // Metadata extraction over binary payloads: kind by id % 4,
+    // n_bytes = real header size (PNG 33 / JPEG 15 / WAV 44 / MP4 144)
+    // + utf-8 body, width/height parsed from image header bytes (0 for
+    // the time-based kinds), duration from WAV data-over-byte-rate /
+    // MP4 mvhd ticks-over-timescale math (0 for images).
     QueryDef("q29_media_meta",
       """SELECT doc_id AS media_id,
-        |       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS kind,
-        |       (CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 15 END
+        |       CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |            WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS kind,
+        |       (CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 15
+        |             WHEN 2 THEN 44 ELSE 144 END
         |          + octet_length(encode(text)))::BIGINT AS n_bytes,
-        |       (doc_id * 7 % 1920 + 1)::INT AS width,
-        |       (doc_id * 13 % 1080 + 1)::INT AS height,
-        |       0::BIGINT AS duration_ms
+        |       (CASE WHEN doc_id % 4 < 2 THEN doc_id * 7 % 1920 + 1 ELSE 0 END)::INT AS width,
+        |       (CASE WHEN doc_id % 4 < 2 THEN doc_id * 13 % 1080 + 1 ELSE 0 END)::INT AS height,
+        |       (CASE doc_id % 4
+        |             WHEN 2 THEN octet_length(encode(text))::BIGINT * 1000
+        |                  // ((8000 + doc_id % 8 * 1000) * (doc_id // 4 % 2 + 1) * 2)
+        |             WHEN 3 THEN (doc_id * 31 % 100000) * 1000 // (600 + doc_id % 7 * 100)
+        |             ELSE 0 END)::BIGINT AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin) { (spark, dir) =>
       MediaOps.extractMeta(MediaOps.mediaFromDocuments(spark, dir))
         .toDF()
@@ -54,9 +63,10 @@ object MultimodalQueries {
     QueryDef("q30_media_features",
       """WITH s AS (
         |  SELECT doc_id,
-        |         CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS kind,
-        |         (doc_id * 7 % 1920 + 1) AS w,
-        |         (doc_id * 13 % 1080 + 1) AS h,
+        |         CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |              WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS kind,
+        |         CASE WHEN doc_id % 4 < 2 THEN doc_id * 7 % 1920 + 1 ELSE 0 END AS w,
+        |         CASE WHEN doc_id % 4 < 2 THEN doc_id * 13 % 1080 + 1 ELSE 0 END AS h,
         |         length(text) AS len,
         |         list_aggregate([ord(substr(text, i, 1))
         |                         for i in generate_series(1, length(text))], 'sum') AS sbytes,

@@ -12,17 +12,65 @@ class MediaOpsSpec extends SparkTestBase {
       .toDS().repartition(3)
   }
 
-  test("metadata extraction is deterministic and bounded") {
+  test("metadata extraction is deterministic; unrecognized payloads report zeros") {
     val metas = MediaOps.extractMeta(files(20)).collect().sortBy(_.mediaId)
     val again = MediaOps.extractMeta(files(20)).collect().sortBy(_.mediaId)
-    assert(metas.toSeq == again.toSeq, "decode stub must be deterministic")
+    assert(metas.toSeq == again.toSeq, "decode must be deterministic")
     metas.foreach { m =>
-      assert(m.width >= 1 && m.width <= 1920)
-      assert(m.height >= 1 && m.height <= 1080)
-      assert(m.durationMs >= 1)
+      // no parser recognizes these payloads: zeros, never synthesized
+      assert(m.width == 0 && m.height == 0 && m.durationMs == 0L)
       assert(m.sha256.length == 64)
       assert(m.nBytes == s"payload-${m.mediaId}-${"x" * m.mediaId.toInt}".length)
     }
+  }
+
+  test("WAV and MP4 durations parse from the header bytes alone") {
+    import spark.implicits._
+    val body = new Array[Byte](44100 * 2 * 3 + 441) // 3.01 s of 16-bit mono
+    val ds = Seq(
+      MediaFile(0L, "audio/wav", MediaCodec.wavBytes(44100, 1, 16, body)),
+      MediaFile(1L, "audio/wav", MediaCodec.wavBytes(8000, 2, 16, new Array[Byte](8000 * 4))),
+      MediaFile(2L, "video/mp4", MediaCodec.mp4Bytes(600, 1501, "x".getBytes)),
+      MediaFile(3L, "video/mp4", MediaCodec.mp4Bytes(90000, 123456789L, "x".getBytes, version = 1))
+    ).toDS()
+    val metas = MediaOps.extractMeta(ds).collect().sortBy(_.mediaId)
+    assert(metas(0).durationMs == (44100 * 2 * 3 + 441) * 1000L / (44100 * 2))
+    assert(metas(1).durationMs == 1000L) // 32000 bytes / 32000 B/s
+    assert(metas(2).durationMs == 1501L * 1000 / 600)
+    assert(metas(3).durationMs == 123456789L * 1000 / 90000)
+    metas.foreach(m => assert(m.width == 0 && m.height == 0))
+  }
+
+  test("WAV/MP4 content features exclude the container header bytes") {
+    import spark.implicits._
+    val body = "abc 123 abc".getBytes("UTF-8")
+    val ds = Seq(
+      MediaFile(0L, "image/png", MediaCodec.pngBytes(960, 540, body)),
+      MediaFile(1L, "audio/wav", MediaCodec.wavBytes(16000, 1, 16, body)),
+      MediaFile(2L, "video/mp4", MediaCodec.mp4Bytes(600, 600, body))).toDS()
+    val feats = MediaOps.extractFeatures(ds).collect().sortBy(_.mediaId)
+    // identical content stream => identical byte-stat components
+    assert(feats(1).feature.drop(2).toSeq == feats(0).feature.drop(2).toSeq)
+    assert(feats(2).feature.drop(2).toSeq == feats(0).feature.drop(2).toSeq)
+    // time-based containers carry no dimensions
+    assert(feats(1).feature(0) == 0f && feats(2).feature(0) == 0f)
+  }
+
+  test("truncated or malformed WAV/MP4 headers yield zeros, not crashes") {
+    import spark.implicits._
+    val wav = MediaCodec.wavBytes(8000, 1, 16, "hello".getBytes)
+    val mp4 = MediaCodec.mp4Bytes(600, 600, "hello".getBytes)
+    val ds = Seq(
+      MediaFile(0L, "audio/wav", wav.take(30)),          // truncated mid-fmt
+      MediaFile(1L, "video/mp4", mp4.take(25)),          // truncated mid-moov
+      MediaFile(2L, "audio/wav", {                       // data chunk renamed away
+        val b = wav.clone(); b(36) = 'x'.toByte; b
+      }),
+      MediaFile(3L, "video/mp4", {                       // crafted huge box size
+        val b = mp4.clone(); b(20) = 0x7f.toByte; b
+      })).toDS()
+    val metas = MediaOps.extractMeta(ds).collect()
+    metas.foreach(m => assert(m.durationMs == 0L, s"media ${m.mediaId}"))
   }
 
   test("feature vectors are deterministic content statistics in [0, 1]") {
