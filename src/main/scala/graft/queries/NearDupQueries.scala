@@ -174,27 +174,85 @@ object NearDupQueries {
     memoized(spark, dir, "clusters")(
       clustersFromPairs(verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))))
 
+  /** Edge-count threshold under which connected components run as a
+    * SINGLE-TASK union-find instead of the distributed star
+    * contraction — the same class of size-adaptive dispatch AQE
+    * applies to shuffles (a local reader when one task can hold the
+    * data). 2M edges is ~32 MB of parent-map state. */
+  val LocalCcThresholdKey = "spark.graft.cc.localThreshold"
+
   /** Connected components over an ARBITRARY undirected pair frame
     * (doc_a, doc_b) — shared by the text-only clusters (q60), the
     * hybrid text+embedding closure (q81), and the paragraph grain
-    * (q114) — by alternating LARGE-STAR / SMALL-STAR contraction
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC 2014): each phase is one shuffle (group-by-node min +
-    * equi-join), and the edge set converges to per-component stars
-    * centered at the component minimum in O(log n) alternations —
-    * unlike min-label propagation, whose round count is the GRAPH
-    * DIAMETER (a 100 TB web-scale dup graph has chains thousands
-    * long; log₂ of even a trillion nodes is 40). Between rounds the
-    * edge frame goes through a RELIABLE checkpoint (not
-    * localCheckpoint): the fixpoint loop survives executor loss, and
-    * each round's lineage starts from materialized files instead of
-    * re-deriving the whole chain. */
-  private[graft] def clustersFromPairs(pairs: DataFrame): DataFrame =
-    ccStarContraction(pairs)._1
+    * (q114). Size-adaptive: when the pair set fits one executor task
+    * (≤ [[LocalCcThresholdKey]], BIGINT keys), a single-task
+    * path-compressed union-find labels it in ONE job — the per-round
+    * fixed costs of any distributed fixpoint dwarf the actual work at
+    * that size. Above the threshold (or for non-BIGINT keys) it runs
+    * [[ccStarContraction]], whose round count is O(log n) regardless
+    * of graph diameter. */
+  private[graft] def clustersFromPairs(pairs: DataFrame): DataFrame = {
+    val bothLong = pairs.schema.fields.length == 2 &&
+      pairs.schema.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType)
+    if (!bothLong) return ccStarContraction(pairs)._1
+    val threshold = math.min(
+      pairs.sparkSession.conf.get(LocalCcThresholdKey, "2000000").toLong,
+      Int.MaxValue.toLong - 1)
+    // capped probe, cached: when the pair set is under the threshold
+    // the probe IS the whole set, so the (often expensive) pair
+    // lineage executes exactly once — the count reads the cache and
+    // union-find labels the cached rows. Past the cap only the probe's
+    // bounded prefix was computed and the distributed path re-derives
+    // from the source.
+    val probe = pairs.limit(threshold.toInt + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (probe.count() <= threshold)
+        // label frame is <= 2 rows per edge: materialize it before the
+        // cache underneath is released
+        ccLocalUnionFind(probe).localCheckpoint()
+      else ccStarContraction(pairs)._1
+    } finally probe.unpersist()
+  }
+
+  /** The small-side path: coalesce the pair frame into one task (a
+    * narrow dependency — no shuffle) and run classic path-compressed
+    * union-find with union-by-min, so every root IS its component's
+    * minimum id — the same labels star contraction converges to,
+    * independent of edge order. */
+  private[graft] def ccLocalUnionFind(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.toDF("u", "v").as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        parent.keys.toArray.iterator.map(k => (k, find(k)))
+      }
+      .toDF("id", "cluster_id")
+      .orderBy(col("id"))
+  }
 
   /** Large-star phase: for every node u (edge list symmetrized), link
     * each STRICTLY LARGER neighbor to m = min(N(u) ∪ {u}). Output is
-    * canonical (u > v) because emitted targets are minima. */
+    * canonical (u > v) because emitted targets are minima; duplicates
+    * are NOT dropped here — the small-star phase regroups (and
+    * map-side-combines) immediately, so a distinct would only add a
+    * shuffle. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy(col("u"))
@@ -204,7 +262,6 @@ object NearDupQueries {
       .where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star phase: direct each edge big→small, and for every node
@@ -243,24 +300,51 @@ object NearDupQueries {
     }
     val nodes = pairs.select(col("doc_a").as("id"))
       .union(pairs.select(col("doc_b").as("id"))).distinct()
-    var edges = pairs
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct().checkpoint()
-    var converged = edges.isEmpty
+
+    // RELIABLE checkpoint, but computed ONCE: a bare checkpoint()
+    // re-runs the whole round lineage a second time to write the
+    // files (the documented RDD checkpoint recompute), so the frame
+    // is cached first and the write job reads the cache. The cache is
+    // released as soon as the next round's checkpoint lands — steady
+    // state holds one round's edge set in memory, the checkpoint
+    // files carry fault tolerance.
+    def materialize(e: DataFrame): (DataFrame, DataFrame) = {
+      val cached = e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (cached.checkpoint(), cached)
+    }
+    // one-job round fingerprint: (edge count, order-insensitive hash
+    // xor — overflow-free under ANSI). Equal fingerprints make
+    // set-equality CHEAPLY PLAUSIBLE; the loop then confirms with a
+    // real exceptAll + star-property probe, so a hash collision can
+    // delay exit by a round but never produce wrong labels.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var (edges, cached0) = materialize(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .where(col("u") =!= col("v")).distinct())
+    var prevCache = cached0
+    var prevPrint = fingerprint(edges)
+    var converged = prevPrint._1 == 0L
     var rounds = 0
     while (!converged && rounds < 40) {
-      val next = smallStar(largeStar(edges)).checkpoint()
+      val (next, cache) = materialize(smallStar(largeStar(edges)))
       rounds += 1
+      val print = fingerprint(next)
       // canonical big→small form on both sides, so set equality is an
       // except-emptiness probe; the star check (left and right node
       // sets disjoint) proves every edge is leaf→center
-      converged =
-        next.count() == edges.count() &&
+      converged = print == prevPrint &&
         next.exceptAll(edges).isEmpty &&
         next.select(col("u")).intersect(next.select(col("v"))).isEmpty
+      prevCache.unpersist()
+      prevCache = cache
       edges = next
+      prevPrint = print
     }
+    prevCache.unpersist()
     require(converged,
       s"ccStarContraction: not converged after $rounds alternations — " +
         "edge frame is not yet a star forest; raise the cap")

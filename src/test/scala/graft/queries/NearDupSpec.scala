@@ -96,6 +96,39 @@ class NearDupSpec extends SparkTestBase {
       s"every chain node must label to 1, got ${got.filter(_._2 != 1L).take(5).toSeq}")
   }
 
+  test("local union-find and star contraction produce identical labels") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: 400 nodes, ~300 edges, many
+    // components of varied shape (chains, merges, isolated self-pairs)
+    val edges = (0 until 300).map { i =>
+      val a = (i * 2654435761L) % 400
+      val b = (i * 40503L + 7) % 400
+      (a, b)
+    }.toDF("doc_a", "doc_b")
+    val local = NearDupQueries.ccLocalUnionFind(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val star = NearDupQueries.ccStarContraction(edges)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(local == star, s"paths disagree: ${
+      local.toSet.diff(star.toSet).take(5)} / ${star.toSet.diff(local.toSet).take(5)}")
+  }
+
+  test("the size dispatch honors the local-CC threshold conf") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    val got = NearDupQueries.clustersFromPairs(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expect)
+    // threshold 0 forces the distributed path; labels must not change
+    spark.conf.set(NearDupQueries.LocalCcThresholdKey, "0")
+    try {
+      val distributed = NearDupQueries.clustersFromPairs(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(distributed == expect)
+    } finally spark.conf.unset(NearDupQueries.LocalCcThresholdKey)
+  }
+
   test("star contraction labels multiple components, isolated self-pairs, and reversed edges") {
     import spark.implicits._
     // two components with mixed edge orientation + one self-pair node
