@@ -401,12 +401,12 @@ object SimilarityQueries {
     * for q101/q108/q109 so a shortlist or tie-break change cannot fork
     * the ADC family. */
   private def adcShortlistRerank(spark: SparkSession, dir: String,
-      scored: DataFrame): DataFrame = {
+      scored: DataFrame, shortlistLen: Int = PqShortlist): DataFrame = {
     val wShort = Window.partitionBy(col("qid"))
       .orderBy(col("ascore").desc, col("nid"))
     val shortlist = broadcast(scored
       .withColumn("srn", row_number().over(wShort))
-      .where(col("srn") <= PqShortlist)
+      .where(col("srn") <= shortlistLen)
       .select(col("qid"), col("nid"), col("qv"), col("qnrm")))
     val tv = corpus(spark, dir).select(col("vec_id").as("nid"),
       col("v").as("nv"), col("nrm").as("nnrm"))
@@ -470,21 +470,55 @@ object SimilarityQueries {
     * (tiny, broadcast) probe set against the cell-keyed code artifact
     * — then exact-rerank the shortlist. At 100 TB the ADC stage reads
     * nprobe/|cells| of the code artifact instead of all of it. */
-  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfPqTopK(spark: SparkSession, dir: String,
+      nprobe: Int = IvfPqProbes,
+      shortlistLen: Int = PqShortlist): DataFrame = {
     GraftFunctions.register(spark)
     val codes = ivfPqCodes(spark, dir)
     val cbRow = PqIndex.codebookRow(pqCodebook(spark, dir))
     val q = normed(
       Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumQueries))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val probes = probedCells(q, ivfCentroids(spark, dir), IvfPqProbes)
+    val probes = probedCells(q, ivfCentroids(spark, dir), nprobe)
       .crossJoin(broadcast(cbRow))
       .select(col("qid"), col("qv"), col("qnrm"), col("cid"),
         PqIndex.queryLut(col("qv"), col("cbs")).as("qlut"))
     val scored = broadcast(probes).join(codes, Seq("cid"))
       .select(col("qid"), col("vec_id").as("nid"), col("qv"), col("qnrm"),
         (PqIndex.adcScore(col("codes"), col("qlut")) / col("nrm")).as("ascore"))
-    adcShortlistRerank(spark, dir, scored)
+    adcShortlistRerank(spark, dir, scored, shortlistLen)
+  }
+
+  /** The nprobe operating points the recall curve sweeps (of
+    * [[NumCentroids]] = 16 cells total): 1 cell (fastest, lowest
+    * recall) through half the index. */
+  private[graft] val RecallProbes = Seq(1, 2, 4, 8)
+
+  /** The recall/latency CURVE of the persisted IVF-PQ artifact: for
+    * each nprobe operating point, recall@10 of [[ivfPqTopK]] against
+    * the exact brute-force top-10 — the number an operator reads to
+    * pick nprobe for a latency budget (q108 pins only the nprobe=3
+    * point). The rerank shortlist SCALES with nprobe (PqShortlist x
+    * nprobe): under a fixed shortlist, probing more cells grows the
+    * ADC candidate pool against the same 30 rerank slots and
+    * quantization noise displaces true top-10 rows — measured recall
+    * DROPPED from 0.78 to 0.72 going 1 -> 8 cells. Scaling the
+    * rerank width with the probed fraction keeps the curve monotone
+    * while rerank cost stays O(nprobe x TopK) rows per query. Each
+    * sweep point scans nprobe/16ths of the 8-byte code artifact; the
+    * brute baseline is computed once and the per-point recall is a
+    * counted intersection of two (NumQueries x TopK)-row frames —
+    * all tiny, all broadcast. */
+  def ivfPqRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val brute = bruteForceTopK(spark, dir).select(col("qid"), col("nid"))
+    RecallProbes.map { np =>
+      ivfPqTopK(spark, dir, np, shortlistLen = PqShortlist * np)
+        .select(col("qid"), col("nid"))
+        .join(brute, Seq("qid", "nid"))
+        .agg((count(lit(1)).cast("double") / (NumQueries * TopK))
+          .as("recall_at_10"))
+        .select(lit(np.toLong).as("nprobe"), col("recall_at_10"))
+    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
   }
 
   // ---- Residual (two-stage) PQ: q0r build, q109 probe -------------------
@@ -1005,12 +1039,13 @@ object SimilarityQueries {
        |  FROM sims) t
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
-  /** q108 oracle: the composed replay — the full IVF Lloyd chain AND
-    * the full PQ train/encode chain in one WITH clause (the PQ
-    * assignment CTE is `pa0` to avoid colliding with the IVF `a0`),
-    * then per-query cell ranking, ADC restricted to the probed cells,
-    * and exact rerank. */
-  private val ivfPqSql =
+  /** Shared IVF x PQ replay chain (through the encoded corpus `enc`,
+    * the per-query cell centroids `c2` + assignments `cell`, and the
+    * ADC LUT `lut`): the full IVF Lloyd chain AND the full PQ
+    * train/encode chain in one WITH clause (the PQ assignment CTE is
+    * `pa0` to avoid colliding with the IVF `a0`). q108 appends one
+    * probe tail; the recall-curve gate appends one per nprobe. */
+  private val ivfPqChainSql =
     s"""$normedCte,
        |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NumCentroids),
        |${ivfAssignSql("c0", "a0")},
@@ -1023,44 +1058,87 @@ object SimilarityQueries {
        |${pqAssignSql("sub", "cb0", "pa0")},
        |${pqLloydSql("sub", "pa0", "cb1")},
        |${pqAssignSql("sub", "cb1", "enc")},
-       |probe AS (
+       |lut AS (
+       |  SELECT q.vec_id AS qid, c.m, c.c,
+       |         list_aggregate([q.sv[i]*c.cw[i] for i in generate_series(1, ${PqIndex.SubDim})], 'sum') AS l
+       |  FROM sub q JOIN cb1 c ON q.m = c.m
+       |  WHERE q.vec_id < $NumQueries)"""
+
+  /** One probed-ADC tail at a given nprobe, CTE names suffixed with
+    * `x` so several operating points can share one WITH clause:
+    * per-query cell ranking, ADC restricted to the probed cells,
+    * shortlist, exact rerank to `top{x}` (qid, nid). */
+  private def ivfPqTailSql(np: Int, x: String,
+      shortlistLen: Int = PqShortlist): String =
+    s"""probe$x AS (
        |  SELECT qid, cid FROM (
        |    SELECT q.vec_id AS qid, c.cid,
        |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
        |             list_aggregate([q.v[i]*c.cv[i] for i in generate_series(1, $Dim)], 'sum')
        |               / (q.nrm*c.cnrm) DESC, c.cid) AS rn
        |    FROM n q CROSS JOIN c2 c WHERE q.vec_id < $NumQueries) t
-       |  WHERE rn <= $IvfPqProbes),
-       |lut AS (
-       |  SELECT q.vec_id AS qid, c.m, c.c,
-       |         list_aggregate([q.sv[i]*c.cw[i] for i in generate_series(1, ${PqIndex.SubDim})], 'sum') AS l
-       |  FROM sub q JOIN cb1 c ON q.m = c.m
-       |  WHERE q.vec_id < $NumQueries),
-       |scored AS (
+       |  WHERE rn <= $np),
+       |scored$x AS (
        |  SELECT l.qid, e.vec_id AS nid,
        |         list_aggregate(list(l.l ORDER BY l.m), 'sum') AS adc
        |  FROM enc e JOIN lut l ON e.m = l.m AND e.c = l.c
        |       JOIN cell ce ON ce.vec_id = e.vec_id
-       |       JOIN probe p ON p.qid = l.qid AND p.cid = ce.cid
+       |       JOIN probe$x p ON p.qid = l.qid AND p.cid = ce.cid
        |  GROUP BY l.qid, e.vec_id),
-       |ascored AS (
+       |ascored$x AS (
        |  SELECT qid, nid, adc / n.nrm AS ascore
-       |  FROM scored JOIN n ON n.vec_id = scored.nid),
-       |short AS (
+       |  FROM scored$x JOIN n ON n.vec_id = scored$x.nid),
+       |short$x AS (
        |  SELECT qid, nid FROM (
        |    SELECT qid, nid,
        |           row_number() OVER (PARTITION BY qid ORDER BY ascore DESC, nid) AS srn
-       |    FROM ascored) t WHERE srn <= $PqShortlist),
-       |sims AS (
+       |    FROM ascored$x) t WHERE srn <= $shortlistLen),
+       |sims$x AS (
        |  SELECT s.qid, s.nid,
        |         list_aggregate([q.v[i]*x.v[i] for i in generate_series(1, $Dim)], 'sum')
        |           / (q.nrm * x.nrm) AS sim
-       |  FROM short s JOIN n q ON q.vec_id = s.qid JOIN n x ON x.vec_id = s.nid)
-       |SELECT qid, nid, sim, rank FROM (
+       |  FROM short$x s JOIN n q ON q.vec_id = s.qid JOIN n x ON x.vec_id = s.nid),
+       |top$x AS (
        |  SELECT qid, nid, sim,
        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
-       |  FROM sims) t
-       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+       |  FROM sims$x
+       |  QUALIFY rank <= $TopK)"""
+
+  /** q108 oracle: the shared chain + the nprobe=[[IvfPqProbes]] tail. */
+  private val ivfPqSql =
+    s"""$ivfPqChainSql,
+       |${ivfPqTailSql(IvfPqProbes, "")}
+       |SELECT qid, nid, sim, rank FROM top ORDER BY qid, rank""".stripMargin
+
+  /** q115 oracle: the shared chain + one tail per swept nprobe + the
+    * brute-force top-10, each point's recall@10 counted as the
+    * intersection of its top list with the brute list. */
+  private val ivfPqRecallSql = {
+    val tails = RecallProbes
+      .map(np => ivfPqTailSql(np, np.toString, PqShortlist * np))
+      .mkString(",\n")
+    val points = RecallProbes.map { np =>
+      s"""SELECT $np AS np,
+         |  (SELECT count(*) FROM top$np t JOIN btop b
+         |     ON t.qid = b.qid AND t.nid = b.nid)::DOUBLE
+         |    / ${NumQueries * TopK} AS recall_at_10""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$ivfPqChainSql,
+       |$tails,
+       |bsims AS (
+       |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+       |         list_aggregate([q.v[i]*x.v[i] for i in generate_series(1, $Dim)], 'sum')
+       |           / (q.nrm * x.nrm) AS sim
+       |  FROM n q CROSS JOIN n x WHERE q.vec_id < $NumQueries),
+       |btop AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |    FROM bsims) t WHERE rank <= $TopK)
+       |SELECT CAST(np AS BIGINT) AS nprobe, recall_at_10 FROM (
+       |$points
+       |) r ORDER BY nprobe""".stripMargin
+  }
 
   /** Residual train CTEs on top of [[pqTrainChain]]: stage-1 encode,
     * per-subspace residual subvectors, stage-2 codebook (rcb1). */
@@ -1128,7 +1206,10 @@ object SimilarityQueries {
     QueryDef("q0b_pq_build", pqBuildSql)(pqBuild),
     // Residual (stage-2) build follows q0b; q109 scans its artifacts.
     QueryDef("q0r_rq_build", rqBuildSql)(rqBuild),
-    QueryDef("q108_ivfpq_search", ivfPqSql)(ivfPqTopK),
+    QueryDef("q108_ivfpq_search", ivfPqSql)(ivfPqTopK(_, _)),
+    // The operating-point sweep over the same persisted artifact:
+    // recall@10 at nprobe in {1,2,4,8}, gated value-for-value.
+    QueryDef("q115_ivfpq_recall_curve", ivfPqRecallSql)(ivfPqRecallCurve),
     QueryDef("q109_rq_adc_rerank", rqAdcSql)(rqAdcTopK),
     QueryDef("q101_pq_adc_rerank", pqAdcSql)(pqAdcTopK),
     // Sorts FIRST in the bench's name-ordered run: the index build is

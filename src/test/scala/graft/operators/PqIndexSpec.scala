@@ -102,6 +102,23 @@ class PqIndexSpec extends SparkTestBase {
     assert(recall > 0.76, s"residual-PQ recall $recall must beat the 0.76 pin")
   }
 
+  test("nprobe recall curve is monotone non-decreasing with a real spread") {
+    // the sweep's rerank width scales with nprobe (PqShortlist x np);
+    // a FIXED shortlist measurably inverts the curve (0.78 -> 0.72 at
+    // sf0.01 going 1 -> 8 cells) because more ADC candidates compete
+    // for the same rerank slots. Deterministic pipeline -> the curve
+    // is a stable regression pin, not a flaky statistic.
+    val curve = SimilarityQueries.ivfPqRecallCurve(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(curve.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    curve.sliding(2).foreach { case Array((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1, s"recall dropped $r1 -> $r2 going nprobe $np1 -> $np2")
+    }
+    assert(curve.last._2 > curve.head._2,
+      s"probing half the index must beat one cell: ${curve.toSeq}")
+    assert(curve.head._2 >= 0.5 && curve.last._2 <= 1.0, curve.toSeq.toString)
+  }
+
   test("IVF-PQ probe plan: broadcast probe side, partial top-k below the exchange") {
     // artifacts exist after the recall test above; the probe must scan
     // them with the tiny probe set broadcast (never shuffling the code
