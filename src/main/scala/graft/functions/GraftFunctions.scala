@@ -49,6 +49,29 @@ object GraftFunctions {
     AppxMedianBounded(v, k, asString = false)
   }
 
+  /** Reference-parity variant: third argument is the opt-in string
+    * sample truncation length (median.cc:49's MAX_STRING_SAMPLE_LEN
+    * generalized to an argument; pass 10 for exact reference
+    * behavior). Kept a SEPARATE name so the faithful default path
+    * stays truncation-free. */
+  private[graft] def buildAppxMedianTypedRef(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"appx_median_typed_ref(value, max_samples, max_string_sample_len) " +
+        s"takes 3 arguments, got ${exprs.length}")
+    AppxMedianBounded(exprs.head, Cast(exprs(1), IntegerType),
+      asString = false,
+      maxStringSampleLen = foldableInt(exprs(2), "max_string_sample_len"))
+  }
+
+  private def foldableInt(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name must be a constant")
+    Cast(e, IntegerType).eval() match {
+      case i: java.lang.Integer => i.intValue
+      case other => throw new IllegalArgumentException(
+        s"$name must be an INT constant, got $other")
+    }
+  }
+
   private[graft] def buildAppxQuantileTyped(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3,
       s"appx_quantile_typed(value, q, max_samples) takes 3 arguments, got ${exprs.length}")
@@ -113,6 +136,7 @@ object GraftFunctions {
     reg("appx_median_bounded")(buildAppxMedianBounded(_, asString = true))
     reg("appx_median_bounded_double")(buildAppxMedianBounded(_, asString = false))
     reg("appx_median_typed")(buildAppxMedianTyped)
+    reg("appx_median_typed_ref")(buildAppxMedianTypedRef)
     reg("appx_quantile_typed")(buildAppxQuantileTyped)
     reg("reservoir_sample")(buildReservoirSample)
     reg("max_k")(buildTopK(_, descending = true))
@@ -145,6 +169,13 @@ object GraftFunctions {
     * string, decimal, date, timestamp). */
   def appx_median_typed(value: Column, maxSamples: Int): Column =
     call_function("appx_median_typed", value, lit(maxSamples))
+
+  /** Reference-parity typed median with the opt-in string-sample
+    * truncation (10 = the reference's MAX_STRING_SAMPLE_LEN). */
+  def appx_median_typed_ref(value: Column, maxSamples: Int,
+      maxStringSampleLen: Int): Column =
+    call_function("appx_median_typed_ref", value, lit(maxSamples),
+      lit(maxStringSampleLen))
 
   /** Typed quantile: sorted samples[floor(q * n)], the median's
     * upper-middle rule generalized; exact when maxSamples >= n. */

@@ -29,15 +29,36 @@ abstract class ReservoirAggBase extends ConstantKAggregate[Reservoir[Any]] {
   def maxSamplesExp: Expression
   def seed: Long
 
+  /** Opt-in bug-for-bug parity with the reference's string-sample
+    * truncation (`median.cc:49,67-86`, MAX_STRING_SAMPLE_LEN = 10):
+    * when > 0 and the child is STRING, every sampled value is cut to
+    * this many RAW BYTES before insert — the reference's memcpy
+    * semantics, including mid-codepoint cuts. Default 0 = OFF: the
+    * truncation corrupts medians over strings sharing long prefixes,
+    * which is why the faithful path keeps full values (the reference's
+    * exported functions never instantiate its string path, so parity
+    * here is a flag, not the default). */
+  def maxStringSampleLen: Int = 0
+
   final override def kExp: Expression = maxSamplesExp
   override protected def kName: String = "max_samples"
 
   override def createAggregationBuffer(): Reservoir[Any] =
     Reservoir.empty[Any](k, seed)
 
+  private def retained(v: Any): Any = {
+    val r = ops.retain(v)
+    r match {
+      case u: UTF8String
+          if maxStringSampleLen > 0 && u.numBytes > maxStringSampleLen =>
+        UTF8String.fromBytes(u.getBytes, 0, maxStringSampleLen)
+      case _ => r
+    }
+  }
+
   override def update(buf: Reservoir[Any], input: InternalRow): Reservoir[Any] = {
     val v = child.eval(input)
-    if (v != null) buf.insert(ops.retain(v), k)
+    if (v != null) buf.insert(retained(v), k)
     buf
   }
 
@@ -77,6 +98,7 @@ case class AppxMedianBounded(
     maxSamplesExp: Expression,
     asString: Boolean = true,
     seed: Long = AppxMedianBounded.DefaultSeed,
+    override val maxStringSampleLen: Int = 0,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends ReservoirAggBase {

@@ -472,12 +472,25 @@ object SimilarityQueries {
     * nprobe/|cells| of the code artifact instead of all of it. */
   def ivfPqTopK(spark: SparkSession, dir: String,
       nprobe: Int = IvfPqProbes,
+      shortlistLen: Int = PqShortlist): DataFrame =
+    ivfPqTopKOf(spark, dir,
+      Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumQueries),
+      nprobe, shortlistLen)
+
+  /** The q108 probe over an ARBITRARY (vec_id, embedding) query frame
+    * — the entry point the STREAMING probe drives per micro-batch
+    * (each batch of arriving queries probes the same persisted
+    * artifact), and the batch path above is just "all fixture
+    * queries". Per-query independence means batched and streamed
+    * arrival produce identical rows by construction; the two-batch
+    * parity spec pins it. */
+  def ivfPqTopKOf(spark: SparkSession, dir: String, queries: DataFrame,
+      nprobe: Int = IvfPqProbes,
       shortlistLen: Int = PqShortlist): DataFrame = {
     GraftFunctions.register(spark)
     val codes = ivfPqCodes(spark, dir)
     val cbRow = PqIndex.codebookRow(pqCodebook(spark, dir))
-    val q = normed(
-      Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumQueries))
+    val q = normed(queries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val probes = probedCells(q, ivfCentroids(spark, dir), nprobe)
       .crossJoin(broadcast(cbRow))

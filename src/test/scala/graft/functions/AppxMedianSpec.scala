@@ -163,6 +163,36 @@ class AppxMedianSpec extends SparkTestBase {
     assert(arr.forall(v => v >= 1.0 && v <= 1000.0 && v == math.floor(v)))
   }
 
+  test("opt-in maxStringSampleLen mirrors the reference's 10-byte truncation") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // strings sharing a 10-byte prefix: truncated at 10 bytes they are
+    // INDISTINGUISHABLE, so the truncated median is the cut prefix —
+    // exactly the reference's MAX_STRING_SAMPLE_LEN corruption
+    // (median.cc:49,67-86) — while the faithful default path orders the
+    // full values and returns a complete string
+    val df = Seq("prefix9876_aaa", "prefix9876_bbb", "prefix9876_ccc")
+      .toDF("s").repartition(2)
+    val full = df.agg(GraftFunctions.appx_median_typed(col("s"), 100).as("m"))
+      .collect()(0).getString(0)
+    assert(full == "prefix9876_bbb", s"faithful path must keep full values: $full")
+    val trunc = df.agg(
+      GraftFunctions.appx_median_typed_ref(col("s"), 100, 10).as("m"))
+      .collect()(0).getString(0)
+    assert(trunc == "prefix9876", s"truncated path must cut to 10 bytes: $trunc")
+    // flag 0 = off: identical to the faithful path
+    val off = df.agg(
+      GraftFunctions.appx_median_typed_ref(col("s"), 100, 0).as("m"))
+      .collect()(0).getString(0)
+    assert(off == full)
+    // SQL surface parses too
+    df.createOrReplaceTempView("trunc_strings")
+    val viaSql = spark.sql(
+      "SELECT appx_median_typed_ref(s, 100, 10) AS m FROM trunc_strings")
+      .collect()(0).getString(0)
+    assert(viaSql == "prefix9876")
+  }
+
   test("aggregate plan is partial -> exchange -> final ObjectHashAggregate") {
     import spark.implicits._
     GraftFunctions.register(spark)

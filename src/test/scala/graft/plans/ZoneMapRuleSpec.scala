@@ -93,6 +93,44 @@ class ZoneMapRuleSpec extends SparkTestBase {
     }
   }
 
+  test("over the file-count cap: no prune, same results") {
+    val path = freshClustered()
+    ZoneMap.persist(spark, path, "l_orderkey")
+    val baseline = withRule {
+      rangeScan(path).agg(count(lit(1)).cast("long")).collect().head.getLong(0)
+    }
+    spark.conf.set(ZoneMapRule.MaxFilesKey, (NumFiles - 1).toString)
+    try withRule {
+      // 16 files > cap of 15: the rule must decline to prune (bounding
+      // its driver-side zone list) and the query must still be right
+      assert(plannedFiles(rangeScan(path)).length == NumFiles,
+        "over-cap table must scan unpruned")
+      val got = rangeScan(path)
+        .agg(count(lit(1)).cast("long")).collect().head.getLong(0)
+      assert(got == baseline, "cap fallback must be result-invisible")
+    } finally spark.conf.unset(ZoneMapRule.MaxFilesKey)
+  }
+
+  test("all-NULL-key files load as unknown zones instead of crashing planning") {
+    // one file whose clustering key is entirely NULL: its zone map row
+    // has NULL lo/hi (min/max skip nulls); planning must degrade to
+    // keeping the file, never NPE
+    val dir = Files.createTempDirectory("zmnull").toString
+    val path = s"$dir/t"
+    import org.apache.spark.sql.SaveMode
+    spark.range(10).selectExpr("id AS k", "id AS payload")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+    spark.range(5).selectExpr("CAST(NULL AS BIGINT) AS k", "id AS payload")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(path)
+    ZoneMap.persist(spark, path, "k")
+    withRule {
+      val df = spark.read.parquet(path).where(col("k").between(2L, 4L))
+      // planning alone used to NPE on Row.getLong(null); force it and
+      // the execution, and check the NULL-key file kept the result right
+      assert(df.count() == 3L)
+    }
+  }
+
   test("boundary rows survive pruning (zone overlap is inclusive)") {
     val path = freshClustered()
     ZoneMap.persist(spark, path, "l_orderkey")
