@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.functions.TextSketches
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — remove training documents that overlap
+  * an evaluation set by any exact token n-gram (the GPT-3/Llama-style
+  * "13-gram collision" rule, n configurable). No reference
+  * implementation; this is the LLM-data-pipeline operator that keeps
+  * eval benchmarks out of the training corpus.
+  *
+  * Scale shape at 100 TB:
+  *  - The EVAL side is small by construction (benchmarks are
+  *    ~10^4-10^6 documents), so its distinct n-gram set is
+  *    broadcastable — the training corpus is scanned ONCE, its
+  *    n-grams tested per-row against the broadcast hash relation.
+  *    Nothing shuffles the corpus.
+  *  - The training side explodes to (doc_id, gram) only INSIDE the
+  *    broadcast semi-join stage; survivors collapse back to distinct
+  *    doc_ids immediately (the only exchange carries contaminated ids
+  *    — a tiny fraction of the corpus).
+  *  - The final removal is a broadcastable left-anti join on doc_id:
+  *    contaminated ids are few, so the corpus again never shuffles.
+  *  - N-grams are DISTINCT per document before the join
+  *    ([[TextSketches.shingles]] dedups), bounding the explode at
+  *    tokens-per-doc rows.
+  */
+object Decontaminate {
+
+  /** Distinct doc_ids of `train` sharing at least one token n-gram
+    * with `eval` (both need `idCol` + `textCol`). */
+  def contaminatedIds(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(TextSketches.shingles(col(textCol), n)).as("g"))
+      .distinct()
+    train
+      .select(col(idCol), explode(TextSketches.shingles(col(textCol), n)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+  }
+
+  /** `train` minus every document contaminated against `eval`. */
+  def clean(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    train.join(broadcast(contaminatedIds(train, eval, idCol, textCol, n)),
+      Seq(idCol), "left_anti")
+}

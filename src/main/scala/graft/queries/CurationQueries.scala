@@ -1,0 +1,260 @@
+package graft.queries
+
+import graft.functions.{GraftFunctions, PiiScrub, RepetitionStats}
+import graft.operators.{DataSplit, Decontaminate, DomainMix, SemanticDedup}
+import graft.sources.Tables
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a production LLM-data pipeline runs that
+  * no earlier gate covers (SURVEY §2.3 extensions): benchmark
+  * decontamination, PII scrubbing, semantic (embedding-space) dedup,
+  * domain-mixture rebalancing, and Gopher-style repetition quality
+  * rules. Each gate pins integer-exact semantics a DuckDB oracle
+  * replays bit-for-bit; the scale arguments live with the operators
+  * ([[graft.operators.Decontaminate]], [[graft.operators.DomainMix]],
+  * [[graft.operators.SemanticDedup]], [[graft.functions.PiiScrub]],
+  * [[graft.functions.RepetitionStats]]).
+  */
+object CurationQueries {
+
+  /** Fixture eval-set rule: every 5th document "is a benchmark". */
+  private val EvalMod = 5
+  /** Exact-overlap gram width (the 100 TB setting is ~13; 8 keeps the
+    * fixture's near-dup partners detectable while natural collisions
+    * stay zero — see PLANS.md round 7). */
+  private val NGram = 8
+
+  private val DupTokenPct = 60
+  private val TopGram2Pct = 10
+
+  private val MixSeed = "mix7"
+  private val MixDenom = 2
+
+  // ---- q116: benchmark decontamination -------------------------------
+
+  private val decontaminateSql =
+    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, array_to_string(t[i.i:i.i+${NGram - 1}], ' ') AS g
+       |  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(t)-${NGram - 2})) AS i) i
+       |  WHERE len(t) >= $NGram),
+       |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % $EvalMod = 0),
+       |contam AS (SELECT DISTINCT doc_id FROM grams
+       |           WHERE doc_id % $EvalMod <> 0 AND g IN (SELECT g FROM ev)),
+       |train AS (SELECT doc_id, lang FROM documents WHERE doc_id % $EvalMod <> 0)
+       |SELECT lang,
+       |       count(*)::BIGINT AS n_train,
+       |       sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+       |       sum(CASE WHEN c.doc_id IS NULL THEN t.doc_id ELSE 0 END)::BIGINT AS kept_id_sum
+       |FROM train t LEFT JOIN contam c ON t.doc_id = c.doc_id
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q117: PII scrub ------------------------------------------------
+
+  /** Deterministic PII planting — the fixture text is synthetic and
+    * PII-free, so both engines append the same synthetic contact
+    * strings keyed on doc_id; what the gate tests is the DETECTION
+    * and REDACTION arithmetic downstream, which runs on the combined
+    * text exactly as it would on a real crawl. */
+  private def augmented(textCol: Column, id: Column): Column = concat(
+    textCol,
+    when(id % 3 === 0,
+      concat(lit(" contact user"), id.cast("string"), lit("@example.com")))
+      .otherwise(""),
+    when(id % 7 === 0,
+      concat(lit(" call 555-"), lpad((id % 10000).cast("string"), 4, "0")))
+      .otherwise(""),
+    when(id % 11 === 0,
+      concat(lit(" host 10."), (id % 256).cast("string"), lit(".0."),
+        ((id * 7) % 256).cast("string")))
+      .otherwise(""))
+
+  private val piiSql =
+    """WITH aug AS (
+      |  SELECT doc_id, lang,
+      |         text
+      |         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      |         || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+      |         || CASE WHEN doc_id % 11 = 0 THEN ' host 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) ELSE '' END
+      |         AS text
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id, lang,
+      |         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+      |         len(regexp_extract_all(text, '\b\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+      |         len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+      |         length(regexp_replace(regexp_replace(regexp_replace(text,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |           '\b\d{3}-\d{4}\b', '<PHONE>', 'g'))::BIGINT AS redacted_len
+      |  FROM aug)
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |       sum(n_email)::BIGINT AS n_email, sum(n_phone)::BIGINT AS n_phone,
+      |       sum(n_ip)::BIGINT AS n_ip,
+      |       sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_pii,
+      |       sum(redacted_len)::BIGINT AS sum_redacted_len
+      |FROM hits GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q118: semantic dedup ------------------------------------------
+
+  /** Threshold shared with the q36/q81 embedding-edge rule
+    * ([[SimilarityQueries.BlockedNearDupThreshold]]) so one tuning
+    * constant governs every embedding near-dup gate. */
+  private def semTau = SimilarityQueries.BlockedNearDupThreshold
+
+  private val semanticDedupSql = {
+    val dim = SimilarityQueries.Dim
+    s"""${SimilarityQueries.normedCte},
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < ${SimilarityQueries.NumCentroids}),
+       |${SimilarityQueries.ivfAssignSql("c0", "a0")},
+       |${SimilarityQueries.ivfLloydSql("a0", "c1")},
+       |${SimilarityQueries.ivfAssignSql("c1", "a1")},
+       |${SimilarityQueries.ivfLloydSql("a1", "c2")},
+       |${SimilarityQueries.ivfAssignSql("c2", "cell")},
+       |pairs AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM cell a JOIN cell b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE list_aggregate([a.v[i]*b.v[i] for i in generate_series(1, $dim)], 'sum')
+       |          / (a.nrm*b.nrm) > $semTau),
+       |dropped AS (SELECT DISTINCT ib FROM pairs)
+       |SELECT c.vec_id, c.cid FROM cell c JOIN dropped d ON c.vec_id = d.ib
+       |ORDER BY c.vec_id""".stripMargin
+  }
+
+  // ---- q119: domain mixture ------------------------------------------
+
+  private val domainMixSql =
+    s"""WITH toks AS (SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tok
+       |              FROM documents),
+       |tot AS (SELECT sum(n_tok)::BIGINT AS all_tok, count(DISTINCT source)::BIGINT AS n_src
+       |        FROM toks),
+       |dom AS (SELECT source, count(*)::BIGINT AS n_total, sum(n_tok)::BIGINT AS dom_weight
+       |        FROM toks GROUP BY source),
+       |rated AS (
+       |  SELECT d.source, d.n_total, d.dom_weight,
+       |         least(10000, (10000 * (t.all_tok // ($MixDenom * t.n_src))) // d.dom_weight)::BIGINT AS rate_bp
+       |  FROM dom d CROSS JOIN tot t),
+       |kept AS (
+       |  SELECT tk.source, tk.doc_id, tk.n_tok
+       |  FROM toks tk JOIN rated r ON tk.source = r.source
+       |  WHERE ('0x' || substr(md5('$MixSeed:' || CAST(tk.doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000 < r.rate_bp)
+       |SELECT r.source, r.n_total, r.dom_weight, r.rate_bp,
+       |       count(k.doc_id)::BIGINT AS n_kept,
+       |       COALESCE(sum(k.n_tok), 0)::BIGINT AS tok_kept,
+       |       COALESCE(sum(k.doc_id), 0)::BIGINT AS kept_id_sum
+       |FROM rated r LEFT JOIN kept k ON r.source = k.source
+       |GROUP BY r.source, r.n_total, r.dom_weight, r.rate_bp
+       |ORDER BY r.source""".stripMargin
+
+  // ---- q120: repetition rules ----------------------------------------
+
+  private val repetitionSql =
+    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang, len(t)::BIGINT AS n_tok,
+       |         len(list_distinct(t))::BIGINT AS n_dist,
+       |         [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS g2
+       |  FROM toks),
+       |r AS (SELECT doc_id, lang, n_tok, n_dist, len(g2)::BIGINT AS n2,
+       |             COALESCE(list_max([len(list_filter(g2, y -> y = x)) for x in list_distinct(g2)]), 0)::BIGINT AS max2
+       |      FROM m)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |       sum(CASE WHEN (n_tok - n_dist) * 100 >= n_tok * $DupTokenPct THEN 1 ELSE 0 END)::BIGINT AS n_flag_dup_tokens,
+       |       sum(CASE WHEN n2 > 0 AND max2 * 100 >= n2 * $TopGram2Pct THEN 1 ELSE 0 END)::BIGINT AS n_flag_top_2gram,
+       |       sum(max2)::BIGINT AS sum_max_2gram,
+       |       sum(n_dist)::BIGINT AS sum_distinct_tokens
+       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- declared queries ----------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q116_decontaminate", decontaminateSql) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val evalSet = docs.where(col("doc_id") % EvalMod === 0)
+      val train = docs.where(col("doc_id") % EvalMod =!= 0)
+      val contam = Decontaminate
+        .contaminatedIds(train, evalSet, "doc_id", "text", NGram)
+        .withColumn("is_contam", lit(1))
+      train.select(col("doc_id"), col("lang"))
+        .join(broadcast(contam), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("is_contam").isNotNull, 1L).otherwise(0L))
+            .as("n_contaminated"),
+          sum(when(col("is_contam").isNull, col("doc_id")).otherwise(0L))
+            .as("kept_id_sum"))
+        .orderBy(col("lang"))
+    },
+
+    QueryDef("q117_pii_scrub", piiSql) { (spark, dir) =>
+      val aug = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          augmented(col("text"), col("doc_id")).as("text"))
+      aug.select(col("lang"),
+        PiiScrub.emailCount(col("text")).as("n_email"),
+        PiiScrub.phoneCount(col("text")).as("n_phone"),
+        PiiScrub.ipv4Count(col("text")).as("n_ip"),
+        length(PiiScrub.redact(col("text"))).cast("long").as("redacted_len"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("n_email"),
+          sum(col("n_phone")).as("n_phone"),
+          sum(col("n_ip")).as("n_ip"),
+          sum(when(col("n_email") + col("n_phone") + col("n_ip") > 0, 1L)
+            .otherwise(0L)).as("n_docs_with_pii"),
+          sum(col("redacted_len")).as("sum_redacted_len"))
+        .orderBy(col("lang"))
+    },
+
+    QueryDef("q118_semantic_dedup", semanticDedupSql) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      val assigned = SimilarityQueries.ivfIndex(spark, dir)
+      val dropped = SemanticDedup.dropIds(assigned, semTau)
+      assigned.select(col("vec_id"), col("cid"))
+        .join(dropped, Seq("vec_id"), "left_semi")
+        .orderBy(col("vec_id"))
+    },
+
+    QueryDef("q119_domain_mix", domainMixSql) { (spark, dir) =>
+      val toks = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val rated = DomainMix.rates(toks, "source", col("n_tok"), MixDenom)
+      val kept = DomainMix
+        .sample(toks, "doc_id", "source", col("n_tok"), MixDenom, MixSeed)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).as("tok_kept"),
+          sum(col("doc_id")).as("kept_id_sum"))
+      rated.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_total"), col("dom_weight"), col("rate_bp"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tok_kept"), lit(0L)).as("tok_kept"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+        .orderBy(col("source"))
+    },
+
+    QueryDef("q120_repetition_rules", repetitionSql) { (spark, dir) =>
+      val toks = split(col("text"), " ")
+      Tables.load(spark, dir, "documents")
+        .select(col("lang"),
+          when(RepetitionStats.dupTokenFlag(toks, DupTokenPct), 1L)
+            .otherwise(0L).as("flag_dup"),
+          when(size(RepetitionStats.grams2(toks)) > 0 &&
+            RepetitionStats.topGram2Flag(toks, TopGram2Pct), 1L)
+            .otherwise(0L).as("flag_top2"),
+          RepetitionStats.maxGram2Count(toks).as("max2"),
+          size(array_distinct(toks)).cast("long").as("n_dist"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("flag_dup")).as("n_flag_dup_tokens"),
+          sum(col("flag_top2")).as("n_flag_top_2gram"),
+          sum(col("max2")).as("sum_max_2gram"),
+          sum(col("n_dist")).as("sum_distinct_tokens"))
+        .orderBy(col("lang"))
+    }
+  )
+}

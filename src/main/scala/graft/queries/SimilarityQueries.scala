@@ -38,7 +38,7 @@ object SimilarityQueries {
   private[queries] val Dim = 64
   private val NumPlanes = 8
   private val NumQueries = 5
-  private val NumCentroids = 16
+  private[queries] val NumCentroids = 16
   private val TopK = 10
 
   // multi-table LSH near-dup (q48)
@@ -699,7 +699,7 @@ object SimilarityQueries {
 
   // ---- DuckDB oracle -------------------------------------------------
 
-  private val normedCte =
+  private[queries] val normedCte =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_aggregate([x*x for x in v], 'sum')) AS nrm FROM e)""".stripMargin
 
@@ -748,7 +748,7 @@ object SimilarityQueries {
     * centroid from `cents`, ties to the lowest cid (mirrors the Spark
     * fold's strict-greater replacement). The oracle may use the
     * crossJoin+window shape freely — only the Spark plan must scale. */
-  private def ivfAssignSql(cents: String, out: String): String =
+  private[queries] def ivfAssignSql(cents: String, out: String): String =
     s"""$out AS (
        |  SELECT vec_id, v, nrm, cid FROM (
        |    SELECT n.vec_id, n.v, n.nrm, c.cid,
@@ -761,7 +761,7 @@ object SimilarityQueries {
     * quantized with floor(x * 2^20) — BIGINT sums are exact in any
     * aggregation order, which is what makes k-means oracle-checkable
     * (see [[graft.operators.IvfIndex]]). */
-  private def ivfLloydSql(assigned: String, out: String): String =
+  private[queries] def ivfLloydSql(assigned: String, out: String): String =
     s"""${out}s AS (
        |  SELECT cid, i,
        |         CAST(sum(CAST(floor(v[i] * ${IvfIndex.Scale}) AS BIGINT)) AS BIGINT) AS sv,

@@ -1,0 +1,208 @@
+package graft.queries
+
+import graft.SparkTestBase
+import graft.functions.{PiiScrub, RepetitionStats}
+import graft.operators.{Decontaminate, DomainMix, SemanticDedup}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+/** Unit semantics + plan-shape pins for the curation operators
+  * (q116-q120). The oracle gates prove values; these prove the SCALE
+  * shapes — broadcast where a side is small, map-only where the work
+  * is per-row, and never a cartesian anywhere. */
+class CurationSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def defOf(name: String): QueryDef =
+    CurationQueries.defs.find(_.name == name).get
+
+  private def executed(name: String): SparkPlan = {
+    val df = defOf(name).run(spark, sf0001)
+    df.collect()
+    df.queryExecution.executedPlan
+  }
+
+  private def countNodes(p: SparkPlan)(f: PartialFunction[SparkPlan, Unit]): Int =
+    p.collect { case n if f.isDefinedAt(n) => n }.size
+
+  // ---- Decontaminate --------------------------------------------------
+
+  test("decontaminate flags exactly the docs sharing an n-gram") {
+    val train = Seq(
+      (1L, "a b c d e f"), // shares the 3-gram "b c d"
+      (2L, "x y z w v u"), // disjoint
+      (3L, "c d e q r s")  // shares "c d e"
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d e zz")).toDF("doc_id", "text")
+    val flagged = Decontaminate
+      .contaminatedIds(train, eval, "doc_id", "text", 3)
+      .as[Long].collect().sorted
+    assert(flagged.toSeq == Seq(1L, 3L))
+    val kept = Decontaminate.clean(train, eval, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L))
+  }
+
+  test("decontaminate: sub-n-gram docs are never flagged") {
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val eval = Seq((9L, "a b c")).toDF("doc_id", "text")
+    assert(Decontaminate.contaminatedIds(train, eval, "doc_id", "text", 3)
+      .count() == 0)
+  }
+
+  test("q116 plan: gram joins broadcast, no sort-merge, no cartesian") {
+    val p = executed("q116_decontaminate")
+    assert(countNodes(p) { case _: SortMergeJoinExec => () } == 0, p.toString.take(3000))
+    assert(countNodes(p) { case _: CartesianProductExec => () } == 0)
+    assert(countNodes(p) { case _: BroadcastNestedLoopJoinExec => () } == 0)
+    assert(p.toString.contains("BroadcastHashJoin"), p.toString.take(3000))
+  }
+
+  // ---- PiiScrub -------------------------------------------------------
+
+  test("pii scrub counts and redacts each family; email wins overlaps") {
+    val df = Seq(
+      ("reach me at a.b-c_d@mail.example.org or 10.1.2.3", 1L),
+      ("call 555-0199 or 555-0200 today", 2L),
+      ("no pii here", 3L),
+      // the email's host embeds dotted digits: email redaction must
+      // consume it before the IP pattern can bite
+      ("x 99user@10.2.3.4mail.com y", 4L)
+    ).toDF("text", "id")
+    val r = df.select(col("id"),
+      PiiScrub.emailCount(col("text")).as("e"),
+      PiiScrub.phoneCount(col("text")).as("p"),
+      PiiScrub.ipv4Count(col("text")).as("i"),
+      PiiScrub.redact(col("text")).as("red"))
+      .orderBy("id").collect()
+    assert(r(0).getLong(1) == 1 && r(0).getLong(3) == 1)
+    assert(r(0).getString(4) == "reach me at <EMAIL> or <IP>")
+    assert(r(1).getLong(2) == 2 &&
+      r(1).getString(4) == "call <PHONE> or <PHONE> today")
+    assert(r(2).getLong(1) == 0 && r(2).getLong(2) == 0 && r(2).getLong(3) == 0)
+    assert(r(3).getString(4) == "x <EMAIL> y", r(3).getString(4))
+  }
+
+  test("q117 plan: map-only metrics — no joins, one agg exchange + sort") {
+    val p = executed("q117_pii_scrub")
+    assert(countNodes(p) { case _: SortMergeJoinExec => () } == 0)
+    assert(!p.toString.contains("Join"), p.toString.take(2000))
+    // partial->final agg on lang plus the output sort: nothing else
+    // may shuffle (the per-doc regexp work is inside the scan stage)
+    assert(countNodes(p) { case _: ShuffleExchangeExec => () } <= 2,
+      p.toString.take(3000))
+  }
+
+  // ---- SemanticDedup --------------------------------------------------
+
+  private def assignedFixture: DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // cell 0: ids 1,2 identical direction (cos=1), id 3 orthogonal;
+    // cell 1: ids 4,5 orthogonal — nothing dropped there
+    Seq(
+      (1L, Seq(1.0, 0.0), 0L), (2L, Seq(2.0, 0.0), 0L), (3L, Seq(0.0, 1.0), 0L),
+      (4L, Seq(1.0, 0.0), 1L), (5L, Seq(0.0, 1.0), 1L)
+    ).toDF("vec_id", "v", "cid")
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+  }
+
+  test("semantic dedup drops the higher id of every over-threshold pair") {
+    val dropped = SemanticDedup.dropIds(assignedFixture, 0.9)
+      .as[Long].collect().sorted
+    assert(dropped.toSeq == Seq(2L))
+    val kept = SemanticDedup.dedup(assignedFixture, 0.9)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("semantic dedup never pairs across cells") {
+    // ids 10/11 are identical vectors but in DIFFERENT cells: the
+    // cluster-scoped contract must not see the pair
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((10L, Seq(1.0, 0.0), 0L), (11L, Seq(1.0, 0.0), 1L))
+      .toDF("vec_id", "v", "cid")
+      .withColumn("nrm", lit(1.0))
+    assert(SemanticDedup.pairs(df, 0.5).count() == 0)
+  }
+
+  test("semantic dedup cell cap: an over-cap cell is left un-deduped") {
+    assert(SemanticDedup.dropIds(assignedFixture, 0.9, maxCellSize = 2)
+      .as[Long].collect().toSeq == Seq.empty)
+    // cap admitting the 3-vector cell restores the drop
+    assert(SemanticDedup.dropIds(assignedFixture, 0.9, maxCellSize = 3)
+      .as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("q118 plan: no cartesian, no nested-loop — the pair join is an equi-join") {
+    val p = executed("q118_semantic_dedup")
+    assert(countNodes(p) { case _: CartesianProductExec => () } == 0)
+    assert(countNodes(p) { case _: BroadcastNestedLoopJoinExec => () } == 0)
+  }
+
+  // ---- DomainMix ------------------------------------------------------
+
+  test("domain-mix rates: exact integer basis points, capped at 10000") {
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), // dom a: weight 200
+      ("b", 3L, 40L)                    // dom b: weight 40
+    ).toDF("dom", "id", "w")
+    val r = DomainMix.rates(df, "dom", col("w"), 2)
+      .orderBy("dom").collect()
+    // total 240, budget = 240 DIV (2*2) = 60;
+    // a: 10000*60 DIV 200 = 3000; b: min(10000, 10000*60 DIV 40) = 10000
+    assert(r(0).getAs[Long]("rate_bp") == 3000L, r.mkString(","))
+    assert(r(1).getAs[Long]("rate_bp") == 10000L)
+  }
+
+  test("domain-mix sample is deterministic and honors a full-keep rate") {
+    val df = Seq(("b", 3L, 40L), ("b", 4L, 40L)).toDF("dom", "id", "w")
+    // single domain: budget = 80 DIV 2 = 40, rate = 5000bp — but with
+    // ONE domain the outcome set must be identical across runs
+    val k1 = DomainMix.sample(df, "id", "dom", col("w"), 2, "s")
+      .select("id").as[Long].collect().sorted.toSeq
+    val k2 = DomainMix.sample(df, "id", "dom", col("w"), 2, "s")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(k1 == k2)
+  }
+
+  test("q119 plan: rate join broadcasts — the corpus never sort-merges") {
+    val p = executed("q119_domain_mix")
+    assert(countNodes(p) { case _: SortMergeJoinExec => () } == 0,
+      p.toString.take(3000))
+    assert(countNodes(p) { case _: CartesianProductExec => () } == 0)
+  }
+
+  // ---- RepetitionStats ------------------------------------------------
+
+  test("repetition stats: max 2-gram count and flags") {
+    val df = Seq(
+      ("a b a b a b", 1L),  // 2-grams: ab,ba,ab,ba,ab -> max 3 of 5
+      ("a b c d e f", 2L),  // all distinct -> max 1
+      ("x", 3L)             // no 2-grams
+    ).toDF("text", "id")
+    val toks = split(col("text"), " ")
+    val r = df.select(col("id"),
+      RepetitionStats.maxGram2Count(toks).as("m2"),
+      size(RepetitionStats.grams2(toks)).as("n2"),
+      RepetitionStats.dupTokenFlag(toks, 60).as("fd"),
+      RepetitionStats.topGram2Flag(toks, 10).as("f2"))
+      .orderBy("id").collect()
+    assert(r(0).getLong(1) == 3 && r(0).getInt(2) == 5)
+    assert(r(0).getBoolean(3)) // 6 tokens, 2 distinct -> 66% dups
+    assert(r(0).getBoolean(4)) // 3/5 = 60% >= 10%
+    assert(r(1).getLong(1) == 1 && !r(1).getBoolean(3))
+    assert(r(2).getLong(1) == 0 && r(2).getInt(2) == 0)
+  }
+
+  test("q120 plan: per-row metrics stay map-only — no joins, bounded exchanges") {
+    val p = executed("q120_repetition_rules")
+    assert(!p.toString.contains("Join"), p.toString.take(2000))
+    assert(countNodes(p) { case _: ShuffleExchangeExec => () } <= 2,
+      p.toString.take(3000))
+  }
+}
