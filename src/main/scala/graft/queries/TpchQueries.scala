@@ -237,6 +237,148 @@ object TpchQueries {
         |WHERE s_suppkey = supplier_no
         |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
-      Seq("supplier", "lineitem"))
+      Seq("supplier", "lineitem")),
+
+    // TPC-H Q2 shape — minimum-cost supplier: the correlated scalar
+    // MIN subquery re-joining the same 4-table chain as the outer
+    // query. The fixture has no partsupp, so each lineitem row plays
+    // the (part, supplier, cost) offer with cost = l_extendedprice;
+    // MIN is exact, so the double equality is deterministic. DISTINCT
+    // + full-output ORDER BY make the LIMIT stable when one supplier
+    // posts the same price twice.
+    QueryDef.sqlSurface("q121_sql_tpch_q2",
+      """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type,
+        |       l_extendedprice AS cost
+        |FROM part, supplier, lineitem, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size = 25 AND p_type = 'ECONOMY'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, cost
+        |LIMIT 100""".stripMargin,
+      Seq("part", "supplier", "lineitem", "nation", "region")),
+
+    // TPC-H Q9 shape — product-type profit: the 5-way join with a
+    // per-(nation, year) profit sum and a part-name LIKE filter. The
+    // fixture has no ps_supplycost; the cost leg substitutes
+    // 0.01 * p_retailprice * l_quantity, keeping the
+    // price-minus-cost arithmetic and the part join both load-bearing.
+    QueryDef.sqlSurface("q122_sql_tpch_q9",
+      """SELECT nation, o_year, CAST(sum(amount_d) AS DOUBLE) AS sum_profit
+        |FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |             CAST(l_extendedprice * (1.0 - l_discount)
+        |                  - 0.01 * p_retailprice * l_quantity AS DECIMAL(20,4)) AS amount_d
+        |      FROM part, supplier, lineitem, orders, nation
+        |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |        AND p_name LIKE '%red%') profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+      Seq("part", "supplier", "lineitem", "orders", "nation")),
+
+    // TPC-H Q11 shape — important stock: group-by over one nation's
+    // supply values with an uncorrelated scalar-subquery threshold in
+    // HAVING (the same aggregate re-run over the same join, scaled by
+    // a fraction). partsupp value -> lineitem l_extendedprice; the
+    // exact decimal sums are compared after one double multiply.
+    QueryDef.sqlSurface("q123_sql_tpch_q11",
+      """SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS value
+        |FROM lineitem, supplier, nation
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        |GROUP BY l_partkey
+        |HAVING sum(CAST(l_extendedprice AS DECIMAL(20,4))) > (
+        |  SELECT sum(CAST(l_extendedprice AS DECIMAL(20,4))) * 0.001
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_3')
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+      Seq("lineitem", "supplier", "nation")),
+
+    // TPC-H Q12 shape — shipmode priority split: the two-way
+    // conditional count over a joined date window. No
+    // l_shipmode/l_commitdate/l_receiptdate in the fixture:
+    // return-flag classes 'R'/'A' stand in for the two ship modes and
+    // "late" is shipped >60 days after order date (q98's proxy).
+    QueryDef.sqlSurface("q124_sql_tpch_q12",
+      """SELECT l_returnflag AS shipmode,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey AND l_returnflag IN ('R', 'A')
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+      Seq("orders", "lineitem")),
+
+    // TPC-H Q16 shape — supplier-part relationship counting:
+    // count(DISTINCT supplier) per part attribute triple, excluding a
+    // NOT IN supplier denylist (negative balances stand in for the
+    // complaint-comment filter; lineitem stands in for partsupp).
+    QueryDef.sqlSurface("q125_sql_tpch_q16",
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+      Seq("lineitem", "part", "supplier")),
+
+    // TPC-H Q20 shape — part promotion candidates: the nested
+    // IN-subquery ladder (suppliers <- shipped-enough grouped
+    // lineitems <- name-matched parts) that must decorrelate to
+    // semi-joins, never per-row subquery execution. The availqty
+    // comparison becomes a HAVING threshold on the exact decimal
+    // quantity sum.
+    QueryDef.sqlSurface("q126_sql_tpch_q20",
+      """SELECT s_name, s_acctbal
+        |FROM supplier, nation
+        |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_5'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem, part
+        |    WHERE l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l_suppkey
+        |    HAVING sum(CAST(l_quantity AS DECIMAL(20,4))) > 50)
+        |ORDER BY s_name, s_acctbal""".stripMargin,
+      Seq("supplier", "nation", "lineitem", "part")),
+
+    // TPC-H Q21 shape — suppliers who kept waiting orders: the
+    // EXISTS + NOT EXISTS pair over the SAME lineitem table correlated
+    // on the outer line's order key with a supplier-inequality — the
+    // hardest decorrelation in the suite. "Failed its delivery" is
+    // l_returnflag = 'R' on finished orders (no receipt/commit dates
+    // in the fixture).
+    QueryDef.sqlSurface("q127_sql_tpch_q21",
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+      Seq("supplier", "lineitem", "orders", "nation"))
   )
 }

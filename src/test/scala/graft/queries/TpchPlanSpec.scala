@@ -165,4 +165,30 @@ class TpchPlanSpec extends SparkTestBase {
     assert(scanOf(sp, "lineitem").metadata("PushedFilters")
       .contains("GreaterThan(l_shipdate"), "lineitem date not pushed")
   }
+
+  test("q127 (Q21): EXISTS + NOT EXISTS decorrelate to semi + anti joins") {
+    val p = planOf("q127_sql_tpch_q21")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    // the supplier-inequality correlation must ride the join condition,
+    // never a nested-loop fallback
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q126 (Q20): the nested-IN ladder decorrelates to a semi-join") {
+    val p = planOf("q126_sql_tpch_q20")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q121 (Q2): the correlated scalar MIN becomes an aggregate join") {
+    val p = planOf("q121_sql_tpch_q2")
+    // decorrelation: a min-aggregate over the re-joined subquery chain,
+    // equi-joined back on (price, partkey) — no per-row subquery, no
+    // nested loop
+    assert(p.contains("min(l_extendedprice"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
 }
