@@ -131,6 +131,26 @@ object SourceQueries {
         .orderBy(col("n_nationkey"))
     },
 
+    // ORC sink -> ORC source -> aggregate. DuckDB has no ORC reader,
+    // so the oracle aggregates the ORIGINAL parquet table — which is
+    // the stronger statement anyway: the ORC round trip must be
+    // lossless for the gate to hash-match. The sink path carries the
+    // sf-dir slug so cross-scale runs can never read a stale copy.
+    QueryDef("q128_orc_source",
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val path = s"/root/repo/target/graft_formats/orders_orc_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val orders = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      Formats.writeOrc(orders, path)
+      Formats.readOrc(spark, path)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Bucket-co-located join; the oracle joins the plain parquet
     // tables, proving bucketing never changes the result.
     QueryDef("q51_bucketed_join",

@@ -26,4 +26,15 @@ object Formats {
 
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC round trip — the columnar sibling a mixed-lake deployment
+    * reads alongside parquet. Spark's native ORC source keeps the
+    * parquet scan properties that matter at scale: predicate pushdown
+    * into the stripe/row-group index, column pruning, and
+    * partition-parallel splits (asserted in FormatsSpec). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path) // self-describing format: schema rides along
 }

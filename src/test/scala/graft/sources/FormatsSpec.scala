@@ -26,6 +26,19 @@ class FormatsSpec extends SparkTestBase {
       src.where(col("n_name") === "CHINA").count())
   }
 
+  test("ORC round-trip preserves rows and schema; scan pushes filters and prunes columns") {
+    val src = nationDf
+    Formats.writeOrc(src, "/tmp/fmt_nation_orc")
+    val back = Formats.readOrc(spark, "/tmp/fmt_nation_orc")
+    assert(back.schema == src.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+    val qe = back.where(col("n_regionkey") === 2).select("n_name")
+      .queryExecution.executedPlan.toString
+    assert(qe.contains("EqualTo(n_regionkey,2)"), qe) // stripe-index pushdown
+    assert(qe.contains("ReadSchema: struct<n_name:string,n_regionkey:int>"), qe)
+  }
+
   test("CSV scan pushes filters down to the source") {
     val src = nationDf
     Formats.writeCsv(src, "/tmp/fmt_nation_csv")
