@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact substring deduplication (Lee et al., 2022,
+  * arXiv:2107.06499): remove every token span of length >= k that
+  * occurs anywhere else in the corpus, keeping exactly the FIRST
+  * occurrence (minimum (doc_id, position)). The canonical use: strip
+  * boilerplate and cross-document quotations that whole-document or
+  * near-dup passes can't see. No reference implementation;
+  * driver-mandated dedup-family operator.
+  *
+  * Algorithm (the distributed re-expression of the paper's
+  * suffix-array pass):
+  *  1. every k-gram occurrence (doc_id, pos, gram) — map-only explode;
+  *  2. per gram: occurrence count + minimum occurrence key — ONE
+  *     map-side-combined aggregation (count and min both partial-agg);
+  *  3. non-canonical occurrences of duplicated grams = removal starts
+  *     — an equi-join of occurrences against the (much smaller)
+  *     duplicated-gram set;
+  *  4. removal starts collapse to a per-doc start list (bounded by the
+  *     doc's token count), which joins BACK to the corpus broadcast
+  *     (affected docs are a fraction) — coverage and reassembly are
+  *     then ROW-LOCAL higher-order functions: token i survives iff no
+  *     start s has s <= i < s+k. No token-level shuffle anywhere.
+  *
+  * At 100 TB the gram shuffle dominates; the production lever is
+  * hashing grams to 64-bit keys before the exchange (md5-slice
+  * family), trading bytes for a ~n²/2⁶⁴ false-merge rate — kept OFF
+  * here so the oracle compares exact text. Occurrence keys encode as
+  * doc_id * PosBase + pos, which bounds supported documents at PosBase
+  * tokens (far above any training document; chunk longer inputs).
+  */
+object SubstringDedup {
+
+  /** Max tokens per document under the integer occurrence-key
+    * encoding (same constant inlined in the oracle SQL). */
+  val PosBase = 1000000L
+
+  /** (doc_id, pos, g): every k-gram occurrence, 1-based positions. */
+  def occurrences(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(idCol).as("doc_id"),
+        when(size(toks) >= k,
+          transform(sequence(lit(1), size(toks) - (k - 1)),
+            i => struct(i.as("pos"),
+              concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)
+                .as("g"))))
+          .otherwise(array().cast("array<struct<pos:int,g:string>>")).as("oc"))
+      .select(col("doc_id"), explode(col("oc")).as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
+  }
+
+  private def occKey(doc: Column, pos: Column): Column =
+    doc * PosBase + pos.cast("long")
+
+  /** Removal starts: (doc_id, pos) of every NON-canonical occurrence
+    * of a gram that occurs more than once corpus-wide. */
+  def removalStarts(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val occ = occurrences(docs, idCol, textCol, k)
+    val dup = occ.groupBy(col("g"))
+      .agg(count(lit(1)).as("c"), min(occKey(col("doc_id"), col("pos"))).as("canon"))
+      .where(col("c") > 1)
+      .select(col("g"), col("canon"))
+    occ.join(dup, Seq("g"))
+      .where(occKey(col("doc_id"), col("pos")) =!= col("canon"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** The corpus with duplicated spans cut: adds `kept_text` (first
+    * occurrences keep their text verbatim; non-canonical spans are
+    * removed token-wise) and `n_kept`. Unaffected docs pass through
+    * with their full text. */
+  def scrub(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val starts = removalStarts(docs, idCol, textCol, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("starts"))
+    val toks = split(col(textCol), " ")
+    docs
+      .join(broadcast(starts), docs(idCol) === starts("doc_id"), "left")
+      .drop(starts("doc_id"))
+      .withColumn("_kept",
+        when(col("starts").isNull, toks).otherwise(
+          // row-local coverage: token i survives iff no start covers it
+          transform(
+            filter(sequence(lit(1), size(toks)),
+              i => !exists(col("starts"), s => s <= i && i < s + k)),
+            i => element_at(toks, i))))
+      .withColumn("kept_text", concat_ws(" ", col("_kept")))
+      .withColumn("n_kept", size(col("_kept")).cast("long"))
+      .drop("_kept", "starts")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{GraftFunctions, PiiScrub, RepetitionStats}
-import graft.operators.{DataSplit, Decontaminate, DomainMix, SemanticDedup}
+import graft.operators.{DataSplit, Decontaminate, DomainMix, SemanticDedup, SubstringDedup}
 import graft.sources.Tables
 
 import org.apache.spark.sql.Column
@@ -167,6 +167,40 @@ object CurationQueries {
        |       sum(n_dist)::BIGINT AS sum_distinct_tokens
        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- q129: exact substring dedup -----------------------------------
+
+  /** Span width for the fixture (the paper's production setting is 50
+    * tokens; 10 keeps the near-dup partners' shared spans detectable
+    * on ~54-token docs). */
+  private val SpanK = 10
+
+  private val substringDedupSql = {
+    val k = SpanK
+    val base = SubstringDedup.PosBase
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |occ AS (SELECT doc_id, i.i AS pos, array_to_string(t[i.i:i.i+${k - 1}], ' ') AS g
+       |        FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(t)-${k - 2})) AS i) i
+       |        WHERE len(t) >= $k),
+       |dupg AS (SELECT g, min(doc_id*$base+pos) AS canon FROM occ
+       |         GROUP BY g HAVING count(*) > 1),
+       |rem AS (SELECT o.doc_id, o.pos FROM occ o JOIN dupg d ON o.g = d.g
+       |        WHERE o.doc_id*$base+o.pos <> d.canon),
+       |cov AS (SELECT DISTINCT doc_id, p.p FROM rem
+       |        CROSS JOIN LATERAL (SELECT unnest(range(pos, pos+$k)) AS p) p),
+       |tokpos AS (SELECT doc_id, i.i AS p, t[i.i] AS tok FROM toks
+       |           CROSS JOIN LATERAL (SELECT unnest(range(1, len(t)+1)) AS i) i),
+       |keptdoc AS (
+       |  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.p) AS kept_text,
+       |         count(*)::BIGINT AS n_kept
+       |  FROM tokpos tp LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.p = c.p
+       |  WHERE c.p IS NULL GROUP BY tp.doc_id),
+       |affected AS (SELECT DISTINCT doc_id FROM rem)
+       |SELECT a.doc_id, COALESCE(k.kept_text, '') AS kept_text,
+       |       COALESCE(k.n_kept, 0)::BIGINT AS n_kept
+       |FROM affected a LEFT JOIN keptdoc k ON a.doc_id = k.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
   // ---- declared queries ----------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
@@ -235,6 +269,17 @@ object CurationQueries {
           coalesce(col("tok_kept"), lit(0L)).as("tok_kept"),
           coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
         .orderBy(col("source"))
+    },
+
+    QueryDef("q129_substring_dedup", substringDedupSql) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val affected = SubstringDedup
+        .removalStarts(docs, "doc_id", "text", SpanK)
+        .select(col("doc_id")).distinct()
+      SubstringDedup.scrub(docs, "doc_id", "text", SpanK)
+        .join(affected, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("kept_text"), col("n_kept"))
+        .orderBy(col("doc_id"))
     },
 
     QueryDef("q120_repetition_rules", repetitionSql) { (spark, dir) =>
