@@ -38,12 +38,18 @@ object SubstringDedup {
     * encoding (same constant inlined in the oracle SQL). */
   val PosBase = 1000000L
 
-  /** (doc_id, pos, g): every k-gram occurrence, 1-based positions. */
+  /** (doc_id, pos, g): every k-gram occurrence, 1-based positions.
+    * The token array is materialized in its OWN projection first:
+    * referencing `split(text)` directly inside the gram lambda would
+    * re-split the text on every element_at lookup (k splits per gram,
+    * O(tokens² · k) per document — measured 10x the whole pipeline's
+    * cost before this was hoisted). */
   def occurrences(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
+    val toks = col("_toks")
     docs
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
+      .select(col("doc_id"),
         when(size(toks) >= k,
           transform(sequence(lit(1), size(toks) - (k - 1)),
             i => struct(i.as("pos"),
@@ -80,10 +86,11 @@ object SubstringDedup {
     val starts = removalStarts(docs, idCol, textCol, k)
       .groupBy(col("doc_id"))
       .agg(collect_list(col("pos")).as("starts"))
-    val toks = split(col(textCol), " ")
+    val toks = col("_toks")
     docs
       .join(broadcast(starts), docs(idCol) === starts("doc_id"), "left")
       .drop(starts("doc_id"))
+      .withColumn("_toks", split(col(textCol), " ")) // hoisted once (see occurrences)
       .withColumn("_kept",
         when(col("starts").isNull, toks).otherwise(
           // row-local coverage: token i survives iff no start covers it
@@ -93,6 +100,6 @@ object SubstringDedup {
             i => element_at(toks, i))))
       .withColumn("kept_text", concat_ws(" ", col("_kept")))
       .withColumn("n_kept", size(col("_kept")).cast("long"))
-      .drop("_kept", "starts")
+      .drop("_toks", "_kept", "starts")
   }
 }
