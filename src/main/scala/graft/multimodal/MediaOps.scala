@@ -139,6 +139,38 @@ object MediaOps {
     }
   }
 
+  /** The fixture's kind assignment (id % 4), shared with the
+    * binaryFile-ingest gate so a path-recovered id maps to the same
+    * container kind [[mediaFromDocuments]] encoded. */
+  def kindOf(id: Long): String = (id % 4) match {
+    case 0 => "image/png"
+    case 1 => "image/jpeg"
+    case 2 => "audio/wav"
+    case _ => "video/mp4"
+  }
+
+  /** Ingest staging: materialize each payload as its own `<id>.bin`
+    * object under `dirPath` — the on-disk shape a real multimodal lake
+    * has (one file per image/audio/video object), written
+    * partition-parallel from the executors. Spark's `binaryFile`
+    * source then lists and reads them back as (path, content) rows;
+    * that read path is what the q132 gate verifies end-to-end. */
+  def writeMediaFiles(files: Dataset[MediaFile], dirPath: String): Unit = {
+    val root = new java.io.File(dirPath)
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete()
+    }
+    if (root.exists()) deleteRec(root)
+    root.mkdirs()
+    files.foreachPartition { (it: Iterator[MediaFile]) =>
+      it.foreach { f =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dirPath, s"${f.mediaId}.bin"), f.payload)
+      }
+    }
+  }
+
   /** Frame sampling shape for video-kind payloads: emits one row per
     * sampled frame (STUB: slices the payload deterministically). */
   def sampleFrames(files: Dataset[MediaFile], everyBytes: Int): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.multimodal.MediaOps
+import graft.multimodal.{MediaFile, MediaOps}
 
 import org.apache.spark.sql.functions._
 
@@ -14,15 +14,12 @@ import org.apache.spark.sql.functions._
   * header parses are correct. */
 object MultimodalQueries {
 
-  val defs: Seq[QueryDef] = Seq(
-
-    // Metadata extraction over binary payloads: kind by id % 4,
-    // n_bytes = real header size (PNG 33 / JPEG 15 / WAV 44 / MP4 144)
-    // + utf-8 body, width/height parsed from image header bytes (0 for
-    // the time-based kinds), duration from WAV data-over-byte-rate /
-    // MP4 mvhd ticks-over-timescale math (0 for images).
-    QueryDef("q29_media_meta",
-      """SELECT doc_id AS media_id,
+  /** Expected media metadata re-derived from the id arithmetic alone —
+    * shared by q29 (in-memory payload path) and q132 (binaryFile
+    * ingest path): both must recover identical values by PARSING the
+    * container bytes. */
+  private val mediaMetaOracle =
+    """SELECT doc_id AS media_id,
         |       CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
         |            WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS kind,
         |       (CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 15
@@ -35,8 +32,42 @@ object MultimodalQueries {
         |                  // ((8000 + doc_id % 8 * 1000) * (doc_id // 4 % 2 + 1) * 2)
         |             WHEN 3 THEN (doc_id * 31 % 100000) * 1000 // (600 + doc_id % 7 * 100)
         |             ELSE 0 END)::BIGINT AS duration_ms
-        |FROM documents ORDER BY media_id""".stripMargin) { (spark, dir) =>
+        |FROM documents ORDER BY media_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Metadata extraction over binary payloads: kind by id % 4,
+    // n_bytes = real header size (PNG 33 / JPEG 15 / WAV 44 / MP4 144)
+    // + utf-8 body, width/height parsed from image header bytes (0 for
+    // the time-based kinds), duration from WAV data-over-byte-rate /
+    // MP4 mvhd ticks-over-timescale math (0 for images).
+    QueryDef("q29_media_meta", mediaMetaOracle) { (spark, dir) =>
       MediaOps.extractMeta(MediaOps.mediaFromDocuments(spark, dir))
+        .toDF()
+        .select(col("mediaId").as("media_id"), col("kind"),
+          col("nBytes").as("n_bytes"), col("width"), col("height"),
+          col("durationMs").as("duration_ms"))
+        .orderBy(col("media_id"))
+    },
+
+    // The file-lake ingest path: every payload staged as its own
+    // `<id>.bin` object (how a real multimodal corpus actually sits in
+    // storage), read back through Spark's `binaryFile` source — a
+    // partition-parallel listing + whole-object read with pushed-down
+    // pathGlobFilter — id recovered from the PATH, bytes decoded by
+    // the same header parsers as q29. Same oracle as q29: the gate
+    // passes only if the file round trip preserved every byte and the
+    // path→id→kind plumbing lines up row-for-row.
+    QueryDef("q132_binaryfile_source", mediaMetaOracle) { (spark, dir) =>
+      import spark.implicits._
+      val path = stagedMediaFiles(spark, dir)
+      val files = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin").load(path)
+        .select(regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+          .cast("long").as("media_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) => MediaFile(id, MediaOps.kindOf(id), bytes) }
+      MediaOps.extractMeta(files)
         .toDF()
         .select(col("mediaId").as("media_id"), col("kind"),
           col("nBytes").as("n_bytes"), col("width"), col("height"),
@@ -100,4 +131,18 @@ object MultimodalQueries {
         .orderBy(col("media_id"), col("i"))
     }
   )
+
+  /** One-time-per-(session, dir) file-lake staging for q132: each
+    * media payload written as `<id>.bin` from the executors. */
+  private val mediaFileSetup =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  private def stagedMediaFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    mediaFileSetup.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/root/repo/target/graft_media/files_$tag"
+      MediaOps.writeMediaFiles(MediaOps.mediaFromDocuments(spark, dir), path)
+      path
+    })
 }

@@ -555,6 +555,45 @@ object NearDupQueries {
       verifiedPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Edit-distance-verified near-dup pairs: the third verify metric
+    // (beside Jaccard q23 and SimHash-Hamming q32), for corpora where
+    // "near duplicate" means a handful of token EDITS rather than
+    // shared shingle mass. Levenshtein is O(|a|·|b|) per pair, so at
+    // any scale it runs ONLY on the LSH candidate set (band-bucket
+    // equi-join output — bounded, never all-pairs); the candidate id
+    // list is broadcast against the corpus to fetch the two texts, so
+    // the documents scan never shuffles. Integer-only threshold
+    // (5·dist <= max(len_a, len_b), i.e. normalized distance <= 0.2)
+    // keeps the compare bit-exact; both engines count levenshtein in
+    // characters (ASCII fixture, so chars == bytes).
+    QueryDef("q131_editdist_neardup",
+      s"""$sigCte,
+         |$bandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, edit_dist, max_len FROM (
+         |  SELECT doc_a, doc_b,
+         |         levenshtein(da.text, db.text)::INT AS edit_dist,
+         |         greatest(length(da.text), length(db.text))::BIGINT AS max_len
+         |  FROM cand JOIN documents da ON cand.doc_a = da.doc_id
+         |            JOIN documents db ON cand.doc_b = db.doc_id) t
+         |WHERE edit_dist * 5 <= max_len
+         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val cand = candidatePairs(spark, dir)
+      val withA = d.as("da").join(broadcast(cand), col("da.doc_id") === col("doc_a"))
+        .select(col("doc_a"), col("doc_b"), col("da.text").as("text_a"))
+      withA.join(d.as("db"), col("doc_b") === col("db.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("text_a"), col("db.text")).as("edit_dist"),
+          greatest(length(col("text_a")), length(col("db.text")))
+            .cast("long").as("max_len"))
+        .where(col("edit_dist") * 5 <= col("max_len"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // 60-bit frequency-weighted SimHash per document (TextSketches) —
     // the second classic near-dup sketch; bit j votes +/-1 per token
     // occurrence by bit j of the token's 60-bit md5 hash.

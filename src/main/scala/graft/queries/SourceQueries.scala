@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.ZoneMap
+import graft.operators.{Compact, ZoneMap}
 import graft.sources.{Formats, Tables}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -151,6 +151,25 @@ object SourceQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Small-file compaction must be result-invisible: stage orders as
+    // a deliberately fragmented layout (48 tiny files), compact it to
+    // ~128 KB output files through the narrow no-shuffle coalesce
+    // path, and aggregate the COMPACTED copy against an oracle that
+    // aggregates the ORIGINAL table. CompactSpec pins the mechanics
+    // (file-count math, no Exchange, byte-equal content, balanced
+    // mode); this gate pins that a reader cannot tell the difference.
+    QueryDef("q130_compact_files",
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val out = compactedOrders(spark, dir)
+      spark.read.parquet(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Bucket-co-located join; the oracle joins the plain parquet
     // tables, proving bucketing never changes the result.
     QueryDef("q51_bucketed_join",
@@ -272,6 +291,26 @@ object SourceQueries {
       Tables.load(spark, dir, "lineitem"), "l_orderkey", 16, path)
     path
   }
+
+  /** One-time-per-(session, dir) compaction staging for q130: write
+    * orders fragmented into 48 tiny files (the shape a streaming sink
+    * leaves behind), then compact toward 128 KB files. Returns the
+    * compacted path. */
+  private val compactSetup =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  private def compactedOrders(spark: SparkSession, dir: String): String =
+    compactSetup.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val frag = s"/root/repo/target/graft_compact/orders_frag_$tag"
+      val out = s"/root/repo/target/graft_compact/orders_compacted_$tag"
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(48)
+        .write.mode("overwrite").parquet(frag)
+      Compact.rewrite(spark, frag, out, targetBytes = 128L * 1024)
+      out
+    })
 
   /** The per-file min/max zone map of the clustered copy, built once
     * per (session, dir) and materialized (FrameMemo) so each

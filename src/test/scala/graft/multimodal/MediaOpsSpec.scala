@@ -124,4 +124,26 @@ class MediaOpsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"decode pass must not shuffle payloads:\n$plan")
   }
+
+  test("file-lake staging + binaryFile source round-trips every byte") {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File("target/graft_test/media_files")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete()
+    }
+    if (dir.exists()) deleteRec(dir)
+    val ds = files(12)
+    MediaOps.writeMediaFiles(ds, dir.getAbsolutePath)
+    // one object per payload, named by id
+    val names = dir.listFiles().map(_.getName).sorted
+    assert(names.toSeq == (0 until 12).map(i => s"$i.bin").sorted)
+    val back = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir.getAbsolutePath)
+      .select(regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+        .cast("long").as("id"), col("content"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val original = ds.collect().map(f => f.mediaId -> f.payload.toSeq).toMap
+    assert(back == original, "binaryFile read must preserve every byte")
+  }
 }

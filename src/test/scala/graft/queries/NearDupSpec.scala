@@ -13,6 +13,23 @@ class NearDupSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("edit-distance verify stays on the candidate set and its plan never goes quadratic") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("q131_editdist_neardup")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "fixture's planted near-dups must survive the edit threshold")
+    // every verified pair is an LSH candidate and honors 5*dist <= max_len
+    val cand = NearDupQueries.candidatePairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      assert(cand.contains((r.getLong(0), r.getLong(1))))
+      assert(r.getInt(2) * 5 <= r.getLong(3))
+    }
+  }
+
   test("LSH finds a planted near-duplicate and skips unrelated docs") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
