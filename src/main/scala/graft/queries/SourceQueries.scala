@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Compact, ZoneMap}
+import graft.operators.{Compact, ZOrder, ZoneMap}
 import graft.sources.{Formats, Tables}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -224,6 +224,31 @@ object SourceQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Z-ORDER (Morton-curve) clustering: the multi-dimensional sibling
+    // of q99. lineitem is rewritten along the interleaved-bit curve of
+    // (l_orderkey, l_partkey), so each file covers a tight RECTANGLE
+    // of the key plane and a zone map on l_partkey — the dimension
+    // single-key clustering cannot serve — prunes files too
+    // (ZOrderSpec pins the both-dims pruning and the single-key
+    // contrast). The z-layout is a row permutation of lineitem, so the
+    // oracle filters the ORIGINAL table: skipping must be
+    // result-invisible.
+    QueryDef("q133_zorder_skipping",
+      """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem WHERE l_partkey BETWEEN 10 AND 60
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val path = zorderedLineitem(spark, dir)
+      val zmap = FrameMemo.memoized(spark, s"zonemap_zorder_partkey_$dir") {
+        ZoneMap.build(spark, path, "l_partkey")
+      }
+      ZoneMap.skippingScan(spark, path, zmap, "l_partkey", 10L, 60L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // AUTOMATIC zone-map skipping (the round-5 verdict's item 2):
     // the same physics as q99 but through a PLAIN declarative read —
     // spark.read.parquet(path).where(range) — with the file pruning
@@ -291,6 +316,21 @@ object SourceQueries {
       Tables.load(spark, dir, "lineitem"), "l_orderkey", 16, path)
     path
   }
+
+  /** One-time-per-(session, dir) Z-order rewrite of lineitem on
+    * (l_orderkey, l_partkey) — 16 files, each a tight rectangle of
+    * the key plane. */
+  private val zorderSetup =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  private def zorderedLineitem(spark: SparkSession, dir: String): String =
+    zorderSetup.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/root/repo/target/graft_clustered/lineitem_z$tag"
+      ZOrder.writeClustered(
+        Tables.load(spark, dir, "lineitem"), "l_orderkey", "l_partkey", 16, path)
+      path
+    })
 
   /** One-time-per-(session, dir) compaction staging for q130: write
     * orders fragmented into 48 tiny files (the shape a streaming sink
