@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Compact, ZOrder, ZoneMap}
+import graft.operators.{Compact, Upsert, ZOrder, ZoneMap}
 import graft.sources.{Formats, Tables}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -31,6 +31,8 @@ object SourceQueries {
   // first, then the DuckDB compare)
   private val CsvPath = "/root/repo/target/graft_formats/nation_csv"
   private val JsonPath = "/root/repo/target/graft_formats/nation_json"
+  private val EvoV1Path = "/root/repo/target/graft_formats/nation_evo_v1"
+  private val EvoV2Path = "/root/repo/target/graft_formats/nation_evo_v2"
 
   private def nationSlim(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "nation")
@@ -222,6 +224,76 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_lines"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Schema evolution: a long-lived table's early batches predate a
+    // later-added column.
+    // Batch v1 carries (key, name), batch v2 adds n_regionkey; Spark
+    // reads both with mergeSchema=true (NULL where the column predates
+    // the row), and the oracle re-reads the same files with DuckDB's
+    // union_by_name — the gate passes only if both engines agree on
+    // the widened schema AND the NULL back-fill row-for-row. nation is
+    // byte-identical across scale factors, so the static paths are
+    // safe in the static oracle string (the q49/q50 convention).
+    QueryDef("q134_schema_evolution",
+      s"""SELECT n_nationkey, n_name, n_regionkey
+         |FROM read_parquet(['$EvoV1Path/*.parquet', '$EvoV2Path/*.parquet'],
+         |                  union_by_name=true)
+         |ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+      val nation = Tables.load(spark, dir, "nation")
+      nation.where(col("n_nationkey") < 12)
+        .select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(EvoV1Path)
+      nation.where(col("n_nationkey") >= 12)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").parquet(EvoV2Path)
+      spark.read.option("mergeSchema", "true").parquet(EvoV1Path, EvoV2Path)
+        .orderBy(col("n_nationkey"))
+    },
+
+    // CDC upsert: apply a deterministic changelog (deletes for k%7=0,
+    // single updates for k%7 in (1,2), a SECOND higher-version update
+    // for k%7=1 — latest must win, inserts for k%7=3) to the customer
+    // snapshot through Upsert.merge, and emit the next snapshot. The
+    // oracle replays the same changelog with a row_number latest-pick
+    // + full outer join. Balances as integer cents on both sides.
+    QueryDef("q135_cdc_upsert",
+      """WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |changes AS (
+        |  SELECT k, 1 AS ver, 'D' AS op, NULL::DOUBLE AS bal FROM base WHERE k % 7 = 0
+        |  UNION ALL SELECT k, 1, 'U', bal + 100 FROM base WHERE k % 7 IN (1, 2)
+        |  UNION ALL SELECT k, 2, 'U', bal + 200 FROM base WHERE k % 7 = 1
+        |  UNION ALL SELECT k + 1000000, 1, 'U', 42.0 + k FROM base WHERE k % 7 = 3),
+        |latest AS (
+        |  SELECT k, op, bal FROM (
+        |    SELECT k, op, bal, row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+        |    FROM changes) t WHERE rn = 1),
+        |merged AS (
+        |  SELECT coalesce(b.k, c.k) AS k,
+        |         CASE WHEN c.k IS NOT NULL THEN c.bal ELSE b.bal END AS bal,
+        |         c.op AS op
+        |  FROM base b FULL OUTER JOIN latest c ON b.k = c.k)
+        |SELECT k, CAST(round(bal * 100) AS BIGINT) AS cents
+        |FROM merged WHERE op IS NULL OR op <> 'D'
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      val base = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val del = base.where(col("k") % 7 === 0)
+        .select(col("k"), lit(1L).as("ver"), lit("D").as("op"),
+          lit(null).cast("double").as("bal"))
+      val upd1 = base.where((col("k") % 7).isin(1, 2))
+        .select(col("k"), lit(1L).as("ver"), lit("U").as("op"),
+          (col("bal") + 100).as("bal"))
+      val upd2 = base.where(col("k") % 7 === 1)
+        .select(col("k"), lit(2L).as("ver"), lit("U").as("op"),
+          (col("bal") + 200).as("bal"))
+      val ins = base.where(col("k") % 7 === 3)
+        .select((col("k") + 1000000L).as("k"), lit(1L).as("ver"),
+          lit("U").as("op"), (lit(42.0) + col("k")).as("bal"))
+      val changes = del.union(upd1).union(upd2).union(ins)
+      Upsert.merge(base, changes, "k", "ver", "op")
+        .select(col("k"), round(col("bal") * 100).cast("long").as("cents"))
+        .orderBy(col("k"))
     },
 
     // Z-ORDER (Morton-curve) clustering: the multi-dimensional sibling
