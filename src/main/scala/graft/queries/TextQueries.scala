@@ -45,6 +45,45 @@ object TextQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // One-pass corpus profile: the summaries an ingest job wants after
+    // landing a batch — doc/token totals, length extremes, exact vs
+    // HLL distinct-content agreement, and the top-language count read
+    // off a Misra-Gries sketch — co-executed in a SINGLE aggregation
+    // over ONE scan of the corpus. At 100 TB this is the difference
+    // between one pass and five: every summary here is a mergeable
+    // partial-aggregating state, so the scan is paid once and the
+    // exchange carries one state blob per partition. MG capacity (8)
+    // exceeds the language cardinality (5), so its counts are exact
+    // and the top-language count hash-compares against the oracle's
+    // plain GROUP BY; the HLL agreement is a q55-style tolerance flag.
+    QueryDef("q136_corpus_profile",
+      """SELECT count(*)::BIGINT AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       min(length(text))::BIGINT AS min_len,
+        |       max(length(text))::BIGINT AS max_len,
+        |       count(DISTINCT md5(text))::BIGINT AS n_distinct,
+        |       true AS hll_ok,
+        |       (SELECT max(c)::BIGINT FROM
+        |          (SELECT count(*) AS c FROM documents GROUP BY lang)) AS top_lang_n
+        |FROM documents""".stripMargin) { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
+      Tables.load(spark, dir, "documents")
+        .select(col("lang"), col("text"), md5(col("text")).as("fp"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+          min(length(col("text"))).cast("long").as("min_len"),
+          max(length(col("text"))).cast("long").as("max_len"),
+          countDistinct(col("fp")).as("n_distinct"),
+          approx_count_distinct(col("fp")).as("_hll"),
+          graft.functions.GraftFunctions.heavy_hitters(col("lang"), 8).as("_mg"))
+        .select(col("n_docs"), col("n_tokens"), col("min_len"), col("max_len"),
+          col("n_distinct"),
+          (abs(col("_hll") - col("n_distinct")) * 20 <= col("n_distinct"))
+            .as("hll_ok"),
+          array_max(map_values(col("_mg"))).cast("long").as("top_lang_n"))
+    },
+
     // Per-document stats: chars, tokens, punctuation, stopwords,
     // distinct-token (type) count. All counts as BIGINT on both sides.
     QueryDef("q18_text_stats",
