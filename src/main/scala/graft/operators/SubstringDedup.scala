@@ -39,11 +39,20 @@ object SubstringDedup {
   val PosBase = 1000000L
 
   /** (doc_id, pos, g): every k-gram occurrence, 1-based positions.
-    * The token array is materialized in its OWN projection first:
-    * referencing `split(text)` directly inside the gram lambda would
-    * re-split the text on every element_at lookup (k splits per gram,
-    * O(tokens² · k) per document — measured 10x the whole pipeline's
-    * cost before this was hoisted). */
+    *
+    * Two planner traps shape this code, both measured at ~10-20x the
+    * whole pipeline's cost when tripped:
+    *  - the token array is materialized in its OWN projection:
+    *    referencing `split(text)` directly inside the gram lambda
+    *    re-splits the text on every element_at lookup;
+    *  - the explode is `explode_outer` + a null filter, NOT plain
+    *    `explode`: InferFiltersFromGenerate infers `size(oc) > 0` for
+    *    an inner explode and predicate pushdown sinks that filter
+    *    BELOW the token projection, where the entire gram-array
+    *    expression is re-evaluated per row with `split(text)` inlined
+    *    under every element_at (O(tokens·k) splits per gram). The
+    *    rule skips outer generates, so the guard never materializes
+    *    and empty-array rows cost one null row each instead. */
   def occurrences(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val toks = col("_toks")
@@ -56,7 +65,8 @@ object SubstringDedup {
               concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)
                 .as("g"))))
           .otherwise(array().cast("array<struct<pos:int,g:string>>")).as("oc"))
-      .select(col("doc_id"), explode(col("oc")).as("o"))
+      .select(col("doc_id"), explode_outer(col("oc")).as("o"))
+      .where(col("o").isNotNull)
       .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
   }
 
@@ -82,8 +92,18 @@ object SubstringDedup {
     * removed token-wise) and `n_kept`. Unaffected docs pass through
     * with their full text. */
   def scrub(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val starts = removalStarts(docs, idCol, textCol, k)
+      k: Int): DataFrame =
+    scrubWithStarts(docs, removalStarts(docs, idCol, textCol, k),
+      idCol, textCol, k)
+
+  /** [[scrub]] over PRECOMPUTED removal starts — callers that also
+    * need the start set for other purposes (the q129 gate derives its
+    * affected-doc filter from it) materialize `removalStarts` once
+    * and pass it here, instead of paying the occurrence explode and
+    * gram aggregation twice. */
+  def scrubWithStarts(docs: DataFrame, removalStarts: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    val starts = removalStarts
       .groupBy(col("doc_id"))
       .agg(collect_list(col("pos")).as("starts"))
     val toks = col("_toks")

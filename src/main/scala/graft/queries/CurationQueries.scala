@@ -273,10 +273,13 @@ object CurationQueries {
 
     QueryDef("q129_substring_dedup", substringDedupSql) { (spark, dir) =>
       val docs = Tables.load(spark, dir, "documents")
-      val affected = SubstringDedup
-        .removalStarts(docs, "doc_id", "text", SpanK)
-        .select(col("doc_id")).distinct()
-      SubstringDedup.scrub(docs, "doc_id", "text", SpanK)
+      // one materialization of the (small) removal-start set feeds
+      // BOTH the affected-doc filter and the reassembly — without it
+      // the occurrence explode + gram aggregation would run twice
+      val rs = SubstringDedup.removalStarts(docs, "doc_id", "text", SpanK)
+        .localCheckpoint()
+      val affected = rs.select(col("doc_id")).distinct()
+      SubstringDedup.scrubWithStarts(docs, rs, "doc_id", "text", SpanK)
         .join(affected, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("kept_text"), col("n_kept"))
         .orderBy(col("doc_id"))
