@@ -332,6 +332,32 @@ object PipelineQueries {
           sum(col("n_tokens")).as("fold_tokens"),
           sum(col("doc_id")).as("id_sum"))
         .orderBy(col("fold"), col("shard"))
+    },
+
+    // Sliding-window chunking: documents → fixed-size overlapping
+    // token windows (size 16, stride 12 on the ~50-token fixture;
+    // the production setting is the model context length). The gate
+    // compares FULL chunk text row-for-row — a chunk boundary off by
+    // one token anywhere fails the hash. Map-only plan: zero
+    // exchanges, integer-only window arithmetic the oracle replays
+    // (ChunkerSpec pins the no-Exchange plan + coverage invariants).
+    QueryDef("q138_doc_chunks",
+      """WITH s AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |         len(string_split(text, ' '))::BIGINT AS dl
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, t, dl,
+        |         unnest(range(0, ((greatest(dl - 16, 0) + 11) // 12) + 1)) AS i
+        |  FROM s)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |       len(t[i*12 + 1 : least(i*12 + 16, dl)])::BIGINT AS n_tok,
+        |       array_to_string(t[i*12 + 1 : least(i*12 + 16, dl)], ' ') AS chunk
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+      graft.operators.Chunker
+        .chunks(Tables.load(spark, dir, "documents"), "doc_id",
+          split(col("text"), " "), size = 16, stride = 12)
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }
   )
 }

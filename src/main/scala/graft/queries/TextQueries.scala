@@ -43,6 +43,10 @@ object TextQueries {
   private val QsBits = 5
   private val QsSubBuckets = 1 << QsBits
 
+  /** q137's fixed query — terms present in the fixture vocabulary.
+    * (Also declared before `defs` for the same init-order reason.) */
+  private val Bm25Terms = Seq("spark", "vector", "stream", "window")
+
   val defs: Seq[QueryDef] = Seq(
 
     // One-pass corpus profile: the summaries an ingest job wants after
@@ -429,6 +433,46 @@ object TextQueries {
               s"shiftleft(bucket - shift * $QsSubBuckets, shift)"))
             .cast("long").as("est"))
         .orderBy(col("l_returnflag"), col("q"))
+    },
+
+    // BM25 ranked retrieval (odds-form idf — log-free, so every
+    // operation is IEEE-exactly-rounded and the oracle replays the
+    // scores bit-for-bit; per-term ranking is unchanged since log is
+    // monotone). Postings are filtered to the 4 query terms BEFORE
+    // the tf aggregation (the only corpus-wide exchange carries
+    // matching rows only), df/corpus scalars broadcast back, top-k
+    // via TakeOrderedAndProject — no global sort. Per-doc score sums
+    // per-term scores in FIXED query order (conditional aggregation;
+    // a float sum() would be partition-order-dependent).
+    QueryDef("q137_bm25_search",
+      s"""WITH stats AS (
+         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+         |         string_split(text, ' ') AS t
+         |  FROM documents),
+         |scal AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS dl_sum FROM stats),
+         |post AS (
+         |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM stats)
+         |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2, 3),
+         |dft AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+         |sc AS (
+         |  SELECT p.doc_id, p.term,
+         |         ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+         |           * (tf * 2.2::DOUBLE)
+         |           / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * p.dl
+         |              / (CAST(dl_sum AS DOUBLE) / n_docs))) AS s
+         |  FROM post p JOIN dft USING (term) CROSS JOIN scal)
+         |SELECT doc_id,
+         |${Bm25Terms.map(t =>
+            s"       coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0::DOUBLE)")
+            .mkString("", "\n       + \n", "")} AS score
+         |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) {
+      (spark, dir) =>
+      graft.operators.Bm25.search(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t")),
+        "doc_id", "t", Bm25Terms, 20)
     }
   )
 
