@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Compact, Upsert, ZOrder, ZoneMap}
+import graft.operators.{BloomSkip, Compact, Upsert, ZOrder, ZoneMap}
 import graft.sources.{Formats, Tables}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -33,6 +33,12 @@ object SourceQueries {
   private val JsonPath = "/root/repo/target/graft_formats/nation_json"
   private val EvoV1Path = "/root/repo/target/graft_formats/nation_evo_v1"
   private val EvoV2Path = "/root/repo/target/graft_formats/nation_evo_v2"
+
+  /** q139's probe set: three urls present at every SF (source is
+    * doc_id mod 20 in the fixture) plus one absent. (Declared before
+    * `defs` — its oracle SQL interpolates this at object init.) */
+  private val BloomProbeUrls =
+    Seq("src7/7", "src3/23", "src1/41", "src9/1000000009")
 
   private def nationSlim(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "nation")
@@ -348,8 +354,57 @@ object SourceQueries {
         df.queryExecution.executedPlan
         df
       }
+    },
+
+    // Per-file BLOOM skipping: point lookups on a column UNCORRELATED
+    // with the layout (url, while files are clustered by doc_id) —
+    // the case where min/max zones all overlap every probe and prune
+    // NOTHING. The bloom index answers membership per file with no
+    // false negatives, so the lookup opens O(matching) files; false
+    // positives only cost a file open (the residual filter keeps the
+    // result exact), which is why the gate can compare against an
+    // oracle reading the ORIGINAL table. BloomSkipSpec pins the
+    // actual pruning counts and the zone-map contrast.
+    QueryDef("q139_bloom_skipping",
+      s"""SELECT doc_id, lang, source, source || '/' || CAST(doc_id AS VARCHAR) AS url
+         |FROM documents
+         |WHERE source || '/' || CAST(doc_id AS VARCHAR) IN (${
+            BloomProbeUrls.map(u => s"'$u'").mkString(", ")})
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val path = urlDocuments(spark, dir)
+      bloomIndexed(spark, dir, path)
+      BloomSkip.lookupScan(spark, path, "url", BloomProbeUrls)
+        .select(col("doc_id"), col("lang"), col("source"), col("url"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** One-time-per-(session, dir) staging for q139: documents with a
+    * derived `url` column, range-clustered by doc_id into 16 files —
+    * the layout that makes url lookups unservable by min/max zones. */
+  private val urlDocsSetup =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  private def urlDocuments(spark: SparkSession, dir: String): String =
+    urlDocsSetup.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/root/repo/target/graft_clustered/documents_url$tag"
+      ZoneMap.writeClustered(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            concat(col("source"), lit("/"), col("doc_id").cast("string"))
+              .as("url")),
+        "doc_id", 16, path)
+      path
+    })
+
+  private val bloomSetup =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  private def bloomIndexed(spark: SparkSession, dir: String,
+      tablePath: String): String =
+    bloomSetup.getOrElseUpdate((System.identityHashCode(spark), dir),
+      BloomSkip.persist(spark, tablePath, "url"))
 
   /** Persist the clustered-lineitem zone map at the ZoneMapRule
     * discovery path, once per (session, dir). */
