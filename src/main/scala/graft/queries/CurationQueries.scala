@@ -203,6 +203,29 @@ object CurationQueries {
 
   // ---- declared queries ----------------------------------------------
 
+  /** q140's recipe: 0.3 epochs of English, 2.5 of Chinese, 1.0
+    * elsewhere. */
+  private val EpochRecipe = Map("en" -> 3000, "zh" -> 25000)
+  private val EpochSeed = "ep"
+
+  private val epochMixSql =
+    """WITH e AS (
+      |  SELECT doc_id, lang,
+      |         CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 25000
+      |              ELSE 10000 END AS ebp,
+      |         ('0x' || substr(md5('ep:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+      |           % 10000 AS bp
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang,
+      |         ebp // 10000 + CASE WHEN bp < ebp % 10000 THEN 1 ELSE 0 END AS copies
+      |  FROM e)
+      |SELECT lang, sum(copies)::BIGINT AS n_emitted,
+      |       count(CASE WHEN copies > 0 THEN 1 END)::BIGINT AS n_docs,
+      |       sum(doc_id * copies)::BIGINT AS id_sum,
+      |       max(copies)::INT AS max_epoch
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q116_decontaminate", decontaminateSql) { (spark, dir) =>
@@ -302,6 +325,26 @@ object CurationQueries {
           sum(col("flag_top2")).as("n_flag_top_2gram"),
           sum(col("max2")).as("sum_max_2gram"),
           sum(col("n_dist")).as("sum_distinct_tokens"))
+        .orderBy(col("lang"))
+    },
+
+    // Fractional epochs-per-domain replication — the data-recipe pass
+    // (0.3 epochs of the dominant crawl, 2.5 of a scarce source, 1.0
+    // otherwise) that unifies up- and downsampling in one md5-bp
+    // rule: copies = e div 10000 + (bucket < e mod 10000). The gate
+    // pins emitted-row counts, surviving-doc counts, multiplicity-
+    // weighted id sums, and the max copy index per language — one
+    // document replicated or dropped differently anywhere fails.
+    QueryDef("q140_epoch_mix", epochMixSql) { (spark, dir) =>
+      graft.operators.EpochMix
+        .replicate(Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("lang")),
+          "doc_id", "lang", EpochRecipe, defaultBp = 10000, seed = EpochSeed)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_emitted"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          max(col("epoch")).as("max_epoch"))
         .orderBy(col("lang"))
     }
   )
