@@ -358,6 +358,64 @@ object PipelineQueries {
         .chunks(Tables.load(spark, dir, "documents"), "doc_id",
           split(col("text"), " "), size = 16, stride = 12)
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Split-leakage audit: a val/test document that is a NEAR-DUP of
+    // a train document leaks the training set into evaluation even
+    // though exact dedup and the hash split both did their jobs. The
+    // audit composes two already-gated stages — the q100 fold
+    // assignment and the q23 Jaccard-verified near-dup pairs — and
+    // counts eval docs with a train partner. Scale shape: folds are a
+    // map-only hash label; pairs come from the banded-LSH chain
+    // (shuffle-bounded, never all-pairs); the leak check is one
+    // semi-join of the (small) pair list against train ids plus one
+    // doc_id join back — the corpus itself never re-shuffles.
+    QueryDef("q141_split_leakage",
+      s"""${NearDupQueries.sigCte},
+         |${NearDupQueries.bandsCte},
+         |${NearDupQueries.candPairsCte},
+         |folds AS (
+         |  SELECT doc_id,
+         |         CASE WHEN bp < 8000 THEN 'train'
+         |              WHEN bp < 9000 THEN 'val'
+         |              ELSE 'test' END AS fold
+         |  FROM (SELECT doc_id,
+         |               ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000 AS bp
+         |        FROM documents)),
+         |e AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |leaky AS (
+         |  SELECT DISTINCT e.x AS doc_id
+         |  FROM e JOIN folds fy ON e.y = fy.doc_id
+         |  WHERE fy.fold = 'train')
+         |SELECT fold, count(*)::BIGINT AS n_docs,
+         |       sum(CASE WHEN l.doc_id IS NOT NULL AND fold IN ('val', 'test')
+         |                THEN 1 ELSE 0 END)::BIGINT AS n_leaky,
+         |       sum(CASE WHEN l.doc_id IS NOT NULL AND fold IN ('val', 'test')
+         |                THEN f.doc_id ELSE 0 END)::BIGINT AS leaky_id_sum
+         |FROM folds f LEFT JOIN leaky l USING (doc_id)
+         |GROUP BY fold ORDER BY fold""".stripMargin) { (spark, dir) =>
+      val folds = graft.operators.DataSplit
+        .withFold(Tables.load(spark, dir, "documents").select(col("doc_id")),
+          "doc_id", "42")
+      val pairs = NearDupQueries.verifiedPairs(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val e = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+        .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+      val trainIds = folds.where(col("fold") === "train")
+        .select(col("doc_id").as("y"))
+      val leaky = e.join(trainIds, Seq("y"), "left_semi")
+        .select(col("x").as("doc_id")).distinct()
+        .withColumn("leak", lit(1L))
+      val evalFold = col("fold").isin("val", "test")
+      folds.join(leaky, Seq("doc_id"), "left_outer")
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("leak").isNotNull && evalFold, 1L).otherwise(0L))
+            .as("n_leaky"),
+          sum(when(col("leak").isNotNull && evalFold, col("doc_id"))
+            .otherwise(0L)).as("leaky_id_sum"))
+        .orderBy(col("fold"))
     }
   )
 }

@@ -473,6 +473,99 @@ object TextQueries {
         Tables.load(spark, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("t")),
         "doc_id", "t", Bm25Terms, 20)
+    },
+
+    // Inverted-index BUILD (the artifact q137's scoring would probe
+    // at serving time): doc-partitioned posting blocks — (term,
+    // block) rows where block = doc_id div 100, each carrying ≤100
+    // "doc:tf" entries sorted by doc_id. Blocking bounds per-row
+    // state regardless of how hot a term is (an unblocked hot-term
+    // posting list at 100 TB exceeds executor memory; blocked, every
+    // group is O(block)), and the block key doubles as the index's
+    // shard-pruning key. One tf aggregation + one (term, block)
+    // aggregation, both partial-agg shaped; the posting string is
+    // rebuilt by the oracle byte-for-byte.
+    QueryDef("q142_inverted_index",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2)
+        |SELECT term, (doc_id // 100)::BIGINT AS block,
+        |       count(*)::BIGINT AS n_docs, sum(tf)::BIGINT AS sum_tf,
+        |       array_to_string(
+        |         array_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+        |                   ORDER BY doc_id), ',') AS postings
+        |FROM tf GROUP BY term, block ORDER BY term, block""".stripMargin) {
+      (spark, dir) =>
+      val tf = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      tf.withColumn("block", floor(col("doc_id") / 100).cast("long"))
+        .groupBy(col("term"), col("block"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_tf"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+            e => concat(e.getField("doc_id").cast("string"), lit(":"),
+              e.getField("tf").cast("string"))), ",").as("postings"))
+        .orderBy(col("term"), col("block"))
+    },
+
+    // ADAPTIVE quality threshold: filter the corpus against its OWN
+    // one-pass summary — keep documents at or above the sketch-read
+    // median length. This is the composition a real pipeline runs
+    // ("drop the short half", threshold not known in advance): the
+    // q112 mergeable sketch is built in ONE aggregation, the q113
+    // integer decode reads P50 off it (sketch cells are a few hundred
+    // rows — the single-partition window is planning-scale work, not
+    // data-scale), the 1-row threshold broadcasts back, and the
+    // filter itself is map-only. Identical sketch grids on both
+    // engines make the threshold — and therefore the kept set —
+    // hash-exact.
+    QueryDef("q143_adaptive_quality",
+      s"""WITH v AS (SELECT doc_id, lang, n_chars AS v FROM documents),
+         |cells AS (
+         |  SELECT (greatest(0, length(printf('%b', v)) - 1 - $QsBits) * $QsSubBuckets
+         |          + (v >> greatest(0, length(printf('%b', v)) - 1 - $QsBits)))::BIGINT AS bucket,
+         |         count(*)::BIGINT AS cnt
+         |  FROM v GROUP BY 1),
+         |cum AS (
+         |  SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum,
+         |         sum(cnt) OVER () AS n
+         |  FROM cells),
+         |hit AS (SELECT bucket FROM cum
+         |        WHERE cum >= ceil(0.5 * n) AND cum - cnt < ceil(0.5 * n)),
+         |thr AS (
+         |  SELECT (CASE WHEN (bucket >> $QsBits) - 1 < 0 THEN bucket
+         |               ELSE (bucket - ((bucket >> $QsBits) - 1) * $QsSubBuckets)
+         |                    << ((bucket >> $QsBits) - 1) END)::BIGINT AS est
+         |  FROM hit)
+         |SELECT lang, count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS id_sum,
+         |       min(v)::BIGINT AS min_chars, max(v)::BIGINT AS max_chars
+         |FROM v CROSS JOIN thr WHERE v >= est
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").as("v"))
+      val cells = docs
+        .agg(graft.functions.GraftFunctions.quantile_sketch(col("v"), QsBits).as("sk"))
+        .select(explode(col("sk")).as(Seq("bucket", "cnt")))
+      val wCum = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val rank = ceil(lit(0.5) * col("n"))
+      val thr = cells
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .where(col("cum") >= rank && col("cum") - col("cnt") < rank)
+        .withColumn("shift", shiftright(col("bucket"), QsBits) - 1)
+        .select(when(col("shift") < 0, col("bucket"))
+          .otherwise(expr(s"shiftleft(bucket - shift * $QsSubBuckets, shift)"))
+          .cast("long").as("est"))
+      docs.crossJoin(broadcast(thr))
+        .where(col("v") >= col("est"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+          min(col("v")).as("min_chars"), max(col("v")).as("max_chars"))
+        .orderBy(col("lang"))
     }
   )
 

@@ -57,4 +57,35 @@ class CurationStreamSpec extends SparkTestBase {
     assert(spark.table("curation_stream").where(col("n_pii") > 0)
       .collect().forall(_.getString(1).contains("<")))
   }
+
+  test("sliding-window chunking on a stream equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // chunking is a per-row explode (map-only), so it too runs
+    // unchanged at ingest time; batch boundaries land BETWEEN
+    // documents and can never split one document's chunk set
+    val rows = (1L to 80L).map(i =>
+      (i, (1 to (i % 37 + 3).toInt).map(t => s"w$t").mkString(" ")))
+    def chunk(df: DataFrame): DataFrame =
+      graft.operators.Chunker.chunks(df, "id", split(col("text"), " "),
+        size = 16, stride = 12)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = chunk(mem.toDF().toDF("id", "text"))
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    mem.addData(rows.take(50): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(50): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("chunk_stream")
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    val batch = chunk(rows.toDF("id", "text"))
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      "streaming and batch chunking must be identical")
+  }
 }
