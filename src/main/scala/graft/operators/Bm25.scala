@@ -40,8 +40,7 @@ object Bm25 {
     * score-then-id ordered. */
   def search(docs: DataFrame, idCol: String, tokensCol: String,
       terms: Seq[String], k: Int): DataFrame = {
-    require(terms.nonEmpty, "BM25 needs at least one query term")
-    require(terms.distinct == terms, "query terms must be distinct")
+    requireTerms(terms)
     val id = col(idCol)
     val stats = docs.select(id, size(col(tokensCol)).cast("long").as("dl"),
       col(tokensCol).as("t"))
@@ -63,12 +62,22 @@ object Bm25 {
     val scalars = stats.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("dl_sum"))
 
+    scoreTopK(postings, dfs, scalars, terms, k, idCol)
+  }
+
+  /** The scoring tail shared by the corpus path ([[search]]) and the
+    * index-served path ([[searchIndex]]): identical Column
+    * expressions, so the two paths produce BIT-IDENTICAL scores —
+    * the serve gate's oracle can simply replay the corpus form. */
+  private def scoreTopK(post: DataFrame, dfs: DataFrame, scalars: DataFrame,
+      terms: Seq[String], k: Int, idCol: String): DataFrame = {
+    val id = col(idCol)
     val avgdl = col("dl_sum").cast("double") / col("n_docs")
     val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
     val norm = col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl)
     val s = idf * (col("tf") * lit(K1 + 1.0)) / norm
 
-    val scored = postings
+    val scored = post
       .join(broadcast(dfs), "term")
       .crossJoin(broadcast(scalars))
       .select(id, col("term"), s.as("s"))
@@ -82,5 +91,112 @@ object Bm25 {
       .agg(termCols.reduceLeft(_ + _).as("score"))
       .orderBy(col("score").desc, id)
       .limit(k)
+  }
+
+  // ---- persisted-index lifecycle ---------------------------------------
+
+  /** The inverted-index ARTIFACT [[searchIndex]] probes: doc-
+    * partitioned posting blocks `(term, block, n_docs, sum_tf,
+    * postings)` where `block = doc_id div blockSize` and `postings`
+    * is the comma-joined `doc:tf:dl` entries sorted by doc id.
+    *
+    * Two deliberate shapes for 100 TB:
+    *  - Blocking bounds per-group state at O(blockSize) no matter how
+    *    hot a term is (an unblocked stopword posting list would
+    *    exceed executor memory), and the block key doubles as the
+    *    shard-pruning key.
+    *  - The entry carries the document length, so SERVING reads only
+    *    the matched postings plus the 1-row scalars — never a
+    *    corpus-sized norms table. Denormalizing dl costs ~4 bytes per
+    *    posting; re-reading the corpus per query at serve time costs
+    *    everything.
+    */
+  def buildIndex(docs: DataFrame, idCol: String, tokensCol: String,
+      blockSize: Int): DataFrame = {
+    val stats = docs.select(col(idCol).as("doc_id"),
+      size(col(tokensCol)).cast("long").as("dl"), col(tokensCol).as("t"))
+    stats.select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("block", floor(col("doc_id") / blockSize).cast("long"))
+      .groupBy(col("term"), col("block"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tf")).as("sum_tf"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("tf"), col("dl")))),
+          e => concat(e.getField("doc_id").cast("string"), lit(":"),
+            e.getField("tf").cast("string"), lit(":"),
+            e.getField("dl").cast("string"))), ",").as("postings"))
+  }
+
+  /** The index's 1-row metadata artifact: corpus size + total token
+    * count — the BM25 global scalars a serving node holds in memory. */
+  def corpusScalars(docs: DataFrame, idCol: String, tokensCol: String): DataFrame =
+    docs.select(col(idCol), size(col(tokensCol)).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
+
+  /** Top-k BM25 served from the persisted index alone: the `term IN`
+    * filter pushes into the artifact's parquet scan, df per term is
+    * the sum of per-block doc counts (index-native — no explode
+    * before the |Q|-row aggregate), and the corpus is never touched.
+    * Scores are bit-identical to [[search]] on the indexed corpus. */
+  def searchIndex(index: DataFrame, scalars: DataFrame,
+      terms: Seq[String], k: Int): DataFrame = {
+    requireTerms(terms)
+    val matched = index.where(col("term").isin(terms: _*))
+    val dfs = matched.groupBy(col("term")).agg(sum(col("n_docs")).as("df"))
+    val post = matched
+      .select(col("term"),
+        explode(split(col("postings"), ",")).as("e"))
+      .withColumn("p", split(col("e"), ":"))
+      .select(col("term"),
+        col("p").getItem(0).cast("long").as("doc_id"),
+        col("p").getItem(1).cast("long").as("tf"),
+        col("p").getItem(2).cast("long").as("dl"))
+    scoreTopK(post, dfs, scalars, terms, k, "doc_id")
+  }
+
+  /** Incremental index maintenance: fold a DELTA batch's index into
+    * the base index — `mergeIndex(buildIndex(base), buildIndex(new))
+    * == buildIndex(base ∪ new)` row-for-row when doc ids are
+    * append-only disjoint (updates go through the CDC upsert first).
+    * ONE full-outer join on the (term, block) key — both sides
+    * shuffle on the same key, merged entry lists stay O(blockSize) —
+    * so refreshing the index costs O(delta + touched blocks), never a
+    * corpus rebuild. */
+  def mergeIndex(base: DataFrame, delta: DataFrame): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col("term"), col("block"), col("n_docs").as(s"n_$tag"),
+        col("sum_tf").as(s"t_$tag"), col("postings").as(s"p_$tag"))
+    // parse "doc:tf:dl" back to structs; sort_array on the struct
+    // orders by doc_id (distinct across sides), then re-serialize
+    def entries(c: Column): Column =
+      when(c.isNull, array().cast("array<struct<doc_id:bigint,tf:bigint,dl:bigint>>"))
+        .otherwise(transform(split(c, ","), e => struct(
+          split(e, ":").getItem(0).cast("long").as("doc_id"),
+          split(e, ":").getItem(1).cast("long").as("tf"),
+          split(e, ":").getItem(2).cast("long").as("dl"))))
+    side(base, "a").join(side(delta, "b"), Seq("term", "block"), "full_outer")
+      .select(col("term"), col("block"),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n_docs"),
+        (coalesce(col("t_a"), lit(0L)) + coalesce(col("t_b"), lit(0L))).as("sum_tf"),
+        array_join(transform(
+          sort_array(concat(entries(col("p_a")), entries(col("p_b")))),
+          e => concat(e.getField("doc_id").cast("string"), lit(":"),
+            e.getField("tf").cast("string"), lit(":"),
+            e.getField("dl").cast("string"))), ",").as("postings"))
+  }
+
+  /** LEB128-style varint byte length of a non-negative long:
+    * `max(1, ceil(bitlen/7))` via `(length(bin(x)) + 6) div 7` —
+    * `bin` emits no leading zeros and maps 0 to "0", so the integer
+    * arithmetic is exact and an ANSI engine replays it with
+    * `printf('%b', x)`. Cast-truncate == integer div for the
+    * positive operands here. */
+  def varintBytes(x: Column): Column =
+    ((length(bin(x)) + lit(6)) / lit(7)).cast("long")
+
+  private def requireTerms(terms: Seq[String]): Unit = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    require(terms.distinct == terms, "query terms must be distinct")
   }
 }
