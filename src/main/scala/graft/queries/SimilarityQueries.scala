@@ -41,6 +41,11 @@ object SimilarityQueries {
   private[queries] val NumCentroids = 16
   private val TopK = 10
 
+  /** k for the mutual-kNN graph (q148): small on purpose — mutuality
+    * at small k is the density filter that keeps hub vectors from
+    * gluing unrelated regions into one cluster. */
+  private val MutualK = 3
+
   // multi-table LSH near-dup (q48)
   private val NumTables = 4
   private val NumPlanted = 8
@@ -1260,6 +1265,116 @@ object SimilarityQueries {
             x => floor(x * 127.0 / col("mx")))).as(Seq("i0", "qval")))
         .select(col("vec_id"), (col("i0") + 1).cast("long").as("i"), col("qval"))
         .orderBy(col("vec_id"), col("i"))
+    },
+
+    // HARD-NEGATIVE mining (contrastive-training data prep): for each
+    // query, the top-k most-similar vectors of a DIFFERENT label —
+    // the near-misses a retrieval model must learn to push away.
+    // Exactly q26's broadcast-query brute scan with the label
+    // inequality composed into it (the filter runs before the ranking
+    // window, so negatives-only rows reach the top-k heap); at 100 TB
+    // the same label filter composes into the q108 IVF-PQ probe chain
+    // unchanged — this gate pins the semantics on the exact path.
+    QueryDef("q147_hard_negatives",
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |             sqrt(list_aggregate([x*x for x in v], 'sum')) AS nrm FROM e),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qnrm
+         |      FROM n WHERE vec_id < $NumQueries),
+         |sims AS (
+         |  SELECT qid, n.vec_id AS nid,
+         |         list_aggregate([qv[i]*v[i] for i in generate_series(1, $Dim)], 'sum')
+         |           / (qnrm * n.nrm) AS sim
+         |  FROM q, n WHERE n.label <> q.qlabel)
+         |SELECT qid, nid, sim, rank FROM (
+         |  SELECT qid, nid, sim,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+         |  FROM sims) t
+         |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      val withLabel = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v")))
+      val e = withLabel.repartition(spark.sparkContext.defaultParallelism)
+      val q = broadcast(
+        Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            vecD(col("embedding")).as("qv"))
+          .withColumn("qnrm", norm(col("qv"))))
+      val sims = q.crossJoin(e)
+        .where(col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
+      topKBySim(sims)
+    },
+
+    // SEMANTIC clustering via the mutual-kNN graph: every vector's
+    // k=$MutualK nearest within its LSH bucket, edges kept only when
+    // BOTH endpoints choose each other (the standard density filter —
+    // a hub picking 3 neighbors does not glue unrelated regions
+    // together), then the q60 transitive-closure machinery labels the
+    // components. All-corpus but never all-pairs: the sig equi-join
+    // bounds candidates ~256x, the per-vector top-k is a partial
+    // WindowGroupLimit below the exchange, the mutual filter is a
+    // self-equi-join of the k·n edge list, and the closure runs
+    // log-round star contraction. At 100 TB the bucket key swaps to
+    // the IVF cell id (q35's assignment) with everything downstream
+    // unchanged.
+    QueryDef("q148_mutual_knn_clusters",
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_aggregate([x*x for x in v], 'sum')) AS nrm FROM e),
+         |pl AS (SELECT $planesSqlLit AS planes),
+         |s AS (SELECT vec_id, v, nrm, $sigSql AS sig FROM n CROSS JOIN pl),
+         |sims AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |         list_aggregate([a.v[i]*b.v[i] for i in generate_series(1, $Dim)], 'sum')
+         |           / (a.nrm * b.nrm) AS sim
+         |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |knn AS (
+         |  SELECT ida, idb FROM (
+         |    SELECT ida, idb,
+         |           row_number() OVER (PARTITION BY ida ORDER BY sim DESC, idb) AS rn
+         |    FROM sims) t WHERE rn <= $MutualK),
+         |mut AS (
+         |  SELECT x.ida AS doc_a, x.idb AS doc_b
+         |  FROM knn x JOIN knn y ON x.ida = y.idb AND x.idb = y.ida
+         |  WHERE x.ida < x.idb),
+         |edges AS (SELECT doc_a AS id, doc_b AS nb FROM mut
+         |          UNION ALL SELECT doc_b AS id, doc_a AS nb FROM mut),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM edges) t
+         |  UNION
+         |  SELECT e2.id, reach.r FROM edges e2 JOIN reach ON e2.nb = reach.id)
+         |SELECT id::BIGINT AS vec_id, min(r)::BIGINT AS cluster_id
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      NearDupQueries.clustersFromPairs(mutualKnnEdges(spark, dir))
+        .toDF("vec_id", "cluster_id")
+        .orderBy(col("vec_id"))
     }
   )
+
+  /** q148's edge derivation, exposed for the plan spec (the cluster
+    * step may execute it eagerly through the small-graph union-find
+    * path, hiding this lineage from the final frame's plan): per-
+    * vector top-[[MutualK]] within the LSH bucket, kept only when
+    * both endpoints choose each other. */
+  private[graft] def mutualKnnEdges(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val s = corpus(spark, dir).withColumn("sig", planeSig(col("v")))
+    val a = s.select(col("vec_id").as("ida"), col("v").as("va"),
+      col("nrm").as("na"), col("sig"))
+    val b = s.select(col("vec_id").as("idb"), col("v").as("vb"),
+      col("nrm").as("nb"), col("sig"))
+    val sims = a.join(b, "sig").where(col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"),
+        cosine(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+    val w = Window.partitionBy(col("ida")).orderBy(col("sim").desc, col("idb"))
+    val knn = sims.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= MutualK)
+      .select(col("ida"), col("idb"))
+    knn.as("x").join(knn.as("y"),
+        col("x.ida") === col("y.idb") && col("x.idb") === col("y.ida"))
+      .where(col("x.ida") < col("x.idb"))
+      .select(col("x.ida").as("doc_a"), col("x.idb").as("doc_b"))
+  }
 }

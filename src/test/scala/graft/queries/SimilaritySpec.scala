@@ -124,4 +124,37 @@ class SimilaritySpec extends SparkTestBase {
         s"int8 shortlist must not change the final ranking: ${full.diff(rerank)}")
     }
   }
+
+  test("hard negatives exclude the query's own label and keep q26's plan shape") {
+    val got = graft.SparkEntry.queries("q147_hard_negatives")(spark, sf0001)
+    val plan = got.queryExecution.executedPlan.toString
+    // corpus side never shuffles for the ranking: partial top-k below
+    // the exchange, query set broadcast
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    val labels = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, n) => labels(q) != labels(n) },
+      "a returned negative shares the query's label")
+  }
+
+  test("mutual-kNN clusters: equi-join plan, min-id labels, symmetric membership") {
+    // the edge lineage (inspected directly — the cluster step may run
+    // it eagerly through the union-find path): bucketed on the
+    // signature, never all-pairs, partial top-k below the exchange
+    val edgePlan = SimilarityQueries.mutualKnnEdges(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!edgePlan.contains("CartesianProduct"), edgePlan)
+    assert(edgePlan.contains("WindowGroupLimit"), edgePlan)
+    val got = graft.SparkEntry.queries("q148_mutual_knn_clusters")(spark, sf0001)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // closure invariant: every cluster label IS its minimum member id
+    val byCluster = rows.groupBy(_._2).view.mapValues(_.map(_._1).min)
+    assert(byCluster.forall { case (cid, minId) => cid == minId })
+  }
 }
