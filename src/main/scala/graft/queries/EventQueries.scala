@@ -26,6 +26,7 @@ object EventQueries {
 
   private val GapMicros = 30L * 60 * 1000 * 1000 // 30 min
   private val HourMicros = 3600L * 1000 * 1000
+  private val FunnelWindowMicros = 7L * 24 * 3600 * 1000 * 1000 // 7 days
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
@@ -216,6 +217,48 @@ object EventQueries {
       pivotCounts(spark, dir)
         .selectExpr("user_id", stackExpr)
         .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // Ordered 3-stage FUNNEL (signup -> click -> purchase) within a
+    // 7-day window of the first signup: the classic behavioral
+    // attribution query. Each stage is the MIN event time that is (a)
+    // strictly after the previous stage and (b) inside the window —
+    // first-touch semantics, integer micros end to end. Scale shape:
+    // every stage scan pushes its event_type to parquet
+    // (PushedFilters), each stage is one partial+final agg keyed on
+    // user_id, and all joins share that same user_id clustering — a
+    // funnel over 100 TB of events is three type-pruned scans and one
+    // key's worth of exchanges, with AQE absorbing hot-user skew.
+    QueryDef("q150_event_funnel",
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         |a AS (SELECT user_id, min(t) AS ta FROM ev
+         |      WHERE event_type = 'signup' GROUP BY 1),
+         |b AS (SELECT e.user_id, min(e.t) AS tb FROM ev e JOIN a USING (user_id)
+         |      WHERE e.event_type = 'click' AND e.t > a.ta
+         |        AND e.t <= a.ta + $FunnelWindowMicros
+         |      GROUP BY 1),
+         |ab AS (SELECT a.user_id, ta, tb FROM a JOIN b USING (user_id)),
+         |c AS (SELECT e.user_id, min(e.t) AS tc FROM ev e JOIN ab USING (user_id)
+         |      WHERE e.event_type = 'purchase' AND e.t > ab.tb
+         |        AND e.t <= ab.ta + $FunnelWindowMicros
+         |      GROUP BY 1)
+         |SELECT a.user_id, ta, tb, tc
+         |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+         |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("t"))
+      val a = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("t")).as("ta"))
+      val b = ev.where(col("event_type") === "click").join(a, "user_id")
+        .where(col("t") > col("ta") && col("t") <= col("ta") + FunnelWindowMicros)
+        .groupBy(col("user_id")).agg(min(col("t")).as("tb"))
+      val ab = a.join(b, "user_id")
+      val c = ev.where(col("event_type") === "purchase").join(ab, "user_id")
+        .where(col("t") > col("tb") && col("t") <= col("ta") + FunnelWindowMicros)
+        .groupBy(col("user_id")).agg(min(col("t")).as("tc"))
+      a.join(b, Seq("user_id"), "left").join(c, Seq("user_id"), "left")
+        .select(col("user_id"), col("ta"), col("tb"), col("tc"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -52,6 +52,10 @@ object TextQueries {
     * however hot the term is, and `block` is the shard-pruning key. */
   private val IdxBlock = 100
 
+  /** q149 support floor: a collocation must occur this often before
+    * its lift is trusted (rare pairs produce unstable lifts). */
+  private val MinPhraseCount = 5
+
   /** The BM25 corpus-form oracle, shared verbatim by q137 (in-plan
     * scoring) and q144 (index-served scoring): the two Spark paths
     * share one scoring tail and produce bit-identical doubles, so ONE
@@ -700,6 +704,58 @@ object TextQueries {
       val delta = Bm25.buildIndex(
         docs.where(col("doc_id") % 5 === 0), "doc_id", "t", IdxBlock)
       Bm25.mergeIndex(base, delta).orderBy(col("term"), col("block"))
+    },
+
+    // PHRASE mining (collocation extraction — the vocabulary-induction
+    // primitive: BPE's first merge round IS the max-lift adjacent
+    // pair): adjacent-bigram counts vs their unigram expectations,
+    // ranked by lift = P(ab) / (P(a)·P(b)). Lift uses only *, / on
+    // DOUBLEs in a FIXED operation order — every op IEEE
+    // exactly-rounded, so the oracle replays the scores bit-for-bit
+    // (the q137 odds-form discipline). Bigrams never cross document
+    // boundaries. Scale: two corpus scans (unigrams, bigrams), both
+    // partial-agg collapsed before their exchange; the unigram join
+    // keys on the word (vocab-sized sides), corpus scalars broadcast;
+    // top-50 via TakeOrderedAndProject.
+    QueryDef("q149_phrase_mining",
+      s"""WITH d AS (SELECT string_split(text, ' ') AS l FROM documents),
+         |uni AS (SELECT unnest(l) AS w FROM d),
+         |uc AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+         |n AS (SELECT count(*)::BIGINT AS nt FROM uni),
+         |z AS (SELECT unnest(list_zip(l[:-2], l[2:])) AS p FROM d),
+         |bg AS (SELECT p[1] AS w1, p[2] AS w2 FROM z),
+         |np AS (SELECT count(*)::BIGINT AS npairs FROM bg),
+         |bc AS (SELECT w1, w2, count(*)::BIGINT AS cab FROM bg
+         |       GROUP BY 1, 2 HAVING count(*) >= $MinPhraseCount),
+         |sc AS (
+         |  SELECT w1, w2, cab,
+         |         ((CAST(cab AS DOUBLE) * nt) / (CAST(a.c AS DOUBLE) * b.c))
+         |           * (CAST(nt AS DOUBLE) / npairs) AS lift
+         |  FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w
+         |  CROSS JOIN n CROSS JOIN np)
+         |SELECT w1, w2, cab, lift FROM sc
+         |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin) { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents").select(tokens(col("text")).as("l"))
+      val uni = d.select(explode(col("l")).as("w"))
+      val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nt = uni.agg(count(lit(1)).as("nt"))
+      val bg = d.select(explode(zip_with(
+          slice(col("l"), lit(1), size(col("l")) - 1),
+          slice(col("l"), lit(2), size(col("l")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val np = bg.agg(count(lit(1)).as("npairs"))
+      val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+        .where(col("cab") >= MinPhraseCount)
+      bc
+        .join(uc.select(col("w").as("w1"), col("c").as("ca")), "w1")
+        .join(uc.select(col("w").as("w2"), col("c").as("cb")), "w2")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(np))
+        .select(col("w1"), col("w2"), col("cab"),
+          (((col("cab").cast("double") * col("nt"))
+            / (col("ca").cast("double") * col("cb")))
+            * (col("nt").cast("double") / col("npairs"))).as("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2")).limit(50)
     }
   )
 

@@ -47,4 +47,49 @@ class TextIndexSpec extends SparkTestBase {
     // fraction must land near half the corpus
     assert(kept >= n * 35 / 100 && kept <= n * 65 / 100, s"kept=$kept of $n")
   }
+
+  test("q149: bigram/unigram aggs partial-aggregate; scalars broadcast; top-50 heap") {
+    val plan = planOf("q149_phrase_mining")
+    assert("partial_".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q149: bigrams never cross document boundaries") {
+    // two docs that would mint the bigram (b, c) only if windows
+    // leaked across the boundary
+    import spark.implicits._
+    val d = Seq("a b", "c d").toDF("l0")
+      .select(split(col("l0"), " ").as("l"))
+    val bg = d.select(explode(zip_with(
+        slice(col("l"), lit(1), size(col("l")) - 1),
+        slice(col("l"), lit(2), size(col("l")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2")).as[(String, String)].collect().toSet
+    assert(bg == Set("a" -> "b", "c" -> "d"))
+  }
+
+  test("q150: every stage scan pushes its event_type to parquet") {
+    val plan = graft.SparkEntry.queries("q150_event_funnel")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    for (t <- Seq("signup", "click", "purchase"))
+      assert(plan.contains(s"EqualTo(event_type,$t)"), s"missing pushdown for $t")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q150: stage times are strictly ordered and inside the window") {
+    val rows = graft.SparkEntry.queries("q150_event_funnel")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val win = 7L * 24 * 3600 * 1000 * 1000
+    rows.foreach { r =>
+      val ta = r.getLong(1)
+      if (!r.isNullAt(2)) {
+        assert(r.getLong(2) > ta && r.getLong(2) <= ta + win)
+        if (!r.isNullAt(3))
+          assert(r.getLong(3) > r.getLong(2) && r.getLong(3) <= ta + win)
+      } else assert(r.isNullAt(3), "stage 3 reached without stage 2")
+    }
+  }
 }
