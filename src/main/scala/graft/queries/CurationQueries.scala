@@ -346,6 +346,49 @@ object CurationQueries {
           sum(col("doc_id")).as("id_sum"),
           max(col("epoch")).as("max_epoch"))
         .orderBy(col("lang"))
+    },
+
+    // Feature-HASHED linear quality classifier — the learned-model
+    // scoring stage (fastText-style) beside the heuristic (q43) and
+    // adaptive (q143) filters. The hashing trick is modeled honestly:
+    // a token's weight is pure per-row arithmetic on its hash
+    // (md5-bp, the DataSplit convention, centered to [-5000, 4999]),
+    // so the "model" ships as CODE — no vocab-sized weight table, no
+    // lookup join, no shuffle anywhere before the per-lang audit agg.
+    // A trained quantized model swaps the hash for a broadcast map
+    // keyed the same way; the plan does not change. Integer weights
+    // summed per document over the token array are order-free EXACT
+    // arithmetic — both engines agree to the last bit, and the gate
+    // hash-compares the score extremes and the kept set.
+    QueryDef("q151_hashed_classifier",
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |         list_aggregate(list_transform(l,
+        |           t -> ('0x' || substr(md5('w:' || t), 1, 7))::BIGINT % 10000 - 5000),
+        |           'sum')::BIGINT AS score
+        |  FROM d)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |       count(*) FILTER (WHERE score >= 0)::BIGINT AS n_kept,
+        |       coalesce(sum(doc_id) FILTER (WHERE score >= 0), 0)::BIGINT AS id_sum_kept,
+        |       min(score)::BIGINT AS min_score,
+        |       max(score)::BIGINT AS max_score
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val weight = (t: Column) =>
+        conv(substring(md5(concat(lit("w:"), t)), 1, 7), 16, 10)
+          .cast("long") % 10000 - 5000
+      val kept = col("score") >= 0
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          aggregate(transform(split(col("text"), " "), weight),
+            lit(0L), (a, x) => a + x).as("score"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(kept, 1)).as("n_kept"),
+          coalesce(sum(when(kept, col("doc_id"))), lit(0L)).as("id_sum_kept"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("lang"))
     }
   )
 }
