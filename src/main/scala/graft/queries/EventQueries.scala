@@ -259,6 +259,50 @@ object EventQueries {
       a.join(b, Seq("user_id"), "left").join(c, Seq("user_id"), "left")
         .select(col("user_id"), col("ta"), col("tb"), col("tc"))
         .orderBy(col("user_id"))
+    },
+
+    // Two-level COUNT-DISTINCT ROLLUP via sketch merge — the pattern
+    // that makes distinct-user dashboards feasible at 100 TB: 6-hour
+    // buckets each build an HLL sketch (Spark's DataSketches
+    // hll_sketch_agg), and the DAY level is the UNION of its four
+    // bucket sketches — never a re-scan of raw events, and the only
+    // thing shuffled upward is one fixed-size sketch blob per bucket.
+    // The oracle replays the exact distinct counts; the sketch
+    // estimate is pinned Spark-side to ±5% of exact at BOTH levels
+    // (the q136 hll_ok convention — booleans hash-compare, estimates
+    // are engine-specific).
+    QueryDef("q153_hll_rollup",
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+         |b AS (SELECT t // ${6 * HourMicros} AS b6, user_id FROM ev),
+         |d AS (SELECT b6, (b6 // 4)::BIGINT AS day, user_id FROM b),
+         |bx AS (SELECT day, b6, count(DISTINCT user_id)::BIGINT AS n FROM d GROUP BY 1, 2),
+         |dx AS (SELECT day, count(DISTINCT user_id)::BIGINT AS n_exact FROM d GROUP BY 1)
+         |SELECT day, n_exact,
+         |       (SELECT sum(n)::BIGINT FROM bx WHERE bx.day = dx.day) AS bucket_sum,
+         |       true AS day_sketch_ok, true AS bucket_sketches_ok
+         |FROM dx ORDER BY day""".stripMargin) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("user_id"), expr("ts DIV 1000").as("t"))
+        .select(col("user_id"),
+          expr(s"t DIV ${6 * HourMicros}").as("b6")) // integer div: see q40 note
+        .withColumn("day", expr("b6 DIV 4"))
+      val buckets = ev.groupBy(col("day"), col("b6"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("n"))
+      val within5pct = (est: org.apache.spark.sql.Column,
+          exact: org.apache.spark.sql.Column) =>
+        abs(est - exact) * 20 <= exact
+      buckets.groupBy(col("day"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("day_est"),
+          sum(col("n")).as("bucket_sum"),
+          max(abs(hll_sketch_estimate(col("sk")) - col("n")) * 20 - col("n"))
+            .as("worst_bucket_gap"))
+        .join(ev.select(col("day"), col("user_id")).distinct()
+          .groupBy(col("day")).agg(count(lit(1)).as("n_exact")), "day")
+        .select(col("day"), col("n_exact"), col("bucket_sum"),
+          within5pct(col("day_est"), col("n_exact")).as("day_sketch_ok"),
+          (col("worst_bucket_gap") <= 0).as("bucket_sketches_ok"))
+        .orderBy(col("day"))
     }
   )
 }

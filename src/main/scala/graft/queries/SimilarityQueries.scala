@@ -1350,6 +1350,67 @@ object SimilarityQueries {
       NearDupQueries.clustersFromPairs(mutualKnnEdges(spark, dir))
         .toDF("vec_id", "cluster_id")
         .orderBy(col("vec_id"))
+    },
+
+    // Retrieval EVALUATION as a query — the eval harness every index
+    // deployment needs: per query, how much of the brute-force
+    // ground-truth top-10 (q26) did the LSH index (q27) retrieve, and
+    // at what first rank. Pure integer outputs (hit counts, min
+    // rank), no averaged floats — so the gate is hash-exact and
+    // NULL-correct for zero-hit queries. Scale: both candidate chains
+    // are the already-bounded q26/q27 shapes; the eval overlay is a
+    // join of two ≤(|Q|·k)-row frames — evaluation costs nothing
+    // beyond the two retrievals being compared.
+    QueryDef("q152_retrieval_eval",
+      s"""$normedCte,
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < $NumQueries),
+         |bs AS (
+         |  SELECT qid, n.vec_id AS nid,
+         |         list_aggregate([qv[i]*v[i] for i in generate_series(1, $Dim)], 'sum')
+         |           / (qnrm * n.nrm) AS sim
+         |  FROM q, n),
+         |truth AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+         |    FROM bs) t WHERE rank <= $TopK),
+         |pl AS (SELECT $planesSqlLit AS planes),
+         |s AS (SELECT vec_id, v, nrm, $sigSql AS sig FROM n CROSS JOIN pl),
+         |qs AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, sig AS qsig
+         |       FROM s WHERE vec_id < $NumQueries),
+         |ls AS (
+         |  SELECT qid, s.vec_id AS nid,
+         |         list_aggregate([qv[i]*v[i] for i in generate_series(1, $Dim)], 'sum')
+         |           / (qnrm * s.nrm) AS sim
+         |  FROM qs JOIN s ON qs.qsig = s.sig),
+         |got AS (
+         |  SELECT qid, nid, rank FROM (
+         |    SELECT qid, nid,
+         |           CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+         |    FROM ls) t WHERE rank <= $TopK),
+         |hits AS (SELECT got.qid, got.rank FROM got JOIN truth USING (qid, nid)),
+         |ret AS (SELECT qid, count(*)::BIGINT AS n_retrieved FROM got GROUP BY 1),
+         |hq AS (SELECT qid, count(*)::BIGINT AS n_hits, min(rank)::BIGINT AS first_hit_rank
+         |       FROM hits GROUP BY 1)
+         |SELECT t.qid, coalesce(n_retrieved, 0)::BIGINT AS n_retrieved,
+         |       coalesce(n_hits, 0)::BIGINT AS n_hits, first_hit_rank
+         |FROM (SELECT DISTINCT qid FROM truth) t
+         |LEFT JOIN ret USING (qid) LEFT JOIN hq USING (qid)
+         |ORDER BY qid""".stripMargin) { (spark, dir) =>
+      val truth = bruteForceTopK(spark, dir).select(col("qid"), col("nid"))
+      val got = lshTopK(spark, dir).select(col("qid"), col("nid"), col("rank"))
+      val hits = got.join(truth, Seq("qid", "nid"))
+      val ret = got.groupBy(col("qid")).agg(count(lit(1)).as("n_retrieved"))
+      val hq = hits.groupBy(col("qid")).agg(count(lit(1)).as("n_hits"),
+        min(col("rank")).as("first_hit_rank"))
+      truth.select(col("qid")).distinct()
+        .join(ret, Seq("qid"), "left")
+        .join(hq, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("first_hit_rank"))
+        .orderBy(col("qid"))
     }
   )
 

@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+
+/** Batch event-analytics pins beyond the oracle gates. */
+class EventQueriesSpec extends SparkTestBase {
+
+  test("q153: unioning bucket sketches loses nothing vs sketching the day directly") {
+    // HLL union at the same lgK is exact over the underlying
+    // registers: estimate(union of 6h sketches) must equal
+    // estimate(one sketch built over the whole day) — this is the
+    // property that makes the rollup trustworthy, beyond the ±5%
+    // accuracy pin in the gate.
+    val ev = graft.sources.Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), expr("ts DIV 1000").as("t"))
+      .select(col("user_id"), expr(s"t DIV ${6L * 3600 * 1000 * 1000}").as("b6"))
+      .withColumn("day", expr("b6 DIV 4"))
+    val merged = ev.groupBy(col("day"), col("b6"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val direct = ev.groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+    val m = merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = direct.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.nonEmpty && m == d,
+      s"union-rollup estimates diverge from direct: ${m.toSeq.diff(d.toSeq)}")
+  }
+
+  test("q153: only sketch blobs cross the day-level exchange") {
+    val plan = graft.SparkEntry.queries("q153_hll_rollup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // both aggregation levels partial-aggregate (map-side combine of
+    // sketches/buckets) — the raw events never reach the day exchange
+    assert("partial_".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

@@ -157,4 +157,18 @@ class SimilaritySpec extends SparkTestBase {
     val byCluster = rows.groupBy(_._2).view.mapValues(_.map(_._1).min)
     assert(byCluster.forall { case (cid, minId) => cid == minId })
   }
+
+  test("retrieval eval: hit counts bounded by retrieval, rank null iff no hit") {
+    val rows = graft.SparkEntry.queries("q152_retrieval_eval")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nRet, nHits) = (r.getLong(1), r.getLong(2))
+      assert(nHits <= nRet && nHits <= 10 && nRet <= 10, r.toString)
+      assert(r.isNullAt(3) == (nHits == 0), r.toString)
+      // LSH always recalls the query itself (own bucket, sim 1, and it
+      // is rank 1 of its own ground truth) — so first hit is rank 1
+      if (nHits > 0) assert(r.getLong(3) == 1L, r.toString)
+    }
+  }
 }
