@@ -5,6 +5,7 @@ import graft.operators.{DataSplit, Decontaminate, DomainMix, SemanticDedup, Subs
 import graft.sources.Tables
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a production LLM-data pipeline runs that
@@ -389,6 +390,66 @@ object CurationQueries {
           min(col("score")).as("min_score"),
           max(col("score")).as("max_score"))
         .orderBy(col("lang"))
+    },
+
+    // Exact-QUOTA stratified sampling: exactly k rows per stratum (the
+    // eval-set / few-shot-pool builder), chosen by md5-hash rank so
+    // the pick is reprocessing-stable and needs NO per-stratum counts
+    // up front — unlike rate-based q102, which hits a quota only in
+    // expectation. One exchange on the stratum key; the per-stratum
+    // top-k is a partial WindowGroupLimit below it, so a hot stratum
+    // never materializes beyond k rows per map task.
+    QueryDef("q155_quota_sample",
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         ('0x' || substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS hk
+        |  FROM documents)
+        |SELECT lang, rn AS pos, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS BIGINT) AS rn
+        |  FROM r) t
+        |WHERE rn <= 20 ORDER BY lang, pos""".stripMargin) { (spark, dir) =>
+      val hk = conv(substring(md5(concat(lit("q:"), col("doc_id").cast("string"))),
+        1, 7), 16, 10).cast("long")
+      val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), hk.as("hk"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 20)
+        .select(col("lang"), col("rn").as("pos"), col("doc_id"))
+        .orderBy(col("lang"), col("pos"))
+    },
+
+    // Deterministic per-EPOCH training-order shuffle: each epoch orders
+    // the corpus by md5("sh:epoch:id") — a different, reproducible
+    // permutation per epoch with zero state (resuming a crashed epoch
+    // re-derives the identical order). At 100 TB the full ordering is
+    // ONE range exchange per epoch (ORDER BY the hash — how training
+    // shards are actually laid out); the gate pins the first 20
+    // positions of two epochs, enough to hash-check both permutations
+    // and their decorrelation.
+    QueryDef("q156_epoch_shuffle",
+      """WITH h AS (
+        |  SELECT epoch, doc_id,
+        |         ('0x' || substr(md5('sh:' || CAST(epoch AS VARCHAR) || ':'
+        |            || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS hk
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch))
+        |SELECT epoch::BIGINT AS epoch, rn AS pos, doc_id FROM (
+        |  SELECT epoch, doc_id,
+        |         CAST(row_number() OVER (PARTITION BY epoch ORDER BY hk, doc_id) AS BIGINT) AS rn
+        |  FROM h) t
+        |WHERE rn <= 20 ORDER BY epoch, pos""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val hk = conv(substring(md5(concat(lit("sh:"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+      val w = Window.partitionBy(col("epoch")).orderBy(col("hk"), col("doc_id"))
+      Tables.load(spark, dir, "documents").select(col("doc_id"))
+        .crossJoin(broadcast(Seq(0L, 1L).toDF("epoch")))
+        .select(col("epoch"), col("doc_id"), hk.as("hk"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 20)
+        .select(col("epoch"), col("rn").as("pos"), col("doc_id"))
+        .orderBy(col("epoch"), col("pos"))
     }
   )
 }

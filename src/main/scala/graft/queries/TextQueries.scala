@@ -756,6 +756,53 @@ object TextQueries {
             / (col("ca").cast("double") * col("cb")))
             * (col("nt").cast("double") / col("npairs"))).as("lift"))
         .orderBy(col("lift").desc, col("w1"), col("w2")).limit(50)
+    },
+
+    // Distribution DRIFT monitor: compare two ingest slices' doc-length
+    // distributions via their q112 sketch grids — per-bucket share in
+    // basis points, top deltas first. The ops question ("did this
+    // week's crawl shift?") answered WITHOUT re-scanning raw history:
+    // at 100 TB each slice's sketch is a few hundred mergeable cells
+    // persisted at ingest (q136's one-pass profile), and the drift
+    // check joins two grids — data-free. Integer bp shares on
+    // identical grids, so the gate is hash-exact; halves here are the
+    // doc_id parity (the deterministic stand-in for two time slices).
+    QueryDef("q154_drift_monitor",
+      s"""WITH v AS (SELECT doc_id % 2 AS half, n_chars AS v FROM documents),
+         |cells AS (
+         |  SELECT half,
+         |         (greatest(0, length(printf('%b', v)) - 1 - $QsBits) * $QsSubBuckets
+         |          + (v >> greatest(0, length(printf('%b', v)) - 1 - $QsBits)))::BIGINT AS bucket,
+         |         count(*)::BIGINT AS cnt
+         |  FROM v GROUP BY 1, 2),
+         |tot AS (SELECT half, sum(cnt)::BIGINT AS n FROM cells GROUP BY 1),
+         |bp AS (SELECT half, bucket, (cnt * 10000 // n)::BIGINT AS bp
+         |       FROM cells JOIN tot USING (half)),
+         |a AS (SELECT bucket, bp FROM bp WHERE half = 0),
+         |b AS (SELECT bucket, bp FROM bp WHERE half = 1),
+         |j AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+         |             coalesce(a.bp, 0)::BIGINT AS bp_a,
+         |             coalesce(b.bp, 0)::BIGINT AS bp_b
+         |      FROM a FULL OUTER JOIN b ON a.bucket = b.bucket)
+         |SELECT bucket, bp_a, bp_b, abs(bp_a - bp_b)::BIGINT AS delta_bp
+         |FROM j ORDER BY delta_bp DESC, bucket LIMIT 10""".stripMargin) { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
+      val grids = Tables.load(spark, dir, "documents")
+        .select((col("doc_id") % 2).as("half"), col("n_chars").as("v"))
+        .groupBy(col("half"))
+        .agg(graft.functions.GraftFunctions.quantile_sketch(col("v"), QsBits).as("sk"))
+        .select(col("half"), explode(col("sk")).as(Seq("bucket", "cnt")))
+      val tot = grids.groupBy(col("half")).agg(sum(col("cnt")).as("n"))
+      val bp = grids.join(tot, "half")
+        .select(col("half"), col("bucket"), expr("cnt * 10000 div n").as("bp"))
+      val aHalf = bp.where(col("half") === 0).select(col("bucket"), col("bp").as("bpa"))
+      val bHalf = bp.where(col("half") === 1).select(col("bucket"), col("bp").as("bpb"))
+      aHalf.join(bHalf, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("bpa"), lit(0L)).as("bp_a"),
+          coalesce(col("bpb"), lit(0L)).as("bp_b"))
+        .withColumn("delta_bp", abs(col("bp_a") - col("bp_b")))
+        .orderBy(col("delta_bp").desc, col("bucket")).limit(10)
     }
   )
 

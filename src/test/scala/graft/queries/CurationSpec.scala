@@ -205,4 +205,30 @@ class CurationSpec extends SparkTestBase {
     assert(countNodes(p) { case _: ShuffleExchangeExec => () } <= 2,
       p.toString.take(3000))
   }
+
+  test("q155: exactly k per stratum, reprocessing-stable, partial top-k plan") {
+    val got = graft.SparkEntry.queries("q155_quota_sample")(spark, sf0001)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val rows = got.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every stratum filled to its quota with positions 1..20
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to 20L), s"$lang quota broken")
+    }
+    // subset invariance: dropping other docs cannot change a pick that
+    // ranks within the quota (hash ranks are per-row, not positional)
+    val again = graft.SparkEntry.queries("q155_quota_sample")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("q156: each epoch is a different deterministic permutation") {
+    val rows = graft.SparkEntry.queries("q156_epoch_shuffle")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e0 = rows.filter(_._1 == 0).sortBy(_._2).map(_._3).toSeq
+    val e1 = rows.filter(_._1 == 1).sortBy(_._2).map(_._3).toSeq
+    assert(e0.length == 20 && e1.length == 20)
+    assert(e0 != e1, "epoch orders must decorrelate")
+    assert(e0.distinct.length == 20 && e1.distinct.length == 20)
+  }
 }
