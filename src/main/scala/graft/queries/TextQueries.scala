@@ -56,6 +56,9 @@ object TextQueries {
     * its lift is trusted (rare pairs produce unstable lifts). */
   private val MinPhraseCount = 5
 
+  /** q157 vocabulary size (rank-by-frequency cut; OOV encodes to 0). */
+  private val VocabSize = 256
+
   /** The BM25 corpus-form oracle, shared verbatim by q137 (in-plan
     * scoring) and q144 (index-served scoring): the two Spark paths
     * share one scoring tail and produce bit-identical doubles, so ONE
@@ -803,6 +806,55 @@ object TextQueries {
           coalesce(col("bpb"), lit(0L)).as("bp_b"))
         .withColumn("delta_bp", abs(col("bp_a") - col("bp_b")))
         .orderBy(col("delta_bp").desc, col("bucket")).limit(10)
+    },
+
+    // Tokenizer ENCODE — the text→token-ids step that actually feeds a
+    // trainer (chunking q138 and packing q104 operate on counts; this
+    // produces the id sequences): vocabulary = top-256 terms by
+    // (freq desc, term), id = rank, OOV → 0. Vocab build is one
+    // partial-agg'd frequency pass + a top-V heap
+    // (TakeOrderedAndProject) + a rank window over only V rows; encode
+    // is a BROADCAST map join (a 10⁶-term vocab is ~10 MB — always
+    // broadcastable) and per-doc reassembly in position order, one
+    // exchange keyed on doc_id. Gate encodes the first 50 docs
+    // end-to-end; the full id STRINGS hash-compare, so ordering, OOV
+    // handling, and the vocab ranking are all pinned at once.
+    QueryDef("q157_vocab_encode",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents),
+         |freq AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+         |vocab AS (
+         |  SELECT term, CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT) AS id
+         |  FROM (SELECT term, c FROM freq ORDER BY c DESC, term LIMIT $VocabSize) t),
+         |enc AS (
+         |  SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+         |  FROM toks t LEFT JOIN vocab v USING (term) WHERE t.doc_id < 50)
+         |SELECT doc_id, count(*)::BIGINT AS n_tok,
+         |       sum(CASE WHEN id = 0 THEN 1 ELSE 0 END)::BIGINT AS n_unk,
+         |       array_to_string(array_agg(CAST(id AS VARCHAR) ORDER BY pos), ',') AS ids
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val toks = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos0", "term")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("term"))
+      val topV = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(VocabSize)
+      // rank window runs over only the V surviving rows — planning-
+      // scale work, not data-scale
+      val w = Window.orderBy(col("c").desc, col("term"))
+      val vocab = topV.withColumn("id", row_number().over(w).cast("long"))
+        .select(col("term"), col("id"))
+      toks.where(col("doc_id") < 50)
+        .join(broadcast(vocab), Seq("term"), "left")
+        .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0L)).as("id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("id") === 0, 1).otherwise(0)).as("n_unk"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("id")))),
+            e => e.getField("id").cast("string")), ",").as("ids"))
+        .orderBy(col("doc_id"))
     }
   )
 

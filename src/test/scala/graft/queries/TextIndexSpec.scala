@@ -78,6 +78,23 @@ class TextIndexSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q157: vocab broadcast-joins, top-V heap, ids consistent with n_unk") {
+    val got = graft.SparkEntry.queries("q157_vocab_encode")(spark, sf0001)
+    val plan = got.queryExecution.executedPlan.toString
+    // vocab side reaches the encode join as a broadcast; the top-V cut
+    // is a heap, not a global sort of the vocabulary
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val rows = got.collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val ids = r.getString(3).split(',').map(_.toLong)
+      assert(ids.length == r.getLong(1), "n_tok != id count")
+      assert(ids.count(_ == 0L) == r.getLong(2), "n_unk != zero count")
+      assert(ids.forall(i => i >= 0 && i <= 256), "id out of vocab range")
+    }
+  }
+
   test("q150: stage times are strictly ordered and inside the window") {
     val rows = graft.SparkEntry.queries("q150_event_funnel")(spark, sf0001)
       .collect()
