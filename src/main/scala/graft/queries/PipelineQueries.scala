@@ -416,6 +416,40 @@ object PipelineQueries {
           sum(when(col("leak").isNotNull && evalFold, col("doc_id"))
             .otherwise(0L)).as("leaky_id_sum"))
         .orderBy(col("fold"))
+    },
+
+    // Incremental MATERIALIZED-VIEW maintenance: the per-(lang, source)
+    // summary table is maintained by folding the DELTA batch's
+    // aggregate into the existing summary — every measure here is a
+    // mergeable state (counts/sums add, max of maxes), so the refresh
+    // touches one summary-sized union + re-agg and NEVER re-scans
+    // history. That is how a 100 TB corpus keeps its dashboards
+    // current (non-mergeable measures route to sketches: exact
+    // distinct -> q153's HLL, quantiles -> q112's grid). The gate
+    // demands fold(base 75%, delta 25%) == direct full aggregate,
+    // hash-exact.
+    QueryDef("q158_matview_maintain",
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       sum(doc_id)::BIGINT AS id_sum,
+        |       max(length(text))::BIGINT AS max_len
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+      def summarize(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+            sum(col("doc_id")).as("id_sum"),
+            max(length(col("text"))).cast("long").as("max_len"))
+      val docs = Tables.load(spark, dir, "documents")
+      val base = summarize(docs.where(col("doc_id") % 4 =!= 0))
+      val delta = summarize(docs.where(col("doc_id") % 4 === 0))
+      base.union(delta)
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("id_sum")).as("id_sum"),
+          max(col("max_len")).as("max_len"))
+        .orderBy(col("lang"), col("source"))
     }
   )
 }
