@@ -99,5 +99,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-plan rewrite (off unless spark.graft.zoneMap.enabled):
     // zone-map file skipping for range filters over clustered tables
     ext.injectOptimizerRule(graft.plans.ZoneMapRule)
+    // whole-plan rewrite (off unless spark.graft.approxDistinct.enabled):
+    // exact count(DISTINCT x) -> HyperLogLog++ estimate
+    ext.injectOptimizerRule(graft.plans.ApproxDistinctRule)
   }
 }

@@ -458,6 +458,38 @@ object CoreQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
-      Seq("customer", "orders", "lineitem", "supplier", "nation", "region"))
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")),
+
+    // Planner-level approximation opt-in: the SAME SQL text
+    // (`count(DISTINCT fp)`) a BI tool emits runs exact by default
+    // and becomes an HLL++ estimate under
+    // spark.graft.approxDistinct.enabled — dashboards written for a
+    // small warehouse scale to 100 TB without editing query text,
+    // because the upward exchange carries a fixed-size HLL buffer per
+    // group instead of every distinct value. The gate compares the
+    // rewritten estimate against the exact distinct (computed via a
+    // distinct→count shape the rule does not touch) and emits the
+    // q136-convention tolerance boolean; ApproxDistinctRuleSpec pins
+    // the rewrite itself, plan shape, and scope restoration.
+    QueryDef("q160_approx_count_rewrite",
+      """SELECT lang, true AS sketch_ok FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+      graft.plans.ApproxDistinctRule.scoped(spark) {
+        val docs = Tables.load(spark, dir, "documents")
+          .select(col("lang"), md5(col("text")).as("fp"))
+        docs.createOrReplaceTempView("q160_docs")
+        val est = spark.sql(
+          "SELECT lang, count(DISTINCT fp) AS n_est FROM q160_docs GROUP BY lang")
+        val exact = docs.distinct()
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+        val out = est.join(exact, "lang")
+          .select(col("lang"),
+            (abs(col("n_est") - col("n_exact")) * 20 <= col("n_exact"))
+              .as("sketch_ok"))
+          .orderBy(col("lang"))
+        out.queryExecution.executedPlan // bake the rewritten plan in-scope
+        out
+      }
+    }
   )
 }

@@ -855,6 +855,86 @@ object TextQueries {
             sort_array(collect_list(struct(col("pos"), col("id")))),
             e => e.getField("id").cast("string")), ",").as("ids"))
         .orderBy(col("doc_id"))
+    },
+
+    // Reciprocal-rank FUSION — the hybrid-search combiner (the way
+    // production retrieval merges lexical and dense rankers): each
+    // ranker contributes 1/(60 + rank) for the documents it returned,
+    // summed in FIXED ranker order (BM25 first, then the coverage
+    // ranker) so the doubles replay bit-for-bit; a doc missing from a
+    // ranker contributes exactly 0. Ranker A is the q137 BM25 top-20;
+    // ranker B is a term-coverage ranker (distinct query terms
+    // matched desc, then dl asc, then id — pure integers). Fusing
+    // costs one join of two ≤k-row frames — nothing beyond the
+    // retrievals themselves, which both remain term-pruned scans.
+    QueryDef("q159_rrf_fusion",
+      s"""WITH stats AS (
+         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+         |         string_split(text, ' ') AS t
+         |  FROM documents),
+         |scal AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS dl_sum FROM stats),
+         |post AS (
+         |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM stats)
+         |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY 1, 2, 3),
+         |dft AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+         |sc AS (
+         |  SELECT p.doc_id, p.term,
+         |         ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+         |           * (tf * 2.2::DOUBLE)
+         |           / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * p.dl
+         |              / (CAST(dl_sum AS DOUBLE) / n_docs))) AS s
+         |  FROM post p JOIN dft USING (term) CROSS JOIN scal),
+         |bm AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM (
+         |    SELECT doc_id,
+         |${Bm25Terms.map(t =>
+            s"           coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0::DOUBLE)")
+            .mkString("", "\n           + \n", "")} AS score
+         |    FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20) t),
+         |cov AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY nterms DESC, dl, doc_id) AS BIGINT) AS rank
+         |  FROM (
+         |    SELECT p.doc_id, count(DISTINCT term)::BIGINT AS nterms, max(dl) AS dl
+         |    FROM post p GROUP BY p.doc_id
+         |    ORDER BY nterms DESC, dl, doc_id LIMIT 20) t),
+         |fused AS (
+         |  SELECT coalesce(bm.doc_id, cov.doc_id) AS doc_id,
+         |         (CASE WHEN bm.rank IS NULL THEN 0.0::DOUBLE
+         |               ELSE 1.0::DOUBLE / (60 + bm.rank) END)
+         |         + (CASE WHEN cov.rank IS NULL THEN 0.0::DOUBLE
+         |                 ELSE 1.0::DOUBLE / (60 + cov.rank) END) AS rrf
+         |  FROM bm FULL OUTER JOIN cov ON bm.doc_id = cov.doc_id)
+         |SELECT doc_id, rrf FROM fused
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val bm = graft.operators.Bm25.search(docs, "doc_id", "t", Bm25Terms, 20)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long").as("rank"))
+      // coverage ranker: distinct query terms matched, then shortest
+      // doc, then id — integer-deterministic end to end
+      val cov = docs
+        .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+          explode(col("t")).as("term"))
+        .where(col("term").isin(Bm25Terms: _*))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("term")).as("nterms"), max(col("dl")).as("dl"))
+        .orderBy(col("nterms").desc, col("dl"), col("doc_id")).limit(20)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("nterms").desc, col("dl"),
+            col("doc_id"))).cast("long").as("rank"))
+      val contrib = (r: Column) =>
+        when(r.isNull, lit(0.0)).otherwise(lit(1.0) / (lit(60) + r))
+      bm.select(col("doc_id"), col("rank").as("bmr"))
+        .join(cov.select(col("doc_id"), col("rank").as("cvr")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (contrib(col("bmr")) + contrib(col("cvr"))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
     }
   )
 
