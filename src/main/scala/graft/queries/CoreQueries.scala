@@ -490,6 +490,37 @@ object CoreQueries {
         out.queryExecution.executedPlan // bake the rewritten plan in-scope
         out
       }
-    }
+    },
+
+    // WITH RECURSIVE through Spark 4's new recursive-CTE support —
+    // ONE ANSI text, two engines: an 11-row price-bucket spine
+    // generated by the recursion drives a non-equi histogram join
+    // (the tiny spine broadcasts against the fact scan; recursion
+    // depth is planning-scale, data never loops).
+    QueryDef.sqlSurface("q161_sql_recursive_cte",
+      """WITH RECURSIVE buckets(lo) AS (
+        |  SELECT 0
+        |  UNION ALL
+        |  SELECT lo + 50000 FROM buckets WHERE lo < 500000
+        |)
+        |SELECT CAST(lo AS BIGINT) AS lo,
+        |       count(o_orderkey) AS n_orders,
+        |       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS cents
+        |FROM buckets LEFT JOIN orders
+        |  ON o_totalprice >= lo AND o_totalprice < lo + 50000
+        |GROUP BY lo ORDER BY lo""".stripMargin, Seq("orders")),
+
+    // LATERAL correlated subquery with per-group ORDER BY + LIMIT —
+    // the SQL spelling of top-k-per-group (q37's DataFrame shape);
+    // Catalyst decorrelates it to a ranked join, never a per-row
+    // nested loop.
+    QueryDef.sqlSurface("q162_sql_lateral",
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
+      Seq("customer", "orders"))
   )
 }

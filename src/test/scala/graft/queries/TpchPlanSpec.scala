@@ -12,8 +12,9 @@ import graft.SparkTestBase
 class TpchPlanSpec extends SparkTestBase {
 
   private def planOf(name: String): String = {
-    val d = TpchQueries.defs.find(_.name == name).get
-    d.run(spark, sf0001).queryExecution.executedPlan.toString
+    val run = TpchQueries.defs.find(_.name == name).map(_.run)
+      .getOrElse(graft.SparkEntry.queries(name))
+    run(spark, sf0001).queryExecution.executedPlan.toString
   }
 
   test("q88 (Q6): all three lineitem predicates are pushed to the scan") {
@@ -190,5 +191,23 @@ class TpchPlanSpec extends SparkTestBase {
     assert(p.contains("min(l_extendedprice"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q162: LATERAL ORDER BY/LIMIT decorrelates to a partial-top-k ranked join") {
+    val p = planOf("q162_sql_lateral")
+    // the q37 shape, reached from SQL: per-group top-2 as a
+    // WindowGroupLimit with a Partial phase below the exchange, then
+    // an equi-join — never a per-customer nested loop
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(p.contains("Partial"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q161: the recursive spine stays planning-scale — data never loops") {
+    val p = planOf("q161_sql_recursive_cte")
+    // the 11-row recursion drives ONE non-equi join against orders;
+    // the orders scan appears exactly once in the plan
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(3000))
   }
 }
