@@ -450,6 +450,56 @@ object PipelineQueries {
           sum(col("id_sum")).as("id_sum"),
           max(col("max_len")).as("max_len"))
         .orderBy(col("lang"), col("source"))
+    },
+
+    // Cross-replica ANTI-ENTROPY audit: compare two copies of a table
+    // by BUCKET-level content fingerprints — each side folds
+    // md5(id:text) into an order-free per-bucket sum, and only
+    // divergent buckets surface. At 100 TB this is how replicas are
+    // reconciled: each site computes its own bucket digests locally
+    // (one partial-agg'd scan), the comparison joins two
+    // bucket-count-sized digest tables, and re-sync fetches ONLY the
+    // divergent buckets instead of re-copying the table. The "replica"
+    // here injects a deterministic corruption (every 97th doc's text
+    // perturbed) so the gate proves divergent buckets are found
+    // exactly — and nothing else is.
+    QueryDef("q163_replica_audit",
+      """WITH a AS (
+        |  SELECT (doc_id // 64)::BIGINT AS bucket,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12))::BIGINT AS fp
+        |  FROM documents),
+        |b AS (
+        |  SELECT (doc_id // 64)::BIGINT AS bucket,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |            CASE WHEN doc_id % 97 = 0 THEN text || '!' ELSE text END), 1, 12))::BIGINT AS fp
+        |  FROM documents),
+        |da AS (SELECT bucket, sum(fp)::BIGINT AS digest, count(*)::BIGINT AS n FROM a GROUP BY 1),
+        |db AS (SELECT bucket, sum(fp)::BIGINT AS digest, count(*)::BIGINT AS n FROM b GROUP BY 1)
+        |SELECT da.bucket, da.n AS n_rows,
+        |       (da.digest <> db.digest) AS diverged
+        |FROM da JOIN db ON da.bucket = db.bucket
+        |WHERE da.digest <> db.digest OR da.n <> db.n
+        |ORDER BY da.bucket""".stripMargin) { (spark, dir) =>
+      def digests(mutate: Boolean) = {
+        val text =
+          if (mutate) when(col("doc_id") % 97 === 0, concat(col("text"), lit("!")))
+            .otherwise(col("text"))
+          else col("text")
+        Tables.load(spark, dir, "documents")
+          .select(expr("doc_id DIV 64").as("bucket"),
+            conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"), text)),
+              1, 12), 16, 10).cast("long").as("fp"))
+          .groupBy(col("bucket"))
+          .agg(sum(col("fp")).as("digest"), count(lit(1)).as("n"))
+      }
+      val da = digests(mutate = false)
+      val db = digests(mutate = true)
+        .select(col("bucket"), col("digest").as("digest_b"), col("n").as("n_b"))
+      da.join(db, "bucket")
+        .where(col("digest") =!= col("digest_b") || col("n") =!= col("n_b"))
+        .select(col("bucket"), col("n").as("n_rows"),
+          (col("digest") =!= col("digest_b")).as("diverged"))
+        .orderBy(col("bucket"))
     }
   )
 }
