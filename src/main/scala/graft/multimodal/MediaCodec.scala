@@ -170,7 +170,12 @@ object MediaCodec {
     * largesize boxes are honored; size-0 ("to end of file") only at
     * top level. */
   private def findBox(p: Array[Byte], from: Int, until: Int,
-      name: String): Option[(Int, Int)] = {
+      name: String, topLevel: Boolean = false): Option[(Int, Int)] = {
+    // size==0 ("box extends to end of FILE", ISO 14496-12 §4.2) is
+    // only defined for the last TOP-LEVEL box; honoring it while
+    // walking a container's children (as `until` alone cannot tell —
+    // the last top-level box's children also end at p.length) would
+    // let a crafted nested size-0 box swallow the rest of its parent
     var i = from.toLong
     while (i + 8 <= until) {
       val size0 = u32(p, i.toInt)
@@ -179,7 +184,10 @@ object MediaCodec {
         if (size0 == 1) {
           if (i + 16 > until) return None
           (i + 16, i + u64(p, i.toInt + 8))
-        } else if (size0 == 0) (i + 8, until.toLong)
+        } else if (size0 == 0) {
+          if (!topLevel) return None
+          (i + 8, until.toLong)
+        }
         else (i + 8, i + size0)
       if (boxEnd < payloadOff || boxEnd > until) return None
       if (typ == name)
@@ -191,7 +199,7 @@ object MediaCodec {
 
   /** mvhd read: (timescale, durationTicks), version 0 and 1. */
   private def mp4Mvhd(p: Array[Byte]): Option[(Long, Long)] =
-    findBox(p, 0, p.length, "moov").flatMap { case (mOff, mLen) =>
+    findBox(p, 0, p.length, "moov", topLevel = true).flatMap { case (mOff, mLen) =>
       findBox(p, mOff, mOff + mLen, "mvhd").flatMap { case (off, len) =>
         val version = p(off) & 0xff
         if (version == 0 && len >= 24)
@@ -275,7 +283,7 @@ object MediaCodec {
       if (j + 3 > p.length) None
       else Some(math.min(p.length, j + 1 + u16(p, j + 1)))
     } else if (isWav(p)) wavInfo(p).map { case (_, dataOff, _) => dataOff }
-    else if (isMp4(p)) findBox(p, 0, p.length, "mdat").map(_._1)
+    else if (isMp4(p)) findBox(p, 0, p.length, "mdat", topLevel = true).map(_._1)
     else None
   }
 

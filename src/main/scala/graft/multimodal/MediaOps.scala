@@ -156,17 +156,28 @@ object MediaOps {
     * source then lists and reads them back as (path, content) rows;
     * that read path is what the q132 gate verifies end-to-end. */
   def writeMediaFiles(files: Dataset[MediaFile], dirPath: String): Unit = {
-    val root = new java.io.File(dirPath)
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-      f.delete()
-    }
-    if (root.exists()) deleteRec(root)
-    root.mkdirs()
+    import org.apache.hadoop.fs.Path
+    // All I/O goes through the Hadoop FileSystem resolved from the
+    // session's hadoop conf — on a cluster dirPath is a shared store
+    // (HDFS/S3A), so executor writes land where the subsequent
+    // binaryFile read will list them, not on executor-local disk.
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      files.sparkSession.sessionState.newHadoopConf())
+    val root = new Path(dirPath)
+    val driverFs = root.getFileSystem(hadoopConf.value)
+    if (driverFs.exists(root)) driverFs.delete(root, true)
+    driverFs.mkdirs(root)
     files.foreachPartition { (it: Iterator[MediaFile]) =>
-      it.foreach { f =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dirPath, s"${f.mediaId}.bin"), f.payload)
+      if (it.hasNext) {
+        val fs = root.getFileSystem(hadoopConf.value)
+        // raw payload objects only — no .crc sidecars from the local
+        // ChecksumFileSystem (HDFS/S3A ignore this, checksums live
+        // server-side there)
+        fs.setWriteChecksum(false)
+        it.foreach { f =>
+          val out = fs.create(new Path(root, s"${f.mediaId}.bin"), true)
+          try out.write(f.payload) finally out.close()
+        }
       }
     }
   }

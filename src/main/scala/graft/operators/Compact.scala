@@ -44,10 +44,19 @@ object Compact {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val files = fs.listStatus(p).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
+    // RECURSIVE listing, because rewrite() reads via spark.read.parquet
+    // which descends into partition directories — a flat listStatus
+    // would see 0 files on a partitioned table and silently size the
+    // whole rewrite at targetFiles=1
+    val it = fs.listFiles(p, true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next()).filter { st =>
+        val rel = st.getPath.toUri.getPath
+          .stripPrefix(p.toUri.getPath).split('/')
+        st.isFile &&
+          !rel.exists(s => s.startsWith("_") || s.startsWith("."))
+      }.toArray
+    require(files.nonEmpty, s"no data files under $path — nothing to compact")
     val total = files.map(_.getLen).sum
     CompactionPlan(files.length, total,
       math.max(1L, (total + targetBytes - 1) / targetBytes).toInt)

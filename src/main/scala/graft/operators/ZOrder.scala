@@ -44,11 +44,30 @@ object ZOrder {
   /** Affine map of `[lo, hi]` onto `[0, 2^bits)` in pure BIGINT
     * arithmetic — `div` (IntegralDivide), never `/` (Spark's `/` is
     * double division, which both changes the type and loses exactness
-    * past 2^53). A degenerate span maps everything to 0. */
+    * past 2^53). A degenerate span maps everything to 0.
+    *
+    * Multiply-then-divide is exact but only safe while
+    * `span * (2^bits - 1)` fits in a Long; past that (span >
+    * Long.MaxValue >> bits, ~1.4e15 at 16 bits) the non-ANSI multiply
+    * would silently wrap and corrupt z-values. Huge spans instead take
+    * a divide-first path — quantize into equal-width cells of
+    * `ceil(span / 2^bits)` — which loses only sub-cell placement, not
+    * ordering, and can never overflow. */
   def normalize(c: Column, lo: Long, hi: Long, bits: Int = BitsPerDim): Column =
     if (hi <= lo) lit(0L)
-    else call_function("div",
-      (c.cast("long") - lit(lo)) * lit((1L << bits) - 1), lit(hi - lo))
+    else {
+      val span = hi - lo // may wrap negative when the data spans > Long.MaxValue
+      val shifted = c.cast("long") - lit(lo)
+      if (span > 0 && span <= (Long.MaxValue >> bits))
+        call_function("div", shifted * lit((1L << bits) - 1), lit(span))
+      else
+        // greatest() floors the one remaining wrap case (span itself
+        // overflowed AND c - lo wrapped): those rows collapse into
+        // cell 0 — degraded clustering for them, never a wrong result
+        // (zone maps are rebuilt from the actual rewritten files)
+        call_function("div", greatest(shifted, lit(0L)),
+          lit(java.lang.Long.divideUnsigned(span, 1L << bits) + 1))
+    }
 
   /** Reference implementation of the interleave for tests. */
   private[graft] def interleaveRef(a: Long, b: Long, bits: Int = BitsPerDim): Long =

@@ -16,4 +16,15 @@ trait SparkTestBase extends AnyFunSuite {
     .getOrCreate()
 
   def sf0001 = "/root/testdata/sf0.001"
+
+  /** Run `body` with session confs set, restoring prior values after —
+    * the session is JVM-shared across suites, so leaks would bleed. */
+  def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -32,10 +32,11 @@ class BloomSkipSpec extends SparkTestBase {
 
   test("a present key opens ~1 of 16 files; an absent key ~0") {
     assert(allFiles == 16L)
-    val present = BloomSkip.survivingFiles(spark, path, "url", Seq("src3/23"))
+    val present =
+      BloomSkip.survivingFiles(spark, path, "url", Seq("src3/23")).get
     assert(present.size >= 1 && present.size <= 2, present.mkString(","))
     val absent = BloomSkip.survivingFiles(spark, path, "url",
-      Seq("srcX/not-there"))
+      Seq("srcX/not-there")).get
     assert(absent.size <= 1, absent.mkString(","))
   }
 
@@ -55,5 +56,41 @@ class BloomSkipSpec extends SparkTestBase {
     val df = BloomSkip.lookupScan(spark, path, "url", Seq("srcX/void"))
     assert(df.columns.toSeq == Seq("doc_id", "source", "url"))
     assert(df.count() == 0L)
+  }
+
+  test("non-string key column: probe hashes the native type, not its string") {
+    // the build hashes xxhash64(BIGINT doc_id); a probe that hashed
+    // the STRING "23" would miss every file (silent false negative)
+    val p = "/root/repo/target/graft_test/bloomskip_bigint"
+    ZoneMap.writeClustered(
+      graft.sources.Tables.load(spark, sf0001, "documents")
+        .select(col("doc_id"), col("source")),
+      "source", 8, p)
+    BloomSkip.persist(spark, p, "doc_id")
+    val surv = BloomSkip.survivingFiles(spark, p, "doc_id", Seq("23")).get
+    assert(surv.nonEmpty, "native-type probe must hit the containing file")
+    val got = BloomSkip.lookupScan(spark, p, "doc_id", Seq("23"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(23L))
+  }
+
+  test("membership is probed executor-side: only file names reach the driver") {
+    val probe = BloomSkip.probeFrame(spark, path, "url", Seq("src3/23"))
+    // the frame the driver collects carries ONLY the file name …
+    assert(probe.schema.fieldNames.toSeq == Seq("file"))
+    // … and the bloom-blob membership test sits in the executed plan
+    // (a Filter over the artifact scan), not in driver code
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+  }
+
+  test("past the maxFiles cap: declines to prune, lookup stays correct") {
+    withConf(BloomSkip.MaxFilesKey -> "4") { // 16 indexed files > 4
+      assert(BloomSkip.survivingFiles(spark, path, "url",
+        Seq("src3/23")).isEmpty)
+      val got = BloomSkip.lookupScan(spark, path, "url", Seq("src3/23"))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(23L)) // unpruned fallback, identical result
+    }
   }
 }
