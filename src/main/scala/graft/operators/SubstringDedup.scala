@@ -26,9 +26,15 @@ import org.apache.spark.sql.functions._
   *     start s has s <= i < s+k. No token-level shuffle anywhere.
   *
   * At 100 TB the gram shuffle dominates; the production lever is
-  * hashing grams to 64-bit keys before the exchange (md5-slice
-  * family), trading bytes for a ~n²/2⁶⁴ false-merge rate — kept OFF
-  * here so the oracle compares exact text. Occurrence keys encode as
+  * `hashGrams = true`: grams collapse to 64-bit `xxhash64` keys
+  * MAP-SIDE, so the exchange carries 8 bytes per occurrence instead
+  * of the k-token text (~100+ bytes at k=10) — a ~10x shuffle-byte
+  * cut, trading a ~n²/2⁶⁴ false-merge rate (two distinct grams
+  * colliding would remove a span that wasn't duplicated; at 10¹²
+  * grams that is ~3·10⁻⁵ expected false spans corpus-wide). Exact
+  * text never rides the gram exchange in that mode — it is only
+  * rejoined doc-locally for the removal-list reassembly, which keys
+  * on (doc_id, pos) alone. Occurrence keys encode as
   * doc_id * PosBase + pos, which bounds supported documents at PosBase
   * tokens (far above any training document; chunk longer inputs).
   */
@@ -54,17 +60,25 @@ object SubstringDedup {
     *    rule skips outer generates, so the guard never materializes
     *    and empty-array rows cost one null row each instead. */
   def occurrences(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, hashGrams: Boolean = false): DataFrame = {
     val toks = col("_toks")
+    // hashGrams collapses the gram to its xxhash64 INSIDE the per-row
+    // transform — the full text of a gram never leaves the map task
+    def gram(i: Column): Column = {
+      val text =
+        concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)
+      if (hashGrams) xxhash64(text) else text
+    }
+    val elemType =
+      if (hashGrams) "array<struct<pos:int,g:bigint>>"
+      else "array<struct<pos:int,g:string>>"
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
       .select(col("doc_id"),
         when(size(toks) >= k,
           transform(sequence(lit(1), size(toks) - (k - 1)),
-            i => struct(i.as("pos"),
-              concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)
-                .as("g"))))
-          .otherwise(array().cast("array<struct<pos:int,g:string>>")).as("oc"))
+            i => struct(i.as("pos"), gram(i).as("g"))))
+          .otherwise(array().cast(elemType)).as("oc"))
       .select(col("doc_id"), explode_outer(col("oc")).as("o"))
       .where(col("o").isNotNull)
       .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
@@ -76,8 +90,8 @@ object SubstringDedup {
   /** Removal starts: (doc_id, pos) of every NON-canonical occurrence
     * of a gram that occurs more than once corpus-wide. */
   def removalStarts(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val occ = occurrences(docs, idCol, textCol, k)
+      k: Int, hashGrams: Boolean = false): DataFrame = {
+    val occ = occurrences(docs, idCol, textCol, k, hashGrams)
     val dup = occ.groupBy(col("g"))
       .agg(count(lit(1)).as("c"), min(occKey(col("doc_id"), col("pos"))).as("canon"))
       .where(col("c") > 1)
@@ -92,8 +106,8 @@ object SubstringDedup {
     * removed token-wise) and `n_kept`. Unaffected docs pass through
     * with their full text. */
   def scrub(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame =
-    scrubWithStarts(docs, removalStarts(docs, idCol, textCol, k),
+      k: Int, hashGrams: Boolean = false): DataFrame =
+    scrubWithStarts(docs, removalStarts(docs, idCol, textCol, k, hashGrams),
       idCol, textCol, k)
 
   /** [[scrub]] over PRECOMPUTED removal starts — callers that also

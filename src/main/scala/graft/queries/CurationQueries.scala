@@ -309,6 +309,25 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The 100 TB production mode of q129: grams ride the exchange as
+    // 64-bit xxhash64 keys (8 bytes vs ~100 for k=10 token text). The
+    // oracle replays the pipeline over EXACT grams — hashing is
+    // result-invisible absent a 64-bit collision (~n²/2⁶⁴; zero on the
+    // fixture, ~3e-5 expected false spans even at 10¹² grams), which
+    // is precisely the claim this gate pins. SubstringDedupSpec
+    // additionally measures the shuffle-byte cut.
+    QueryDef("q164_substring_dedup_hashed", substringDedupSql) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val rs = SubstringDedup
+        .removalStarts(docs, "doc_id", "text", SpanK, hashGrams = true)
+        .localCheckpoint()
+      val affected = rs.select(col("doc_id")).distinct()
+      SubstringDedup.scrubWithStarts(docs, rs, "doc_id", "text", SpanK)
+        .join(affected, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("kept_text"), col("n_kept"))
+        .orderBy(col("doc_id"))
+    },
+
     QueryDef("q120_repetition_rules", repetitionSql) { (spark, dir) =>
       val toks = split(col("text"), " ")
       Tables.load(spark, dir, "documents")

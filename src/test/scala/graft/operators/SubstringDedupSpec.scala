@@ -67,4 +67,58 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("gram-hash mode is result-identical on the fixture") {
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    val exact = SubstringDedup.scrub(docs, "doc_id", "text", 10)
+      .select("doc_id", "kept_text", "n_kept")
+    val hashed = SubstringDedup.scrub(docs, "doc_id", "text", 10,
+      hashGrams = true).select("doc_id", "kept_text", "n_kept")
+    assert(exact.exceptAll(hashed).isEmpty && hashed.exceptAll(exact).isEmpty)
+  }
+
+  test("gram-hash mode: the exchange key is an 8-byte BIGINT, not text") {
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    val occ = SubstringDedup
+      .occurrences(docs, "doc_id", "text", 10, hashGrams = true)
+    assert(occ.schema("g").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("gram-hash mode cuts shuffle-write bytes on the fixture") {
+    import org.apache.spark.scheduler._
+    // sum shuffle-write bytes across every stage of `body` — the bus
+    // posts StageCompleted before the matching JobEnd, so once all
+    // started jobs have ended the byte count is complete
+    def shuffleBytes(body: => Unit): Long = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val started = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ended = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          started.incrementAndGet()
+        override def onJobEnd(j: SparkListenerJobEnd): Unit =
+          ended.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        val deadline = System.currentTimeMillis + 30000
+        while ((started.get == 0 || ended.get < started.get) &&
+          System.currentTimeMillis < deadline) Thread.sleep(50)
+        bytes.get
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    val exactBytes = shuffleBytes(
+      SubstringDedup.removalStarts(docs, "doc_id", "text", 10).count())
+    val hashedBytes = shuffleBytes(
+      SubstringDedup.removalStarts(docs, "doc_id", "text", 10,
+        hashGrams = true).count())
+    assert(exactBytes > 0 && hashedBytes > 0)
+    assert(hashedBytes < (exactBytes * 7) / 10,
+      s"hashed=$hashedBytes exact=$exactBytes")
+  }
 }
