@@ -1,7 +1,10 @@
 package graft.queries
 
+import graft.functions.GraftFunctions
 import graft.multimodal.{MediaFile, MediaOps}
+import graft.operators.IvfIndex
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declared queries for the multimodal column pipeline (SURVEY §2.3).
@@ -33,6 +36,92 @@ object MultimodalQueries {
         |             WHEN 3 THEN (doc_id * 31 % 100000) * 1000 // (600 + doc_id % 7 * 100)
         |             ELSE 0 END)::BIGINT AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- q165: multimodal -> ANN composition ---------------------------
+
+  /** IVF parameters for the media-feature ANN chain (Dim = 8 content
+    * features; the embeddings chain's constants live in
+    * SimilarityQueries and stay untouched). */
+  private val MediaDim = MediaOps.FeatureDim
+  private val MediaCents = 8
+  private val MediaQueries = 6
+  private val MediaTopK = 5
+
+  /** DuckDB replay of the media IVF chain: q30's feature derivation
+    * feeds the same seed -> one-Lloyd-round -> assign -> same-cell
+    * cosine top-k chain the embeddings gates replay (the
+    * SimilarityQueries CTE pattern at Dim = [[MediaDim]]). Zero-norm
+    * vectors (empty-text audio/video rows have no nonzero component)
+    * are excluded on both sides — cosine is undefined for them. */
+  private val mediaAnnSql = {
+    val d = MediaDim
+    val scale = IvfIndex.Scale
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 4 < 2 THEN doc_id * 7 % 1920 + 1 ELSE 0 END AS w,
+       |         CASE WHEN doc_id % 4 < 2 THEN doc_id * 13 % 1080 + 1 ELSE 0 END AS h,
+       |         length(text) AS len,
+       |         list_aggregate([ord(substr(text, i, 1))
+       |                         for i in generate_series(1, length(text))], 'sum') AS sbytes,
+       |         length(text) - length(replace(text, ' ', '')) AS nws,
+       |         length(regexp_replace(text, '[^a-z]', '', 'g')) AS nlower,
+       |         length(regexp_replace(text, '[^0-9]', '', 'g')) AS ndigit,
+       |         len(list_distinct([substr(text, i, 1)
+       |                            for i in generate_series(1, length(text))])) AS ndist
+       |  FROM documents),
+       |fv AS (
+       |  SELECT doc_id AS vec_id,
+       |         [ CAST(CAST(w::DOUBLE / 1920.0 AS FLOAT) AS DOUBLE),
+       |           CAST(CAST(h::DOUBLE / 1080.0 AS FLOAT) AS DOUBLE),
+       |           CAST(CAST(len::DOUBLE / (len + 1024)::DOUBLE AS FLOAT) AS DOUBLE),
+       |           CAST(CAST(CASE WHEN len = 0 THEN 0.0 ELSE sbytes::DOUBLE / (len * 255)::DOUBLE END AS FLOAT) AS DOUBLE),
+       |           CAST(CAST(CASE WHEN len = 0 THEN 0.0 ELSE nws::DOUBLE / len::DOUBLE END AS FLOAT) AS DOUBLE),
+       |           CAST(CAST(CASE WHEN len = 0 THEN 0.0 ELSE nlower::DOUBLE / len::DOUBLE END AS FLOAT) AS DOUBLE),
+       |           CAST(CAST(CASE WHEN len = 0 THEN 0.0 ELSE ndigit::DOUBLE / len::DOUBLE END AS FLOAT) AS DOUBLE),
+       |           CAST(CAST(CASE WHEN len = 0 THEN 0.0 ELSE ndist::DOUBLE / len::DOUBLE END AS FLOAT) AS DOUBLE) ] AS v
+       |  FROM s),
+       |n AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, v,
+       |           sqrt(list_aggregate([x*x for x in v], 'sum')) AS nrm
+       |    FROM fv) z WHERE nrm > 0),
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $MediaCents),
+       |a0 AS (
+       |  SELECT vec_id, v, nrm, cid FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |             list_aggregate([n.v[i]*c.cv[i] for i in generate_series(1, $d)], 'sum')
+       |               / (n.nrm*c.cnrm) DESC, c.cid) AS rn
+       |    FROM n CROSS JOIN c0 c) t WHERE rn = 1),
+       |c1s AS (
+       |  SELECT cid, i,
+       |         CAST(sum(CAST(floor(v[i] * $scale) AS BIGINT)) AS BIGINT) AS sv,
+       |         count(*)::BIGINT AS cnt
+       |  FROM a0 CROSS JOIN generate_series(1, $d) t(i)
+       |  GROUP BY cid, i),
+       |c1 AS (
+       |  SELECT cid, cv, sqrt(list_aggregate([x*x for x in cv], 'sum')) AS cnrm FROM (
+       |    SELECT cid, list(sv::DOUBLE / (cnt::DOUBLE * $scale) ORDER BY i) AS cv
+       |    FROM c1s GROUP BY cid) z),
+       |cell AS (
+       |  SELECT vec_id, v, nrm, cid FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |             list_aggregate([n.v[i]*c.cv[i] for i in generate_series(1, $d)], 'sum')
+       |               / (n.nrm*c.cnrm) DESC, c.cid) AS rn
+       |    FROM n CROSS JOIN c1 c) t WHERE rn = 1),
+       |sims AS (
+       |  SELECT q.vec_id AS qid, x.vec_id AS nid,
+       |         list_aggregate([q.v[i]*x.v[i] for i in generate_series(1, $d)], 'sum')
+       |           / (q.nrm * x.nrm) AS sim
+       |  FROM cell q JOIN cell x ON q.cid = x.cid
+       |  WHERE q.vec_id < $MediaQueries)
+       |SELECT qid, nid, sim, rank FROM (
+       |  SELECT qid, nid, sim,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+       |  FROM sims) t
+       |WHERE rank <= $MediaTopK ORDER BY qid, rank""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -129,6 +218,44 @@ object MultimodalQueries {
           (col("i0") + 1).cast("long").as("i"),
           col("f").cast("double").as("fval"))
         .orderBy(col("media_id"), col("i"))
+    },
+
+    // Multimodal composed with ANN end-to-end: the q30 content-feature
+    // vectors (decoded from the container BYTES) index through the
+    // same IVF chain the embeddings corpus uses — seed centroids, one
+    // quantized Lloyd round ([[IvfIndex]]'s order-independent means),
+    // per-row argmax cell assignment (broadcast fold, zero shuffle) —
+    // and serve a same-cell cosine top-k for the first
+    // [[MediaQueries]] media objects. The oracle replays feature
+    // extraction AND the whole index chain from (doc_id, text) alone,
+    // so the gate passes only if decode -> featurize -> index -> probe
+    // compose correctly.
+    QueryDef("q165_media_ann", mediaAnnSql) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      val feats = MediaOps
+        .extractFeatures(MediaOps.mediaFromDocuments(spark, dir)).toDF()
+        .select(col("mediaId").as("vec_id"),
+          transform(col("feature"), f => f.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(GraftFunctions.vec_dot(col("v"), col("v"))))
+        .where(col("nrm") > 0)
+      val corpus = feats.repartition(spark.sparkContext.defaultParallelism)
+      val seeds = feats.where(col("vec_id") < MediaCents)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cnrm"))
+      val assigned =
+        IvfIndex.assignCells(corpus, IvfIndex.refine(corpus, seeds, 1))
+      val q = broadcast(assigned.where(col("vec_id") < MediaQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cid").as("qcid")))
+      val sims = q.join(assigned, col("qcid") === col("cid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (GraftFunctions.vec_dot(col("qv"), col("v")) /
+            (col("qnrm") * col("nrm"))).as("sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid"))
+      sims.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= MediaTopK)
+        .orderBy(col("qid"), col("rank"))
     }
   )
 
