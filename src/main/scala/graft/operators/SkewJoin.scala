@@ -67,7 +67,8 @@ object SkewJoin {
     * sides; keys appearing only in `right` are dropped by the fan
     * join, which matches inner-join semantics exactly. */
   def autoSaltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
-      targetRowsPerSalt: Long, maxFanout: Int, saltBy: Seq[String]): DataFrame = {
+      targetRowsPerSalt: Long, maxFanout: Int, saltBy: Seq[String],
+      forceShuffle: Boolean = false): DataFrame = {
     val reserved = Seq("_salt", "_fan")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       "autoSaltedInnerJoin reserves the column names _salt/_fan; rename them on the input")
@@ -78,6 +79,21 @@ object SkewJoin {
     val saltedRight = right.join(fan, key)
       .withColumn("_salt", explode(sequence(lit(0), col("_fan") - 1)))
       .drop("_fan")
-    saltedLeft.join(saltedRight, Seq(key, "_salt"), "inner").drop("_salt")
+    // forceShuffle pins the final join to sort-merge (MERGE hints on
+    // both inputs, which AQE respects): the configuration under which
+    // salting COMPOSES with spark.sql.adaptive.skewJoin — salting
+    // pre-spreads each hot key across its fan-out so the shuffled
+    // partitions AQE inspects are already balanced, and AQE's skew
+    // splitter handles any residual partition-level imbalance (e.g.
+    // many distinct warm keys hashing together). Prefer plain AQE
+    // skew-join alone when no single key exceeds a task; prefer
+    // salting (this operator) when one logical key is itself hot —
+    // AQE can only split a partition down to ONE key's rows, never
+    // below. Without forceShuffle a broadcast-small right side makes
+    // the question moot (no shuffle, no skew, salt not needed).
+    val (l, r) =
+      if (forceShuffle) (saltedLeft.hint("merge"), saltedRight.hint("merge"))
+      else (saltedLeft, saltedRight)
+    l.join(r, Seq(key, "_salt"), "inner").drop("_salt")
   }
 }

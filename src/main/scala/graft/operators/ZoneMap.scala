@@ -68,12 +68,20 @@ object ZoneMap {
   }
 
   /** Range scan `keyCol BETWEEN lo AND hi` that opens ONLY the files
-    * whose zone overlaps the interval. The zone map is collected on
-    * the driver (planning metadata); an empty survivor list
-    * short-circuits to an empty frame with the source schema without
-    * scanning anything but one footer. */
+    * whose zone overlaps the interval. Survivors are filtered
+    * executor-side and only their names collected (planning metadata);
+    * an empty survivor list short-circuits to an empty frame with the
+    * source schema without scanning anything but one footer. Past
+    * `spark.graft.zoneMap.maxFiles` indexed files the scan declines to
+    * prune — same driver-memory posture as the automatic
+    * [[graft.plans.ZoneMapRule]] path — and reads the table unpruned
+    * (correct, just unaccelerated). */
   def skippingScan(spark: SparkSession, path: String, zoneMap: DataFrame,
       keyCol: String, lo: Long, hi: Long): DataFrame = {
+    val maxFiles = spark.conf
+      .get(graft.plans.ZoneMapRule.MaxFilesKey, "100000").toInt
+    if (zoneMap.count() > maxFiles)
+      return spark.read.parquet(path).where(col(keyCol).between(lo, hi))
     val files = zoneMap
       .where(col("hi") >= lo && col("lo") <= hi)
       .select(col("file")).collect().map(_.getString(0))

@@ -151,6 +151,36 @@ object JoinQueries {
         .orderBy(col("s_name"))
     },
 
+    // Salted join UNDER AQE's skew-join machinery: the same
+    // auto-tuned salt as q79, but the final join is pinned to
+    // sort-merge (forceShuffle) so it runs through the exact path
+    // spark.sql.adaptive.skewJoin inspects — the composition a real
+    // cluster runs with both remedies enabled. The oracle is the
+    // PLAIN join: salting + AQE's runtime re-planning must be jointly
+    // invisible in the result. SkewJoinSpec pins the plan: the
+    // adaptive final plan sort-merges on (key, salt) and AQE found no
+    // residual skew to split (salting already balanced the
+    // partitions).
+    QueryDef("q166_salted_join_aqe_skew",
+      """SELECT s_name,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin) { (spark, dir) =>
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"),
+          col("l_orderkey"))
+      val sup = Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      SkewJoin.autoSaltedInnerJoin(li, sup, key = "suppkey",
+          targetRowsPerSalt = 200L, maxFanout = 16,
+          saltBy = Seq("l_orderkey"), forceShuffle = true)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"))
+        .orderBy(col("s_name"))
+    },
+
     // Key histogram — the skew DIAGNOSIS that precedes q47's salted
     // remedy: the hottest join keys with their row counts and their
     // share of the table in basis points (integer arithmetic). At

@@ -75,6 +75,47 @@ class SkewJoinSpec extends SparkTestBase {
     assert(salted.length == 5000 + 49)
   }
 
+  test("forceShuffle under AQE skew-join: sort-merge, already balanced, " +
+    "identical rows") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import spark.implicits._
+    val left = ((1 to 5000).map(i => (1L, s"v$i")) ++
+      (2L to 50L).map(k => (k, s"w$k"))).toDF("k", "lval").repartition(8)
+    val right = (1L to 50L).map(k => (k, s"dim$k")).toDF("k", "rval")
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true") {
+      val df = SkewJoin.autoSaltedInnerJoin(left, right, "k",
+        targetRowsPerSalt = 500L, maxFanout = 8, saltBy = Seq("lval"),
+        forceShuffle = true)
+      val got = df.select("k", "lval", "rval").collect().map(_.toSeq)
+      val plain = left.join(right, Seq("k"), "inner")
+        .select("k", "lval", "rval").collect().map(_.toSeq)
+      assert(got.length == plain.length &&
+        got.map(_.toString).sorted.toSeq == plain.map(_.toString).sorted.toSeq)
+      // AQE's FINAL plan: the salted join really sort-merged (the path
+      // the skew splitter inspects), and found nothing to split —
+      // salting had already spread the hot key across its fan-out
+      val adaptive = df.queryExecution.executedPlan
+        .collectFirst { case a: AdaptiveSparkPlanExec => a }
+        .getOrElse(fail("no adaptive plan - AQE off?"))
+      def allNodes(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case q: QueryStageExec => q +: allNodes(q.plan)
+          case n => Seq(n)
+        }
+      val smjs = allNodes(adaptive.finalPhysicalPlan)
+        .collect { case j: SortMergeJoinExec => j }
+      val salted = smjs.filter(_.leftKeys.length == 2) // (key, _salt)
+      assert(salted.nonEmpty,
+        s"salted join did not sort-merge:\n${adaptive.toString.take(3000)}")
+      assert(salted.forall(!_.isSkewJoin),
+        "AQE should find no residual skew once the salt spread the hot key")
+    }
+  }
+
   test("auto-salted join rejects reserved columns on either input") {
     import spark.implicits._
     val tainted = Seq((1L, 0)).toDF("k", "_fan")

@@ -51,4 +51,19 @@ class ZoneMapSpec extends SparkTestBase {
       spark, path, zmap, "l_orderkey", Long.MaxValue - 10, Long.MaxValue)
     assert(skipped.count() == 0)
   }
+
+  test("past the maxFiles cap: declines to prune, identical results") {
+    withConf(graft.plans.ZoneMapRule.MaxFilesKey -> "2") {
+      val unpruned =
+        ZoneMap.skippingScan(spark, path, zmap, "l_orderkey", 100L, 400L)
+      // over the cap every file stays open — the unpruned fallback
+      assert(unpruned.inputFiles.length ==
+        spark.read.parquet(path).inputFiles.length)
+      val expected = spark.read.parquet(path)
+        .where(col("l_orderkey").between(100, 400))
+        .agg(count(lit(1)), sum(col("l_orderkey"))).collect().head
+      assert(unpruned.agg(count(lit(1)), sum(col("l_orderkey")))
+        .collect().head == expected)
+    }
+  }
 }
