@@ -5,13 +5,19 @@ sort columns by name, sort rows, and hash-compare values.
 
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 """
-import json, sys, glob
+import json, os, sys, glob
 import duckdb
 import pandas as pd
 from pandas.util import hash_pandas_object
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+def table_glob(sf_dir: str, t: str) -> str:
+    """Driver fixtures are single files; Spark-written scale corpora
+    (graft.ScaleUp) are directories of part files."""
+    p = f"{sf_dir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -30,7 +36,7 @@ def main(sf_dir: str, out_dir: str) -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_glob(sf_dir, t)}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracles):
