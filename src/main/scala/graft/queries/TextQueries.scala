@@ -89,7 +89,66 @@ object TextQueries {
           .mkString("", "\n       + \n", "")} AS score
        |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---- q167: BPE merge-pair training ---------------------------------
+
+  private val BpeRounds = 8
+
+  /** DuckDB replay of [[graft.operators.BpeTrain]]: the unique-word
+    * counts, the pipe-delimited symbol encoding, and
+    * [[BpeRounds]] unrolled count -> argmax -> replace rounds. The
+    * `replace` merge semantics (non-overlapping, left-to-right) are
+    * identical in both engines on this encoding, so every learned
+    * pair, merged symbol, and weighted count must match byte-for-byte. */
+  private val bpeTrainSql = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = s"w${r - 1}"
+      // MATERIALIZED: each round's frame must evaluate ONCE — the
+      // chain references every previous round multiply, and without
+      // the hint DuckDB's inlining re-evaluates the whole prefix per
+      // reference (measured minutes at 8 rounds vs seconds with it)
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pr AS pair, sum(c)::BIGINT AS n FROM (
+         |    SELECT unnest([s[i] || ' ' || s[i+1]
+         |                   for i in generate_series(1, len(s)-1)]) AS pr, c
+         |    FROM (SELECT string_split(ws, ' ') AS s, c FROM $prev) z) u
+         |  GROUP BY pr),
+         |t$r AS MATERIALIZED (
+         |  SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT replace(ws, (SELECT pair FROM t$r),
+         |                 replace((SELECT pair FROM t$r), '| |', '')) AS ws, c
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to BpeRounds).map(r =>
+      s"SELECT $r::BIGINT AS round, pair, replace(pair, '| |', '') AS merged, n FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wc AS (
+       |  SELECT w AS word, count(*)::BIGINT AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+       |  WHERE w <> '' AND w NOT LIKE '%|%' GROUP BY w),
+       |w0 AS MATERIALIZED (
+       |  SELECT '|' || array_to_string(string_split(word, ''), '| |') || '|' AS ws, c
+       |  FROM wc),
+       |$rounds
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Tokenizer TRAINING (the q157 encode path's upstream): learn the
+    // BPE merge table itself — unique-word state, one
+    // map-side-combined pair count + 1-row argmax + map-only string
+    // merge per round. The oracle replays all 8 rounds.
+    QueryDef("q167_bpe_train", bpeTrainSql) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.BpeTrain
+        .train(Tables.load(spark, dir, "documents"), "text", BpeRounds)
+        .toDF()
+        .select(col("round").cast("long").as("round"), col("pair"),
+          col("merged"), col("n"))
+        .orderBy(col("round"))
+    },
 
     // One-pass corpus profile: the summaries an ingest job wants after
     // landing a batch — doc/token totals, length extremes, exact vs

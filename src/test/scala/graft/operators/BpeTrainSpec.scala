@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Semantics pins for distributed BPE training: greedy left-to-right
+  * merges, frequency weighting across words, deterministic count-then-
+  * lexicographic tie-break, early stop on exhaustion. */
+class BpeTrainSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("the classic low/lower example learns the expected merge table") {
+    val docs = Seq("low low lower").toDF("text")
+    val merges = BpeTrain.train(docs, "text", 8)
+    // hand-derived: (l,o) and (o,w) tie at 3, lexicographic picks
+    // (l,o); then (lo,w) at 3; then (e,r) vs (low,e) tie at 1,
+    // lexicographic picks (e,r); finally (low,er); then no pairs left
+    assert(merges.map(m => (m.round, m.merged, m.n)) == Seq(
+      (1, "|lo|", 3L), (2, "|low|", 3L), (3, "|er|", 1L),
+      (4, "|lower|", 1L)))
+  }
+
+  test("merging is greedy left-to-right within a word") {
+    // "aaa": pairs (a,a) x2 weighted once each -> merge (a,a);
+    // greedy left fold gives [aa, a], so round 2 merges (aa, a)
+    val docs = Seq("aaa").toDF("text")
+    val merges = BpeTrain.train(docs, "text", 3)
+    assert(merges.map(_.merged) == Seq("|aa|", "|aaa|"))
+    assert(merges.head.n == 2L) // both adjacent (a,a) pairs counted
+  }
+
+  test("training stops when every word is a single symbol") {
+    val docs = Seq("ab ab cd").toDF("text")
+    val merges = BpeTrain.train(docs, "text", 10)
+    // (a,b) at 2, then (c,d) at 1 — nothing left after 2 rounds
+    assert(merges.length == 2)
+    assert(merges.map(_.merged) == Seq("|ab|", "|cd|"))
+  }
+
+  test("pair counts weight by word frequency, not distinct words") {
+    val docs = Seq("xy xy xy z", "xy").toDF("text")
+    val merges = BpeTrain.train(docs, "text", 1)
+    assert(merges.head.pair == "|x| |y|" && merges.head.n == 4L)
+  }
+}
