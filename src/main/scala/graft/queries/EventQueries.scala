@@ -62,13 +62,12 @@ object EventQueries {
          |       count(*) AS n_events
          |FROM sess GROUP BY user_id, sid
          |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
-      val t = expr("ts DIV 1000") // integer division: ts/1000 via `/` is DOUBLE division and loses micros at nano magnitudes
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"))
       val newSession = when(
         lag(col("t"), 1).over(byUser).isNull ||
           col("t") - lag(col("t"), 1).over(byUser) > GapMicros, 1L).otherwise(0L)
-      Tables.load(spark, dir, "events")
-        .select(col("user_id"), t.as("t"))
+      val ev = Tables.load(spark, dir, "events")
+      ev.select(col("user_id"), Tables.tsMicros(ev).as("t"))
         .withColumn("new_s", newSession)
         .withColumn("sid", sum(col("new_s")).over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -90,9 +89,10 @@ object EventQueries {
          |FROM events GROUP BY 1, 2
          |ORDER BY bucket_us, event_type""".stripMargin) { (spark, dir) =>
       // end-to-end integer arithmetic: `/` on longs is double division
-      val bucket = expr(s"(ts DIV 1000) DIV $HourMicros * $HourMicros")
-      Tables.load(spark, dir, "events")
-        .select(bucket.cast("long").as("bucket_us"),
+      val ev = Tables.load(spark, dir, "events")
+      ev
+        .select(Tables.tsMicros(ev).as("t"), col("event_type"), col("value"))
+        .select(expr(s"(t DIV $HourMicros) * $HourMicros").cast("long").as("bucket_us"),
           col("event_type"), col("value"))
         .groupBy(col("bucket_us"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
@@ -143,8 +143,9 @@ object EventQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
         .rangeBetween(-600000000L, 0L)
-      Tables.load(spark, dir, "events")
-        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("t"),
+      val ev = Tables.load(spark, dir, "events")
+      ev
+        .select(col("event_id"), col("user_id"), Tables.tsMicros(ev).as("t"),
           round(col("value") * 100).cast("long").as("cents"))
         .select(col("event_id"), col("user_id"), col("t"),
           count(lit(1)).over(w).as("n_prec"),
@@ -175,9 +176,10 @@ object EventQueries {
          |       count(*) AS n_events
          |FROM sess GROUP BY user_id, sid
          |ORDER BY user_id, start_us""".stripMargin) { (spark, dir) =>
-      Tables.load(spark, dir, "events")
+      val ev = Tables.load(spark, dir, "events")
+      ev
         .select(col("user_id"),
-          timestamp_micros(expr("ts DIV 1000")).as("event_time"))
+          timestamp_micros(Tables.tsMicros(ev)).as("event_time"))
         .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
@@ -245,8 +247,9 @@ object EventQueries {
          |SELECT a.user_id, ta, tb, tc
          |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
          |ORDER BY user_id""".stripMargin) { (spark, dir) =>
-      val ev = Tables.load(spark, dir, "events")
-        .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("t"))
+      val ev0 = Tables.load(spark, dir, "events")
+      val ev = ev0
+        .select(col("user_id"), col("event_type"), Tables.tsMicros(ev0).as("t"))
       val a = ev.where(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("t")).as("ta"))
       val b = ev.where(col("event_type") === "click").join(a, "user_id")
@@ -281,8 +284,9 @@ object EventQueries {
          |       (SELECT sum(n)::BIGINT FROM bx WHERE bx.day = dx.day) AS bucket_sum,
          |       true AS day_sketch_ok, true AS bucket_sketches_ok
          |FROM dx ORDER BY day""".stripMargin) { (spark, dir) =>
-      val ev = Tables.load(spark, dir, "events")
-        .select(col("user_id"), expr("ts DIV 1000").as("t"))
+      val ev0 = Tables.load(spark, dir, "events")
+      val ev = ev0
+        .select(col("user_id"), Tables.tsMicros(ev0).as("t"))
         .select(col("user_id"),
           expr(s"t DIV ${6 * HourMicros}").as("b6")) // integer div: see q40 note
         .withColumn("day", expr("b6 DIV 4"))

@@ -30,9 +30,10 @@ object JoinQueries {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.t >= v.vt
         |ORDER BY c.event_id""".stripMargin) { (spark, dir) =>
-      val e = Tables.load(spark, dir, "events")
+      val ev = Tables.load(spark, dir, "events")
+      val e = ev
         .select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000").as("t"), col("event_type"))
+          Tables.tsMicros(ev).as("t"), col("event_type"))
       val clicks = e.where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("t"))
       val views = e.where(col("event_type") === "view")
@@ -54,8 +55,9 @@ object JoinQueries {
          |SELECT itype, count(*) AS n_in_window
          |FROM iv JOIN e ON e.t >= iv.s AND e.t < iv.e_
          |GROUP BY itype ORDER BY itype""".stripMargin) { (spark, dir) =>
-      val e = Tables.load(spark, dir, "events")
-        .select(col("event_id"), col("event_type"), expr("ts DIV 1000").as("t"))
+      val ev = Tables.load(spark, dir, "events")
+      val e = ev
+        .select(col("event_id"), col("event_type"), Tables.tsMicros(ev).as("t"))
       val intervals = e.groupBy(col("event_type").as("itype"))
         .agg(min(col("t")).as("s"))
         .withColumn("e_", col("s") + HalfDayMicros)

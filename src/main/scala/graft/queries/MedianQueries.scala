@@ -346,10 +346,11 @@ object MedianQueries {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("t"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.load(spark, dir, "events")
+      val ev = Tables.load(spark, dir, "events")
+      ev
         .where(col("event_id") < 2000)
         .select(col("event_id"), col("event_type"),
-          expr("ts DIV 1000").as("t"), col("value"))
+          Tables.tsMicros(ev).as("t"), col("value"))
         .select(col("event_id"), col("event_type"),
           GraftFunctions.appx_median_bounded_double(col("value"), 2048)
             .over(w).as("run_med"))

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Parquet source layer for the driver-generated fixture tables
   * (/root/repo/TESTDATA.md). The reference delegates all scan I/O to
@@ -18,11 +20,25 @@ object Tables {
     * session construction (Verify/Bench/tests) — NOT mutated here, so
     * `load` stays pure and order-independent.
     *
-    * events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos (LongType) and convert at use
-    * sites via `timestamp_micros(ts div 1000)`. */
+    * Earlier fixture generations wrote events.ts as parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects; the
+    * conf reads that representation as raw nanos (LongType). Current
+    * fixtures write plain TIMESTAMP(MICROS); [[tsMicros]] adapts to
+    * whichever representation a given file carries. */
   val requiredConf: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Epoch-micros view of an events frame's `ts` column, whatever the
+    * fixture generation wrote: raw nanos (LongType via the legacy
+    * conf) divide down to micros with integer `DIV` (a `/` would be
+    * DOUBLE division and lose precision at nano magnitudes);
+    * timestamp columns (NTZ or not) go through `unix_micros` under
+    * the session's UTC timezone — the same instant DuckDB's
+    * `epoch_us(ts)` computes on the naive value. */
+  def tsMicros(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts DIV 1000")
+    case _ => unix_micros(col("ts").cast("timestamp"))
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

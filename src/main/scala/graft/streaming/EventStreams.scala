@@ -35,9 +35,12 @@ private case class SessionState(startMicros: Long, endMicros: Long,
   */
 object EventStreams {
 
-  /** Raw-nanos `ts` → TIMESTAMP `event_time` (micros precision). */
+  /** `ts` → TIMESTAMP `event_time` (micros precision), adapting to
+    * either fixture representation (raw nanos or native timestamp)
+    * via [[graft.sources.Tables.tsMicros]]. */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    df.withColumn("event_time",
+      timestamp_micros(graft.sources.Tables.tsMicros(df)))
 
   /** Tumbling-window per-type stats with a late-data watermark.
     * Partial aggregation happens before the shuffle exactly as in the

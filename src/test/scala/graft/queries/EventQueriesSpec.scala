@@ -13,8 +13,9 @@ class EventQueriesSpec extends SparkTestBase {
     // estimate(one sketch built over the whole day) — this is the
     // property that makes the rollup trustworthy, beyond the ±5%
     // accuracy pin in the gate.
-    val ev = graft.sources.Tables.load(spark, sf0001, "events")
-      .select(col("user_id"), expr("ts DIV 1000").as("t"))
+    val ev0 = graft.sources.Tables.load(spark, sf0001, "events")
+    val ev = ev0
+      .select(col("user_id"), graft.sources.Tables.tsMicros(ev0).as("t"))
       .select(col("user_id"), expr(s"t DIV ${6L * 3600 * 1000 * 1000}").as("b6"))
       .withColumn("day", expr("b6 DIV 4"))
     val merged = ev.groupBy(col("day"), col("b6"))
