@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.operators.NgramLm
+import graft.sources.Tables
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The CCNet-style language-model curation family (SURVEY §2.3 text
+  * analysis / curation): train a stupid-backoff trigram LM on a
+  * training split ([[NgramLm]]), perplexity-score every document
+  * against it, and bucket documents per language into
+  * head/middle/tail terciles — the exact shape Wenzek et al.
+  * (arXiv:1911.00359) use to curate CommonCrawl for LLM pretraining.
+  *
+  * Gate design: the train split is `doc_id % 2 = 0`, so half the
+  * corpus is HELD OUT — scored docs hit unseen trigrams/bigrams and
+  * exercise every backoff level (verified: held-out docs average
+  * ~3.6 nats/token vs ~2.4 for train docs on the fixture). All
+  * compared outputs are integers (counts, micro-nat sums, tercile
+  * ids); doubles exist only inside the per-token expression, where
+  * every operation is a single IEEE op or an `ln` (bit-identical
+  * between `java.lang.Math.log` and DuckDB — verified on 2000
+  * fixture-class rationals).
+  */
+object LmQueries {
+
+  /** Train-split predicate, shared by the Spark side and the oracle
+    * text: even doc_ids train, everything scores. */
+  private val TrainSplitSql = "doc_id % 2 = 0"
+
+  private def trainDocs(docs: org.apache.spark.sql.DataFrame) =
+    docs.where(col("doc_id") % 2 === 0)
+
+  /** Shared oracle CTE chain: padded tokens, trigram positions over
+    * ALL docs, and the model counts (tri/big/uni/scal) from the train
+    * split — the SQL mirror of [[NgramLm.train]], including the
+    * in-plan recovery of the per-doc `(<s>,<s>)` head bigram. */
+  private val modelCte =
+    s"""toks AS (
+       |  SELECT doc_id, lang,
+       |         ['<s>','<s>'] || list_filter(string_split(text,' '), t -> t <> '') || ['</s>'] AS p
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, g.w0 AS w0, g.w1 AS w1, g.w2 AS w2 FROM (
+       |    SELECT doc_id, unnest([{'w0': p[i], 'w1': p[i+1], 'w2': p[i+2]}
+       |                           for i in generate_series(1, len(p)-2)]) AS g
+       |    FROM toks) z),
+       |tri AS (
+       |  SELECT w0, w1, w2, count(*)::BIGINT AS c FROM pos
+       |  WHERE $TrainSplitSql GROUP BY 1, 2, 3),
+       |big AS (
+       |  SELECT b0, b1, sum(c)::BIGINT AS c FROM (
+       |    SELECT w1 AS b0, w2 AS b1, c FROM tri
+       |    UNION ALL
+       |    SELECT w0, w1, c FROM tri WHERE w0 = '<s>' AND w1 = '<s>') u
+       |  GROUP BY 1, 2),
+       |uni AS (
+       |  SELECT u, sum(c)::BIGINT AS c FROM (
+       |    SELECT b1 AS u, c FROM big
+       |    UNION ALL
+       |    SELECT b0, c FROM big WHERE b0 = '<s>' AND b1 = '<s>') u2
+       |  GROUP BY 1),
+       |scal AS (SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS v FROM uni)""".stripMargin
+
+  /** Scoring tail shared by q169/q170: model-side conditionals, the
+    * stupid-backoff coalesce (alpha = 0.4 spelled as a PRODUCT for
+    * the alpha^2 level — 0.4*0.4 != 0.16 in doubles), and the
+    * micro-nat quantization. */
+  private val scoreCte =
+    s"""tri_s AS (
+       |  SELECT t.w0, t.w1, t.w2, CAST(t.c AS DOUBLE) / CAST(b.c AS DOUBLE) AS p3
+       |  FROM tri t JOIN big b ON t.w0 = b.b0 AND t.w1 = b.b1),
+       |big_s AS (
+       |  SELECT b.b0, b.b1, CAST(b.c AS DOUBLE) / CAST(u.c AS DOUBLE) AS p2
+       |  FROM big b JOIN uni u ON b.b0 = u.u),
+       |uni_s AS (
+       |  SELECT u, CAST(c + 1 AS DOUBLE) / CAST(total + v + 1 AS DOUBLE) AS p1
+       |  FROM uni CROSS JOIN scal),
+       |sc AS (
+       |  SELECT p.doc_id,
+       |         CAST(round(-ln(coalesce(t.p3, 0.4 * b.p2,
+       |              0.4 * 0.4 * coalesce(u.p1, 1.0 / CAST(total + v + 1 AS DOUBLE))))
+       |              * 1000000.0) AS BIGINT) AS cost
+       |  FROM pos p
+       |  LEFT JOIN tri_s t ON p.w0 = t.w0 AND p.w1 = t.w1 AND p.w2 = t.w2
+       |  LEFT JOIN big_s b ON p.w1 = b.b0 AND p.w2 = b.b1
+       |  LEFT JOIN uni_s u ON p.w2 = u.u
+       |  CROSS JOIN scal),
+       |doc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_tok, sum(cost)::BIGINT AS cost_micro
+       |  FROM sc GROUP BY doc_id)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // LM TRAINING gate: the count tables themselves. One corpus scan
+    // (trigram agg), two model-frame rollups, top-10 per order by
+    // (count desc, gram) — all integers. At 100 TB the trigram agg is
+    // a map-side-combined shuffle on the gram key and the rollups
+    // shuffle only the model frame.
+    QueryDef("q168_ngram_lm_build",
+      s"""WITH $modelCte
+         |SELECT ord, gram, n, rank FROM (
+         |  SELECT ord, gram, n,
+         |         CAST(row_number() OVER (PARTITION BY ord ORDER BY n DESC, gram) AS BIGINT) AS rank
+         |  FROM (SELECT 3::BIGINT AS ord, w0 || ' ' || w1 || ' ' || w2 AS gram, c AS n FROM tri
+         |        UNION ALL SELECT 2::BIGINT, b0 || ' ' || b1, c FROM big
+         |        UNION ALL SELECT 1::BIGINT, u, c FROM uni) g) r
+         |WHERE rank <= 10 ORDER BY ord, rank""".stripMargin) { (spark, dir) =>
+      val m = NgramLm.train(
+        trainDocs(Tables.load(spark, dir, "documents")), "text")
+      val grams = m.tri.select(lit(3L).as("ord"),
+        concat_ws(" ", col("w0"), col("w1"), col("w2")).as("gram"),
+        col("c").as("n"))
+        .unionByName(m.big.select(lit(2L).as("ord"),
+          concat_ws(" ", col("b0"), col("b1")).as("gram"), col("c").as("n")))
+        .unionByName(m.uni.select(lit(1L).as("ord"),
+          col("u").as("gram"), col("c").as("n")))
+      val w = Window.partitionBy(col("ord"))
+        .orderBy(col("n").desc, col("gram"))
+      grams.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
+        .orderBy(col("ord"), col("rank"))
+    },
+
+    // Per-document perplexity scoring against the train-split model:
+    // three left equi-joins on model conditionals, per-token micro-nat
+    // costs, exact integer per-doc sums. The held-out half exercises
+    // every backoff level.
+    QueryDef("q169_doc_perplexity",
+      s"""WITH $modelCte,
+         |$scoreCte
+         |SELECT doc_id, n_tok, cost_micro FROM doc ORDER BY doc_id""".stripMargin) {
+      (spark, dir) =>
+        NgramLm.score(Tables.load(spark, dir, "documents"), "text",
+          NgramLm.train(trainDocs(Tables.load(spark, dir, "documents")),
+            "text"),
+          Seq("doc_id"))
+          .orderBy(col("doc_id"))
+    },
+
+    // CCNet bucketing: per-language perplexity terciles
+    // (head/middle/tail) over avg micro-nat cost with doc_id
+    // tie-break — the curation split that keeps head+middle for
+    // pretraining. Output is per-(lang, bucket) integer aggregates.
+    QueryDef("q170_perplexity_filter",
+      s"""WITH $modelCte,
+         |$scoreCte,
+         |bkt AS (
+         |  SELECT t.lang, d.n_tok, d.cost_micro,
+         |         ntile(3) OVER (PARTITION BY t.lang
+         |           ORDER BY CAST(d.cost_micro AS DOUBLE) / d.n_tok, d.doc_id) AS bucket
+         |  FROM doc d JOIN (SELECT DISTINCT doc_id, lang FROM documents) t USING (doc_id))
+         |SELECT lang, bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+         |       sum(n_tok)::BIGINT AS n_tok_sum, sum(cost_micro)::BIGINT AS cost_sum
+         |FROM bkt GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin) {
+      (spark, dir) =>
+        val docs = Tables.load(spark, dir, "documents")
+        val scored = NgramLm.score(docs, "text",
+          NgramLm.train(trainDocs(docs), "text"), Seq("doc_id", "lang"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("cost_micro").cast("double") / col("n_tok"),
+            col("doc_id"))
+        scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tok_sum"),
+            sum(col("cost_micro")).as("cost_sum"))
+          .orderBy(col("lang"), col("bucket"))
+    }
+  )
+}
