@@ -18,7 +18,7 @@ object SparkEntry {
     CoreQueries.defs ++ MedianQueries.defs ++ DedupQueries.defs ++
       TextQueries.defs ++ NearDupQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ EventQueries.defs ++ PipelineQueries.defs ++
-      CurationQueries.defs ++ LmQueries.defs ++
+      CurationQueries.defs ++ LmQueries.defs ++ WinnowQueries.defs ++
       JoinQueries.defs ++ SourceQueries.defs ++ TpchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
