@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.operators.PageRank
+import graft.sources.Tables
+
+import org.apache.spark.sql.functions._
+
+/** Graph-centrality curation gates (SURVEY §2.3 similarity family):
+  * PageRank over the q148 mutual-kNN similarity graph — centrality-
+  * weighted data selection, with the rank computed in EXACT integer
+  * micro-units so a fixed iteration count is hash-comparable. The
+  * edge derivation is shared verbatim with q148
+  * ([[SimilarityQueries.mutualEdgesCte]] / `mutualKnnEdges`), so a
+  * tuning change cannot fork the two gates. */
+object GraphQueries {
+
+  /** Fixed PageRank iterations for the gate. */
+  private val Iters = 5
+
+  /** Top-k rows reported. */
+  private val TopN = 20
+
+  /** Unrolled integer-PageRank oracle rounds: contribution
+    * `(r·85) // (100·deg)` (integer floor division — operands are
+    * positive, so it matches Spark's truncating `DIV`), teleport
+    * 150000 micro-units, every node re-emitted each round. */
+  private def prRounds: String = (1 to Iters).map { k =>
+    val prev = s"r${k - 1}"
+    s"""c$k AS MATERIALIZED (
+       |  SELECT e2.nb AS id, sum((r.r * ${PageRank.DampPct}) // (100 * d.deg))::BIGINT AS c
+       |  FROM edges e2 JOIN $prev r ON e2.id = r.id JOIN deg d ON d.id = e2.id
+       |  GROUP BY e2.nb),
+       |r$k AS MATERIALIZED (
+       |  SELECT nodes.id, (150000 + coalesce(c, 0))::BIGINT AS r
+       |  FROM nodes LEFT JOIN c$k USING (id))""".stripMargin
+  }.mkString(",\n")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Similarity-graph centrality: 5 integer-PageRank rounds over the
+    // mutual-kNN graph, top-20 by rank. Per round: one equi-join
+    // shuffle on the source id + one map-side-combined sum on the
+    // destination — nothing driver-side, rank frame checkpointed to
+    // truncate the iterative lineage.
+    QueryDef("q173_graph_pagerank",
+      s"""WITH ${SimilarityQueries.mutualEdgesCte},
+         |deg AS (SELECT id, count(*)::BIGINT AS deg FROM edges GROUP BY id),
+         |nodes AS (SELECT vec_id AS id FROM embeddings),
+         |r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),
+         |$prRounds
+         |SELECT r$Iters.id AS vec_id, r$Iters.r AS rank_micro,
+         |       coalesce(deg, 0)::BIGINT AS deg
+         |FROM r$Iters LEFT JOIN deg USING (id)
+         |ORDER BY rank_micro DESC, vec_id LIMIT $TopN""".stripMargin) {
+      (spark, dir) =>
+        val mut = SimilarityQueries.mutualKnnEdges(spark, dir)
+        val edges = mut.select(col("doc_a").as("id"), col("doc_b").as("nb"))
+          .unionByName(mut.select(col("doc_b").as("id"), col("doc_a").as("nb")))
+        val nodes = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id").as("id"))
+        PageRank.ranks(nodes, edges, Iters)
+          .select(col("id").as("vec_id"), col("rank_micro"), col("deg"))
+          .orderBy(col("rank_micro").desc, col("vec_id"))
+          .limit(TopN)
+    }
+  )
+}

@@ -717,6 +717,32 @@ object SimilarityQueries {
         s"for i in generate_series(1, ${Dim})], 'sum') >= 0 THEN '1' ELSE '0' END"
     }.mkString(" || ")
 
+  /** Oracle CTE chain (no WITH keyword) ending in the symmetric
+    * mutual-kNN `edges(id, nb)` frame — shared by q148 and the graph
+    * gates in [[GraphQueries]] so a k or LSH tuning change cannot
+    * fork the two. */
+  private[queries] val mutualEdgesCte =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_aggregate([x*x for x in v], 'sum')) AS nrm FROM e),
+       |pl AS (SELECT $planesSqlLit AS planes),
+       |s AS (SELECT vec_id, v, nrm, $sigSql AS sig FROM n CROSS JOIN pl),
+       |sims AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |         list_aggregate([a.v[i]*b.v[i] for i in generate_series(1, $Dim)], 'sum')
+       |           / (a.nrm * b.nrm) AS sim
+       |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |knn AS (
+       |  SELECT ida, idb FROM (
+       |    SELECT ida, idb,
+       |           row_number() OVER (PARTITION BY ida ORDER BY sim DESC, idb) AS rn
+       |    FROM sims) t WHERE rn <= $MutualK),
+       |mut AS (
+       |  SELECT x.ida AS doc_a, x.idb AS doc_b
+       |  FROM knn x JOIN knn y ON x.ida = y.idb AND x.idb = y.ida
+       |  WHERE x.ida < x.idb),
+       |edges AS (SELECT doc_a AS id, doc_b AS nb FROM mut
+       |          UNION ALL SELECT doc_b AS id, doc_a AS nb FROM mut)""".stripMargin
+
   private val bruteSql =
     s"""$normedCte,
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < $NumQueries),
@@ -1321,26 +1347,7 @@ object SimilarityQueries {
     // the IVF cell id (q35's assignment) with everything downstream
     // unchanged.
     QueryDef("q148_mutual_knn_clusters",
-      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_aggregate([x*x for x in v], 'sum')) AS nrm FROM e),
-         |pl AS (SELECT $planesSqlLit AS planes),
-         |s AS (SELECT vec_id, v, nrm, $sigSql AS sig FROM n CROSS JOIN pl),
-         |sims AS (
-         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
-         |         list_aggregate([a.v[i]*b.v[i] for i in generate_series(1, $Dim)], 'sum')
-         |           / (a.nrm * b.nrm) AS sim
-         |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
-         |knn AS (
-         |  SELECT ida, idb FROM (
-         |    SELECT ida, idb,
-         |           row_number() OVER (PARTITION BY ida ORDER BY sim DESC, idb) AS rn
-         |    FROM sims) t WHERE rn <= $MutualK),
-         |mut AS (
-         |  SELECT x.ida AS doc_a, x.idb AS doc_b
-         |  FROM knn x JOIN knn y ON x.ida = y.idb AND x.idb = y.ida
-         |  WHERE x.ida < x.idb),
-         |edges AS (SELECT doc_a AS id, doc_b AS nb FROM mut
-         |          UNION ALL SELECT doc_b AS id, doc_a AS nb FROM mut),
+      s"""WITH RECURSIVE $mutualEdgesCte,
          |reach(id, r) AS (
          |  SELECT id, id FROM (SELECT DISTINCT id FROM edges) t
          |  UNION
