@@ -71,6 +71,36 @@ object BpeTrain {
       .groupBy(col("pair")).agg(sum(col("c")).as("n"))
   }
 
+  /** Apply learned merges, in training order, to a pipe-encoded
+    * symbol column — the same engine-identical `replace` semantics
+    * the training loop uses. */
+  def applyMerges(ws: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(ws)((c, m) =>
+      call_function("replace", c, lit(m.pair), lit(m.merged)))
+
+  /** Per-document token counts under a trained merge list — the
+    * ENCODE side of the tokenizer lifecycle (train = [[train]],
+    * deterministic id assignment = the q157 vocab path). The
+    * unique-word frame is encoded ONCE (map-only replace chain over
+    * |vocab| rows, not |corpus| tokens); document tokens then join
+    * word → symbol-count on the word key — a shuffle join on `word`,
+    * the right shape when the unique-word frame is too large to
+    * broadcast at corpus scale. Words containing the `|` sentinel are
+    * excluded exactly as in training. Returns
+    * (idCol, n_words, n_bpe_tokens). */
+  def encodeCounts(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val words = wordCounts(docs, textCol)
+      .select(col("word"),
+        size(split(applyMerges(encodeSymbols(col("word")), merges), " "))
+          .cast("long").as("n_sym"))
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .where(col("word") =!= "" && !col("word").contains("|"))
+      .join(words, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+  }
+
   /** Learn `rounds` merges from `docs(textCol)`. */
   def train(docs: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

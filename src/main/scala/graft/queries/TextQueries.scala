@@ -93,13 +93,10 @@ object TextQueries {
 
   private val BpeRounds = 8
 
-  /** DuckDB replay of [[graft.operators.BpeTrain]]: the unique-word
-    * counts, the pipe-delimited symbol encoding, and
-    * [[BpeRounds]] unrolled count -> argmax -> replace rounds. The
-    * `replace` merge semantics (non-overlapping, left-to-right) are
-    * identical in both engines on this encoding, so every learned
-    * pair, merged symbol, and weighted count must match byte-for-byte. */
-  private val bpeTrainSql = {
+  /** The BPE training CTE chain (wc → w0 → 8 count/argmax/merge
+    * rounds, no WITH keyword) — shared by q167 and the q174 encode
+    * replay so the two cannot fork. */
+  private val bpeCtes = {
     val rounds = (1 to BpeRounds).map { r =>
       val prev = s"w${r - 1}"
       // MATERIALIZED: each round's frame must evaluate ONCE — the
@@ -119,22 +116,68 @@ object TextQueries {
          |                 replace((SELECT pair FROM t$r), '| |', '')) AS ws, c
          |  FROM $prev)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to BpeRounds).map(r =>
-      s"SELECT $r::BIGINT AS round, pair, replace(pair, '| |', '') AS merged, n FROM t$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH wc AS (
+    s"""wc AS (
        |  SELECT w AS word, count(*)::BIGINT AS c FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
        |  WHERE w <> '' AND w NOT LIKE '%|%' GROUP BY w),
        |w0 AS MATERIALIZED (
        |  SELECT '|' || array_to_string(string_split(word, ''), '| |') || '|' AS ws, c
        |  FROM wc),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** q174 oracle: re-derive the 8 merges (shared CTE chain), encode
+    * every unique WORD through the same ordered replace chain, and
+    * roll per-document symbol counts up through a word-keyed join. */
+  private val bpeEncodeSql = {
+    val enc = (1 to BpeRounds).foldLeft(
+      "'|' || array_to_string(string_split(word, ''), '| |') || '|'") {
+      (acc, r) =>
+        s"replace($acc, (SELECT pair FROM t$r), replace((SELECT pair FROM t$r), '| |', ''))"
+    }
+    s"""WITH $bpeCtes,
+       |wenc AS MATERIALIZED (
+       |  SELECT word, len(string_split($enc, ' '))::BIGINT AS n_sym FROM wc),
+       |dt AS (
+       |  SELECT doc_id, w AS word FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) z
+       |  WHERE w <> '' AND w NOT LIKE '%|%')
+       |SELECT doc_id, count(*)::BIGINT AS n_words,
+       |       sum(n_sym)::BIGINT AS n_bpe_tokens
+       |FROM dt JOIN wenc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.operators.BpeTrain]]: the unique-word
+    * counts, the pipe-delimited symbol encoding, and
+    * [[BpeRounds]] unrolled count -> argmax -> replace rounds. The
+    * `replace` merge semantics (non-overlapping, left-to-right) are
+    * identical in both engines on this encoding, so every learned
+    * pair, merged symbol, and weighted count must match byte-for-byte. */
+  private val bpeTrainSql = {
+    val sel = (1 to BpeRounds).map(r =>
+      s"SELECT $r::BIGINT AS round, pair, replace(pair, '| |', '') AS merged, n FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtes
        |$sel
        |ORDER BY round""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
+
+    // Tokenizer lifecycle COMPOSITION: encode the corpus under the
+    // q167-trained merges. The unique-word frame is encoded once
+    // (map-only replace chain over |vocab| rows, not |corpus|
+    // tokens); per-doc counts roll up through a word-keyed shuffle
+    // join — the right shape when the vocabulary outgrows a
+    // broadcast. Compression (n_bpe_tokens vs n_words·chars) is what
+    // a tokenizer-budget planner reads off this table.
+    QueryDef("q174_bpe_encode", bpeEncodeSql) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val merges = graft.operators.BpeTrain.train(docs, "text", BpeRounds)
+      graft.operators.BpeTrain.encodeCounts(docs, "text", "doc_id", merges)
+        .orderBy(col("doc_id"))
+    },
 
     // Tokenizer TRAINING (the q157 encode path's upstream): learn the
     // BPE merge table itself — unique-word state, one

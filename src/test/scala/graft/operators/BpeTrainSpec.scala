@@ -29,6 +29,26 @@ class BpeTrainSpec extends SparkTestBase {
     assert(merges.head.n == 2L) // both adjacent (a,a) pairs counted
   }
 
+  test("encodeCounts applies trained merges: hand-derived symbol counts") {
+    val docs = Seq((1L, "low low lower"), (2L, "low")).toDF("doc_id", "text")
+    val merges = BpeTrain.train(docs, "text", 8)
+    // full training merges to |low| and |lower| single symbols
+    val got = BpeTrain.encodeCounts(docs, "text", "doc_id", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 3L), (2L, 1L, 1L)))
+  }
+
+  test("encodeCounts with no merges counts characters; merges never increase it") {
+    val docs = Seq((1L, "ab cde")).toDF("doc_id", "text")
+    val none = BpeTrain.encodeCounts(docs, "text", "doc_id", Seq.empty)
+      .collect().head
+    assert((none.getLong(1), none.getLong(2)) == (2L, 5L))
+    val merges = BpeTrain.train(docs, "text", 2)
+    val some = BpeTrain.encodeCounts(docs, "text", "doc_id", merges)
+      .collect().head
+    assert(some.getLong(2) <= 5L)
+  }
+
   test("training stops when every word is a single symbol") {
     val docs = Seq("ab ab cd").toDF("text")
     val merges = BpeTrain.train(docs, "text", 10)
