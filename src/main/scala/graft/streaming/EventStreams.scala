@@ -63,6 +63,20 @@ object EventStreams {
       .withWatermark("event_time", watermark)
       .dropDuplicates("event_id", "event_time")
 
+  /** Streaming dedup on the id ALONE with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`). [[dedupByEventId]] must carry
+    * event_time in the dedup key for its state to expire, so a
+    * retried event RE-STAMPED with a fresh timestamp slips through —
+    * the common at-least-once producer behavior. This variant treats
+    * any same-id record arriving inside the watermark horizon as a
+    * duplicate while still expiring state, trading exactly that
+    * horizon of memory for retry-proof semantics. */
+  def dedupByIdWithinWatermark(events: DataFrame,
+      watermark: String = "5 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** The reference UDA under streaming: per-type approximate median
     * over all events seen so far (complete output mode). The reservoir
     * buffer IS the streaming state — O(k) per group, merged

@@ -53,6 +53,26 @@ class EventStreamsSpec extends SparkTestBase {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("withinWatermark dedup catches retries re-stamped with a new timestamp") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val q = EventStreams.dedupByIdWithinWatermark(df)
+      .writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode("append").start()
+    mem.addData(
+      row(1, "2026-01-01T10:00:10Z", 1, "click", 1.0),
+      row(1, "2026-01-01T10:00:12Z", 1, "click", 1.0), // retry, re-stamped
+      row(2, "2026-01-01T10:00:20Z", 1, "click", 2.0))
+    q.processAllAvailable(); q.stop()
+
+    // the re-stamped retry is a DIFFERENT (id, time) pair — the plain
+    // keyed dedup would pass it; within-watermark id dedup drops it
+    assert(spark.table("dedup_wm_out").count() == 2)
+  }
+
   test("stream-stream interval join matches clicks to preceding views only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
