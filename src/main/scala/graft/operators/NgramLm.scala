@@ -104,6 +104,20 @@ object NgramLm {
     Model(tri, big, uni, scal)
   }
 
+  /** Merge two trained models — every count table is a linear
+    * aggregation of its corpus, so per-key sums of partial models ARE
+    * the full-corpus model (the mergeable-state property that lets a
+    * 100 TB LM refresh fold in a new ingest batch without re-scanning
+    * history; the scalars row re-derives from the merged unigrams
+    * because vocabulary size is NOT additive across batches). */
+  def merge(a: Model, b: Model): Model = {
+    def m(x: DataFrame, y: DataFrame, keys: String*) =
+      x.unionByName(y).groupBy(keys.map(col): _*).agg(sum(col("c")).as("c"))
+    val uni = m(a.uni, b.uni, "u")
+    Model(m(a.tri, b.tri, "w0", "w1", "w2"), m(a.big, b.big, "b0", "b1"),
+      uni, uni.agg(sum(col("c")).as("total"), count(lit(1)).as("v")))
+  }
+
   /** Model-side conditional probabilities — each level divided once
     * on the model frame so scoring needs only left joins. */
   def probTables(m: Model): (DataFrame, DataFrame, DataFrame) = {

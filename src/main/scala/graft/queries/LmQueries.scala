@@ -91,6 +91,34 @@ object LmQueries {
        |  SELECT doc_id, count(*)::BIGINT AS n_tok, sum(cost)::BIGINT AS cost_micro
        |  FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** Shared build-gate SQL (q168, and q175's oracle verbatim — the
+    * incremental merge must be invisible against the direct train). */
+  private val buildSql =
+    s"""WITH $modelCte
+       |SELECT ord, gram, n, rank FROM (
+       |  SELECT ord, gram, n,
+       |         CAST(row_number() OVER (PARTITION BY ord ORDER BY n DESC, gram) AS BIGINT) AS rank
+       |  FROM (SELECT 3::BIGINT AS ord, w0 || ' ' || w1 || ' ' || w2 AS gram, c AS n FROM tri
+       |        UNION ALL SELECT 2::BIGINT, b0 || ' ' || b1, c FROM big
+       |        UNION ALL SELECT 1::BIGINT, u, c FROM uni) g) r
+       |WHERE rank <= 10 ORDER BY ord, rank""".stripMargin
+
+  /** Top-10-per-order presentation of a model's count tables. */
+  private def topGrams(m: NgramLm.Model) = {
+    val grams = m.tri.select(lit(3L).as("ord"),
+      concat_ws(" ", col("w0"), col("w1"), col("w2")).as("gram"),
+      col("c").as("n"))
+      .unionByName(m.big.select(lit(2L).as("ord"),
+        concat_ws(" ", col("b0"), col("b1")).as("gram"), col("c").as("n")))
+      .unionByName(m.uni.select(lit(1L).as("ord"),
+        col("u").as("gram"), col("c").as("n")))
+    val w = Window.partitionBy(col("ord"))
+      .orderBy(col("n").desc, col("gram"))
+    grams.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 10)
+      .orderBy(col("ord"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // LM TRAINING gate: the count tables themselves. One corpus scan
@@ -98,29 +126,23 @@ object LmQueries {
     // (count desc, gram) — all integers. At 100 TB the trigram agg is
     // a map-side-combined shuffle on the gram key and the rollups
     // shuffle only the model frame.
-    QueryDef("q168_ngram_lm_build",
-      s"""WITH $modelCte
-         |SELECT ord, gram, n, rank FROM (
-         |  SELECT ord, gram, n,
-         |         CAST(row_number() OVER (PARTITION BY ord ORDER BY n DESC, gram) AS BIGINT) AS rank
-         |  FROM (SELECT 3::BIGINT AS ord, w0 || ' ' || w1 || ' ' || w2 AS gram, c AS n FROM tri
-         |        UNION ALL SELECT 2::BIGINT, b0 || ' ' || b1, c FROM big
-         |        UNION ALL SELECT 1::BIGINT, u, c FROM uni) g) r
-         |WHERE rank <= 10 ORDER BY ord, rank""".stripMargin) { (spark, dir) =>
-      val m = NgramLm.train(
-        trainDocs(Tables.load(spark, dir, "documents")), "text")
-      val grams = m.tri.select(lit(3L).as("ord"),
-        concat_ws(" ", col("w0"), col("w1"), col("w2")).as("gram"),
-        col("c").as("n"))
-        .unionByName(m.big.select(lit(2L).as("ord"),
-          concat_ws(" ", col("b0"), col("b1")).as("gram"), col("c").as("n")))
-        .unionByName(m.uni.select(lit(1L).as("ord"),
-          col("u").as("gram"), col("c").as("n")))
-      val w = Window.partitionBy(col("ord"))
-        .orderBy(col("n").desc, col("gram"))
-      grams.withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= 10)
-        .orderBy(col("ord"), col("rank"))
+    QueryDef("q168_ngram_lm_build", buildSql) { (spark, dir) =>
+      topGrams(NgramLm.train(
+        trainDocs(Tables.load(spark, dir, "documents")), "text"))
+    },
+
+    // INCREMENTAL model refresh: two disjoint batch models merged by
+    // per-key count sums must equal the direct full train — the
+    // mergeable-state property that folds a new ingest batch into a
+    // 100 TB LM without re-scanning history (the q158 matview
+    // convention applied to the LM). Oracle = q168's text verbatim.
+    QueryDef("q175_lm_incremental", buildSql) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val a = NgramLm.train(
+        docs.where(col("doc_id") % 4 === 0), "text")
+      val b = NgramLm.train(
+        docs.where(col("doc_id") % 4 === 2), "text")
+      topGrams(NgramLm.merge(a, b))
     },
 
     // Per-document perplexity scoring against the train-split model:

@@ -1418,6 +1418,70 @@ object SimilarityQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           col("first_hit_rank"))
         .orderBy(col("qid"))
+    },
+
+    // NEAREST-CENTROID classifier eval (Rocchio) in EXACT integer
+    // arithmetic — the label-audit / weak-supervision scorer a
+    // labeled embedding corpus wants: per-label component-wise sums
+    // of q59-quantized vectors are the "centroids" (integer,
+    // mergeable state), a vector's class score is mean inner product
+    // dot/n — ONE IEEE division of exact integers, so the argmax
+    // (label tie-break) replays bit-for-bit. Centroid table is
+    // broadcast-class (labels × dims rows); vectors are scanned once;
+    // the only shuffles key on (vec_id, label) — nothing grows with
+    // corpus² at 100 TB.
+    QueryDef("q176_centroid_classify",
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (SELECT vec_id, label, v,
+         |             list_aggregate([abs(x) for x in v], 'max') AS mx FROM e),
+         |q AS (SELECT vec_id, label, i,
+         |             CAST(floor(v[i] * 127.0 / mx) AS BIGINT) AS qval
+         |      FROM m CROSS JOIN generate_series(1, $Dim) t(i) WHERE mx > 0),
+         |cent AS (SELECT label AS clabel, i, sum(qval)::BIGINT AS s
+         |         FROM q GROUP BY 1, 2),
+         |cn AS (SELECT label AS clabel, count(*)::BIGINT AS n
+         |       FROM (SELECT DISTINCT vec_id, label FROM q) z GROUP BY 1),
+         |dots AS (
+         |  SELECT q.vec_id, q.label, c.clabel, sum(q.qval * c.s)::BIGINT AS dot
+         |  FROM q JOIN cent c USING (i) GROUP BY 1, 2, 3),
+         |sc AS (SELECT vec_id, label, clabel, CAST(dot AS DOUBLE) / n AS score
+         |       FROM dots JOIN cn USING (clabel)),
+         |pred AS (
+         |  SELECT vec_id, label, clabel FROM (
+         |    SELECT vec_id, label, clabel,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY score DESC, clabel) AS rn FROM sc) z WHERE rn = 1)
+         |SELECT label::BIGINT AS true_label, clabel::BIGINT AS pred_label,
+         |       count(*)::BIGINT AS n
+         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          vecD(col("embedding")).as("v"))
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .where(col("mx") > 0)
+      val q = e.select(col("vec_id"), col("label"),
+          posexplode(transform(col("v"),
+            x => floor(x * 127.0 / col("mx")).cast("long")))
+            .as(Seq("i0", "qval")))
+        .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),
+          col("qval"))
+      val cent = q.groupBy(col("label").as("clabel"), col("i"))
+        .agg(sum(col("qval")).as("s"))
+      val cn = q.select(col("vec_id"), col("label")).distinct()
+        .groupBy(col("label").as("clabel")).agg(count(lit(1)).as("n"))
+      val dots = q.join(broadcast(cent), "i")
+        .groupBy(col("vec_id"), col("label"), col("clabel"))
+        .agg(sum(col("qval") * col("s")).as("dot"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("clabel"))
+      dots.join(broadcast(cn), "clabel")
+        .select(col("vec_id"), col("label"), col("clabel"),
+          (col("dot").cast("double") / col("n")).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy(col("label").as("true_label"), col("clabel").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_label"), col("pred_label"))
     }
   )
 

@@ -85,6 +85,32 @@ class NgramLmSpec extends SparkTestBase {
     assert(scored.getLong(1) == 1L) // only (<s>,<s>,</s>)
   }
 
+  test("merged batch models equal the direct full train") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(40)
+    val full = NgramLm.train(docs, "text")
+    val merged = NgramLm.merge(
+      NgramLm.train(docs.where(col("doc_id") % 2 === 0), "text"),
+      NgramLm.train(docs.where(col("doc_id") % 2 === 1), "text"))
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(set(merged.tri) == set(full.tri))
+    assert(set(merged.big) == set(full.big))
+    assert(set(merged.uni) == set(full.uni))
+    assert(set(merged.scal) == set(full.scal))
+  }
+
+  test("scoring plan: n-gram joins are equi-joins; only the scalars row nest-loops") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    val m = NgramLm.train(docs, "text")
+    val plan = NgramLm.score(docs, "text", m, Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the two crossJoin(broadcast(scal)) sites are 1-row broadcast
+    // builds; every n-gram join must be an equi-join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2, s"unexpected nested-loop joins ($bnlj):\n$plan")
+  }
+
   test("scoring is partitioning-invariant (integer costs commute)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
     val m = NgramLm.train(docs.where(col("doc_id") % 2 === 0), "text")

@@ -75,6 +75,14 @@ class WinnowSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("overlap plan joins on the hash key — no cartesian, no nested loop") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    val plan = Winnow.overlap(docs, "doc_id", "text", 2, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("overlap reports a planted near-copy and the df cap silences boilerplate") {
     val run = (1 to 20).map(i => s"x$i").mkString(" ")
     val pair = Seq(10L -> s"intro $run outro", 11L -> s"other words $run more")
