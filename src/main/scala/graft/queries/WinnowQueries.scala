@@ -70,6 +70,41 @@ object WinnowQueries {
           .orderBy(col("doc_id"))
     },
 
+    // MEMORIZATION / novelty audit: what fraction of each held-out
+    // document's 4-grams already occurs in the training split —
+    // the contamination-grain metric a pretraining pipeline reads
+    // before trusting eval numbers (n-gram overlap is the standard
+    // memorization screen). The train gram SET is distinct 40-bit
+    // hashes (map-side-combined distinct, 8 bytes/gram on the
+    // exchange); the audit is one left join on the hash key with a
+    // per-doc integer rollup. Integers end to end.
+    QueryDef("q177_gram_novelty",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         unnest([('0x' || substr(md5(p[i] || ' ' || p[i+1] || ' ' || p[i+2] || ' ' || p[i+3]), 1, 10))::BIGINT
+         |                 for i in generate_series(1, len(p) - 3)]) AS h
+         |  FROM toks WHERE len(p) >= 4),
+         |tr AS (SELECT DISTINCT h FROM g WHERE doc_id % 2 = 0),
+         |held AS (SELECT doc_id, h FROM g WHERE doc_id % 2 = 1)
+         |SELECT held.doc_id, count(*)::BIGINT AS n_grams,
+         |       sum(CASE WHEN tr.h IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_seen
+         |FROM held LEFT JOIN tr ON held.h = tr.h
+         |GROUP BY held.doc_id ORDER BY held.doc_id""".stripMargin) {
+      (spark, dir) =>
+        val g = Winnow.gramHashes(
+          Tables.load(spark, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("h"))
+        val tr = g.where(col("doc_id") % 2 === 0).select(col("h")).distinct()
+          .withColumn("seen", lit(1L))
+        g.where(col("doc_id") % 2 === 1)
+          .join(tr, Seq("h"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+          .orderBy(col("doc_id"))
+    },
+
     // Copy-detection overlap report: document pairs sharing >= 2
     // distinct fingerprint hashes after the df<=10 boilerplate cap.
     // Winnowing guarantees any shared run of W+K-1 = 8 tokens (the
