@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * correctness gate (streaming queries cannot run under the batch
   * verify harness; these pin the same semantics against the oracle).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS): Spark reads raw nanos
-  * (LongType, see Tables.requiredConf), DuckDB reads TIMESTAMP_NS —
-  * both sides normalize to integer epoch MICROS so every comparison
-  * and bucket boundary is exact integer arithmetic.
+  * `events.ts` normalizes to integer epoch MICROS on both sides
+  * (Spark via the schema-adaptive [[Tables.tsMicros]], DuckDB via
+  * `epoch_us`) so every comparison and bucket boundary is exact
+  * integer arithmetic, whichever timestamp representation the
+  * fixture generation wrote.
   *
   * Scale: sessionization is one shuffle on user_id (window lag +
   * running sum — Catalyst executes both window functions over a single
@@ -307,6 +308,44 @@ object EventQueries {
           within5pct(col("day_est"), col("n_exact")).as("day_sketch_ok"),
           (col("worst_bucket_gap") <= 0).as("bucket_sketches_ok"))
         .orderBy(col("day"))
+    },
+
+    // First-order MARKOV transition model over per-user event
+    // sequences (the behavioral-sequence twin of the q168 text LM):
+    // transition counts a→b from consecutive events per user
+    // (ordered by time, event_id tie-break) and the conditional in
+    // exact integer micro-probs, `(n_ab·10⁶) DIV n_a`. One shuffle
+    // on user_id for the lag, then a model-frame-sized agg — the
+    // same one-corpus-scan shape as the LM build.
+    QueryDef("q178_event_markov",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+        |nx AS (
+        |  SELECT user_id, event_type AS a,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY t, event_id) AS b
+        |  FROM e),
+        |tc AS (SELECT a, b, count(*)::BIGINT AS n_ab FROM nx
+        |       WHERE b IS NOT NULL GROUP BY 1, 2),
+        |ta AS (SELECT a, sum(n_ab)::BIGINT AS n_a FROM tc GROUP BY 1)
+        |SELECT tc.a, tc.b, n_ab, n_a,
+        |       (n_ab * 1000000 // n_a)::BIGINT AS p_micro
+        |FROM tc JOIN ta USING (a)
+        |ORDER BY a, b""".stripMargin) { (spark, dir) =>
+      val ev0 = Tables.load(spark, dir, "events")
+      val e = ev0.select(col("user_id"), col("event_type"),
+        Tables.tsMicros(ev0).as("t"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val tc = e
+        .select(col("event_type").as("a"),
+          lead(col("event_type"), 1).over(w).as("b"))
+        .where(col("b").isNotNull)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      val ta = tc.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+      tc.join(ta, "a")
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"),
+          expr("(n_ab * 1000000) DIV n_a").as("p_micro"))
+        .orderBy(col("a"), col("b"))
     }
   )
 }

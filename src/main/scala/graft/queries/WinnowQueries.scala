@@ -124,6 +124,35 @@ object WinnowQueries {
       Winnow.overlap(Tables.load(spark, dir, "documents"), "doc_id", "text",
           minShared = MinShared, maxDf = MaxDf)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Copy CLUSTERS: the q172 overlap pairs closed into connected
+    // components through the SAME log-round star-contraction
+    // machinery the MinHash chain uses (clustersFromPairs) — a third
+    // independent pair source composed with the shared CC operator,
+    // labeling each involved document with its cluster's min id.
+    QueryDef("q179_winnow_copy_clusters",
+      s"""WITH RECURSIVE $fpCte,
+         |fpd AS (SELECT DISTINCT doc_id, h FROM fp),
+         |dfk AS (SELECT h FROM (SELECT h, count(*) AS df FROM fpd GROUP BY h) z
+         |        WHERE df <= $MaxDf),
+         |kept AS (SELECT doc_id, h FROM fpd JOIN dfk USING (h)),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2 HAVING count(*) >= $MinShared),
+         |edges AS (SELECT doc_a AS id, doc_b AS nb FROM pr
+         |          UNION ALL SELECT doc_b, doc_a FROM pr),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM edges) t
+         |  UNION
+         |  SELECT e2.id, reach.r FROM edges e2 JOIN reach ON e2.nb = reach.id)
+         |SELECT id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id
+         |ORDER BY id""".stripMargin) { (spark, dir) =>
+      NearDupQueries.clustersFromPairs(
+          Winnow.overlap(Tables.load(spark, dir, "documents"), "doc_id",
+            "text", minShared = MinShared, maxDf = MaxDf)
+            .select(col("doc_a"), col("doc_b")))
+        .orderBy(col("id"))
     }
   )
 }
