@@ -54,4 +54,39 @@ object DomainMix {
     df.join(broadcast(r), Seq(domainCol))
       .where(DataSplit.bucketBp(col(idCol), seed) < col("rate_bp"))
   }
+
+  /** TEMPERATURE-scaled rates (α = 0.5, the multilingual sampling
+    * rule of XLM-R-class pipelines: sampling share ∝ w_d^α): each
+    * domain's budget is its share of `all_weight DIV budgetDenom`
+    * proportional to the integer floor-sqrt of its weight — hot
+    * domains damped, tail domains boosted, relative order preserved.
+    * `floor(sqrt(w))` on a BIGINT below 2⁵² is EXACT integer isqrt in
+    * any IEEE engine (sqrt is correctly rounded; the nearest double
+    * to √(k²−1) is strictly below k while k² is exact), so the rates
+    * replay bit-for-bit in the oracle. Returns
+    * (domain, n_total, dom_weight, sq, rate_bp). */
+  def temperatureRates(df: DataFrame, domainCol: String, weightCol: Column,
+      budgetDenom: Int): DataFrame = {
+    val dom = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_total"),
+        sum(weightCol).cast("long").as("dom_weight"))
+      .withColumn("sq", floor(sqrt(col("dom_weight"))).cast("long"))
+    val tot = dom.agg(sum(col("dom_weight")).cast("long").as("all_weight"),
+      sum(col("sq")).cast("long").as("sq_sum"))
+    dom.crossJoin(broadcast(tot))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr(
+          s"(10000L * (((all_weight DIV ${budgetDenom}L) * sq) DIV sq_sum)) DIV dom_weight")))
+      .select(col(domainCol), col("n_total"), col("dom_weight"), col("sq"),
+        col("rate_bp"))
+  }
+
+  /** [[sample]] under [[temperatureRates]] — same broadcast + map-only
+    * keep/drop shape, reprocessing-stable on (seed, id). */
+  def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
+      weightCol: Column, budgetDenom: Int, seed: String): DataFrame = {
+    val r = temperatureRates(df, domainCol, weightCol, budgetDenom)
+    df.join(broadcast(r), Seq(domainCol))
+      .where(DataSplit.bucketBp(col(idCol), seed) < col("rate_bp"))
+  }
 }

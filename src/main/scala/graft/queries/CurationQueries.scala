@@ -149,6 +149,33 @@ object CurationQueries {
        |GROUP BY r.source, r.n_total, r.dom_weight, r.rate_bp
        |ORDER BY r.source""".stripMargin
 
+  /** q180 oracle: q119's shape with the α = 0.5 temperature budget —
+    * per-domain share ∝ floor(sqrt(dom_weight)) of the same total
+    * target. floor(sqrt) of BIGINTs below 2⁵² is exact in both
+    * engines (see [[graft.operators.DomainMix.temperatureRates]]). */
+  private val temperatureMixSql =
+    s"""WITH toks AS (SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n_tok
+       |              FROM documents),
+       |dom AS (SELECT source, count(*)::BIGINT AS n_total, sum(n_tok)::BIGINT AS dom_weight,
+       |               CAST(floor(sqrt(sum(n_tok))) AS BIGINT) AS sq
+       |        FROM toks GROUP BY source),
+       |tot AS (SELECT sum(dom_weight)::BIGINT AS all_weight, sum(sq)::BIGINT AS sq_sum
+       |        FROM dom),
+       |rated AS (
+       |  SELECT d.source, d.n_total, d.dom_weight, d.sq,
+       |         least(10000, (10000 * (((t.all_weight // $MixDenom) * d.sq) // t.sq_sum)) // d.dom_weight)::BIGINT AS rate_bp
+       |  FROM dom d CROSS JOIN tot t),
+       |kept AS (
+       |  SELECT tk.source, tk.doc_id, tk.n_tok
+       |  FROM toks tk JOIN rated r ON tk.source = r.source
+       |  WHERE ('0x' || substr(md5('$MixSeed:' || CAST(tk.doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000 < r.rate_bp)
+       |SELECT r.source, r.n_total, r.dom_weight, r.sq, r.rate_bp,
+       |       count(k.doc_id)::BIGINT AS n_kept,
+       |       COALESCE(sum(k.n_tok), 0)::BIGINT AS tok_kept
+       |FROM rated r LEFT JOIN kept k ON r.source = k.source
+       |GROUP BY r.source, r.n_total, r.dom_weight, r.sq, r.rate_bp
+       |ORDER BY r.source""".stripMargin
+
   // ---- q120: repetition rules ----------------------------------------
 
   private val repetitionSql =
@@ -292,6 +319,30 @@ object CurationQueries {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("tok_kept"), lit(0L)).as("tok_kept"),
           coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+        .orderBy(col("source"))
+    },
+
+    // q119's equal-share mix with an α = 0.5 TEMPERATURE budget
+    // (XLM-R-style multilingual sampling): hot domains damped, tail
+    // boosted, relative order preserved. Same two-pass scale shape —
+    // one partial-agg'd corpus groupBy, broadcast rates, map-only
+    // keep/drop stable on (seed, id).
+    QueryDef("q180_temperature_mix", temperatureMixSql) { (spark, dir) =>
+      val toks = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val rated = DomainMix.temperatureRates(toks, "source", col("n_tok"),
+        MixDenom)
+      val kept = DomainMix
+        .temperatureSample(toks, "doc_id", "source", col("n_tok"), MixDenom,
+          MixSeed)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
+      rated.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_total"), col("dom_weight"), col("sq"),
+          col("rate_bp"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
         .orderBy(col("source"))
     },
 
