@@ -424,6 +424,16 @@ object NearDupQueries {
        |  UNION
        |  SELECT e.id, reach.r FROM edges e JOIN reach ON e.nb = reach.id)""".stripMargin
 
+  /** Shared direct-recompute cluster SQL — q60's gate text, and
+    * q181's oracle verbatim (the incremental fold must be invisible
+    * against the full recompute). */
+  private val clustersSql =
+    s"""WITH RECURSIVE ${sigCte.stripPrefix("WITH ")},
+       |$bandsCte,
+       |$closureCte
+       |SELECT id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id
+       |ORDER BY id""".stripMargin
+
   private val candidatesSql =
     s"""$sigCte,
        |$bandsCte
@@ -676,13 +686,43 @@ object NearDupQueries {
     // propagation; the oracle computes the same closure with a
     // recursive CTE — two entirely different algorithms agreeing on
     // the fixpoint.
-    QueryDef("q60_neardup_clusters",
-      s"""WITH RECURSIVE ${sigCte.stripPrefix("WITH ")},
-         |$bandsCte,
-         |$closureCte
-         |SELECT id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id
-         |ORDER BY id""".stripMargin) { (spark, dir) =>
+    QueryDef("q60_neardup_clusters", clustersSql) { (spark, dir) =>
       nearDupClusters(spark, dir)
+    },
+
+    // INCREMENTAL cluster maintenance: half the verified pairs are
+    // clustered first (the "existing" label state), the other half
+    // arrive as a new batch whose endpoints are CONTRACTED through
+    // the existing labels before a second, batch-sized CC pass —
+    // history is never re-clustered, only the label super-node graph
+    // plus the delta edges. Min-id labels compose exactly (the min of
+    // merged components is the min of their mins), so the fold must
+    // be bit-identical to the direct full recompute: the oracle is
+    // q60's text VERBATIM.
+    QueryDef("q181_incremental_clusters", clustersSql) { (spark, dir) =>
+      val pairs = verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+      val p1 = pairs.where((col("doc_a") + col("doc_b")) % 2 === 0)
+      val p2 = pairs.where((col("doc_a") + col("doc_b")) % 2 =!= 0)
+      val l1 = clustersFromPairs(p1)
+      val contracted = p2
+        .join(l1.select(col("id").as("doc_a"), col("cluster_id").as("la")),
+          Seq("doc_a"), "left")
+        .join(l1.select(col("id").as("doc_b"), col("cluster_id").as("lb")),
+          Seq("doc_b"), "left")
+        .select(coalesce(col("la"), col("doc_a")).as("u"),
+          coalesce(col("lb"), col("doc_b")).as("v"))
+        .where(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("doc_a"),
+          greatest(col("u"), col("v")).as("doc_b"))
+      val l2 = clustersFromPairs(contracted)
+      val relabeledOld = l1
+        .join(l2.select(col("id").as("cluster_id"), col("cluster_id").as("m")),
+          Seq("cluster_id"), "left")
+        .select(col("id"), coalesce(col("m"), col("cluster_id")).as("cluster_id"))
+      val newDocs = l2
+        .join(l1.select(col("cluster_id").as("id")).distinct(),
+          Seq("id"), "left_anti")
+      relabeledOld.unionByName(newDocs).orderBy(col("id"))
     },
 
     // Paragraph-grain near-dup + keep-best reassembly (the judge's
