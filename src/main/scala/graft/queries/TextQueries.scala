@@ -344,6 +344,73 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // EXACT sparse all-pairs lexical similarity (the SSJ shape of
+    // Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity
+    // Search") — the exact third leg beside MinHash (probabilistic
+    // set overlap) and dense ANN (embedding cosine): document pairs
+    // ranked by the integer inner product of reciprocal-df term
+    // weights, computed through an inverted-index self-join. The
+    // scale lever is the df cap: candidate pairs are generated ONLY
+    // through terms with df <= cap, bounding pair fan-out at
+    // cap x corpus-tokens (linear) where stopwords would otherwise
+    // go quadratic — exactly Bayardo's observation that the hottest
+    // terms must not generate candidates, expressed as the same
+    // degenerate-bucket guard the MinHash band join uses. Terms are
+    // trigram SHINGLES (the fixture's unigram vocabulary is ~30
+    // words, every one corpus-wide — exactly the stopword regime the
+    // cap exists for; shingles are the standard SSJ feature space).
+    // Weights w = tf x (N DIV df) are integers, so pair scores are
+    // EXACT (w <= tf_max x N, products far below 2^53) and the
+    // top-50 ranking replays bit-for-bit.
+    QueryDef("q182_sparse_sim_join",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest([p[i] || ' ' || p[i+1] || ' ' || p[i+2]
+         |                         for i in generate_series(1, len(p) - 2)]) AS term
+         |  FROM toks WHERE len(p) >= 3),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         |w AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf * (nd.n_docs // dfx.df) AS w
+         |  FROM tf JOIN dfx USING (term) CROSS JOIN nd
+         |  WHERE dfx.df <= 10),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         sum(a.w * b.w)::BIGINT AS sim, count(*)::BIGINT AS n_shared
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, sim, n_shared FROM (
+         |  SELECT doc_a, doc_b, sim, n_shared,
+         |         row_number() OVER (ORDER BY sim DESC, doc_a, doc_b) AS rn
+         |  FROM pr) z WHERE rn <= 50 ORDER BY sim DESC, doc_a, doc_b""".stripMargin) {
+      (spark, dir) =>
+        val docs = Tables.load(spark, dir, "documents")
+        val p = col("_p")
+        val tf = docs
+          .select(col("doc_id"), split(col("text"), " ").as("_p"))
+          .select(col("doc_id"), explode_outer(when(size(p) >= 3,
+            transform(sequence(lit(1), greatest(size(p) - 2, lit(1))),
+              i => concat_ws(" ", element_at(p, i), element_at(p, i + 1),
+                element_at(p, i + 2))))).as("term"))
+          .where(col("term").isNotNull)
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= 10)
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val w = tf.join(dfc, "term").crossJoin(broadcast(nd))
+          .select(col("doc_id"), col("term"),
+            (col("tf") * expr("n_docs DIV df")).as("w"))
+        w.as("a").join(w.as("b"),
+            col("a.term") === col("b.term") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(sum(col("a.w") * col("b.w")).as("sim"),
+            count(lit(1)).as("n_shared"))
+          .orderBy(col("sim").desc, col("doc_a"), col("doc_b"))
+          .limit(50)
+    },
+
     // TF-IDF keyword extraction: top-3 terms per document by tf/df.
     // The ranking key is a DOUBLE division of two BIGINTs — both
     // engines divide the identical integers, so the doubles (and the
