@@ -1244,6 +1244,41 @@ object SimilarityQueries {
        |  FROM sims) t
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
+  /** k for the q183 coreset gate. */
+  private val CoresetK = 8
+
+  /** q183 oracle: q59 quantization, then [[CoresetK]] unrolled
+    * farthest-point rounds (min integer squared-L2 against the
+    * selected-so-far set, argmax by (dist desc, id)). */
+  private val kcenterSql = {
+    val d2 = s"list_aggregate([(v.vq[i] - s.vq[i]) * (v.vq[i] - s.vq[i]) " +
+      s"for i in generate_series(1, $Dim)], 'sum')"
+    val rounds = (2 to CoresetK).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT v.vec_id AS vid, min($d2)::BIGINT AS dist
+         |  FROM qv v JOIN qv s ON s.vec_id IN (SELECT vec_id FROM a${r - 1})
+         |  GROUP BY v.vec_id),
+         |p$r AS MATERIALIZED (
+         |  SELECT vid, dist FROM d$r ORDER BY dist DESC, vid LIMIT 1),
+         |a$r AS (SELECT vec_id FROM a${r - 1}
+         |        UNION ALL SELECT vid FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (2 to CoresetK).map(r =>
+      s"SELECT $r::BIGINT AS round, vid AS vec_id, dist AS dist_sq FROM p$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (SELECT vec_id, v, list_aggregate([abs(x) for x in v], 'max') AS mx FROM e),
+       |qv AS (SELECT vec_id, [CAST(floor(v[i] * 127.0 / mx) AS BIGINT)
+       |                       for i in generate_series(1, $Dim)] AS vq
+       |       FROM m WHERE mx > 0),
+       |a1 AS (SELECT vec_id FROM qv WHERE vec_id = (SELECT min(vec_id) FROM qv)),
+       |$rounds
+       |SELECT 1::BIGINT AS round, vec_id, NULL::BIGINT AS dist_sq FROM a1
+       |UNION ALL
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Sorts just after q00 in the bench's name-ordered run: the PQ
     // train+encode is paid and timed here; q101 scans the artifacts.
@@ -1482,8 +1517,29 @@ object SimilarityQueries {
         .groupBy(col("label").as("true_label"), col("clabel").as("pred_label"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("true_label"), col("pred_label"))
+    },
+
+    // Greedy k-center CORESET selection (Gonzalez; Sener & Savarese
+    // 2018's core-set rule for data selection): 8 farthest-point
+    // rounds over q59-quantized vectors — exact integer squared-L2,
+    // so the whole selection trajectory is deterministic and the
+    // oracle replays all 8 unrolled rounds. Per round: one corpus
+    // pass against the broadcast selected set, one argmax row to the
+    // driver (the BpeTrain tiny-driver-state contract).
+    QueryDef("q183_kcenter_coreset", kcenterSql) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), vecD(col("embedding")).as("v"))
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .where(col("mx") > 0)
+        .select(col("vec_id"),
+          transform(col("v"), x => floor(x * 127.0 / col("mx")).cast("long"))
+            .as("vq"))
+      graft.operators.KCenter.select(e, "vec_id", CoresetK)
+        .orderBy(col("round"))
     }
   )
+
+
 
   /** q148's edge derivation, exposed for the plan spec (the cluster
     * step may execute it eagerly through the small-graph union-find
