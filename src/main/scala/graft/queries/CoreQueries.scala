@@ -349,6 +349,28 @@ object CoreQueries {
         .orderBy(col("n_nationkey"))
     },
 
+    // Spark 4 VARIANT end-to-end: semi-structured event props parsed
+    // ONCE into the binary variant encoding (`parse_json`), fields
+    // extracted with `variant_get` typed paths, then aggregated — the
+    // modern ingestion shape for schema-on-read event payloads (parse
+    // at the scan, extract many times without re-parsing text). The
+    // oracle reads the same JSON with DuckDB's extract; all compared
+    // values are integers.
+    QueryDef("q184_variant_props",
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+        |       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (spark, dir) =>
+        Tables.load(spark, dir, "events")
+          .select(col("event_type"),
+            expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+            max(col("k")).as("k_max"))
+          .orderBy(col("event_type"))
+    },
+
     // Boolean aggregates (every/any) + a FILTERed count: comparisons
     // of identical doubles are engine-identical, so the booleans are
     // exact.
