@@ -1279,6 +1279,73 @@ object SimilarityQueries {
        |ORDER BY round""".stripMargin
   }
 
+  /** Projected dimensionality for the q185 JL gate. */
+  private val RpDim = 16
+
+  /** Deterministic Rademacher projection matrix (Achlioptas 2003,
+    * "Database-friendly random projections": ±1 entries preserve JL
+    * guarantees): sign of the first nibble of md5("rp:r:i") — a
+    * fresh key family disjoint from [[Planes]] ("p:i") and
+    * [[TablePlanes]] ("t:p:i"). Inlined into the oracle. */
+  private[queries] val RpPlanes: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until RpDim).map { r =>
+      (0 until Dim).map { i =>
+        val h = md.digest(s"rp:$r:$i".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+      }
+    }
+  }
+
+  private def rpProject(v: Column): Column =
+    array(RpPlanes.map(p => dot(v, typedlit(p.map(_.toDouble)))): _*)
+
+  private def rpSqlLit: String =
+    RpPlanes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** q185 oracle: project to [[RpDim]] dims with the shared ±1
+    * matrix, brute top-k in projected space, overlay vs the full-dim
+    * brute truth — the q152 integer eval convention. */
+  private val rpSql =
+    s"""$normedCte,
+       |rp AS (SELECT $rpSqlLit AS rp),
+       |pj AS (
+       |  SELECT vec_id, [list_aggregate([v[i] * (rp[r][i])::DOUBLE
+       |                                  for i in generate_series(1, $Dim)], 'sum')
+       |                  for r in generate_series(1, $RpDim)] AS pv
+       |  FROM n CROSS JOIN rp),
+       |pn AS (SELECT vec_id, pv, sqrt(list_aggregate([x*x for x in pv], 'sum')) AS pnrm
+       |       FROM pj WHERE list_aggregate([x*x for x in pv], 'sum') > 0),
+       |pq AS (SELECT vec_id AS qid, pv AS qpv, pnrm AS qpnrm FROM pn WHERE vec_id < $NumQueries),
+       |psims AS (
+       |  SELECT qid, pn.vec_id AS nid,
+       |         list_aggregate([qpv[r] * pv[r] for r in generate_series(1, $RpDim)], 'sum')
+       |           / (qpnrm * pn.pnrm) AS sim
+       |  FROM pq, pn),
+       |got AS (
+       |  SELECT qid, nid, rank FROM (
+       |    SELECT qid, nid,
+       |           CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+       |    FROM psims) t WHERE rank <= $TopK),
+       |q2 AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < $NumQueries),
+       |bs AS (
+       |  SELECT qid, n.vec_id AS nid,
+       |         list_aggregate([qv[i]*v[i] for i in generate_series(1, $Dim)], 'sum')
+       |           / (qnrm * n.nrm) AS sim
+       |  FROM q2, n),
+       |truth AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |    FROM bs) t WHERE rank <= $TopK),
+       |hits AS (SELECT got.qid, got.rank FROM got JOIN truth USING (qid, nid)),
+       |hq AS (SELECT qid, count(*)::BIGINT AS n_hits, min(rank)::BIGINT AS first_hit_rank
+       |       FROM hits GROUP BY 1)
+       |SELECT t.qid, coalesce(n_hits, 0)::BIGINT AS n_hits, first_hit_rank
+       |FROM (SELECT DISTINCT qid FROM truth) t
+       |LEFT JOIN hq USING (qid)
+       |ORDER BY qid""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // Sorts just after q00 in the bench's name-ordered run: the PQ
     // train+encode is paid and timed here; q101 scans the artifacts.
@@ -1536,6 +1603,40 @@ object SimilarityQueries {
             .as("vq"))
       graft.operators.KCenter.select(e, "vec_id", CoresetK)
         .orderBy(col("round"))
+    },
+
+    // Johnson-Lindenstrauss RANDOM PROJECTION (Achlioptas ±1 matrix,
+    // database-friendly JL): embeddings projected 64 → 16 dims with a
+    // deterministic Rademacher matrix shared verbatim with the
+    // oracle, brute top-k in the CHEAP projected space, and the
+    // integer recall overlay vs full-dim truth (the q152 eval
+    // convention). At 100 TB the projection is a map-only pass that
+    // cuts every downstream distance computation 4× — the standard
+    // pre-conditioning step before LSH/IVF when dimensions are the
+    // cost center; this gate measures exactly what that trade buys.
+    QueryDef("q185_random_projection_recall", rpSql) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      val proj = corpus(spark, dir)
+        .select(col("vec_id"), rpProject(col("v")).as("pv"))
+        .withColumn("pnrm2", dot(col("pv"), col("pv")))
+        .where(col("pnrm2") > 0)
+        .select(col("vec_id"), col("pv"), sqrt(col("pnrm2")).as("pnrm"))
+      val q = broadcast(proj.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("pv").as("qpv"),
+          col("pnrm").as("qpnrm")))
+      val sims = q.crossJoin(proj)
+        .select(col("qid"), col("vec_id").as("nid"),
+          cosine(col("qpv"), col("pv"), col("qpnrm"), col("pnrm")).as("sim"))
+      val got = topKBySim(sims)
+      val truth = bruteForceTopK(spark, dir).select(col("qid"), col("nid"))
+      val hq = got.join(truth, Seq("qid", "nid"))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_hits"), min(col("rank")).as("first_hit_rank"))
+      truth.select(col("qid")).distinct()
+        .join(hq, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("first_hit_rank"))
+        .orderBy(col("qid"))
     }
   )
 
