@@ -411,6 +411,62 @@ object TextQueries {
           .limit(50)
     },
 
+    // Asymmetric CONTAINMENT join (quote / subset detection): unlike
+    // resemblance (Jaccard, the q23 family), containment
+    // |A∩B| / |A| is DIRECTIONAL — a short document quoted inside a
+    // long one scores high containment but low resemblance, the case
+    // every dedup pass built on symmetric similarity misses.
+    // Semantics are defined on the df-capped shingle space (the same
+    // candidate guard as q182: hot boilerplate shingles neither
+    // generate candidates nor count — containment OF boilerplate is
+    // not a signal), so every number is an exact integer and the
+    // 50% threshold is a cross-multiplied integer comparison.
+    QueryDef("q186_containment_join",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, unnest([p[i] || ' ' || p[i+1] || ' ' || p[i+2]
+         |                                  for i in generate_series(1, len(p) - 2)]) AS term
+         |  FROM toks WHERE len(p) >= 3),
+         |dfx AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+         |u AS (SELECT tok.doc_id, tok.term FROM tok JOIN dfx USING (term)
+         |      WHERE dfx.df <= 10),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM u GROUP BY 1),
+         |pr AS (
+         |  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
+         |         count(*)::BIGINT AS n_shared
+         |  FROM u a JOIN u b ON a.term = b.term AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT src_doc, dst_doc, n_shared, sz.n_sh AS n_src,
+         |       (10000 * n_shared // sz.n_sh)::BIGINT AS containment_bp
+         |FROM pr JOIN sz ON sz.doc_id = pr.src_doc
+         |WHERE n_shared * 2 >= sz.n_sh
+         |ORDER BY src_doc, dst_doc""".stripMargin) { (spark, dir) =>
+      val p = col("_p")
+      val tok = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("_p"))
+        .select(col("doc_id"), explode_outer(when(size(p) >= 3,
+          transform(sequence(lit(1), greatest(size(p) - 2, lit(1))),
+            i => concat_ws(" ", element_at(p, i), element_at(p, i + 1),
+              element_at(p, i + 2))))).as("term"))
+        .where(col("term").isNotNull)
+        .distinct()
+      val dfc = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= 10)
+      val u = tok.join(dfc.select(col("term")), "term")
+      val sz = u.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val pr = u.as("a").join(u.as("b"),
+          col("a.term") === col("b.term") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("src_doc"), col("b.doc_id").as("dst_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+      pr.join(sz.select(col("doc_id").as("src_doc"), col("n_sh")), "src_doc")
+        .where(col("n_shared") * 2 >= col("n_sh"))
+        .select(col("src_doc"), col("dst_doc"), col("n_shared"),
+          col("n_sh").as("n_src"),
+          expr("(10000 * n_shared) DIV n_sh").as("containment_bp"))
+        .orderBy(col("src_doc"), col("dst_doc"))
+    },
+
     // TF-IDF keyword extraction: top-3 terms per document by tf/df.
     // The ranking key is a DOUBLE division of two BIGINTs — both
     // engines divide the identical integers, so the doubles (and the
