@@ -65,6 +65,44 @@ object Bm25 {
     scoreTopK(postings, dfs, scalars, terms, k, idCol)
   }
 
+  /** The per-(doc, term) BM25 score expression over a joined
+    * (postings ⋈ dfs ⋈ scalars) row — one shared definition so every
+    * path produces bit-identical doubles. */
+  private def scoreExpr: Column = {
+    val avgdl = col("dl_sum").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val norm = col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl)
+    idf * (col("tf") * lit(K1 + 1.0)) / norm
+  }
+
+  /** [[search]] with each per-term score quantized to micro-units
+    * BEFORE the per-document sum: the aggregation becomes exact
+    * integer arithmetic, order-free under ANY term set — which is
+    * what a DYNAMIC query (e.g. pseudo-relevance-feedback expansion)
+    * needs, where the fixed-order conditional-column trick of
+    * [[search]] is unavailable because the terms are data-dependent.
+    * Output: (idCol, score_micro). */
+  def searchMicro(docs: DataFrame, idCol: String, tokensCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    requireTerms(terms)
+    val id = col(idCol)
+    val stats = docs.select(id, size(col(tokensCol)).cast("long").as("dl"),
+      col(tokensCol).as("t"))
+    val postings = stats
+      .select(id, col("dl"), explode(col("t")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(id, col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scalars = stats.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("dl_sum"))
+    postings.join(broadcast(dfs), "term").crossJoin(broadcast(scalars))
+      .select(id, round(scoreExpr * lit(1000000.0)).cast("long").as("sm"))
+      .groupBy(id).agg(sum(col("sm")).as("score_micro"))
+      .orderBy(col("score_micro").desc, id)
+      .limit(k)
+  }
+
   /** The scoring tail shared by the corpus path ([[search]]) and the
     * index-served path ([[searchIndex]]): identical Column
     * expressions, so the two paths produce BIT-IDENTICAL scores —
@@ -72,10 +110,7 @@ object Bm25 {
   private def scoreTopK(post: DataFrame, dfs: DataFrame, scalars: DataFrame,
       terms: Seq[String], k: Int, idCol: String): DataFrame = {
     val id = col(idCol)
-    val avgdl = col("dl_sum").cast("double") / col("n_docs")
-    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-    val norm = col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl)
-    val s = idf * (col("tf") * lit(K1 + 1.0)) / norm
+    val s = scoreExpr
 
     val scored = post
       .join(broadcast(dfs), "term")

@@ -89,6 +89,58 @@ object TextQueries {
           .mkString("", "\n       + \n", "")} AS score
        |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** q187 oracle: first-pass BM25 over the static [[Bm25Terms]]
+    * (fixed-order per-term columns), top-10 feedback docs, top-3
+    * expansion terms by feedback occurrence count, then the second
+    * pass over the DYNAMIC term set with per-term scores quantized
+    * to micro-units before an order-free integer per-doc sum. */
+  private lazy val bm25PrfSql = {
+    val origIn = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val firstScore = Bm25Terms.map(t =>
+      s"       coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0::DOUBLE)")
+      .mkString("", "\n       + \n", "")
+    val sExpr = (p: String) =>
+      s"""((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+         |           * (tf * 2.2::DOUBLE)
+         |           / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * $p.dl
+         |              / (CAST(dl_sum AS DOUBLE) / n_docs)))""".stripMargin
+    s"""WITH stats AS (
+       |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+       |         string_split(text, ' ') AS t
+       |  FROM documents),
+       |scal AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS dl_sum FROM stats),
+       |post1 AS (
+       |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM stats)
+       |  WHERE term IN ($origIn) GROUP BY 1, 2, 3),
+       |dft1 AS (SELECT term, count(*)::BIGINT AS df FROM post1 GROUP BY 1),
+       |sc1 AS (
+       |  SELECT p.doc_id, p.term, ${sExpr("p")} AS s
+       |  FROM post1 p JOIN dft1 USING (term) CROSS JOIN scal),
+       |fb AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, $firstScore AS score
+       |    FROM sc1 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10) z),
+       |ex AS (
+       |  SELECT term FROM (
+       |    SELECT term, count(*)::BIGINT AS n
+       |    FROM (SELECT unnest(t) AS term FROM stats JOIN fb USING (doc_id)) z
+       |    WHERE term NOT IN ($origIn) AND term <> ''
+       |    GROUP BY term ORDER BY n DESC, term LIMIT 3) z2),
+       |terms2 AS (SELECT unnest([$origIn]) AS term UNION ALL SELECT term FROM ex),
+       |post2 AS (
+       |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM stats) z
+       |  JOIN terms2 USING (term) GROUP BY 1, 2, 3),
+       |dft2 AS (SELECT term, count(*)::BIGINT AS df FROM post2 GROUP BY 1),
+       |sc2 AS (
+       |  SELECT p.doc_id, CAST(round((${sExpr("p")}) * 1000000.0) AS BIGINT) AS sm
+       |  FROM post2 p JOIN dft2 USING (term) CROSS JOIN scal)
+       |SELECT doc_id, sum(sm)::BIGINT AS score_micro
+       |FROM sc2 GROUP BY doc_id
+       |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   // ---- q167: BPE merge-pair training ---------------------------------
 
   private val BpeRounds = 8
@@ -716,6 +768,31 @@ object TextQueries {
         Tables.load(spark, dir, "documents")
           .select(col("doc_id"), tokens(col("text")).as("t")),
         "doc_id", "t", Bm25Terms, 20)
+    },
+
+    // Pseudo-relevance-feedback query EXPANSION (RM3's mechanism):
+    // first-pass BM25 top-10 feeds back its 3 most frequent
+    // non-query terms, and the second pass searches the EXPANDED
+    // term set. Because the expanded set is data-dependent, the
+    // fixed-order conditional-sum trick is unavailable — per-term
+    // scores quantize to micro-units and the per-doc sum becomes
+    // exact order-free integer arithmetic (Bm25.searchMicro). The
+    // expansion list itself is 3 driver-side strings (the BpeTrain
+    // tiny-driver-state contract); both passes keep the q137 scale
+    // shape (term filter under the agg, df/scalars broadcast).
+    QueryDef("q187_bm25_prf", bm25PrfSql) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val fb = graft.operators.Bm25.search(docs, "doc_id", "t", Bm25Terms, 10)
+        .select(col("doc_id"))
+      val expansion = docs.join(fb, "doc_id")
+        .select(explode(col("t")).as("term"))
+        .where(col("term") =!= "" && !col("term").isin(Bm25Terms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      graft.operators.Bm25.searchMicro(docs, "doc_id", "t",
+        Bm25Terms ++ expansion, 20)
     },
 
     // Inverted-index BUILD (the artifact q137's scoring would probe
