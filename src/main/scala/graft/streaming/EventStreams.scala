@@ -11,6 +11,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class Event(eventId: Long, eventTimeMicros: Long, userId: Long,
     eventType: String, value: Double)
 
+/** One first-order transition emitted by [[EventStreams.transitions]]. */
+case class Transition(userId: Long, a: String, b: String)
+
+private case class LastEvent(eventTimeMicros: Long, eventId: Long,
+    eventType: String)
+
 /** A gap-based user session produced by [[EventStreams.sessionize]]. */
 case class UserSession(userId: Long, startMicros: Long, endMicros: Long,
     nEvents: Long, sumValue: Double)
@@ -108,6 +114,33 @@ object EventStreams {
           col("view_time") <= col("click_time"))
       .select(col("click_id"), col("user_id"), col("view_id"),
         col("click_time"), col("view_time"))
+  }
+
+  /** Streaming first-order transition extraction — the
+    * [[graft.queries.EventQueries]] q178 Markov model's streaming
+    * twin. Per-user state is ONE [[LastEvent]] struct; each arriving
+    * event emits the (prev → cur) transition and advances the state
+    * ((time, eventId)-ordered within a micro-batch, matching the
+    * batch `lead` window's ordering for in-order feeds). Downstream,
+    * the transitions feed the same count aggregation as the batch
+    * gate — counts are mergeable state, so the model maintains
+    * incrementally as the stream runs. */
+  def transitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[LastEvent]) =>
+          val sorted = it.toSeq.sortBy(e => (e.eventTimeMicros, e.eventId))
+          val out = Seq.newBuilder[Transition]
+          var last = state.getOption
+          sorted.foreach { e =>
+            last.foreach(l => out += Transition(userId, l.eventType, e.eventType))
+            last = Some(LastEvent(e.eventTimeMicros, e.eventId, e.eventType))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
   }
 
   /** Gap-based sessionization with custom state via

@@ -73,6 +73,27 @@ class EventStreamsSpec extends SparkTestBase {
     assert(spark.table("dedup_wm_out").count() == 2)
   }
 
+  test("streaming Markov transitions carry state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.transitions(mem.toDS())
+      .writeStream.format("memory").queryName("markov_out")
+      .outputMode("append").start()
+    mem.addData(
+      Event(1, 1000L, 7, "view", 0.0),
+      Event(2, 2000L, 7, "click", 0.0),
+      Event(3, 1500L, 8, "signup", 0.0))
+    q.processAllAvailable()
+    // second micro-batch: the (click -> purchase) transition for user 7
+    // spans the batch boundary — only carried state can emit it
+    mem.addData(Event(4, 3000L, 7, "purchase", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("markov_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((7L, "view", "click"), (7L, "click", "purchase")))
+  }
+
   test("stream-stream interval join matches clicks to preceding views only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
