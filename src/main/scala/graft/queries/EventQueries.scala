@@ -346,6 +346,56 @@ object EventQueries {
         .select(col("a"), col("b"), col("n_ab"), col("n_a"),
           expr("(n_ab * 1000000) DIV n_a").as("p_micro"))
         .orderBy(col("a"), col("b"))
+    },
+
+    // Behavioral ANOMALY scoring on the q178 model: each transition
+    // costs `round(-ln(n_ab / n_a) · 10⁶)` micro-nats (the LM
+    // quantization convention — one IEEE division + one ln, then
+    // exact integer sums), users ranked by integer average cost.
+    // The model frame is tiny and broadcasts into the per-transition
+    // join; the only corpus exchange is the same user_id window q178
+    // already pays. The bot/fraud screen an event pipeline runs.
+    QueryDef("q188_markov_surprise",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+        |nx AS (
+        |  SELECT user_id, event_type AS a,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY t, event_id) AS b
+        |  FROM e),
+        |tr AS (SELECT user_id, a, b FROM nx WHERE b IS NOT NULL),
+        |tc AS (SELECT a, b, count(*)::BIGINT AS n_ab FROM tr GROUP BY 1, 2),
+        |ta AS (SELECT a, sum(n_ab)::BIGINT AS n_a FROM tc GROUP BY 1),
+        |costed AS (
+        |  SELECT tr.user_id,
+        |         CAST(round(-ln(CAST(n_ab AS DOUBLE) / n_a) * 1000000.0) AS BIGINT) AS c
+        |  FROM tr JOIN tc USING (a, b) JOIN ta USING (a)),
+        |u AS (SELECT user_id, count(*)::BIGINT AS n_trans, sum(c)::BIGINT AS cost_sum
+        |      FROM costed GROUP BY 1)
+        |SELECT user_id, n_trans, cost_sum,
+        |       (cost_sum // n_trans)::BIGINT AS avg_cost_micro
+        |FROM u ORDER BY avg_cost_micro DESC, user_id LIMIT 20""".stripMargin) {
+      (spark, dir) =>
+        val ev0 = Tables.load(spark, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("event_id"))
+        val tr = ev0
+          .select(col("user_id"), col("event_type").as("a"),
+            Tables.tsMicros(ev0).as("t"), col("event_id"))
+          .select(col("user_id"), col("a"),
+            lead(col("a"), 1).over(w).as("b"))
+          .where(col("b").isNotNull)
+        val tc = tr.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        val ta = tc.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+        tr.join(broadcast(tc.join(ta, "a")), Seq("a", "b"))
+          .select(col("user_id"),
+            round(-log(col("n_ab").cast("double") / col("n_a")) * 1000000.0)
+              .cast("long").as("c"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_trans"), sum(col("c")).as("cost_sum"))
+          .select(col("user_id"), col("n_trans"), col("cost_sum"),
+            expr("cost_sum DIV n_trans").as("avg_cost_micro"))
+          .orderBy(col("avg_cost_micro").desc, col("user_id"))
+          .limit(20)
     }
   )
 }
