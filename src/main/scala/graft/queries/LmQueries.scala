@@ -165,6 +165,51 @@ object LmQueries {
     // (head/middle/tail) over avg micro-nat cost with doc_id
     // tie-break — the curation split that keeps head+middle for
     // pretraining. Output is per-(lang, bucket) integer aggregates.
+    // The CCNet chain END-TO-END: perplexity terciles (q170's rule,
+    // keep head+middle per language) COMPOSED with exact dedup
+    // (keep the min-id copy per content hash) — the actual Wenzek et
+    // al. pipeline order, materialized as per-language integer
+    // summaries. Proves the LM-curation and dedup families compose
+    // in one plan: the tercile window, the md5 winner agg, and the
+    // final rollup share the same corpus scan lineage.
+    QueryDef("q189_ccnet_pipeline",
+      s"""WITH $modelCte,
+         |$scoreCte,
+         |bkt AS (
+         |  SELECT t.doc_id, t.lang, d.n_tok, d.cost_micro,
+         |         ntile(3) OVER (PARTITION BY t.lang
+         |           ORDER BY CAST(d.cost_micro AS DOUBLE) / d.n_tok, d.doc_id) AS bucket
+         |  FROM doc d JOIN (SELECT DISTINCT doc_id, lang FROM documents) t USING (doc_id)),
+         |winner AS (
+         |  SELECT min(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, md5(text) AS fp FROM documents) z GROUP BY fp),
+         |kept AS (
+         |  SELECT b.lang, b.doc_id, b.n_tok, b.cost_micro
+         |  FROM bkt b JOIN winner USING (doc_id) WHERE b.bucket <= 2)
+         |SELECT lang, count(*)::BIGINT AS n_kept,
+         |       sum(n_tok)::BIGINT AS tok_kept,
+         |       sum(cost_micro)::BIGINT AS cost_kept,
+         |       sum(doc_id)::BIGINT AS kept_id_sum
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val scored = NgramLm.score(docs, "text",
+        NgramLm.train(trainDocs(docs), "text"), Seq("doc_id", "lang"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cost_micro").cast("double") / col("n_tok"),
+          col("doc_id"))
+      val kept1 = scored.withColumn("bucket", ntile(3).over(w))
+        .where(col("bucket") <= 2)
+      val winner = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      kept1.join(winner, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"),
+          sum(col("cost_micro")).as("cost_kept"),
+          sum(col("doc_id")).as("kept_id_sum"))
+        .orderBy(col("lang"))
+    },
+
     QueryDef("q170_perplexity_filter",
       s"""WITH $modelCte,
          |$scoreCte,
