@@ -348,6 +348,39 @@ object EventQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // Time-DECAYED counts with a power-of-two half-life: each event
+    // contributes `10⁶ >> age_buckets` micro-units where age_buckets
+    // counts 6-hour half-lives back from the corpus max timestamp —
+    // halving by bit shift keeps the whole decay EXACT integer
+    // arithmetic (a float 2^-x would not replay bit-for-bit across
+    // libms), shifts capped at 62 because Java's >> wraps the shift
+    // amount mod 64. The recency-weighted popularity every
+    // freshness-aware ranking wants; one scalar broadcast (t_max) +
+    // one map-side-combined agg.
+    QueryDef("q191_decayed_counts",
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+         |mx AS (SELECT max(t) AS t_max FROM e),
+         |b AS (SELECT event_type,
+         |             least((t_max - t) // ${6 * HourMicros}, 62) AS bkt
+         |      FROM e CROSS JOIN mx)
+         |SELECT event_type, count(*)::BIGINT AS n_events,
+         |       sum(1000000 >> bkt)::BIGINT AS decayed_micro
+         |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (spark, dir) =>
+        val ev0 = Tables.load(spark, dir, "events")
+        val e = ev0.select(col("event_type"), Tables.tsMicros(ev0).as("t"))
+        val mx = e.agg(max(col("t")).as("t_max"))
+        e.crossJoin(broadcast(mx))
+          .select(col("event_type"),
+            least(expr(s"(t_max - t) DIV ${6 * HourMicros}"), lit(62L))
+              .as("bkt"))
+          .select(col("event_type"),
+            expr("shiftright(1000000L, cast(bkt AS INT))").as("w"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("w")).as("decayed_micro"))
+          .orderBy(col("event_type"))
+    },
+
     // Behavioral ANOMALY scoring on the q178 model: each transition
     // costs `round(-ln(n_ab / n_a) · 10⁶)` micro-nats (the LM
     // quantization convention — one IEEE division + one ln, then

@@ -463,6 +463,60 @@ object TextQueries {
           .limit(50)
     },
 
+    // KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002): the
+    // k smallest md5 hashes of a group's DISTINCT shingles are
+    // simultaneously a uniform distinct-value SAMPLE and a
+    // distinct-count estimator, est = (k-1)·H DIV h_k — the sketch
+    // HLL cannot give (HLL counts; KMV also hands back exemplar
+    // values). The bounded min_k aggregate carries O(k) state through
+    // a map-side-combined partial agg; hashes are 56-bit so the
+    // (k-1)·H numerator stays inside BIGINT. The estimate's accuracy
+    // is pinned with a ±30% tolerance boolean (~2.4σ at k = 64, the
+    // q55 convention); h_k, est, and exact are compared as integers.
+    QueryDef("q190_kmv_distinct",
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS p FROM documents),
+         |g AS (
+         |  SELECT DISTINCT lang, ('0x' || substr(md5(term), 1, 14))::BIGINT AS h
+         |  FROM (SELECT lang, unnest([p[i] || ' ' || p[i+1] || ' ' || p[i+2]
+         |                             for i in generate_series(1, len(p) - 2)]) AS term
+         |        FROM toks WHERE len(p) >= 3) z),
+         |rk AS (SELECT lang, h,
+         |              row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |       FROM g),
+         |kth AS (SELECT lang, h AS h_k FROM rk WHERE rn = 64),
+         |ex AS (SELECT lang, count(*)::BIGINT AS exact FROM g GROUP BY lang)
+         |SELECT ex.lang, h_k,
+         |       (63 * 72057594037927936 // h_k)::BIGINT AS est, exact,
+         |       abs((63 * 72057594037927936 // h_k) - exact) * 100 <= exact * 30 AS ok
+         |FROM ex JOIN kth USING (lang) ORDER BY lang""".stripMargin) {
+      (spark, dir) =>
+        graft.functions.GraftFunctions.register(spark)
+        val p = col("_p")
+        val g = Tables.load(spark, dir, "documents")
+          .select(col("lang"), split(col("text"), " ").as("_p"))
+          .select(col("lang"), explode_outer(when(size(p) >= 3,
+            transform(sequence(lit(1), greatest(size(p) - 2, lit(1))),
+              i => concat_ws(" ", element_at(p, i), element_at(p, i + 1),
+                element_at(p, i + 2))))).as("term"))
+          .where(col("term").isNotNull)
+          .select(col("lang"),
+            conv(substring(md5(col("term")), 1, 14), 16, 10).cast("long")
+              .as("h"))
+          .distinct()
+        g.groupBy(col("lang"))
+          .agg(graft.functions.GraftFunctions.min_k(col("h"), 64).as("mk"),
+            count(lit(1)).as("exact"))
+          .select(col("lang"), element_at(col("mk"), 64).as("h_k"),
+            col("exact"))
+          .where(col("h_k").isNotNull) // mirror the oracle's rn=64 inner join
+          .select(col("lang"), col("h_k"),
+            expr(s"(${63L * 72057594037927936L}L DIV h_k)").as("est"),
+            col("exact"),
+            (abs(expr(s"${63L * 72057594037927936L}L DIV h_k") - col("exact")) * 100
+              <= col("exact") * 30).as("ok"))
+          .orderBy(col("lang"))
+    },
+
     // Asymmetric CONTAINMENT join (quote / subset detection): unlike
     // resemblance (Jaccard, the q23 family), containment
     // |A∩B| / |A| is DIRECTIONAL — a short document quoted inside a
