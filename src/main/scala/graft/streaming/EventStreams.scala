@@ -4,7 +4,7 @@ import graft.functions.GraftFunctions
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One event after time normalization (events.ts arrives as raw
   * parquet nanos — see [[graft.sources.Tables.requiredConf]]). */
@@ -143,6 +143,21 @@ object EventStreams {
       }
   }
 
+  /** [[transitions]] re-expressed on Spark 4's `transformWithState`
+    * — the arbitrary-state API that supersedes
+    * `flatMapGroupsWithState` (typed per-key state HANDLES instead of
+    * one opaque state value, RocksDB-backed with TTL support, timers
+    * decoupled from output). Same semantics as the legacy-API path,
+    * and the spec pins the two paths agree on the same feed —
+    * requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def transitionsTws(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new TransitionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Gap-based sessionization with custom state via
     * `flatMapGroupsWithState`: a session closes when `gapMicros` of
     * event-time silence passes within a group's arriving batch, or on
@@ -191,5 +206,29 @@ object EventStreams {
             closed.result().iterator
           }
       }
+  }
+}
+
+/** Per-user transition extractor for [[EventStreams.transitionsTws]]:
+  * one typed ValueState handle holding the last event seen. */
+class TransitionProcessor extends StatefulProcessor[Long, Event, Transition] {
+
+  @transient private var last: ValueState[LastEvent] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[LastEvent]("last",
+      org.apache.spark.sql.Encoders.product[LastEvent], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[Transition] = {
+    val sorted = rows.toSeq.sortBy(e => (e.eventTimeMicros, e.eventId))
+    val out = Seq.newBuilder[Transition]
+    var prev: Option[LastEvent] = if (last.exists()) Some(last.get()) else None
+    sorted.foreach { e =>
+      prev.foreach(l => out += Transition(key, l.eventType, e.eventType))
+      prev = Some(LastEvent(e.eventTimeMicros, e.eventId, e.eventType))
+    }
+    prev.foreach(last.update)
+    out.result().iterator
   }
 }

@@ -94,6 +94,29 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got == Set((7L, "view", "click"), (7L, "click", "purchase")))
   }
 
+  test("transformWithState transitions agree with the legacy-API path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withConf("spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val mem = MemoryStream[Event]
+      val q = EventStreams.transitionsTws(mem.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      mem.addData(
+        Event(1, 1000L, 7, "view", 0.0),
+        Event(2, 2000L, 7, "click", 0.0),
+        Event(3, 1500L, 8, "signup", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, 3000L, 7, "purchase", 0.0)) // cross-batch
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("tws_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      // identical to the flatMapGroupsWithState path on the same feed
+      assert(got == Set((7L, "view", "click"), (7L, "click", "purchase")))
+    }
+  }
+
   test("stream-stream interval join matches clicks to preceding views only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
