@@ -322,6 +322,47 @@ object CurationQueries {
         .orderBy(col("source"))
     },
 
+    // WEIGHTED reservoir sampling (Efraimidis-Spirakis A-Res — the
+    // very key construction the reference UDA uses at partial-output
+    // time, `median.cc` A-Res weight keys, promoted to a user-facing
+    // operator): item key = -ln(u)/w with u a deterministic md5
+    // uniform, sample = top-k by SMALLEST key. Deterministic u makes
+    // the sample reprocessing-stable AND oracle-replayable; the key
+    // is quantized to nano-units with id tie-break so the cut is
+    // integer-exact. Selection is one bounded top-k (partial heap
+    // below the exchange), weights = token counts — long docs
+    // proportionally likelier, the length-debiased sampling a corpus
+    // audit wants.
+    QueryDef("q192_weighted_sample",
+      s"""WITH w AS (
+         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS wt FROM documents),
+         |keyed AS (
+         |  SELECT doc_id, wt,
+         |         CAST(round(
+         |           -ln((('0x' || substr(md5('ws7:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+         |               / 4503599627370497.0)
+         |           / wt * 1000000000.0) AS BIGINT) AS key_nano
+         |  FROM w WHERE wt > 0),
+         |pick AS (
+         |  SELECT doc_id, wt, key_nano FROM keyed
+         |  ORDER BY key_nano, doc_id LIMIT 32)
+         |SELECT doc_id, wt, key_nano FROM pick ORDER BY doc_id""".stripMargin) {
+      (spark, dir) =>
+        val u = (conv(substring(md5(concat(lit("ws7:"),
+          col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long") + 1)
+          .cast("double") / lit(4503599627370497.0)
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("wt"))
+          .where(col("wt") > 0)
+          .select(col("doc_id"), col("wt"),
+            round(-log(u) / col("wt") * 1000000000.0).cast("long")
+              .as("key_nano"))
+          .orderBy(col("key_nano"), col("doc_id"))
+          .limit(32)
+          .orderBy(col("doc_id"))
+    },
+
     // q119's equal-share mix with an α = 0.5 TEMPERATURE budget
     // (XLM-R-style multilingual sampling): hot domains damped, tail
     // boosted, relative order preserved. Same two-pass scale shape —
