@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -92,6 +92,30 @@ object Winnow {
         (lit(PosCap) - col("ckm").bitwiseAND(PosCap)).cast("long").as("pos"),
         shiftright(col("ckm"), PosBits).cast("long").as("h"))
       .distinct()
+  }
+
+  /** The whole selection as ONE per-row array expression — no
+    * explode, no window, no shuffle: packed keys built by `transform`
+    * over the token array, each complete window reduced with
+    * `array_min` over a `slice`, duplicates collapsed with
+    * `array_distinct`. Being per-row, it runs UNCHANGED under
+    * Structured Streaming (fingerprints computed in-flight at ingest,
+    * zero streaming state — the [[graft.streaming.DocStreams]]
+    * sketch-at-ingest pattern), and in batch it keeps selection
+    * entirely inside the scan stage. Returns the distinct packed
+    * `ck` keys (unpack: h = ck >> 20, pos = 2^20-1 - (ck & mask)). */
+  def fingerprintKeys(text: Column): Column = {
+    val t = split(text, " ")
+    val n = size(t) - (K - 1)
+    val ck = transform(sequence(lit(1), greatest(n, lit(1))), i =>
+      shiftleft(conv(substring(md5(concat_ws(" ",
+        (0 until K).map(j => element_at(t, i + j)): _*)), 1, 10), 16, 10)
+        .cast("long"), PosBits) + (lit(PosCap) - i))
+    val starts = when(n >= W, sequence(lit(1), n - (W - 1)))
+      .otherwise(sequence(lit(1), lit(1)))
+    when(n >= 1,
+      array_distinct(transform(starts, s => array_min(slice(ck, s, lit(W))))))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** Cross-document overlap report: pairs sharing at least

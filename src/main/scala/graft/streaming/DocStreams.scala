@@ -31,4 +31,13 @@ object DocStreams {
       .withColumn("simhash", graft.functions.GraftFunctions.simhash60(col("text")))
       .drop("text", "s")
   }
+
+  /** Winnowing fingerprints at ingest: the per-row array form of
+    * [[graft.operators.Winnow]] selection — no window, no state, so
+    * the same column definition streams; the overlap join then runs
+    * as a batch pass over the accumulated fingerprint store, exactly
+    * like [[sketched]]'s MinHash split. */
+  def winnowed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.operators.Winnow.fingerprintKeys(col("text")).as("fp_keys"))
 }

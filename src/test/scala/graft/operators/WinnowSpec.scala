@@ -75,6 +75,21 @@ class WinnowSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("per-row array selection equals the window-function form") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(80)
+    val win = Winnow.fingerprints(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(2) << Winnow.PosBits) +
+        (Winnow.PosCap - r.getLong(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val arr = docs
+      .select(col("doc_id"), Winnow.fingerprintKeys(col("text")).as("ks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+      .filter(_._2.nonEmpty).toMap
+    assert(arr == win)
+  }
+
   test("overlap plan joins on the hash key — no cartesian, no nested loop") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
     val plan = Winnow.overlap(docs, "doc_id", "text", 2, 10)

@@ -50,4 +50,25 @@ class DocStreamsSpec extends SparkTestBase {
     val n2 = spark.table("doc_sketches_stateless").count()
     assert(n1 == 1 && n2 == 2)
   }
+
+  test("winnowing fingerprints stream at ingest, bit-identical to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z y x a b c d e f w"),
+      (3L, "one two three")) // < K tokens of grams -> empty key array
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.winnowed(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("winnow_stream")
+      .outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("winnow_stream")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
+    val batch = DocStreams.winnowed(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
+    assert(streamed == batch)
+    assert(streamed(1L).nonEmpty && streamed(3L).isEmpty)
+  }
 }
