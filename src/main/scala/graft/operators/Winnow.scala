@@ -94,23 +94,31 @@ object Winnow {
       .distinct()
   }
 
-  /** The whole selection as ONE per-row array expression — no
-    * explode, no window, no shuffle: packed keys built by `transform`
-    * over the token array, each complete window reduced with
-    * `array_min` over a `slice`, duplicates collapsed with
-    * `array_distinct`. Being per-row, it runs UNCHANGED under
-    * Structured Streaming (fingerprints computed in-flight at ingest,
-    * zero streaming state — the [[graft.streaming.DocStreams]]
-    * sketch-at-ingest pattern), and in batch it keeps selection
-    * entirely inside the scan stage. Returns the distinct packed
-    * `ck` keys (unpack: h = ck >> 20, pos = 2^20-1 - (ck & mask)). */
-  def fingerprintKeys(text: Column): Column = {
+  /** Packed gram-key array for one document — the md5-heavy half of
+    * the per-row selection. MUST be materialized to its own projected
+    * column before the window reduction runs over it: a higher-order
+    * lambda referencing this expression directly would re-evaluate
+    * the ENTIRE array per window start (no CSE inside interpreted
+    * HOFs — the PqIndex/SubstringDedup planner lesson; measured as a
+    * hang at corpus scale before the split). */
+  private def ckKeys(text: Column): Column = {
     val t = split(text, " ")
     val n = size(t) - (K - 1)
-    val ck = transform(sequence(lit(1), greatest(n, lit(1))), i =>
-      shiftleft(conv(substring(md5(concat_ws(" ",
-        (0 until K).map(j => element_at(t, i + j)): _*)), 1, 10), 16, 10)
-        .cast("long"), PosBits) + (lit(PosCap) - i))
+    // the n >= 1 guard must live HERE: projected unconditionally, a
+    // short document would otherwise evaluate element_at out of range
+    when(n >= 1,
+      transform(sequence(lit(1), greatest(n, lit(1))), i =>
+        shiftleft(conv(substring(md5(concat_ws(" ",
+          (0 until K).map(j => element_at(t, i + j)): _*)), 1, 10), 16, 10)
+          .cast("long"), PosBits) + (lit(PosCap) - i)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Window reduction over an ALREADY-PROJECTED ck array column:
+    * each complete window collapses with `array_min` over a `slice`,
+    * duplicates with `array_distinct`. */
+  private def winnowCk(ck: Column, nToks: Column): Column = {
+    val n = nToks - (K - 1)
     val starts = when(n >= W, sequence(lit(1), n - (W - 1)))
       .otherwise(sequence(lit(1), lit(1)))
     when(n >= 1,
@@ -118,10 +126,31 @@ object Winnow {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** The whole selection as per-row array expressions — no explode,
+    * no window function, no shuffle — split across TWO projections so
+    * the md5 gram-key array evaluates once per row (see [[ckKeys]]).
+    * Being per-row it runs UNCHANGED under Structured Streaming
+    * (fingerprints computed in-flight at ingest, zero streaming
+    * state — the [[graft.streaming.DocStreams]] sketch-at-ingest
+    * pattern), and in batch it keeps selection inside the scan
+    * stage. Output: (idCol, fp_keys) with the distinct packed keys
+    * (unpack: h = ck >> 20, pos = 2^20-1 - (ck & mask)). */
+  def withFingerprintKeys(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol), ckKeys(col(textCol)).as("_ck"),
+        size(split(col(textCol), " ")).as("_nt"))
+      .select(col(idCol), winnowCk(col("_ck"), col("_nt")).as("fp_keys"))
+
   /** Cross-document overlap report: pairs sharing at least
     * `minShared` distinct fingerprint hashes, after dropping hashes
     * present in more than `maxDf` documents (boilerplate guard — the
-    * join would otherwise be quadratic in the hottest hash). */
+    * join would otherwise be quadratic in the hottest hash).
+    * Batch selection deliberately uses the WINDOW form: the doc_id
+    * exchange + codegen'd window `min` measured ~6× faster than the
+    * per-row array form at sf0.01 (interpreted `slice`/`array_min`
+    * per window start dominates); [[withFingerprintKeys]] remains the
+    * streaming-ingest path, where a window function is unavailable. */
   def overlap(docs: DataFrame, idCol: String, textCol: String,
       minShared: Int, maxDf: Int): DataFrame = {
     val fp = fingerprints(docs, idCol, textCol)

@@ -38,6 +38,5 @@ object DocStreams {
     * as a batch pass over the accumulated fingerprint store, exactly
     * like [[sketched]]'s MinHash split. */
   def winnowed(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      graft.operators.Winnow.fingerprintKeys(col("text")).as("fp_keys"))
+    graft.operators.Winnow.withFingerprintKeys(docs, "doc_id", "text")
 }

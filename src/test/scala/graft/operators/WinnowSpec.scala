@@ -82,8 +82,7 @@ class WinnowSpec extends SparkTestBase {
       .map(r => (r.getLong(0), (r.getLong(2) << Winnow.PosBits) +
         (Winnow.PosCap - r.getLong(1))))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val arr = docs
-      .select(col("doc_id"), Winnow.fingerprintKeys(col("text")).as("ks"))
+    val arr = Winnow.withFingerprintKeys(docs, "doc_id", "text")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
       .filter(_._2.nonEmpty).toMap
