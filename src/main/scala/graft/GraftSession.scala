@@ -17,14 +17,24 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def build(appName: String, cores: Int): SparkSession = {
-    val spark = SparkSession.builder()
+    var builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(graft.sources.Tables.requiredConf)
-      .getOrCreate()
+    // extra confs from the environment — the local harness's stand-in
+    // for `spark-submit --conf` (e.g. SPARK_GRAFT_EXTRA_CONF=
+    // "spark.graft.memo.reliable=true" to exercise the durable-
+    // checkpoint posture end-to-end)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder = builder.config(k, v)
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     spark

@@ -28,9 +28,10 @@ import org.apache.spark.sql.functions._
   *    ANSI SQL (the q167 oracle replays every round byte-for-byte),
   *    and equal to the greedy left-fold on the symbol list because
   *    the boundary spaces are not shared between adjacent matches.
-  *  - Per-round `localCheckpoint` keeps round plans flat (the
-  *    [[IvfIndex.refine]] pattern) instead of stacking R rewrites of
-  *    the whole lineage.
+  *  - Per-round checkpointing ([[graft.queries.FrameMemo.checkpointed]]
+  *    — reliable dir when `spark.graft.memo.reliable=true`, local
+  *    otherwise) keeps round plans flat (the [[IvfIndex.refine]]
+  *    pattern) instead of stacking R rewrites of the whole lineage.
   *
   * Tokens containing the `|` sentinel are excluded on both sides (the
   * encoding would be ambiguous); real deployments pick a
@@ -104,9 +105,9 @@ object BpeTrain {
   /** Learn `rounds` merges from `docs(textCol)`. */
   def train(docs: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var words = wordCounts(docs, textCol)
-      .select(encodeSymbols(col("word")).as("ws"), col("c"))
-      .localCheckpoint()
+    import graft.queries.FrameMemo.checkpointed
+    var words = checkpointed(wordCounts(docs, textCol)
+      .select(encodeSymbols(col("word")).as("ws"), col("c")))
     val merges = Seq.newBuilder[Merge]
     var r = 1
     var exhausted = false
@@ -119,10 +120,9 @@ object BpeTrain {
         val n = top.head.getLong(1)
         val merged = pair.replace("| |", "")
         merges += Merge(r, pair, merged, n)
-        words = words
+        words = checkpointed(words
           .select(call_function("replace",
-            col("ws"), lit(pair), lit(merged)).as("ws"), col("c"))
-          .localCheckpoint()
+            col("ws"), lit(pair), lit(merged)).as("ws"), col("c")))
         r += 1
       }
     }

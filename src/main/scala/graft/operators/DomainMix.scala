@@ -73,10 +73,18 @@ object DomainMix {
       .withColumn("sq", floor(sqrt(col("dom_weight"))).cast("long"))
     val tot = dom.agg(sum(col("dom_weight")).cast("long").as("all_weight"),
       sum(col("sq")).cast("long").as("sq_sum"))
+    // (budget * sq) DIV sq_sum spelled as the exact decomposition
+    // (budget DIV sq_sum) * sq + ((budget % sq_sum) * sq) DIV sq_sum —
+    // identical for non-negative operands, but the intermediates stay
+    // below 2^63 at 100 TB magnitudes (the naive budget*sq product
+    // overflows BIGINT at ~1e13 token weight × ~3e6 sq for small
+    // denominators). Remaining bound: sq_sum * max(sq) < 2^63, i.e.
+    // safe through ~10^6 domains of ~10^13 tokens each.
     dom.crossJoin(broadcast(tot))
+      .withColumn("_budget", expr(s"all_weight DIV ${budgetDenom}L"))
       .withColumn("rate_bp",
         least(lit(10000L), expr(
-          s"(10000L * (((all_weight DIV ${budgetDenom}L) * sq) DIV sq_sum)) DIV dom_weight")))
+          "(10000L * ((_budget DIV sq_sum) * sq + ((_budget % sq_sum) * sq) DIV sq_sum)) DIV dom_weight")))
       .select(col(domainCol), col("n_total"), col("dom_weight"), col("sq"),
         col("rate_bp"))
   }

@@ -85,12 +85,14 @@ object IvfIndex {
 
   /** Refine seed centroids with `iterations` Lloyd rounds; returns the
     * final (cid, cv, cnrm) frame. Each round's (tiny) centroid frame
-    * is localCheckpoint'ed so iteration plans stay flat instead of
-    * re-embedding the whole corpus lineage per round. */
+    * is checkpointed ([[graft.queries.FrameMemo.checkpointed]] —
+    * honors `spark.graft.memo.reliable`) so iteration plans stay flat
+    * instead of re-embedding the whole corpus lineage per round. */
   def refine(corpus: DataFrame, seeds: DataFrame, iterations: Int): DataFrame = {
     var cents = seeds
     for (_ <- 0 until iterations)
-      cents = lloydUpdate(assignCells(corpus, cents)).localCheckpoint()
+      cents = graft.queries.FrameMemo.checkpointed(
+        lloydUpdate(assignCells(corpus, cents)))
     cents
   }
 

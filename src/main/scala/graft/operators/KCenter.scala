@@ -47,9 +47,13 @@ object KCenter {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val seed = vecs.agg(min(col(idCol))).head().getLong(0)
+    val seedRow = vecs.agg(min(col(idCol))).head()
+    require(!seedRow.isNullAt(0),
+      "KCenter.select: input frame is empty — nothing to select")
+    val seed = seedRow.getLong(0)
     var selected = Vector[(Long, Long, Option[Long])]((1L, seed, None))
-    for (r <- 2 to k) {
+    var covered = false // argmax distance 0 => every point coincides
+    for (r <- 2 to k if !covered) {
       val selDf = vecs.where(col(idCol).isin(selected.map(_._2): _*))
         .select(col("vq").as("sq"))
       val next = vecs.crossJoin(broadcast(selDf))
@@ -57,7 +61,11 @@ object KCenter {
         .groupBy(col(idCol)).agg(min(col("d")).as("dist"))
         .orderBy(col("dist").desc, col(idCol))
         .limit(1).head()
-      selected :+= ((r.toLong, next.getLong(0), Some(next.getLong(1))))
+      // a zero farthest distance means the selected set already covers
+      // every vector (k > number of DISTINCT vectors): stop instead of
+      // re-selecting an already-chosen point and emitting duplicates
+      if (next.getLong(1) == 0L) covered = true
+      else selected :+= ((r.toLong, next.getLong(0), Some(next.getLong(1))))
     }
     selected.map { case (r, id, d) => (r, id, d) }
       .toDF("round", idCol, "dist_sq")

@@ -59,11 +59,15 @@ object NgramLm {
 
   /** Padded token array: 2 BOS sentinels + non-empty tokens + EOS, so
     * every real token (and the EOS) is scored with a full 2-token
-    * context. Sentinels use angle brackets absent from the fixture
-    * vocabulary. */
+    * context. Text tokens literally equal to the `<s>`/`</s>`
+    * sentinels are DROPPED (both here and in the oracle's mirror
+    * filter) — otherwise they would be conflated with the BOS/EOS
+    * markers and silently corrupt the context counts; real
+    * deployments that must score such tokens pre-escape them. */
   def padded(text: Column): Column =
     concat(array(lit(Bos), lit(Bos)),
-      filter(split(text, " "), t => t =!= ""), array(lit(Eos)))
+      filter(split(text, " "),
+        t => t =!= "" && t =!= Bos && t =!= Eos), array(lit(Eos)))
 
   /** Trigram positions (occurrences, not distinct) as (keep...,
     * w0, w1, w2). The padded array is hoisted to its own projection

@@ -30,10 +30,13 @@ import org.apache.spark.sql.functions._
   *    round — noise at rank magnitudes, and identically replayed by
   *    the oracle.
   *  - **Lineage truncation.** The rank frame is checkpointed each
-  *    round; iterative plans otherwise grow superlinearly in the
-  *    optimizer ([[graft.queries.NearDupQueries]] learned the same
-  *    lesson for its connected-components loop, which uses the
-  *    reliable-checkpoint dir on a cluster).
+  *    round via [[graft.queries.FrameMemo.checkpointed]]; iterative
+  *    plans otherwise grow superlinearly in the optimizer
+  *    ([[graft.queries.NearDupQueries]] learned the same lesson for
+  *    its connected-components loop). Setting
+  *    `spark.graft.memo.reliable=true` routes every round through the
+  *    reliable checkpoint dir, so a lost executor mid-run recovers
+  *    from files instead of killing the job.
   *  - Dangling mass is deliberately dropped (ranks are relative
   *    scores, not a normalized distribution) — isolated nodes settle
   *    at exactly the teleport term.
@@ -52,21 +55,21 @@ object PageRank {
     * contribution split (0 for sink nodes). */
   def ranks(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    import graft.queries.FrameMemo.checkpointed
     val teleport = Unit0 * (100 - DampPct) / 100
-    val e = edges.select(col("id"), col("nb")).localCheckpoint()
-    val deg = e.groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    val e = checkpointed(edges.select(col("id"), col("nb")))
+    val deg = checkpointed(
+      e.groupBy(col("id")).agg(count(lit(1)).as("deg")))
     var r = nodes.select(col("id"), lit(Unit0).as("r"))
     for (_ <- 1 to iters) {
       val contrib = e.join(r, "id").join(deg, "id")
         .select(col("nb").as("id"),
           expr(s"(r * $DampPct) DIV (100 * deg)").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("c"))
-      r = nodes.select(col("id"))
+      r = checkpointed(nodes.select(col("id"))
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (lit(teleport) + coalesce(col("c"), lit(0L))).as("r"))
-        .localCheckpoint()
+          (lit(teleport) + coalesce(col("c"), lit(0L))).as("r")))
     }
     r.join(deg, Seq("id"), "left")
       .select(col("id"), col("r").as("rank_micro"),

@@ -110,12 +110,14 @@ object PqIndex {
   }
 
   /** Train: seed codebook refined by `iterations` Lloyd rounds. Each
-    * round's (tiny) codebook is localCheckpoint'ed so iteration plans
-    * stay flat instead of re-embedding the corpus lineage. */
+    * round's (tiny) codebook is checkpointed
+    * ([[graft.queries.FrameMemo.checkpointed]] — honors
+    * `spark.graft.memo.reliable`) so iteration plans stay flat
+    * instead of re-embedding the corpus lineage. */
   def train(corpus: DataFrame, iterations: Int): DataFrame = {
     var cb = seeds(corpus)
     for (_ <- 0 until iterations)
-      cb = lloydUpdate(encode(corpus, cb)).localCheckpoint()
+      cb = graft.queries.FrameMemo.checkpointed(lloydUpdate(encode(corpus, cb)))
     cb
   }
 

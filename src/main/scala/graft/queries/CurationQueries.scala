@@ -392,8 +392,8 @@ object CurationQueries {
       // one materialization of the (small) removal-start set feeds
       // BOTH the affected-doc filter and the reassembly — without it
       // the occurrence explode + gram aggregation would run twice
-      val rs = SubstringDedup.removalStarts(docs, "doc_id", "text", SpanK)
-        .localCheckpoint()
+      val rs = FrameMemo.checkpointed(
+        SubstringDedup.removalStarts(docs, "doc_id", "text", SpanK))
       val affected = rs.select(col("doc_id")).distinct()
       SubstringDedup.scrubWithStarts(docs, rs, "doc_id", "text", SpanK)
         .join(affected, Seq("doc_id"), "left_semi")
@@ -410,9 +410,8 @@ object CurationQueries {
     // additionally measures the shuffle-byte cut.
     QueryDef("q164_substring_dedup_hashed", substringDedupSql) { (spark, dir) =>
       val docs = Tables.load(spark, dir, "documents")
-      val rs = SubstringDedup
-        .removalStarts(docs, "doc_id", "text", SpanK, hashGrams = true)
-        .localCheckpoint()
+      val rs = FrameMemo.checkpointed(SubstringDedup
+        .removalStarts(docs, "doc_id", "text", SpanK, hashGrams = true))
       val affected = rs.select(col("doc_id")).distinct()
       SubstringDedup.scrubWithStarts(docs, rs, "doc_id", "text", SpanK)
         .join(affected, Seq("doc_id"), "left_semi")

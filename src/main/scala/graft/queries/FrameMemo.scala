@@ -53,6 +53,18 @@ private[graft] object FrameMemo {
   }
 
   private def materialize(spark: SparkSession, df: DataFrame): DataFrame =
+    checkpointed(df)
+
+  /** Materialize `df` with truncated lineage, honoring [[ReliableKey]]:
+    * reliable checkpoint dir when the conf is true (survives executor
+    * loss — the posture a multi-hour 100 TB run needs), executor-
+    * resident `localCheckpoint` otherwise. EVERY iterative operator's
+    * per-round truncation goes through here ([[graft.operators.PageRank]],
+    * [[graft.operators.BpeTrain]], the connected-components loop, the
+    * q129/q164 removal-start materialization) so one conf flips the
+    * whole library's durability posture. */
+  def checkpointed(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     if (spark.conf.get(ReliableKey, "false").toBoolean) {
       val sc = spark.sparkContext
       if (sc.getCheckpointDir.isEmpty) {
@@ -65,6 +77,7 @@ private[graft] object FrameMemo {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .checkpoint()
     } else df.localCheckpoint()
+  }
 
   /** Build-once per (session, key): the by-name `build` is evaluated
     * and eagerly materialized on first use. */

@@ -21,19 +21,24 @@ object GraphQueries {
   private val TopN = 20
 
   /** Unrolled integer-PageRank oracle rounds: contribution
-    * `(r·85) // (100·deg)` (integer floor division — operands are
+    * `(r·damp) // (100·deg)` (integer floor division — operands are
     * positive, so it matches Spark's truncating `DIV`), teleport
-    * 150000 micro-units, every node re-emitted each round. */
-  private def prRounds: String = (1 to Iters).map { k =>
-    val prev = s"r${k - 1}"
-    s"""c$k AS MATERIALIZED (
-       |  SELECT e2.nb AS id, sum((r.r * ${PageRank.DampPct}) // (100 * d.deg))::BIGINT AS c
-       |  FROM edges e2 JOIN $prev r ON e2.id = r.id JOIN deg d ON d.id = e2.id
-       |  GROUP BY e2.nb),
-       |r$k AS MATERIALIZED (
-       |  SELECT nodes.id, (150000 + coalesce(c, 0))::BIGINT AS r
-       |  FROM nodes LEFT JOIN c$k USING (id))""".stripMargin
-  }.mkString(",\n")
+    * derived from the SAME [[PageRank.Unit0]]/[[PageRank.DampPct]]
+    * constants the Spark side uses (so a damping change cannot fork
+    * the two engines), every node re-emitted each round. */
+  private def prRounds: String = {
+    val teleport = PageRank.Unit0 * (100 - PageRank.DampPct) / 100
+    (1 to Iters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""c$k AS MATERIALIZED (
+         |  SELECT e2.nb AS id, sum((r.r * ${PageRank.DampPct}) // (100 * d.deg))::BIGINT AS c
+         |  FROM edges e2 JOIN $prev r ON e2.id = r.id JOIN deg d ON d.id = e2.id
+         |  GROUP BY e2.nb),
+         |r$k AS MATERIALIZED (
+         |  SELECT nodes.id, ($teleport + coalesce(c, 0))::BIGINT AS r
+         |  FROM nodes LEFT JOIN c$k USING (id))""".stripMargin
+    }.mkString(",\n")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 

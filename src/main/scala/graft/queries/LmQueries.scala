@@ -39,7 +39,7 @@ object LmQueries {
   private val modelCte =
     s"""toks AS (
        |  SELECT doc_id, lang,
-       |         ['<s>','<s>'] || list_filter(string_split(text,' '), t -> t <> '') || ['</s>'] AS p
+       |         ['<s>','<s>'] || list_filter(string_split(text,' '), t -> t <> '' AND t <> '<s>' AND t <> '</s>') || ['</s>'] AS p
        |  FROM documents),
        |pos AS (
        |  SELECT doc_id, g.w0 AS w0, g.w1 AS w1, g.w2 AS w2 FROM (

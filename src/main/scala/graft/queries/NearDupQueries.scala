@@ -211,7 +211,7 @@ object NearDupQueries {
       if (probe.count() <= threshold)
         // label frame is <= 2 rows per edge: materialize it before the
         // cache underneath is released
-        ccLocalUnionFind(probe).localCheckpoint()
+        FrameMemo.checkpointed(ccLocalUnionFind(probe))
       else ccStarContraction(pairs)._1
     } finally probe.unpersist()
   }

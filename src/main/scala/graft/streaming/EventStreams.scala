@@ -124,7 +124,17 @@ object EventStreams {
     * batch `lead` window's ordering for in-order feeds). Downstream,
     * the transitions feed the same count aggregation as the batch
     * gate — counts are mergeable state, so the model maintains
-    * incrementally as the stream runs. */
+    * incrementally as the stream runs.
+    *
+    * ORDERING CONTRACT: only per-user IN-ORDER feeds reproduce the
+    * batch q178 model exactly (state is the single last event, not a
+    * reorder buffer). An event arriving in a LATER micro-batch with a
+    * (time, eventId) at or below the stored state is stale and is
+    * DROPPED — emitting it as if newest would invert the transition —
+    * so late data costs at most its own transition, never a corrupted
+    * successor state. Cross-batch reordering that must be healed
+    * exactly belongs to the batch path (recompute the window), the
+    * standard lambda split. */
   def transitions(events: Dataset[Event]): Dataset[Transition] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
@@ -135,8 +145,12 @@ object EventStreams {
           val out = Seq.newBuilder[Transition]
           var last = state.getOption
           sorted.foreach { e =>
-            last.foreach(l => out += Transition(userId, l.eventType, e.eventType))
-            last = Some(LastEvent(e.eventTimeMicros, e.eventId, e.eventType))
+            if (!last.exists(l => e.eventTimeMicros < l.eventTimeMicros ||
+                (e.eventTimeMicros == l.eventTimeMicros &&
+                  e.eventId <= l.eventId))) {
+              last.foreach(l => out += Transition(userId, l.eventType, e.eventType))
+              last = Some(LastEvent(e.eventTimeMicros, e.eventId, e.eventType))
+            } // else: stale arrival older than the stored state — drop
           }
           last.foreach(state.update)
           out.result().iterator
@@ -225,8 +239,15 @@ class TransitionProcessor extends StatefulProcessor[Long, Event, Transition] {
     val out = Seq.newBuilder[Transition]
     var prev: Option[LastEvent] = if (last.exists()) Some(last.get()) else None
     sorted.foreach { e =>
-      prev.foreach(l => out += Transition(key, l.eventType, e.eventType))
-      prev = Some(LastEvent(e.eventTimeMicros, e.eventId, e.eventType))
+      // same stale-arrival drop as the flatMapGroupsWithState path:
+      // an event at or below the stored (time, eventId) would invert
+      // the transition if treated as newest
+      if (!prev.exists(l => e.eventTimeMicros < l.eventTimeMicros ||
+          (e.eventTimeMicros == l.eventTimeMicros &&
+            e.eventId <= l.eventId))) {
+        prev.foreach(l => out += Transition(key, l.eventType, e.eventType))
+        prev = Some(LastEvent(e.eventTimeMicros, e.eventId, e.eventType))
+      }
     }
     prev.foreach(last.update)
     out.result().iterator

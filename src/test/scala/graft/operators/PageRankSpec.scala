@@ -39,6 +39,18 @@ class PageRankSpec extends SparkTestBase {
     assert(got(1L)._1 == 150000L + 283333L)
   }
 
+  test("identical ranks under the reliable-checkpoint opt-in") {
+    // the durability conf must not change a single rank: same graph,
+    // both materialization paths, bit-equal results
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 0L))
+    val a = run(nodes, edges, iters = 3)
+    val b = withConf(graft.queries.FrameMemo.ReliableKey -> "true") {
+      run(nodes, edges, iters = 3)
+    }
+    assert(a == b)
+  }
+
   test("ranks are partitioning-invariant") {
     val nodes = (0L until 60L).toDF("id")
     val edges = (0L until 60L).flatMap(i =>

@@ -94,6 +94,31 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got == Set((7L, "view", "click"), (7L, "click", "purchase")))
   }
 
+  test("a late cross-batch event older than the stored state is dropped, not inverted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.transitions(mem.toDS())
+      .writeStream.format("memory").queryName("markov_late_out")
+      .outputMode("append").start()
+    mem.addData(
+      Event(1, 1000L, 7, "view", 0.0),
+      Event(2, 3000L, 7, "purchase", 0.0))
+    q.processAllAvailable()
+    // late arrival: timestamp BETWEEN the two already-processed events.
+    // Pre-fix it would have been treated as newest, emitting the
+    // inverted (purchase -> click) and corrupting the state to "click";
+    // the ordering contract drops it instead.
+    mem.addData(Event(3, 2000L, 7, "click", 0.0))
+    q.processAllAvailable()
+    // state must still be "purchase": the next in-order event chains off it
+    mem.addData(Event(4, 4000L, 7, "refund", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("markov_late_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((7L, "view", "purchase"), (7L, "purchase", "refund")))
+  }
+
   test("transformWithState transitions agree with the legacy-API path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
