@@ -21,17 +21,17 @@ import org.apache.spark.sql.functions._
 object CurationQueries {
 
   /** Fixture eval-set rule: every 5th document "is a benchmark". */
-  private val EvalMod = 5
+  private[queries] val EvalMod = 5
   /** Exact-overlap gram width (the 100 TB setting is ~13; 8 keeps the
     * fixture's near-dup partners detectable while natural collisions
     * stay zero — see PLANS.md round 7). */
-  private val NGram = 8
+  private[queries] val NGram = 8
 
-  private val DupTokenPct = 60
-  private val TopGram2Pct = 10
+  private[queries] val DupTokenPct = 60
+  private[queries] val TopGram2Pct = 10
 
-  private val MixSeed = "mix7"
-  private val MixDenom = 2
+  private[queries] val MixSeed = "mix7"
+  private[queries] val MixDenom = 2
 
   // ---- q116: benchmark decontamination -------------------------------
 
@@ -59,7 +59,7 @@ object CurationQueries {
     * strings keyed on doc_id; what the gate tests is the DETECTION
     * and REDACTION arithmetic downstream, which runs on the combined
     * text exactly as it would on a real crawl. */
-  private def augmented(textCol: Column, id: Column): Column = concat(
+  private[queries] def augmented(textCol: Column, id: Column): Column = concat(
     textCol,
     when(id % 3 === 0,
       concat(lit(" contact user"), id.cast("string"), lit("@example.com")))
@@ -103,7 +103,7 @@ object CurationQueries {
   /** Threshold shared with the q36/q81 embedding-edge rule
     * ([[SimilarityQueries.BlockedNearDupThreshold]]) so one tuning
     * constant governs every embedding near-dup gate. */
-  private def semTau = SimilarityQueries.BlockedNearDupThreshold
+  private[queries] def semTau = SimilarityQueries.BlockedNearDupThreshold
 
   private val semanticDedupSql = {
     val dim = SimilarityQueries.Dim

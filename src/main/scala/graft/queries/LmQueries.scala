@@ -27,7 +27,7 @@ object LmQueries {
 
   /** Train-split predicate, shared by the Spark side and the oracle
     * text: even doc_ids train, everything scores. */
-  private val TrainSplitSql = "doc_id % 2 = 0"
+  private[queries] val TrainSplitSql = "doc_id % 2 = 0"
 
   private def trainDocs(docs: org.apache.spark.sql.DataFrame) =
     docs.where(col("doc_id") % 2 === 0)
@@ -36,7 +36,7 @@ object LmQueries {
     * ALL docs, and the model counts (tri/big/uni/scal) from the train
     * split — the SQL mirror of [[NgramLm.train]], including the
     * in-plan recovery of the per-doc `(<s>,<s>)` head bigram. */
-  private val modelCte =
+  private[queries] val modelCte =
     s"""toks AS (
        |  SELECT doc_id, lang,
        |         ['<s>','<s>'] || list_filter(string_split(text,' '), t -> t <> '' AND t <> '<s>' AND t <> '</s>') || ['</s>'] AS p
@@ -67,7 +67,7 @@ object LmQueries {
     * stupid-backoff coalesce (alpha = 0.4 spelled as a PRODUCT for
     * the alpha^2 level — 0.4*0.4 != 0.16 in doubles), and the
     * micro-nat quantization. */
-  private val scoreCte =
+  private[queries] val scoreCte =
     s"""tri_s AS (
        |  SELECT t.w0, t.w1, t.w2, CAST(t.c AS DOUBLE) / CAST(b.c AS DOUBLE) AS p3
        |  FROM tri t JOIN big b ON t.w0 = b.b0 AND t.w1 = b.b1),

@@ -22,9 +22,9 @@ object PipelineQueries {
   private val StopWords =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
 
-  private val stopListSql = StopWords.map(s => s"'$s'").mkString("[", ", ", "]")
+  private[queries] val stopListSql = StopWords.map(s => s"'$s'").mkString("[", ", ", "]")
 
-  private def qualityOk(toks: Column, text: Column): Column = {
+  private[queries] def qualityOk(toks: Column, text: Column): Column = {
     val stopArr = array(StopWords.map(lit): _*)
     size(toks).between(10, 1000) &&
       size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))) * 5 <= size(toks) &&

@@ -143,12 +143,12 @@ object TextQueries {
 
   // ---- q167: BPE merge-pair training ---------------------------------
 
-  private val BpeRounds = 8
+  private[queries] val BpeRounds = 8
 
   /** The BPE training CTE chain (wc → w0 → 8 count/argmax/merge
     * rounds, no WITH keyword) — shared by q167 and the q174 encode
     * replay so the two cannot fork. */
-  private val bpeCtes = {
+  private[queries] val bpeCtes = {
     val rounds = (1 to BpeRounds).map { r =>
       val prev = s"w${r - 1}"
       // MATERIALIZED: each round's frame must evaluate ONCE — the
