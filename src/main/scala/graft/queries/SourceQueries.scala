@@ -91,6 +91,51 @@ object SourceQueries {
       path
     })
 
+  /** The q135/q194 CDC fixture: one oracle text and one changelog
+    * derivation shared by the DataFrame operator gate and the literal
+    * `MERGE INTO` gate, so the two surfaces cannot fork. */
+  private val cdcOracleSql =
+    """WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+      |changes AS (
+      |  SELECT k, 1 AS ver, 'D' AS op, NULL::DOUBLE AS bal FROM base WHERE k % 7 = 0
+      |  UNION ALL SELECT k, 1, 'U', bal + 100 FROM base WHERE k % 7 IN (1, 2)
+      |  UNION ALL SELECT k, 2, 'U', bal + 200 FROM base WHERE k % 7 = 1
+      |  UNION ALL SELECT k + 1000000, 1, 'U', 42.0 + k FROM base WHERE k % 7 = 3),
+      |latest AS (
+      |  SELECT k, op, bal FROM (
+      |    SELECT k, op, bal, row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+      |    FROM changes) t WHERE rn = 1),
+      |merged AS (
+      |  SELECT coalesce(b.k, c.k) AS k,
+      |         CASE WHEN c.k IS NOT NULL THEN c.bal ELSE b.bal END AS bal,
+      |         c.op AS op
+      |  FROM base b FULL OUTER JOIN latest c ON b.k = c.k)
+      |SELECT k, CAST(round(bal * 100) AS BIGINT) AS cents
+      |FROM merged WHERE op IS NULL OR op <> 'D'
+      |ORDER BY k""".stripMargin
+
+  private def cdcBase(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+
+  private def cdcChanges(
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val del = base.where(col("k") % 7 === 0)
+      .select(col("k"), lit(1L).as("ver"), lit("D").as("op"),
+        lit(null).cast("double").as("bal"))
+    val upd1 = base.where((col("k") % 7).isin(1, 2))
+      .select(col("k"), lit(1L).as("ver"), lit("U").as("op"),
+        (col("bal") + 100).as("bal"))
+    val upd2 = base.where(col("k") % 7 === 1)
+      .select(col("k"), lit(2L).as("ver"), lit("U").as("op"),
+        (col("bal") + 200).as("bal"))
+    val ins = base.where(col("k") % 7 === 3)
+      .select((col("k") + 1000000L).as("k"), lit(1L).as("ver"),
+        lit("U").as("op"), (lit(42.0) + col("k")).as("bal"))
+    del.union(upd1).union(upd2).union(ins)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Partitioned sink -> partition-pruned source: the filter on the
@@ -263,41 +308,42 @@ object SourceQueries {
     // snapshot through Upsert.merge, and emit the next snapshot. The
     // oracle replays the same changelog with a row_number latest-pick
     // + full outer join. Balances as integer cents on both sides.
-    QueryDef("q135_cdc_upsert",
-      """WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
-        |changes AS (
-        |  SELECT k, 1 AS ver, 'D' AS op, NULL::DOUBLE AS bal FROM base WHERE k % 7 = 0
-        |  UNION ALL SELECT k, 1, 'U', bal + 100 FROM base WHERE k % 7 IN (1, 2)
-        |  UNION ALL SELECT k, 2, 'U', bal + 200 FROM base WHERE k % 7 = 1
-        |  UNION ALL SELECT k + 1000000, 1, 'U', 42.0 + k FROM base WHERE k % 7 = 3),
-        |latest AS (
-        |  SELECT k, op, bal FROM (
-        |    SELECT k, op, bal, row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
-        |    FROM changes) t WHERE rn = 1),
-        |merged AS (
-        |  SELECT coalesce(b.k, c.k) AS k,
-        |         CASE WHEN c.k IS NOT NULL THEN c.bal ELSE b.bal END AS bal,
-        |         c.op AS op
-        |  FROM base b FULL OUTER JOIN latest c ON b.k = c.k)
-        |SELECT k, CAST(round(bal * 100) AS BIGINT) AS cents
-        |FROM merged WHERE op IS NULL OR op <> 'D'
-        |ORDER BY k""".stripMargin) { (spark, dir) =>
-      val base = Tables.load(spark, dir, "customer")
-        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
-      val del = base.where(col("k") % 7 === 0)
-        .select(col("k"), lit(1L).as("ver"), lit("D").as("op"),
-          lit(null).cast("double").as("bal"))
-      val upd1 = base.where((col("k") % 7).isin(1, 2))
-        .select(col("k"), lit(1L).as("ver"), lit("U").as("op"),
-          (col("bal") + 100).as("bal"))
-      val upd2 = base.where(col("k") % 7 === 1)
-        .select(col("k"), lit(2L).as("ver"), lit("U").as("op"),
-          (col("bal") + 200).as("bal"))
-      val ins = base.where(col("k") % 7 === 3)
-        .select((col("k") + 1000000L).as("k"), lit(1L).as("ver"),
-          lit("U").as("op"), (lit(42.0) + col("k")).as("bal"))
-      val changes = del.union(upd1).union(upd2).union(ins)
-      Upsert.merge(base, changes, "k", "ver", "op")
+    QueryDef("q135_cdc_upsert", cdcOracleSql) { (spark, dir) =>
+      val base = cdcBase(spark, dir)
+      Upsert.merge(base, cdcChanges(base), "k", "ver", "op")
+        .select(col("k"), round(col("bal") * 100).cast("long").as("cents"))
+        .orderBy(col("k"))
+    },
+
+    // The SAME changelog driven through literal ANSI `MERGE INTO` SQL
+    // against a table registered in the [[graft.sources.MemCatalog]]
+    // v2 catalog (SupportsRowLevelOperations, group-based
+    // copy-on-write) — the statement a migrating warehouse user keeps
+    // verbatim. The source is collapsed to the latest change per key
+    // first (the standard MERGE discipline: Spark rejects multiple
+    // source matches per target row); oracle = q135's replay, so the
+    // DataFrame operator and the SQL surface are pinned equal.
+    QueryDef("q194_cdc_merge_sql", cdcOracleSql) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.sql("DROP TABLE IF EXISTS graftmem.cdc")
+      spark.sql("CREATE TABLE graftmem.cdc (k BIGINT, bal DOUBLE)")
+      val base = cdcBase(spark, dir)
+      base.createOrReplaceTempView("q194_base")
+      cdcChanges(base).createOrReplaceTempView("q194_changes")
+      spark.sql("INSERT INTO graftmem.cdc SELECT k, bal FROM q194_base")
+      spark.sql(
+        """MERGE INTO graftmem.cdc t
+          |USING (SELECT k, op, bal FROM (
+          |         SELECT k, op, bal,
+          |                row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+          |         FROM q194_changes) z WHERE rn = 1) s
+          |ON t.k = s.k
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET bal = s.bal
+          |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, bal) VALUES (s.k, s.bal)
+          |""".stripMargin)
+      spark.table("graftmem.cdc")
         .select(col("k"), round(col("bal") * 100).cast("long").as("cents"))
         .orderBy(col("k"))
     },

@@ -1,0 +1,63 @@
+package graft.sources
+
+import graft.SparkTestBase
+
+/** The v2-catalog row-level-operation surface: literal ANSI MERGE
+  * INTO / UPDATE / DELETE FROM SQL against a MemCatalog table — the
+  * statements a migrating warehouse user keeps verbatim (q194 pins the
+  * full CDC changelog against the DuckDB oracle; this spec pins the
+  * operation semantics on hand-checked rows). */
+class MemCatalogSpec extends SparkTestBase {
+
+  private def freshTable(name: String, rows: String): Unit = {
+    spark.conf.set("spark.sql.catalog.graftmem", classOf[MemCatalog].getName)
+    spark.sql(s"DROP TABLE IF EXISTS graftmem.$name")
+    spark.sql(s"CREATE TABLE graftmem.$name (k BIGINT, v STRING, bal DOUBLE)")
+    spark.sql(s"INSERT INTO graftmem.$name VALUES $rows")
+  }
+
+  private def snapshot(name: String): Set[(Long, String, Double)] =
+    spark.table(s"graftmem.$name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("MERGE INTO applies delete, update, and insert branches") {
+    freshTable("m1", "(1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', 3.5)")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW m1_src AS
+        |SELECT * FROM VALUES (2, 'U', 99.0), (3, 'D', 0.0), (9, 'U', 9.9)
+        |  AS t(k, op, bal)""".stripMargin)
+    spark.sql(
+      """MERGE INTO graftmem.m1 t USING m1_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET bal = s.bal
+        |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, v, bal) VALUES (s.k, 'new', s.bal)
+        |""".stripMargin)
+    assert(snapshot("m1") ==
+      Set((1L, "a", 1.5), (2L, "b", 99.0), (9L, "new", 9.9)))
+  }
+
+  test("UPDATE and DELETE FROM route through the same row-level write") {
+    freshTable("m2", "(1, 'a', 10.0), (2, 'b', 20.0), (3, 'c', 30.0)")
+    spark.sql("UPDATE graftmem.m2 SET bal = bal + 1 WHERE k >= 2")
+    spark.sql("DELETE FROM graftmem.m2 WHERE k = 1")
+    assert(snapshot("m2") == Set((2L, "b", 21.0), (3L, "c", 31.0)))
+  }
+
+  test("string columns survive the projection copy out of reused row buffers") {
+    // UTF8String values point into reused UnsafeRow buffers; the
+    // writer must deep-copy them when dropping __row_operation
+    freshTable("m3", (1 to 50).map(i => s"($i, 'val_$i', $i.0)").mkString(", "))
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW m3_src AS
+        |SELECT id AS k FROM RANGE(10, 20)""".stripMargin)
+    spark.sql(
+      """MERGE INTO graftmem.m3 t USING m3_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = concat(t.v, '!')
+        |""".stripMargin)
+    val got = snapshot("m3")
+    assert(got.size == 50)
+    assert(got.count(_._2.endsWith("!")) == 10)
+    assert(got.filter(t => t._1 < 10 || t._1 >= 20)
+      .forall(t => t._2 == s"val_${t._1}"))
+  }
+}
