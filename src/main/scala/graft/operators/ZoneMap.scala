@@ -59,11 +59,15 @@ object ZoneMap {
 
   /** Build and persist the zone map where [[graft.plans.ZoneMapRule]]
     * looks for it. Call after (re)writing the table — the rule
-    * ignores maps older than any data file. */
+    * ignores maps older than any data file. Written PARTITIONED (no
+    * coalesce): at lake file counts a single-task write would
+    * serialize the whole map build through one executor; the rule and
+    * [[skippingScan]] read the directory, so the file count of the
+    * map itself is irrelevant. */
   def persist(spark: SparkSession, tablePath: String, keyCol: String): String = {
     val out = zoneMapPath(tablePath, keyCol)
     build(spark, tablePath, keyCol)
-      .coalesce(1).write.mode("overwrite").parquet(out)
+      .write.mode("overwrite").parquet(out)
     out
   }
 
