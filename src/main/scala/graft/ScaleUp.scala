@@ -104,17 +104,20 @@ object ScaleUp {
       .drop("_c")
     write("documents", docs, 4)
 
-    // embeddings: circularly rotated copies (see scaladoc)
+    // embeddings: circularly rotated copies (see scaladoc). Rotation
+    // is by `_c mod dim` — factors above the dimensionality wrap
+    // (copy 64 of a 64-dim vector rotates by 0 again), keeping the
+    // slice arithmetic valid at any factor
     val vecS = stride(in("embeddings"), "vec_id")
     val dim = in("embeddings").select(size(col("embedding")))
       .head().getInt(0)
+    val rot = (col("_c") % dim).cast("int")
     val emb = in("embeddings").crossJoin(broadcast(copies(spark, factor)))
       .select(
         (col("vec_id") + col("_c") * vecS).as("vec_id"),
-        when(col("_c") === 0, col("embedding")).otherwise(concat(
-          slice(col("embedding"), (col("_c") + 1).cast("int"),
-            lit(dim) - col("_c").cast("int")),
-          slice(col("embedding"), lit(1), col("_c").cast("int"))))
+        when(rot === 0, col("embedding")).otherwise(concat(
+          slice(col("embedding"), rot + 1, lit(dim) - rot),
+          slice(col("embedding"), lit(1), rot)))
           .as("embedding"),
         col("label"))
     write("embeddings", emb, 2)
