@@ -147,6 +147,15 @@ object PipelineQueries {
     // two documents that any modality considers duplicates. The
     // oracle recomputes both edge sets independently and closes them
     // with one recursive CTE.
+    //
+    // SCALE BOUNDARY (measured, TIMINGS_sf10): the embedding edge
+    // source here is the q36 label-BLOCKED all-pairs rule, quadratic
+    // within a label block — 70x wall for 10x data at sf10. The
+    // production embedding-dedup route at corpus scale is the
+    // IVF-CELL-scoped SemDeDup (q118: pairs bounded per cell,
+    // degenerate-cell cap), which composes with this same closure;
+    // the label rule is kept here because the oracle pins
+    // cross-modality cluster identity on the fixture convention.
     QueryDef("q81_hybrid_dedup_clusters",
       s"""WITH RECURSIVE ${NearDupQueries.sigCte.stripPrefix("WITH ")},
          |${NearDupQueries.bandsCte},
