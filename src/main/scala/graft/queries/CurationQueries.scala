@@ -33,6 +33,11 @@ object CurationQueries {
   private[queries] val MixSeed = "mix7"
   private[queries] val MixDenom = 2
 
+  private[queries] val DsirBuckets = graft.operators.Dsir.DefaultBuckets
+  private[queries] val DsirTargetLang = "en"
+  private[queries] val DsirSeed = "g17"
+  private[queries] val DsirK = 100
+
   // ---- q116: benchmark decontamination -------------------------------
 
   private val decontaminateSql =
@@ -560,6 +565,59 @@ object CurationQueries {
         .where(col("rn") <= 20)
         .select(col("epoch"), col("rn").as("pos"), col("doc_id"))
         .orderBy(col("epoch"), col("pos"))
+    },
+
+    // DSIR importance resampling (Xie et al. 2023): select raw docs
+    // whose hashed-unigram distribution matches a TARGET corpus
+    // (here: the English slice), via log p_target − log p_raw under
+    // add-one-smoothed bag-of-hashed-ngram models and deterministic
+    // Gumbel-top-k sampling without replacement. Everything integer
+    // after ONE micro-nat quantization per bucket (explicit half-up
+    // floor(x·1e6 + 0.5) — signed weights, so engine round() tie
+    // rules would diverge), so doc scores are exact BIGINT sums and
+    // the oracle replays bit-for-bit. Scale: two corpus scans end in
+    // a 1024-row bucket table; scoring is a BROADCAST join + map-side
+    // partial agg (one exchanged row per doc); selection is bounded
+    // top-k. See [[graft.operators.Dsir]].
+    QueryDef("q196_dsir_select",
+      s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+         |rb AS (
+         |  SELECT doc_id, lang,
+         |         ('0x' || substr(md5('dsir:' || u.w), 1, 7))::BIGINT % $DsirBuckets AS bucket
+         |  FROM toks CROSS JOIN LATERAL (SELECT unnest(t) AS w) u),
+         |rcnt AS (SELECT bucket, count(*)::BIGINT AS cnt FROM rb GROUP BY bucket),
+         |tcnt AS (SELECT bucket, count(*)::BIGINT AS cnt_t FROM rb
+         |         WHERE lang = '$DsirTargetLang' GROUP BY bucket),
+         |tot AS (SELECT (SELECT sum(cnt) FROM rcnt)::BIGINT AS tot_r,
+         |               (SELECT COALESCE(sum(cnt_t), 0) FROM tcnt)::BIGINT AS tot_t),
+         |wt AS (
+         |  SELECT r.bucket,
+         |         CAST(floor(ln(
+         |             ((COALESCE(t.cnt_t, 0) + 1) * (tot.tot_r + $DsirBuckets))::DOUBLE
+         |           / ((r.cnt + 1) * (tot.tot_t + $DsirBuckets)))
+         |           * ${graft.operators.Dsir.Scale} + 0.5) AS BIGINT) AS w_micro
+         |  FROM rcnt r LEFT JOIN tcnt t ON r.bucket = t.bucket CROSS JOIN tot),
+         |sc AS (
+         |  SELECT b.doc_id, b.lang, COALESCE(sum(wt.w_micro), 0)::BIGINT AS score_micro
+         |  FROM rb b LEFT JOIN wt ON b.bucket = wt.bucket
+         |  GROUP BY b.doc_id, b.lang),
+         |sel AS (
+         |  SELECT doc_id, lang, score_micro,
+         |         score_micro + CAST(floor(-ln(-ln(
+         |             (('0x' || substr(md5('$DsirSeed:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT + 1)::DOUBLE
+         |               / 268435457.0))
+         |           * ${graft.operators.Dsir.Scale} + 0.5) AS BIGINT) AS key_micro
+         |  FROM sc)
+         |SELECT doc_id, lang, score_micro, key_micro
+         |FROM sel ORDER BY key_micro DESC, doc_id LIMIT $DsirK""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      val weights = graft.operators.Dsir.bucketWeights(
+        docs, docs.where(col("lang") === DsirTargetLang), "t", DsirBuckets)
+      val scored = graft.operators.Dsir
+        .score(docs, "doc_id", "t", weights, keep = Seq("lang"))
+      graft.operators.Dsir.select(scored, "doc_id", DsirK, DsirSeed)
+        .orderBy(col("key_micro").desc, col("doc_id"))
     }
   )
 }

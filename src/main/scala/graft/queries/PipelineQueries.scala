@@ -199,6 +199,63 @@ object PipelineQueries {
       NearDupQueries.clustersFromPairs(text.unionByName(emb).distinct())
     },
 
+    // The SCALE-PATH hybrid closure: the same cross-modality cluster
+    // semantics as q81, with the embedding edge source swapped from
+    // the fixture's label-blocked all-pairs rule (quadratic within a
+    // block — measured 70x wall for 10x data at sf10, TIMINGS_sf10)
+    // to the IVF-CELL-scoped SemDeDup pairs (q118's rules: pairs
+    // bounded per cell by the k-means partition, degenerate-cell
+    // cap available). This is the composition a 100 TB pipeline
+    // actually runs: one persisted clustering feeds ANN serving,
+    // semantic dedup AND the hybrid closure; every join is an
+    // equi-join (LSH bands for text, cid for embeddings), so edge
+    // generation stays shuffle-bounded at any corpus size. The
+    // oracle recomputes both edge sets independently (the MinHash
+    // chain and the 2-round-Lloyd IVF chain) and closes them with
+    // one recursive CTE.
+    QueryDef("q195_hybrid_closure_scaled",
+      s"""WITH RECURSIVE ${NearDupQueries.sigCte.stripPrefix("WITH ")},
+         |${NearDupQueries.bandsCte},
+         |${NearDupQueries.candPairsCte},
+         |${SimilarityQueries.normedCte.stripPrefix("WITH ")},
+         |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < ${SimilarityQueries.NumCentroids}),
+         |${SimilarityQueries.ivfAssignSql("c0", "a0")},
+         |${SimilarityQueries.ivfLloydSql("a0", "c1")},
+         |${SimilarityQueries.ivfAssignSql("c1", "a1")},
+         |${SimilarityQueries.ivfLloydSql("a1", "c2")},
+         |${SimilarityQueries.ivfAssignSql("c2", "cell")},
+         |spairs AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM cell a JOIN cell b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE list_aggregate([a.v[i]*b.v[i]
+         |                        for i in generate_series(1, ${SimilarityQueries.Dim})], 'sum')
+         |          / (a.nrm*b.nrm) > ${CurationQueries.semTau}
+         |    AND a.vec_id IN (SELECT doc_id FROM documents)
+         |    AND b.vec_id IN (SELECT doc_id FROM documents)),
+         |hedges AS (
+         |  SELECT doc_a AS id, doc_b AS nb FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |  UNION SELECT doc_a, doc_b FROM spairs
+         |  UNION SELECT doc_b, doc_a FROM spairs),
+         |hreach(id, r) AS (
+         |  SELECT id, id FROM (SELECT DISTINCT id FROM hedges) z
+         |  UNION
+         |  SELECT e2.id, hreach.r FROM hedges e2 JOIN hreach ON e2.nb = hreach.id)
+         |SELECT id, min(r)::BIGINT AS cluster_id FROM hreach GROUP BY id
+         |ORDER BY id""".stripMargin) { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
+      val text = NearDupQueries.verifiedPairs(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val docIds = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val assigned = SimilarityQueries.ivfIndex(spark, dir)
+      val sem = graft.operators.SemanticDedup
+        .pairs(assigned, CurationQueries.semTau)
+        .select(col("ia").as("doc_a"), col("ib").as("doc_b"))
+        .join(docIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(docIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      NearDupQueries.clustersFromPairs(text.unionByName(sem).distinct())
+    },
+
     // Deterministic train/val/test split: fold = f(seed, doc_id) only
     // — stable under reprocessing/growth, leak-proof per id, zero
     // shuffle (one codegen'd hash expression; the oracle replays the
