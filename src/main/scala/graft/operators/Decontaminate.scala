@@ -48,4 +48,35 @@ object Decontaminate {
       idCol: String, textCol: String, n: Int): DataFrame =
     train.join(broadcast(contaminatedIds(train, eval, idCol, textCol, n)),
       Seq(idCol), "left_anti")
+
+  /** Bloom-prefiltered contamination — the scale path when even the
+    * eval set's distinct n-gram STRINGS are too wide to ship whole:
+    * the grams collapse to `numBits` of bloom filter (ONE broadcast
+    * row), the corpus is probed per-row with a short-circuiting
+    * higher-order `exists` (map-only, zero exchange), and only the
+    * surviving candidates pay the exact gram semi-join that removes
+    * bloom false positives. No false negatives by construction, so
+    * the result EQUALS [[contaminatedIds]] (plus any extra columns in
+    * `keep`) — the q69 bloom-semi-join argument applied to
+    * decontamination. */
+  def bloomContaminatedIds(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      numBits: Int, numHashes: Int, keep: Seq[String] = Nil): DataFrame = {
+    val evalGrams = eval
+      .select(explode(TextSketches.shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val bloomRow = evalGrams.agg(graft.functions.GraftFunctions
+      .bloom_agg(xxhash64(col("g")), numBits, numHashes).as("bf"))
+    val cand = train
+      .select((idCol +: keep).map(col) :+ col(textCol): _*)
+      .crossJoin(broadcast(bloomRow))
+      .where(exists(TextSketches.shingles(col(textCol), n),
+        g => graft.functions.GraftFunctions
+          .bloom_might_contain(col("bf"), xxhash64(g), numHashes)))
+    cand.select((idCol +: keep).map(col) :+
+        explode(TextSketches.shingles(col(textCol), n)).as("g"): _*)
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select((idCol +: keep).map(col): _*)
+      .distinct()
+  }
 }

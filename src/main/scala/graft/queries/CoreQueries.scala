@@ -543,6 +543,29 @@ object CoreQueries {
         |  WHERE o.o_custkey = c.c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
-      Seq("customer", "orders"))
+      Seq("customer", "orders")),
+
+    // PIVOT → UNPIVOT round trip — the relational-reshaping SQL
+    // surface a migrating warehouse user expects. Spark's PIVOT/
+    // UNPIVOT clauses reshape (source, lang) sums into a wide 5-lang
+    // matrix and back; UNPIVOT's default EXCLUDE NULLS drops the
+    // (source, lang) combos absent from the fixture, so the oracle is
+    // the PLAIN group-by — the reshape must be lossless and
+    // invisible. (Not a sqlSurface gate: DuckDB's PIVOT grammar
+    // differs, which is exactly why the oracle pins the semantics
+    // through the round trip.)
+    QueryDef("q200_pivot_roundtrip",
+      """SELECT source, lang, sum(n_chars)::BIGINT AS nc
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+      spark.sql(
+        """SELECT source, lang, nc FROM (
+          |  SELECT * FROM (SELECT source, lang, n_chars FROM documents)
+          |  PIVOT (sum(n_chars) FOR lang IN
+          |    ('de' AS de, 'en' AS en, 'es' AS es, 'fr' AS fr, 'zh' AS zh))
+          |) UNPIVOT (nc FOR lang IN (de, en, es, fr, zh))
+          |ORDER BY source, lang""".stripMargin)
+    }
   )
 }

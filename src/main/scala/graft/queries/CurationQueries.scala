@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{GraftFunctions, PiiScrub, RepetitionStats}
-import graft.operators.{DataSplit, Decontaminate, DomainMix, SemanticDedup, SubstringDedup}
+import graft.operators.{C4Rules, DataSplit, Decontaminate, DomainMix, SemanticDedup, SubstringDedup}
 import graft.sources.Tables
 
 import org.apache.spark.sql.Column
@@ -33,6 +33,13 @@ object CurationQueries {
   private[queries] val MixSeed = "mix7"
   private[queries] val MixDenom = 2
 
+  /** q199 bloom-prefilter sizing: 64 Kbit / 5 hashes holds the
+    * fixture eval-gram set far below the 1% false-positive knee; at
+    * 100 TB the bits scale with the EVAL corpus (small by
+    * construction), never the training corpus. */
+  private[queries] val BloomBits = 65536
+  private[queries] val BloomHashes = 5
+
   private[queries] val DsirBuckets = graft.operators.Dsir.DefaultBuckets
   private[queries] val DsirTargetLang = "en"
   private[queries] val DsirSeed = "g17"
@@ -56,6 +63,68 @@ object CurationQueries {
        |       sum(CASE WHEN c.doc_id IS NULL THEN t.doc_id ELSE 0 END)::BIGINT AS kept_id_sum
        |FROM train t LEFT JOIN contam c ON t.doc_id = c.doc_id
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q199: bloom-broadcast decontamination --------------------------
+
+  /** Oracle: the PLAIN exact n-gram contamination rule, grouped by
+    * language — bloom admits every true collision (no false
+    * negatives) and the exact verify removes its false positives, so
+    * the prefilter must be invisible in the result (the q69
+    * bloom-semi-join argument, applied to decontamination). */
+  private val bloomDecontSql =
+    s"""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, array_to_string(t[i.i:i.i+${NGram - 1}], ' ') AS g
+       |  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(t)-${NGram - 2})) AS i) i
+       |  WHERE len(t) >= $NGram),
+       |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % $EvalMod = 0),
+       |contam AS (SELECT DISTINCT doc_id FROM grams
+       |           WHERE doc_id % $EvalMod <> 0 AND g IN (SELECT g FROM ev))
+       |SELECT d.lang, count(*)::BIGINT AS n_contaminated,
+       |       sum(d.doc_id)::BIGINT AS contam_id_sum
+       |FROM contam c JOIN documents d ON c.doc_id = d.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  // ---- q197: C4 line-level cleaning -----------------------------------
+
+  /** Deterministic line planting — the fixture text is single-line
+    * and punctuation-free, so (exactly like q117's PII augmentation)
+    * both engines apply the SAME augmentation expression: ' merge '
+    * becomes a sentence break, and every doc_id residue class plants
+    * one rule-triggering line (lorem-ipsum doc drop, javascript line
+    * drop, curly-brace doc drop, short unterminated line). */
+  private val c4Sql =
+    s"""WITH aug AS (
+       |  SELECT doc_id, lang,
+       |         replace(text, ' merge ', '.' || chr(10)) ||
+       |         CASE doc_id % 7
+       |           WHEN 0 THEN chr(10) || 'lorem ipsum dolor sit amet.'
+       |           WHEN 1 THEN chr(10) || 'you must enable javascript to view this page.'
+       |           WHEN 2 THEN chr(10) || 'if (config) { render(); }'
+       |           WHEN 3 THEN chr(10) || 'read more'
+       |           ELSE '' END AS t
+       |  FROM documents),
+       |doc AS (
+       |  SELECT doc_id, lang,
+       |         (contains(t, 'lorem ipsum') OR contains(t, '{')) AS bad,
+       |         list_filter(string_split(t, chr(10)),
+       |           x -> x LIKE '%.' AND len(string_split(x, ' ')) >= ${C4Rules.MinWords}
+       |                AND NOT contains(x, 'javascript')) AS kl
+       |  FROM aug),
+       |st AS (
+       |  SELECT doc_id, lang, bad, len(kl) AS n_lines,
+       |         CASE WHEN NOT bad AND len(kl) >= ${C4Rules.MinLines} THEN 1 ELSE 0 END AS kept,
+       |         CASE WHEN NOT bad AND len(kl) >= ${C4Rules.MinLines}
+       |              THEN length(array_to_string(kl, chr(10))) ELSE 0 END AS n_chars
+       |  FROM doc)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |       sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_doc_drops,
+       |       sum(CASE WHEN NOT bad AND kept = 0 THEN 1 ELSE 0 END)::BIGINT AS n_starved,
+       |       sum(kept)::BIGINT AS n_kept,
+       |       sum(CASE WHEN kept = 1 THEN n_lines ELSE 0 END)::BIGINT AS lines_kept,
+       |       sum(n_chars)::BIGINT AS chars_kept,
+       |       sum(CASE WHEN kept = 1 THEN doc_id ELSE 0 END)::BIGINT AS kept_id_sum
+       |FROM st GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---- q117: PII scrub ------------------------------------------------
 
@@ -618,6 +687,69 @@ object CurationQueries {
         .score(docs, "doc_id", "t", weights, keep = Seq("lang"))
       graft.operators.Dsir.select(scored, "doc_id", DsirK, DsirSeed)
         .orderBy(col("key_micro").desc, col("doc_id"))
+    },
+
+    // C4-style line-level cleaning (Raffel et al. 2020 §2.2): doc
+    // drops on code/boilerplate markers, line retention on terminal
+    // punctuation + word count + javascript warnings, min-sentence
+    // doc drop — the whole per-doc rewrite is ONE map-only
+    // higher-order projection (split → filter → array_join, no
+    // explode/re-group exchange). See [[graft.operators.C4Rules]].
+    QueryDef("q197_c4_rules", c4Sql) { (spark, dir) =>
+      val aug = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), concat(
+          expr("replace(text, ' merge ', concat('.', chr(10)))"),
+          when(col("doc_id") % 7 === 0, lit("\nlorem ipsum dolor sit amet."))
+            .when(col("doc_id") % 7 === 1,
+              lit("\nyou must enable javascript to view this page."))
+            .when(col("doc_id") % 7 === 2, lit("\nif (config) { render(); }"))
+            .when(col("doc_id") % 7 === 3, lit("\nread more"))
+            .otherwise(lit(""))).as("t"))
+      val st = aug.select(col("doc_id"), col("lang"),
+          C4Rules.docBad(col("t")).as("bad"),
+          C4Rules.keptLines(col("t"), C4Rules.MinWords).as("kl"))
+        .select(col("doc_id"), col("lang"), col("bad"),
+          size(col("kl")).cast("long").as("n_lines"),
+          (!col("bad") && size(col("kl")) >= C4Rules.MinLines).as("kept"),
+          when(!col("bad") && size(col("kl")) >= C4Rules.MinLines,
+            length(C4Rules.cleaned(col("kl"))).cast("long"))
+            .otherwise(0L).as("n_chars"))
+      st.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("n_doc_drops"),
+          sum(when(!col("bad") && !col("kept"), 1L).otherwise(0L))
+            .as("n_starved"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_lines")).otherwise(0L))
+            .as("lines_kept"),
+          sum(col("n_chars")).as("chars_kept"),
+          sum(when(col("kept"), col("doc_id")).otherwise(0L))
+            .as("kept_id_sum"))
+        .orderBy(col("lang"))
+    },
+
+    // Bloom-broadcast decontamination — q116's SCALE PATH when even
+    // the eval-set's distinct n-gram STRINGS are too wide to ship
+    // whole: the grams collapse to a 64 Kbit bloom filter (one
+    // broadcast row), the training corpus is probed per-row with a
+    // short-circuiting higher-order `exists` (map-only, zero
+    // exchange), and only the surviving CANDIDATES pay the exact
+    // gram semi-join that removes bloom false positives. The oracle
+    // is the PLAIN exact rule: no false negatives by construction,
+    // false positives killed by the verify — the prefilter must be
+    // invisible (the q69 bloom-semi-join argument).
+    QueryDef("q199_bloom_decontaminate", bloomDecontSql) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      val docs = Tables.load(spark, dir, "documents")
+      Decontaminate.bloomContaminatedIds(
+          docs.where(col("doc_id") % EvalMod =!= 0),
+          docs.where(col("doc_id") % EvalMod === 0),
+          "doc_id", "text", NGram, BloomBits, BloomHashes,
+          keep = Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_contaminated"),
+          sum(col("doc_id")).as("contam_id_sum"))
+        .orderBy(col("lang"))
     }
   )
 }

@@ -32,6 +32,16 @@ object LmQueries {
   private def trainDocs(docs: org.apache.spark.sql.DataFrame) =
     docs.where(col("doc_id") % 2 === 0)
 
+  /** q198 MWU constants: uniform init weight, update scale K (4 nats
+    * in micro-nats — the linearized learning rate eta = 1/K per
+    * micro-nat of excess), excess clamp ±K/2 (keeps every operand
+    * positive and the per-round growth within [0.5x, 1.5x]), and the
+    * round count. */
+  private[queries] val MwuW0 = 1000000L
+  private[queries] val MwuK = 4000000
+  private[queries] val MwuClamp = 2000000
+  private[queries] val MwuRounds = 5
+
   /** Shared oracle CTE chain: padded tokens, trigram positions over
     * ALL docs, and the model counts (tri/big/uni/scal) from the train
     * split — the SQL mirror of [[NgramLm.train]], including the
@@ -234,6 +244,56 @@ object LmQueries {
             sum(col("n_tok")).as("n_tok_sum"),
             sum(col("cost_micro")).as("cost_sum"))
           .orderBy(col("lang"), col("bucket"))
+    },
+
+    // DoReMi-style domain reweighting (Xie et al. 2023,
+    // arXiv:2305.10429, "DoReMi: Optimizing Data Mixtures Speeds Up
+    // Language Model Pretraining"): per-domain LM losses drive
+    // multiplicative-weights rounds that upweight domains with EXCESS
+    // loss relative to the current mixture. The update is the
+    // linearized MWU w <- w·(1 + excess/K) (Arora-Hazan-Kale 2012)
+    // in EXACT integer arithmetic — excess clamped to ±K/2 micro-nats
+    // so every operand stays positive and bounded (w <= w0·1.5^T,
+    // w·loss < 2^47) — because exp() would fork the engines on
+    // libm rounding. Scale shape: ONE corpus scan (the LM scoring
+    // pass) collapses to a |domains|-row frame; the T mixture rounds
+    // iterate on that broadcast-class frame only, so the iteration
+    // costs nothing at 100 TB regardless of T.
+    QueryDef("q198_doremi_mix",
+      s"""WITH $modelCte,
+         |$scoreCte,
+         |dom AS (
+         |  SELECT s.source, (sum(d.cost_micro) // sum(d.n_tok))::BIGINT AS loss
+         |  FROM doc d JOIN documents s USING (doc_id) GROUP BY s.source),
+         |w0 AS (SELECT source, loss, ${MwuW0}::BIGINT AS w FROM dom),
+         |${(1 to MwuRounds).map { t =>
+           val prev = s"w${t - 1}"
+           s"""w$t AS (
+              |  SELECT source, loss, greatest(1::BIGINT,
+              |    (w * ($MwuK + greatest(-$MwuClamp, least($MwuClamp,
+              |       loss - (SELECT (sum(w * loss) // sum(w))::BIGINT FROM $prev))))) // $MwuK)::BIGINT AS w
+              |  FROM $prev)""".stripMargin
+         }.mkString(",\n")}
+         |SELECT source, loss AS loss_mn, w,
+         |       ((10000 * w) // (SELECT sum(w) FROM w$MwuRounds))::BIGINT AS rate_bp
+         |FROM w$MwuRounds ORDER BY source""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val scored = NgramLm.score(docs, "text",
+        NgramLm.train(trainDocs(docs), "text"), Seq("doc_id", "source"))
+      var cur = scored.groupBy(col("source"))
+        .agg(expr("sum(cost_micro) DIV sum(n_tok)").as("loss"))
+        .withColumn("w", lit(MwuW0))
+      for (_ <- 1 to MwuRounds) {
+        val mix = cur.agg(expr("sum(w * loss) DIV sum(w)").as("mix"))
+        cur = cur.crossJoin(broadcast(mix))
+          .withColumn("w", greatest(lit(1L), expr(
+            s"(w * ($MwuK + greatest(-$MwuClamp, least($MwuClamp, loss - mix)))) DIV $MwuK")))
+          .drop("mix")
+      }
+      cur.crossJoin(broadcast(cur.agg(sum(col("w")).as("w_sum"))))
+        .select(col("source"), col("loss").as("loss_mn"), col("w"),
+          expr("(10000 * w) DIV w_sum").as("rate_bp"))
+        .orderBy(col("source"))
     }
   )
 }

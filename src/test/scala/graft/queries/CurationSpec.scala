@@ -231,4 +231,63 @@ class CurationSpec extends SparkTestBase {
     assert(e0 != e1, "epoch orders must decorrelate")
     assert(e0.distinct.length == 20 && e1.distinct.length == 20)
   }
+
+  // ---- C4Rules --------------------------------------------------------
+
+  test("C4 line rules: terminal punct, min words, javascript, doc markers") {
+    import graft.operators.C4Rules
+    val df = Seq(
+      "good line here ok.\nshort one.\nno terminal punct here\n" +
+        "please enable javascript to view this.\nanother good line stays."
+    ).toDF("t")
+    val kept = df.select(C4Rules.keptLines(col("t"), 4).as("k"))
+      .head().getSeq[String](0)
+    assert(kept == Seq("good line here ok.", "another good line stays."))
+    val bad = Seq("x { y", "lorem ipsum z", "clean text").toDF("t")
+      .select(C4Rules.docBad(col("t")).as("b")).collect().map(_.getBoolean(0))
+    assert(bad.toSeq == Seq(true, true, false))
+  }
+
+  test("q197: the per-doc rewrite is map-only — one exchange, no explode") {
+    // AQE's toString prints the initial plan after the final one —
+    // keep only the final section before counting
+    val p = executed("q197_c4_rules").toString.split("== Initial Plan ==")(0)
+    // the ONLY data exchange is the 5-group lang aggregation (plus the
+    // presentation orderBy's range partition); the per-doc line
+    // rewrite never explodes or re-groups
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Generate"), p.take(3000))
+  }
+
+  // ---- bloom decontamination ------------------------------------------
+
+  test("bloom prefilter is invisible: equals the exact contamination set") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    val train = docs.where(col("doc_id") % 5 =!= 0)
+    val eval = docs.where(col("doc_id") % 5 === 0)
+    val exact = Decontaminate
+      .contaminatedIds(train, eval, "doc_id", "text", 8)
+      .as[Long].collect().sorted.toSeq
+    val bloomed = Decontaminate
+      .bloomContaminatedIds(train, eval, "doc_id", "text", 8, 65536, 5)
+      .as[Long].collect().sorted.toSeq
+    assert(bloomed == exact)
+  }
+
+  test("bloom prefilter with TINY bits still admits every true positive") {
+    // undersized filter => many false positives, but never a false
+    // negative: the exact verify must still recover the same set
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    val train = docs.where(col("doc_id") % 5 =!= 0)
+    val eval = docs.where(col("doc_id") % 5 === 0)
+    val exact = Decontaminate
+      .contaminatedIds(train, eval, "doc_id", "text", 8)
+      .as[Long].collect().sorted.toSeq
+    val bloomed = Decontaminate
+      .bloomContaminatedIds(train, eval, "doc_id", "text", 8, 256, 2)
+      .as[Long].collect().sorted.toSeq
+    assert(bloomed == exact)
+  }
 }
