@@ -429,6 +429,58 @@ object EventQueries {
             expr("cost_sum DIV n_trans").as("avg_cost_micro"))
           .orderBy(col("avg_cost_micro").desc, col("user_id"))
           .limit(20)
+    },
+
+    // Time-series RESAMPLING with gap filling — the regularization
+    // pass every event-time analytics (and feature-engineering)
+    // pipeline needs: per-user purchase cents resampled to an hourly
+    // grid between the user's first and last observation, missing
+    // hours filled by LOCF (last observation carried forward, the
+    // SQL-standard `IGNORE NULLS` window form). Scale shape: the
+    // spine explode is bounded per user by the OBSERVED span (never a
+    // global calendar cross join); spine build, join, and fill window
+    // all key on user_id, so the whole operator is one user-keyed
+    // exchange lineage. Per-bucket sums in exact integer cents; the
+    // output pins every filled value through per-user checksums.
+    QueryDef("q201_gap_fill",
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) // $HourMicros AS b,
+         |         CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM events WHERE event_type = 'purchase'),
+         |obs AS (SELECT user_id, b, sum(c)::BIGINT AS cents FROM e GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT user_id, unnest(range(mn, mx + 1)) AS b
+         |  FROM (SELECT user_id, min(b) AS mn, max(b) AS mx FROM obs GROUP BY 1) z),
+         |filled AS (
+         |  SELECT s.user_id, s.b, o.cents,
+         |         last_value(o.cents IGNORE NULLS) OVER (
+         |           PARTITION BY s.user_id ORDER BY s.b
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+         |  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.b = o.b)
+         |SELECT user_id, count(*)::BIGINT AS n_buckets,
+         |       sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_gaps,
+         |       sum(f)::BIGINT AS filled_sum
+         |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (spark, dir) =>
+        val ev = Tables.load(spark, dir, "events")
+        val obs = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), Tables.tsMicros(ev).as("t"),
+            round(col("value") * 100).cast("long").as("c"))
+          .select(col("user_id"), expr(s"t DIV $HourMicros").as("b"), col("c"))
+          .groupBy(col("user_id"), col("b")).agg(sum(col("c")).as("cents"))
+        val spine = obs.groupBy(col("user_id"))
+          .agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
+          .select(col("user_id"),
+            explode(sequence(col("mn"), col("mx"))).as("b"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(obs, Seq("user_id", "b"), "left")
+          .withColumn("f", last(col("cents"), ignoreNulls = true).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_gaps"),
+            sum(col("f")).as("filled_sum"))
+          .orderBy(col("user_id"))
     }
   )
 }

@@ -87,6 +87,11 @@ object SimilarityQueries {
 
   private def vecD(c: Column): Column = c.cast("array<double>")
 
+  /** q202 SQ8 base quantization: 2^14, NOT the 2^20 index convention —
+    * the 255x-scaled squared ADC sums must stay inside BIGINT at
+    * Dim=64 (worst diff ~2^23, squared ~2^46, x64 ~2^52). */
+  private val SqScale = 16384.0
+
   /** Codegen'd sequential dot product (VecDotProduct) — the same
     * left-to-right summation as a HOF fold, bit-exact vs the oracle,
     * but a generated Java loop instead of per-element closure calls. */
@@ -1393,6 +1398,71 @@ object SimilarityQueries {
             x => floor(x * 127.0 / col("mx")))).as(Seq("i0", "qval")))
         .select(col("vec_id"), (col("i0") + 1).cast("long").as("i"), col("qval"))
         .orderBy(col("vec_id"), col("i"))
+    },
+
+    // SQ8 scalar-quantization index + ADC search — the remaining rung
+    // of the quantization ladder (LSH -> IVF -> PQ -> residual ->
+    // SQ8): per-DIMENSION corpus-trained [min,max] ranges, each
+    // coordinate stored as one byte code = (x-min)·255 DIV span, and
+    // asymmetric-distance search where the RAW query meets
+    // reconstructed codes (the FAISS `SQ8` family). All integer: the
+    // base quantization is floor(x·2^14) (NOT the 2^20 index
+    // convention — the 255x-scaled squared ADC sums must stay inside
+    // BIGINT at Dim=64), the per-dim training collapses the corpus to
+    // 64 rows, and dist = Σ (255·q_d − (255·min_d + c_d·span_d))² is
+    // exact in ANY order. Scale shape: train is one scan ending in a
+    // 64-row broadcast; encode is map-only; search scans 64-BYTE codes
+    // (16x under raw floats) against broadcast queries with the
+    // partial top-k below the exchange. Span-0 dims guard through
+    // greatest(span, 1) — code 0, exactly reconstructed.
+    QueryDef("q202_sq8_search",
+      s"""WITH e AS (SELECT vec_id,
+         |            [CAST(floor(x * $SqScale) AS BIGINT) for x in embedding::DOUBLE[]] AS v
+         |          FROM embeddings),
+         |d AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+         |mm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx FROM e CROSS JOIN d GROUP BY i),
+         |mma AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM mm),
+         |c AS (SELECT vec_id, v,
+         |             [((v[i] - mins[i]) * 255) // greatest(maxs[i] - mins[i], 1)
+         |              for i in generate_series(1, $Dim)] AS codes
+         |      FROM e CROSS JOIN mma),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |dd AS (SELECT qid, c.vec_id AS nid,
+         |              [255 * qv[i] - (255 * mins[i] + codes[i] * (maxs[i] - mins[i]))
+         |               for i in generate_series(1, $Dim)] AS df
+         |       FROM q, c CROSS JOIN mma),
+         |s AS (SELECT qid, nid,
+         |             list_aggregate([x * x for x in df], 'sum')::BIGINT AS dist
+         |      FROM dd)
+         |SELECT qid, nid, dist, rank FROM (
+         |  SELECT qid, nid, dist,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rank
+         |  FROM s) t
+         |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(vecD(col("embedding")), x => floor(x * SqScale)).as("v"))
+      val mmRow = e.select(posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("d"), col("mn")))),
+            s => s.getField("mn")).as("mins"),
+          transform(array_sort(collect_list(struct(col("d"), col("mx")))),
+            s => s.getField("mx")).as("maxs"))
+      val coded = e.crossJoin(broadcast(mmRow))
+        .withColumn("codes", expr(
+          "transform(v, (x, i) -> ((x - mins[i]) * 255) DIV greatest(maxs[i] - mins[i], 1L))"))
+      val q = broadcast(e.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv")))
+      val sims = q.crossJoin(coded)
+        .select(col("qid"), col("vec_id").as("nid"), expr(
+          """aggregate(
+            |  transform(qv, (q, i) -> 255L * q - (255L * mins[i] + codes[i] * (maxs[i] - mins[i]))),
+            |  0L, (acc, x) -> acc + x * x)""".stripMargin).as("dist"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+      sims.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= TopK)
+        .orderBy(col("qid"), col("rank"))
     },
 
     // HARD-NEGATIVE mining (contrastive-training data prep): for each

@@ -38,4 +38,33 @@ class EventQueriesSpec extends SparkTestBase {
     assert("partial_".r.findAllIn(plan).size >= 2, plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q201: spine covers exactly the observed span; gaps = span - observed") {
+    import org.apache.spark.sql.functions._
+    val got = graft.SparkEntry.queries("q201_gap_fill")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = graft.sources.Tables.load(spark, sf0001, "events")
+    val obs = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), graft.sources.Tables.tsMicros(ev).as("t"))
+      .select(col("user_id"), expr("t DIV 3600000000").as("b"))
+      .distinct()
+      .groupBy(col("user_id"))
+      .agg(min(col("b")).as("mn"), max(col("b")).as("mx"),
+        count(lit(1)).as("n_obs"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(obs.nonEmpty && obs.length == got.size)
+    obs.foreach { case (u, (mn, mx, nObs)) =>
+      val (nBuckets, nGaps) = got(u)
+      assert(nBuckets == mx - mn + 1, s"user $u span mismatch")
+      assert(nGaps == nBuckets - nObs, s"user $u gap count mismatch")
+    }
+  }
+
+  test("q201: no cartesian; the fill is user-keyed") {
+    val plan = graft.SparkEntry.queries("q201_gap_fill")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

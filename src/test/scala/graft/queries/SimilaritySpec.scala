@@ -171,4 +171,29 @@ class SimilaritySpec extends SparkTestBase {
       if (nHits > 0) assert(r.getLong(3) == 1L, r.toString)
     }
   }
+
+  test("q202 SQ8: self is rank 1 with quantization-noise distance only") {
+    val rows = graft.SparkEntry.queries("q202_sq8_search")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 5)
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._4)
+      // ADC of a vector against its OWN code differs from zero only
+      // by reconstruction error — far below any true neighbor gap
+      assert(sorted.head._2 == qid, s"q$qid rank-1 not self")
+      assert(sorted.head._3 < sorted(1)._3 / 100,
+        s"q$qid self-dist ${sorted.head._3} not << ${sorted(1)._3}")
+      // distances non-decreasing in rank
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+    }
+  }
+
+  test("q202 SQ8: queries broadcast against the coded corpus scan") {
+    val plan = graft.SparkEntry.queries("q202_sq8_search")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
