@@ -566,6 +566,45 @@ object CoreQueries {
           |    ('de' AS de, 'en' AS en, 'es' AS es, 'fr' AS fr, 'zh' AS zh))
           |) UNPIVOT (nc FOR lang IN (de, en, es, fr, zh))
           |ORDER BY source, lang""".stripMargin)
-    }
+    },
+
+    // Per-group WINSORIZATION — the outlier-clipping feature transform
+    // (clip each value into the group's exact [p05, p95]): thresholds
+    // by the disc-lower convention (ascending index floor((n-1)·p)+1 —
+    // value-at-index is well-defined under ties because equal values
+    // are adjacent), applied via a 3-row broadcast join, sums in exact
+    // integer cents. ONE ANSI string both engines run verbatim; the
+    // only corpus exchanges are the per-group rank window and the
+    // final aggregation.
+    QueryDef.sqlSurface("q207_winsorize",
+      """WITH c AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT flag, cents,
+        |         row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+        |         count(*) OVER (PARTITION BY flag) AS n
+        |  FROM c),
+        |t AS (
+        |  SELECT flag,
+        |         max(CASE WHEN rn = CAST(floor((n - 1) * 5 / 100) AS BIGINT) + 1
+        |                  THEN cents END) AS lo,
+        |         max(CASE WHEN rn = CAST(floor((n - 1) * 95 / 100) AS BIGINT) + 1
+        |                  THEN cents END) AS hi
+        |  FROM r GROUP BY flag),
+        |w AS (
+        |  SELECT c.flag AS flag,
+        |         CASE WHEN cents < lo THEN lo
+        |              WHEN cents > hi THEN hi ELSE cents END AS wc,
+        |         CASE WHEN cents < lo THEN 1 ELSE 0 END AS cl,
+        |         CASE WHEN cents > hi THEN 1 ELSE 0 END AS ch
+        |  FROM c JOIN t ON c.flag = t.flag)
+        |SELECT flag, count(*) AS n_rows,
+        |       CAST(sum(cl) AS BIGINT) AS n_clip_lo,
+        |       CAST(sum(ch) AS BIGINT) AS n_clip_hi,
+        |       CAST(sum(wc) AS BIGINT) AS winsor_sum
+        |FROM w GROUP BY flag ORDER BY flag""".stripMargin,
+      Seq("lineitem"))
   )
 }

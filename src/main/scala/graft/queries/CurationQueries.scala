@@ -303,6 +303,35 @@ object CurationQueries {
        |ORDER BY a.doc_id""".stripMargin
   }
 
+  // ---- q203: intra-doc paragraph dedup --------------------------------
+
+  /** Keep-first exact paragraph dedup WITHIN each document — the
+    * RefinedWeb/MassiveText cleanup step that removes repeated
+    * boilerplate paragraphs (nav bars, footers, quoted reposts) a
+    * cross-doc dedup never sees. Fixture paragraphs are synthesized
+    * from the marker-word split (the q197 convention) and duplicates
+    * are planted deterministically (doc_id%3 re-appends the first
+    * paragraph, else doc_id%4 the last) so the keep-first rule has
+    * real work on every third doc. */
+  private val intraDocDedupSql =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |         string_split(replace(text, ' merge ', chr(10)), chr(10)) AS p0
+      |  FROM documents),
+      |ps AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 3 = 0 THEN list_append(p0, p0[1])
+      |              WHEN doc_id % 4 = 0 THEN list_append(p0, p0[len(p0)])
+      |              ELSE p0 END AS p
+      |  FROM aug),
+      |d AS (
+      |  SELECT doc_id, p,
+      |         list_filter(p, (x, i) -> list_position(p, x) = i) AS k
+      |  FROM ps)
+      |SELECT doc_id, len(p)::BIGINT AS n_paras, len(k)::BIGINT AS n_kept,
+      |       md5(array_to_string(k, chr(10))) AS kept_md5
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // ---- declared queries ----------------------------------------------
 
   /** q140's recipe: 0.3 epochs of English, 2.5 of Chinese, 1.0
@@ -750,6 +779,29 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_contaminated"),
           sum(col("doc_id")).as("contam_id_sum"))
         .orderBy(col("lang"))
+    },
+
+    // Intra-document paragraph dedup (keep-first) — ONE map-only
+    // higher-order projection: split → (planted dup) → filter by
+    // first-occurrence position → checksum. Zero exchanges; per-doc
+    // paragraph counts are small so the O(paras²) first-occurrence
+    // scan is bounded per row. Spark HOF index is 0-based where
+    // DuckDB's is 1-based — hence the `i + 1`.
+    QueryDef("q203_intradoc_dedup", intraDocDedupSql) { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr("split(replace(text, ' merge ', chr(10)), chr(10))").as("p0"))
+        .withColumn("p", expr(
+          """CASE WHEN doc_id % 3 = 0 THEN array_append(p0, p0[0])
+            |     WHEN doc_id % 4 = 0 THEN array_append(p0, element_at(p0, -1))
+            |     ELSE p0 END""".stripMargin))
+        .withColumn("k",
+          expr("filter(p, (x, i) -> array_position(p, x) = i + 1)"))
+        .select(col("doc_id"),
+          size(col("p")).cast("long").as("n_paras"),
+          size(col("k")).cast("long").as("n_kept"),
+          md5(array_join(col("k"), "\n")).as("kept_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -290,4 +290,24 @@ class CurationSpec extends SparkTestBase {
       .as[Long].collect().sorted.toSeq
     assert(bloomed == exact)
   }
+
+  // ---- q203: intra-doc paragraph dedup --------------------------------
+
+  test("q203: every planted duplicate paragraph is removed, keep-first") {
+    val rows = defOf("q203_intradoc_dedup").run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 500)
+    rows.foreach { case (id, nParas, nKept) =>
+      assert(nKept <= nParas)
+      // a planted re-append of an EXISTING paragraph must always drop
+      if (id % 3 == 0 || id % 4 == 0) assert(nKept < nParas, s"doc $id")
+    }
+  }
+
+  test("q203: map-only — no exchange except the presentation sort") {
+    val p = executed("q203_intradoc_dedup").toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p.take(3000))
+    assert(!p.contains("Generate"), p.take(3000))
+  }
 }

@@ -210,4 +210,20 @@ class TpchPlanSpec extends SparkTestBase {
     // the orders scan appears exactly once in the plan
     assert("FileScan parquet".r.findAllIn(p).size == 1, p.take(3000))
   }
+
+  test("q207: thresholds broadcast; clip fractions sit at the 5% tails") {
+    val p = planOf("q207_winsorize")
+    // the 3-row per-group threshold frame joins back by broadcast,
+    // never a shuffle of the corpus on the join
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val rows = graft.SparkEntry.queries("q207_winsorize")(spark, sf0001)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lo <= n * 6 / 100 && hi <= n * 6 / 100, r.toString)
+      assert(lo >= n * 4 / 100 && hi >= n * 4 / 100, r.toString)
+    }
+  }
 }
