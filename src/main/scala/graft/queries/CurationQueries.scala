@@ -332,6 +332,66 @@ object CurationQueries {
       |       md5(array_to_string(k, chr(10))) AS kept_md5
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---- q204: URL curation ---------------------------------------------
+
+  /** Registered domains the fixture blocklist rejects. */
+  private[queries] val BlockedDomains =
+    Seq("src3.com", "src7.net", "src11.org", "src15.com")
+
+  /** Deterministic fixture URL for a document (the fixture has no URL
+    * column): mixed-case subdomain, per-source host, rotating TLD,
+    * path collapsed mod 100 so normalization produces REAL collisions,
+    * `utm_*` tracking params on even ids, a kept `id` param, and a
+    * fragment every 7th doc — every normalization branch exercised. */
+  private def urlSqlExpr: String =
+    """'https://' ||
+      |CASE doc_id % 5 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'cdn.' ELSE '' END ||
+      |source || '.' ||
+      |CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END ||
+      |'/p/' || CAST(doc_id % 100 AS STRING) ||
+      |CASE WHEN doc_id % 2 = 0
+      |     THEN '?utm_source=u' || CAST(doc_id AS STRING) ||
+      |          '&id=' || CAST(doc_id % 10 AS STRING)
+      |     WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 10 AS STRING)
+      |     ELSE '' END ||
+      |CASE WHEN doc_id % 7 = 0 THEN '#s2' ELSE '' END""".stripMargin
+
+  private val urlCurationSql =
+    s"""WITH u AS (SELECT doc_id, ${urlSqlExpr.replace("\n", " ")} AS url FROM documents),
+       |p AS (
+       |  SELECT doc_id, url,
+       |         lower(split_part(substr(url, 9), '/', 1)) AS host,
+       |         substr(substr(url, 9),
+       |                len(split_part(substr(url, 9), '/', 1)) + 1) AS pqf
+       |  FROM u),
+       |q AS (
+       |  SELECT doc_id, host,
+       |         split_part(split_part(pqf, '?', 1), '#', 1) AS path,
+       |         CASE WHEN contains(pqf, '?')
+       |              THEN split_part(split_part(pqf, '?', 2), '#', 1)
+       |              ELSE '' END AS qs
+       |  FROM p),
+       |n AS (
+       |  SELECT doc_id, host,
+       |         'https://' || host || path ||
+       |         CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS norm
+       |  FROM (SELECT *, array_to_string(list_filter(string_split(qs, '&'),
+       |          x -> NOT starts_with(x, 'utm_') AND x <> ''), '&') AS kept
+       |        FROM q)),
+       |r AS (
+       |  SELECT doc_id, norm,
+       |         array_to_string(labels[len(labels)-1:], '.') AS reg
+       |  FROM (SELECT *, string_split(host, '.') AS labels FROM n)),
+       |b AS (SELECT doc_id, norm, reg,
+       |             reg IN (${BlockedDomains.map("'" + _ + "'").mkString(",")})
+       |               AS blocked
+       |      FROM r)
+       |SELECT reg, count(*)::BIGINT AS n_docs,
+       |       sum(CASE WHEN blocked THEN 1 ELSE 0 END)::BIGINT AS n_blocked,
+       |       count(DISTINCT CASE WHEN NOT blocked THEN norm END)::BIGINT
+       |         AS n_norm_urls
+       |FROM b GROUP BY reg ORDER BY reg""".stripMargin
+
   // ---- declared queries ----------------------------------------------
 
   /** q140's recipe: 0.3 epochs of English, 2.5 of Chinese, 1.0
@@ -802,6 +862,27 @@ object CurationQueries {
           size(col("k")).cast("long").as("n_kept"),
           md5(array_join(col("k"), "\n")).as("kept_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // URL curation: host extraction via the `parse_url` built-in,
+    // last-two-label registered domain, tracking-param-stripping
+    // normalization (URL-level dedup collapses utm_* variants), and a
+    // registered-domain blocklist — all map-only per-row string work;
+    // the only exchanges are the per-domain aggregation (with a
+    // partial distinct below it) and the presentation sort. See
+    // [[graft.operators.UrlOps]].
+    QueryDef("q204_url_curation", urlCurationSql) { (spark, dir) =>
+      import graft.operators.UrlOps
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), expr(urlSqlExpr).as("url"))
+        .withColumn("reg", UrlOps.registeredDomain(UrlOps.host(col("url"))))
+        .withColumn("norm", UrlOps.normalized(col("url")))
+        .withColumn("blocked", col("reg").isin(BlockedDomains: _*))
+        .groupBy(col("reg"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+          countDistinct(when(!col("blocked"), col("norm"))).as("n_norm_urls"))
+        .orderBy(col("reg"))
     }
   )
 }

@@ -310,4 +310,39 @@ class CurationSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p.take(3000))
     assert(!p.contains("Generate"), p.take(3000))
   }
+
+  // ---- q204: URL curation ---------------------------------------------
+
+  test("UrlOps: host, registered domain, utm-stripping normalization") {
+    import graft.operators.UrlOps
+    val rows = Seq(
+      "https://WWW.src3.com/p/12?utm_source=u9&id=2#s2",
+      "https://cdn.src5.org/p/12?id=2",
+      "https://src7.net/p/3").toDF("url")
+      .select(UrlOps.host(col("url")).as("h"),
+        UrlOps.registeredDomain(UrlOps.host(col("url"))).as("r"),
+        UrlOps.normalized(col("url")).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows(0) == (("www.src3.com", "src3.com",
+      "https://www.src3.com/p/12?id=2")))
+    assert(rows(1) == (("cdn.src5.org", "src5.org",
+      "https://cdn.src5.org/p/12?id=2")))
+    assert(rows(2) == (("src7.net", "src7.net", "https://src7.net/p/3")))
+  }
+
+  test("q204: normalization collapses utm variants; blocklist hits whole domains") {
+    val rows = defOf("q204_url_curation").run(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // normalization must produce real collisions: fewer distinct
+    // normalized URLs than unblocked docs somewhere
+    assert(rows.exists { case (_, n, b, u) => u < n - b })
+    // a blocked registered domain blocks ALL its docs
+    rows.filter(r => CurationQueries.BlockedDomains.contains(r._1))
+      .foreach { case (reg, n, b, u) =>
+        assert(b == n && u == 0, s"$reg: $n docs, $b blocked, $u urls")
+      }
+    // unblocked domains never count as blocked
+    rows.filterNot(r => CurationQueries.BlockedDomains.contains(r._1))
+      .foreach { case (reg, _, b, _) => assert(b == 0, reg) }
+  }
 }
