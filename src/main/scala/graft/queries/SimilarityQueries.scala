@@ -340,6 +340,47 @@ object SimilarityQueries {
       cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim")))
   }
 
+  /** IVF×SQ8 — the FAISS `IVF,SQ8` composition: the persisted IVF
+    * cell assignment restricts the scan to nprobe cells (equi-join on
+    * cid), and within them candidates rank by the SQ8 asymmetric
+    * distance of q202 — exact BIGINT, order-free. The per-dim
+    * [min,max] train is one corpus scan ending in a single broadcast
+    * row; the 64-byte codes travel with (vec_id, cid) ONLY, while the
+    * mins/maxs arrays ride the broadcast-small probe frame (never
+    * duplicated onto corpus rows). At 100 TB the probe reads
+    * nprobe/nlist of the corpus at 64 B/vector — the two bandwidth
+    * reductions compose multiplicatively. */
+  def ivfSq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val assigned = ivfIndex(spark, dir)
+      .withColumn("vq", transform(col("v"), x => floor(x * SqScale)))
+    val mmRow = assigned.select(posexplode(col("vq")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("mn")))),
+          s => s.getField("mn")).as("mins"),
+        transform(array_sort(collect_list(struct(col("d"), col("mx")))),
+          s => s.getField("mx")).as("maxs"))
+    val coded = assigned.crossJoin(broadcast(mmRow))
+      .withColumn("codes", expr(
+        "transform(vq, (x, i) -> ((x - mins[i]) * 255) DIV greatest(maxs[i] - mins[i], 1L))"))
+      .select(col("vec_id"), col("cid"), col("codes"))
+    val q = assigned.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("vq").as("qvq"))
+    val probes = probedCells(q, ivfCentroids(spark, dir))
+      .crossJoin(broadcast(mmRow))
+    val sims = probes.join(coded, Seq("cid"))
+      .select(col("qid"), col("vec_id").as("nid"), expr(
+        """aggregate(
+          |  transform(qvq, (q, i) -> 255L * q - (255L * mins[i] + codes[i] * (maxs[i] - mins[i]))),
+          |  0L, (acc, x) -> acc + x * x)""".stripMargin).as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Product-quantization ANN — the full PQ pipeline on top of
     * [[graft.operators.PqIndex]]: per-subspace codebooks trained by
     * quantized Lloyd (bit-replayable, like the IVF centroids), the
@@ -827,6 +868,49 @@ object SimilarityQueries {
        |  SELECT qid, nid, sim,
        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
        |  FROM sims) t
+       |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
+  /** q205 oracle: the full IVF chain (c0→c2→cell, verbatim the q35
+    * CTE fragments) composed with q202's SQ8 train/encode/ADC over the
+    * cell-assigned vectors, probe selection by centroid-cosine rank. */
+  private val ivfSq8Sql =
+    s"""$normedCte,
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NumCentroids),
+       |${ivfAssignSql("c0", "a0")},
+       |${ivfLloydSql("a0", "c1")},
+       |${ivfAssignSql("c1", "a1")},
+       |${ivfLloydSql("a1", "c2")},
+       |${ivfAssignSql("c2", "cell")},
+       |sq AS (SELECT vec_id, cid,
+       |             [CAST(floor(x * $SqScale) AS BIGINT) for x in v] AS vq
+       |      FROM cell),
+       |d AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       |mm AS (SELECT i, min(vq[i]) AS mn, max(vq[i]) AS mx FROM sq CROSS JOIN d GROUP BY i),
+       |mma AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM mm),
+       |co AS (SELECT vec_id, cid,
+       |              [((vq[i] - mins[i]) * 255) // greatest(maxs[i] - mins[i], 1)
+       |               for i in generate_series(1, $Dim)] AS codes
+       |       FROM sq CROSS JOIN mma),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM cell WHERE vec_id < $NumQueries),
+       |qq AS (SELECT qid, [CAST(floor(x * $SqScale) AS BIGINT) for x in qv] AS qvq FROM q),
+       |pr AS (SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY
+       |             list_aggregate([q.qv[i]*c.cv[i] for i in generate_series(1, $Dim)], 'sum')
+       |               / (q.qnrm*c.cnrm) DESC, c.cid) AS rn
+       |    FROM q CROSS JOIN c2 c) t WHERE rn <= $NumProbes),
+       |dd AS (SELECT pr.qid, co.vec_id AS nid,
+       |              [255 * qq.qvq[i] - (255 * mins[i] + co.codes[i] * (maxs[i] - mins[i]))
+       |               for i in generate_series(1, $Dim)] AS df
+       |       FROM pr JOIN co ON pr.cid = co.cid
+       |            JOIN qq ON qq.qid = pr.qid CROSS JOIN mma),
+       |s AS (SELECT qid, nid,
+       |             list_aggregate([x * x for x in df], 'sum')::BIGINT AS dist
+       |      FROM dd)
+       |SELECT qid, nid, dist, rank FROM (
+       |  SELECT qid, nid, dist,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rank
+       |  FROM s) t
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
   /** Embedding-cosine near-dup with metadata BLOCKING: candidate pairs
@@ -1464,6 +1548,12 @@ object SimilarityQueries {
         .where(col("rank") <= TopK)
         .orderBy(col("qid"), col("rank"))
     },
+
+    // IVF×SQ8 composition (FAISS `IVF,SQ8`): nprobe cell restriction
+    // (equi-join on cid against the persisted IVF artifact) × SQ8
+    // 64-byte-code ADC — the two bandwidth cuts compose
+    // multiplicatively; see [[ivfSq8TopK]].
+    QueryDef("q205_ivf_sq8", ivfSq8Sql)(ivfSq8TopK(_, _)),
 
     // HARD-NEGATIVE mining (contrastive-training data prep): for each
     // query, the top-k most-similar vectors of a DIFFERENT label —

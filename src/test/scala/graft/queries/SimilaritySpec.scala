@@ -196,4 +196,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("q205 IVF×SQ8: self is rank 1; probe is a broadcast equi-join on cid") {
+    val df = graft.SparkEntry.queries("q205_ivf_sq8")(spark, sf0001)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length == 5)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._4)
+      // the query's own cell is always probed, so self must surface
+      // at rank 1 with reconstruction-noise distance only
+      assert(sorted.head._2 == qid, s"q$qid rank-1 not self")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    // candidate restriction joins on cid by broadcast of the tiny
+    // probe frame — never a cartesian against the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
