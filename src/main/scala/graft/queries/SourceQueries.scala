@@ -348,6 +348,69 @@ object SourceQueries {
         .orderBy(col("k"))
     },
 
+    // SNAPSHOT TIME TRAVEL (`VERSION AS OF`) through the v2 catalog:
+    // version 1 = the base INSERT, version 2 = the post-MERGE state —
+    // both read back EXACTLY after the table has moved on, the
+    // snapshot-log contract (Iceberg/Delta) a warehouse user audits
+    // and reproduces runs against. Oracle: both states derived from
+    // the parquet fixture (base aggregate UNION the replayed merge
+    // aggregate), so a historical read leaking post-merge rows — or a
+    // merge leaking into history — fails the hash.
+    QueryDef("q206_snapshot_read",
+      """WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        |changes AS (
+        |  SELECT k, 1 AS ver, 'D' AS op, NULL::DOUBLE AS bal FROM base WHERE k % 7 = 0
+        |  UNION ALL SELECT k, 1, 'U', bal + 100 FROM base WHERE k % 7 IN (1, 2)
+        |  UNION ALL SELECT k, 2, 'U', bal + 200 FROM base WHERE k % 7 = 1
+        |  UNION ALL SELECT k + 1000000, 1, 'U', 42.0 + k FROM base WHERE k % 7 = 3),
+        |latest AS (
+        |  SELECT k, op, bal FROM (
+        |    SELECT k, op, bal, row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+        |    FROM changes) t WHERE rn = 1),
+        |merged AS (
+        |  SELECT coalesce(b.k, c.k) AS k,
+        |         CASE WHEN c.k IS NOT NULL THEN c.bal ELSE b.bal END AS bal,
+        |         c.op AS op
+        |  FROM base b FULL OUTER JOIN latest c ON b.k = c.k),
+        |v1 AS (SELECT 1::BIGINT AS ver, count(*)::BIGINT AS n_rows,
+        |              CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |              sum(k)::BIGINT AS key_sum
+        |       FROM base),
+        |v2 AS (SELECT 2::BIGINT AS ver, count(*)::BIGINT AS n_rows,
+        |              CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |              sum(k)::BIGINT AS key_sum
+        |       FROM merged WHERE op IS NULL OR op <> 'D')
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY ver""".stripMargin) {
+      (spark, dir) =>
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemCatalog].getName)
+        spark.sql("DROP TABLE IF EXISTS graftmem.snap")
+        spark.sql("CREATE TABLE graftmem.snap (k BIGINT, bal DOUBLE)")
+        val base = cdcBase(spark, dir)
+        base.createOrReplaceTempView("q206_base")
+        cdcChanges(base).createOrReplaceTempView("q206_changes")
+        spark.sql("INSERT INTO graftmem.snap SELECT k, bal FROM q206_base")
+        spark.sql(
+          """MERGE INTO graftmem.snap t
+            |USING (SELECT k, op, bal FROM (
+            |         SELECT k, op, bal,
+            |                row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+            |         FROM q206_changes) z WHERE rn = 1) s
+            |ON t.k = s.k
+            |WHEN MATCHED AND s.op = 'D' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET bal = s.bal
+            |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, bal) VALUES (s.k, s.bal)
+            |""".stripMargin)
+        def vAgg(v: Int) =
+          spark.sql(s"SELECT k, bal FROM graftmem.snap VERSION AS OF $v")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(round(col("bal") * 100).cast("long")).as("cents_sum"),
+              sum(col("k")).as("key_sum"))
+            .select(lit(v.toLong).as("ver"), col("n_rows"),
+              col("cents_sum"), col("key_sum"))
+        vAgg(1).union(vAgg(2)).orderBy(col("ver"))
+    },
+
     // Z-ORDER (Morton-curve) clustering: the multi-dimensional sibling
     // of q99. lineitem is rewritten along the interleaved-bit curve of
     // (l_orderkey, l_partkey), so each file covers a tight RECTANGLE

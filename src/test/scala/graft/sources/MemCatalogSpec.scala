@@ -60,4 +60,24 @@ class MemCatalogSpec extends SparkTestBase {
     assert(got.filter(t => t._1 < 10 || t._1 >= 20)
       .forall(t => t._2 == s"val_${t._1}"))
   }
+
+  test("VERSION AS OF reads exact historical snapshots") {
+    freshTable("m4", "(1, 'a', 1.0), (2, 'b', 2.0)")
+    spark.sql("INSERT INTO graftmem.m4 VALUES (3, 'c', 3.0)")
+    spark.sql("DELETE FROM graftmem.m4 WHERE k = 1")
+    def at(v: Int) = spark.sql(s"SELECT * FROM graftmem.m4 VERSION AS OF $v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(at(0) == Set.empty)
+    assert(at(1) == Set((1L, "a", 1.0), (2L, "b", 2.0)))
+    assert(at(2) == Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    assert(at(3) == Set((2L, "b", 2.0), (3L, "c", 3.0)))
+    // the live read serves the newest version
+    assert(snapshot("m4") == at(3))
+    // history is immutable under later writes
+    spark.sql("INSERT INTO graftmem.m4 VALUES (9, 'z', 9.0)")
+    assert(at(1) == Set((1L, "a", 1.0), (2L, "b", 2.0)))
+    // out-of-range versions fail loudly
+    val e = intercept[Exception](at(99))
+    assert(e.getMessage.contains("out of range"), e.getMessage)
+  }
 }
