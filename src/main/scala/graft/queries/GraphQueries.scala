@@ -67,6 +67,51 @@ object GraphQueries {
           .select(col("id").as("vec_id"), col("rank_micro"), col("deg"))
           .orderBy(col("rank_micro").desc, col("vec_id"))
           .limit(TopN)
+    },
+
+    // TRIANGLE COUNTING + local clustering coefficient over the same
+    // mutual-kNN graph — the graph-quality signal (community density
+    // vs hub spam) curation pipelines read next to centrality. The
+    // id-ordered edge list (a<b) makes each triangle (x<y<z) appear
+    // exactly once in the two-equi-join enumeration — the standard
+    // distributed shape; at scale the orientation switches from id
+    // order to DEGREE order (each edge oriented low-degree →
+    // high-degree), which bounds the join fan-out by the graph's
+    // arboricity without changing this plan. Coefficient in exact
+    // basis points: (10000·2·tri) DIV (deg·(deg−1)).
+    QueryDef("q208_triangle_count",
+      s"""WITH ${SimilarityQueries.mutualEdgesCte},
+         |tri AS (
+         |  SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+         |  FROM mut e1 JOIN mut e2 ON e1.doc_b = e2.doc_a
+         |       JOIN mut e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+         |tn AS (SELECT id, count(*)::BIGINT AS n_tri FROM (
+         |         SELECT unnest([x, y, z]) AS id FROM tri) u GROUP BY id),
+         |deg AS (SELECT id, count(*)::BIGINT AS deg FROM edges GROUP BY id)
+         |SELECT tn.id AS vec_id, deg, n_tri,
+         |       ((10000 * 2 * n_tri) // (deg * (deg - 1)))::BIGINT AS coeff_bp
+         |FROM tn JOIN deg USING (id)
+         |ORDER BY n_tri DESC, vec_id LIMIT $TopN""".stripMargin) {
+      (spark, dir) =>
+        val mut = SimilarityQueries.mutualKnnEdges(spark, dir)
+        val e = mut.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(e.as("e3"),
+            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"),
+            col("e2.b").as("z"))
+        val tn = tri
+          .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+          .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+        val deg = mut.select(col("doc_a").as("id"))
+          .unionByName(mut.select(col("doc_b").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        tn.join(deg, Seq("id"))
+          .select(col("id").as("vec_id"), col("deg"), col("n_tri"),
+            expr("(10000L * 2 * n_tri) DIV (deg * (deg - 1))").as("coeff_bp"))
+          .orderBy(col("n_tri").desc, col("vec_id"))
+          .limit(TopN)
     }
   )
 }

@@ -1291,6 +1291,75 @@ object TextQueries {
         .select(col("doc_id"),
           (contrib(col("bmr")) + contrib(col("cvr"))).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    },
+
+    // SKIP-GRAM pair generation with frequency subsampling — the
+    // word2vec/fastText embedding-training data prep (Mikolov et al.
+    // 2013; the keep-rate is the paper's eq.-5 sqrt(T/f) form made
+    // integer-exact): pairs within a ±2 window built by ONE per-row
+    // nested comprehension (single Generate, no self-join on
+    // position), deterministic subsampling by md5(doc:i:j) basis
+    // points against the center word's corpus keep-rate. The rate
+    // table joins pairs on the CENTER WORD — a vocab-keyed equi-join
+    // (the BPE-encode call: vocab is too big to broadcast at corpus
+    // scale). Keep-rate arithmetic: floor(sqrt(1e8·T DIV f)) is exact
+    // (floor∘sqrt∘floor = floor∘sqrt on reals; BIGINT < 2^52 sqrt is
+    // correctly rounded), bounded while 1e8·T < 2^63 ⇒ corpora to
+    // ~9e10 tokens·1000; raise the divisor with scale.
+    QueryDef("q209_skipgram_pairs",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |freq AS (SELECT w, count(*)::BIGINT AS f FROM (
+        |           SELECT unnest(t) AS w FROM toks) u GROUP BY w),
+        |tt AS (SELECT (sum(f) // 1000)::BIGINT AS T FROM freq),
+        |rate AS (SELECT w, least(10000,
+        |                CAST(floor(sqrt(((100000000 * T) // f)::DOUBLE)) AS BIGINT))
+        |                  AS rate_bp
+        |         FROM freq CROSS JOIN tt),
+        |pr AS (
+        |  SELECT doc_id, flatten([
+        |    [ {'center': t[i], 'context': t[j],
+        |       'bp': ('0x' || substr(md5('sg:' || doc_id || ':' || i || ':' || j), 1, 7))::BIGINT % 10000 }
+        |      for j in generate_series(greatest(1, i - 2), least(len(t), i + 2))
+        |      if j != i ]
+        |    for i in generate_series(1, len(t)) ]) AS ps
+        |  FROM toks),
+        |pairs AS (SELECT u.center AS center, u.context AS context, u.bp AS bp
+        |          FROM (SELECT unnest(ps) AS u FROM pr) z)
+        |SELECT center, context, count(*)::BIGINT AS n_pairs
+        |FROM pairs JOIN rate ON pairs.center = rate.w
+        |WHERE bp < rate_bp
+        |GROUP BY center, context
+        |ORDER BY n_pairs DESC, center, context LIMIT 50""".stripMargin) {
+      (spark, dir) =>
+        val toks = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val freq = toks.select(explode(col("t")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        val tt = freq.agg(sum(col("f")).as("s"))
+          .select(expr("s DIV 1000").as("T"))
+        val rate = freq.crossJoin(broadcast(tt))
+          .select(col("w"), least(lit(10000L),
+            floor(sqrt(expr("(100000000L * T) DIV f").cast("double")))
+              .cast("long")).as("rate_bp"))
+        val pairs = toks.select(explode(expr(
+          """flatten(transform(sequence(1, size(t)), i ->
+            |  transform(
+            |    filter(sequence(greatest(1, i - 2), least(size(t), i + 2)),
+            |           j -> j != i),
+            |    j -> struct(
+            |      element_at(t, cast(i AS INT)) AS center,
+            |      element_at(t, cast(j AS INT)) AS context,
+            |      cast(conv(substring(md5(concat('sg:', cast(doc_id AS string),
+            |        ':', cast(i AS string), ':', cast(j AS string))), 1, 7),
+            |        16, 10) AS BIGINT) % 10000 AS bp))))""".stripMargin)).as("p"))
+          .select(col("p.center").as("center"), col("p.context").as("context"),
+            col("p.bp").as("bp"))
+        pairs.join(rate.withColumnRenamed("w", "center"), Seq("center"))
+          .where(col("bp") < col("rate_bp"))
+          .groupBy(col("center"), col("context"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("center"), col("context"))
+          .limit(50)
     }
   )
 

@@ -46,4 +46,23 @@ class TextSimSpec extends SparkTestBase {
         name == "q182_sparse_sim_join", name) // q182 broadcasts the 1-row n_docs scalar
     }
   }
+
+  test("q209: window pairs from one Generate; no position self-join") {
+    val df = graft.SparkEntry.queries("q209_skipgram_pairs")(spark, sf0001)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 50)
+    // pairs are directional within a symmetric window: for surviving
+    // high-count pairs the reverse direction should also be sampled
+    // somewhere in the corpus (not necessarily kept — just sanity on
+    // the window form), and counts are positive descending
+    assert(rows.forall(_._3 > 0))
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the pair build is a single per-row explode (plus the freq-table
+    // token explode); the only join is the vocab-keyed rate join
+    assert("Generate explode".r.findAllIn(plan).size <= 2, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
