@@ -481,6 +481,49 @@ object EventQueries {
             sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_gaps"),
             sum(col("f")).as("filled_sum"))
           .orderBy(col("user_id"))
+    },
+
+    // TRAILING time-RANGE window frame — the event-TIME sibling of
+    // q63's row-count frame: per event, purchase cents and event count
+    // over the trailing hour via a RANGE frame on epoch-micros (a
+    // NUMERIC range key, schema-adaptive through tsMicros — both
+    // engines' RANGE frames are peer-inclusive, so same-timestamp
+    // events agree). The burst detector (≥2 events inside an hour) is
+    // the fraud/abuse primitive every event pipeline ships. One
+    // user-keyed exchange serves both window passes and the final
+    // per-user rollup. Exact integer cents throughout.
+    QueryDef("q211_trailing_window",
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS t,
+         |         CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM events WHERE event_type = 'purchase'),
+         |w AS (
+         |  SELECT user_id, t, c,
+         |         sum(c) OVER (PARTITION BY user_id ORDER BY t
+         |           RANGE BETWEEN $HourMicros PRECEDING AND CURRENT ROW) AS s1h,
+         |         count(*) OVER (PARTITION BY user_id ORDER BY t
+         |           RANGE BETWEEN $HourMicros PRECEDING AND CURRENT ROW) AS n1h
+         |  FROM e)
+         |SELECT user_id, count(*)::BIGINT AS n_events,
+         |       max(s1h)::BIGINT AS max_hour_cents,
+         |       sum(CASE WHEN n1h >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_bursty,
+         |       sum(s1h)::BIGINT AS s_checksum
+         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (spark, dir) =>
+        val ev = Tables.load(spark, dir, "events")
+        val e = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), Tables.tsMicros(ev).as("t"),
+            round(col("value") * 100).cast("long").as("c"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+          .rangeBetween(-HourMicros, 0)
+        e.withColumn("s1h", sum(col("c")).over(w))
+          .withColumn("n1h", count(lit(1)).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            max(col("s1h")).as("max_hour_cents"),
+            sum(when(col("n1h") >= 2, 1L).otherwise(0L)).as("n_bursty"),
+            sum(col("s1h")).as("s_checksum"))
+          .orderBy(col("user_id"))
     }
   )
 }

@@ -436,6 +436,31 @@ object SourceQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // HILBERT-curve clustering — q133's physics with the
+    // locality-preserving curve: consecutive curve positions are
+    // ADJACENT cells (no Morton diagonal jumps), so per-file rectangles
+    // are tighter and a zone map on either dimension prunes at least
+    // as well (HilbertSpec pins unit-step continuity, bijectivity, and
+    // the both-dims pruning). The layout is a row permutation, so the
+    // oracle filters the ORIGINAL table — skipping must be
+    // result-invisible. Different predicate range than q133 so the two
+    // gates cannot share a cached scan by accident.
+    QueryDef("q210_hilbert_skipping",
+      """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 600
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val path = hilbertLineitem(spark, dir)
+      val zmap = FrameMemo.memoized(spark, s"zonemap_hilbert_orderkey_$dir") {
+        ZoneMap.build(spark, path, "l_orderkey")
+      }
+      ZoneMap.skippingScan(spark, path, zmap, "l_orderkey", 100L, 600L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // AUTOMATIC zone-map skipping (the round-5 verdict's item 2):
     // the same physics as q99 but through a PLAIN declarative read —
     // spark.read.parquet(path).where(range) — with the file pruning
@@ -564,6 +589,20 @@ object SourceQueries {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/root/repo/target/graft_clustered/lineitem_z$tag"
       ZOrder.writeClustered(
+        Tables.load(spark, dir, "lineitem"), "l_orderkey", "l_partkey", 16, path)
+      path
+    })
+
+  /** One-time-per-(session, dir) Hilbert rewrite — q133's layout with
+    * the curve swapped ([[graft.operators.Hilbert]]). */
+  private val hilbertSetup =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+
+  private def hilbertLineitem(spark: SparkSession, dir: String): String =
+    hilbertSetup.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"/root/repo/target/graft_clustered/lineitem_h$tag"
+      graft.operators.Hilbert.writeClustered(
         Tables.load(spark, dir, "lineitem"), "l_orderkey", "l_partkey", 16, path)
       path
     })
