@@ -605,6 +605,83 @@ object CoreQueries {
         |       CAST(sum(ch) AS BIGINT) AS n_clip_hi,
         |       CAST(sum(wc) AS BIGINT) AS winsor_sum
         |FROM w GROUP BY flag ORDER BY flag""".stripMargin,
-      Seq("lineitem"))
+      Seq("lineitem")),
+
+    // EQUI-DEPTH binning (`ntile`) — the feature-engineering
+    // discretization equal-WIDTH histograms (q73) can't give on skewed
+    // values: every bin holds the same row count, bin edges follow the
+    // data. Deterministic under ties via the full (value, orderkey,
+    // linenumber) sort; both engines share ntile's n/k+remainder
+    // bucket-size rule. ONE ANSI string.
+    QueryDef.sqlSurface("q212_equidepth_bins",
+      """WITH c AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT flag, cents,
+        |         CAST(ntile(8) OVER (PARTITION BY flag
+        |           ORDER BY cents, l_orderkey, l_linenumber) AS BIGINT) AS bin
+        |  FROM c)
+        |SELECT flag, bin, count(*) AS n_rows,
+        |       min(cents) AS lo, max(cents) AS hi,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM b GROUP BY flag, bin ORDER BY flag, bin""".stripMargin,
+      Seq("lineitem")),
+
+    // Correlation/covariance by EXACT integer sums — the cross-engine-
+    // deterministic form of `corr`: native corr() accumulates doubles
+    // in partition order (not hash-comparable across engines), so the
+    // five sufficient statistics are exact BIGINTs (price in whole
+    // dollars keeps Σp² < 2^63 far past 100× fixture scale) and the
+    // double derivation at the end is ONE fixed expression tree —
+    // identical inputs, identical IEEE result. The map-side-combined
+    // integer partials are also exactly how a distributed corr should
+    // shuffle: 6 longs per group, never raw rows.
+    QueryDef.sqlSurface("q213_corr_exact",
+      """WITH c AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(round(l_extendedprice) AS BIGINT) AS p
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT flag, count(*) AS n,
+        |         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+        |         CAST(sum(q * q) AS BIGINT) AS sqq,
+        |         CAST(sum(p * p) AS BIGINT) AS spp,
+        |         CAST(sum(q * p) AS BIGINT) AS sqp
+        |  FROM c GROUP BY flag)
+        |SELECT flag, n, sqp,
+        |       ((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)) - (CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)))
+        |       / (sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)) - (CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)))
+        |          * sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)) - (CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))))
+        |         AS corr_qp
+        |FROM s ORDER BY flag""".stripMargin,
+      Seq("lineitem")),
+
+    // INTERSECT ALL / EXCEPT ALL — the MULTISET set ops q08's
+    // DISTINCT forms don't cover (bag semantics: min / difference of
+    // multiplicities). except_all leaves cnt−1 copies per repeat
+    // customer; intersect_all keeps min(total, open) per key.
+    QueryDef.sqlSurface("q214_set_ops_all",
+      """WITH x AS (
+        |  SELECT o_custkey AS k FROM orders
+        |  EXCEPT ALL
+        |  SELECT c_custkey FROM customer),
+        |y AS (
+        |  SELECT o_custkey AS k FROM orders
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'except_all' AS op, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS key_sum,
+        |       CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+        |FROM x
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, count(*) AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS key_sum,
+        |       CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+        |FROM y
+        |ORDER BY op""".stripMargin,
+      Seq("orders", "customer"))
   )
 }

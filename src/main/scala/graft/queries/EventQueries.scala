@@ -524,6 +524,41 @@ object EventQueries {
             sum(when(col("n1h") >= 2, 1L).otherwise(0L)).as("n_bursty"),
             sum(col("s1h")).as("s_checksum"))
           .orderBy(col("user_id"))
+    },
+
+    // RECENCY-weighted user value (the RFM "R×M" score): the last 16
+    // purchases weighted by 2^(16−rank) — an order-indexed exponential
+    // decay, exact in BIGINT (the time-bucketed sibling is q191).
+    // Rank ties beyond (t, cents) cannot change the sum: equal cents
+    // swap between adjacent ranks symmetrically. One user-keyed
+    // exchange; the rank window and rollup share it.
+    QueryDef("q215_recency_score",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, c,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY t DESC, c DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, count(*)::BIGINT AS n_recent,
+        |       CAST(sum(c * (1 << (16 - rn))) AS BIGINT) AS score_scaled
+        |FROM r WHERE rn <= 16 GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (spark, dir) =>
+        val ev = Tables.load(spark, dir, "events")
+        val e = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), Tables.tsMicros(ev).as("t"),
+            round(col("value") * 100).cast("long").as("c"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t").desc, col("c").desc)
+        e.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 16)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_recent"),
+            sum(col("c") * expr("shiftleft(1L, cast(16 - rn AS INT))"))
+              .as("score_scaled"))
+          .orderBy(col("user_id"))
     }
   )
 }

@@ -226,4 +226,33 @@ class TpchPlanSpec extends SparkTestBase {
       assert(lo >= n * 4 / 100 && hi >= n * 4 / 100, r.toString)
     }
   }
+
+  test("q212: equi-depth bins differ by at most one row; edges ascend") {
+    val rows = graft.SparkEntry.queries("q212_equidepth_bins")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (flag, bs) =>
+      assert(bs.length == 8, s"$flag: ${bs.length} bins")
+      val counts = bs.map(_._3)
+      assert(counts.max - counts.min <= 1, s"$flag: $counts")
+      // bin value ranges are non-overlapping and ascending
+      bs.sortBy(_._2).sliding(2).foreach { case Array(a, b) =>
+        assert(a._5 <= b._4, s"$flag bins ${a._2}/${b._2} overlap")
+      }
+    }
+  }
+
+  test("q213: integer-sum corr lies in [-1, 1] and matches native corr closely") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("q213_corr_exact")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    val native = graft.sources.Tables.load(spark, sf0001, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(corr(col("l_quantity"), round(col("l_extendedprice"))).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (flag, c) =>
+      assert(c >= -1.0 && c <= 1.0, s"$flag: $c")
+      assert(math.abs(c - native(flag)) < 1e-9, s"$flag: $c vs ${native(flag)}")
+    }
+  }
 }
