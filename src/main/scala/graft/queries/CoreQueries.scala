@@ -682,6 +682,49 @@ object CoreQueries {
         |       CAST(count(DISTINCT k) AS BIGINT) AS n_keys
         |FROM y
         |ORDER BY op""".stripMargin,
-      Seq("orders", "customer"))
+      Seq("orders", "customer")),
+
+    // ROBUST outlier detection via MAD (Hampel's median absolute
+    // deviation — the reference's median family composed into the
+    // quality rule mean/stddev can't give on heavy tails): exact
+    // per-group median (disc lower-middle, the reference's upper/lower
+    // convention made ANSI-portable), exact median of |v − med|, flag
+    // |v − med| > 3·MAD — all BIGINT cents, zero float drift. Two rank
+    // windows + two broadcast-size threshold joins; the corpus
+    // exchanges only on the group key.
+    QueryDef.sqlSurface("q216_mad_outliers",
+      """WITH c AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT flag, v,
+        |         row_number() OVER (PARTITION BY flag
+        |           ORDER BY v, l_orderkey, l_linenumber) AS rn,
+        |         count(*) OVER (PARTITION BY flag) AS n
+        |  FROM c),
+        |med AS (
+        |  SELECT flag, max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+        |                   THEN v END) AS med
+        |  FROM r GROUP BY flag),
+        |d AS (
+        |  SELECT c.flag AS flag, abs(v - med) AS av
+        |  FROM c JOIN med ON c.flag = med.flag),
+        |r2 AS (
+        |  SELECT flag, av,
+        |         row_number() OVER (PARTITION BY flag ORDER BY av) AS rn,
+        |         count(*) OVER (PARTITION BY flag) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT flag, max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+        |                   THEN av END) AS mad
+        |  FROM r2 GROUP BY flag)
+        |SELECT c.flag AS flag, count(*) AS n_rows, med.med AS med, mad.mad AS mad,
+        |       CAST(sum(CASE WHEN abs(v - med) > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_outliers
+        |FROM c JOIN med ON c.flag = med.flag JOIN mad ON c.flag = mad.flag
+        |GROUP BY c.flag, med.med, mad.mad ORDER BY flag""".stripMargin,
+      Seq("lineitem"))
   )
 }

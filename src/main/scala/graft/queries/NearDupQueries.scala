@@ -360,8 +360,11 @@ object NearDupQueries {
     * intersect size is aliased in its own projection so
     * `array_intersect` runs once per candidate, not once for n_common
     * and again inside n_union. */
-  def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "verified") {
+  /** All LSH candidates with their exact (n_common, n_union) Jaccard
+    * statistics — the pre-threshold frame [[verifiedPairs]] filters
+    * and the q217 threshold sweep scans whole. */
+  def candidateSims(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "candsims") {
       val sh = sketches(spark, dir).select(col("doc_id"), col("s"))
       candidatePairs(spark, dir)
         .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -371,6 +374,11 @@ object NearDupQueries {
           (size(col("sa.s")) + size(col("sb.s"))).cast("long").as("n_ab"))
         .select(col("doc_a"), col("doc_b"), col("n_common"),
           (col("n_ab") - col("n_common")).as("n_union"))
+    }
+
+  def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "verified") {
+      candidateSims(spark, dir)
         .where(col("n_common") * 10 >= col("n_union") * 7)
     }
 
@@ -761,6 +769,43 @@ object NearDupQueries {
             when(col("_d").isNull, struct(col("idx"), col("ptext"))))),
             s => s.getField("ptext")), " ").as("kept_text"))
         .orderBy(col("doc_id"))
+    },
+
+    // Dedup THRESHOLD SWEEP — the tuning curve (survivor pairs as a
+    // function of the Jaccard cut) a curation run reads before
+    // committing a threshold. The expensive work (LSH candidates +
+    // exact intersections) happens ONCE; the whole grid is one
+    // conditional aggregation over a broadcast 5-row threshold frame —
+    // sweeping costs the same as one threshold.
+    QueryDef("q217_threshold_curve",
+      s"""$sigCte,
+         |$bandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_intersect(sa.s, sb.s))::BIGINT AS nc,
+         |         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::BIGINT AS nu
+         |  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+         |            JOIN sh sb ON cand.doc_b = sb.doc_id),
+         |t AS (SELECT unnest([50, 60, 70, 80, 90]) AS th)
+         |SELECT th::BIGINT AS threshold_pct,
+         |       sum(CASE WHEN nc * 100 >= nu * th THEN 1 ELSE 0 END)::BIGINT AS n_pairs,
+         |       sum(CASE WHEN nc * 100 >= nu * th THEN doc_a + doc_b ELSE 0 END)::BIGINT AS id_sum
+         |FROM j CROSS JOIN t GROUP BY th ORDER BY th""".stripMargin) {
+      (spark, dir) =>
+        val tdf = broadcast(spark.range(0, 5)
+          .select((lit(50L) + col("id") * 10).as("th")))
+        candidateSims(spark, dir).crossJoin(tdf)
+          .groupBy(col("th"))
+          .agg(
+            sum(when(col("n_common") * 100 >= col("n_union") * col("th"), 1L)
+              .otherwise(0L)).as("n_pairs"),
+            sum(when(col("n_common") * 100 >= col("n_union") * col("th"),
+              col("doc_a") + col("doc_b")).otherwise(0L)).as("id_sum"))
+          .select(col("th").as("threshold_pct"), col("n_pairs"), col("id_sum"))
+          .orderBy(col("threshold_pct"))
     }
   )
 }

@@ -156,4 +156,15 @@ class NearDupSpec extends SparkTestBase {
     assert(got == Map(3L -> 3L, 5L -> 3L, 7L -> 3L,
       10L -> 10L, 20L -> 10L, 42L -> 42L), s"got $got")
   }
+
+  test("q217: pair counts decrease monotonically; the 70% point is q23's set") {
+    val curve = graft.SparkEntry.queries("q217_threshold_curve")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(curve.keySet == Set(50L, 60L, 70L, 80L, 90L))
+    val ordered = curve.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered == ordered.sortBy(-_), s"not monotone: $ordered")
+    val q23n = graft.SparkEntry.queries("q23_neardup_pairs")(spark, sf0001).count()
+    assert(curve(70L) == q23n,
+      s"sweep at 70% (${curve(70L)}) must equal q23's pair count ($q23n)")
+  }
 }
