@@ -18,6 +18,11 @@ private case class LastEvent(eventTimeMicros: Long, eventId: Long,
     eventType: String)
 
 /** A gap-based user session produced by [[EventStreams.sessionize]]. */
+case class BurstScore(userId: Long, eventTimeMicros: Long, cents: Long,
+    s1h: Long, n1h: Long)
+
+private case class BurstState(ts: Seq[Long], cs: Seq[Long])
+
 case class UserSession(userId: Long, startMicros: Long, endMicros: Long,
     nEvents: Long, sumValue: Double)
 
@@ -170,6 +175,45 @@ object EventStreams {
     events.groupByKey(_.userId)
       .transformWithState(new TransitionProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Per-event trailing-hour burst score — the streaming twin of the
+    * q211 batch RANGE frame: state is the user's events inside the
+    * last hour (pruned on every arrival, so state size is bounded by
+    * the window's event capacity, never history). ORDERING CONTRACT
+    * (the [[transitions]] discipline): per-user feeds must be
+    * strictly increasing in event time; an arrival at or below the
+    * newest stored timestamp is DROPPED — emitting it would
+    * mis-window its successors — so late data costs at most its own
+    * row, and the batch path heals exact reordering (the lambda
+    * split). */
+  def burstScores(events: Dataset[Event],
+      windowMicros: Long = 3600L * 1000 * 1000): Dataset[BurstScore] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[BurstState, BurstScore](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[BurstState]) =>
+          val sorted = it.toSeq.sortBy(_.eventTimeMicros)
+          val out = Seq.newBuilder[BurstScore]
+          var ts = state.getOption.map(_.ts).getOrElse(Seq.empty)
+          var cs = state.getOption.map(_.cs).getOrElse(Seq.empty)
+          sorted.foreach { e =>
+            if (!ts.lastOption.exists(e.eventTimeMicros <= _)) {
+              val cents = math.round(e.value * 100)
+              val keepFrom = ts.indexWhere(_ >= e.eventTimeMicros - windowMicros)
+              val (kts, kcs) =
+                if (keepFrom < 0) (Seq.empty[Long], Seq.empty[Long])
+                else (ts.drop(keepFrom), cs.drop(keepFrom))
+              ts = kts :+ e.eventTimeMicros
+              cs = kcs :+ cents
+              out += BurstScore(userId, e.eventTimeMicros, cents,
+                cs.sum, cs.length.toLong)
+            }
+          }
+          state.update(BurstState(ts, cs))
+          out.result().iterator
+      }
   }
 
   /** Gap-based sessionization with custom state via

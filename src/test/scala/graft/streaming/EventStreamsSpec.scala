@@ -213,4 +213,58 @@ class EventStreamsSpec extends SparkTestBase {
     assert(closed(0).startMicros == microsOf("2026-01-01T10:00:00Z"))
     assert(closed(0).endMicros == microsOf("2026-01-01T10:10:00Z"))
   }
+
+  test("burst scores prune the window, carry state, and match hand values") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600L * 1000 * 1000
+    val mem = MemoryStream[Event]
+    val q = EventStreams.burstScores(mem.toDS(), hour)
+      .writeStream.format("memory").queryName("bursts")
+      .outputMode("append").start()
+    mem.addData(
+      Event(1, 1000L, 7, "purchase", 1.00),
+      Event(2, 1000L + hour / 2, 7, "purchase", 2.00))
+    q.processAllAvailable()
+    // batch 2: third event still inside the first's hour (inclusive
+    // boundary), fourth prunes the first two out
+    mem.addData(
+      Event(3, 1000L + hour, 7, "purchase", 4.00),
+      Event(4, 1000L + 3 * hour, 7, "purchase", 8.00))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("bursts").as[BurstScore].collect()
+      .sortBy(_.eventTimeMicros).map(b => (b.s1h, b.n1h)).toSeq
+    assert(got == Seq((100L, 1L), (300L, 2L), (700L, 3L), (800L, 1L)))
+  }
+
+  test("burst stream equals the q211 batch RANGE frame on the fixture feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev0 = graft.sources.Tables.load(spark, sf0001, "events")
+    val feed = ev0.where(col("event_type") === "purchase")
+      .select(col("event_id"), graft.sources.Tables.tsMicros(ev0).as("t"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("t"), col("event_id"))
+      .collect()
+      .map(r => Event(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val mem = MemoryStream[Event]
+    val q = EventStreams.burstScores(mem.toDS())
+      .writeStream.format("memory").queryName("bursts_fixture")
+      .outputMode("append").start()
+    feed.grouped(200).foreach { batch =>
+      mem.addData(batch.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("bursts_fixture").as[BurstScore].collect()
+      .groupBy(_.userId)
+      .map { case (u, rs) => u -> (rs.length.toLong, rs.map(_.s1h).max,
+        rs.count(_.n1h >= 2).toLong, rs.map(_.s1h).sum) }
+    val batch = graft.SparkEntry.queries("q211_trailing_window")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(streamed.size == batch.size)
+    streamed.foreach { case (u, s) => assert(s == batch(u), s"user $u") }
+  }
 }
