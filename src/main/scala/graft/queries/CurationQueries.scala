@@ -356,7 +356,11 @@ object CurationQueries {
       |     ELSE '' END ||
       |CASE WHEN doc_id % 7 = 0 THEN '#s2' ELSE '' END""".stripMargin
 
-  private val urlCurationSql =
+  /** The url → (host, normalized) decomposition CTE chain — ONE
+    * statement shared by the q204 oracle and the q219 leakage oracle
+    * so the normalization rule cannot fork. Yields `n(doc_id, host,
+    * norm)`. */
+  private val urlNormCte =
     s"""WITH u AS (SELECT doc_id, ${urlSqlExpr.replace("\n", " ")} AS url FROM documents),
        |p AS (
        |  SELECT doc_id, url,
@@ -377,7 +381,10 @@ object CurationQueries {
        |         CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS norm
        |  FROM (SELECT *, array_to_string(list_filter(string_split(qs, '&'),
        |          x -> NOT starts_with(x, 'utm_') AND x <> ''), '&') AS kept
-       |        FROM q)),
+       |        FROM q))""".stripMargin
+
+  private val urlCurationSql =
+    s"""$urlNormCte,
        |r AS (
        |  SELECT doc_id, norm,
        |         array_to_string(labels[len(labels)-1:], '.') AS reg
@@ -391,6 +398,28 @@ object CurationQueries {
        |       count(DISTINCT CASE WHEN NOT blocked THEN norm END)::BIGINT
        |         AS n_norm_urls
        |FROM b GROUP BY reg ORDER BY reg""".stripMargin
+
+  /** q219: split leakage through URL ALIASING — two crawls of the
+    * same page (utm variants) landing in different folds leak
+    * train→test even when the q141 text-level audit is clean. Oracle:
+    * the SAME normalization chain as q204 + the SAME md5 fold rule as
+    * q100. */
+  private val urlLeakageSql =
+    s"""$urlNormCte,
+       |f AS (
+       |  SELECT doc_id, norm,
+       |         CASE WHEN bp < 8000 THEN 'train'
+       |              WHEN bp < 9000 THEN 'val'
+       |              ELSE 'test' END AS fold
+       |  FROM (SELECT doc_id, norm,
+       |               ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000 AS bp
+       |        FROM n)),
+       |g AS (SELECT norm FROM f GROUP BY norm HAVING count(DISTINCT fold) >= 2)
+       |SELECT fold, count(DISTINCT f.norm)::BIGINT AS n_leaky_urls,
+       |       count(*)::BIGINT AS n_leaky_docs,
+       |       sum(doc_id)::BIGINT AS id_sum
+       |FROM f JOIN g ON f.norm = g.norm
+       |GROUP BY fold ORDER BY fold""".stripMargin
 
   // ---- declared queries ----------------------------------------------
 
@@ -883,6 +912,29 @@ object CurationQueries {
           sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
           countDistinct(when(!col("blocked"), col("norm"))).as("n_norm_urls"))
         .orderBy(col("reg"))
+    },
+
+    // URL-aliased split leakage: normalized URLs spanning ≥2 folds —
+    // the audit q141's text-level check misses when two crawls of the
+    // same page differ only in tracking params. One exchange on the
+    // normalized URL (the group key) + one on fold; composes q204's
+    // normalization with q100's fold rule unchanged.
+    QueryDef("q219_url_leakage", urlLeakageSql) { (spark, dir) =>
+      import graft.operators.{DataSplit, UrlOps}
+      val folded = DataSplit.withFold(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), expr(urlSqlExpr).as("url"))
+          .withColumn("norm", UrlOps.normalized(col("url"))),
+        "doc_id", "42")
+      val leaky = folded.groupBy(col("norm"))
+        .agg(countDistinct(col("fold")).as("nf"))
+        .where(col("nf") >= 2).select(col("norm"))
+      folded.join(leaky, Seq("norm"))
+        .groupBy(col("fold"))
+        .agg(countDistinct(col("norm")).as("n_leaky_urls"),
+          count(lit(1)).as("n_leaky_docs"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("fold"))
     }
   )
 }

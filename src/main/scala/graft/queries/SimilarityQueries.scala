@@ -340,6 +340,53 @@ object SimilarityQueries {
       cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim")))
   }
 
+  /** Full-scan SQ8 ADC search — the q202 body (scaladoc at the gate). */
+  def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(vecD(col("embedding")), x => floor(x * SqScale)).as("v"))
+    val mmRow = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("d"), col("mn")))),
+          s => s.getField("mn")).as("mins"),
+        transform(array_sort(collect_list(struct(col("d"), col("mx")))),
+          s => s.getField("mx")).as("maxs"))
+    val coded = e.crossJoin(broadcast(mmRow))
+      .withColumn("codes", expr(
+        "transform(v, (x, i) -> ((x - mins[i]) * 255) DIV greatest(maxs[i] - mins[i], 1L))"))
+    val q = broadcast(e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv")))
+    val sims = q.crossJoin(coded)
+      .select(col("qid"), col("vec_id").as("nid"), expr(
+        """aggregate(
+          |  transform(qv, (q, i) -> 255L * q - (255L * mins[i] + codes[i] * (maxs[i] - mins[i]))),
+          |  0L, (acc, x) -> acc + x * x)""".stripMargin).as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= TopK)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Recall@k of the two SQ8 paths against the exact brute-force
+    * ground truth — the eval loop that justifies shipping a lossy
+    * index (mirrors q115's nprobe curve for the PQ family): both
+    * approximate top-k sets equi-join the brute set on (qid, nid) and
+    * recall = hits / (queries·k). The full-scan SQ8 bound dominates
+    * the cell-restricted IVF×SQ8 (probing can only lose candidates) —
+    * spec-asserted. */
+  def sq8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = bruteForceTopK(spark, dir).select(col("qid"), col("nid"))
+    Seq("ivf_sq8" -> ivfSq8TopK(spark, dir),
+        "sq8_full" -> sq8TopK(spark, dir)).map { case (m, approx) =>
+      approx.select(col("qid"), col("nid"))
+        .join(brute, Seq("qid", "nid"))
+        .agg((count(lit(1)).cast("double") / (NumQueries * TopK))
+          .as("recall_at_10"))
+        .select(lit(m).as("method"), col("recall_at_10"))
+    }.reduce(_.unionByName(_)).orderBy(col("method"))
+  }
+
   /** IVF×SQ8 — the FAISS `IVF,SQ8` composition: the persisted IVF
     * cell assignment restricts the scan to nprobe cells (equi-join on
     * cid), and within them candidates rank by the SQ8 asymmetric
@@ -912,6 +959,72 @@ object SimilarityQueries {
        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rank
        |  FROM s) t
        |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
+  /** q218 oracle: brute ground truth + full-scan SQ8 + IVF×SQ8 top-k
+    * sets composed in one statement (the q202/q205 CTE chains sharing
+    * ONE SQ8 train), recall = |approx ∩ brute| / (queries·k). */
+  private val sq8RecallSql =
+    s"""$normedCte,
+       |bq AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < $NumQueries),
+       |bs AS (
+       |  SELECT qid, n.vec_id AS nid,
+       |         list_aggregate([qv[i]*v[i] for i in generate_series(1, $Dim)], 'sum')
+       |           / (qnrm * n.nrm) AS sim
+       |  FROM bq, n),
+       |bt AS (SELECT qid, nid FROM (
+       |         SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       |         FROM bs) t WHERE rank <= $TopK),
+       |sq AS (SELECT vec_id, [CAST(floor(x * $SqScale) AS BIGINT) for x in v] AS vq FROM n),
+       |d AS (SELECT unnest(generate_series(1, $Dim)) AS i),
+       |mm AS (SELECT i, min(vq[i]) AS mn, max(vq[i]) AS mx FROM sq CROSS JOIN d GROUP BY i),
+       |mma AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM mm),
+       |co AS (SELECT vec_id,
+       |              [((vq[i] - mins[i]) * 255) // greatest(maxs[i] - mins[i], 1)
+       |               for i in generate_series(1, $Dim)] AS codes
+       |       FROM sq CROSS JOIN mma),
+       |qq AS (SELECT vec_id AS qid, vq AS qvq FROM sq WHERE vec_id < $NumQueries),
+       |fd AS (SELECT qid, co.vec_id AS nid,
+       |              [255 * qq.qvq[i] - (255 * mins[i] + co.codes[i] * (maxs[i] - mins[i]))
+       |               for i in generate_series(1, $Dim)] AS df
+       |       FROM qq, co CROSS JOIN mma),
+       |ft AS (SELECT qid, nid FROM (
+       |         SELECT qid, nid,
+       |                row_number() OVER (PARTITION BY qid ORDER BY
+       |                  list_aggregate([x * x for x in df], 'sum'), nid) AS rank
+       |         FROM fd) t WHERE rank <= $TopK),
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NumCentroids),
+       |${ivfAssignSql("c0", "a0")},
+       |${ivfLloydSql("a0", "c1")},
+       |${ivfAssignSql("c1", "a1")},
+       |${ivfLloydSql("a1", "c2")},
+       |${ivfAssignSql("c2", "cell")},
+       |qiv AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM cell WHERE vec_id < $NumQueries),
+       |pr AS (SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY
+       |             list_aggregate([q.qv[i]*c.cv[i] for i in generate_series(1, $Dim)], 'sum')
+       |               / (q.qnrm*c.cnrm) DESC, c.cid) AS rn
+       |    FROM qiv q CROSS JOIN c2 c) t WHERE rn <= $NumProbes),
+       |cc AS (SELECT cell.vec_id AS vec_id, cell.cid AS cid, co.codes AS codes
+       |       FROM cell JOIN co ON cell.vec_id = co.vec_id),
+       |idd AS (SELECT pr.qid, cc.vec_id AS nid,
+       |              [255 * qq.qvq[i] - (255 * mins[i] + cc.codes[i] * (maxs[i] - mins[i]))
+       |               for i in generate_series(1, $Dim)] AS df
+       |        FROM pr JOIN cc ON pr.cid = cc.cid
+       |             JOIN qq ON qq.qid = pr.qid CROSS JOIN mma),
+       |it AS (SELECT qid, nid FROM (
+       |         SELECT qid, nid,
+       |                row_number() OVER (PARTITION BY qid ORDER BY
+       |                  list_aggregate([x * x for x in df], 'sum'), nid) AS rank
+       |         FROM idd) t WHERE rank <= $TopK)
+       |SELECT 'ivf_sq8' AS method,
+       |       (SELECT count(*) FROM it JOIN bt ON it.qid = bt.qid AND it.nid = bt.nid)::DOUBLE
+       |         / ${NumQueries * TopK} AS recall_at_10
+       |UNION ALL
+       |SELECT 'sq8_full' AS method,
+       |       (SELECT count(*) FROM ft JOIN bt ON ft.qid = bt.qid AND ft.nid = bt.nid)::DOUBLE
+       |         / ${NumQueries * TopK} AS recall_at_10
+       |ORDER BY method""".stripMargin
 
   /** Embedding-cosine near-dup with metadata BLOCKING: candidate pairs
     * come from an equi-join on `label` (entity-resolution blocking —
@@ -1498,7 +1611,8 @@ object SimilarityQueries {
     // 64-row broadcast; encode is map-only; search scans 64-BYTE codes
     // (16x under raw floats) against broadcast queries with the
     // partial top-k below the exchange. Span-0 dims guard through
-    // greatest(span, 1) — code 0, exactly reconstructed.
+    // greatest(span, 1) — code 0, exactly reconstructed. See
+    // [[sq8TopK]].
     QueryDef("q202_sq8_search",
       s"""WITH e AS (SELECT vec_id,
          |            [CAST(floor(x * $SqScale) AS BIGINT) for x in embedding::DOUBLE[]] AS v
@@ -1522,38 +1636,17 @@ object SimilarityQueries {
          |  SELECT qid, nid, dist,
          |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rank
          |  FROM s) t
-         |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
-      val e = Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(vecD(col("embedding")), x => floor(x * SqScale)).as("v"))
-      val mmRow = e.select(posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-        .agg(
-          transform(array_sort(collect_list(struct(col("d"), col("mn")))),
-            s => s.getField("mn")).as("mins"),
-          transform(array_sort(collect_list(struct(col("d"), col("mx")))),
-            s => s.getField("mx")).as("maxs"))
-      val coded = e.crossJoin(broadcast(mmRow))
-        .withColumn("codes", expr(
-          "transform(v, (x, i) -> ((x - mins[i]) * 255) DIV greatest(maxs[i] - mins[i], 1L))"))
-      val q = broadcast(e.where(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("qid"), col("v").as("qv")))
-      val sims = q.crossJoin(coded)
-        .select(col("qid"), col("vec_id").as("nid"), expr(
-          """aggregate(
-            |  transform(qv, (q, i) -> 255L * q - (255L * mins[i] + codes[i] * (maxs[i] - mins[i]))),
-            |  0L, (acc, x) -> acc + x * x)""".stripMargin).as("dist"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
-      sims.withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= TopK)
-        .orderBy(col("qid"), col("rank"))
-    },
+         |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin)(sq8TopK(_, _)),
 
     // IVF×SQ8 composition (FAISS `IVF,SQ8`): nprobe cell restriction
     // (equi-join on cid against the persisted IVF artifact) × SQ8
     // 64-byte-code ADC — the two bandwidth cuts compose
     // multiplicatively; see [[ivfSq8TopK]].
     QueryDef("q205_ivf_sq8", ivfSq8Sql)(ivfSq8TopK(_, _)),
+
+    // SQ8 recall evaluation vs exact brute ground truth — see
+    // [[sq8Recall]].
+    QueryDef("q218_sq8_recall", sq8RecallSql)(sq8Recall(_, _)),
 
     // HARD-NEGATIVE mining (contrastive-training data prep): for each
     // query, the top-k most-similar vectors of a DIFFERENT label —

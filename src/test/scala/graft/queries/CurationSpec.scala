@@ -345,4 +345,17 @@ class CurationSpec extends SparkTestBase {
     rows.filterNot(r => CurationQueries.BlockedDomains.contains(r._1))
       .foreach { case (reg, _, b, _) => assert(b == 0, reg) }
   }
+
+  test("q219: leaky URL groups span folds; every fold row is consistent") {
+    val rows = defOf("q219_url_leakage").run(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "fixture must exhibit URL-aliased leakage")
+    assert(rows.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    rows.foreach { case (fold, urls, docs) =>
+      assert(urls >= 1 && docs >= urls, s"$fold: $urls urls, $docs docs")
+    }
+    // a leaky group spans >= 2 folds by definition, so at least two
+    // fold rows must appear
+    assert(rows.length >= 2)
+  }
 }

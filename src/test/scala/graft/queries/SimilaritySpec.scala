@@ -197,6 +197,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("q218: full-scan SQ8 recall dominates cell-restricted IVF×SQ8") {
+    val r = graft.SparkEntry.queries("q218_sq8_recall")(spark, sf0001)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Set("ivf_sq8", "sq8_full"))
+    r.values.foreach(v => assert(v > 0.0 && v <= 1.0, r.toString))
+    // probing can only LOSE candidates relative to the full scan
+    assert(r("sq8_full") >= r("ivf_sq8"), r.toString)
+  }
+
   test("q205 IVF×SQ8: self is rank 1; probe is a broadcast equi-join on cid") {
     val df = graft.SparkEntry.queries("q205_ivf_sq8")(spark, sf0001)
     val rows = df.collect().map(r =>
