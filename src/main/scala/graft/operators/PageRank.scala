@@ -75,4 +75,42 @@ object PageRank {
       .select(col("id"), col("r").as("rank_micro"),
         coalesce(col("deg"), lit(0L)).as("deg"))
   }
+
+  /** PERSONALIZED (seeded-teleport) PageRank — TrustRank (Gyöngyi,
+    * Garcia-Molina & Pedersen, VLDB 2004): the teleport mass lands
+    * ONLY on `seeds`, so ranks measure proximity to the trusted set —
+    * the selection score for "more data like these curated examples"
+    * (non-seed nodes unreachable from a seed settle at exactly 0).
+    * Same exact-integer arithmetic, per-round plan shape, and
+    * checkpoint discipline as [[ranks]]; the seed frame joins in as
+    * one extra broadcast-size left join per round. */
+  def personalizedRanks(nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import graft.queries.FrameMemo.checkpointed
+    val teleport = Unit0 * (100 - DampPct) / 100
+    val e = checkpointed(edges.select(col("id"), col("nb")))
+    val deg = checkpointed(
+      e.groupBy(col("id")).agg(count(lit(1)).as("deg")))
+    val s = checkpointed(
+      seeds.select(col("id")).distinct().withColumn("_s", lit(1L)))
+    def seedTerm(unit: Long) =
+      when(col("_s").isNotNull, lit(unit)).otherwise(lit(0L))
+    var r = nodes.join(s, Seq("id"), "left")
+      .select(col("id"), seedTerm(Unit0).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, "id").join(deg, "id")
+        .select(col("nb").as("id"),
+          expr(s"(r * $DampPct) DIV (100 * deg)").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("c"))
+      r = checkpointed(nodes.select(col("id"))
+        .join(s, Seq("id"), "left")
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (seedTerm(teleport) + coalesce(col("c"), lit(0L))).as("r")))
+    }
+    r.join(deg, Seq("id"), "left")
+      .select(col("id"), col("r").as("rank_micro"),
+        coalesce(col("deg"), lit(0L)).as("deg"))
+  }
 }

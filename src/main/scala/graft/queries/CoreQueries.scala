@@ -725,6 +725,32 @@ object CoreQueries {
         |         AS n_outliers
         |FROM c JOIN med ON c.flag = med.flag JOIN mad ON c.flag = mad.flag
         |GROUP BY c.flag, med.med, mad.mad ORDER BY flag""".stripMargin,
+      Seq("lineitem")),
+
+    // WEIGHTED median + weighted p90 — the reference's median
+    // semantics generalized to weighted points (quantity-weighted
+    // price: "the price at which half the VOLUME trades", not half
+    // the rows): cumulative-weight ROWS frame over the deterministic
+    // sort, answer = smallest value whose running weight reaches the
+    // target fraction — `2·cw ≥ W` / `10·cw ≥ 9·W` in pure BIGINT, no
+    // division. One group exchange serves both windows and the rollup.
+    QueryDef.sqlSurface("q220_weighted_median",
+      """WITH c AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |         CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT flag, v, w,
+        |         sum(w) OVER (PARTITION BY flag
+        |           ORDER BY v, l_orderkey, l_linenumber
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |         sum(w) OVER (PARTITION BY flag) AS tw
+        |  FROM c)
+        |SELECT flag, CAST(max(tw) AS BIGINT) AS total_weight,
+        |       min(CASE WHEN 2 * cw >= tw THEN v END) AS w_median,
+        |       min(CASE WHEN 10 * cw >= 9 * tw THEN v END) AS w_p90
+        |FROM r GROUP BY flag ORDER BY flag""".stripMargin,
       Seq("lineitem"))
   )
 }

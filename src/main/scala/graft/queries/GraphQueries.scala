@@ -25,8 +25,11 @@ object GraphQueries {
     * positive, so it matches Spark's truncating `DIV`), teleport
     * derived from the SAME [[PageRank.Unit0]]/[[PageRank.DampPct]]
     * constants the Spark side uses (so a damping change cannot fork
-    * the two engines), every node re-emitted each round. */
-  private def prRounds: String = {
+    * the two engines), every node re-emitted each round. The
+    * `seedCond` variant confines the teleport term to the seed set
+    * (q221 personalized/TrustRank form); `1=1` is the uniform q173
+    * form. */
+  private def prRounds(seedCond: String = "1=1"): String = {
     val teleport = PageRank.Unit0 * (100 - PageRank.DampPct) / 100
     (1 to Iters).map { k =>
       val prev = s"r${k - 1}"
@@ -35,10 +38,15 @@ object GraphQueries {
          |  FROM edges e2 JOIN $prev r ON e2.id = r.id JOIN deg d ON d.id = e2.id
          |  GROUP BY e2.nb),
          |r$k AS MATERIALIZED (
-         |  SELECT nodes.id, ($teleport + coalesce(c, 0))::BIGINT AS r
+         |  SELECT nodes.id,
+         |         (CASE WHEN $seedCond THEN $teleport ELSE 0 END
+         |          + coalesce(c, 0))::BIGINT AS r
          |  FROM nodes LEFT JOIN c$k USING (id))""".stripMargin
     }.mkString(",\n")
   }
+
+  /** q221 seed set: the first [[SeedMax]] vector ids. */
+  private val SeedMax = 10
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -52,7 +60,7 @@ object GraphQueries {
          |deg AS (SELECT id, count(*)::BIGINT AS deg FROM edges GROUP BY id),
          |nodes AS (SELECT vec_id AS id FROM embeddings),
          |r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),
-         |$prRounds
+         |${prRounds()}
          |SELECT r$Iters.id AS vec_id, r$Iters.r AS rank_micro,
          |       coalesce(deg, 0)::BIGINT AS deg
          |FROM r$Iters LEFT JOIN deg USING (id)
@@ -111,6 +119,38 @@ object GraphQueries {
           .select(col("id").as("vec_id"), col("deg"), col("n_tri"),
             expr("(10000L * 2 * n_tri) DIV (deg * (deg - 1))").as("coeff_bp"))
           .orderBy(col("n_tri").desc, col("vec_id"))
+          .limit(TopN)
+    },
+
+    // PERSONALIZED PageRank (TrustRank): teleport confined to the
+    // first-10-ids seed set, ranks = proximity to the trusted
+    // examples — the "more like these" selection score. Same integer
+    // rounds, edges, and plan shape as q173; the seed set joins in as
+    // one broadcast-size left join per round.
+    QueryDef("q221_personalized_pagerank",
+      s"""WITH ${SimilarityQueries.mutualEdgesCte},
+         |deg AS (SELECT id, count(*)::BIGINT AS deg FROM edges GROUP BY id),
+         |nodes AS (SELECT vec_id AS id FROM embeddings),
+         |r0 AS (SELECT id,
+         |              (CASE WHEN id < $SeedMax THEN ${PageRank.Unit0} ELSE 0 END)::BIGINT AS r
+         |       FROM nodes),
+         |${prRounds(s"nodes.id < $SeedMax")}
+         |SELECT r$Iters.id AS vec_id, r$Iters.r AS rank_micro,
+         |       coalesce(deg, 0)::BIGINT AS deg
+         |FROM r$Iters LEFT JOIN deg USING (id)
+         |WHERE r$Iters.r > 0
+         |ORDER BY rank_micro DESC, vec_id LIMIT $TopN""".stripMargin) {
+      (spark, dir) =>
+        val mut = SimilarityQueries.mutualKnnEdges(spark, dir)
+        val edges = mut.select(col("doc_a").as("id"), col("doc_b").as("nb"))
+          .unionByName(mut.select(col("doc_b").as("id"), col("doc_a").as("nb")))
+        val nodes = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id").as("id"))
+        val seeds = nodes.where(col("id") < SeedMax)
+        PageRank.personalizedRanks(nodes, edges, seeds, Iters)
+          .where(col("rank_micro") > 0)
+          .select(col("id").as("vec_id"), col("rank_micro"), col("deg"))
+          .orderBy(col("rank_micro").desc, col("vec_id"))
           .limit(TopN)
     }
   )

@@ -280,15 +280,22 @@ object LmQueries {
       val docs = Tables.load(spark, dir, "documents")
       val scored = NgramLm.score(docs, "text",
         NgramLm.train(trainDocs(docs), "text"), Seq("doc_id", "source"))
-      var cur = scored.groupBy(col("source"))
-        .agg(expr("sum(cost_micro) DIV sum(n_tok)").as("loss"))
-        .withColumn("w", lit(MwuW0))
+      // materialize the per-domain loss table ONCE: `cur` is read
+      // twice per MWU round (the mix scalar + the reweight join) and
+      // once more for the final normalizer — without the cut, every
+      // read re-executes the whole LM train+score chain upstream
+      // (measured 18.9 s -> the chain's one-pass cost at sf0.1)
+      var cur = graft.queries.FrameMemo.checkpointed(
+        scored.groupBy(col("source"))
+          .agg(expr("sum(cost_micro) DIV sum(n_tok)").as("loss"))
+          .withColumn("w", lit(MwuW0)))
       for (_ <- 1 to MwuRounds) {
         val mix = cur.agg(expr("sum(w * loss) DIV sum(w)").as("mix"))
-        cur = cur.crossJoin(broadcast(mix))
-          .withColumn("w", greatest(lit(1L), expr(
-            s"(w * ($MwuK + greatest(-$MwuClamp, least($MwuClamp, loss - mix)))) DIV $MwuK")))
-          .drop("mix")
+        cur = graft.queries.FrameMemo.checkpointed(
+          cur.crossJoin(broadcast(mix))
+            .withColumn("w", greatest(lit(1L), expr(
+              s"(w * ($MwuK + greatest(-$MwuClamp, least($MwuClamp, loss - mix)))) DIV $MwuK")))
+            .drop("mix"))
       }
       cur.crossJoin(broadcast(cur.agg(sum(col("w")).as("w_sum"))))
         .select(col("source"), col("loss").as("loss_mn"), col("w"),

@@ -51,6 +51,19 @@ class PageRankSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("personalized: teleport lands only on seeds; exact 2-iter chain values") {
+    val ranks = PageRank.personalizedRanks(
+      Seq(0L, 1L, 2L, 3L).toDF("id"),
+      Seq((0L, 1L), (1L, 2L)).toDF("id", "nb"),
+      Seq(0L).toDF("id"), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter1: r(0)=150000, r(1)=(1000000·85)DIV100=850000, r(2)=0
+    // iter2: r(0)=150000, r(1)=(150000·85)DIV100=127500,
+    //        r(2)=(850000·85)DIV100=722500; isolated non-seed 3 = 0
+    assert(ranks == Map(0L -> 150000L, 1L -> 127500L,
+      2L -> 722500L, 3L -> 0L), ranks.toString)
+  }
+
   test("ranks are partitioning-invariant") {
     val nodes = (0L until 60L).toDF("id")
     val edges = (0L until 60L).flatMap(i =>
