@@ -52,27 +52,47 @@ object Decontaminate {
   /** Bloom-prefiltered contamination — the scale path when even the
     * eval set's distinct n-gram STRINGS are too wide to ship whole:
     * the grams collapse to `numBits` of bloom filter (ONE broadcast
-    * row), the corpus is probed per-row with a short-circuiting
-    * higher-order `exists` (map-only, zero exchange), and only the
-    * surviving candidates pay the exact gram semi-join that removes
-    * bloom false positives. No false negatives by construction, so
-    * the result EQUALS [[contaminatedIds]] (plus any extra columns in
-    * `keep`) — the q69 bloom-semi-join argument applied to
-    * decontamination. */
+    * row), the corpus's grams are probed in the SCAN STAGE (explode →
+    * bloom filter, pipelined — the explode never reaches an
+    * exchange; only bloom-hit doc ids do, a tiny fraction bounded by
+    * contamination + the false-positive rate), and only those
+    * candidates pay the exact gram semi-join that removes bloom false
+    * positives. No false negatives by construction, so the result
+    * EQUALS [[contaminatedIds]] (plus any extra columns in `keep`) —
+    * the q69 bloom-semi-join argument applied to decontamination.
+    *
+    * Probe shape notes (both measured at sf0.1):
+    *  - an `exists()` HOF over the gram array would short-circuit at
+    *    the first hit, but higher-order lambdas run INTERPRETED; the
+    *    exploded form keeps the whole probe inside codegen.
+    *  - the filter must reach the probe as a LITERAL, not a column: a
+    *    BINARY column read out of the (cross-joined) bloom row copies
+    *    all bits/8 bytes PER PROBED GRAM (`getBinary` allocates), and
+    *    at megabit filter sizes that per-row copy dwarfs the probe
+    *    itself. A literal is a codegen reference object — read once.
+    *    The one driver-side `head()` materializes bits/8 bytes of
+    *    planning metadata, sized by the EVAL corpus — the BloomSkip
+    *    discipline, and exactly how Spark's own runtime-filter
+    *    `BloomFilterMightContain` ships its filter (scalar subquery
+    *    materialized before the probe stage). 14.5s → ~1s at sf0.1. */
   def bloomContaminatedIds(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int,
       numBits: Int, numHashes: Int, keep: Seq[String] = Nil): DataFrame = {
     val evalGrams = eval
       .select(explode(TextSketches.shingles(col(textCol), n)).as("g"))
       .distinct()
-    val bloomRow = evalGrams.agg(graft.functions.GraftFunctions
+    val bf = lit(evalGrams.agg(graft.functions.GraftFunctions
       .bloom_agg(xxhash64(col("g")), numBits, numHashes).as("bf"))
+      .head().getAs[Array[Byte]](0))
+    val hitIds = train
+      .select(col(idCol),
+        explode(TextSketches.shingles(col(textCol), n)).as("g"))
+      .where(graft.functions.GraftFunctions
+        .bloom_might_contain(bf, xxhash64(col("g")), numHashes))
+      .select(col(idCol)).distinct()
     val cand = train
       .select((idCol +: keep).map(col) :+ col(textCol): _*)
-      .crossJoin(broadcast(bloomRow))
-      .where(exists(TextSketches.shingles(col(textCol), n),
-        g => graft.functions.GraftFunctions
-          .bloom_might_contain(col("bf"), xxhash64(g), numHashes)))
+      .join(broadcast(hitIds), Seq(idCol), "left_semi")
     cand.select((idCol +: keep).map(col) :+
         explode(TextSketches.shingles(col(textCol), n)).as("g"): _*)
       .join(broadcast(evalGrams), Seq("g"), "left_semi")

@@ -33,11 +33,15 @@ object CurationQueries {
   private[queries] val MixSeed = "mix7"
   private[queries] val MixDenom = 2
 
-  /** q199 bloom-prefilter sizing: 64 Kbit / 5 hashes holds the
-    * fixture eval-gram set far below the 1% false-positive knee; at
-    * 100 TB the bits scale with the EVAL corpus (small by
-    * construction), never the training corpus. */
-  private[queries] val BloomBits = 65536
+  /** q199 bloom-prefilter sizing: 8 Mbit / 5 hashes (a 1 MB literal)
+    * holds even the sf0.1 eval-gram set (~900k distinct grams) below
+    * the 1% false-positive knee — the earlier 64 Kbit setting
+    * SATURATED at sf0.1, passing every doc to the exact verify and
+    * silently degrading the gate to double work. Bits scale with the
+    * EVAL corpus (small by construction), never the training corpus;
+    * the filter ships as a literal, so size costs one driver-side
+    * buffer, not a per-row copy. */
+  private[queries] val BloomBits = 1 << 23
   private[queries] val BloomHashes = 5
 
   private[queries] val DsirBuckets = graft.operators.Dsir.DefaultBuckets
