@@ -691,7 +691,12 @@ object CoreQueries {
     // convention made ANSI-portable), exact median of |v − med|, flag
     // |v − med| > 3·MAD — all BIGINT cents, zero float drift. Two rank
     // windows + two broadcast-size threshold joins; the corpus
-    // exchanges only on the group key.
+    // exchanges only on the group key. SCALE ROUTING: exactness here
+    // costs two full-corpus sort windows partitioned by a LOW-
+    // CARDINALITY key (parallelism caps at the group count — measured
+    // 7.7× for 10× data); at 100 TB ask the same question through the
+    // mergeable sketch/reservoir median family (q112/q113 quantile
+    // sketch, appx_median) and keep this gate as the exactness pin.
     QueryDef.sqlSurface("q216_mad_outliers",
       """WITH c AS (
         |  SELECT l_returnflag AS flag,
