@@ -559,6 +559,60 @@ object EventQueries {
             sum(col("c") * expr("shiftleft(1L, cast(16 - rn AS INT))"))
               .as("score_scaled"))
           .orderBy(col("user_id"))
+    },
+
+    // THEIL–SEN robust trend per user — the median of all pairwise
+    // slopes (Theil 1950 / Sen 1968), immune to the outliers that
+    // wreck least-squares on spend series. Slopes in exact micro-units
+    // with the sign SPLIT OUT before division (both engines then
+    // divide non-negative operands, where floor ≡ truncate — the same
+    // `//` vs `DIV` negative-division trap the DSIR gate documents),
+    // median by the disc-lower convention. The pair join is user-keyed
+    // (one exchange); per-user pair count is quadratic in the SERIES
+    // length, which a production run caps with the q192-style
+    // weighted/reservoir sample per user before pairing — plan shape
+    // unchanged.
+    QueryDef("q222_theilsen_trend",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT a.user_id AS user_id,
+        |         CASE WHEN b.c >= a.c
+        |              THEN (1000000 * (b.c - a.c)) // (b.t - a.t)
+        |              ELSE -((1000000 * (a.c - b.c)) // (b.t - a.t)) END AS s
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.t < b.t),
+        |r AS (
+        |  SELECT user_id, s,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY s) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM p)
+        |SELECT user_id, max(n)::BIGINT AS n_pairs,
+        |       max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+        |                THEN s END)::BIGINT AS trend_micro
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (spark, dir) =>
+        val ev = Tables.load(spark, dir, "events")
+        val e = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), Tables.tsMicros(ev).as("t"),
+            round(col("value") * 100).cast("long").as("c"))
+        val a = e.select(col("user_id"), col("t").as("t1"), col("c").as("c1"))
+        val b = e.select(col("user_id"), col("t").as("t2"), col("c").as("c2"))
+        val p = a.join(b, Seq("user_id")).where(col("t1") < col("t2"))
+          .select(col("user_id"), expr(
+            """CASE WHEN c2 >= c1
+              |     THEN (1000000L * (c2 - c1)) DIV (t2 - t1)
+              |     ELSE -((1000000L * (c1 - c2)) DIV (t2 - t1)) END"""
+              .stripMargin).as("s"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("s"))
+        p.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n_pairs"),
+            max(when(col("rn") === floor((col("n") + 1) / 2).cast("long"),
+              col("s"))).as("trend_micro"))
+          .orderBy(col("user_id"))
     }
   )
 }

@@ -67,4 +67,24 @@ class EventQueriesSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q222: exact slope on a linear series; one outlier cannot move the median") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("theilsen").toString
+    // user 1: perfectly linear, +5 cents per 1000 us => slope 5000 micro
+    // user 2: same line plus ONE wild spike — Theil–Sen must hold 5000
+    val lin = (0 to 5).map(i => (i.toLong, 1000L + i * 1000L, 1L, "purchase", (1.00 + 0.05 * i)))
+    val spiky = (0 to 5).map(i => (10 + i.toLong, 1000L + i * 1000L, 2L,
+      "purchase", if (i == 3) 900.0 else 1.00 + 0.05 * i))
+    (lin ++ spiky).toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("q222_theilsen_trend")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((15L, 5000L)), got.toString)
+    // 5 of 15 pairs touch the spike; the median pair is still clean
+    assert(got(2L)._1 == 15L && got(2L)._2 == 5000L, got.toString)
+  }
 }
