@@ -27,6 +27,8 @@ object EventQueries {
 
   private val GapMicros = 30L * 60 * 1000 * 1000 // 30 min
   private val HourMicros = 3600L * 1000 * 1000
+  private val DayMicros = 24L * 3600 * 1000 * 1000
+  private val WeekMicros = 7L * 24 * 3600 * 1000 * 1000
   private val FunnelWindowMicros = 7L * 24 * 3600 * 1000 * 1000 // 7 days
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
@@ -613,6 +615,98 @@ object EventQueries {
             max(when(col("rn") === floor((col("n") + 1) / 2).cast("long"),
               col("s"))).as("trend_micro"))
           .orderBy(col("user_id"))
+    },
+
+    // COHORT retention matrix — the product-analytics staple: users
+    // grouped by their FIRST-activity week, counted distinct in each
+    // subsequent week offset. Pure integer week buckets (epoch-micros
+    // DIV week), so the matrix is hash-exact. Scale: one user-keyed
+    // partial+final agg for the cohort week, one user-keyed equi-join
+    // back to events (shares the clustering), and the distinct
+    // (cohort, offset, user) agg partial-collapses map-side — at
+    // 100 TB of events the corpus exchanges on user_id once and on the
+    // (cohort, offset, user) triple once, both combiner-friendly.
+    QueryDef("q223_cohort_retention",
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) // $WeekMicros AS w FROM events),
+         |f AS (SELECT user_id, min(w) AS cw FROM e GROUP BY user_id),
+         |a AS (
+         |  SELECT DISTINCT f.cw AS cw, e.w - f.cw AS k, e.user_id AS user_id
+         |  FROM e JOIN f ON e.user_id = f.user_id)
+         |SELECT cw AS cohort_week, k AS week_offset, count(*) AS n_users
+         |FROM a GROUP BY cw, k
+         |ORDER BY cohort_week, week_offset""".stripMargin) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+      val e = ev.select(col("user_id"), Tables.tsMicros(ev).as("t"))
+        .select(col("user_id"), expr(s"t DIV ${WeekMicros}L").as("w"))
+      val f = e.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      e.join(f, Seq("user_id"))
+        .select(col("cw"), (col("w") - col("cw")).as("k"), col("user_id"))
+        .distinct()
+        .groupBy(col("cw"), col("k"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cw").as("cohort_week"), col("k").as("week_offset"),
+          col("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    // OFFLINE changepoint detection (binary-segmentation split
+    // statistic): over the DAILY purchase series, the day boundary
+    // maximizing the scaled |mean(left) − mean(right)| — the "did the
+    // metric shift, and when" primitive behind drift alarms. All
+    // arithmetic is exact BIGINT with the mean difference compared via
+    // cross-multiplication then scaled by ONE shared integer division
+    // (both engines truncate non-negative operands identically; the
+    // q222 sign discipline). Magnitude bound documented: 1e6 ·
+    // |lsum·(n−i) − rsum·i| stays under 2^63 through ~1e10 daily cents
+    // over a 100-day series. Scale: the corpus-sized work is the
+    // map-side-combined day rollup; every window below it runs over
+    // the ≤|days| aggregate frame — driver-tiny by construction, so
+    // the unpartitioned windows are not a parallelism hazard.
+    QueryDef("q224_changepoint",
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) // $DayMicros AS d,
+         |         CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM events WHERE event_type = 'purchase'),
+         |s AS (SELECT d, CAST(sum(c) AS BIGINT) AS dc FROM e GROUP BY d),
+         |p AS (
+         |  SELECT d, dc,
+         |         sum(dc) OVER (ORDER BY d
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum,
+         |         row_number() OVER (ORDER BY d) AS i,
+         |         sum(dc) OVER () AS tot,
+         |         count(*) OVER () AS n
+         |  FROM s),
+         |cand AS (
+         |  SELECT d, i, n, lsum, tot - lsum AS rsum,
+         |         (1000000 * abs(lsum * (n - i) - (tot - lsum) * i))
+         |           // (i * (n - i)) AS score
+         |  FROM p WHERE i < n)
+         |SELECT d AS split_day, CAST(score AS BIGINT) AS score_scaled,
+         |       CAST((100 * lsum) // i AS BIGINT) AS left_mean_c100,
+         |       CAST((100 * rsum) // (n - i) AS BIGINT) AS right_mean_c100
+         |FROM cand ORDER BY score DESC, split_day LIMIT 5""".stripMargin) {
+      (spark, dir) =>
+        val ev = Tables.load(spark, dir, "events")
+        val e = ev.where(col("event_type") === "purchase")
+          .select(Tables.tsMicros(ev).as("t"),
+            round(col("value") * 100).cast("long").as("c"))
+          .select(expr(s"t DIV ${DayMicros}L").as("d"), col("c"))
+        val s = e.groupBy(col("d")).agg(sum(col("c")).as("dc"))
+        val ord = Window.orderBy(col("d"))
+        val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy()
+        s.withColumn("lsum", sum(col("dc")).over(run))
+          .withColumn("i", row_number().over(ord).cast("long"))
+          .withColumn("tot", sum(col("dc")).over(all))
+          .withColumn("n", count(lit(1)).over(all))
+          .where(col("i") < col("n"))
+          .withColumn("score", expr(
+            "(1000000L * abs(lsum * (n - i) - (tot - lsum) * i)) DIV (i * (n - i))"))
+          .select(col("d").as("split_day"), col("score").as("score_scaled"),
+            expr("(100L * lsum) DIV i").as("left_mean_c100"),
+            expr("(100L * (tot - lsum)) DIV (n - i)").as("right_mean_c100"))
+          .orderBy(col("score_scaled").desc, col("split_day")).limit(5)
     }
   )
 }

@@ -152,6 +152,56 @@ object GraphQueries {
           .select(col("id").as("vec_id"), col("rank_micro"), col("deg"))
           .orderBy(col("rank_micro").desc, col("vec_id"))
           .limit(TopN)
+    },
+
+    // LINK PREDICTION over the same mutual-kNN graph: non-edges ranked
+    // by common-neighbor count and Jaccard overlap (Liben-Nowell &
+    // Kleinberg 2003) — the "these two clusters are about to merge"
+    // signal incremental dedup maintenance reads, and the classic
+    // candidate generator for graph completion. 2-paths enumerate via
+    // ONE self-equi-join of the directed edge list on the midpoint
+    // (same shape and arboricity note as q208's triangle join: at
+    // scale, orient by degree to bound the per-midpoint fan-out),
+    // existing edges removed with a LEFT ANTI join on the id-ordered
+    // pair, Jaccard in exact basis points over the union size
+    // deg(a)+deg(b)−cn.
+    QueryDef("q225_link_prediction",
+      s"""WITH ${SimilarityQueries.mutualEdgesCte},
+         |deg AS (SELECT id, count(*)::BIGINT AS deg FROM edges GROUP BY id),
+         |p2 AS (
+         |  SELECT e1.nb AS x, e2.nb AS z, count(*)::BIGINT AS cn
+         |  FROM edges e1 JOIN edges e2 ON e1.id = e2.id AND e1.nb < e2.nb
+         |  GROUP BY e1.nb, e2.nb),
+         |cand AS (
+         |  SELECT x, z, cn FROM p2
+         |  WHERE cn >= 2
+         |    AND NOT EXISTS (SELECT 1 FROM mut
+         |                    WHERE doc_a = x AND doc_b = z))
+         |SELECT x AS vec_a, z AS vec_b, cn AS common_neighbors,
+         |       ((10000 * cn) // (da.deg + dz.deg - cn))::BIGINT AS jaccard_bp
+         |FROM cand JOIN deg da ON da.id = x JOIN deg dz ON dz.id = z
+         |ORDER BY common_neighbors DESC, jaccard_bp DESC, vec_a, vec_b
+         |LIMIT $TopN""".stripMargin) { (spark, dir) =>
+      val mut = SimilarityQueries.mutualKnnEdges(spark, dir)
+      val edges = mut.select(col("doc_a").as("id"), col("doc_b").as("nb"))
+        .unionByName(mut.select(col("doc_b").as("id"), col("doc_a").as("nb")))
+      val deg = edges.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val p2 = edges.as("e1")
+        .join(edges.as("e2"),
+          col("e1.id") === col("e2.id") && col("e1.nb") < col("e2.nb"))
+        .groupBy(col("e1.nb").as("x"), col("e2.nb").as("z"))
+        .agg(count(lit(1)).as("cn"))
+      val cand = p2.where(col("cn") >= 2)
+        .join(mut, p2("x") === mut("doc_a") && p2("z") === mut("doc_b"),
+          "left_anti")
+      cand.join(deg.as("da"), col("x") === col("da.id"))
+        .join(deg.as("dz"), col("z") === col("dz.id"))
+        .select(col("x").as("vec_a"), col("z").as("vec_b"),
+          col("cn").as("common_neighbors"),
+          expr("(10000L * cn) DIV (da.deg + dz.deg - cn)").as("jaccard_bp"))
+        .orderBy(col("common_neighbors").desc, col("jaccard_bp").desc,
+          col("vec_a"), col("vec_b"))
+        .limit(TopN)
     }
   )
 }

@@ -1360,6 +1360,74 @@ object TextQueries {
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy(col("n_pairs").desc, col("center"), col("context"))
           .limit(50)
+    },
+
+    // AMS "tug-of-war" sketch (Alon–Matias–Szegedy 1996) for the
+    // SECOND frequency moment F2 = Σ f(t)² — the self-join-size /
+    // skew estimator the CMS family can't give: 16 signed counters
+    // X_r = Σ_tokens sign_r(token), est = median over 4 groups of the
+    // group's mean X². The sign family is the replayable md5-slice
+    // convention (q105), so every counter AND the estimate
+    // hash-compare EXACTLY against a DuckDB replay — no probabilistic
+    // bound in the gate. Spark computes all 16 counters in ONE
+    // map-side-combined pass (16 sum columns over the token scan, vs
+    // the oracle's ×16 generate_series explode); exact F2 costs one
+    // grouped count over distinct tokens. Magnitudes: |X_r| ≤ N
+    // tokens, so sum_sq ≤ 4N² — inside BIGINT through N ~ 10⁹ tokens
+    // per sketch partition at 100 TB (shard the sketch by corpus
+    // split above that).
+    QueryDef("q226_ams_f2",
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |x AS (
+        |  SELECT r, CAST(sum(CASE WHEN ('0x' || substr(md5('ams' || r || ':' || t), 1, 7))::BIGINT % 2 = 0
+        |                          THEN 1 ELSE -1 END) AS BIGINT) AS xr
+        |  FROM tok CROSS JOIN generate_series(0, 15) g(r) GROUP BY r),
+        |grp AS (
+        |  SELECT r // 4 AS grp, CAST(sum(xr * xr) AS BIGINT) AS sum_sq,
+        |         CAST(sum(xr * (r + 1)) AS BIGINT) AS chk
+        |  FROM x GROUP BY r // 4),
+        |med AS (
+        |  SELECT sum_sq AS s, row_number() OVER (ORDER BY sum_sq) AS rn
+        |  FROM grp),
+        |est AS (SELECT CAST(max(CASE WHEN rn = 2 THEN s END) // 4 AS BIGINT) AS est
+        |        FROM med),
+        |f2 AS (SELECT CAST(sum(n * n) AS BIGINT) AS f2_exact FROM (
+        |         SELECT count(*) AS n FROM tok GROUP BY t) c)
+        |SELECT grp, sum_sq, chk, est, f2_exact,
+        |       CAST((10000 * est) // f2_exact AS BIGINT) AS ratio_bp
+        |FROM grp CROSS JOIN est CROSS JOIN f2
+        |ORDER BY grp""".stripMargin) { (spark, dir) =>
+      val toks = Tables.load(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+      def sign(r: Int): Column =
+        when(conv(substring(md5(concat(lit(s"ams$r:"), col("t"))), 1, 7),
+          16, 10).cast("long") % 2 === 0, 1L).otherwise(-1L)
+      val sums = toks.agg(sum(sign(0)).cast("long").as("x0"),
+        (1 until 16).map(r => sum(sign(r)).cast("long").as(s"x$r")): _*)
+      val grp = sums.select(explode(expr(
+        """transform(sequence(0, 3), g -> struct(
+          |  cast(g AS BIGINT) AS grp,
+          |  aggregate(sequence(4*g, 4*g + 3), 0L,
+          |    (a, r) -> a + element_at(array(x0,x1,x2,x3,x4,x5,x6,x7,x8,x9,
+          |      x10,x11,x12,x13,x14,x15), cast(r + 1 AS INT))
+          |      * element_at(array(x0,x1,x2,x3,x4,x5,x6,x7,x8,x9,
+          |      x10,x11,x12,x13,x14,x15), cast(r + 1 AS INT))) AS sum_sq,
+          |  aggregate(sequence(4*g, 4*g + 3), 0L,
+          |    (a, r) -> a + element_at(array(x0,x1,x2,x3,x4,x5,x6,x7,x8,x9,
+          |      x10,x11,x12,x13,x14,x15), cast(r + 1 AS INT))
+          |      * (r + 1)) AS chk))""".stripMargin)).as("g"))
+        .select(col("g.grp").as("grp"), col("g.sum_sq").as("sum_sq"),
+          col("g.chk").as("chk"))
+      val est = grp.agg(expr(
+        "element_at(array_sort(collect_list(sum_sq)), 2) DIV 4").as("est"))
+      val f2 = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).cast("long").as("f2_exact"))
+      grp.crossJoin(broadcast(est)).crossJoin(broadcast(f2))
+        .select(col("grp"), col("sum_sq"), col("chk"), col("est"),
+          col("f2_exact"),
+          expr("(10000L * est) DIV f2_exact").as("ratio_bp"))
+        .orderBy(col("grp"))
     }
   )
 
