@@ -756,6 +756,51 @@ object CoreQueries {
         |       min(CASE WHEN 2 * cw >= tw THEN v END) AS w_median,
         |       min(CASE WHEN 10 * cw >= 9 * tw THEN v END) AS w_p90
         |FROM r GROUP BY flag ORDER BY flag""".stripMargin,
-      Seq("lineitem"))
+      Seq("lineitem")),
+
+    // MARKET-BASKET association mining (the Apriori candidate-pair
+    // pass, Agrawal & Srikant 1994): parts co-purchased within an
+    // order, ranked by co-occurrence support and LIFT = P(ab)/(P(a)
+    // ·P(b)) in exact basis points — the batch-mining sibling of
+    // q149's adjacent-bigram collocations. Scale shape: the pair
+    // enumeration is ONE self-equi-join on the order key whose
+    // fan-out is bounded by basket size squared (baskets are bounded,
+    // the corpus is not — the q120 argument), pair support
+    // partial-collapses map-side, item supports are vocab-sized
+    // equi-joins and the order count broadcasts. Lift magnitudes:
+    // 10000·n_ab·N < 2^63 through N ~ 3·10⁷ baskets; shard by a
+    // basket-hash split above that and merge counts.
+    QueryDef("q228_basket_assoc",
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT count(DISTINCT o) AS n_orders FROM b),
+        |ic AS (SELECT p, count(*)::BIGINT AS n_p FROM b GROUP BY p),
+        |pr AS (
+        |  SELECT x.p AS pa, y.p AS pb, count(*)::BIGINT AS n_ab
+        |  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY x.p, y.p)
+        |SELECT pa, pb, n_ab,
+        |       ((10000 * n_ab * n_orders) // (ia.n_p * ib.n_p))::BIGINT AS lift_bp
+        |FROM pr JOIN ic ia ON ia.p = pa JOIN ic ib ON ib.p = pb
+        |     CROSS JOIN n
+        |ORDER BY n_ab DESC, lift_bp DESC, pa, pb LIMIT 25""".stripMargin) {
+      (spark, dir) =>
+        val b = Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val n = b.agg(countDistinct(col("o")).as("n_orders"))
+        val ic = b.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+        val pr = b.as("x")
+          .join(b.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+        pr.join(ic.select(col("p").as("pa"), col("n_p").as("na")), Seq("pa"))
+          .join(ic.select(col("p").as("pb"), col("n_p").as("nb")), Seq("pb"))
+          .crossJoin(broadcast(n))
+          .select(col("pa"), col("pb"), col("n_ab"),
+            expr("(10000L * n_ab * n_orders) DIV (na * nb)").as("lift_bp"))
+          .orderBy(col("n_ab").desc, col("lift_bp").desc, col("pa"), col("pb"))
+          .limit(25)
+    }
   )
 }

@@ -43,6 +43,19 @@ object TextQueries {
   private val QsBits = 5
   private val QsSubBuckets = 1 << QsBits
 
+  /** DuckDB replay of [[graft.functions.QuantileSketchAgg.bucketOf]]
+    * (shared by q112/q113/q227 oracle text). */
+  private def qsBucketSql(v: String): String =
+    s"(greatest(0, length(printf('%b', $v)) - 1 - $QsBits) * $QsSubBuckets" +
+      s" + ($v >> greatest(0, length(printf('%b', $v)) - 1 - $QsBits)))::BIGINT"
+
+  /** DuckDB bucket-id → lower-bound estimate (expects a `bucket`
+    * column in scope; the q113 formula). */
+  private def qsEstSql: String =
+    s"(CASE WHEN (bucket >> $QsBits) - 1 < 0 THEN bucket" +
+      s" ELSE (bucket - ((bucket >> $QsBits) - 1) * $QsSubBuckets)" +
+      s" << ((bucket >> $QsBits) - 1) END)::BIGINT"
+
   /** q137's fixed query — terms present in the fixture vocabulary.
     * (Also declared before `defs` for the same init-order reason.) */
   private val Bm25Terms = Seq("spark", "vector", "stream", "window")
@@ -1428,6 +1441,88 @@ object TextQueries {
           col("f2_exact"),
           expr("(10000L * est) DIV f2_exact").as("ratio_bp"))
         .orderBy(col("grp"))
+    },
+
+    // APPROXIMATE MAD through the quantile sketch — the measured
+    // 100 TB routing q216's scaladoc promises: exact MAD costs two
+    // full-corpus rank windows partitioned by a 3-value key (7.7× for
+    // 10× data, parallelism capped at the group count), while this
+    // path is three LINEAR scans whose exchanges carry O(cells)
+    // mergeable sketch rows: sketch(v) → median estimate, sketch of
+    // |v − m̂| → MAD estimate, one map-only outlier count against the
+    // broadcast thresholds. Both medians read off the deterministic
+    // HDR grid (q112's integer bucketing), so every estimate
+    // hash-compares against the DuckDB replay — the ±2^-bits
+    // relative-error bound vs the exact q216 values is
+    // QuantileSketchSpec territory; this gate pins the arithmetic.
+    QueryDef("q227_mad_sketch",
+      s"""WITH v AS (
+         |  SELECT l_returnflag AS flag,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |c1 AS (
+         |  SELECT flag, ${qsBucketSql("v")} AS bucket, count(*)::BIGINT AS cnt
+         |  FROM v GROUP BY 1, 2),
+         |m1 AS (
+         |  SELECT flag, $qsEstSql AS med_est
+         |  FROM (SELECT flag, bucket, cnt,
+         |               sum(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS cum,
+         |               sum(cnt) OVER (PARTITION BY flag) AS n
+         |        FROM c1) t1
+         |  WHERE cum >= ceil(0.5 * n) AND cum - cnt < ceil(0.5 * n)),
+         |d AS (SELECT v.flag AS flag, abs(v - med_est) AS av
+         |      FROM v JOIN m1 ON v.flag = m1.flag),
+         |c2 AS (
+         |  SELECT flag, ${qsBucketSql("av")} AS bucket, count(*)::BIGINT AS cnt
+         |  FROM d GROUP BY 1, 2),
+         |m2 AS (
+         |  SELECT flag, $qsEstSql AS mad_est
+         |  FROM (SELECT flag, bucket, cnt,
+         |               sum(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS cum,
+         |               sum(cnt) OVER (PARTITION BY flag) AS n
+         |        FROM c2) t2
+         |  WHERE cum >= ceil(0.5 * n) AND cum - cnt < ceil(0.5 * n))
+         |SELECT v.flag AS flag, count(*) AS n_rows,
+         |       m1.med_est AS med_est, m2.mad_est AS mad_est,
+         |       CAST(sum(CASE WHEN abs(v - med_est) > 3 * mad_est
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_est
+         |FROM v JOIN m1 ON v.flag = m1.flag JOIN m2 ON v.flag = m2.flag
+         |GROUP BY v.flag, m1.med_est, m2.mad_est
+         |ORDER BY flag""".stripMargin) { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
+      val v = Tables.load(spark, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+        .where(col("v").isNotNull)
+      def sketchMedian(df: DataFrame, valCol: String): DataFrame = {
+        val cells = df.groupBy(col("flag"))
+          .agg(graft.functions.GraftFunctions
+            .quantile_sketch(col(valCol), QsBits).as("sk"))
+          .select(col("flag"), explode(col("sk")).as(Seq("bucket", "cnt")))
+        val wCum = Window.partitionBy(col("flag")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("flag"))
+        val rank = ceil(col("n") * 0.5)
+        cells.withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .where(col("cum") >= rank && col("cum") - col("cnt") < rank)
+          .withColumn("shift", shiftright(col("bucket"), QsBits) - 1)
+          .select(col("flag"), when(col("shift") < 0, col("bucket"))
+            .otherwise(expr(s"shiftleft(bucket - shift * $QsSubBuckets, shift)"))
+            .cast("long").as("est"))
+      }
+      val med = sketchMedian(v, "v").withColumnRenamed("est", "med_est")
+      val d = v.join(broadcast(med), Seq("flag"))
+        .select(col("flag"), abs(col("v") - col("med_est")).as("av"))
+      val mad = sketchMedian(d, "av").withColumnRenamed("est", "mad_est")
+      v.join(broadcast(med), Seq("flag")).join(broadcast(mad), Seq("flag"))
+        .groupBy(col("flag"), col("med_est"), col("mad_est"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(abs(col("v") - col("med_est")) > col("mad_est") * 3, 1L)
+            .otherwise(0L)).as("n_outliers_est"))
+        .select(col("flag"), col("n_rows"), col("med_est"), col("mad_est"),
+          col("n_outliers_est"))
+        .orderBy(col("flag"))
     }
   )
 
