@@ -87,4 +87,43 @@ class EventQueriesSpec extends SparkTestBase {
     // 5 of 15 pairs touch the spike; the median pair is still clean
     assert(got(2L)._1 == 15L && got(2L)._2 == 5000L, got.toString)
   }
+
+  test("q223: week-0 cell equals cohort size; offsets non-negative; no cartesian") {
+    val df = graft.SparkEntry.queries("q223_cohort_retention")(spark, sf0001)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0), "negative week offset")
+    // every user is active in their own first week, so the k=0 cell is
+    // the cohort's size and every later cell is bounded by it
+    val week0 = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (cw, k, n) =>
+      assert(week0.contains(cw), s"cohort $cw missing its k=0 cell")
+      assert(n <= week0(cw), s"cohort $cw offset $k: $n > ${week0(cw)}")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q224: hand-built level shift is found at the exact boundary") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("chgpt").toString
+    val day = 24L * 3600 * 1000 * 1000
+    // 6 days at 100 cents/day, then 6 days at 900 cents/day: the
+    // max-|mean-diff| split is exactly after day index 5 (d = 5)
+    val evs = (0 until 12).map { i =>
+      (i.toLong, i * day + 1000L, 1L, "purchase", if (i < 6) 1.00 else 9.00)
+    }
+    evs.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val top = graft.SparkEntry.queries("q224_changepoint")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(top.head._1 == 5L, top.mkString(", "))
+    // means on the winning split are the two exact levels (x100 scale)
+    assert(top.head._3 == 10000L && top.head._4 == 90000L, top.head.toString)
+    // scores are emitted in non-increasing order
+    assert(top.map(_._2).toSeq == top.map(_._2).sortBy(-_).toSeq)
+  }
 }

@@ -22,4 +22,26 @@ class GraphQueriesSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q225: predictions are ordered non-edges with >= 2 witnesses; equi-join plan") {
+    import org.apache.spark.sql.functions._
+    val df = graft.SparkEntry.queries("q225_link_prediction")(spark, sf0001)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, cn, bp) =>
+      assert(a < b, s"pair ($a,$b) not id-ordered")
+      assert(cn >= 2, s"pair ($a,$b) cn=$cn")
+      assert(bp > 0 && bp <= 10000, s"pair ($a,$b) jaccard $bp")
+    }
+    // no predicted pair may already be an edge of the graph
+    val edges = SimilarityQueries.mutualKnnEdges(spark, sf0001)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (a, b, _, _) =>
+      assert(!edges.contains((a, b)), s"($a,$b) is an existing edge")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }

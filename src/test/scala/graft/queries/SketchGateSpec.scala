@@ -49,4 +49,59 @@ class SketchGateSpec extends SparkTestBase {
     assert((1000000L >> 64) == 1000000L)
     assert((1000000L >> 62) == 0L)
   }
+
+  test("q226: wide-agg counters match a driver-side md5 reference (per-group sums, chk, est)") {
+    import org.apache.spark.sql.functions._
+    // independent reference: JVM MessageDigest over the collected token
+    // stream (sf0.001 is small), vs the gate's one-pass 16-column agg
+    val toks = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .collect().map(_.getString(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(r: Int, t: String): Long = {
+      val hex = md.digest(s"ams$r:$t".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(7)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+    val x = (0 until 16).map(r => toks.map(sign(r, _)).sum)
+    // each counter is a sum of N signs, so X_r == N (mod 2)
+    x.foreach(xr => assert(((xr - toks.length) & 1L) == 0L))
+    val refGrp = (0 until 4).map { g =>
+      val sumSq = (0 until 4).map(j => x(4 * g + j) * x(4 * g + j)).sum
+      val chk = (0 until 4).map(j => x(4 * g + j) * (4 * g + j + 1)).sum
+      (g.toLong, sumSq, chk)
+    }
+    val refEst = refGrp.map(_._2).sorted.apply(1) / 4
+    val got = graft.SparkEntry.queries("q226_ams_f2")(spark, sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq == refGrp, got.mkString(", "))
+    assert(got.head._4 == refEst, s"est ${got.head._4} != $refEst")
+  }
+
+  test("q227: sketch median/MAD bracket the exact values within the grid error") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.sources.Tables.load(spark, sf0001, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (f, vs0) =>
+        val vs = vs0.map(_._2).sorted
+        val m = vs((vs.length - 1) / 2) // disc lower-middle, q216 convention
+        val avs = vs.map(v => math.abs(v - m)).sorted
+        f -> (m, avs((avs.length - 1) / 2))
+      }
+    val got = graft.SparkEntry.queries("q227_mad_sketch")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    exact.foreach { case (f, (m, mad)) =>
+      val (me, made) = got(f)
+      // the estimate is the LOWER BOUND of the bucket holding the
+      // median rank: est <= exact < est * (1 + 2^-5) + 1
+      assert(me <= m && m <= me + me / 32 + 1, s"$f med est=$me exact=$m")
+      // MAD's second sketch centers on the approx median, so the bound
+      // compounds: hold it to 2x the grid's relative error
+      assert(math.abs(made - mad).toDouble <= mad / 16.0 + 2,
+        s"$f mad est=$made exact=$mad")
+    }
+  }
 }
