@@ -807,6 +807,40 @@ object CoreQueries {
             expr("(10000L * n_ab * n_orders) DIV (na * nb)").as("lift_bp"))
           .orderBy(col("n_ab").desc, col("lift_bp").desc, col("pa"), col("pb"))
           .limit(25)
-    }
+    },
+
+    // DATA-QUALITY audit: referential integrity + key uniqueness
+    // across the star schema in ONE ANSI statement — the dbt-style
+    // contract check a warehouse runs after every load. Each FK check
+    // is a LEFT JOIN orphan count (broadcast-able dimension sides, the
+    // fact scans stay pruned to the key column); each PK check is
+    // count − count(DISTINCT). All-zero violations IS the contract:
+    // the gate pins that the engine's joins/aggregates agree with the
+    // oracle on exactly-zero, and any fixture corruption fails loudly.
+    QueryDef.sqlSurface("q230_integrity_audit",
+      """SELECT 'fk_lineitem_orders' AS chk, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_violations
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'fk_orders_customer', count(*),
+        |       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT)
+        |FROM orders o2 LEFT JOIN customer c ON o2.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'fk_lineitem_part', count(*),
+        |       CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT)
+        |FROM lineitem l2 LEFT JOIN part p ON l2.l_partkey = p.p_partkey
+        |UNION ALL
+        |SELECT 'pk_orders', count(*),
+        |       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'pk_customer', count(*),
+        |       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+        |FROM customer
+        |ORDER BY chk""".stripMargin,
+      Seq("lineitem", "orders", "customer", "part"))
   )
 }

@@ -707,6 +707,48 @@ object EventQueries {
             expr("(100L * lsum) DIV i").as("left_mean_c100"),
             expr("(100L * (tot - lsum)) DIV (n - i)").as("right_mean_c100"))
           .orderBy(col("score_scaled").desc, col("split_day")).limit(5)
+    },
+
+    // TIME-weighted average (TWAP) per user: the value integral over
+    // the observed span with last-observation-carried-forward — "what
+    // was the average level" where the per-event mean over-weights
+    // burst periods. Area = Σ v_i·(t_{i+1}−t_i) in exact BIGINT
+    // cent-micros, divided once by the span (both engines truncate
+    // non-negative operands). Same-timestamp events order by (t, c),
+    // so the earlier row contributes zero width — deterministic under
+    // ties. One user-keyed exchange serves the lead window and the
+    // rollup; single-event users emit NULL (zero span).
+    QueryDef("q229_twap",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, t, c,
+        |         lead(t) OVER (PARTITION BY user_id ORDER BY t, c) AS nt
+        |  FROM e),
+        |agg AS (
+        |  SELECT user_id, CAST(sum(c * (nt - t)) AS BIGINT) AS area,
+        |         max(t) - min(t) AS span, count(*) AS n_events
+        |  FROM w GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |       CASE WHEN span > 0 THEN area // span END AS twap_c,
+        |       span AS span_us
+        |FROM agg ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+      val e = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), Tables.tsMicros(ev).as("t"),
+          round(col("value") * 100).cast("long").as("c"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("c"))
+      e.withColumn("nt", lead(col("t"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(sum(col("c") * (col("nt") - col("t"))).cast("long").as("area"),
+          (max(col("t")) - min(col("t"))).as("span"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          when(col("span") > 0, expr("area DIV span")).as("twap_c"),
+          col("span").as("span_us"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -126,4 +126,31 @@ class EventQueriesSpec extends SparkTestBase {
     // scores are emitted in non-increasing order
     assert(top.map(_._2).toSeq == top.map(_._2).sortBy(-_).toSeq)
   }
+
+  test("q229: hand-valued integral, tie width zero, single-event NULL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("twap").toString
+    // user 1: 100c for 10us then 300c for 30us -> (1000+9000)/40 = 250
+    // user 2: a same-timestamp tie (t=0: 100c then 500c by c-order; the
+    //         100c row has zero width) then 500c for 10us -> 500
+    // user 3: one event -> NULL twap, span 0
+    val evs = Seq(
+      (1L, 0L, 1L, "purchase", 1.00), (2L, 10L, 1L, "purchase", 3.00),
+      (3L, 40L, 1L, "purchase", 9.99),
+      (4L, 0L, 2L, "purchase", 1.00), (5L, 0L, 2L, "purchase", 5.00),
+      (6L, 10L, 2L, "purchase", 7.77),
+      (7L, 5L, 3L, "purchase", 2.00))
+    evs.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("q229_twap")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((3L, 250L, 40L)), got.toString)
+    assert(got(2L) == ((3L, 500L, 10L)), got.toString)
+    assert(got(3L) == ((1L, -1L, 0L)), got.toString)
+  }
 }

@@ -44,4 +44,34 @@ class GraphQueriesSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q231: hop 0 is exactly the seed census; frontier growth is sane") {
+    val rows = graft.SparkEntry.queries("q231_bfs_hops")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // hop 0 = the seed set itself: ids 0..9 that exist as vectors
+    val seeds = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"))
+      .where(org.apache.spark.sql.functions.col("vec_id") < 10)
+      .collect().map(_.getLong(0))
+    assert(rows.head == ((0L, seeds.length.toLong, seeds.sum)),
+      rows.head.toString)
+  }
+
+  test("q232: peel shrinks monotonically and the bounded unroll reaches the fixpoint") {
+    val rows = graft.SparkEntry.queries("q232_kcore")(spark, sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 4, rows.mkString(", "))
+    // node and edge counts never grow between rounds
+    rows.sliding(2).foreach { case Array(p, n) =>
+      assert(n._2 <= p._2 && n._3 <= p._3, s"$p -> $n")
+    }
+    // the unrolled depth reached the true k-core on the fixture: the
+    // last two rounds agree exactly (so round 4 IS the fixpoint)
+    val last = rows(3); val prev = rows(2)
+    assert((last._2, last._3, last._4) == ((prev._2, prev._3, prev._4)),
+      s"no fixpoint: $prev vs $last")
+  }
 }
