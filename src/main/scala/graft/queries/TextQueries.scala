@@ -43,6 +43,12 @@ object TextQueries {
   private val QsBits = 5
   private val QsSubBuckets = 1 << QsBits
 
+  /** q233 greedy-segmentation vocabulary size + unrolled step bound
+    * (words longer than the consumed span keep their trailing state —
+    * identically in both engines; fixture words are far shorter). */
+  private val WpVocab = 64
+  private val WpSteps = 24
+
   /** DuckDB replay of [[graft.functions.QuantileSketchAgg.bucketOf]]
     * (shared by q112/q113/q227 oracle text). */
   private def qsBucketSql(v: String): String =
@@ -1523,6 +1529,113 @@ object TextQueries {
         .select(col("flag"), col("n_rows"), col("med_est"), col("mad_est"),
           col("n_outliers_est"))
         .orderBy(col("flag"))
+    },
+
+    // GREEDY longest-match subword segmentation (the WordPiece /
+    // MaxMatch tokenizer family — Wu et al. 2016 — beside BPE q167 and
+    // the top-V word vocab q157): induce a [[WpVocab]]-piece substring
+    // vocabulary by occurrence weight, then segment every DISTINCT
+    // word by repeatedly consuming the longest vocab prefix (single
+    // chars are the implicit fallback, so segmentation is total).
+    // The greedy loop is [[WpSteps]] unrolled state steps of an
+    // `aggregate` fold — (pos, n_pieces, boundary checksum Σ pos·len)
+    // — probing the vocab as a LITERAL map (the q199 broadcast-literal
+    // lesson; the 64-piece artifact is driver-bounded, the BpeTrain
+    // contract). Work is proportional to DISTINCT words (the BPE
+    // unique-word discipline); the corpus is touched once for counts.
+    // The oracle replays vocab induction AND all unrolled steps with
+    // MATERIALIZED CTEs; the `<ALL>` summary row weights every word's
+    // piece count and checksum by its corpus frequency, so ONE word
+    // segmented differently anywhere fails the hash.
+    QueryDef("q233_wordpiece_encode", {
+      val rounds = (1 to WpSteps).map { k =>
+        s"""s$k AS MATERIALIZED (
+           |  SELECT word, c,
+           |    CASE WHEN act THEN pos + st ELSE pos END AS pos,
+           |    CASE WHEN act THEN np + 1 ELSE np END AS np,
+           |    CASE WHEN act THEN chk + pos * st ELSE chk END AS chk
+           |  FROM (
+           |    SELECT word, c, pos, np, chk, pos <= len(word) AS act,
+           |      CASE WHEN len(word) - pos + 1 >= 4
+           |                AND substr(word, pos, 4) IN (SELECT piece FROM vocab) THEN 4
+           |           WHEN len(word) - pos + 1 >= 3
+           |                AND substr(word, pos, 3) IN (SELECT piece FROM vocab) THEN 3
+           |           WHEN len(word) - pos + 1 >= 2
+           |                AND substr(word, pos, 2) IN (SELECT piece FROM vocab) THEN 2
+           |           ELSE 1 END AS st
+           |    FROM s${k - 1}) t$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         |w AS (SELECT word, count(*)::BIGINT AS c FROM toks GROUP BY word),
+         |cand AS (
+         |  SELECT piece, sum(c)::BIGINT AS wgt FROM (
+         |    SELECT c, unnest([substr(word, i, 2)
+         |      for i in generate_series(1, len(word) - 1)]) AS piece FROM w
+         |    UNION ALL
+         |    SELECT c, unnest([substr(word, i, 3)
+         |      for i in generate_series(1, len(word) - 2)]) FROM w
+         |    UNION ALL
+         |    SELECT c, unnest([substr(word, i, 4)
+         |      for i in generate_series(1, len(word) - 3)]) FROM w) u
+         |  GROUP BY piece),
+         |vocab AS MATERIALIZED (
+         |  SELECT piece FROM cand ORDER BY wgt DESC, piece LIMIT $WpVocab),
+         |s0 AS (SELECT word, c, 1 AS pos, 0 AS np, 0::BIGINT AS chk FROM w),
+         |$rounds
+         |SELECT * FROM (
+         |  SELECT word, c, CAST(np AS BIGINT) AS n_pieces,
+         |         CAST(chk AS BIGINT) AS chk
+         |  FROM s$WpSteps ORDER BY c DESC, word LIMIT 50) det
+         |UNION ALL
+         |SELECT '<ALL>', CAST(sum(c) AS BIGINT),
+         |       CAST(sum(np * c) AS BIGINT), CAST(sum(chk * c) AS BIGINT)
+         |FROM s$WpSteps""".stripMargin
+    }) { (spark, dir) =>
+      val w = Tables.load(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      // candidate pieces: every substring of length 2..4, weighted by
+      // the word's corpus count (one row per position — both engines)
+      // NB sequence(1, 0) is a DESCENDING [1,0] in Spark, not empty —
+      // words shorter than the piece length must branch explicitly
+      val cand = w.select(col("c"), explode(expr(
+        """flatten(transform(array(2, 3, 4), n ->
+          |  if(length(word) >= n,
+          |     transform(sequence(1, length(word) - n + 1),
+          |       i -> substring(word, cast(i AS INT), n)),
+          |     cast(array() AS array<string>))))""".stripMargin))
+        .as("piece"))
+        .groupBy(col("piece")).agg(sum(col("c")).as("wgt"))
+      val pieces = cand.orderBy(col("wgt").desc, col("piece")).limit(WpVocab)
+        .collect().map(_.getString(0))
+      val vocabMap = typedLit(pieces.map(_ -> true).toMap)
+      def stepOf(word: Column, pos: Column): Column = {
+        val rem = length(word) - pos + 1
+        def hit(n: Int) =
+          rem >= n && element_at(vocabMap, word.substr(pos, lit(n))).isNotNull
+        when(hit(4), 4).when(hit(3), 3).when(hit(2), 2).otherwise(1)
+      }
+      val seg = w.withColumn("s", aggregate(
+        sequence(lit(1), lit(WpSteps)),
+        struct(lit(1).as("pos"), lit(0).as("np"), lit(0L).as("chk")),
+        (s, _) => {
+          val pos = s.getField("pos")
+          val st = stepOf(col("word"), pos)
+          when(pos <= length(col("word")), struct(
+            (pos + st).as("pos"), (s.getField("np") + 1).as("np"),
+            (s.getField("chk") + pos.cast("long") * st.cast("long")).as("chk")))
+            .otherwise(s)
+        }))
+        .select(col("word"), col("c"),
+          col("s.np").cast("long").as("n_pieces"),
+          col("s.chk").as("chk"))
+      val detail = seg.orderBy(col("c").desc, col("word")).limit(50)
+      val summary = seg.agg(sum(col("c")).as("c"),
+        sum(col("n_pieces") * col("c")).as("n_pieces"),
+        sum(col("chk") * col("c")).as("chk"))
+        .select(lit("<ALL>").as("word"), col("c"), col("n_pieces"), col("chk"))
+      detail.unionByName(summary)
     }
   )
 
