@@ -842,5 +842,113 @@ object CoreQueries {
         |FROM customer
         |ORDER BY chk""".stripMargin,
       Seq("lineitem", "orders", "customer", "part"))
+    ,
+
+    // HIGHER central moments — skewness + excess kurtosis per group
+    // from EXACT integer sufficient statistics (the q213 correlation
+    // discipline extended to 3rd/4th powers): Σq..Σq⁴ are BIGINT sums
+    // of bounded quantities (q ≤ 50 ⇒ q⁴ ≤ 6.25e6 — exact through
+    // ~10¹² rows), so the partial aggregation is order-free, and the
+    // final doubles come from ONE fixed IEEE tree shared verbatim by
+    // both engines (sqlSurface), making the gate hash-exact on floats.
+    QueryDef.sqlSurface("q236_higher_moments",
+      """WITH s AS (
+        |  SELECT l_returnflag AS flag, count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |              AS BIGINT) AS s2,
+        |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |              * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+        |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |              * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |              AS BIGINT) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT flag, n, s1 / n AS mean,
+        |         s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |         s3 / n - 3 * (s1 / n) * (s2 / n)
+        |           + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |         s4 / n - 4 * (s1 / n) * (s3 / n)
+        |           + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+        |           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM s)
+        |SELECT flag, n, mean, m2,
+        |       m3 / (sqrt(m2) * m2) AS skewness,
+        |       m4 / (m2 * m2) - 3 AS excess_kurtosis
+        |FROM m ORDER BY flag""".stripMargin,
+      Seq("lineitem")),
+
+    // MANN–WHITNEY rank-sum (Wilcoxon) between the 'R' and 'N' return
+    // slices — the nonparametric "did the distribution shift"
+    // companion to q224's mean-shift detector. Tie handling is the
+    // textbook average rank kept EXACT by doubling: a tie group
+    // starting above `lo` smaller values with `cnt` members has
+    // 2·avgrank = 2·lo + cnt + 1 — so 2U and the AUC effect size
+    // (P(A>B) + ½P(A=B), in basis points) are pure BIGINT. The corpus
+    // collapses to the distinct-value grain map-side; the rank scan is
+    // one window over that bounded frame.
+    QueryDef("q237_rank_sum",
+      """WITH c AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |vc AS (
+        |  SELECT v, CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         count(*)::BIGINT AS cnt
+        |  FROM c GROUP BY v),
+        |r AS (
+        |  SELECT v, ca, cnt,
+        |         coalesce(sum(cnt) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+        |  FROM vc),
+        |agg AS (
+        |  SELECT CAST(sum(ca * (2 * lo + cnt + 1)) AS BIGINT) AS r2a,
+        |         CAST(sum(ca) AS BIGINT) AS na,
+        |         CAST(sum(cnt - ca) AS BIGINT) AS nb
+        |  FROM r)
+        |SELECT na, nb, r2a - na * (na + 1) AS u2a,
+        |       (10000 * (r2a - na * (na + 1))) // (2 * na * nb) AS auc_bp
+        |FROM agg""".stripMargin) { (spark, dir) =>
+      val c = Tables.load(spark, dir, "lineitem")
+        .where(col("l_returnflag").isin("R", "N"))
+        .select(col("l_returnflag").as("g"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+      val vc = c.groupBy(col("v"))
+        .agg(sum(when(col("g") === "R", 1L).otherwise(0L)).as("ca"),
+          count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      vc.withColumn("lo", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .agg(sum(col("ca") * (lit(2) * col("lo") + col("cnt") + 1)).as("r2a"),
+          sum(col("ca")).as("na"),
+          sum(col("cnt") - col("ca")).as("nb"))
+        .select(col("na"), col("nb"),
+          (col("r2a") - col("na") * (col("na") + 1)).as("u2a"),
+          expr("(10000L * (r2a - na * (na + 1))) DIV (2 * na * nb)")
+            .as("auc_bp"))
+    },
+
+    // CHI-SQUARED independence over the (lang × source) document
+    // contingency table — "is the crawl mix shifting across
+    // languages". Cells are emitted PER ROW (no cross-cell double
+    // sum — a float total would be partition-order-dependent); each
+    // cell's expected count and contribution come from one fixed IEEE
+    // tree shared verbatim by both engines. The contingency rollup is
+    // one map-side-combined agg; the margins are broadcast-size.
+    QueryDef.sqlSurface("q238_chi_squared",
+      """WITH o AS (
+        |  SELECT lang, source, count(*) AS obs
+        |  FROM documents GROUP BY lang, source),
+        |rm AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS r FROM o GROUP BY lang),
+        |cm AS (SELECT source, CAST(sum(obs) AS BIGINT) AS c FROM o GROUP BY source),
+        |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o)
+        |SELECT o.lang AS lang, o.source AS source, CAST(obs AS BIGINT) AS obs,
+        |       (r * c) / n AS expected,
+        |       (obs - (r * c) / n) * (obs - (r * c) / n) / ((r * c) / n)
+        |         AS contrib
+        |FROM o JOIN rm ON o.lang = rm.lang JOIN cm ON o.source = cm.source
+        |     CROSS JOIN n
+        |ORDER BY lang, source""".stripMargin,
+      Seq("documents"))
   )
 }
