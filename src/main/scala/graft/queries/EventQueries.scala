@@ -749,6 +749,59 @@ object EventQueries {
           when(col("span") > 0, expr("area DIV span")).as("twap_c"),
           col("span").as("span_us"))
         .orderBy(col("user_id"))
+    },
+
+    // ROLLING 7-day distinct users (DAU / WAU / stickiness — the
+    // engagement dashboard): the sliding window is a 7-OFFSET EXPLODE
+    // + equi-agg, never a non-equi range join — each (day, user) row
+    // fans out to the ≤7 anchors it can serve, so the plan is map +
+    // partial-agg at any scale (the q153 two-level sketch argument,
+    // slid). Beside the exact counts, the day-grain HLL sketches
+    // union across the same offsets: at 100 TB the exact (anchor,
+    // user) distinct is the expensive twin — the dashboard reads the
+    // sketch path, whose exchange carries 7 fixed-size blobs per day.
+    // Exactness of the sketch estimate is pinned Spark-side (±5%, the
+    // q136 boolean convention); everything else replays in DuckDB.
+    QueryDef("q234_rolling_distinct",
+      s"""WITH ev AS (
+         |  SELECT DISTINCT epoch_us(ts) // $DayMicros AS day, user_id
+         |  FROM events),
+         |days AS (SELECT DISTINCT day FROM ev),
+         |dau AS (SELECT day, count(*)::BIGINT AS dau FROM ev GROUP BY day),
+         |ex AS (
+         |  SELECT DISTINCT ev.day + off AS anchor, user_id
+         |  FROM ev CROSS JOIN generate_series(0, 6) g(off)),
+         |wau AS (SELECT anchor, count(*)::BIGINT AS wau FROM ex GROUP BY anchor)
+         |SELECT d.day AS day, dau.dau AS dau, wau.wau AS wau,
+         |       (10000 * dau.dau) // wau.wau AS stickiness_bp,
+         |       true AS wau_sketch_ok
+         |FROM days d JOIN dau ON d.day = dau.day
+         |     JOIN wau ON d.day = wau.anchor
+         |ORDER BY day""".stripMargin) { (spark, dir) =>
+      val ev0 = Tables.load(spark, dir, "events")
+      val ud = ev0
+        .select(Tables.tsMicros(ev0).as("t"), col("user_id"))
+        .select(expr(s"t DIV ${DayMicros}L").as("day"), col("user_id"))
+        .distinct()
+      val days = ud.select(col("day")).distinct()
+      val dau = ud.groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"), hll_sketch_agg(col("user_id")).as("sk"))
+      val offs = explode(sequence(lit(0L), lit(6L))).as("off")
+      val wauExact = ud.select(offs, col("day"), col("user_id"))
+        .select((col("day") + col("off")).as("anchor"), col("user_id"))
+        .distinct()
+        .groupBy(col("anchor")).agg(count(lit(1)).as("wau"))
+      val wauEst = dau.select(offs, col("day"), col("sk"))
+        .select((col("day") + col("off")).as("anchor"), col("sk"))
+        .groupBy(col("anchor"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      days.join(dau, Seq("day"))
+        .join(wauExact.withColumnRenamed("anchor", "day"), Seq("day"))
+        .join(wauEst.withColumnRenamed("anchor", "day"), Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          expr("(10000L * dau) DIV wau").as("stickiness_bp"),
+          (abs(col("est") - col("wau")) * 20 <= col("wau")).as("wau_sketch_ok"))
+        .orderBy(col("day"))
     }
   )
 }

@@ -1636,6 +1636,68 @@ object TextQueries {
         sum(col("chk") * col("c")).as("chk"))
         .select(lit("<ALL>").as("word"), col("c"), col("n_pieces"), col("chk"))
       detail.unionByName(summary)
+    },
+
+    // PER-ROW percentile feature off the broadcast sketch grid — the
+    // map-only way to attach "where does this doc sit in its
+    // language's length distribution" to every row at 100 TB: the
+    // per-lang HDR grid (one O(cells) agg) turns into a broadcast
+    // cumulative table, and each doc probes it by its own bucket id —
+    // a codegen'd integer expression + one broadcast equi-join, no
+    // corpus window, no corpus sort (contrast: exact percent_rank
+    // costs a full per-lang sort — the q216 exactness-vs-sketch
+    // routing, applied to a per-ROW feature). The gate pins every
+    // doc's percentile through the per-(lang, decile) census with an
+    // id checksum; the grid arithmetic replays exactly in DuckDB.
+    QueryDef("q239_percentile_feature",
+      s"""WITH v AS (
+         |  SELECT doc_id, lang, n_chars AS v FROM documents),
+         |cells AS (
+         |  SELECT lang, ${qsBucketSql("v")} AS bucket, count(*)::BIGINT AS cnt
+         |  FROM v GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT lang, bucket,
+         |         sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+         |         sum(cnt) OVER (PARTITION BY lang) AS n
+         |  FROM cells),
+         |probe AS (
+         |  SELECT doc_id, v.lang AS lang,
+         |         CAST((10000 * cum) // n AS BIGINT) AS pct_bp
+         |  FROM v JOIN grid ON v.lang = grid.lang
+         |       AND grid.bucket = ${qsBucketSql("v")})
+         |SELECT lang, CAST(pct_bp // 1000 AS BIGINT) AS decile,
+         |       count(*) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS chk
+         |FROM probe GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin) {
+      (spark, dir) =>
+        graft.functions.GraftFunctions.register(spark)
+        val v = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars").as("v"))
+        val cells = v.groupBy(col("lang"))
+          .agg(graft.functions.GraftFunctions
+            .quantile_sketch(col("v"), QsBits).as("sk"))
+          .select(col("lang"), explode(col("sk")).as(Seq("bucket", "cnt")))
+        val wCum = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("lang"))
+        val grid = cells
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .select(col("lang"), col("bucket"), col("cum"), col("n"))
+        // Spark mirror of the grid's integer bucket id: floor-log2 via
+        // the binary-string length (the q112 DuckDB printf('%b') trick)
+        v.withColumn("shift",
+            greatest(lit(0), length(bin(col("v"))) - 1 - QsBits))
+          .withColumn("bucket", expr(
+            s"cast(shift AS BIGINT) * $QsSubBuckets" +
+              " + shiftright(v, cast(shift AS INT))"))
+          .join(broadcast(grid), Seq("lang", "bucket"))
+          .select(col("doc_id"), col("lang"),
+            expr("(10000L * cum) DIV n").as("pct_bp"))
+          .groupBy(col("lang"), expr("pct_bp DIV 1000").as("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).cast("long").as("chk"))
+          .orderBy(col("lang"), col("decile"))
     }
   )
 
