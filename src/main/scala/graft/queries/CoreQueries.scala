@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.sources.Tables
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -949,6 +950,85 @@ object CoreQueries {
         |FROM o JOIN rm ON o.lang = rm.lang JOIN cm ON o.source = cm.source
         |     CROSS JOIN n
         |ORDER BY lang, source""".stripMargin,
-      Seq("documents"))
+      Seq("documents")),
+
+    // DETERMINISTIC Poisson bootstrap (the online/streaming bootstrap
+    // — Oza & Russell 2001; Kleiner et al.'s resampling-at-scale
+    // posture): 16 replicate means of per-flag price, where row r's
+    // weight in replicate b is Poisson(1) inverted from the md5-bp
+    // uniform (thresholds = cumulative pmf in basis points) — so the
+    // "random" resample is a pure column expression, reprocessing-
+    // stable, and the oracle replays every replicate EXACTLY. One
+    // corpus scan computes all 16 weighted sums map-side (conditional
+    // aggregation); the CI is the 2nd/15th order statistic of the 16
+    // means per flag, in integer micro-cents.
+    QueryDef("q241_poisson_bootstrap", {
+      val reps = (0 until 16).map { b =>
+        s"""SELECT flag, $b AS b,
+           |  CAST(sum(w$b * v) AS BIGINT) AS swv,
+           |  CAST(sum(w$b) AS BIGINT) AS sw
+           |FROM c GROUP BY flag""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val wCols = (0 until 16).map { b =>
+        s"""CASE WHEN u$b < 3679 THEN 0 WHEN u$b < 7358 THEN 1
+           |     WHEN u$b < 9197 THEN 2 WHEN u$b < 9810 THEN 3
+           |     ELSE 4 END AS w$b""".stripMargin
+      }.mkString(",\n")
+      val uCols = (0 until 16).map { b =>
+        s"('0x' || substr(md5('bs$b:' || l_orderkey || ':' || l_linenumber), 1, 7))::BIGINT % 10000 AS u$b"
+      }.mkString(",\n")
+      s"""WITH r0 AS (
+         |  SELECT l_returnflag AS flag,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         |$uCols
+         |  FROM lineitem),
+         |c AS (SELECT flag, v,
+         |$wCols
+         |FROM r0),
+         |reps AS ($reps),
+         |means AS (
+         |  SELECT flag, b, (1000000 * swv) // sw AS m,
+         |         row_number() OVER (PARTITION BY flag
+         |           ORDER BY (1000000 * swv) // sw, b) AS rn
+         |  FROM reps),
+         |ex AS (SELECT flag, CAST((1000000 * sum(v)) // count(*) AS BIGINT)
+         |                      AS mean_micro
+         |       FROM c GROUP BY flag)
+         |SELECT ex.flag AS flag, mean_micro,
+         |       CAST(max(CASE WHEN rn = 2 THEN m END) AS BIGINT) AS boot_lo,
+         |       CAST(max(CASE WHEN rn = 15 THEN m END) AS BIGINT) AS boot_hi
+         |FROM ex JOIN means ON ex.flag = means.flag
+         |GROUP BY ex.flag, mean_micro ORDER BY flag""".stripMargin
+    }) { (spark, dir) =>
+      val base = Tables.load(spark, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+      def w(b: Int): Column = {
+        val u = conv(substring(md5(concat(lit(s"bs$b:"), col("l_orderkey"),
+          lit(":"), col("l_linenumber"))), 1, 7), 16, 10).cast("long") % 10000
+        when(u < 3679, 0L).when(u < 7358, 1L).when(u < 9197, 2L)
+          .when(u < 9810, 3L).otherwise(4L)
+      }
+      val aggCols = Seq(sum(col("v")).as("sv"), count(lit(1)).as("cnt")) ++
+        (0 until 16).flatMap(b => Seq(
+          sum(w(b) * col("v")).as(s"swv$b"), sum(w(b)).as(s"sw$b")))
+      val stats = base.groupBy(col("flag"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      val means = stats.select(col("flag") +: (0 until 16).map(b =>
+        expr(s"(1000000L * swv$b) DIV sw$b").as(s"m$b")): _*)
+        .select(col("flag"), explode(array((0 until 16).map(b =>
+          col(s"m$b")): _*)).as("m"))
+      val wRank = Window.partitionBy(col("flag")).orderBy(col("m"))
+      val ci = means.withColumn("rn", row_number().over(wRank))
+        .groupBy(col("flag"))
+        .agg(max(when(col("rn") === 2, col("m"))).as("boot_lo"),
+          max(when(col("rn") === 15, col("m"))).as("boot_hi"))
+      stats.select(col("flag"),
+          expr("(1000000L * sv) DIV cnt").as("mean_micro"))
+        .join(ci, Seq("flag"))
+        .select(col("flag"), col("mean_micro"), col("boot_lo"), col("boot_hi"))
+        .orderBy(col("flag"))
+    }
   )
 }

@@ -802,6 +802,66 @@ object EventQueries {
           expr("(10000L * dau) DIV wau").as("stickiness_bp"),
           (abs(col("est") - col("wau")) * 20 <= col("wau")).as("wau_sketch_ok"))
         .orderBy(col("day"))
+    },
+
+    // Per-user OLS spend trend — the parametric twin of q222's
+    // Theil–Sen: slope/intercept from EXACT integer sufficient
+    // statistics (x = seconds since the user's first purchase, so
+    // Σx² stays far inside BIGINT; y = cents), finals as doubles from
+    // one fixed IEEE tree shared verbatim with the oracle. Degenerate
+    // fits (single point, zero x-variance) emit NULL through the same
+    // CASE in both engines. One user-keyed exchange serves the
+    // centering window and the stats rollup.
+    QueryDef("q240_group_ols",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS x0,
+        |         CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id,
+        |         x0 - min(x0) OVER (PARTITION BY user_id) AS x, y
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n,
+        |       CASE WHEN n * sxx - sx * sx > 0
+        |            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_cps,
+        |       CASE WHEN n * sxx - sx * sx > 0
+        |            THEN (CAST(sy AS DOUBLE)
+        |                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |                     / CAST(n * sxx - sx * sx AS DOUBLE))
+        |                    * CAST(sx AS DOUBLE)) / n END AS intercept_c
+        |FROM s ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+      val e = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), Tables.tsMicros(ev).as("t"),
+          round(col("value") * 100).cast("long").as("y"))
+        .select(col("user_id"), expr("t DIV 1000000L").as("x0"), col("y"))
+      val wu = Window.partitionBy(col("user_id"))
+      e.withColumn("x", col("x0") - min(col("x0")).over(wu))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"))
+        .select(col("user_id"), col("n"),
+          expr("""CASE WHEN n * sxx - sx * sx > 0
+                 |     THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 |          / CAST(n * sxx - sx * sx AS DOUBLE) END"""
+            .stripMargin).as("slope_cps"),
+          expr("""CASE WHEN n * sxx - sx * sx > 0
+                 |     THEN (CAST(sy AS DOUBLE)
+                 |           - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 |              / CAST(n * sxx - sx * sx AS DOUBLE))
+                 |             * CAST(sx AS DOUBLE)) / n END""".stripMargin)
+            .as("intercept_c"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -4,6 +4,7 @@ import graft.operators.{BloomSkip, Compact, Upsert, ZOrder, ZoneMap}
 import graft.sources.{Formats, Tables}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Gate queries for the non-parquet sources and the bucketed join
@@ -94,13 +95,19 @@ object SourceQueries {
   /** The q135/q194 CDC fixture: one oracle text and one changelog
     * derivation shared by the DataFrame operator gate and the literal
     * `MERGE INTO` gate, so the two surfaces cannot fork. */
-  private val cdcOracleSql =
-    """WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+  /** The base + changelog CTE pair shared by every CDC-fixture oracle
+    * (q135/q194/q242) — one derivation, three surfaces. */
+  private val cdcFixtureCte =
+    """base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
       |changes AS (
       |  SELECT k, 1 AS ver, 'D' AS op, NULL::DOUBLE AS bal FROM base WHERE k % 7 = 0
       |  UNION ALL SELECT k, 1, 'U', bal + 100 FROM base WHERE k % 7 IN (1, 2)
       |  UNION ALL SELECT k, 2, 'U', bal + 200 FROM base WHERE k % 7 = 1
-      |  UNION ALL SELECT k + 1000000, 1, 'U', 42.0 + k FROM base WHERE k % 7 = 3),
+      |  UNION ALL SELECT k + 1000000, 1, 'U', 42.0 + k FROM base WHERE k % 7 = 3)"""
+      .stripMargin
+
+  private val cdcOracleSql =
+    s"""WITH $cdcFixtureCte,
       |latest AS (
       |  SELECT k, op, bal FROM (
       |    SELECT k, op, bal, row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
@@ -510,6 +517,52 @@ object SourceQueries {
       BloomSkip.lookupScan(spark, path, "url", BloomProbeUrls)
         .select(col("doc_id"), col("lang"), col("source"), col("url"))
         .orderBy(col("doc_id"))
+    },
+
+    // SCD TYPE-2 history build from the same CDC fixture: every
+    // update opens a versioned row, the next change (update OR
+    // tombstone) closes it — the warehouse dimension-history pattern
+    // beside q135's latest-snapshot view. One key-partitioned `lead`
+    // window over (base ∪ changelog) derives [ver_from, ver_to);
+    // deletes close intervals without emitting rows. The gate pins
+    // EVERY history row through the per-(ver_from, is_current) census
+    // sums (cents + key checksums) — one wrong interval anywhere
+    // shifts a sum. Scale: one exchange on the key serves the window;
+    // the census partial-aggregates map-side.
+    QueryDef("q242_scd2_history",
+      s"""WITH $cdcFixtureCte,
+         |allv AS (
+         |  SELECT k, 0 AS ver, 'U' AS op, bal FROM base
+         |  UNION ALL SELECT k, ver, op, bal FROM changes),
+         |h AS (
+         |  SELECT k, ver, op, bal,
+         |         lead(ver) OVER (PARTITION BY k ORDER BY ver) AS vto
+         |  FROM allv),
+         |hist AS (
+         |  SELECT k, ver AS vfrom, vto,
+         |         CAST(round(bal * 100) AS BIGINT) AS cents,
+         |         vto IS NULL AS is_current
+         |  FROM h WHERE op = 'U')
+         |SELECT vfrom, is_current, count(*) AS n_rows,
+         |       CAST(sum(cents) AS BIGINT) AS cents_sum,
+         |       CAST(sum(k) AS BIGINT) AS k_sum
+         |FROM hist GROUP BY 1, 2 ORDER BY vfrom, is_current""".stripMargin) {
+      (spark, dir) =>
+        val base = cdcBase(spark, dir)
+        val allv = base
+          .select(col("k"), lit(0L).as("ver"), lit("U").as("op"), col("bal"))
+          .unionByName(cdcChanges(base))
+        val w = Window.partitionBy(col("k")).orderBy(col("ver"))
+        allv.withColumn("vto", lead(col("ver"), 1).over(w))
+          .where(col("op") === "U")
+          .select(col("ver").as("vfrom"), col("vto"),
+            round(col("bal") * 100).cast("long").as("cents"), col("k"))
+          .withColumn("is_current", col("vto").isNull)
+          .groupBy(col("vfrom"), col("is_current"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("cents_sum"),
+            sum(col("k")).cast("long").as("k_sum"))
+          .orderBy(col("vfrom"), col("is_current"))
     }
   )
 
