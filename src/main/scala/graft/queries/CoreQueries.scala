@@ -1034,6 +1034,73 @@ object CoreQueries {
         .join(ci, Seq("flag"))
         .select(col("flag"), col("mean_micro"), col("boot_lo"), col("boot_hi"))
         .orderBy(col("flag"))
+    },
+
+    // JOIN-SIZE estimation from count-min sketch INNER PRODUCTS
+    // (Alon–Gibbons–Matias–Szegedy; the optimizer-statistics
+    // primitive: |A ⋈ B| = Σ_k a(k)·b(k), estimated as min over rows
+    // of the two sketches' row dot products — never under the truth).
+    // Sides are the 'R' vs 'N' supplier slices; each side costs ONE
+    // O(cells) sketch agg, the estimate is arithmetic on two 256-cell
+    // blobs — the corpus is never joined to answer "how big would
+    // this join be". The md5-cell family is replayable, so every row
+    // dot, the estimate, the exact size, and the never-under flag all
+    // hash-compare against the DuckDB replay.
+    QueryDef("q243_join_size_sketch",
+      """WITH a AS (SELECT CAST(l_suppkey AS VARCHAR) AS t FROM lineitem
+        |           WHERE l_returnflag = 'R'),
+        |b AS (SELECT CAST(l_suppkey AS VARCHAR) AS t FROM lineitem
+        |      WHERE l_returnflag = 'N'),
+        |ca AS (
+        |  SELECT d, ('0x' || substr(md5('cm' || d || ':' || t), 1, 7))::BIGINT % 64 AS idx,
+        |         count(*)::BIGINT AS c
+        |  FROM a CROSS JOIN generate_series(0, 3) g(d) GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT d, ('0x' || substr(md5('cm' || d || ':' || t), 1, 7))::BIGINT % 64 AS idx,
+        |         count(*)::BIGINT AS c
+        |  FROM b CROSS JOIN generate_series(0, 3) g(d) GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT ca.d AS d, CAST(sum(ca.c * cb.c) AS BIGINT) AS dot
+        |  FROM ca JOIN cb ON ca.d = cb.d AND ca.idx = cb.idx
+        |  GROUP BY ca.d),
+        |est AS (SELECT CAST(min(dot) AS BIGINT) AS est FROM dots),
+        |ex AS (
+        |  SELECT CAST(sum(na * nb) AS BIGINT) AS exact FROM
+        |    (SELECT t, count(*)::BIGINT AS na FROM a GROUP BY t) xa
+        |    JOIN (SELECT t, count(*)::BIGINT AS nb FROM b GROUP BY t) xb
+        |    USING (t))
+        |SELECT d, dot, est, exact,
+        |       CAST((10000 * est) // exact AS BIGINT) AS ratio_bp,
+        |       est >= exact AS never_under
+        |FROM dots CROSS JOIN est CROSS JOIN ex
+        |ORDER BY d""".stripMargin) { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_returnflag").as("f"),
+          col("l_suppkey").cast("string").as("t"))
+      def sketch(flag: String, out: String) =
+        li.where(col("f") === flag)
+          .agg(graft.functions.GraftFunctions.count_min(col("t"), 64).as(out))
+      val dots = sketch("R", "ska").crossJoin(sketch("N", "skb"))
+        .select(explode(expr(
+          """transform(sequence(0, 3), d -> struct(
+            |  cast(d AS BIGINT) AS d,
+            |  aggregate(sequence(1, 64), 0L, (acc, i) ->
+            |    acc + element_at(ska, cast(d * 64 + i AS INT))
+            |        * element_at(skb, cast(d * 64 + i AS INT))) AS dot))"""
+            .stripMargin)).as("x"))
+        .select(col("x.d").as("d"), col("x.dot").as("dot"))
+      val est = dots.agg(min(col("dot")).as("est"))
+      val ex = li.where(col("f") === "R").groupBy(col("t"))
+        .agg(count(lit(1)).as("na"))
+        .join(li.where(col("f") === "N").groupBy(col("t"))
+          .agg(count(lit(1)).as("nb")), Seq("t"))
+        .agg(sum(col("na") * col("nb")).cast("long").as("exact"))
+      dots.crossJoin(broadcast(est)).crossJoin(broadcast(ex))
+        .select(col("d"), col("dot"), col("est"), col("exact"),
+          expr("(10000L * est) DIV exact").as("ratio_bp"),
+          (col("est") >= col("exact")).as("never_under"))
+        .orderBy(col("d"))
     }
   )
 }

@@ -563,6 +563,70 @@ object SourceQueries {
             sum(col("cents")).cast("long").as("cents_sum"),
             sum(col("k")).cast("long").as("k_sum"))
           .orderBy(col("vfrom"), col("is_current"))
+    },
+
+    // POINT-IN-TIME join — the feature-store correctness primitive
+    // (each fact must see the dimension AS OF its own version, never
+    // a later one — lookahead leakage is the q141 split-leakage bug in
+    // warehouse form): orders at synthetic version o_orderkey % 4
+    // against the q242 SCD2 history. Because validity intervals
+    // partition each key's timeline, ONE key equi-join + the interval
+    // filter yields at most one match per fact — no window, no sort;
+    // at 100 TB the join shuffles on the key both sides already
+    // cluster on. Tombstoned-at-that-version keys emit NULL (LEFT
+    // JOIN), pinned in the census by the matched/unmatched split.
+    QueryDef("q244_pit_join",
+      s"""WITH $cdcFixtureCte,
+         |allv AS (
+         |  SELECT k, 0 AS ver, 'U' AS op, bal FROM base
+         |  UNION ALL SELECT k, ver, op, bal FROM changes),
+         |h AS (
+         |  SELECT k, ver, op, bal,
+         |         lead(ver) OVER (PARTITION BY k ORDER BY ver) AS vto
+         |  FROM allv),
+         |hist AS (
+         |  SELECT k, ver AS vfrom, vto,
+         |         CAST(round(bal * 100) AS BIGINT) AS cents
+         |  FROM h WHERE op = 'U'),
+         |facts AS (
+         |  SELECT o_orderkey AS oid, o_custkey AS k,
+         |         o_orderkey % 4 AS vo
+         |  FROM orders),
+         |pit AS (
+         |  SELECT f.vo AS vo, f.oid, f.k, hist.cents AS cents
+         |  FROM facts f LEFT JOIN hist
+         |    ON f.k = hist.k AND hist.vfrom <= f.vo
+         |       AND (hist.vto IS NULL OR f.vo < hist.vto))
+         |SELECT vo, count(*) AS n_orders,
+         |       CAST(sum(CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_matched,
+         |       CAST(sum(coalesce(cents, 0)) AS BIGINT) AS cents_sum,
+         |       CAST(sum(CASE WHEN cents IS NOT NULL THEN k ELSE 0 END)
+         |            AS BIGINT) AS k_sum
+         |FROM pit GROUP BY vo ORDER BY vo""".stripMargin) { (spark, dir) =>
+      val base = cdcBase(spark, dir)
+      val allv = base
+        .select(col("k"), lit(0L).as("ver"), lit("U").as("op"), col("bal"))
+        .unionByName(cdcChanges(base))
+      val w = Window.partitionBy(col("k")).orderBy(col("ver"))
+      val hist = allv.withColumn("vto", lead(col("ver"), 1).over(w))
+        .where(col("op") === "U")
+        .select(col("k"), col("ver").as("vfrom"), col("vto"),
+          round(col("bal") * 100).cast("long").as("cents"))
+      val facts = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("oid"), col("o_custkey").as("k"),
+          (col("o_orderkey") % 4).as("vo"))
+      facts.join(hist,
+          facts("k") === hist("k") && hist("vfrom") <= facts("vo") &&
+            (hist("vto").isNull || facts("vo") < hist("vto")), "left")
+        .select(col("vo"), col("oid"), facts("k").as("fk"), col("cents"))
+        .groupBy(col("vo"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("cents").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          sum(coalesce(col("cents"), lit(0L))).cast("long").as("cents_sum"),
+          sum(when(col("cents").isNotNull, col("fk")).otherwise(0L))
+            .cast("long").as("k_sum"))
+        .orderBy(col("vo"))
     }
   )
 

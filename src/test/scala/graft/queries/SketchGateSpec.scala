@@ -79,6 +79,17 @@ class SketchGateSpec extends SparkTestBase {
     assert(got.head._4 == refEst, s"est ${got.head._4} != $refEst")
   }
 
+  test("q243: CMS inner product never underestimates; est = min of row dots") {
+    val rows = graft.SparkEntry.queries("q243_join_size_sketch")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(5)))
+    assert(rows.length == 4)
+    val est = rows.head._3; val exact = rows.head._4
+    assert(rows.forall(_._5), s"underestimate: est=$est exact=$exact")
+    assert(rows.map(_._2).min == est, "est != min row dot")
+    assert(rows.forall(_._2 >= exact), "a row dot under the exact size")
+  }
+
   test("q227: sketch median/MAD bracket the exact values within the grid error") {
     import org.apache.spark.sql.functions._
     val exact = graft.sources.Tables.load(spark, sf0001, "lineitem")
