@@ -1101,6 +1101,51 @@ object CoreQueries {
           expr("(10000L * est) DIV exact").as("ratio_bp"),
           (col("est") >= col("exact")).as("never_under"))
         .orderBy(col("d"))
+    },
+
+    // INCREMENTAL aggregate maintenance — the materialized-view
+    // refresh algebra (the q146 index-merge discipline applied to
+    // aggregates): the base rollup (80% of lineitem) folds in the
+    // delta rollup (the other 20%) as a cell-wise merge — count/sum
+    // add, min/min and max/max — through ONE full-outer group join of
+    // two AGGREGATE-sized frames; the corpus is touched once per
+    // slice, never re-scanned at refresh. The gate demands
+    // merged == from-scratch rebuild of the full table (the oracle
+    // computes the rebuild), so the merge algebra cannot drift.
+    QueryDef("q245_ivm_agg",
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |       CAST(min(round(l_extendedprice * 100)) AS BIGINT) AS min_cents,
+        |       CAST(max(round(l_extendedprice * 100)) AS BIGINT) AS max_cents
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY flag, status""".stripMargin) { (spark, dir) =>
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_linestatus").as("status"),
+          col("l_quantity").cast("long").as("q"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"),
+          col("l_orderkey"))
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("flag"), col("status"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("q")).as("qty_sum"),
+            min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
+      val base = rollup(li.where(col("l_orderkey") % 5 =!= 0))
+      val delta = rollup(li.where(col("l_orderkey") % 5 === 0))
+      val d2 = delta.select(col("flag"), col("status"),
+        col("n_rows").as("d_n"), col("qty_sum").as("d_q"),
+        col("min_cents").as("d_mn"), col("max_cents").as("d_mx"))
+      base.join(d2, Seq("flag", "status"), "full_outer")
+        .select(col("flag"), col("status"),
+          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+            .as("n_rows"),
+          (coalesce(col("qty_sum"), lit(0L)) + coalesce(col("d_q"), lit(0L)))
+            .as("qty_sum"),
+          least(coalesce(col("min_cents"), col("d_mn")),
+            coalesce(col("d_mn"), col("min_cents"))).as("min_cents"),
+          greatest(coalesce(col("max_cents"), col("d_mx")),
+            coalesce(col("d_mx"), col("max_cents"))).as("max_cents"))
+        .orderBy(col("flag"), col("status"))
     }
   )
 }

@@ -862,6 +862,67 @@ object EventQueries {
                  |             * CAST(sx AS DOUBLE)) / n END""".stripMargin)
             .as("intercept_c"))
         .orderBy(col("user_id"))
+    },
+
+    // PATH MINING — the top session journeys ("signup → view → click
+    // …") product analytics reads next to the q150 fixed funnel: each
+    // q40 session's first 5 event types joined into a path string
+    // (position-ordered via sort_array of (t, event_id, type) — the
+    // event_id tie-break makes same-timestamp paths deterministic),
+    // then a plain frequency top-20. One user-keyed exchange serves
+    // sessionization AND path assembly; the path census
+    // partial-collapses map-side (path strings are bounded — 5 types —
+    // so the rollup frame is vocabulary-sized, not corpus-sized).
+    QueryDef("q246_path_mining",
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+         |  FROM events),
+         |flags AS (
+         |  SELECT user_id, event_id, event_type, t,
+         |         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+         |                OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > $GapMicros
+         |              THEN 1 ELSE 0 END AS new_s
+         |  FROM e),
+         |sess AS (
+         |  SELECT user_id, event_id, event_type, t,
+         |         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM flags),
+         |ranked AS (
+         |  SELECT user_id, sid, event_type,
+         |         row_number() OVER (PARTITION BY user_id, sid
+         |                            ORDER BY t, event_id) AS rn
+         |  FROM sess),
+         |paths AS (
+         |  SELECT user_id, sid,
+         |         string_agg(event_type, '>' ORDER BY rn) AS path
+         |  FROM ranked WHERE rn <= 5 GROUP BY user_id, sid)
+         |SELECT path, count(*) AS n_sessions
+         |FROM paths GROUP BY path
+         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin) {
+      (spark, dir) =>
+        val ev = Tables.load(spark, dir, "events")
+        val e = ev.select(col("user_id"), col("event_id"), col("event_type"),
+          Tables.tsMicros(ev).as("t"))
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("event_id"))
+        val newSession = when(
+          lag(col("t"), 1).over(byUser).isNull ||
+            col("t") - lag(col("t"), 1).over(byUser) > GapMicros, 1L)
+          .otherwise(0L)
+        val sess = e.withColumn("new_s", newSession)
+          .withColumn("sid", sum(col("new_s")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val bySess = Window.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("t"), col("event_id"))
+        sess.withColumn("rn", row_number().over(bySess))
+          .where(col("rn") <= 5)
+          .groupBy(col("user_id"), col("sid"))
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("rn"), col("event_type")))),
+            s => s.getField("event_type")), ">").as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path")).limit(20)
     }
   )
 }
