@@ -79,6 +79,36 @@ class SketchGateSpec extends SparkTestBase {
     assert(got.head._4 == refEst, s"est ${got.head._4} != $refEst")
   }
 
+  test("q226 streaming: AMS counters accumulate across micro-batches (complete mode)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the tug-of-war counters are plain mergeable sums, so the sketch
+    // runs AT INGEST as a streaming aggregation — same sign family as
+    // the q226 gate, both sides of this test share the expression so
+    // the property is purely "streaming accumulation == batch"
+    def sign(r: Int) =
+      when(conv(substring(md5(concat(lit(s"ams$r:"), col("t"))), 1, 7),
+        16, 10).cast("long") % 2 === 0, 1L).otherwise(-1L)
+    val aggs = (0 until 16).map(r => sum(sign(r)).cast("long").as(s"x$r"))
+    val b1 = Seq((1L, "alpha beta gamma alpha"), (2L, "delta beta"))
+    val b2 = Seq((3L, "gamma gamma epsilon"), (4L, "alpha zeta"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(aggs.head, aggs.tail: _*)
+      .writeStream.format("memory").queryName("ams_stream")
+      .outputMode("complete").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ams_stream").collect().head.toSeq
+    val batch = (b1 ++ b2).toDF("doc_id", "text")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(aggs.head, aggs.tail: _*).collect().head.toSeq
+    assert(streamed == batch, s"$streamed vs $batch")
+  }
+
   test("q243: CMS inner product never underestimates; est = min of row dots") {
     val rows = graft.SparkEntry.queries("q243_join_size_sketch")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
