@@ -1146,6 +1146,46 @@ object CoreQueries {
           greatest(coalesce(col("max_cents"), col("d_mx")),
             coalesce(col("d_mx"), col("max_cents"))).as("max_cents"))
         .orderBy(col("flag"), col("status"))
+    },
+
+    // BENFORD first-digit audit over price cents — the fabricated-data
+    // forensic (synthetic or truncated amounts break the log-uniform
+    // digit law): observed share per leading digit vs the Benford
+    // expectation ln(1+1/d)/ln(10), both in micro-units — shares by
+    // integer division, the expectation by the DSIR half-up floor on
+    // the shared double tree. Map-only digit extraction (first char of
+    // the integer's decimal form — positive cents, identical in both
+    // engines), one 9-cell agg.
+    QueryDef("q249_benford_audit",
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |      FROM v),
+        |o AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM o)
+        |SELECT digit, n,
+        |       CAST((1000000 * n) // tot AS BIGINT) AS share_micro,
+        |       CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000 + 0.5)
+        |            AS BIGINT) AS benford_micro,
+        |       CAST((1000000 * n) // tot
+        |            - floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000 + 0.5)
+        |            AS BIGINT) AS delta_micro
+        |FROM o CROSS JOIN t ORDER BY digit""".stripMargin) { (spark, dir) =>
+      val o = Tables.load(spark, dir, "lineitem")
+        .where(col("l_extendedprice") > 0)
+        .select(substring(round(col("l_extendedprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val t = o.agg(sum(col("n")).cast("long").as("tot"))
+      val benford = floor(log(lit(1.0) + lit(1.0) / col("digit"))
+        / log(lit(10.0)) * 1000000 + 0.5).cast("long")
+      o.crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          expr("(1000000L * n) DIV tot").as("share_micro"),
+          benford.as("benford_micro"),
+          (expr("(1000000L * n) DIV tot") - benford).as("delta_micro"))
+        .orderBy(col("digit"))
     }
   )
 }

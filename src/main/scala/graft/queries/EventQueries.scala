@@ -923,6 +923,59 @@ object EventQueries {
             s => s.getField("event_type")), ">").as("path"))
           .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
           .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    },
+
+    // GINI coefficient + Lorenz curve over per-user purchase totals —
+    // the inequality/concentration audit ("do 10% of users drive 90%
+    // of spend"): rank users by total, cumulative share at each
+    // decile boundary, G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) in exact
+    // basis points. The corpus collapses to the per-user frame in one
+    // partial-agg'd pass; every window below runs over |users| rows.
+    // The `-1` summary row carries the Gini itself.
+    QueryDef("q248_gini",
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, x,
+        |         row_number() OVER (ORDER BY x, user_id) AS i,
+        |         count(*) OVER () AS n,
+        |         CAST(sum(x) OVER () AS BIGINT) AS tx,
+        |         CAST(sum(x) OVER (ORDER BY x, user_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cx
+        |  FROM u)
+        |SELECT CAST(((i - 1) * 10) // n + 1 AS BIGINT) AS decile,
+        |       count(*) AS n_users,
+        |       CAST(max((10000 * cx) // tx) AS BIGINT) AS cum_share_bp
+        |FROM r GROUP BY 1
+        |UNION ALL
+        |SELECT -1, CAST(max(n) AS BIGINT),
+        |       CAST((10000 * (2 * sum(i * x) - (max(n) + 1) * max(tx)))
+        |            // (max(n) * max(tx)) AS BIGINT)
+        |FROM r""".stripMargin) { (spark, dir) =>
+      val u = Tables.load(spark, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("x"))
+      val ord = Window.orderBy(col("x"), col("user_id"))
+      val all = Window.partitionBy()
+      val r = u.withColumn("i", row_number().over(ord).cast("long"))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("tx", sum(col("x")).over(all))
+        .withColumn("cx", sum(col("x")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val lorenz = r
+        .groupBy(expr("((i - 1) * 10) DIV n + 1").as("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          max(expr("(10000L * cx) DIV tx")).as("cum_share_bp"))
+      val gini = r.agg(max(col("n")).as("n"), max(col("tx")).as("tx"),
+        sum(col("i") * col("x")).as("six"))
+        .select(lit(-1L).as("decile"), col("n").as("n_users"),
+          expr("(10000L * (2 * six - (n + 1) * tx)) DIV (n * tx)")
+            .as("cum_share_bp"))
+      lorenz.unionByName(gini)
     }
   )
 }

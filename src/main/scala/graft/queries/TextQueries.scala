@@ -1698,6 +1698,75 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("doc_id")).cast("long").as("chk"))
           .orderBy(col("lang"), col("decile"))
+    },
+
+    // POPULATION STABILITY INDEX over the q154 drift grids — the
+    // scorecard-monitoring statistic (Σ (p−q)·ln(p/q)) beside q154's
+    // share deltas: shares in integer basis points off the two
+    // slices' sketch grids, the log factor quantized to SIGNED
+    // micro-nats with the DSIR half-up floor (engine round() tie
+    // rules differ on negatives), contribution = (p_bp−q_bp)·l_micro
+    // exact BIGINT at scale 10¹⁰·PSI. Buckets empty on either side
+    // are skipped (the standard PSI zero-cell practice — documented,
+    // and the inner join makes it structural). The `-1` summary row
+    // carries the full statistic so one drifted cell anywhere moves
+    // the hash; the drift check itself reads only sketch cells.
+    QueryDef("q247_psi_drift",
+      s"""WITH v AS (SELECT doc_id % 2 AS half, n_chars AS v FROM documents),
+         |cells AS (
+         |  SELECT half, ${qsBucketSql("v")} AS bucket, count(*)::BIGINT AS cnt
+         |  FROM v GROUP BY 1, 2),
+         |tot AS (SELECT half, CAST(sum(cnt) AS BIGINT) AS n
+         |        FROM cells GROUP BY half),
+         |bp AS (SELECT half, bucket, CAST((cnt * 10000) // n AS BIGINT) AS bp
+         |       FROM cells JOIN tot USING (half)),
+         |a AS (SELECT bucket, bp AS p FROM bp WHERE half = 0),
+         |b AS (SELECT bucket, bp AS q FROM bp WHERE half = 1),
+         |k AS (
+         |  SELECT a.bucket AS bucket, p, q,
+         |         CAST(floor(ln(CAST(p AS DOUBLE) / q) * 1000000 + 0.5)
+         |              AS BIGINT) AS l_micro
+         |  FROM a JOIN b ON a.bucket = b.bucket WHERE p > 0 AND q > 0)
+         |SELECT * FROM (
+         |  SELECT bucket, p AS p_bp, q AS q_bp, l_micro,
+         |         CAST((p - q) * l_micro AS BIGINT) AS contrib
+         |  FROM k ORDER BY abs((p - q) * l_micro) DESC, bucket LIMIT 10) t
+         |UNION ALL
+         |SELECT -1, CAST(sum(p) AS BIGINT), CAST(sum(q) AS BIGINT),
+         |       CAST(count(*) AS BIGINT),
+         |       CAST(sum((p - q) * l_micro) AS BIGINT)
+         |FROM k""".stripMargin) { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
+      val v = Tables.load(spark, dir, "documents")
+        .select((col("doc_id") % 2).as("half"), col("n_chars").as("v"))
+      val cells = v.groupBy(col("half"))
+        .agg(graft.functions.GraftFunctions
+          .quantile_sketch(col("v"), QsBits).as("sk"))
+        .select(col("half"), explode(col("sk")).as(Seq("bucket", "cnt")))
+      val tot = cells.groupBy(col("half")).agg(sum(col("cnt")).as("n"))
+      val bp = cells.join(tot, Seq("half"))
+        .select(col("half"), col("bucket"),
+          expr("(cnt * 10000) DIV n").as("bp"))
+      val k = bp.where(col("half") === 0)
+        .select(col("bucket"), col("bp").as("p"))
+        .join(bp.where(col("half") === 1)
+          .select(col("bucket"), col("bp").as("q")), Seq("bucket"))
+        .where(col("p") > 0 && col("q") > 0)
+        .withColumn("l_micro",
+          floor(log(col("p").cast("double") / col("q")) * 1000000 + 0.5)
+            .cast("long"))
+        .withColumn("contrib", (col("p") - col("q")) * col("l_micro"))
+      val top = k
+        .select(col("bucket"), col("p").as("p_bp"), col("q").as("q_bp"),
+          col("l_micro"), col("contrib"))
+        .orderBy(abs(col("contrib")).desc, col("bucket")).limit(10)
+      val summary = k.agg(sum(col("p")).cast("long").as("p_bp"),
+        sum(col("q")).cast("long").as("q_bp"),
+        count(lit(1)).as("l_micro"),
+        sum(col("contrib")).cast("long").as("contrib"))
+        .select(lit(-1L).as("bucket"), col("p_bp"), col("q_bp"),
+          col("l_micro"), col("contrib"))
+      top.unionByName(summary)
     }
   )
 
