@@ -908,7 +908,8 @@ object CoreQueries {
         |         CAST(sum(cnt - ca) AS BIGINT) AS nb
         |  FROM r)
         |SELECT na, nb, r2a - na * (na + 1) AS u2a,
-        |       (10000 * (r2a - na * (na + 1))) // (2 * na * nb) AS auc_bp
+        |       (r2a - na * (na + 1))
+        |         // greatest(1, (2 * na * nb) // 10000) AS auc_bp
         |FROM agg""".stripMargin) { (spark, dir) =>
       val c = Tables.load(spark, dir, "lineitem")
         .where(col("l_returnflag").isin("R", "N"))
@@ -925,7 +926,11 @@ object CoreQueries {
           sum(col("cnt") - col("ca")).as("nb"))
         .select(col("na"), col("nb"),
           (col("r2a") - col("na") * (col("na") + 1)).as("u2a"),
-          expr("(10000L * (r2a - na * (na + 1))) DIV (2 * na * nb)")
+          // denominator pre-divided: 10⁴·u2a overflows BIGINT once
+          // na·nb reaches ~10¹⁵ (sf10 magnitudes); u2a ≤ 2·na·nb, so
+          // dividing the denominator instead costs ≤1 bp quantization
+          // and keeps every intermediate ≤ 2·na·nb
+          expr("(r2a - na * (na + 1)) DIV greatest(1L, (2 * na * nb) DIV 10000)")
             .as("auc_bp"))
     },
 
@@ -985,12 +990,16 @@ object CoreQueries {
          |FROM r0),
          |reps AS ($reps),
          |means AS (
-         |  SELECT flag, b, (1000000 * swv) // sw AS m,
+         |  SELECT flag, b,
+         |         (swv // sw) * 1000000 + ((swv % sw) * 1000000) // sw AS m,
          |         row_number() OVER (PARTITION BY flag
-         |           ORDER BY (1000000 * swv) // sw, b) AS rn
+         |           ORDER BY (swv // sw) * 1000000
+         |                    + ((swv % sw) * 1000000) // sw, b) AS rn
          |  FROM reps),
-         |ex AS (SELECT flag, CAST((1000000 * sum(v)) // count(*) AS BIGINT)
-         |                      AS mean_micro
+         |ex AS (SELECT flag,
+         |              CAST((sum(v) // count(*)) * 1000000
+         |                   + ((sum(v) % count(*)) * 1000000) // count(*)
+         |                   AS BIGINT) AS mean_micro
          |       FROM c GROUP BY flag)
          |SELECT ex.flag AS flag, mean_micro,
          |       CAST(max(CASE WHEN rn = 2 THEN m END) AS BIGINT) AS boot_lo,
@@ -1020,8 +1029,14 @@ object CoreQueries {
           sum(col(s"w$b")).as(s"sw$b")))
       val stats = weighted.groupBy(col("flag"))
         .agg(aggCols.head, aggCols.tail: _*)
+      // micro-mean via the DomainMix exact decomposition — the naive
+      // 1e6·swv product overflows BIGINT at ~10¹³ aggregate cents
+      // (observed at the sf10/100× point); (a DIV b)·1e6 +
+      // ((a%b)·1e6) DIV b is identical for non-negative operands with
+      // intermediates bounded by max(a, b·1e6)
       val means = stats.select(col("flag") +: (0 until 16).map(b =>
-        expr(s"(1000000L * swv$b) DIV sw$b").as(s"m$b")): _*)
+        expr(s"(swv$b DIV sw$b) * 1000000L" +
+          s" + ((swv$b % sw$b) * 1000000L) DIV sw$b").as(s"m$b")): _*)
         .select(col("flag"), explode(array((0 until 16).map(b =>
           col(s"m$b")): _*)).as("m"))
       val wRank = Window.partitionBy(col("flag")).orderBy(col("m"))
@@ -1030,7 +1045,8 @@ object CoreQueries {
         .agg(max(when(col("rn") === 2, col("m"))).as("boot_lo"),
           max(when(col("rn") === 15, col("m"))).as("boot_hi"))
       stats.select(col("flag"),
-          expr("(1000000L * sv) DIV cnt").as("mean_micro"))
+          expr("(sv DIV cnt) * 1000000L + ((sv % cnt) * 1000000L) DIV cnt")
+            .as("mean_micro"))
         .join(ci, Seq("flag"))
         .select(col("flag"), col("mean_micro"), col("boot_lo"), col("boot_hi"))
         .orderBy(col("flag"))

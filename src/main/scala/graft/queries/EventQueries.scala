@@ -806,15 +806,17 @@ object EventQueries {
 
     // Per-user OLS spend trend — the parametric twin of q222's
     // Theil–Sen: slope/intercept from EXACT integer sufficient
-    // statistics (x = seconds since the user's first purchase, so
-    // Σx² stays far inside BIGINT; y = cents), finals as doubles from
+    // statistics (x = MINUTES since the user's first purchase — the
+    // seconds form's n·Σx² crosses 2^63 near sf10 per-user volumes;
+    // minute grain keeps it exact through ~10⁶ events/user·month;
+    // y = cents), finals as doubles from
     // one fixed IEEE tree shared verbatim with the oracle. Degenerate
     // fits (single point, zero x-variance) emit NULL through the same
     // CASE in both engines. One user-keyed exchange serves the
     // centering window and the stats rollup.
     QueryDef("q240_group_ols",
       """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) // 1000000 AS x0,
+        |  SELECT user_id, epoch_us(ts) // 60000000 AS x0,
         |         CAST(round(value * 100) AS BIGINT) AS y
         |  FROM events WHERE event_type = 'purchase'),
         |c AS (
@@ -830,7 +832,7 @@ object EventQueries {
         |SELECT user_id, n,
         |       CASE WHEN n * sxx - sx * sx > 0
         |            THEN CAST(n * sxy - sx * sy AS DOUBLE)
-        |                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_cps,
+        |                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_cpm,
         |       CASE WHEN n * sxx - sx * sx > 0
         |            THEN (CAST(sy AS DOUBLE)
         |                  - (CAST(n * sxy - sx * sy AS DOUBLE)
@@ -841,7 +843,7 @@ object EventQueries {
       val e = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), Tables.tsMicros(ev).as("t"),
           round(col("value") * 100).cast("long").as("y"))
-        .select(col("user_id"), expr("t DIV 1000000L").as("x0"), col("y"))
+        .select(col("user_id"), expr("t DIV 60000000L").as("x0"), col("y"))
       val wu = Window.partitionBy(col("user_id"))
       e.withColumn("x", col("x0") - min(col("x0")).over(wu))
         .groupBy(col("user_id"))
@@ -854,7 +856,7 @@ object EventQueries {
           expr("""CASE WHEN n * sxx - sx * sx > 0
                  |     THEN CAST(n * sxy - sx * sy AS DOUBLE)
                  |          / CAST(n * sxx - sx * sx AS DOUBLE) END"""
-            .stripMargin).as("slope_cps"),
+            .stripMargin).as("slope_cpm"),
           expr("""CASE WHEN n * sxx - sx * sx > 0
                  |     THEN (CAST(sy AS DOUBLE)
                  |           - (CAST(n * sxy - sx * sy AS DOUBLE)
