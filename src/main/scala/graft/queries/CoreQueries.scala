@@ -918,9 +918,25 @@ object CoreQueries {
       val vc = c.groupBy(col("v"))
         .agg(sum(when(col("g") === "R", 1L).otherwise(0L)).as("ca"),
           count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("v"))
+      // Range-partitioned rank: price cents are near-unique, so one
+      // global ORDER BY v window would single-partition-sort a
+      // corpus-proportional frame. Instead: bucket by v DIV 2^16 (the
+      // bucket count is bounded by the VALUE RANGE, not the corpus,
+      // and each bucket holds ≤65536 distinct cent values), cumulate
+      // bucket totals over that bounded frame, then rank WITHIN each
+      // bucket in parallel; lo = bucket offset + intra-bucket prefix.
+      // Identical to the oracle's global cumulative sum.
+      val vb = vc.withColumn("bkt", expr("v DIV 65536L"))
+      val wB = Window.orderBy(col("bkt"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      vc.withColumn("lo", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      val bOff = vb.groupBy(col("bkt")).agg(sum(col("cnt")).as("bcnt"))
+        .withColumn("boff", coalesce(sum(col("bcnt")).over(wB), lit(0L)))
+        .select(col("bkt"), col("boff"))
+      val wIn = Window.partitionBy(col("bkt")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      vb.join(broadcast(bOff), Seq("bkt"))
+        .withColumn("lo",
+          col("boff") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
         .agg(sum(col("ca") * (lit(2) * col("lo") + col("cnt") + 1)).as("r2a"),
           sum(col("ca")).as("na"),
           sum(col("cnt") - col("ca")).as("nb"))
@@ -988,7 +1004,9 @@ object CoreQueries {
          |c AS (SELECT flag, v,
          |$wCols
          |FROM r0),
-         |reps AS ($reps),
+         |reps0 AS ($reps),
+         |reps AS (
+         |  SELECT flag, b, swv, greatest(1, sw) AS sw FROM reps0),
          |means AS (
          |  SELECT flag, b,
          |         (swv // sw) * 1000000 + ((swv % sw) * 1000000) // sw AS m,
@@ -1034,9 +1052,14 @@ object CoreQueries {
       // (observed at the sf10/100× point); (a DIV b)·1e6 +
       // ((a%b)·1e6) DIV b is identical for non-negative operands with
       // intermediates bounded by max(a, b·1e6)
+      // greatest(1, sw): a replicate where EVERY row of a tiny group
+      // draws Poisson weight 0 (probability (94/256)^n) must yield
+      // mean 0 in both engines, not NULL here vs a DuckDB division
+      // error — the zero-guard is part of the oracle contract.
       val means = stats.select(col("flag") +: (0 until 16).map(b =>
-        expr(s"(swv$b DIV sw$b) * 1000000L" +
-          s" + ((swv$b % sw$b) * 1000000L) DIV sw$b").as(s"m$b")): _*)
+        expr(s"(swv$b DIV greatest(1L, sw$b)) * 1000000L" +
+          s" + ((swv$b % greatest(1L, sw$b)) * 1000000L)" +
+          s" DIV greatest(1L, sw$b)").as(s"m$b")): _*)
         .select(col("flag"), explode(array((0 until 16).map(b =>
           col(s"m$b")): _*)).as("m"))
       val wRank = Window.partitionBy(col("flag")).orderBy(col("m"))

@@ -33,6 +33,13 @@ object EventQueries {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** q222 production cap: 64 events/user → ≤2016 slope pairs/user.
+    * Above every fixture user's series length, so the shipped gate
+    * runs the exact path. */
+  private val TsCapK = 64
+  /** q235 gate cap: engaged by ~90% of fixture users at every SF. */
+  private val TsGateK = 8
+
   /** (user_id, n_click..n_view) pivot matrix shared by q65/q74. */
   private def pivotCounts(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
@@ -570,51 +577,48 @@ object EventQueries {
     // divide non-negative operands, where floor ≡ truncate — the same
     // `//` vs `DIV` negative-division trap the DSIR gate documents),
     // median by the disc-lower convention. The pair join is user-keyed
-    // (one exchange); per-user pair count is quadratic in the SERIES
-    // length, which a production run caps with the q192-style
-    // weighted/reservoir sample per user before pairing — plan shape
-    // unchanged.
+    // (one exchange) and CAPPED: [[graft.operators.TheilSen]] keeps at
+    // most [[TsCapK]] events per user by deterministic md5 rank before
+    // pairing, bounding per-user fan-out at k·(k−1)/2 no matter how
+    // long a power user's series grows — the reference's caller-
+    // bounded-state contract (`median.cc:45-48`) applied to the pair
+    // join. Below the cap (every fixture user at every SF) the series
+    // is untouched and the estimator is EXACT; q235 is the capped-
+    // regime twin that provably engages the cap.
     QueryDef("q222_theilsen_trend",
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS t,
-        |         CAST(round(value * 100) AS BIGINT) AS c
-        |  FROM events WHERE event_type = 'purchase'),
-        |p AS (
-        |  SELECT a.user_id AS user_id,
-        |         CASE WHEN b.c >= a.c
-        |              THEN (1000000 * (b.c - a.c)) // (b.t - a.t)
-        |              ELSE -((1000000 * (a.c - b.c)) // (b.t - a.t)) END AS s
-        |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.t < b.t),
-        |r AS (
-        |  SELECT user_id, s,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY s) AS rn,
-        |         count(*) OVER (PARTITION BY user_id) AS n
-        |  FROM p)
-        |SELECT user_id, max(n)::BIGINT AS n_pairs,
-        |       max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
-        |                THEN s END)::BIGINT AS trend_micro
-        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      s"""WITH e0 AS (
+         |  SELECT user_id, epoch_us(ts) AS t,
+         |         CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM events WHERE event_type = 'purchase'),
+         |${graft.operators.TheilSen.oracleSql(TsCapK)}""".stripMargin) {
       (spark, dir) =>
         val ev = Tables.load(spark, dir, "events")
         val e = ev.where(col("event_type") === "purchase")
           .select(col("user_id"), Tables.tsMicros(ev).as("t"),
             round(col("value") * 100).cast("long").as("c"))
-        val a = e.select(col("user_id"), col("t").as("t1"), col("c").as("c1"))
-        val b = e.select(col("user_id"), col("t").as("t2"), col("c").as("c2"))
-        val p = a.join(b, Seq("user_id")).where(col("t1") < col("t2"))
-          .select(col("user_id"), expr(
-            """CASE WHEN c2 >= c1
-              |     THEN (1000000L * (c2 - c1)) DIV (t2 - t1)
-              |     ELSE -((1000000L * (c1 - c2)) DIV (t2 - t1)) END"""
-              .stripMargin).as("s"))
-        val w = Window.partitionBy(col("user_id")).orderBy(col("s"))
-        p.withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
-          .groupBy(col("user_id"))
-          .agg(max(col("n")).as("n_pairs"),
-            max(when(col("rn") === floor((col("n") + 1) / 2).cast("long"),
-              col("s"))).as("trend_micro"))
-          .orderBy(col("user_id"))
+        graft.operators.TheilSen.trend(e, TsCapK).orderBy(col("user_id"))
+    },
+
+    // Theil–Sen CAPPED-REGIME twin (the q24/q25 bounded-gate
+    // convention): same operator, k=[[TsGateK]] — small enough that
+    // 90% of fixture users exceed it at every SF, so the md5-rank
+    // subsample path is genuinely exercised. Because the cap is
+    // deterministic, the gate is a FULL hash compare (stronger than
+    // the boolean bounded gates): the oracle replays the rank, the
+    // kept multiset, the bounded pair count, and the subsample's
+    // median slope exactly.
+    QueryDef("q235_theilsen_capped",
+      s"""WITH e0 AS (
+         |  SELECT user_id, epoch_us(ts) AS t,
+         |         CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM events WHERE event_type = 'purchase'),
+         |${graft.operators.TheilSen.oracleSql(TsGateK)}""".stripMargin) {
+      (spark, dir) =>
+        val ev = Tables.load(spark, dir, "events")
+        val e = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), Tables.tsMicros(ev).as("t"),
+            round(col("value") * 100).cast("long").as("c"))
+        graft.operators.TheilSen.trend(e, TsGateK).orderBy(col("user_id"))
     },
 
     // COHORT retention matrix — the product-analytics staple: users
@@ -956,7 +960,8 @@ object EventQueries {
         |SELECT -1, CAST(max(n) AS BIGINT),
         |       CAST((10000 * (2 * sum(i * x) - (max(n) + 1) * max(tx)))
         |            // (max(n) * max(tx)) AS BIGINT)
-        |FROM r""".stripMargin) { (spark, dir) =>
+        |FROM r
+        |ORDER BY decile""".stripMargin) { (spark, dir) =>
       val u = Tables.load(spark, dir, "events")
         .where(col("event_type") === "purchase")
         .groupBy(col("user_id"))
@@ -977,7 +982,10 @@ object EventQueries {
         .select(lit(-1L).as("decile"), col("n").as("n_users"),
           expr("(10000L * (2 * six - (n + 1) * tx)) DIV (n * tx)")
             .as("cum_share_bp"))
-      lorenz.unionByName(gini)
+      // Deterministic emit order: the -1 summary row sorts first, then
+      // the decile rows ascending (the driver compare is row-order
+      // sensitive and a hash GROUP BY + UNION ALL guarantees nothing).
+      lorenz.unionByName(gini).orderBy(col("decile"))
     }
   )
 }

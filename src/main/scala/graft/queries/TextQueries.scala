@@ -1584,13 +1584,16 @@ object TextQueries {
          |s0 AS (SELECT word, c, 1 AS pos, 0 AS np, 0::BIGINT AS chk FROM w),
          |$rounds
          |SELECT * FROM (
-         |  SELECT word, c, CAST(np AS BIGINT) AS n_pieces,
-         |         CAST(chk AS BIGINT) AS chk
-         |  FROM s$WpSteps ORDER BY c DESC, word LIMIT 50) det
-         |UNION ALL
-         |SELECT '<ALL>', CAST(sum(c) AS BIGINT),
-         |       CAST(sum(np * c) AS BIGINT), CAST(sum(chk * c) AS BIGINT)
-         |FROM s$WpSteps""".stripMargin
+         |  SELECT * FROM (
+         |    SELECT word, c, CAST(np AS BIGINT) AS n_pieces,
+         |           CAST(chk AS BIGINT) AS chk
+         |    FROM s$WpSteps ORDER BY c DESC, word LIMIT 50) det
+         |  UNION ALL
+         |  SELECT '<ALL>', CAST(sum(c) AS BIGINT),
+         |         CAST(sum(np * c) AS BIGINT), CAST(sum(chk * c) AS BIGINT)
+         |  FROM s$WpSteps) u
+         |ORDER BY CASE WHEN word = '<ALL>' THEN 1 ELSE 0 END,
+         |         c DESC, word""".stripMargin
     }) { (spark, dir) =>
       val w = Tables.load(spark, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
@@ -1635,7 +1638,11 @@ object TextQueries {
         sum(col("n_pieces") * col("c")).as("n_pieces"),
         sum(col("chk") * col("c")).as("chk"))
         .select(lit("<ALL>").as("word"), col("c"), col("n_pieces"), col("chk"))
+      // Deterministic emit order (the q247 hazard): detail rows by
+      // corpus count desc then word, the <ALL> summary keyed last.
       detail.unionByName(summary)
+        .orderBy((col("word") === "<ALL>").cast("int"),
+          col("c").desc, col("word"))
     },
 
     // PER-ROW percentile feature off the broadcast sketch grid — the
@@ -1728,14 +1735,17 @@ object TextQueries {
          |              AS BIGINT) AS l_micro
          |  FROM a JOIN b ON a.bucket = b.bucket WHERE p > 0 AND q > 0)
          |SELECT * FROM (
-         |  SELECT bucket, p AS p_bp, q AS q_bp, l_micro,
-         |         CAST((p - q) * l_micro AS BIGINT) AS contrib
-         |  FROM k ORDER BY abs((p - q) * l_micro) DESC, bucket LIMIT 10) t
-         |UNION ALL
-         |SELECT -1, CAST(sum(p) AS BIGINT), CAST(sum(q) AS BIGINT),
-         |       CAST(count(*) AS BIGINT),
-         |       CAST(sum((p - q) * l_micro) AS BIGINT)
-         |FROM k""".stripMargin) { (spark, dir) =>
+         |  SELECT * FROM (
+         |    SELECT bucket, p AS p_bp, q AS q_bp, l_micro,
+         |           CAST((p - q) * l_micro AS BIGINT) AS contrib
+         |    FROM k ORDER BY abs((p - q) * l_micro) DESC, bucket LIMIT 10) t
+         |  UNION ALL
+         |  SELECT -1, CAST(sum(p) AS BIGINT), CAST(sum(q) AS BIGINT),
+         |         CAST(count(*) AS BIGINT),
+         |         CAST(sum((p - q) * l_micro) AS BIGINT)
+         |  FROM k) u
+         |ORDER BY CASE WHEN bucket = -1 THEN 1 ELSE 0 END,
+         |         abs(contrib) DESC, bucket""".stripMargin) { (spark, dir) =>
       graft.functions.GraftFunctions.register(spark)
       val v = Tables.load(spark, dir, "documents")
         .select((col("doc_id") % 2).as("half"), col("n_chars").as("v"))
@@ -1766,7 +1776,12 @@ object TextQueries {
         sum(col("contrib")).cast("long").as("contrib"))
         .select(lit(-1L).as("bucket"), col("p_bp"), col("q_bp"),
           col("l_micro"), col("contrib"))
+      // Deterministic emit order: an inner ORDER BY ... LIMIT does not
+      // survive a UNION ALL in either engine, so re-impose it outside
+      // with the -1 summary row keyed to sort last.
       top.unionByName(summary)
+        .orderBy((col("bucket") === -1).cast("int"),
+          abs(col("contrib")).desc, col("bucket"))
     }
   )
 
