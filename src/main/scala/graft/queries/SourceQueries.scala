@@ -333,6 +333,10 @@ object SourceQueries {
     QueryDef("q194_cdc_merge_sql", cdcOracleSql) { (spark, dir) =>
       spark.conf.set("spark.sql.catalog.graftmem",
         classOf[graft.sources.MemCatalog].getName)
+      // durable snapshot log: MERGE history + VERSION AS OF survive a
+      // process restart (read at catalog instantiation)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
       spark.sql("DROP TABLE IF EXISTS graftmem.cdc")
       spark.sql("CREATE TABLE graftmem.cdc (k BIGINT, bal DOUBLE)")
       val base = cdcBase(spark, dir)
@@ -391,6 +395,8 @@ object SourceQueries {
       (spark, dir) =>
         spark.conf.set("spark.sql.catalog.graftmem",
           classOf[graft.sources.MemCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmem.path",
+          graft.sources.MemCatalog.defaultRoot)
         spark.sql("DROP TABLE IF EXISTS graftmem.snap")
         spark.sql("CREATE TABLE graftmem.snap (k BIGINT, bal DOUBLE)")
         val base = cdcBase(spark, dir)

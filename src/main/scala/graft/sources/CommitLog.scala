@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream,
+  DataOutputStream}
+import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Durable snapshot log for [[MemCatalog]] tables — the Delta/Iceberg
+  * commit-log shape in miniature: a per-table directory holding
+  * `_schema.json` plus one IMMUTABLE numbered commit file per
+  * append/replace, each written to a temp sibling and moved into
+  * place atomically (the [[graft.operators.IndexStore]] single-writer
+  * discipline), so a reader never observes a half-written commit and
+  * a process restart replays the exact version history — `VERSION AS
+  * OF n` and MERGE survive the JVM.
+  *
+  * Rows are encoded as [[UnsafeRow]] bytes (schema-agnostic, the same
+  * format Tungsten shuffles), length-prefixed inside each commit
+  * file. Commit files are append-only and never rewritten — version n
+  * is reconstructed by folding commits 1..n over the empty version 0,
+  * exactly how a lakehouse log replays snapshots (retention would
+  * prune the prefix and checkpoint it; at fixture scale the full fold
+  * is cheap).
+  */
+private[sources] final class CommitLog(dir: Path, val schema: StructType) {
+
+  private def commitFile(version: Int): Path =
+    dir.resolve(f"$version%08d.commit")
+
+  // callers serialize record() (MemStore's synchronized commits), so
+  // one cached projection is safe
+  private lazy val proj = UnsafeProjection.create(schema)
+
+  /** Persist one commit (version >= 1). Callers serialize commits
+    * (MemStore's synchronized append/replace), matching the
+    * single-writer assumption of the atomic move. */
+  def record(version: Int, replace: Boolean, rows: Seq[InternalRow]): Unit = {
+    val tmp = dir.resolve(f"$version%08d.commit.inprogress")
+    val out = new DataOutputStream(new BufferedOutputStream(
+      Files.newOutputStream(tmp, StandardOpenOption.CREATE,
+        StandardOpenOption.TRUNCATE_EXISTING)))
+    try {
+      out.writeByte(if (replace) 1 else 0)
+      out.writeInt(rows.length)
+      rows.foreach { r =>
+        val bytes = proj(r).getBytes
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+    } finally out.close()
+    Files.move(tmp, commitFile(version), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Replay every commit in version order: (replace?, rows) pairs.
+    * `.inprogress` leftovers from a crashed writer are ignored — only
+    * atomically-moved commits are history. */
+  def replay(): Seq[(Boolean, Vector[InternalRow])] = {
+    val files = Files.list(dir).iterator()
+    val commits = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (files.hasNext) {
+      val p = files.next()
+      if (p.getFileName.toString.matches("\\d{8}\\.commit")) commits += p
+    }
+    commits.sortBy(_.getFileName.toString).toSeq.map { p =>
+      val in = new DataInputStream(new BufferedInputStream(
+        Files.newInputStream(p)))
+      try {
+        val replace = in.readByte() == 1
+        val n = in.readInt()
+        val rows = Vector.newBuilder[InternalRow]
+        var i = 0
+        while (i < n) {
+          val len = in.readInt()
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          val row = new UnsafeRow(schema.length)
+          row.pointTo(bytes, len)
+          rows += row
+          i += 1
+        }
+        (replace, rows.result())
+      } finally in.close()
+    }
+  }
+}
+
+private[sources] object CommitLog {
+
+  private def schemaFile(dir: Path): Path = dir.resolve("_schema.json")
+
+  def existsAt(dir: Path): Boolean = Files.exists(schemaFile(dir))
+
+  /** Initialize a fresh log directory (schema written last, via temp +
+    * atomic move, so `existsAt` implies a complete creation). */
+  def create(dir: Path, schema: StructType): CommitLog = {
+    Files.createDirectories(dir)
+    val tmp = dir.resolve("_schema.json.inprogress")
+    Files.writeString(tmp, schema.json)
+    Files.move(tmp, schemaFile(dir), StandardCopyOption.ATOMIC_MOVE)
+    new CommitLog(dir, schema)
+  }
+
+  /** Open an existing log for replay after a restart. */
+  def open(dir: Path): CommitLog = {
+    val schema = DataType.fromJson(Files.readString(schemaFile(dir)))
+      .asInstanceOf[StructType]
+    new CommitLog(dir, schema)
+  }
+
+  def destroy(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+}

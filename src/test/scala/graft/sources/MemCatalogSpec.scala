@@ -80,4 +80,82 @@ class MemCatalogSpec extends SparkTestBase {
     val e = intercept[Exception](at(99))
     assert(e.getMessage.contains("out of range"), e.getMessage)
   }
+
+  // ---- Durable snapshot log (the `path` catalog option): commits
+  // land as immutable numbered files, so MERGE results AND the full
+  // VERSION AS OF history survive a process restart.
+
+  private val durRoot =
+    java.nio.file.Files.createTempDirectory("graft_cat_spec").toString
+
+  private def durableCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.graftdur", classOf[MemCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdur.path", durRoot)
+  }
+
+  test("durable catalog: MERGE history and time travel survive a restart") {
+    durableCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdur.d1")
+    spark.sql("CREATE TABLE graftdur.d1 (k BIGINT, v STRING, bal DOUBLE)")
+    spark.sql("INSERT INTO graftdur.d1 VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    spark.sql(
+      """MERGE INTO graftdur.d1 t
+        |USING (SELECT * FROM VALUES (2, 'D', 0.0), (5, 'U', 5.5) AS s(k, op, bal)) s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET bal = s.bal
+        |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, v, bal) VALUES (s.k, 'new', s.bal)
+        |""".stripMargin)
+    def read(sql: String) = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val live = read("SELECT * FROM graftdur.d1")
+    val v1 = read("SELECT * FROM graftdur.d1 VERSION AS OF 1")
+    assert(live == Set((1L, "a", 1.0), (5L, "new", 5.5)))
+    assert(v1 == Set((1L, "a", 1.0), (2L, "b", 2.0)))
+
+    MemCatalog.simulateRestart()
+    assert(read("SELECT * FROM graftdur.d1") == live,
+      "live state lost across restart")
+    assert(read("SELECT * FROM graftdur.d1 VERSION AS OF 1") == v1,
+      "historical snapshot lost across restart")
+    assert(read("SELECT * FROM graftdur.d1 VERSION AS OF 0").isEmpty)
+    // writes resume on the replayed history: version numbering continues
+    spark.sql("INSERT INTO graftdur.d1 VALUES (9, 'z', 9.0)")
+    assert(read("SELECT * FROM graftdur.d1 VERSION AS OF 2") == live)
+    assert(read("SELECT * FROM graftdur.d1") == live + ((9L, "z", 9.0)))
+  }
+
+  test("durable catalog: purely in-memory tables do NOT survive (negative control)") {
+    durableCatalog()
+    freshTable("gone1", "(1, 'a', 1.0)") // graftmem table: check path-less behavior
+    val hasPath = spark.conf.getOption("spark.sql.catalog.graftmem.path").isDefined
+    spark.sql("DROP TABLE IF EXISTS graftdur.keep1")
+    spark.sql("CREATE TABLE graftdur.keep1 (k BIGINT, v STRING, bal DOUBLE)")
+    spark.sql("INSERT INTO graftdur.keep1 VALUES (4, 'd', 4.0)")
+    MemCatalog.simulateRestart()
+    // the durable one is back; a memory-only one is not (when the
+    // shared session hasn't already made graftmem durable via a gate)
+    assert(spark.table("graftdur.keep1").count() == 1)
+    if (!hasPath) {
+      val e = intercept[Exception](spark.table("graftmem.gone1").count())
+      assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+    }
+  }
+
+  test("durable catalog: DROP TABLE destroys the log; crashed .inprogress ignored") {
+    durableCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdur.d2")
+    spark.sql("CREATE TABLE graftdur.d2 (k BIGINT, v STRING, bal DOUBLE)")
+    spark.sql("INSERT INTO graftdur.d2 VALUES (1, 'a', 1.0)")
+    // a crashed writer's leftover temp file must not corrupt replay
+    val dir = java.nio.file.Paths.get(durRoot, "d2")
+    java.nio.file.Files.writeString(
+      dir.resolve("00000099.commit.inprogress"), "garbage")
+    MemCatalog.simulateRestart()
+    assert(spark.table("graftdur.d2").count() == 1)
+    spark.sql("DROP TABLE graftdur.d2")
+    MemCatalog.simulateRestart()
+    val e = intercept[Exception](spark.table("graftdur.d2").count())
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+  }
 }
