@@ -211,6 +211,34 @@ object SourceQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Avro sink -> Avro source -> aggregate (the row-oriented lake
+    // interchange format beside q128's columnar ORC). DuckDB has no
+    // offline Avro reader, so — the q128 convention — the oracle
+    // aggregates the ORIGINAL parquet table: the gate hash-matches
+    // only if the Avro round trip is lossless across BIGINT keys,
+    // strings, doubles, and the timestamp-micros logical type
+    // (pre-normalized to epoch micros so both surfaces compare exact
+    // integers; FormatsSpec pins the raw TIMESTAMP round trip).
+    QueryDef("q250_avro_source",
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       min(epoch_us(ts))::BIGINT AS t_min,
+        |       max(epoch_us(ts))::BIGINT AS t_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (spark, dir) =>
+        val path = s"/root/repo/target/graft_formats/events_avro_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+        val ev = Tables.load(spark, dir, "events")
+        val slim = ev.select(col("event_type"), col("value"),
+          Tables.tsMicros(ev).as("t"))
+        Formats.writeAvro(slim, path)
+        Formats.readAvro(spark, path)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("cents"),
+            min(col("t")).as("t_min"), max(col("t")).as("t_max"))
+          .orderBy(col("event_type"))
+    },
+
     // Small-file compaction must be result-invisible: stage orders as
     // a deliberately fragmented layout (48 tiny files), compact it to
     // ~128 KB output files through the narrow no-shuffle coalesce

@@ -37,4 +37,24 @@ object Formats {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path) // self-describing format: schema rides along
+
+  /** Avro round trip — the row-oriented lake interchange format
+    * (Kafka archives, Sqoop-era ingest). Spark's built-in Avro source
+    * (bundled with spark-sql since Spark 4) gives splittable
+    * container files with block-level compression; as a ROW format it
+    * has no column pruning or stat pushdown — the scan reads whole
+    * records, which is exactly why a 100 TB lake lands Avro ingest
+    * into parquet before analytics. Schema rides in the container
+    * header (self-describing, like ORC). */
+  // The short name "avro" resolves only when the external spark-avro
+  // module jar is deployed (its DataSourceRegister service entry);
+  // the FORMAT IMPLEMENTATION itself ships inside spark-sql 4.x, so
+  // addressing the class directly uses the identical reader/writer.
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").format(AvroFormat).save(path)
+
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroFormat).load(path)
 }

@@ -39,6 +39,22 @@ class FormatsSpec extends SparkTestBase {
     assert(qe.contains("ReadSchema: struct<n_name:string,n_regionkey:int>"), qe)
   }
 
+  test("Avro round-trip preserves rows, schema, and the timestamp logical type") {
+    val ev = Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    Formats.writeAvro(ev, "/tmp/fmt_events_avro")
+    val back = Formats.readAvro(spark, "/tmp/fmt_events_avro")
+    // self-describing container: schema (incl. TIMESTAMP via the
+    // timestamp-micros logical type) rides in the file header
+    assert(back.schema == ev.schema, s"${back.schema} vs ${ev.schema}")
+    assert(back.orderBy("event_id").collect().toSeq ==
+      ev.orderBy("event_id").collect().toSeq)
+    // row format: column pruning still narrows the READ SCHEMA Spark
+    // requests (deserializer skips fields), even without stat pushdown
+    val plan = back.select("event_type").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<event_type:string>"), plan)
+  }
+
   test("CSV scan pushes filters down to the source") {
     val src = nationDf
     Formats.writeCsv(src, "/tmp/fmt_nation_csv")
