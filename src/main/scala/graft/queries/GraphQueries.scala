@@ -48,13 +48,20 @@ object GraphQueries {
   /** q221 seed set: the first [[SeedMax]] vector ids. */
   private val SeedMax = 10
 
-  /** q231 BFS depth (unrolled). */
-  private val BfsRounds = 4
+  /** q231/q232 oracle unroll depth. The SPARK side runs to the true
+    * fixpoint ([[graft.operators.GraphIter]] — convergence-probed, no
+    * truncation); DuckDB cannot express fixpoint iteration over these
+    * shapes cheaply, so the oracle unrolls a FIXED depth chosen well
+    * past the fixture's convergence point (BFS levels past the
+    * eccentricity are empty and contribute nothing; k-core rounds past
+    * the fixpoint repeat the same census). A graph deeper than the
+    * oracle unroll fails the HASH (Spark emits hops/rounds the oracle
+    * lacks) — loud, never silent truncation. */
+  private val BfsOracleRounds = 16
+  private val CoreOracleRounds = 12
 
-  /** q232 k-core threshold + unrolled peel rounds (spec-checked to
-    * reach the fixpoint on the fixture). */
+  /** q232 k-core threshold. */
   private val CoreK = 3
-  private val CoreRounds = 4
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -212,22 +219,25 @@ object GraphQueries {
         .limit(TopN)
     },
 
-    // BFS hop distances from the q221 seed set, [[BfsRounds]] rounds
-    // unrolled: level k = distinct neighbors of level k−1, distance =
-    // min level a node appears in (re-visits are harmless — the final
-    // min collapses them, so no per-round anti-join state is needed).
-    // Per round: ONE frontier-keyed equi-join + distinct; at scale the
-    // frontier frames checkpoint between rounds (the CC discipline) —
-    // here the unroll is 4 deep, inside plain lineage. Output is the
-    // per-hop census (count + id checksum), so one node at a wrong
-    // distance fails the hash.
+    // BFS hop distances from the q221 seed set, run to the TRUE
+    // fixpoint: [[graft.operators.GraphIter.bfsDistances]] iterates
+    // until the first-visit frontier empties (the convergence-probed
+    // CC discipline — a fixed unroll silently truncates any graph
+    // deeper than the bound; GraphIterSpec proves the old 4-round
+    // form truncates a chain graph this form walks exactly). Per
+    // round: ONE frontier-keyed equi-join + distinct + anti-join
+    // against visited, frontier/visited checkpointed per round.
+    // Output is the per-hop census (count + id checksum), so one node
+    // at a wrong distance fails the hash; the oracle unrolls
+    // [[BfsOracleRounds]] levels — past the fixture's eccentricity,
+    // where further levels add nothing.
     QueryDef("q231_bfs_hops", {
-      val levels = (1 to BfsRounds).map { k =>
+      val levels = (1 to BfsOracleRounds).map { k =>
         s"""l$k AS MATERIALIZED (SELECT DISTINCT e$k.nb AS id
            |  FROM edges e$k JOIN l${k - 1} ON e$k.id = l${k - 1}.id)"""
           .stripMargin
       }.mkString(",\n")
-      val union = (0 to BfsRounds)
+      val union = (0 to BfsOracleRounds)
         .map(k => s"SELECT id, $k AS d FROM l$k").mkString("\nUNION ALL\n")
       s"""WITH ${SimilarityQueries.mutualEdgesCte},
          |l0 AS (SELECT vec_id AS id FROM embeddings WHERE vec_id < $SeedMax),
@@ -243,38 +253,30 @@ object GraphQueries {
         .unionByName(mut.select(col("doc_b").as("id"), col("doc_a").as("nb")))
       val l0 = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id").as("id")).where(col("id") < SeedMax)
-      // each level is consumed twice (next round's frontier + the
-      // final union) — checkpoint keeps the chain linear
-      val levels = Iterator.iterate(l0)(f =>
-        FrameMemo.checkpointed(
-          edges.join(f.withColumnRenamed("id", "fid"),
-            col("id") === col("fid"))
-            .select(col("nb").as("id")).distinct())
-      ).take(BfsRounds + 1).toSeq
-      levels.zipWithIndex
-        .map { case (f, d) => f.select(col("id"), lit(d.toLong).as("d")) }
-        .reduce(_ unionByName _)
-        .groupBy(col("id")).agg(min(col("d")).as("d"))
+      graft.operators.GraphIter.bfsDistances(l0, edges)
         .groupBy(col("d")).agg(count(lit(1)).as("n_nodes"),
           sum(col("id")).cast("long").as("id_sum"))
         .select(col("d").as("hops"), col("n_nodes"), col("id_sum"))
         .orderBy(col("hops"))
     },
 
-    // K-CORE decomposition ([[CoreK]]-core) by [[CoreRounds]] unrolled
-    // peel rounds: drop nodes with degree < K, restrict edges to
-    // survivors, repeat — the community-density filter (and the
-    // degeneracy-ordering building block) next to q208's triangles.
-    // The gate emits each round's census so the MONOTONE shrink is
-    // oracle-pinned, and GraphQueriesSpec asserts the last two rounds
-    // agree — i.e. the bounded unroll reached the true k-core fixpoint
-    // on the fixture (the fixed-iteration PageRank discipline). Per
-    // round: one degree agg + two semi-joins, all equi-keyed.
+    // K-CORE decomposition ([[CoreK]]-core) peeled to the TRUE
+    // fixpoint: [[graft.operators.GraphIter.kcoreFixpoint]] drops
+    // nodes with degree < K and restricts edges to survivors until
+    // two consecutive rounds agree — an EXACT probe, since the
+    // monotone shrink makes equal counts equal sets (no fingerprint
+    // collision possible). The gate emits the fixpoint census PLUS
+    // the rounds-to-converge, which the oracle recovers as the first
+    // unrolled round whose census equals the deep round's
+    // ([[CoreOracleRounds]], past any fixture's peel depth) — so a
+    // truncated Spark loop OR a wrong convergence count fails the
+    // hash. Per round: one degree agg + two semi-joins, all
+    // equi-keyed, frames checkpointed per round.
     QueryDef("q232_kcore", {
       // MATERIALIZED is load-bearing: each round references the
       // previous CTE three times — inlined, the tree quintuples per
       // round (the prRounds lesson)
-      val rounds = (1 to CoreRounds).map { r =>
+      val rounds = (1 to CoreOracleRounds).map { r =>
         s"""d$r AS MATERIALIZED (SELECT id, count(*)::BIGINT AS dg FROM (
            |    SELECT a AS id FROM e${r - 1}
            |    UNION ALL SELECT b FROM e${r - 1}) u$r GROUP BY id),
@@ -283,7 +285,7 @@ object GraphQueries {
            |        WHERE a IN (SELECT id FROM k$r)
            |          AND b IN (SELECT id FROM k$r))""".stripMargin
       }.mkString(",\n")
-      val union = (1 to CoreRounds).map { r =>
+      val union = (1 to CoreOracleRounds).map { r =>
         s"""SELECT $r AS round,
            |  (SELECT count(*) FROM k$r) AS n_nodes,
            |  (SELECT count(*) FROM e$r) AS n_edges,
@@ -292,31 +294,27 @@ object GraphQueries {
       }.mkString("\nUNION ALL\n")
       s"""WITH ${SimilarityQueries.mutualEdgesCte},
          |e0 AS (SELECT doc_a AS a, doc_b AS b FROM mut),
-         |$rounds
-         |$union
-         |ORDER BY round""".stripMargin
+         |$rounds,
+         |census AS ($union),
+         |fix AS (SELECT n_nodes, n_edges, id_sum FROM census
+         |        WHERE round = $CoreOracleRounds)
+         |SELECT CAST((SELECT min(round) FROM census c, fix f
+         |             WHERE c.n_nodes = f.n_nodes AND c.n_edges = f.n_edges
+         |               AND c.id_sum = f.id_sum) AS BIGINT) AS n_rounds,
+         |       CAST(n_nodes AS BIGINT) AS n_nodes,
+         |       CAST(n_edges AS BIGINT) AS n_edges,
+         |       CAST(id_sum AS BIGINT) AS id_sum
+         |FROM fix""".stripMargin
     }) { (spark, dir) =>
       val mut = SimilarityQueries.mutualKnnEdges(spark, dir)
-      var e = mut.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val out = (1 to CoreRounds).map { r =>
-        val deg = e.select(col("a").as("id"))
-          .unionByName(e.select(col("b").as("id")))
-          .groupBy(col("id")).agg(count(lit(1)).as("dg"))
-        val keep = deg.where(col("dg") >= CoreK).select(col("id"))
-        // each round references the previous edge frame three times
-        // (degree union + restriction) — checkpoint per round or the
-        // plan tree quintuples per round (the prRounds/CC lesson)
-        e = FrameMemo.checkpointed(
-          e.join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
-            .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
-            .select(col("a"), col("b")))
-        keep.agg(count(lit(1)).as("n_nodes"),
-          coalesce(sum(col("id")).cast("long"), lit(0L)).as("id_sum"))
-          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-          .select(lit(r.toLong).as("round"), col("n_nodes"),
-            col("n_edges"), col("id_sum"))
-      }.reduce(_ unionByName _)
-      out.orderBy(col("round"))
+      val e0 = mut.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val (keep, eFix, nRounds) =
+        graft.operators.GraphIter.kcoreFixpoint(e0, CoreK)
+      keep.agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("id")).cast("long"), lit(0L)).as("id_sum"))
+        .crossJoin(eFix.agg(count(lit(1)).as("n_edges")))
+        .select(lit(nRounds.toLong).as("n_rounds"), col("n_nodes"),
+          col("n_edges"), col("id_sum"))
     }
   )
 }

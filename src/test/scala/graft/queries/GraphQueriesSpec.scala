@@ -59,19 +59,17 @@ class GraphQueriesSpec extends SparkTestBase {
       rows.head.toString)
   }
 
-  test("q232: peel shrinks monotonically and the bounded unroll reaches the fixpoint") {
+  test("q232: one fixpoint row; every surviving node has degree >= K in the core") {
     val rows = graft.SparkEntry.queries("q232_kcore")(spark, sf0001)
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(rows.length == 4, rows.mkString(", "))
-    // node and edge counts never grow between rounds
-    rows.sliding(2).foreach { case Array(p, n) =>
-      assert(n._2 <= p._2 && n._3 <= p._3, s"$p -> $n")
-    }
-    // the unrolled depth reached the true k-core on the fixture: the
-    // last two rounds agree exactly (so round 4 IS the fixpoint)
-    val last = rows(3); val prev = rows(2)
-    assert((last._2, last._3, last._4) == ((prev._2, prev._3, prev._4)),
-      s"no fixpoint: $prev vs $last")
+    assert(rows.length == 1, rows.mkString(", "))
+    val (nRounds, nNodes, nEdges, _) = rows.head
+    assert(nRounds >= 1)
+    // a non-empty 3-core needs at least 4 nodes and min degree 3
+    if (nNodes > 0) {
+      assert(nNodes >= 4, s"$nNodes nodes cannot all have degree >= 3")
+      assert(2 * nEdges >= 3 * nNodes, s"avg degree below K: $rows")
+    } else assert(nEdges == 0)
   }
 }
