@@ -40,8 +40,8 @@ object TextQueries {
     * estimates within 2^-5 ~ 3.1% relative error, ~1900 cells worst
     * case. (Declared BEFORE defs: the oracle SQL strings interpolate
     * these at object init.) */
-  private val QsBits = 5
-  private val QsSubBuckets = 1 << QsBits
+  private[queries] val QsBits = 5
+  private[queries] val QsSubBuckets = 1 << QsBits
 
   /** q233 greedy-segmentation vocabulary size + unrolled step bound
     * (words longer than the consumed span keep their trailing state —
