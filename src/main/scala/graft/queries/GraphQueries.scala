@@ -95,13 +95,15 @@ object GraphQueries {
     // TRIANGLE COUNTING + local clustering coefficient over the same
     // mutual-kNN graph — the graph-quality signal (community density
     // vs hub spam) curation pipelines read next to centrality. The
-    // id-ordered edge list (a<b) makes each triangle (x<y<z) appear
-    // exactly once in the two-equi-join enumeration — the standard
-    // distributed shape; at scale the orientation switches from id
-    // order to DEGREE order (each edge oriented low-degree →
-    // high-degree), which bounds the join fan-out by the graph's
-    // arboricity without changing this plan. Coefficient in exact
-    // basis points: (10000·2·tri) DIV (deg·(deg−1)).
+    // Spark side runs [[graft.operators.Triangles]]' DEGREE-ORDERED
+    // enumeration (each edge oriented low-(degree, id) → high, which
+    // bounds the wedge join's fan-out by the graph's arboricity — the
+    // Chiba–Nishizeki orientation every distributed triangle system
+    // uses); the oracle enumerates by id order (a<b), which counts
+    // the identical triangles — orientation is result-invisible
+    // (TrianglesSpec pins it, including on a degenerate hub graph).
+    // Coefficient in exact basis points:
+    // (10000·2·tri) DIV (deg·(deg−1)).
     QueryDef("q208_triangle_count",
       s"""WITH ${SimilarityQueries.mutualEdgesCte},
          |tri AS (
@@ -118,15 +120,7 @@ object GraphQueries {
       (spark, dir) =>
         val mut = SimilarityQueries.mutualKnnEdges(spark, dir)
         val e = mut.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        val tri = e.as("e1")
-          .join(e.as("e2"), col("e1.b") === col("e2.a"))
-          .join(e.as("e3"),
-            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-          .select(col("e1.a").as("x"), col("e1.b").as("y"),
-            col("e2.b").as("z"))
-        val tn = tri
-          .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
-          .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+        val tn = graft.operators.Triangles.perNodeDegreeOrdered(e)
         val deg = mut.select(col("doc_a").as("id"))
           .unionByName(mut.select(col("doc_b").as("id")))
           .groupBy(col("id")).agg(count(lit(1)).as("deg"))

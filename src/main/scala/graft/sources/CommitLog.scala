@@ -34,16 +34,20 @@ private[sources] final class CommitLog(dir: Path, val schema: StructType) {
   // one cached projection is safe
   private lazy val proj = UnsafeProjection.create(schema)
 
-  /** Persist one commit (version >= 1). Callers serialize commits
-    * (MemStore's synchronized append/replace), matching the
-    * single-writer assumption of the atomic move. */
-  def record(version: Int, replace: Boolean, rows: Seq[InternalRow]): Unit = {
+  /** Persist one commit (version >= 1) stamped with its commit time
+    * (epoch micros — the `TIMESTAMP AS OF` resolution source).
+    * Callers serialize commits (MemStore's synchronized
+    * append/replace), matching the single-writer assumption of the
+    * atomic move. */
+  def record(version: Int, replace: Boolean, tsMicros: Long,
+      rows: Seq[InternalRow]): Unit = {
     val tmp = dir.resolve(f"$version%08d.commit.inprogress")
     val out = new DataOutputStream(new BufferedOutputStream(
       Files.newOutputStream(tmp, StandardOpenOption.CREATE,
         StandardOpenOption.TRUNCATE_EXISTING)))
     try {
       out.writeByte(if (replace) 1 else 0)
+      out.writeLong(tsMicros)
       out.writeInt(rows.length)
       rows.foreach { r =>
         val bytes = proj(r).getBytes
@@ -54,10 +58,14 @@ private[sources] final class CommitLog(dir: Path, val schema: StructType) {
     Files.move(tmp, commitFile(version), StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Replay every commit in version order: (replace?, rows) pairs.
-    * `.inprogress` leftovers from a crashed writer are ignored — only
-    * atomically-moved commits are history. */
-  def replay(): Seq[(Boolean, Vector[InternalRow])] = {
+  /** Table creation time (epoch micros) — version 0's timestamp. */
+  def createdMicros: Long =
+    Files.readString(dir.resolve("_created")).trim.toLong
+
+  /** Replay every commit in version order: (replace?, commit micros,
+    * rows) triples. `.inprogress` leftovers from a crashed writer are
+    * ignored — only atomically-moved commits are history. */
+  def replay(): Seq[(Boolean, Long, Vector[InternalRow])] = {
     val files = Files.list(dir).iterator()
     val commits = scala.collection.mutable.ArrayBuffer.empty[Path]
     while (files.hasNext) {
@@ -69,6 +77,7 @@ private[sources] final class CommitLog(dir: Path, val schema: StructType) {
         Files.newInputStream(p)))
       try {
         val replace = in.readByte() == 1
+        val ts = in.readLong()
         val n = in.readInt()
         val rows = Vector.newBuilder[InternalRow]
         var i = 0
@@ -81,7 +90,7 @@ private[sources] final class CommitLog(dir: Path, val schema: StructType) {
           rows += row
           i += 1
         }
-        (replace, rows.result())
+        (replace, ts, rows.result())
       } finally in.close()
     }
   }
@@ -95,8 +104,9 @@ private[sources] object CommitLog {
 
   /** Initialize a fresh log directory (schema written last, via temp +
     * atomic move, so `existsAt` implies a complete creation). */
-  def create(dir: Path, schema: StructType): CommitLog = {
+  def create(dir: Path, schema: StructType, createdMicros: Long): CommitLog = {
     Files.createDirectories(dir)
+    Files.writeString(dir.resolve("_created"), createdMicros.toString)
     val tmp = dir.resolve("_schema.json.inprogress")
     Files.writeString(tmp, schema.json)
     Files.move(tmp, schemaFile(dir), StandardCopyOption.ATOMIC_MOVE)

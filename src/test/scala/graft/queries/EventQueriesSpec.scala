@@ -82,7 +82,8 @@ class EventQueriesSpec extends SparkTestBase {
       .withColumn("props", lit("{}"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = graft.SparkEntry.queries("q222_theilsen_trend")(spark, dir)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("trend_micro"))).toMap
     assert(got(1L) == ((15L, 5000L)), got.toString)
     // 5 of 15 pairs touch the spike; the median pair is still clean
     assert(got(2L)._1 == 15L && got(2L)._2 == 5000L, got.toString)

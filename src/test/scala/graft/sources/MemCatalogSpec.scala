@@ -142,6 +142,37 @@ class MemCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("TIMESTAMP AS OF serves the newest snapshot at-or-before, and survives a restart") {
+    durableCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdur.t1")
+    spark.sql("CREATE TABLE graftdur.t1 (k BIGINT, v STRING, bal DOUBLE)")
+    spark.sql("INSERT INTO graftdur.t1 VALUES (1, 'a', 1.0)")
+    Thread.sleep(30) // commit-time resolution is a millisecond
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    spark.sql("INSERT INTO graftdur.t1 VALUES (2, 'b', 2.0)")
+
+    // session TZ is UTC, so format the probe timestamp in UTC too
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    val midStr = fmt.format(java.time.Instant.ofEpochMilli(mid))
+    def at(ts: String) = spark.sql(
+      s"SELECT k FROM graftdur.t1 TIMESTAMP AS OF '$ts'")
+      .collect().map(_.getLong(0)).toSet
+    assert(at(midStr) == Set(1L), s"at $midStr")
+    val nowStr = fmt.format(java.time.Instant.ofEpochMilli(
+      System.currentTimeMillis()))
+    assert(at(nowStr) == Set(1L, 2L))
+    // commit times ride in the log: same answers after a restart
+    MemCatalog.simulateRestart()
+    assert(at(midStr) == Set(1L))
+    assert(at(nowStr) == Set(1L, 2L))
+    // a probe before creation fails loudly
+    val e = intercept[Exception](at("1999-01-01 00:00:00.000"))
+    assert(e.getMessage.contains("predates"), e.getMessage)
+  }
+
   test("durable catalog: DROP TABLE destroys the log; crashed .inprogress ignored") {
     durableCatalog()
     spark.sql("DROP TABLE IF EXISTS graftdur.d2")
