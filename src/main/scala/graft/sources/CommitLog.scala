@@ -55,17 +55,41 @@ private[sources] final class CommitLog(dir: Path, val schema: StructType) {
         out.write(bytes)
       }
     } finally out.close()
-    Files.move(tmp, commitFile(version), StandardCopyOption.ATOMIC_MOVE)
+    // REPLACE_EXISTING: expiry consolidates onto an existing file name
+    Files.move(tmp, commitFile(version), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Table creation time (epoch micros) — version 0's timestamp. */
   def createdMicros: Long =
     Files.readString(dir.resolve("_created")).trim.toLong
 
-  /** Replay every commit in version order: (replace?, commit micros,
-    * rows) triples. `.inprogress` leftovers from a crashed writer are
-    * ignored — only atomically-moved commits are history. */
-  def replay(): Seq[(Boolean, Long, Vector[InternalRow])] = {
+  /** Snapshot EXPIRY (the Iceberg `expire_snapshots` / Delta
+    * retention lever): consolidate version `before` into a
+    * self-contained REPLACE commit (folding a replace needs no
+    * predecessor), then delete every earlier commit file. Ordering is
+    * crash-safe: the consolidated file lands first (replacing the old
+    * file atomically — replaying it yields the identical state, so a
+    * crash mid-expiry only leaves extra, still-valid prefix files). */
+  def expireBefore(version: Int, tsMicros: Long,
+      rows: Seq[InternalRow]): Unit = {
+    record(version, replace = true, tsMicros, rows)
+    val files = Files.list(dir).iterator()
+    val stale = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (files.hasNext) {
+      val p = files.next()
+      val n = p.getFileName.toString
+      if (n.matches("\\d{8}\\.commit") && n.take(8).toInt < version) stale += p
+    }
+    stale.foreach(Files.delete)
+  }
+
+  /** Replay every retained commit in version order: (version,
+    * replace?, commit micros, rows). After an expiry the first
+    * retained commit is a self-contained replace with version > 1.
+    * `.inprogress` leftovers from a crashed writer are ignored — only
+    * atomically-moved commits are history. */
+  def replay(): Seq[(Int, Boolean, Long, Vector[InternalRow])] = {
     val files = Files.list(dir).iterator()
     val commits = scala.collection.mutable.ArrayBuffer.empty[Path]
     while (files.hasNext) {
@@ -73,6 +97,7 @@ private[sources] final class CommitLog(dir: Path, val schema: StructType) {
       if (p.getFileName.toString.matches("\\d{8}\\.commit")) commits += p
     }
     commits.sortBy(_.getFileName.toString).toSeq.map { p =>
+      val ver = p.getFileName.toString.take(8).toInt
       val in = new DataInputStream(new BufferedInputStream(
         Files.newInputStream(p)))
       try {
@@ -90,7 +115,7 @@ private[sources] final class CommitLog(dir: Path, val schema: StructType) {
           rows += row
           i += 1
         }
-        (replace, ts, rows.result())
+        (ver, replace, ts, rows.result())
       } finally in.close()
     }
   }

@@ -173,6 +173,43 @@ class MemCatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("predates"), e.getMessage)
   }
 
+  test("snapshot expiry prunes history, bounds the log, and survives a restart") {
+    durableCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdur.e1")
+    spark.sql("CREATE TABLE graftdur.e1 (k BIGINT, v STRING, bal DOUBLE)")
+    spark.sql("INSERT INTO graftdur.e1 VALUES (1, 'a', 1.0)") // v1
+    spark.sql("INSERT INTO graftdur.e1 VALUES (2, 'b', 2.0)") // v2
+    spark.sql("INSERT INTO graftdur.e1 VALUES (3, 'c', 3.0)") // v3
+    spark.sql("DELETE FROM graftdur.e1 WHERE k = 1")          // v4
+    def at(v: Int) = spark.sql(
+      s"SELECT k FROM graftdur.e1 VERSION AS OF $v")
+      .collect().map(_.getLong(0)).toSet
+
+    MemCatalog.expireSnapshots("graftdur", "e1", before = 3)
+    // retained window works, pruned history errors loudly
+    assert(at(3) == Set(1L, 2L, 3L) && at(4) == Set(2L, 3L))
+    val e = intercept[Exception](at(2))
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    // on disk: only commits 3 and 4 remain, 3 now self-contained
+    val names = java.nio.file.Files.list(
+      java.nio.file.Paths.get(durRoot, "e1")).iterator()
+    val commits = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (names.hasNext) {
+      val n = names.next().getFileName.toString
+      if (n.endsWith(".commit")) commits += n
+    }
+    assert(commits.sorted.toSeq ==
+      Seq("00000003.commit", "00000004.commit"), commits)
+
+    // a restart replays the pruned log exactly: same window, same
+    // errors, and writes continue the version numbering
+    MemCatalog.simulateRestart()
+    assert(at(3) == Set(1L, 2L, 3L) && at(4) == Set(2L, 3L))
+    assert(intercept[Exception](at(1)).getMessage.contains("expired"))
+    spark.sql("INSERT INTO graftdur.e1 VALUES (9, 'z', 9.0)") // v5
+    assert(at(5) == Set(2L, 3L, 9L))
+  }
+
   test("durable catalog: DROP TABLE destroys the log; crashed .inprogress ignored") {
     durableCatalog()
     spark.sql("DROP TABLE IF EXISTS graftdur.d2")
