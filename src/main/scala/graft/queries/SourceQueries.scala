@@ -239,6 +239,22 @@ object SourceQueries {
           .orderBy(col("event_type"))
     },
 
+    // XML sink -> XML source -> full row echo (the document-format
+    // sibling of q50's JSON lines; spark-xml ships inside spark-sql 4).
+    // DuckDB has no XML reader, so — the q128/q250 convention — the
+    // oracle reads the ORIGINAL parquet table: the gate hash-matches
+    // only if the XML round trip is lossless across int keys and
+    // strings (incl. the escaping-sensitive comment text).
+    QueryDef("q251_xml_source",
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+      val path = s"/root/repo/target/graft_formats/nation_xml_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val nation = nationSlim(spark, dir)
+      Formats.writeXml(nation, path, rowTag = "nation")
+      Formats.readXml(spark, path, "nation", nation.schema)
+        .orderBy(col("n_nationkey"))
+    },
+
     // Small-file compaction must be result-invisible: stage orders as
     // a deliberately fragmented layout (48 tiny files), compact it to
     // ~128 KB output files through the narrow no-shuffle coalesce

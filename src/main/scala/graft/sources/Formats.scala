@@ -57,4 +57,17 @@ object Formats {
 
   def readAvro(spark: SparkSession, path: String): DataFrame =
     spark.read.format(AvroFormat).load(path)
+
+  /** XML round trip (spark-xml moved into spark-sql in Spark 4) —
+    * the interchange surface feeds/partners still ship. Explicit
+    * schema on read (the no-infer rule: XML inference is an extra
+    * full pass) and an explicit rowTag on both sides. A document
+    * format: no pushdown, no pruning — like Avro, a 100 TB lake
+    * lands it into parquet at ingest. */
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).xml(path)
+
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag).xml(path)
 }
