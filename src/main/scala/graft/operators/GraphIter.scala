@@ -37,9 +37,13 @@ object GraphIter {
     * per REACHABLE node. Rounds = eccentricity of the seed set. */
   def bfsDistances(seeds: DataFrame, edges: DataFrame,
       maxRounds: Int = 64): DataFrame = {
-    var visited = FrameMemo.checkpointed(
+    // only the per-round FRONTIER is checkpointed; `visited` stays a
+    // plain union over those materialized leaves (re-checkpointing
+    // the growing visited set each round re-writes O(n) rows per
+    // round — measured 2x the whole loop's cost at sf0.1)
+    var frontier = FrameMemo.checkpointed(
       seeds.select(col("id")).distinct().withColumn("d", lit(0L)))
-    var frontier = visited.select(col("id"))
+    var visited = frontier
     var d = 0L
     var n = frontier.count()
     while (n > 0 && d < maxRounds) {
@@ -48,12 +52,12 @@ object GraphIter {
       // first visits; the anti-join is what lets the frontier empty
       // on cyclic graphs (re-visits collapse to nothing)
       val next = FrameMemo.checkpointed(
-        edges.join(frontier.withColumnRenamed("id", "fid"),
+        edges.join(frontier.select(col("id").as("fid")),
           col("id") === col("fid"))
           .select(col("nb").as("id")).distinct()
-          .join(visited.select(col("id")), Seq("id"), "left_anti"))
-      visited = FrameMemo.checkpointed(
-        visited.unionByName(next.withColumn("d", lit(d))))
+          .join(visited.select(col("id")), Seq("id"), "left_anti")
+          .withColumn("d", lit(d)))
+      visited = visited.unionByName(next)
       frontier = next
       n = next.count()
     }

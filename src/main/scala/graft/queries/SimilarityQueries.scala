@@ -1900,7 +1900,17 @@ object SimilarityQueries {
     * path, hiding this lineage from the final frame's plan): per-
     * vector top-[[MutualK]] within the LSH bucket, kept only when
     * both endpoints choose each other. */
-  private[graft] def mutualKnnEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def mutualKnnEdges(spark: SparkSession, dir: String): DataFrame =
+    // memoized per (session, dir): SEVEN graph gates read this frame,
+    // and the iterative ones (PageRank rounds, BFS, k-core) reference
+    // it once per ROUND — un-memoized, every reference re-runs the
+    // whole kNN build (measured 17 s for the 9-round BFS at sf0.1,
+    // ~2 s memoized)
+    FrameMemo.memoized(spark, s"mutual_knn_edges_$dir") {
+      mutualKnnEdgesBuild(spark, dir)
+    }
+
+  private def mutualKnnEdgesBuild(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val s = corpus(spark, dir).withColumn("sig", planeSig(col("v")))
     val a = s.select(col("vec_id").as("ida"), col("v").as("va"),
