@@ -1910,7 +1910,9 @@ object SimilarityQueries {
       mutualKnnEdgesBuild(spark, dir)
     }
 
-  private def mutualKnnEdgesBuild(spark: SparkSession, dir: String): DataFrame = {
+  /** The un-memoized build plan (exposed for the plan-shape spec —
+    * the memoized frame reads an RDD scan, hiding the lineage). */
+  private[graft] def mutualKnnEdgesBuild(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val s = corpus(spark, dir).withColumn("sig", planeSig(col("v")))
     val a = s.select(col("vec_id").as("ida"), col("v").as("va"),

@@ -143,10 +143,10 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("mutual-kNN clusters: equi-join plan, min-id labels, symmetric membership") {
-    // the edge lineage (inspected directly — the cluster step may run
-    // it eagerly through the union-find path): bucketed on the
-    // signature, never all-pairs, partial top-k below the exchange
-    val edgePlan = SimilarityQueries.mutualKnnEdges(spark, sf0001)
+    // the edge BUILD lineage (inspected directly — the memoized frame
+    // consumers read materialized rows): bucketed on the signature,
+    // never all-pairs, partial top-k below the exchange
+    val edgePlan = SimilarityQueries.mutualKnnEdgesBuild(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!edgePlan.contains("CartesianProduct"), edgePlan)
     assert(edgePlan.contains("WindowGroupLimit"), edgePlan)
