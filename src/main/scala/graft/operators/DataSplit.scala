@@ -42,4 +42,18 @@ object DataSplit {
   def withFold(df: DataFrame, idCol: String, seed: String): DataFrame =
     df.withColumn("fold",
       foldOf(col(idCol), seed, Seq(("train", 8000), ("val", 9000)), "test"))
+
+  /** k-fold cross-validation assignment: fold i in [0, k) from the
+    * same md5-slice family (28 bits mod k — the ≤0.006% residue bias
+    * at k ≤ 16 is far below any CV noise floor). Same contract as
+    * [[withFold]]: stable under reprocessing, leak-proof per id,
+    * map-only. Fold i's validation set is `fold = i`, training set
+    * `fold <> i` — coverage and disjointness are structural (every id
+    * computes exactly one fold). */
+  def withKFold(df: DataFrame, idCol: String, seed: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 16, s"k must be in [2, 16], got $k")
+    df.withColumn("fold",
+      (conv(substring(md5(concat(lit(seed + ":"), col(idCol).cast("string"))),
+        1, 7), 16, 10).cast("long") % k).cast("int"))
+  }
 }

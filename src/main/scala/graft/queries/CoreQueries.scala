@@ -1225,6 +1225,34 @@ object CoreQueries {
           benford.as("benford_micro"),
           (expr("(1000000L * n) DIV tot") - benford).as("delta_micro"))
         .orderBy(col("digit"))
+    },
+
+    // SQL PIVOT surface: the literal `PIVOT (agg FOR col IN (...))`
+    // statement a warehouse user keeps verbatim — Spark parses it
+    // natively; DuckDB's PIVOT dialect differs, so the oracle is the
+    // semantically-identical conditional aggregation (which is also
+    // exactly what Catalyst rewrites PIVOT into — `RewritePivot`).
+    // Cents cast BEFORE the sum so both engines aggregate exact
+    // BIGINTs.
+    QueryDef("q254_pivot_sql",
+      """SELECT l_returnflag AS flag,
+        |       CAST(sum(CASE WHEN l_linestatus = 'O'
+        |                     THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+        |            AS BIGINT) AS open_cents,
+        |       CAST(sum(CASE WHEN l_linestatus = 'F'
+        |                     THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+        |            AS BIGINT) AS filled_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin) {
+      (spark, dir) =>
+        Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+        spark.sql(
+          """SELECT * FROM (
+            |  SELECT l_returnflag AS flag, l_linestatus,
+            |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            |  FROM lineitem)
+            |PIVOT (sum(cents) FOR l_linestatus IN ('O' AS open_cents,
+            |                                       'F' AS filled_cents))
+            |ORDER BY flag""".stripMargin)
     }
   )
 }

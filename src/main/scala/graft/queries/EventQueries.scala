@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.sources.Tables
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -986,6 +987,51 @@ object EventQueries {
       // the decile rows ascending (the driver compare is row-order
       // sensitive and a hash GROUP BY + UNION ALL guarantees nothing).
       lorenz.unionByName(gini).orderBy(col("decile"))
+    },
+
+    // HLL SET-INTERSECTION estimation by inclusion-exclusion
+    // (|A∩B| ≈ est(A) + est(B) − est(A∪B)) — the audience-overlap /
+    // cross-slice-cardinality question answered from three sketch
+    // blobs instead of a distinct-join of two corpora. Slices: click
+    // users with even id vs any-event users with id % 3 = 0 (overlap
+    // = id % 6 = 0, a genuine sixth of the population). The q153
+    // convention: exact counts come from the oracle, the Spark side
+    // emits ±5% accuracy booleans (±10% for the intersection — two
+    // sketch errors compound through the subtraction) against its own
+    // exact aggregates, the oracle emits literal true. At 100 TB each
+    // side is ONE mergeable O(registers) agg and the answer is
+    // arithmetic on three sketches — the corpora are never joined.
+    QueryDef("q253_hll_intersection",
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'click' AND user_id % 2 = 0),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0)
+        |SELECT (SELECT count(*) FROM a)::BIGINT AS n_a,
+        |       (SELECT count(*) FROM b)::BIGINT AS n_b,
+        |       (SELECT count(*) FROM a JOIN b USING (user_id))::BIGINT AS n_both,
+        |       true AS ok_a, true AS ok_b, true AS ok_both""".stripMargin) {
+      (spark, dir) =>
+        val ev = Tables.load(spark, dir, "events")
+        val a = ev.where(col("event_type") === "click" &&
+          col("user_id") % 2 === 0).select(col("user_id"))
+        val b = ev.where(col("user_id") % 3 === 0).select(col("user_id"))
+        val sa = a.agg(hll_sketch_agg(col("user_id")).as("ska"),
+          countDistinct(col("user_id")).as("n_a"))
+        val sb = b.agg(hll_sketch_agg(col("user_id")).as("skb"),
+          countDistinct(col("user_id")).as("n_b"))
+        val both = a.distinct().join(b.distinct(), Seq("user_id"))
+          .agg(count(lit(1)).as("n_both"))
+        def ok(est: Column, exact: Column, tolPct: Int): Column =
+          abs(est - exact) * 100 <= exact * tolPct
+        sa.crossJoin(sb).crossJoin(both)
+          .select(col("n_a"), col("n_b"), col("n_both"),
+            hll_sketch_estimate(col("ska")).as("ea"),
+            hll_sketch_estimate(col("skb")).as("eb"),
+            hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("eu"))
+          .select(col("n_a"), col("n_b"), col("n_both"),
+            ok(col("ea"), col("n_a"), 5).as("ok_a"),
+            ok(col("eb"), col("n_b"), 5).as("ok_b"),
+            ok(col("ea") + col("eb") - col("eu"), col("n_both"), 10)
+              .as("ok_both"))
     }
   )
 }

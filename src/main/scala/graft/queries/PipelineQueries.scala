@@ -566,6 +566,31 @@ object PipelineQueries {
         .select(col("bucket"), col("n").as("n_rows"),
           (col("digest") =!= col("digest_b")).as("diverged"))
         .orderBy(col("bucket"))
+    },
+
+    // K-FOLD cross-validation assignment (the evaluation-protocol
+    // sibling of q100's train/val/test split): fold i ∈ [0, 5) from
+    // the same replayable md5-slice family — stable under
+    // reprocessing, leak-proof per id, map-only. The gate pins every
+    // fold's census (count + id sum + extremes) so ONE reassigned id
+    // fails; coverage and disjointness are structural (each id
+    // computes exactly one fold, and the fold counts sum to the
+    // corpus under the shared oracle replay).
+    QueryDef("q252_kfold_split",
+      """SELECT fold, count(*)::BIGINT AS n_docs,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       sum(doc_id)::BIGINT AS id_sum
+        |FROM (SELECT doc_id,
+        |             CAST(('0x' || substr(md5('cv7:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 5 AS INT) AS fold
+        |      FROM documents)
+        |GROUP BY fold ORDER BY fold""".stripMargin) { (spark, dir) =>
+      graft.operators.DataSplit
+        .withKFold(Tables.load(spark, dir, "documents"), "doc_id", "cv7", 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("fold"))
     }
   )
 }
