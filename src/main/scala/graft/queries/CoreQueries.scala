@@ -1253,6 +1253,34 @@ object CoreQueries {
             |PIVOT (sum(cents) FOR l_linestatus IN ('O' AS open_cents,
             |                                       'F' AS filled_cents))
             |ORDER BY flag""".stripMargin)
+    },
+
+    // SQL UNPIVOT surface (q254's inverse): literal `UNPIVOT (v FOR
+    // metric IN (...))` through Spark's parser; the oracle is the
+    // UNION ALL expansion every engine rewrites it into. NULL rows
+    // are EXCLUDED (both the Spark default and the explicit oracle
+    // filter), so the two surfaces agree on missing cells.
+    QueryDef("q255_unpivot_sql",
+      """WITH w AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |         CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT flag, metric, v FROM (
+        |  SELECT flag, 'qty' AS metric, qty AS v FROM w
+        |  UNION ALL SELECT flag, 'n_lines', n_lines FROM w) u
+        |WHERE v IS NOT NULL
+        |ORDER BY flag, metric""".stripMargin) { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+      spark.sql(
+        """WITH w AS (
+          |  SELECT l_returnflag AS flag,
+          |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+          |         CAST(count(*) AS BIGINT) AS n_lines
+          |  FROM lineitem GROUP BY l_returnflag)
+          |SELECT flag, metric, v FROM w
+          |UNPIVOT (v FOR metric IN (qty, n_lines))
+          |ORDER BY flag, metric""".stripMargin)
     }
   )
 }

@@ -208,6 +208,15 @@ class MemCatalogSpec extends SparkTestBase {
     assert(intercept[Exception](at(1)).getMessage.contains("expired"))
     spark.sql("INSERT INTO graftdur.e1 VALUES (9, 'z', 9.0)") // v5
     assert(at(5) == Set(2L, 3L, 9L))
+
+    // DESCRIBE HISTORY surface: retained versions only, ascending
+    // commit times, row counts matching the snapshots
+    val h = MemCatalog.history(spark, "graftdur", "e1")
+      .orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(h.map(_._1).toSeq == Seq(3L, 4L, 5L), h.mkString(", "))
+    assert(h.map(_._3).toSeq == Seq(3L, 2L, 3L))
+    assert(h.map(_._2).toSeq == h.map(_._2).sorted.toSeq)
   }
 
   test("durable catalog: DROP TABLE destroys the log; crashed .inprogress ignored") {

@@ -1,79 +1,67 @@
 package graft.streaming
 
 import graft.SparkTestBase
-import graft.operators.Upsert
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-/** CDC changelog merge under streaming ingest: each micro-batch of
-  * change rows folds into the snapshot via `foreachBatch` +
-  * [[Upsert.merge]] — the standard continuous-MERGE pattern (the
-  * sink-side half of CDC; the batch semantics are UpsertSpec/q135).
-  * The folded snapshot must equal the one-shot batch merge of the
-  * full changelog REGARDLESS of how the changes split into batches,
-  * because merge is associative when versions are monotone per key:
-  * merge(merge(S, C1), C2) = merge(S, C1 ∪ C2). */
+/** Streaming CDC apply into the durable v2 catalog — the
+  * foreachBatch + MERGE pattern every lakehouse streaming ingest
+  * uses: each micro-batch's changes (latest-per-key) merge into the
+  * table transactionally, so the table state after the stream equals
+  * the batch apply of the same changelog, and the commit log records
+  * one version per micro-batch. */
 class StreamUpsertSpec extends SparkTestBase {
 
   import spark.implicits._
 
-  private def base = Seq(
-    (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")
-  ).toDF("k", "v")
-
-  // interleaved updates/deletes/inserts, versions monotone per key
-  private val changelog = Seq(
-    (2L, 1L, "U", "b1"), (3L, 1L, "D", null), (6L, 1L, "U", "f"),
-    (2L, 2L, "U", "b2"), (6L, 2L, "D", null), (4L, 1L, "U", "d1"),
-    (3L, 2L, "U", "c-back"), (7L, 1L, "U", "g"))
-
-  private def snap(df: DataFrame): Map[Long, String] =
-    df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-
-  test("foreachBatch merge over two micro-batches equals the one-shot batch merge") {
+  test("foreachBatch MERGE applies a streamed changelog; versions = micro-batches") {
     implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_stream")
+    spark.conf.set("spark.sql.catalog.graftstr",
+      classOf[graft.sources.MemCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftstr.path", root.toString)
+    spark.sql("DROP TABLE IF EXISTS graftstr.acc")
+    spark.sql("CREATE TABLE graftstr.acc (k BIGINT, bal DOUBLE)")
 
-    // the running snapshot a real job would keep in a table; a plain
-    // var + localCheckpoint is the in-memory stand-in
-    var snapshot = base
-    val mem = MemoryStream[(Long, Long, String, String)]
-    val q = mem.toDF().toDF("k", "ver", "op", "v")
+    // changelog: (key, version-within-batch, op, balance)
+    val b1 = Seq((1L, 1L, "U", 10.0), (2L, 1L, "U", 20.0), (3L, 1L, "U", 30.0))
+    val b2 = Seq((2L, 2L, "U", 25.0), (3L, 2L, "D", 0.0), (4L, 1L, "U", 40.0),
+      (4L, 2L, "U", 44.0)) // two changes for key 4 in ONE batch
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Double)]
+    val q = mem.toDF().toDF("k", "ver", "op", "bal")
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        snapshot = Upsert.merge(snapshot, batch, "k", "ver", "op")
-          .localCheckpoint()
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.createOrReplaceTempView("cdc_batch")
+        // latest change per key first — MERGE rejects multi-matches
+        batch.sparkSession.sql(
+          """MERGE INTO graftstr.acc t
+            |USING (SELECT k, op, bal FROM (
+            |         SELECT k, op, bal,
+            |                row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+            |         FROM cdc_batch) z WHERE rn = 1) s
+            |ON t.k = s.k
+            |WHEN MATCHED AND s.op = 'D' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET bal = s.bal
+            |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, bal) VALUES (s.k, s.bal)
+            |""".stripMargin)
+        ()
       }
-      .outputMode("append").start()
-    mem.addData(changelog.take(4): _*)
-    q.processAllAvailable()
-    mem.addData(changelog.drop(4): _*)
-    q.processAllAvailable()
-    q.stop()
+      .start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
 
-    val oneShot = Upsert.merge(base, changelog.toDF("k", "ver", "op", "v"),
-      "k", "ver", "op")
-    assert(snap(snapshot) == snap(oneShot),
-      "incremental fold must equal the one-shot merge")
-    // and the fold did what CDC promises
-    val m = snap(snapshot)
-    assert(m(2L) == "b2", "second-batch update must supersede the first")
-    assert(m(3L) == "c-back", "upsert after delete must revive the key")
-    assert(!m.contains(6L), "insert then delete must leave no key")
-    assert(m(7L) == "g")
-    assert(m(1L) == "a" && m(5L) == "e")
-  }
+    val got = spark.table("graftstr.acc").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 25.0, 4L -> 44.0), got.toString)
 
-  test("batch-boundary placement cannot change the folded snapshot") {
-    for (split <- Seq(2, 5, 7)) {
-      val folded = changelog.grouped(split).foldLeft(base) { (s, chunk) =>
-        Upsert.merge(s, chunk.toDF("k", "ver", "op", "v"), "k", "ver", "op")
-          .localCheckpoint()
-      }
-      val oneShot = Upsert.merge(base, changelog.toDF("k", "ver", "op", "v"),
-        "k", "ver", "op")
-      assert(snap(folded) == snap(oneShot), s"split=$split diverged")
-    }
+    // one commit version per micro-batch MERGE (v0 create, v1/v2
+    // merges), all durable — a restart replays the streamed state
+    val versions = graft.sources.MemCatalog.history(spark, "graftstr", "acc")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(versions == Seq(0L, 1L, 2L), versions.toString)
+    graft.sources.MemCatalog.simulateRestart()
+    assert(spark.table("graftstr.acc").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap == got)
   }
 }
