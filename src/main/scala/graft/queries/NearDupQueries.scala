@@ -806,6 +806,72 @@ object NearDupQueries {
               col("doc_a") + col("doc_b")).otherwise(0L)).as("id_sum"))
           .select(col("th").as("threshold_pct"), col("n_pairs"), col("id_sum"))
           .orderBy(col("threshold_pct"))
+    },
+
+    // B-BIT MINHASH (Li & König 2010) — the signature-COMPRESSION
+    // scale lever: storing only the lowest b=4 bits of each of the 16
+    // components cuts signature bytes 16× (64→4 bits/component), at
+    // the cost of accidental collisions the estimator corrects for:
+    // E[collision] = J + (1−J)·2^−b, so Ĵ = (C − 2^−b)/(1 − 2^−b).
+    // Per LSH candidate pair the gate emits the full-width agreement
+    // count, the 4-bit agreement count, the corrected estimate in
+    // basis points (clamped at 0 before the division — both engines
+    // then floor non-negative operands identically), and the exact
+    // shingle Jaccard — everything md5-deterministic, so the compare
+    // is a FULL hash match, and the estimator's quality is visible in
+    // the gate output itself. Scale shape: the b-bit columns are
+    // derived map-only from the same signature frame; candidate
+    // generation is unchanged (band equi-join).
+    QueryDef("q256_bbit_minhash", {
+      val kAgree = (0 until NumHashes).map(i =>
+        s"CASE WHEN a.${hName(i)} = b.${hName(i)} THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val bAgree = (0 until NumHashes).map(i =>
+        s"CASE WHEN a.${hName(i)} % 16 = b.${hName(i)} % 16 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$sigCte,
+         |$bandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |ag AS (
+         |  SELECT doc_a, doc_b,
+         |         ($kAgree)::BIGINT AS k_agree,
+         |         ($bAgree)::BIGINT AS b_agree
+         |  FROM cand JOIN sig a ON cand.doc_a = a.doc_id
+         |            JOIN sig b ON cand.doc_b = b.doc_id),
+         |j AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_intersect(sa.s, sb.s))::BIGINT AS nc,
+         |         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::BIGINT AS nu
+         |  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+         |            JOIN sh sb ON cand.doc_b = sb.doc_id)
+         |SELECT ag.doc_a AS doc_a, ag.doc_b AS doc_b, k_agree, b_agree,
+         |       CAST((10000 * greatest(0, 16 * b_agree - $NumHashes))
+         |            // (15 * $NumHashes) AS BIGINT) AS est_bp,
+         |       CAST((10000 * nc) // nu AS BIGINT) AS jaccard_bp
+         |FROM ag JOIN j ON ag.doc_a = j.doc_a AND ag.doc_b = j.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (spark, dir) =>
+      val sig = signatures(spark, dir)
+      def side(suffix: String, idAs: String) =
+        sig.select(col("doc_id").as(idAs) +:
+          (0 until NumHashes).map(i => col(hName(i)).as(s"${hName(i)}$suffix")): _*)
+      def agree(f: String => Column): Column =
+        (0 until NumHashes).map(i =>
+          when(f(hName(i)), 1L).otherwise(0L)).reduce(_ + _)
+      val ag = candidatePairs(spark, dir)
+        .join(side("_a", "doc_a"), Seq("doc_a"))
+        .join(side("_b", "doc_b"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          agree(h => col(s"${h}_a") === col(s"${h}_b")).as("k_agree"),
+          agree(h => col(s"${h}_a") % 16 === col(s"${h}_b") % 16).as("b_agree"))
+      ag.join(candidateSims(spark, dir), Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("k_agree"), col("b_agree"),
+          expr(s"(10000L * greatest(0L, 16 * b_agree - $NumHashes))" +
+            s" DIV (15 * $NumHashes)").as("est_bp"),
+          expr("(10000L * n_common) DIV n_union").as("jaccard_bp"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 }
