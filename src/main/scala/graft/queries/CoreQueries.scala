@@ -1255,6 +1255,20 @@ object CoreQueries {
             |ORDER BY flag""".stripMargin)
     },
 
+    // GROUP BY ALL — the analyst-ergonomics surface both engines
+    // added (Spark 3.4+, DuckDB): every non-aggregate select item
+    // becomes a grouping key. ONE text runs verbatim on both
+    // (sqlSurface — the strongest parity statement), beside the
+    // explicit-key q01 and the GROUPING SETS q34.
+    QueryDef.sqlSurface("q257_group_by_all",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      Seq("lineitem")),
+
     // SQL UNPIVOT surface (q254's inverse): literal `UNPIVOT (v FOR
     // metric IN (...))` through Spark's parser; the oracle is the
     // UNION ALL expansion every engine rewrites it into. NULL rows
