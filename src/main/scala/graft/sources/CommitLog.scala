@@ -2,62 +2,109 @@ package graft.sources
 
 import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream,
   DataOutputStream}
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.types.{DataType, StructType}
 
+/** One replayed log entry: a data commit (append/replace rows) or a
+  * schema-change commit (ALTER TABLE ADD COLUMN — a version whose
+  * rows equal the previous version's). */
+private[sources] sealed trait LogEntry {
+  def version: Int
+  def tsMicros: Long
+}
+private[sources] final case class DataCommit(version: Int, replace: Boolean,
+    tsMicros: Long, rows: Vector[InternalRow]) extends LogEntry
+private[sources] final case class SchemaCommit(version: Int,
+    tsMicros: Long, schema: StructType) extends LogEntry
+
 /** Durable snapshot log for [[MemCatalog]] tables — the Delta/Iceberg
   * commit-log shape in miniature: a per-table directory holding
-  * `_schema.json` plus one IMMUTABLE numbered commit file per
-  * append/replace, each written to a temp sibling and moved into
-  * place atomically (the [[graft.operators.IndexStore]] single-writer
-  * discipline), so a reader never observes a half-written commit and
-  * a process restart replays the exact version history — `VERSION AS
-  * OF n` and MERGE survive the JVM.
+  * `_schema.json` (the LATEST schema — rewritten atomically on
+  * ALTER, so replay always decodes with the current column set) plus
+  * one IMMUTABLE numbered commit file per append/replace/ALTER, each
+  * written to a temp sibling and moved into place atomically (the
+  * [[graft.operators.IndexStore]] single-writer discipline), so a
+  * reader never observes a half-written commit and a process restart
+  * replays the exact version history — `VERSION AS OF n` and MERGE
+  * survive the JVM.
   *
   * Rows are encoded as [[UnsafeRow]] bytes (schema-agnostic, the same
   * format Tungsten shuffles), length-prefixed inside each commit
-  * file. Commit files are append-only and never rewritten — version n
-  * is reconstructed by folding commits 1..n over the empty version 0,
-  * exactly how a lakehouse log replays snapshots (retention would
-  * prune the prefix and checkpoint it; at fixture scale the full fold
-  * is cheap).
+  * file, with the commit's FIELD COUNT in the header — schema
+  * evolution is append-only (AddColumn), so any historical commit's
+  * columns are a prefix of the latest schema and decode under it.
+  * Commit files are append-only and never rewritten — version n is
+  * reconstructed by folding commits 1..n over the empty version 0,
+  * exactly how a lakehouse log replays snapshots (retention prunes
+  * the prefix via [[expireBefore]]).
   */
-private[sources] final class CommitLog(dir: Path, val schema: StructType) {
+private[sources] final class CommitLog(dir: Path, initial: StructType) {
+
+  // the latest schema this log knows (updated by recordSchema; replay
+  // decoders take per-commit column prefixes of it)
+  @volatile private var cur: StructType = initial
+  def schema: StructType = cur
 
   private def commitFile(version: Int): Path =
     dir.resolve(f"$version%08d.commit")
 
-  // callers serialize record() (MemStore's synchronized commits), so
-  // one cached projection is safe
-  private lazy val proj = UnsafeProjection.create(schema)
-
-  /** Persist one commit (version >= 1) stamped with its commit time
-    * (epoch micros — the `TIMESTAMP AS OF` resolution source).
-    * Callers serialize commits (MemStore's synchronized
-    * append/replace), matching the single-writer assumption of the
-    * atomic move. */
-  def record(version: Int, replace: Boolean, tsMicros: Long,
-      rows: Seq[InternalRow]): Unit = {
+  private def writeCommit(version: Int)(body: DataOutputStream => Unit): Unit = {
     val tmp = dir.resolve(f"$version%08d.commit.inprogress")
     val out = new DataOutputStream(new BufferedOutputStream(
       Files.newOutputStream(tmp, StandardOpenOption.CREATE,
         StandardOpenOption.TRUNCATE_EXISTING)))
-    try {
+    try body(out) finally out.close()
+    // REPLACE_EXISTING: expiry consolidates onto an existing file name
+    Files.move(tmp, commitFile(version), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Persist one data commit (version >= 1) stamped with its commit
+    * time (epoch micros — the `TIMESTAMP AS OF` resolution source).
+    * Callers serialize commits (MemStore's synchronized
+    * append/replace), matching the single-writer assumption of the
+    * atomic move. Rows may carry a historical (prefix) arity — expiry
+    * consolidates pre-evolution versions. */
+  def record(version: Int, replace: Boolean, tsMicros: Long,
+      rows: Seq[InternalRow]): Unit = {
+    val n = rows.headOption.map(_.numFields).getOrElse(cur.length)
+    require(n <= cur.length, s"commit arity $n exceeds schema ${cur.length}")
+    val proj = UnsafeProjection.create(StructType(cur.take(n)))
+    writeCommit(version) { out =>
       out.writeByte(if (replace) 1 else 0)
       out.writeLong(tsMicros)
+      out.writeInt(n)
       out.writeInt(rows.length)
       rows.foreach { r =>
         val bytes = proj(r).getBytes
         out.writeInt(bytes.length)
         out.write(bytes)
       }
-    } finally out.close()
-    // REPLACE_EXISTING: expiry consolidates onto an existing file name
-    Files.move(tmp, commitFile(version), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Persist a schema-change commit (ALTER TABLE ADD COLUMN): the
+    * latest schema lands in `_schema.json` FIRST (atomic rewrite —
+    * decode correctness must not depend on the marker commit), then
+    * the versioned marker records when the change happened. */
+  def recordSchema(version: Int, tsMicros: Long,
+      newSchema: StructType): Unit = {
+    require(newSchema.length >= cur.length &&
+      newSchema.take(cur.length) == StructType(cur.fields),
+      "schema evolution must be append-only")
+    CommitLog.writeSchemaFile(dir, newSchema)
+    cur = newSchema
+    val json = newSchema.json.getBytes(StandardCharsets.UTF_8)
+    writeCommit(version) { out =>
+      out.writeByte(2)
+      out.writeLong(tsMicros)
+      out.writeInt(json.length)
+      out.write(json)
+    }
   }
 
   /** Table creation time (epoch micros) — version 0's timestamp. */
@@ -70,7 +117,9 @@ private[sources] final class CommitLog(dir: Path, val schema: StructType) {
     * predecessor), then delete every earlier commit file. Ordering is
     * crash-safe: the consolidated file lands first (replacing the old
     * file atomically — replaying it yields the identical state, so a
-    * crash mid-expiry only leaves extra, still-valid prefix files). */
+    * crash mid-expiry only leaves extra, still-valid prefix files).
+    * A pruned schema-change marker is harmless: decode arity rides in
+    * every data commit and `_schema.json` already holds the latest. */
   def expireBefore(version: Int, tsMicros: Long,
       rows: Seq[InternalRow]): Unit = {
     record(version, replace = true, tsMicros, rows)
@@ -84,12 +133,11 @@ private[sources] final class CommitLog(dir: Path, val schema: StructType) {
     stale.foreach(Files.delete)
   }
 
-  /** Replay every retained commit in version order: (version,
-    * replace?, commit micros, rows). After an expiry the first
-    * retained commit is a self-contained replace with version > 1.
-    * `.inprogress` leftovers from a crashed writer are ignored — only
-    * atomically-moved commits are history. */
-  def replay(): Seq[(Int, Boolean, Long, Vector[InternalRow])] = {
+  /** Replay every retained commit in version order. After an expiry
+    * the first retained commit is a self-contained replace with
+    * version > 1. `.inprogress` leftovers from a crashed writer are
+    * ignored — only atomically-moved commits are history. */
+  def replay(): Seq[LogEntry] = {
     val files = Files.list(dir).iterator()
     val commits = scala.collection.mutable.ArrayBuffer.empty[Path]
     while (files.hasNext) {
@@ -101,21 +149,31 @@ private[sources] final class CommitLog(dir: Path, val schema: StructType) {
       val in = new DataInputStream(new BufferedInputStream(
         Files.newInputStream(p)))
       try {
-        val replace = in.readByte() == 1
+        val kind = in.readByte()
         val ts = in.readLong()
-        val n = in.readInt()
-        val rows = Vector.newBuilder[InternalRow]
-        var i = 0
-        while (i < n) {
+        if (kind == 2) {
           val len = in.readInt()
           val bytes = new Array[Byte](len)
           in.readFully(bytes)
-          val row = new UnsafeRow(schema.length)
-          row.pointTo(bytes, len)
-          rows += row
-          i += 1
+          val s = DataType.fromJson(new String(bytes, StandardCharsets.UTF_8))
+            .asInstanceOf[StructType]
+          SchemaCommit(ver, ts, s)
+        } else {
+          val fields = in.readInt()
+          val n = in.readInt()
+          val rows = Vector.newBuilder[InternalRow]
+          var i = 0
+          while (i < n) {
+            val len = in.readInt()
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            val row = new UnsafeRow(fields)
+            row.pointTo(bytes, len)
+            rows += row
+            i += 1
+          }
+          DataCommit(ver, kind == 1, ts, rows.result())
         }
-        (ver, replace, ts, rows.result())
       } finally in.close()
     }
   }
@@ -125,6 +183,13 @@ private[sources] object CommitLog {
 
   private def schemaFile(dir: Path): Path = dir.resolve("_schema.json")
 
+  private def writeSchemaFile(dir: Path, schema: StructType): Unit = {
+    val tmp = dir.resolve("_schema.json.inprogress")
+    Files.writeString(tmp, schema.json)
+    Files.move(tmp, schemaFile(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def existsAt(dir: Path): Boolean = Files.exists(schemaFile(dir))
 
   /** Initialize a fresh log directory (schema written last, via temp +
@@ -132,13 +197,12 @@ private[sources] object CommitLog {
   def create(dir: Path, schema: StructType, createdMicros: Long): CommitLog = {
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("_created"), createdMicros.toString)
-    val tmp = dir.resolve("_schema.json.inprogress")
-    Files.writeString(tmp, schema.json)
-    Files.move(tmp, schemaFile(dir), StandardCopyOption.ATOMIC_MOVE)
+    writeSchemaFile(dir, schema)
     new CommitLog(dir, schema)
   }
 
-  /** Open an existing log for replay after a restart. */
+  /** Open an existing log for replay after a restart — `_schema.json`
+    * always holds the LATEST schema. */
   def open(dir: Path): CommitLog = {
     val schema = DataType.fromJson(Files.readString(schemaFile(dir)))
       .asInstanceOf[StructType]

@@ -219,6 +219,62 @@ class MemCatalogSpec extends SparkTestBase {
     assert(h.map(_._2).toSeq == h.map(_._2).sorted.toSeq)
   }
 
+  test("INSERT OVERWRITE replaces atomically as one version") {
+    durableCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdur.o1")
+    spark.sql("CREATE TABLE graftdur.o1 (k BIGINT, v STRING, bal DOUBLE)")
+    spark.sql("INSERT INTO graftdur.o1 VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    spark.sql("INSERT OVERWRITE graftdur.o1 VALUES (7, 'x', 7.0)")
+    def ks = spark.table("graftdur.o1").collect().map(_.getLong(0)).toSet
+    assert(ks == Set(7L))
+    // one replace version (v2), not a truncate + append pair
+    val h = MemCatalog.history(spark, "graftdur", "o1")
+      .orderBy("version").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(h.toSeq == Seq((0L, 0L), (1L, 2L), (2L, 1L)), h.mkString(", "))
+    // and the old state is still time-travelable + durable
+    assert(spark.sql("SELECT k FROM graftdur.o1 VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    MemCatalog.simulateRestart()
+    assert(ks == Set(7L))
+  }
+
+  test("ALTER TABLE ADD COLUMN: history pads with NULL, new writes carry it, all durable") {
+    durableCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdur.a1")
+    spark.sql("CREATE TABLE graftdur.a1 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftdur.a1 VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql("ALTER TABLE graftdur.a1 ADD COLUMN bal DOUBLE")     // v2
+    def rows(sql: String) = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    // pre-evolution rows read the new column as NULL
+    assert(rows("SELECT k, v, bal FROM graftdur.a1") ==
+      Set((1L, "a", None), (2L, "b", None)))
+    spark.sql("INSERT INTO graftdur.a1 VALUES (3, 'c', 3.5)")      // v3
+    assert(rows("SELECT k, v, bal FROM graftdur.a1") ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(3.5))))
+    // MERGE can update the evolved column
+    spark.sql(
+      """MERGE INTO graftdur.a1 t
+        |USING (SELECT * FROM VALUES (1, 9.9) AS s(k, bal)) s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET bal = s.bal""".stripMargin)  // v4
+    assert(rows("SELECT k, v, bal FROM graftdur.a1") ==
+      Set((1L, "a", Some(9.9)), (2L, "b", None), (3L, "c", Some(3.5))))
+    // the ALTER is its own version; time travel still serves history
+    assert(spark.sql("SELECT k FROM graftdur.a1 VERSION AS OF 1")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // everything — including the schema change — survives a restart
+    MemCatalog.simulateRestart()
+    assert(rows("SELECT k, v, bal FROM graftdur.a1") ==
+      Set((1L, "a", Some(9.9)), (2L, "b", None), (3L, "c", Some(3.5))))
+    assert(spark.table("graftdur.a1").schema.fieldNames.toSeq ==
+      Seq("k", "v", "bal"))
+    // non-append evolution fails loudly
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graftdur.a1 DROP COLUMN v"))
+    assert(e.getMessage.contains("ADD COLUMN"), e.getMessage)
+  }
+
   test("durable catalog: DROP TABLE destroys the log; crashed .inprogress ignored") {
     durableCatalog()
     spark.sql("DROP TABLE IF EXISTS graftdur.d2")
