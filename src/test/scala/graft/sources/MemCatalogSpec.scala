@@ -275,6 +275,40 @@ class MemCatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("ADD COLUMN"), e.getMessage)
   }
 
+  test("expiry across a schema change: pruned marker, pre-evolution consolidation, clean replay") {
+    durableCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdur.a2")
+    spark.sql("CREATE TABLE graftdur.a2 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftdur.a2 VALUES (1, 'a'), (2, 'b')") // v1 (2-col rows)
+    spark.sql("ALTER TABLE graftdur.a2 ADD COLUMN bal DOUBLE")     // v2 (marker)
+    spark.sql("INSERT INTO graftdur.a2 VALUES (3, 'c', 3.5)")      // v3 (3-col rows)
+    // expire past the marker: v2 becomes the oldest retained version,
+    // consolidated as a self-contained replace of 2-COLUMN rows
+    MemCatalog.expireSnapshots("graftdur", "a2", before = 2)
+    MemCatalog.simulateRestart()
+    val got = spark.sql("SELECT k, v, bal FROM graftdur.a2").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(3.5))))
+    assert(spark.table("graftdur.a2").schema.fieldNames.toSeq ==
+      Seq("k", "v", "bal"))
+    assert(MemCatalog.history(spark, "graftdur", "a2")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("CREATE TABLE AS SELECT lands as create + one append version") {
+    durableCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdur.c1")
+    spark.sql(
+      """CREATE TABLE graftdur.c1 AS
+        |SELECT id AS k, CAST(id * 1.5 AS DOUBLE) AS bal FROM RANGE(4)""".stripMargin)
+    assert(spark.table("graftdur.c1").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(0L -> 0.0, 1L -> 1.5, 2L -> 3.0, 3L -> 4.5))
+    MemCatalog.simulateRestart()
+    assert(spark.table("graftdur.c1").count() == 4)
+  }
+
   test("durable catalog: DROP TABLE destroys the log; crashed .inprogress ignored") {
     durableCatalog()
     spark.sql("DROP TABLE IF EXISTS graftdur.d2")
