@@ -49,6 +49,15 @@ object TextQueries {
   private val WpVocab = 64
   private val WpSteps = 24
 
+  /** q258 unigram tokenizer: vocab size, DP unroll bound (words
+    * longer are excluded in BOTH surfaces — fixture max is 8, +2 for
+    * ScaleUp's `~c` suffix), single-char fallback cost, and the
+    * invalid-candidate sentinel. */
+  private val UgVocab = 48
+  private val UgMaxLen = 12
+  private val UgPenaltyMicro = 30000000L
+  private val UgBig = 1000000000000000L
+
   /** DuckDB replay of [[graft.functions.QuantileSketchAgg.bucketOf]]
     * (shared by q112/q113/q227 oracle text). */
   private def qsBucketSql(v: String): String =
@@ -1640,6 +1649,132 @@ object TextQueries {
         .select(lit("<ALL>").as("word"), col("c"), col("n_pieces"), col("chk"))
       // Deterministic emit order (the q247 hazard): detail rows by
       // corpus count desc then word, the <ALL> summary keyed last.
+      detail.unionByName(summary)
+        .orderBy((col("word") === "<ALL>").cast("int"),
+          col("c").desc, col("word"))
+    },
+
+    // UNIGRAM-LM (SentencePiece-style) VITERBI segmentation — the
+    // third tokenizer family beside greedy WordPiece (q233) and BPE
+    // (q167-170): pieces scored by corpus log-probability (SIGNED
+    // micro-nats, the q247 half-up-floor ln discipline), every word
+    // segmented by exact dynamic programming — min total cost over
+    // all segmentations, NOT greedy longest-match. The DP state packs
+    // (cost, n_pieces, boundary checksum) into ONE BIGINT
+    // (cost·8192 + np·512 + chk — bounds proven in-code), so the min
+    // is lexicographic and TIES ARE DETERMINISTIC. Spark runs the DP
+    // as an `aggregate` fold building the best-cost array; the oracle
+    // unrolls the same recurrence over [[UgMaxLen]] position columns
+    // (words longer are excluded in BOTH surfaces — a shared, loud
+    // cap). Work ∝ distinct words; the corpus is touched once for
+    // counts; the [[UgVocab]]-piece vocabulary is driver-bounded (the
+    // BpeTrain contract) and probed as a literal map.
+    QueryDef("q258_unigram_viterbi", {
+      val unigramCands = (1 to 4).map(n =>
+        s"SELECT c, unnest([substr(word, i, $n) for i in " +
+          s"generate_series(1, len(word) - ${n - 1})]) AS piece FROM w")
+        .mkString("\n    UNION ALL ")
+      val steps = (1 to UgMaxLen).map { k =>
+        val cands = (1 to math.min(4, k)).map { j =>
+          val start = k - j + 1
+          val miss =
+            if (j == 1) s"${UgPenaltyMicro * 8192L + 512L} + $start"
+            else UgBig.toString
+          s"coalesce((SELECT cost * 8192 + 512 + ${start.toLong * j} FROM vocab v" +
+            s" WHERE v.piece = substr(word, $start, $j)), $miss) + b${k - j}"
+        }.mkString("least(", ",\n      ", ")")
+        s"""s$k AS MATERIALIZED (
+           |  SELECT *, CASE WHEN l >= $k THEN
+           |    $cands
+           |  ELSE NULL END AS b$k FROM s${k - 1})""".stripMargin
+      }.mkString(",\n")
+      val finCase = (1 to UgMaxLen).map(k => s"WHEN $k THEN b$k")
+        .mkString("CASE l ", " ", " END")
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         |w AS (SELECT word, count(*)::BIGINT AS c FROM toks
+         |      WHERE len(word) BETWEEN 1 AND $UgMaxLen GROUP BY word),
+         |cand AS (
+         |  SELECT piece, sum(c)::BIGINT AS wgt FROM (
+         |    $unigramCands) u
+         |  GROUP BY piece),
+         |tot AS (SELECT CAST(sum(wgt) AS BIGINT) AS tot FROM cand),
+         |vocab AS MATERIALIZED (
+         |  SELECT piece,
+         |         -CAST(floor(ln(wgt::DOUBLE / tot) * 1000000 + 0.5) AS BIGINT) AS cost
+         |  FROM (SELECT piece, wgt FROM cand
+         |        ORDER BY wgt DESC, piece LIMIT $UgVocab) t CROSS JOIN tot),
+         |s0 AS (SELECT word, c, len(word) AS l, 0::BIGINT AS b0 FROM w),
+         |$steps,
+         |seg AS (
+         |  SELECT word, c, packed // 8192 AS cost_micro,
+         |         (packed % 8192) // 512 AS n_pieces, packed % 512 AS chk
+         |  FROM (SELECT word, c, $finCase AS packed FROM s$UgMaxLen) f)
+         |SELECT * FROM (
+         |  SELECT * FROM (
+         |    SELECT word, c, CAST(cost_micro AS BIGINT) AS cost_micro,
+         |           CAST(n_pieces AS BIGINT) AS n_pieces,
+         |           CAST(chk AS BIGINT) AS chk
+         |    FROM seg ORDER BY c DESC, word LIMIT 20) det
+         |  UNION ALL
+         |  SELECT '<ALL>', CAST(sum(c) AS BIGINT),
+         |         CAST(sum(cost_micro * c) AS BIGINT),
+         |         CAST(sum(n_pieces * c) AS BIGINT),
+         |         CAST(sum(chk * c) AS BIGINT)
+         |  FROM seg) u
+         |ORDER BY CASE WHEN word = '<ALL>' THEN 1 ELSE 0 END,
+         |         c DESC, word""".stripMargin
+    }) { (spark, dir) =>
+      val w = Tables.load(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")).between(1, UgMaxLen))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val cand = w.select(col("c"), explode(expr(
+        """flatten(transform(array(1, 2, 3, 4), n ->
+          |  if(length(word) >= n,
+          |     transform(sequence(1, length(word) - n + 1),
+          |       i -> substring(word, cast(i AS INT), n)),
+          |     cast(array() AS array<string>))))""".stripMargin))
+        .as("piece"))
+        .groupBy(col("piece")).agg(sum(col("c")).as("wgt"))
+      val tot = cand.agg(sum(col("wgt"))).head().getLong(0)
+      // driver-bounded vocab (<= UgVocab rows); cost in micro-nats via
+      // the identical double division + Math.log the oracle's ln uses
+      val vocab = cand.orderBy(col("wgt").desc, col("piece")).limit(UgVocab)
+        .collect().map(r => r.getString(0) ->
+          -math.floor(math.log(r.getLong(1).toDouble / tot) * 1e6 + 0.5).toLong)
+        .toMap
+      val vocabMap = typedLit(vocab)
+      // packed-candidate delta for taking piece word[i-j+1 .. i]:
+      // cost*8192 (cost lane) + 512 (one piece) + start*j (checksum)
+      def candOf(acc: Column, i: Column, j: Int): Column = {
+        val start = i - j + 1
+        val cost = element_at(vocabMap, col("word").substr(start, lit(j)))
+        val delta = when(cost.isNotNull,
+          cost * 8192L + 512L + start.cast("long") * j)
+          .otherwise(
+            if (j == 1) lit(UgPenaltyMicro * 8192L + 512L) + start.cast("long")
+            else lit(UgBig))
+        when(i >= j, element_at(acc, (i - j + 1).cast("int")) + delta)
+          .otherwise(lit(UgBig))
+      }
+      val seg = w.withColumn("packed", element_at(
+        aggregate(sequence(lit(1), length(col("word"))), array(lit(0L)),
+          (acc, i) => concat(acc, array(least(
+            candOf(acc, i, 1), candOf(acc, i, 2),
+            candOf(acc, i, 3), candOf(acc, i, 4))))),
+        (length(col("word")) + 1).cast("int")))
+        .select(col("word"), col("c"),
+          expr("packed DIV 8192L").as("cost_micro"),
+          expr("(packed % 8192L) DIV 512L").as("n_pieces"),
+          expr("packed % 512L").as("chk"))
+      val detail = seg.orderBy(col("c").desc, col("word")).limit(20)
+      val summary = seg.agg(sum(col("c")).as("c"),
+        sum(col("cost_micro") * col("c")).as("cost_micro"),
+        sum(col("n_pieces") * col("c")).as("n_pieces"),
+        sum(col("chk") * col("c")).as("chk"))
+        .select(lit("<ALL>").as("word"), col("c"), col("cost_micro"),
+          col("n_pieces"), col("chk"))
       detail.unionByName(summary)
         .orderBy((col("word") === "<ALL>").cast("int"),
           col("c").desc, col("word"))
