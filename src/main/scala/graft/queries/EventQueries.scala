@@ -989,6 +989,47 @@ object EventQueries {
       lorenz.unionByName(gini).orderBy(col("decile"))
     },
 
+    // NATIVE session_window sessionization — the built-in Spark
+    // session-window API (the same operator Structured Streaming's
+    // stateful session aggregation uses) beside q40's explicit
+    // lag+running-sum form. Boundary semantics differ from q40 at
+    // EXACT gap equality: a session window spans [t, t+gap) and an
+    // event landing exactly on the end starts a NEW session, so the
+    // oracle's new-session flag is `diff >= gap` (q40's manual form
+    // uses `>` — both are valid conventions; each gate pins its own).
+    // One shuffle on user_id; the census collapses per user.
+    QueryDef("q259_session_window",
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+         |flags AS (
+         |  SELECT user_id, t,
+         |         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+         |                OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= $GapMicros
+         |              THEN 1 ELSE 0 END AS new_s
+         |  FROM e),
+         |sess AS (
+         |  SELECT user_id,
+         |         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM flags),
+         |per AS (SELECT user_id, sid, count(*)::BIGINT AS n_events
+         |        FROM sess GROUP BY user_id, sid)
+         |SELECT user_id, count(*)::BIGINT AS n_sessions,
+         |       CAST(max(n_events) AS BIGINT) AS max_events,
+         |       CAST(sum(n_events) AS BIGINT) AS n_events
+         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (spark, dir) =>
+        val ev = Tables.load(spark, dir, "events")
+        val e = ev.select(col("user_id"),
+          timestamp_micros(Tables.tsMicros(ev)).as("ts"))
+        e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_events"),
+            sum(col("n_events")).as("n_events"))
+          .orderBy(col("user_id"))
+    },
+
     // HLL SET-INTERSECTION estimation by inclusion-exclusion
     // (|A∩B| ≈ est(A) + est(B) − est(A∪B)) — the audience-overlap /
     // cross-slice-cardinality question answered from three sketch
