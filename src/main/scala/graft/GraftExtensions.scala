@@ -102,5 +102,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-plan rewrite (off unless spark.graft.approxDistinct.enabled):
     // exact count(DISTINCT x) -> HyperLogLog++ estimate
     ext.injectOptimizerRule(graft.plans.ApproxDistinctRule)
+    // whole-plan rewrite (off unless spark.graft.mvRewrite.enabled):
+    // registered materialized views serve subset-grouping aggregates
+    ext.injectOptimizerRule(graft.plans.MvRewriteRule)
   }
 }

@@ -239,6 +239,39 @@ object SourceQueries {
           .orderBy(col("event_type"))
     },
 
+    // MATERIALIZED-VIEW rewrite must be RESULT-INVISIBLE: the same
+    // dashboard aggregate runs with [[graft.plans.MvRewriteRule]]
+    // scoped on (served from the per-(status, priority) partials
+    // artifact — a COARSER regroup, so the rule's re-aggregation
+    // genuinely runs) while the oracle aggregates the BASE table; any
+    // divergence between the view algebra and the direct plan fails
+    // the hash. Integral measures only — exact under re-aggregation.
+    QueryDef("q260_mv_rewrite",
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        |       CAST(sum(o_custkey) AS BIGINT) AS csum,
+        |       CAST(min(o_orderkey) AS BIGINT) AS kmin,
+        |       CAST(max(o_orderkey) AS BIGINT) AS kmax
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (spark, dir) =>
+        import graft.plans.MvRewriteRule
+        val basePath = s"$dir/orders.parquet"
+        MvRewriteRule.create(spark, basePath,
+          Seq("o_orderstatus", "o_orderpriority"),
+          Seq("o_custkey", "o_orderkey"))
+        MvRewriteRule.scoped(spark) {
+          val df = spark.read.parquet(basePath)
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_custkey")).as("csum"),
+              min(col("o_orderkey")).as("kmin"),
+              max(col("o_orderkey")).as("kmax"))
+            .orderBy(col("o_orderstatus"))
+          // materialize the plan inside the scope (the scoped contract)
+          df.queryExecution.executedPlan
+          df
+        }
+    },
+
     // XML sink -> XML source -> full row echo (the document-format
     // sibling of q50's JSON lines; spark-xml ships inside spark-sql 4).
     // DuckDB has no XML reader, so — the q128/q250 convention — the

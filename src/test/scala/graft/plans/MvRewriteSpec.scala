@@ -1,0 +1,101 @@
+package graft.plans
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.functions._
+
+/** The MV rewrite must be result-invisible, serve coarser groupings,
+  * and decline on staleness / distinct / non-derivable aggregates. */
+class MvRewriteSpec extends SparkTestBase {
+
+  private val basePath = "/root/testdata/sf0.001/orders.parquet"
+
+  private def q(groupCols: Seq[String]) = {
+    val base = spark.read.parquet(basePath)
+    base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("csum"),
+        min(col("o_orderkey")).as("kmin"), max(col("o_orderkey")).as("kmax"))
+      .orderBy(groupCols.map(col): _*)
+  }
+
+  private def collectRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  test("fresh MV serves exact + coarser groupings result-invisibly; plan reads the artifact") {
+    MvRewriteRule.clear()
+    val mv = MvRewriteRule.create(spark, basePath,
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_custkey", "o_orderkey"))
+    val plain = collectRows(q(Seq("o_orderstatus", "o_orderpriority")))
+    val plainCoarse = collectRows(q(Seq("o_orderstatus")))
+    MvRewriteRule.scoped(spark) {
+      val exact = q(Seq("o_orderstatus", "o_orderpriority"))
+      val coarse = q(Seq("o_orderstatus"))
+      // physical FileScan strings truncate long paths
+      // (maxMetadataStringLength) — the partial columns prove the scan
+      def servedByMv(df: org.apache.spark.sql.DataFrame) = {
+        val p = df.queryExecution.optimizedPlan.toString
+        p.contains("__cnt") && p.contains("__sum_o_custkey")
+      }
+      assert(servedByMv(exact), "exact-grouping plan does not scan the MV")
+      assert(servedByMv(coarse), "coarser-grouping plan does not scan the MV")
+      assert(collectRows(exact) == plain)
+      assert(collectRows(coarse) == plainCoarse)
+    }
+  }
+
+  test("declines: non-subset grouping, distinct, non-measure sum, avg, disabled") {
+    MvRewriteRule.clear()
+    val mv = MvRewriteRule.create(spark, basePath,
+      Seq("o_orderstatus"), Seq("o_custkey"))
+    val base = spark.read.parquet(basePath)
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    MvRewriteRule.scoped(spark) {
+      // grouping outside the key set
+      assert(!planOf(base.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))).contains("__cnt"))
+      // distinct aggregate
+      assert(!planOf(base.groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n"))).contains("__cnt"))
+      // sum over an unregistered measure
+      assert(!planOf(base.groupBy(col("o_orderstatus"))
+        .agg(sum(col("o_orderkey")).as("s"))).contains("__cnt"))
+      // avg re-associates float division: declined
+      assert(!planOf(base.groupBy(col("o_orderstatus"))
+        .agg(avg(col("o_custkey")).as("a"))).contains("__cnt"))
+      // count(col) counts non-nulls — not derivable from __cnt
+      assert(!planOf(base.groupBy(col("o_orderstatus"))
+        .agg(count(col("o_custkey")).as("n"))).contains("__cnt"))
+    }
+    // flag off: untouched
+    assert(!planOf(base.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))).contains("__cnt"))
+  }
+
+  test("a stale MV never serves (base newer than the artifact)") {
+    MvRewriteRule.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("mv_stale").toString
+    val dir = s"$tmp/t.parquet"
+    spark.range(100).selectExpr("id % 7 AS g", "id AS v")
+      .write.mode("overwrite").parquet(dir)
+    val mv = MvRewriteRule.create(spark, dir, Seq("g"), Seq("v"))
+    Thread.sleep(1100) // fs mtime granularity
+    spark.range(100, 140).selectExpr("id % 7 AS g", "id AS v")
+      .write.mode("append").parquet(dir)
+    val df = spark.read.parquet(dir).groupBy(col("g"))
+      .agg(sum(col("v")).as("s")).orderBy(col("g"))
+    MvRewriteRule.scoped(spark) {
+      assert(!df.queryExecution.optimizedPlan.toString.contains("__cnt"),
+        "stale MV served a rewritten aggregate")
+      // and the un-rewritten answer reflects the appended rows
+      assert(df.agg(sum(col("s"))).head().getLong(0) == (0L until 140L).sum)
+    }
+  }
+
+  test("float measures are refused at registration") {
+    val e = intercept[IllegalArgumentException](
+      MvRewriteRule.create(spark, basePath, Seq("o_orderstatus"),
+        Seq("o_totalprice")))
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+}
