@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.functions.{coalesce, col, count, greatest, least,
+  lit, max, min, sum}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** MATERIALIZED-VIEW rewrite — the warehouse accelerator every
@@ -171,6 +172,37 @@ object MvRewriteRule {
     val mv = MvDef(norm(new Path(basePath)), groupCols, measures, mvPath)
     registry.put(mv.basePath, mv)
     mv
+  }
+
+  /** INCREMENTAL refresh (the q245 maintenance algebra applied to the
+    * view artifact): fold a delta batch's partials into the persisted
+    * partials through one full-outer group join — counts and sums
+    * add, mins/maxes fold — instead of re-scanning the base table.
+    * The result is written through the same atomic-rebuild path, so
+    * the artifact's freshness stamp advances and the rewrite serves
+    * the refreshed state. The DELTA must be exactly the rows appended
+    * to the base since the artifact was built (the caller's CDC
+    * contract — MvRewriteSpec pins refresh == full rebuild). */
+  def refresh(spark: SparkSession, mv: MvDef, delta: DataFrame): DataFrame = {
+    val cur = spark.read.parquet(mv.mvPath)
+    val aggs = count(lit(1)).as(CntCol) +: mv.measures.flatMap(m => Seq(
+      sum(col(m)).as(s"__sum_$m"), min(col(m)).as(s"__min_$m"),
+      max(col(m)).as(s"__max_$m")))
+    val d = delta.groupBy(mv.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    def side(df: DataFrame, tag: String) = df.select(
+      mv.groupCols.map(col) ++
+        df.columns.filter(_.startsWith("__")).map(c => col(c).as(s"$c$tag")): _*)
+    val merged = side(cur, "_a")
+      .join(side(d, "_b"), mv.groupCols, "full_outer")
+      .select(mv.groupCols.map(col) ++ Seq(
+        (coalesce(col(s"${CntCol}_a"), lit(0L)) +
+          coalesce(col(s"${CntCol}_b"), lit(0L))).as(CntCol)) ++
+        mv.measures.flatMap(m => Seq(
+          (coalesce(col(s"__sum_${m}_a"), lit(0L)) +
+            coalesce(col(s"__sum_${m}_b"), lit(0L))).as(s"__sum_$m"),
+          least(col(s"__min_${m}_a"), col(s"__min_${m}_b")).as(s"__min_$m"),
+          greatest(col(s"__max_${m}_a"), col(s"__max_${m}_b")).as(s"__max_$m"))): _*)
+    graft.operators.IndexStore.rebuild(spark, mv.mvPath)(merged)
   }
 
   /** Drop every registration (test isolation). */

@@ -92,6 +92,37 @@ class MvRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("incremental refresh equals a full rebuild and re-arms the rewrite") {
+    MvRewriteRule.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("mv_refresh").toString
+    val dir = s"$tmp/t.parquet"
+    spark.range(200).selectExpr("id % 5 AS g", "id AS v")
+      .write.mode("overwrite").parquet(dir)
+    val mv = MvRewriteRule.create(spark, dir, Seq("g"), Seq("v"))
+    // delta lands in the base AND folds into the artifact (new group 9
+    // included — the full-outer branch)
+    Thread.sleep(1100)
+    val delta = spark.range(200, 260)
+      .selectExpr("CASE WHEN id < 230 THEN id % 5 ELSE 9 END AS g", "id AS v")
+    delta.write.mode("append").parquet(dir)
+    MvRewriteRule.refresh(spark, mv, delta)
+    // folded partials == partials rebuilt from the appended base
+    val folded = spark.read.parquet(mv.mvPath)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    val rebuilt = spark.read.parquet(dir).groupBy(col("g"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("v")).as("__sum_v"),
+        min(col("v")).as("__min_v"), max(col("v")).as("__max_v"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(folded == rebuilt)
+    // the refreshed artifact is newer than the appended base: serves
+    MvRewriteRule.scoped(spark) {
+      val df = spark.read.parquet(dir).groupBy(col("g"))
+        .agg(sum(col("v")).as("s"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("__cnt"))
+      assert(df.agg(sum(col("s"))).head().getLong(0) == (0L until 260L).sum)
+    }
+  }
+
   test("float measures are refused at registration") {
     val e = intercept[IllegalArgumentException](
       MvRewriteRule.create(spark, basePath, Seq("o_orderstatus"),
