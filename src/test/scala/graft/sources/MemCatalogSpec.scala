@@ -296,6 +296,18 @@ class MemCatalogSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("SHOW TABLES sees durable tables straight after a restart") {
+    durableCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdur.lst1")
+    spark.sql("CREATE TABLE graftdur.lst1 (k BIGINT, v STRING, bal DOUBLE)")
+    spark.sql("INSERT INTO graftdur.lst1 VALUES (1, 'a', 1.0)")
+    MemCatalog.simulateRestart()
+    // no loadTable has run yet — the listing must come from the logs
+    val names = spark.sql("SHOW TABLES IN graftdur").collect()
+      .map(_.getString(1)).toSet
+    assert(names.contains("lst1"), names.toString)
+  }
+
   test("CREATE TABLE AS SELECT lands as create + one append version") {
     durableCatalog()
     spark.sql("DROP TABLE IF EXISTS graftdur.c1")
