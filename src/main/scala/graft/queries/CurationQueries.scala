@@ -698,6 +698,57 @@ object CurationQueries {
         .orderBy(col("lang"))
     },
 
+    // PRECISION/RECALL CURVE for the q151 classifier — the threshold
+    // CALIBRATION pass run before wiring any learned filter into a
+    // pipeline: sweep the decision threshold, emit the confusion
+    // census and integer-bp precision/recall per point, against a
+    // deterministic reference label (length >= 300 chars — the
+    // "substantive document" proxy; a labeled eval set drops in the
+    // same way). One corpus scan computes every threshold's cells via
+    // conditional aggregation (the q217 sweep discipline);
+    // greatest(1, ·) guards the empty-cell divisions in both engines.
+    QueryDef("q261_pr_curve",
+      """WITH s AS (
+        |  SELECT doc_id, n_chars >= 300 AS pos,
+        |         list_aggregate(list_transform(string_split(text, ' '),
+        |           t -> ('0x' || substr(md5('w:' || t), 1, 7))::BIGINT % 10000 - 5000),
+        |           'sum')::BIGINT AS score
+        |  FROM documents),
+        |t AS (SELECT unnest([-2000, -1000, 0, 1000, 2000]) AS th),
+        |c AS (
+        |  SELECT th,
+        |         sum(CASE WHEN score >= th AND pos THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |         sum(CASE WHEN score >= th AND NOT pos THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |         sum(CASE WHEN score < th AND pos THEN 1 ELSE 0 END)::BIGINT AS fn,
+        |         sum(CASE WHEN score < th AND NOT pos THEN 1 ELSE 0 END)::BIGINT AS tn
+        |  FROM s CROSS JOIN t GROUP BY th)
+        |SELECT th::BIGINT AS threshold, tp, fp, fn, tn,
+        |       ((10000 * tp) // greatest(1, tp + fp))::BIGINT AS precision_bp,
+        |       ((10000 * tp) // greatest(1, tp + fn))::BIGINT AS recall_bp
+        |FROM c ORDER BY threshold""".stripMargin) { (spark, dir) =>
+      val weight = (t: Column) =>
+        conv(substring(md5(concat(lit("w:"), t)), 1, 7), 16, 10)
+          .cast("long") % 10000 - 5000
+      val s = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), (col("n_chars") >= 300).as("pos"),
+          aggregate(transform(split(col("text"), " "), weight),
+            lit(0L), (a, x) => a + x).as("score"))
+      val t = broadcast(spark.range(0, 5)
+        .select((lit(-2000L) + col("id") * 1000).as("th")))
+      s.crossJoin(t)
+        .groupBy(col("th"))
+        .agg(
+          sum(when(col("score") >= col("th") && col("pos"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("score") >= col("th") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("score") < col("th") && col("pos"), 1L).otherwise(0L)).as("fn"),
+          sum(when(col("score") < col("th") && !col("pos"), 1L).otherwise(0L)).as("tn"))
+        .select(col("th").as("threshold"), col("tp"), col("fp"), col("fn"),
+          col("tn"),
+          expr("(10000L * tp) DIV greatest(1L, tp + fp)").as("precision_bp"),
+          expr("(10000L * tp) DIV greatest(1L, tp + fn)").as("recall_bp"))
+        .orderBy(col("threshold"))
+    },
+
     // Exact-QUOTA stratified sampling: exactly k rows per stratum (the
     // eval-set / few-shot-pool builder), chosen by md5-hash rank so
     // the pick is reprocessing-stable and needs NO per-stratum counts
