@@ -167,4 +167,25 @@ class NearDupSpec extends SparkTestBase {
     assert(curve(70L) == q23n,
       s"sweep at 70% (${curve(70L)}) must equal q23's pair count ($q23n)")
   }
+
+  test("q256: b-bit estimates are sane and the plan stays equi-joined") {
+    val df = graft.SparkEntry.queries("q256_bbit_minhash")(spark, sf0001)
+    val rows = df.collect().map(r => (r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (kAgree, bAgree, estBp, jacBp) =>
+      // 4-bit agreement can only ADD accidental collisions
+      assert(bAgree >= kAgree, s"b-bit agreement below full-width: $rows")
+      assert(estBp >= 0 && estBp <= 10000 && jacBp >= 0 && jacBp <= 10000)
+    }
+    // the fixture's candidates are true near-dups: the corrected
+    // estimate tracks the exact Jaccard within the k=16 resolution
+    // (one component = 625 bp) plus the b-bit correction slack
+    rows.foreach { case (_, _, estBp, jacBp) =>
+      assert(math.abs(estBp - jacBp) <= 2500,
+        s"estimate drifted: est=$estBp exact=$jacBp")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
