@@ -19,7 +19,7 @@ object SparkEntry {
       TextQueries.defs ++ NearDupQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ EventQueries.defs ++ PipelineQueries.defs ++
       CurationQueries.defs ++ LmQueries.defs ++ WinnowQueries.defs ++
-      GraphQueries.defs ++ ReleaseQueries.defs ++
+      GraphQueries.defs ++ ReleaseQueries.defs ++ RerankQueries.defs ++
       JoinQueries.defs ++ SourceQueries.defs ++ TpchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -1295,6 +1295,37 @@ object CoreQueries {
           |SELECT flag, metric, v FROM w
           |UNPIVOT (v FOR metric IN (qty, n_lines))
           |ORDER BY flag, metric""".stripMargin)
-    }
+    },
+
+    // JOIN-KEY SKEW PROFILER: the diagnostic a salting / AQE-skew
+    // decision reads before a big join — per-key fanout of the
+    // orders-side join key, the 5 heaviest keys, and the global
+    // (n_keys, n_rows, max_fanout) summary in one pass. ONE common
+    // ANSI text runs on both engines (sqlSurface). Scale shape: the
+    // fanout frame is a map-side-combined hash agg ON the join key
+    // (the shuffle it profiles would pay anyway), the top-5 is a
+    // bounded heap (Spark plans TakeOrderedAndProject — deliberately
+    // ORDER BY..LIMIT, not a corpus-wide window rank), and the
+    // summary is a second map-side-combined agg over the key frame.
+    QueryDef.sqlSurface("q267_key_skew_profile",
+      """WITH f AS (
+        |  SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS fanout
+        |  FROM lineitem GROUP BY l_orderkey),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(sum(fanout) AS BIGINT) AS n_rows,
+        |         CAST(max(fanout) AS BIGINT) AS max_fanout
+        |  FROM f),
+        |t AS (SELECT key, fanout FROM f ORDER BY fanout DESC, key LIMIT 5)
+        |SELECT key, fanout, n_keys, n_rows FROM (
+        |  SELECT CAST(-1 AS BIGINT) AS key, max_fanout AS fanout,
+        |         n_keys, n_rows
+        |  FROM s
+        |  UNION ALL
+        |  SELECT key, fanout, CAST(0 AS BIGINT) AS n_keys,
+        |         CAST(0 AS BIGINT) AS n_rows
+        |  FROM t) u
+        |ORDER BY key""".stripMargin,
+      Seq("lineitem"))
   )
 }
