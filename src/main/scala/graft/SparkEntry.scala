@@ -20,6 +20,7 @@ object SparkEntry {
       MultimodalQueries.defs ++ EventQueries.defs ++ PipelineQueries.defs ++
       CurationQueries.defs ++ LmQueries.defs ++ WinnowQueries.defs ++
       GraphQueries.defs ++ ReleaseQueries.defs ++ RerankQueries.defs ++
+      PcaQueries.defs ++
       JoinQueries.defs ++ SourceQueries.defs ++ TpchQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
