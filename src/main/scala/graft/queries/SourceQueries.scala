@@ -710,6 +710,61 @@ object SourceQueries {
           sum(when(col("cents").isNotNull, col("fk")).otherwise(0L))
             .cast("long").as("k_sum"))
         .orderBy(col("vo"))
+    },
+
+    // METADATA-SERVED AGGREGATES on the v2 catalog (the Delta/Iceberg
+    // `SELECT count(*)` path): every commit writes a stats sidecar
+    // (rowCount + per-column nulls/min/max — the `add.stats` analog),
+    // the store folds them per snapshot version, and the scan builder
+    // answers no-grouping COUNT(*)/COUNT(col)/MIN/MAX COMPLETELY from
+    // metadata — the plan carries no aggregate operator and reads no
+    // rows, which at 100 TB is a metadata lookup instead of a
+    // full-corpus pass. Both historical versions are read back via
+    // VERSION AS OF (stats time travel); the oracle recomputes every
+    // aggregate from the parquet fixture, so a stats fold that drifts
+    // from the data by one row, one null, or one byte of a string
+    // min/max fails the hash. MemCatalogStatsSpec pins the plan shape
+    // (no HashAggregate when pushed), every decline path, restart
+    // replay from sidecars alone, and the lost-sidecar fallback.
+    QueryDef("q265_catalog_stats_agg",
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |              ELSE o_orderkey * 2 END AS c,
+        |         o_orderpriority AS tag
+        |  FROM orders),
+        |v1 AS (SELECT CAST(1 AS BIGINT) AS ver, count(*)::BIGINT AS n_rows,
+        |              count(c)::BIGINT AS n_c, min(k)::BIGINT AS min_k,
+        |              max(k)::BIGINT AS max_k, min(tag) AS min_tag,
+        |              max(tag) AS max_tag
+        |       FROM src WHERE k % 3 = 0),
+        |v2 AS (SELECT CAST(2 AS BIGINT) AS ver, count(*)::BIGINT AS n_rows,
+        |              count(c)::BIGINT AS n_c, min(k)::BIGINT AS min_k,
+        |              max(k)::BIGINT AS max_k, min(tag) AS min_tag,
+        |              max(tag) AS max_tag
+        |       FROM src WHERE k % 3 IN (0, 1))
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY ver""".stripMargin) {
+      (spark, dir) =>
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmem.path",
+          graft.sources.MemCatalog.defaultRoot)
+        spark.sql("DROP TABLE IF EXISTS graftmem.statsq")
+        spark.sql("CREATE TABLE graftmem.statsq (k BIGINT, c BIGINT, tag STRING)")
+        Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            when(col("o_orderkey") % 5 === 0, lit(null))
+              .otherwise(col("o_orderkey") * 2).cast("long").as("c"),
+            col("o_orderpriority").as("tag"))
+          .createOrReplaceTempView("q265_src")
+        spark.sql("INSERT INTO graftmem.statsq SELECT * FROM q265_src WHERE k % 3 = 0")
+        spark.sql("INSERT INTO graftmem.statsq SELECT * FROM q265_src WHERE k % 3 = 1")
+        def vAgg(v: Int) = spark.sql(
+          s"""SELECT CAST($v AS BIGINT) AS ver, count(*) AS n_rows,
+             |       count(c) AS n_c, min(k) AS min_k, max(k) AS max_k,
+             |       min(tag) AS min_tag, max(tag) AS max_tag
+             |FROM graftmem.statsq VERSION AS OF $v""".stripMargin)
+        vAgg(1).unionByName(vAgg(2)).orderBy(col("ver"))
     }
   )
 

@@ -17,7 +17,8 @@ private[sources] sealed trait LogEntry {
   def tsMicros: Long
 }
 private[sources] final case class DataCommit(version: Int, replace: Boolean,
-    tsMicros: Long, rows: Vector[InternalRow]) extends LogEntry
+    tsMicros: Long, rows: Vector[InternalRow],
+    stats: Option[CommitStats] = None) extends LogEntry
 private[sources] final case class SchemaCommit(version: Int,
     tsMicros: Long, schema: StructType) extends LogEntry
 
@@ -52,6 +53,9 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
   private def commitFile(version: Int): Path =
     dir.resolve(f"$version%08d.commit")
 
+  private def statsFile(version: Int): Path =
+    dir.resolve(f"$version%08d.stats")
+
   private def writeCommit(version: Int)(body: DataOutputStream => Unit): Unit = {
     val tmp = dir.resolve(f"$version%08d.commit.inprogress")
     val out = new DataOutputStream(new BufferedOutputStream(
@@ -85,6 +89,19 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
         out.write(bytes)
       }
     }
+    // Stats SIDECAR (the Delta `add.stats` analog): written AFTER the
+    // commit's atomic move, so a crash between the two leaves a valid
+    // commit whose aggregates simply fall back to a scan. Computed over
+    // the latest schema — columns beyond a row's arity count as NULL,
+    // matching read-time padding.
+    val st = CommitStats.of(rows, cur)
+    val tmp = dir.resolve(f"$version%08d.stats.inprogress")
+    val sout = new DataOutputStream(new BufferedOutputStream(
+      Files.newOutputStream(tmp, StandardOpenOption.CREATE,
+        StandardOpenOption.TRUNCATE_EXISTING)))
+    try CommitStats.write(sout, cur, st) finally sout.close()
+    Files.move(tmp, statsFile(version), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Persist a schema-change commit (ALTER TABLE ADD COLUMN): the
@@ -128,7 +145,8 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
     while (files.hasNext) {
       val p = files.next()
       val n = p.getFileName.toString
-      if (n.matches("\\d{8}\\.commit") && n.take(8).toInt < version) stale += p
+      if (n.matches("\\d{8}\\.(commit|stats)") && n.take(8).toInt < version)
+        stale += p
     }
     stale.foreach(Files.delete)
   }
@@ -172,7 +190,20 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
             rows += row
             i += 1
           }
-          DataCommit(ver, kind == 1, ts, rows.result())
+          // stats ride in the sidecar; a missing/unreadable sidecar
+          // (crash window, hand-pruned file) degrades to scan-backed
+          // aggregation for every snapshot from this commit on
+          val sf = statsFile(ver)
+          val stats =
+            if (!Files.exists(sf)) None
+            else {
+              val sin = new DataInputStream(new BufferedInputStream(
+                Files.newInputStream(sf)))
+              try Some(CommitStats.read(sin, cur))
+              catch { case _: Exception => None }
+              finally sin.close()
+            }
+          DataCommit(ver, kind == 1, ts, rows.result(), stats)
         }
       } finally in.close()
     }

@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-column statistics of one commit (or, after folding, of one
+  * snapshot version): null count, and min/max for orderable atomic
+  * types. `tracked = false` marks types whose min/max the stats layer
+  * deliberately does not serve (floating point — NaN/-0.0 ordering —
+  * and non-atomic types); COUNT pushdown still works for them. */
+private[sources] final case class ColStats(nulls: Long, tracked: Boolean,
+    min: Option[Any], max: Option[Any])
+
+/** Snapshot/commit statistics — the miniature of the per-file stats a
+  * Delta/Iceberg commit log carries (`numRecords`, `minValues`,
+  * `maxValues`, `nullCount` in Delta's `add.stats`), which is what lets
+  * a lakehouse answer COUNT/MIN/MAX from METADATA without scanning a
+  * single data file. Values are Catalyst internal representations
+  * (java boxed primitives / UTF8String), so folding uses the same
+  * binary orderings Spark's Min/Max aggregates use.
+  */
+private[sources] final case class CommitStats(count: Long,
+    cols: Map[String, ColStats])
+
+private[sources] object CommitStats {
+
+  /** Min/max are tracked only for types whose ordering is total and
+    * identical to Spark's aggregate semantics without edge cases:
+    * integers, strings (UTF8_BINARY), dates, timestamps. Floating
+    * point is deliberately untracked (NaN / -0.0 ordering pitfalls —
+    * the scan declines and Spark aggregates normally). */
+  def minMaxTracked(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType | StringType |
+        DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  private def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** Exact stats of one commit's rows under `schema` (the latest
+    * schema at commit time). Rows may carry a historical prefix arity
+    * (pre-evolution); fields beyond a row's arity read as NULL —
+    * exactly how the scan pads them. */
+  def of(rows: Seq[InternalRow], schema: StructType): CommitStats = {
+    val n = schema.length
+    val tracked = Array.tabulate(n)(i => minMaxTracked(schema(i).dataType))
+    val nulls = new Array[Long](n)
+    val mins = new Array[Any](n)
+    val maxs = new Array[Any](n)
+    rows.foreach { r =>
+      var i = 0
+      while (i < n) {
+        if (i >= r.numFields || r.isNullAt(i)) nulls(i) += 1
+        else if (tracked(i)) {
+          val v = r.get(i, schema(i).dataType)
+          if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
+          if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = v
+        }
+        i += 1
+      }
+    }
+    CommitStats(rows.length.toLong, schema.fields.zipWithIndex.map {
+      case (f, i) =>
+        f.name -> ColStats(nulls(i), tracked(i), Option(mins(i)), Option(maxs(i)))
+    }.toMap)
+  }
+
+  def empty(schema: StructType): CommitStats =
+    CommitStats(0L, schema.fields.map(f =>
+      f.name -> ColStats(0L, minMaxTracked(f.dataType), None, None)).toMap)
+
+  /** Fold an append commit's stats onto the running snapshot stats. A
+    * column absent from one side (added by a later ADD COLUMN) is
+    * all-NULL on that side — it contributes its row count as nulls and
+    * nothing to min/max, the Delta AddColumn read semantics. */
+  def merge(a: CommitStats, b: CommitStats): CommitStats = {
+    val names = a.cols.keySet ++ b.cols.keySet
+    CommitStats(a.count + b.count, names.iterator.map { nm =>
+      val ca = a.cols.getOrElse(nm, ColStats(a.count, tracked = true, None, None))
+      val cb = b.cols.getOrElse(nm, ColStats(b.count, tracked = true, None, None))
+      val mn = (ca.min, cb.min) match {
+        case (Some(x), Some(y)) => Some(if (cmp(x, y) <= 0) x else y)
+        case (x, y) => x.orElse(y)
+      }
+      val mx = (ca.max, cb.max) match {
+        case (Some(x), Some(y)) => Some(if (cmp(x, y) >= 0) x else y)
+        case (x, y) => x.orElse(y)
+      }
+      nm -> ColStats(ca.nulls + cb.nulls, ca.tracked && cb.tracked, mn, mx)
+    }.toMap)
+  }
+
+  // ---- sidecar codec (same DataOutputStream discipline as the commit
+  // files; values are type-dispatched on the column's schema type,
+  // which never changes — evolution is append-only) ------------------
+
+  private def writeVal(out: DataOutputStream, dt: DataType, v: Any): Unit =
+    dt match {
+      case IntegerType | DateType => out.writeInt(v.asInstanceOf[Int])
+      case LongType | TimestampType | TimestampNTZType =>
+        out.writeLong(v.asInstanceOf[Long])
+      case ShortType => out.writeShort(v.asInstanceOf[Short].toInt)
+      case ByteType => out.writeByte(v.asInstanceOf[Byte].toInt)
+      case StringType =>
+        val b = v.asInstanceOf[UTF8String].getBytes
+        out.writeInt(b.length)
+        out.write(b)
+      case other => throw new IllegalStateException(
+        s"untracked type $other has no stats codec")
+    }
+
+  private def readVal(in: DataInputStream, dt: DataType): Any = dt match {
+    case IntegerType | DateType => in.readInt()
+    case LongType | TimestampType | TimestampNTZType => in.readLong()
+    case ShortType => in.readShort()
+    case ByteType => in.readByte()
+    case StringType =>
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      UTF8String.fromBytes(b)
+    case other => throw new IllegalStateException(
+      s"untracked type $other has no stats codec")
+  }
+
+  def write(out: DataOutputStream, schema: StructType, s: CommitStats): Unit = {
+    out.writeLong(s.count)
+    out.writeInt(s.cols.size)
+    schema.fields.filter(f => s.cols.contains(f.name)).foreach { f =>
+      val c = s.cols(f.name)
+      out.writeUTF(f.name)
+      out.writeLong(c.nulls)
+      out.writeBoolean(c.tracked)
+      out.writeBoolean(c.tracked && c.min.isDefined)
+      if (c.tracked && c.min.isDefined) writeVal(out, f.dataType, c.min.get)
+      out.writeBoolean(c.tracked && c.max.isDefined)
+      if (c.tracked && c.max.isDefined) writeVal(out, f.dataType, c.max.get)
+    }
+  }
+
+  /** Decode under the LATEST schema (column types never change; a
+    * sidecar written before an ADD COLUMN simply lacks the new name). */
+  def read(in: DataInputStream, schema: StructType): CommitStats = {
+    val count = in.readLong()
+    val n = in.readInt()
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = (0 until n).map { _ =>
+      val name = in.readUTF()
+      val dt = byName.getOrElse(name, throw new IllegalStateException(
+        s"stats sidecar names unknown column $name"))
+      val nulls = in.readLong()
+      val tracked = in.readBoolean()
+      val mn = if (in.readBoolean()) Some(readVal(in, dt)) else None
+      val mx = if (in.readBoolean()) Some(readVal(in, dt)) else None
+      name -> ColStats(nulls, tracked, mn, mx)
+    }.toMap
+    CommitStats(count, cols)
+  }
+}
