@@ -990,6 +990,34 @@ object CurationQueries {
           count(lit(1)).as("n_leaky_docs"),
           sum(col("doc_id")).as("id_sum"))
         .orderBy(col("fold"))
-    }
+    },
+
+    // K-ANONYMITY AUDIT (k = 5) over the quasi-identifier tuple
+    // (lang, source, length bucket) — the re-identification check a
+    // release pipeline runs beside PII scrubbing: the equivalence-
+    // class size histogram plus a summary row (sz = -1) counting
+    // classes and rows BELOW k. One ANSI text on both engines
+    // (sqlSurface); the length bucket is pure integer arithmetic
+    // (n - n % 100), so every count is exact. Scale shape: two
+    // map-side-combined hash aggs (QI grouping, then size histogram)
+    // — the second input is one row per CLASS, not per document.
+    QueryDef.sqlSurface("q270_k_anonymity",
+      """WITH classes AS (
+        |  SELECT lang, source, n_chars - (n_chars % 100) AS len_bucket,
+        |         CAST(count(*) AS BIGINT) AS sz
+        |  FROM documents GROUP BY lang, source, n_chars - (n_chars % 100)),
+        |hist AS (
+        |  SELECT sz, CAST(count(*) AS BIGINT) AS n_classes,
+        |         CAST(sum(sz) AS BIGINT) AS n_rows
+        |  FROM classes GROUP BY sz),
+        |viol AS (
+        |  SELECT CAST(-1 AS BIGINT) AS sz,
+        |         CAST(coalesce(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_classes,
+        |         CAST(coalesce(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END), 0) AS BIGINT) AS n_rows
+        |  FROM classes)
+        |SELECT sz, n_classes, n_rows FROM hist
+        |UNION ALL SELECT sz, n_classes, n_rows FROM viol
+        |ORDER BY sz""".stripMargin,
+      Seq("documents"))
   )
 }

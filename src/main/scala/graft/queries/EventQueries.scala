@@ -1073,6 +1073,45 @@ object EventQueries {
             ok(col("eb"), col("n_b"), 5).as("ok_b"),
             ok(col("ea") + col("eb") - col("eu"), col("n_both"), 10)
               .as("ok_both"))
+    },
+
+    // PER-USER EWMA (exponential smoothing, alpha = 0.3) over the
+    // event-time-ordered value stream — the trailing-state feature a
+    // monitoring/curation pipeline keeps per entity. Values quantize
+    // to exact cents first (the q135 convention), so the only doubles
+    // are the fold's own arithmetic: Spark seeds `aggregate` with the
+    // first element and folds the rest left-to-right, DuckDB's
+    // `list_reduce` does exactly that by definition — identical op
+    // order, full hash compare. Scale shape: one exchange on user_id,
+    // the per-user sequence is bounded by that user's event count, and
+    // EWMA is inherently sequential per entity (a segmented/windowed
+    // variant would chunk the list; the fold itself cannot
+    // parallelize). The user_id filter prunes at the scan.
+    QueryDef("q271_ewma_smooth",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE user_id < 20),
+        |seq AS (SELECT user_id,
+        |               list(CAST(cents AS DOUBLE) ORDER BY t, event_id) AS l
+        |        FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(len(l) AS BIGINT) AS n_events,
+        |       list_reduce(l, (acc, x) ->
+        |         CAST(0.3 AS DOUBLE)*x + CAST(0.7 AS DOUBLE)*acc) AS ewma_cents
+        |FROM seq ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+      val e = ev.where(col("user_id") < 20)
+        .select(col("user_id"), Tables.tsMicros(ev).as("t"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      e.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("t"), col("event_id"),
+          col("cents").cast("double").as("c")))).as("s"))
+        .select(col("user_id"), expr("transform(s, x -> x.c)").as("l"))
+        .select(col("user_id"), size(col("l")).cast("long").as("n_events"),
+          expr(
+            """aggregate(slice(l, 2, size(l) - 1), element_at(l, 1),
+              |  (acc, x) -> CAST(0.3 AS DOUBLE)*x + CAST(0.7 AS DOUBLE)*acc)"""
+              .stripMargin).as("ewma_cents"))
+        .orderBy("user_id")
     }
   )
 }

@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Independent replays of the q270/q271 audit gates over collected
+  * fixtures (no shared code with the queries). */
+class AuditOpsSpec extends SparkTestBase {
+
+  test("q271 EWMA == naive sequential replay (exact doubles)") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id", "value")
+      .where("user_id < 20").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        (r.getTimestamp(1).getNanos / 1000) % 1000, r.getLong(2),
+        math.round(r.getDouble(3) * 100).toDouble))
+    val expect = ev.groupBy(_._1).map { case (u, rows) =>
+      val xs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      u -> (xs.length.toLong, xs.tail.foldLeft(xs.head)((acc, x) =>
+        0.3 * x + 0.7 * acc))
+    }
+    val got = SparkEntry.queries("q271_ewma_smooth")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == expect.size)
+    got.foreach { case (u, n, e) =>
+      val (en, ee) = expect(u)
+      assert(n == en, s"user $u count")
+      assert(math.abs(e - ee) < 1e-9, s"user $u ewma: got $e want $ee")
+    }
+    // ordering sanity: result sorted by user
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+  }
+
+  test("q270 k-anonymity summary row matches a direct recompute") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("lang", "source", "n_chars - (n_chars % 100) AS b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val classes = docs.groupBy(identity).map(_._2.length.toLong).toSeq
+    val got = SparkEntry.queries("q270_k_anonymity")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viol = got.find(_._1 == -1L).get
+    assert(viol._2 == classes.count(_ < 5).toLong, "violating classes")
+    assert(viol._3 == classes.filter(_ < 5).sum, "violating rows")
+    val hist = got.filter(_._1 != -1L)
+    assert(hist.map(_._2).sum == classes.length.toLong, "total classes")
+    assert(hist.map(_._3).sum == docs.length.toLong, "total rows")
+    hist.foreach { case (sz, nc, nr) => assert(nr == sz * nc) }
+  }
+}
