@@ -765,6 +765,46 @@ object SourceQueries {
              |       min(tag) AS min_tag, max(tag) AS max_tag
              |FROM graftmem.statsq VERSION AS OF $v""".stripMargin)
         vAgg(1).unionByName(vAgg(2)).orderBy(col("ver"))
+    },
+
+    // RESTORE (rollback) on the v2 catalog — the Delta `RESTORE TABLE
+    // ... VERSION AS OF` convention: rolling back to version 1 commits
+    // the historical row set FORWARD as a new replace version (v3), so
+    // the superseded v2 state stays readable via time travel and the
+    // restore itself survives a restart through the commit log. The
+    // gate reads BOTH: version 2 (pre-restore) and version 3 (the
+    // restore — byte-identical to version 1); the oracle derives each
+    // from the parquet fixture, so a restore that rewinds history, or
+    // leaks v2 rows into the restored state, fails the hash.
+    QueryDef("q272_catalog_restore",
+      """WITH src AS (SELECT o_orderkey AS k FROM orders),
+        |v2 AS (SELECT CAST(2 AS BIGINT) AS ver, count(*)::BIGINT AS n_rows,
+        |              min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,
+        |              sum(k)::BIGINT AS k_sum
+        |       FROM src WHERE k % 3 IN (0, 1)),
+        |v3 AS (SELECT CAST(3 AS BIGINT) AS ver, count(*)::BIGINT AS n_rows,
+        |              min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,
+        |              sum(k)::BIGINT AS k_sum
+        |       FROM src WHERE k % 3 = 0)
+        |SELECT * FROM v2 UNION ALL SELECT * FROM v3 ORDER BY ver""".stripMargin) {
+      (spark, dir) =>
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmem.path",
+          graft.sources.MemCatalog.defaultRoot)
+        spark.sql("DROP TABLE IF EXISTS graftmem.restq")
+        spark.sql("CREATE TABLE graftmem.restq (k BIGINT)")
+        Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey").as("k"))
+          .createOrReplaceTempView("q272_src")
+        spark.sql("INSERT INTO graftmem.restq SELECT k FROM q272_src WHERE k % 3 = 0")
+        spark.sql("INSERT INTO graftmem.restq SELECT k FROM q272_src WHERE k % 3 = 1")
+        graft.sources.MemCatalog.restoreSnapshot("graftmem", "restq", 1)
+        def vAgg(v: Int) = spark.sql(
+          s"""SELECT CAST($v AS BIGINT) AS ver, count(*) AS n_rows,
+             |       min(k) AS min_k, max(k) AS max_k, sum(k) AS k_sum
+             |FROM graftmem.restq VERSION AS OF $v""".stripMargin)
+        vAgg(2).unionByName(vAgg(3)).orderBy(col("ver"))
     }
   )
 

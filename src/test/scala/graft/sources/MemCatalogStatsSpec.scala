@@ -180,6 +180,29 @@ class MemCatalogStatsSpec extends SparkTestBase {
     assert(q2.collect().head.getLong(0) == 6L)
   }
 
+  test("RESTORE commits history forward, keeps time travel, re-seeds stats") {
+    setupCatalog()
+    createAndFill("st11")
+    MemCatalog.restoreSnapshot("graftmem", "st11", 1)
+    // current state == version 1, served from the restore's own stats
+    val cur = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM graftmem.st11")
+    assert(pushed(cur))
+    val r = cur.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 10L, 30L)))
+    // superseded version 2 still readable (restore is forward-only)
+    val v2 = spark.sql("SELECT count(*) AS n FROM graftmem.st11 VERSION AS OF 2")
+    assert(pushed(v2) && v2.collect().head.getLong(0) == 5L)
+    // and the whole arrangement survives a restart via the commit log
+    MemCatalog.simulateRestart()
+    setupCatalog()
+    val after = spark.sql(
+      "SELECT count(*) AS n, max(k) AS mx FROM graftmem.st11")
+    assert(pushed(after))
+    val ar = after.collect().head
+    assert((ar.getLong(0), ar.getLong(1)) == ((3L, 30L)))
+  }
+
   test("empty table serves count 0 and NULL min/max from metadata") {
     setupCatalog()
     spark.sql("DROP TABLE IF EXISTS graftmem.st10")
