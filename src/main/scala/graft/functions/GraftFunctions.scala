@@ -105,6 +105,12 @@ object GraftFunctions {
     QuantileSketchAgg(v, k)
   }
 
+  private[graft] def buildGramSums(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"gram_sums(qv, d) takes 2 arguments, got ${exprs.length}")
+    GramAgg(exprs.head, Cast(exprs(1), IntegerType))
+  }
+
   private[graft] def buildVecDot(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"vec_dot(a, b) takes 2 arguments, got ${exprs.length}")
     VecDotProduct(exprs.head, exprs(1))
@@ -144,6 +150,7 @@ object GraftFunctions {
     reg("heavy_hitters")(buildHeavyHitters)
     reg("count_min")(buildCountMin)
     reg("quantile_sketch")(buildQuantileSketch)
+    reg("gram_sums")(buildGramSums)
     reg("vec_dot")(buildVecDot)
     reg("simhash60")(buildSimHash60)
     reg("bloom_agg")(buildBloomAgg)
@@ -212,6 +219,12 @@ object GraftFunctions {
     * [[QuantileSketchAgg]]). */
   def quantile_sketch(value: Column, subBucketBits: Int): Column =
     call_function("quantile_sketch", value, lit(subBucketBits))
+
+  /** Exact integer scatter summary of a quantized vector corpus:
+    * [n, S_1..S_d, upper-triangle Gram sums] in one aggregate pass —
+    * the single-exchange input of the PCA/whitening gates. */
+  def gram_sums(qv: Column, d: Int): Column =
+    call_function("gram_sums", qv, lit(d))
 
   /** Codegen'd 60-bit SimHash of a STRING column (the scan-speed form
     * of TextSketches.simhash). */

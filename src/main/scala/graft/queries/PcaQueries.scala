@@ -152,40 +152,32 @@ object PcaQueries {
     * `sarr`, row count `nn`. The only corpus-wide stage of every PCA
     * gate — everything downstream operates on this single row. */
   private[queries] def covFrame(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("embedding").cast("array<double>").as("v"))
     val qz = e.select(
       expr("transform(v, x -> CAST(floor(x*100.0 + 0.5) AS BIGINT))").as("qv"))
-    val cells = qz.select(explode(expr(
-        s"""flatten(transform(sequence(1, $Dim), i ->
-           |  transform(sequence(i, $Dim), j ->
-           |    named_struct('i', i, 'j', j,
-           |                 'p', element_at(qv, i) * element_at(qv, j)))))"""
-          .stripMargin)).as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
-      .groupBy("i", "j").agg(sum("p").as("g"))
-    val sums = qz.select(posexplode(col("qv")).as(Seq("pos", "x")))
-      .select((col("pos") + 1).as("i"), col("x"))
-      .groupBy("i").agg(sum("x").as("si"), count(lit(1)).as("n"))
-    val gfull = cells.unionByName(cells.where(col("i") =!= col("j"))
-      .select(col("j").as("i"), col("i").as("j"), col("g")))
-    val cmat = gfull
-      .join(broadcast(sums.select(col("i"), col("si"), col("n"))), "i")
-      .join(broadcast(sums.select(col("i").as("j"), col("si").as("sj"))), "j")
-      .select(col("i"), col("j"),
-        (col("n") * col("g") - col("si") * col("sj")).cast("double").as("cij"))
-    val matRows = cmat.groupBy("i")
-      .agg(array_sort(collect_list(struct(col("j"), col("cij")))).as("l"))
-      .select(col("i"), expr("transform(l, s -> s.cij)").as("r"))
-    val svec = sums
-      .agg(array_sort(collect_list(struct(col("i"), col("si")))).as("ls"),
-        max(col("n")).as("nn"))
-      .select(expr("transform(ls, s -> s.si)").as("sarr"), col("nn"))
-    matRows
-      .agg(array_sort(collect_list(struct(col("i"), col("r")))).as("lm"))
-      .select(expr("transform(lm, s -> s.r)").as("m"))
-      .crossJoin(svec)
+    // ONE aggregate pass: gram_sums packs [n, S, upper-tri G] into a
+    // single exact-integer array (tight primitive loop per row, element-
+    // wise-merged partials — no per-row cell explosion, the exchange is
+    // one array per map partition). The covariance matrix then unpacks
+    // on the 1-row frame: flat index of G(i,j), i<=j, is
+    // 1 + d + (i-1)(d+1) - i(i-1)/2 + (j-i+1).
+    val gi = s"""1 + $Dim + (least(i, j) - 1) * ${Dim + 1}
+                | - ((least(i, j) - 1) * least(i, j)) DIV 2
+                | + (greatest(i, j) - least(i, j) + 1)""".stripMargin
+      .replace("\n", "")
+    qz.agg(graft.functions.GraftFunctions.gram_sums(col("qv"), Dim).as("gs"))
+      .select(
+        expr(
+          s"""transform(sequence(1, $Dim), i -> transform(sequence(1, $Dim), j ->
+             |  CAST(element_at(gs, 1) * element_at(gs, CAST($gi AS INT))
+             |       - element_at(gs, CAST(i + 1 AS INT))
+             |         * element_at(gs, CAST(j + 1 AS INT)) AS DOUBLE)))"""
+            .stripMargin).as("m"),
+        expr(s"slice(gs, 2, $Dim)").as("sarr"),
+        expr("element_at(gs, 1)").as("nn"))
       .withColumn("tr", expr(
         s"""aggregate(transform(sequence(1, $Dim), i ->
            |  element_at(element_at(m, i), i)), 0D, (a, y) -> a + y)"""
