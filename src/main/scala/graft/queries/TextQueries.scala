@@ -1917,6 +1917,74 @@ object TextQueries {
       top.unionByName(summary)
         .orderBy((col("bucket") === -1).cast("int"),
           abs(col("contrib")).desc, col("bucket"))
+    },
+
+    // JENSEN-SHANNON DIVERGENCE between two corpus slices' unigram
+    // token distributions (even vs odd doc_id) — the symmetric,
+    // bounded drift statistic beside q247's PSI (which reads sketch
+    // grids; this reads the full dynamic term set). Dynamic keys break
+    // fixed-order double summation, so the gate uses the repo's
+    // micro-unit discipline: each TERM's contribution
+    // 0.5·(p·ln(p/m) + q·ln(q/m)) is computed in double from exact
+    // integer (count, total) pairs — deterministic per term, ln parity
+    // per the q247/q258 precedent — then quantized to integer
+    // PICONATS and summed order-free. One exchange on the token, the
+    // totals broadcast as a 1-row frame; output is all-BIGINT, full
+    // hash compare. At 100 TB this is the same plan: token-keyed
+    // map-side-combined agg, O(vocab) downstream.
+    QueryDef("q273_js_divergence",
+      """WITH toks AS (
+        |  SELECT doc_id % 2 AS side, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT tok,
+        |         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM toks GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |         CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS terms_a,
+        |         CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS terms_b,
+        |         CAST(count(*) AS BIGINT) AS terms_union
+        |  FROM cnt),
+        |contrib AS (
+        |  SELECT CAST(floor(
+        |           (CASE WHEN ca > 0 THEN
+        |              0.5 * (CAST(ca AS DOUBLE)/na)
+        |                  * ln((CAST(ca AS DOUBLE)/na)
+        |                       / (0.5*(CAST(ca AS DOUBLE)/na + CAST(cb AS DOUBLE)/nb)))
+        |            ELSE 0.0 END
+        |            + CASE WHEN cb > 0 THEN
+        |              0.5 * (CAST(cb AS DOUBLE)/nb)
+        |                  * ln((CAST(cb AS DOUBLE)/nb)
+        |                       / (0.5*(CAST(ca AS DOUBLE)/na + CAST(cb AS DOUBLE)/nb)))
+        |            ELSE 0.0 END) * 1000000000000.0 + 0.5) AS BIGINT) AS pico
+        |  FROM cnt, tot)
+        |SELECT na, nb, terms_a, terms_b, terms_union,
+        |       (SELECT CAST(sum(pico) AS BIGINT) FROM contrib) AS js_pico
+        |FROM tot""".stripMargin) { (spark, dir) =>
+      val toks = Tables.load(spark, dir, "documents")
+        .select((col("doc_id") % 2).as("side"),
+          explode(split(col("text"), " ")).as("tok"))
+      val cnt = toks.groupBy("tok")
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+      val tot = cnt.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).as("terms_a"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("terms_b"),
+        count(lit(1)).as("terms_union"))
+      val pa = col("ca").cast("double") / col("na")
+      val pb = col("cb").cast("double") / col("nb")
+      val mm = lit(0.5) * (pa + pb)
+      val term = when(col("ca") > 0, lit(0.5) * pa * log(pa / mm)).otherwise(0d) +
+        when(col("cb") > 0, lit(0.5) * pb * log(pb / mm)).otherwise(0d)
+      val js = cnt.crossJoin(broadcast(tot.select(col("na"), col("nb"))))
+        .select(floor(term * lit(1000000000000.0) + lit(0.5)).cast("long")
+          .as("pico"))
+        .agg(sum(col("pico")).cast("long").as("js_pico"))
+      tot.crossJoin(broadcast(js))
+        .select(col("na"), col("nb"), col("terms_a"), col("terms_b"),
+          col("terms_union"), col("js_pico"))
     }
   )
 

@@ -30,6 +30,37 @@ class AuditOpsSpec extends SparkTestBase {
     assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
   }
 
+  test("q273 JS divergence == naive replay; bounded by ln 2; zero on identical slices") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ca = collection.mutable.Map.empty[String, Long]
+    val cb = collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (id, t) =>
+      val m = if (id % 2 == 0) ca else cb
+      t.split(" ", -1).foreach(tok => m(tok) = m.getOrElse(tok, 0L) + 1)
+    }
+    val na = ca.values.sum.toDouble
+    val nb = cb.values.sum.toDouble
+    val terms = (ca.keySet ++ cb.keySet).toSeq
+    val jsExpect = terms.map { t =>
+      val p = ca.getOrElse(t, 0L) / na
+      val q = cb.getOrElse(t, 0L) / nb
+      val m = 0.5 * (p + q)
+      val x = (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+        (if (q > 0) 0.5 * q * math.log(q / m) else 0.0)
+      math.floor(x * 1e12 + 0.5).toLong
+    }.sum
+    val r = SparkEntry.queries("q273_js_divergence")(spark, sf0001)
+      .collect().head
+    assert(r.getAs[Long]("na") == na.toLong && r.getAs[Long]("nb") == nb.toLong)
+    assert(r.getAs[Long]("terms_union") == terms.length.toLong)
+    val js = r.getAs[Long]("js_pico")
+    assert(js == jsExpect, s"js_pico: got $js want $jsExpect")
+    // bounds: 0 <= JS <= ln 2 (in piconats)
+    assert(js >= 0L && js <= math.ceil(math.log(2) * 1e12).toLong)
+  }
+
   test("q270 k-anonymity summary row matches a direct recompute") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .selectExpr("lang", "source", "n_chars - (n_chars % 100) AS b")
