@@ -152,23 +152,36 @@ object PcaQueries {
     * `sarr`, row count `nn`. The only corpus-wide stage of every PCA
     * gate — everything downstream operates on this single row. */
   private[queries] def covFrame(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val e = Tables.load(spark, dir, "embeddings")
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("embedding").cast("array<double>").as("v"))
-    val qz = e.select(
-      expr("transform(v, x -> CAST(floor(x*100.0 + 0.5) AS BIGINT))").as("qv"))
+    val qz = quantized(spark, dir)
     // ONE aggregate pass: gram_sums packs [n, S, upper-tri G] into a
     // single exact-integer array (tight primitive loop per row, element-
     // wise-merged partials — no per-row cell explosion, the exchange is
-    // one array per map partition). The covariance matrix then unpacks
-    // on the 1-row frame: flat index of G(i,j), i<=j, is
-    // 1 + d + (i-1)(d+1) - i(i-1)/2 + (j-i+1).
+    // one array per map partition); unpackCov derives the covariance
+    // matrix on the 1-row frame (flat index of G(i,j), i<=j, is
+    // 1 + d + (i-1)(d+1) - i(i-1)/2 + (j-i+1)).
+    unpackCov(
+      qz.agg(graft.functions.GraftFunctions.gram_sums(col("qv"), Dim).as("gs")))
+  }
+
+  /** Quantized corpus: (vec_id, qv ARRAY<BIGINT>) — the shared input
+    * of every scatter pass. */
+  private[queries] def quantized(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"),
+        expr("transform(CAST(embedding AS array<double>), x -> " +
+          "CAST(floor(x*100.0 + 0.5) AS BIGINT))").as("qv"))
+  }
+
+  /** Unpack a 1-row frame carrying a `gs` gram_sums array into the
+    * (m, sarr, nn, tr) covariance frame every PCA gate consumes. */
+  private[queries] def unpackCov(gsDf: DataFrame): DataFrame = {
     val gi = s"""1 + $Dim + (least(i, j) - 1) * ${Dim + 1}
                 | - ((least(i, j) - 1) * least(i, j)) DIV 2
                 | + (greatest(i, j) - least(i, j) + 1)""".stripMargin
       .replace("\n", "")
-    qz.agg(graft.functions.GraftFunctions.gram_sums(col("qv"), Dim).as("gs"))
+    gsDf
       .select(
         expr(
           s"""transform(sequence(1, $Dim), i -> transform(sequence(1, $Dim), j ->
@@ -234,25 +247,52 @@ object PcaQueries {
        |    (s, j) -> s + element_at(element_at($mCol, i), j) * element_at($vCol, j))),
        |  0D, (a, y) -> a + y)""".stripMargin
 
+  private lazy val pc1OracleSql: String =
+    s"""WITH $covCtes,
+       |${iterCtes("m", "tr", "base", Nil, "i", "fin", "v")},
+       |ray AS (SELECT m, v, tr, ${raySql("m", "v")} AS lam FROM fin)
+       |SELECT dim, val FROM (
+       |  SELECT CAST(i AS BIGINT) AS dim, v[i] AS val
+       |  FROM ray, generate_series(1, $Dim) t(i)
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT) AS dim, lam / tr AS val FROM ray) u
+       |ORDER BY dim""".stripMargin
+
+  /** PC1 loadings + the dim = -1 explained-variance summary row from a
+    * covariance frame — the shared tail of q264 and q276. */
+  private def pc1Out(cov: DataFrame): DataFrame = {
+    val fin = withEigvec(cov, "m", "tr", "v")
+      .withColumn("lam", expr(rayExpr("m", "v")))
+    val load = fin.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x").as("val"))
+    val summary = fin.select(lit(-1L).as("dim"),
+      (col("lam") / col("tr")).as("val"))
+    load.unionByName(summary).orderBy("dim")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
-    QueryDef("q264_pca_power",
-      s"""WITH $covCtes,
-         |${iterCtes("m", "tr", "base", Nil, "i", "fin", "v")},
-         |ray AS (SELECT m, v, tr, ${raySql("m", "v")} AS lam FROM fin)
-         |SELECT dim, val FROM (
-         |  SELECT CAST(i AS BIGINT) AS dim, v[i] AS val
-         |  FROM ray, generate_series(1, $Dim) t(i)
-         |  UNION ALL
-         |  SELECT CAST(-1 AS BIGINT) AS dim, lam / tr AS val FROM ray) u
-         |ORDER BY dim""".stripMargin) { (spark, dir) =>
-      val fin = withEigvec(covFrame(spark, dir), "m", "tr", "v")
-        .withColumn("lam", expr(rayExpr("m", "v")))
-      val load = fin.select(posexplode(col("v")).as(Seq("pos", "x")))
-        .select((col("pos") + 1).cast("long").as("dim"), col("x").as("val"))
-      val summary = fin.select(lit(-1L).as("dim"),
-        (col("lam") / col("tr")).as("val"))
-      load.unionByName(summary).orderBy("dim")
+    QueryDef("q264_pca_power", pc1OracleSql) { (spark, dir) =>
+      pc1Out(covFrame(spark, dir))
+    },
+
+    // INCREMENTAL PCA MAINTENANCE: the gram_sums summary is exactly
+    // partial-aggregation-shaped, so a maintained scatter artifact
+    // folds a delta batch by ELEMENT-WISE ADDITION — this gate splits
+    // the corpus into a "base" (even vec_id) and a "delta" (odd),
+    // aggregates each separately, zip_with-merges the two integer
+    // arrays, and runs the identical downstream. The oracle is q264's
+    // whole-corpus text verbatim: incremental == batch to the BYTE, or
+    // the hash fails — the same maintenance contract as the q245/q260
+    // materialized-view algebra, applied to the decomposition family.
+    QueryDef("q276_pca_incremental", pc1OracleSql) { (spark, dir) =>
+      val qz = quantized(spark, dir)
+      val gsum = graft.functions.GraftFunctions.gram_sums(col("qv"), Dim)
+      val base = qz.where(col("vec_id") % 2 === 0).agg(gsum.as("gsa"))
+      val delta = qz.where(col("vec_id") % 2 =!= 0).agg(gsum.as("gsb"))
+      val merged = base.crossJoin(delta)
+        .select(expr("zip_with(gsa, gsb, (a, b) -> a + b)").as("gs"))
+      pc1Out(unpackCov(merged))
     },
 
     // TWO-COMPONENT PCA WHITENING: PC1 by power iteration, λ₁ by

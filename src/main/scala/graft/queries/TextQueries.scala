@@ -1985,6 +1985,46 @@ object TextQueries {
       tot.crossJoin(broadcast(js))
         .select(col("na"), col("nb"), col("terms_a"), col("terms_b"),
           col("terms_union"), col("js_pico"))
+    },
+
+    // VOCABULARY COVERAGE / OOV AUDIT per source: the top-64 corpus
+    // tokens (count DESC, token — deterministic tie-break) stand in
+    // for a trained vocabulary; per source the gate reports token
+    // volume, out-of-vocabulary token count, and the OOV rate in
+    // integer basis points — the coverage table a tokenizer rollout
+    // reads before retraining. Plan shape: one map-side-combined token
+    // count, a bounded top-k (TakeOrderedAndProject), and a BROADCAST
+    // left join of the token stream against the 64-row vocab — the
+    // corpus is never shuffled twice.
+    QueryDef("q274_oov_audit",
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        |    ORDER BY c DESC, tok LIMIT 64) t),
+        |agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM toks LEFT JOIN vocab v USING (tok)
+        |  GROUP BY source)
+        |SELECT source, n_tokens, n_oov,
+        |       (10000 * n_oov) // n_tokens AS oov_bp
+        |FROM agg ORDER BY source""".stripMargin) { (spark, dir) =>
+      val toks = Tables.load(spark, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = broadcast(toks.groupBy("tok")
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(64)
+        .select(col("tok"), lit(1).as("inv")))
+      toks.join(vocab, Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          expr("(10000 * n_oov) DIV n_tokens").as("oov_bp"))
+        .orderBy("source")
     }
   )
 

@@ -61,6 +61,25 @@ class AuditOpsSpec extends SparkTestBase {
     assert(js >= 0L && js <= math.ceil(math.log(2) * 1e12).toLong)
   }
 
+  test("q274 OOV audit: vocab top-k is a bounded heap, vocab join broadcasts") {
+    val df = SparkEntry.queries("q274_oov_audit")(spark, sf0001)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"), "vocab top-64 bounded heap")
+    assert(phys.contains("BroadcastHashJoin"), "vocab join broadcast")
+    // counts recompute: per source, n_oov + in-vocab = n_tokens
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3)))
+    rows.foreach { case (_, n, oov, bp) =>
+      assert(oov >= 0 && oov <= n)
+      assert(bp == 10000 * oov / n)
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val allToks = docs.flatMap { case (src, t) => t.split(" ", -1).map(src -> _) }
+    assert(rows.map(_._2).sum == allToks.length.toLong, "total token volume")
+  }
+
   test("q270 k-anonymity summary row matches a direct recompute") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .selectExpr("lang", "source", "n_chars - (n_chars % 100) AS b")

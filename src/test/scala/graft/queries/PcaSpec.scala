@@ -169,6 +169,25 @@ class PcaSpec extends SparkTestBase {
     assert(lam1 >= lam2 && lam2 > 0)
   }
 
+  test("q276: element-wise merged slice grams == the whole-corpus gram, cell for cell") {
+    import org.apache.spark.sql.functions._
+    val qz = PcaQueries.quantized(spark, sf0001)
+    val g = graft.functions.GraftFunctions.gram_sums(col("qv"), 64)
+    val whole = qz.agg(g.as("gs")).collect().head.getSeq[Long](0)
+    val a = qz.where(col("vec_id") % 2 === 0).agg(g.as("gs"))
+      .collect().head.getSeq[Long](0)
+    val b = qz.where(col("vec_id") % 2 =!= 0).agg(g.as("gs"))
+      .collect().head.getSeq[Long](0)
+    assert(whole.length == 1 + 64 + 64 * 65 / 2)
+    assert(a.zip(b).map { case (x, y) => x + y } == whole)
+    // and the gate's output equals q264's row for row
+    val g264 = SparkEntry.queries("q264_pca_power")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val g276 = SparkEntry.queries("q276_pca_incremental")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(g264.toSeq == g276.toSeq)
+  }
+
   test("plan: the corpus-wide stage is one scan + a partial-agg exchange of O(d^2) cells") {
     // inspect the BUILD lineage (the gates checkpoint it, so their own
     // executed plans read an RDD scan — the FrameMemo convention)
