@@ -1326,6 +1326,62 @@ object CoreQueries {
         |         CAST(0 AS BIGINT) AS n_rows
         |  FROM t) u
         |ORDER BY key""".stripMargin,
-      Seq("lineitem"))
+      Seq("lineitem")),
+
+    // EXACT TRIMMED (WINSORIZED-STYLE) MEAN per group, dropping
+    // n DIV 20 rows from each end — outlier-robust central tendency in
+    // exact integer micro-units. The ranking rides on the DISTINCT
+    // CENT VALUE grain (one cumulative window over per-(flag, value)
+    // counts — bounded by the value domain, NOT the corpus: the
+    // q237-advice pattern made load-bearing): each distinct value
+    // contributes overlap(cumulative-rank-interval, [lo, hi]) copies
+    // to the trimmed sum, so ties need no row-level rank at all.
+    QueryDef("q275_trimmed_mean",
+      """WITH c AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |n AS (SELECT flag, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY flag),
+        |w AS (
+        |  SELECT c.flag, v, c.c,
+        |         CAST(sum(c.c) OVER (PARTITION BY c.flag ORDER BY v) AS BIGINT) AS cum,
+        |         n.n AS n
+        |  FROM c JOIN n ON n.flag = c.flag),
+        |trim AS (
+        |  SELECT flag, n, n // 20 + 1 AS lo, n - n // 20 AS hi,
+        |         v, c, cum FROM w),
+        |keep AS (
+        |  SELECT flag, n, lo, hi, v,
+        |         least(cum, hi) - greatest(cum - c + 1, lo) + 1 AS k
+        |  FROM trim WHERE least(cum, hi) >= greatest(cum - c + 1, lo))
+        |SELECT flag, CAST(any_value(hi - lo + 1) AS BIGINT) AS n_kept,
+        |       CAST(sum(k * v) AS BIGINT) AS kept_cents,
+        |       CAST((1000000 * sum(k * v)) // sum(k) AS BIGINT) AS mean_micro
+        |FROM keep GROUP BY flag ORDER BY flag""".stripMargin) { (spark, dir) =>
+      val c = Tables.load(spark, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+        .groupBy("flag", "v").agg(count(lit(1)).as("c"))
+      val n = c.groupBy("flag").agg(sum(col("c")).as("n"))
+      val wspec = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("flag")).orderBy(col("v"))
+      val w = c.join(n, "flag")
+        .withColumn("cum", sum(col("c")).over(wspec))
+        .withColumn("lo", expr("n DIV 20 + 1"))
+        .withColumn("hi", expr("n - n DIV 20"))
+      val keep = w
+        .withColumn("k",
+          least(col("cum"), col("hi")) -
+            greatest(col("cum") - col("c") + 1, col("lo")) + 1)
+        .where(least(col("cum"), col("hi")) >=
+          greatest(col("cum") - col("c") + 1, col("lo")))
+      keep.groupBy("flag")
+        .agg(first(col("hi") - col("lo") + 1).as("n_kept"),
+          sum(col("k") * col("v")).cast("long").as("kept_cents"),
+          expr("CAST((1000000 * sum(k * v)) DIV sum(k) AS BIGINT)")
+            .as("mean_micro"))
+        .orderBy("flag")
+    }
   )
 }

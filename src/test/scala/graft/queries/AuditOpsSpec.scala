@@ -80,6 +80,28 @@ class AuditOpsSpec extends SparkTestBase {
     assert(rows.map(_._2).sum == allToks.length.toLong, "total token volume")
   }
 
+  test("q275 trimmed mean == naive sort-and-slice replay") {
+    val rows = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_returnflag AS f",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = rows.groupBy(_._1).map { case (f, rs) =>
+      val vs = rs.map(_._2).sorted
+      val n = vs.length
+      val cut = n / 20
+      val kept = vs.slice(cut, n - cut)
+      f -> (kept.length.toLong, kept.sum,
+        1000000L * kept.sum / kept.length)
+    }
+    val got = SparkEntry.queries("q275_trimmed_mean")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.length == expect.size)
+    got.foreach { case (f, nk, cents, micro) =>
+      assert((nk, cents, micro) == expect(f), s"flag $f")
+    }
+  }
+
   test("q270 k-anonymity summary row matches a direct recompute") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .selectExpr("lang", "source", "n_chars - (n_chars % 100) AS b")
