@@ -1112,6 +1112,50 @@ object EventQueries {
               |  (acc, x) -> CAST(0.3 AS DOUBLE)*x + CAST(0.7 AS DOUBLE)*acc)"""
               .stripMargin).as("ewma_cents"))
         .orderBy("user_id")
+    },
+
+    // TEMPORAL TRAIN/TEST SPLIT WITH EMBARGO — the time-series
+    // leakage-proof split (train strictly before a cutoff, a 1-hour
+    // embargo gap DROPPED, test strictly after): the split a pipeline
+    // uses when the label horizon would otherwise leak future
+    // information across the boundary. Cutoff = the 80% point of the
+    // event-time RANGE in exact integer micros (deterministic — no
+    // quantile estimation), so every boundary comparison is integer.
+    // The output pins the structural guarantee the operator exists
+    // for: max(train.t) < cutoff <= cutoff+gap <= min(test.t). Scale
+    // shape: one bounds agg (broadcast 1-row) + one map-only filter
+    // pass; the split of a 100 TB event log never shuffles it.
+    QueryDef("q277_temporal_split",
+      s"""WITH e AS (SELECT epoch_us(ts) AS t, user_id FROM events),
+         |b AS (SELECT min(t) AS lo, max(t) AS hi FROM e),
+         |marks AS (SELECT lo + ((hi - lo) * 8) // 10 AS cutoff,
+         |                 lo + ((hi - lo) * 8) // 10 + 3600000000 AS teststart
+         |          FROM b),
+         |tagged AS (
+         |  SELECT CASE WHEN t < cutoff THEN 'a_train'
+         |              WHEN t < teststart THEN 'b_embargo'
+         |              ELSE 'c_test' END AS split,
+         |         t, user_id
+         |  FROM e, marks)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |       CAST(min(t) AS BIGINT) AS min_t, CAST(max(t) AS BIGINT) AS max_t
+         |FROM tagged GROUP BY split ORDER BY split""".stripMargin) {
+      (spark, dir) =>
+        val ev = Tables.load(spark, dir, "events")
+        val e = ev.select(Tables.tsMicros(ev).as("t"), col("user_id"))
+        val marks = broadcast(e.agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+          .select(expr("lo + ((hi - lo) * 8) DIV 10").as("cutoff"))
+          .withColumn("teststart", col("cutoff") + lit(3600000000L)))
+        e.crossJoin(marks)
+          .select(when(col("t") < col("cutoff"), "a_train")
+            .when(col("t") < col("teststart"), "b_embargo")
+            .otherwise("c_test").as("split"), col("t"), col("user_id"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(col("t")).as("min_t"), max(col("t")).as("max_t"))
+          .orderBy("split")
     }
   )
 }

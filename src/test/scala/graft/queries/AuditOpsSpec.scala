@@ -102,6 +102,31 @@ class AuditOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q277 temporal split: embargo separation is structural; counts replay") {
+    val rows = SparkEntry.queries("q277_temporal_split")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val bySplit = rows.map(r => r._1 -> r).toMap
+    val train = bySplit("a_train")
+    val test = bySplit("c_test")
+    // the guarantee the operator exists for: >= 1h between the last
+    // train event and the first test event
+    assert(test._4 - train._5 >= 3600000000L,
+      s"embargo gap violated: ${test._4 - train._5}")
+    bySplit.get("b_embargo").foreach { e =>
+      assert(e._4 > train._5 && e._5 < test._4)
+    }
+    // replay the volumes
+    val ts = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .selectExpr("CAST(ts AS TIMESTAMP) AS ts").collect()
+      .map(r => r.getTimestamp(0).getTime * 1000 +
+        (r.getTimestamp(0).getNanos / 1000) % 1000)
+    val cutoff = ts.min + (ts.max - ts.min) * 8 / 10
+    assert(train._2 == ts.count(_ < cutoff).toLong)
+    assert(test._2 == ts.count(_ >= cutoff + 3600000000L).toLong)
+    assert(rows.map(_._2).sum == ts.length.toLong)
+  }
+
   test("q270 k-anonymity summary row matches a direct recompute") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .selectExpr("lang", "source", "n_chars - (n_chars % 100) AS b")
