@@ -105,5 +105,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-plan rewrite (off unless spark.graft.mvRewrite.enabled):
     // registered materialized views serve subset-grouping aggregates
     ext.injectOptimizerRule(graft.plans.MvRewriteRule)
+    // whole-plan rewrite (off unless spark.graft.joinElim.enabled):
+    // RELY PK/FK constraints drop provably-redundant dimension joins
+    ext.injectOptimizerRule(graft.plans.JoinElimRule)
   }
 }

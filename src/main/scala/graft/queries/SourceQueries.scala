@@ -805,8 +805,51 @@ object SourceQueries {
              |       min(k) AS min_k, max(k) AS max_k, sum(k) AS k_sum
              |FROM graftmem.restq VERSION AS OF $v""".stripMargin)
         vAgg(2).unionByName(vAgg(3)).orderBy(col("ver"))
+    },
+
+    // PK/FK JOIN ELIMINATION must be RESULT-INVISIBLE: one ANSI text
+    // runs in both engines — DuckDB executes both dimension joins for
+    // real while the Spark session (RELY constraints declared,
+    // [[graft.plans.JoinElimRule]] scoped on) drops them from the
+    // plan: the LEFT JOIN via the customer PK alone (match count ≤ 1
+    // ⇒ no row multiplication, left rows always survive), the INNER
+    // JOIN via the declared orders.o_custkey → customer.c_custkey
+    // RELY FK (RI + non-null ⇒ exactly one match per fact row). Any
+    // unsoundness in the elimination conditions diverges the hash.
+    // JoinElimSpec pins the plan shapes (join gone here; kept when a
+    // dim column is consumed / constraints are missing).
+    QueryDef("q278_join_elimination", JoinElimSql) { (spark, dir) =>
+      import graft.plans.JoinElimRule
+      Seq("orders", "customer").foreach(t =>
+        Tables.load(spark, dir, t).createOrReplaceTempView(t))
+      JoinElimRule.declarePk(s"$dir/customer.parquet", "c_custkey")
+      JoinElimRule.declareFk(s"$dir/orders.parquet", "o_custkey",
+        s"$dir/customer.parquet", "c_custkey")
+      JoinElimRule.scoped(spark) {
+        val df = spark.sql(JoinElimSql)
+        // materialize the plan inside the scope (the scoped contract)
+        df.queryExecution.executedPlan
+        df
+      }
     }
   )
+
+  /** q278: identical text in both engines — the join-elimination
+    * invisibility statement. */
+  private lazy val JoinElimSql: String =
+    """SELECT mode, o_orderpriority, n_orders, cents FROM (
+      |  SELECT 'left' AS mode, o_orderpriority,
+      |         CAST(count(*) AS BIGINT) AS n_orders,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY o_orderpriority
+      |  UNION ALL
+      |  SELECT 'inner' AS mode, o_orderpriority,
+      |         CAST(count(*) AS BIGINT) AS n_orders,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY o_orderpriority
+      |) t ORDER BY mode, o_orderpriority""".stripMargin
 
   /** One-time-per-(session, dir) staging for q139: documents with a
     * derived `url` column, range-clustered by doc_id into 16 files —
