@@ -749,6 +749,69 @@ object CurationQueries {
         .orderBy(col("threshold"))
     },
 
+    // BRIER-SCORE CALIBRATION audit of the q261 classifier: scores map
+    // to a predicted probability in basis points (clamped affine — no
+    // negative-operand DIV, so Spark's truncating DIV and DuckDB's //
+    // agree), docs bucket into 10 probability bins, and each bin
+    // reports predicted-vs-observed rate plus its conditional Brier
+    // term; the bin=-1 summary row (sorted first, the ADVICE r10
+    // union-order convention) carries the corpus Brier score. All
+    // integer: (p−y)² in bp² is exact, so reliability gaps are
+    // hash-stable. Scale shape: one map-only scoring pass into a
+    // 10-cell groupBy — the same mergeable-partials form every sketch
+    // gate ships.
+    QueryDef("q279_brier_calibration",
+      """WITH s AS (
+        |  SELECT doc_id, n_chars >= 300 AS pos,
+        |         list_aggregate(list_transform(string_split(text, ' '),
+        |           t -> ('0x' || substr(md5('w:' || t), 1, 7))::BIGINT % 10000 - 5000),
+        |           'sum')::BIGINT AS score
+        |  FROM documents),
+        |p AS (SELECT pos,
+        |             greatest(0, least(159999, score + 80000)) // 16 AS p_bp FROM s),
+        |b AS (SELECT p_bp // 1000 AS bin, pos, p_bp,
+        |             p_bp - CASE WHEN pos THEN 10000 ELSE 0 END AS err FROM p),
+        |g AS (SELECT bin, count(*)::BIGINT AS n,
+        |             sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |             sum(p_bp)::BIGINT AS sp, sum(err*err)::BIGINT AS sq
+        |      FROM b GROUP BY bin),
+        |tot AS (SELECT CAST(-1 AS BIGINT) AS bin, sum(n)::BIGINT AS n,
+        |               sum(n_pos)::BIGINT AS n_pos, sum(sp)::BIGINT AS sp,
+        |               sum(sq)::BIGINT AS sq FROM g)
+        |SELECT bin, n, n_pos, (sp // n)::BIGINT AS p_mean_bp,
+        |       ((10000*n_pos) // n)::BIGINT AS obs_bp,
+        |       (sp // n - (10000*n_pos) // n)::BIGINT AS gap_bp,
+        |       (sq // n)::BIGINT AS brier_e4
+        |FROM (SELECT * FROM g UNION ALL SELECT * FROM tot) u
+        |ORDER BY bin""".stripMargin) { (spark, dir) =>
+      val weight = (t: Column) =>
+        conv(substring(md5(concat(lit("w:"), t)), 1, 7), 16, 10)
+          .cast("long") % 10000 - 5000
+      val s = Tables.load(spark, dir, "documents")
+        .select((col("n_chars") >= 300).as("pos"),
+          aggregate(transform(split(col("text"), " "), weight),
+            lit(0L), (a, x) => a + x).as("score"))
+      val b = s
+        .select(col("pos"),
+          expr("greatest(0L, least(159999L, score + 80000L)) DIV 16").as("p_bp"))
+        .select(expr("p_bp DIV 1000").as("bin"), col("pos"), col("p_bp"),
+          expr("p_bp - IF(pos, 10000L, 0L)").as("err"))
+      val g = b.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(col("p_bp")).as("sp"), sum(col("err") * col("err")).as("sq"))
+      val tot = g.agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+          sum(col("sp")).as("sp"), sum(col("sq")).as("sq"))
+        .select(lit(-1L).as("bin"), col("n"), col("n_pos"), col("sp"), col("sq"))
+      g.unionByName(tot)
+        .select(col("bin"), col("n"), col("n_pos"),
+          expr("sp DIV n").as("p_mean_bp"),
+          expr("(10000L * n_pos) DIV n").as("obs_bp"),
+          expr("sp DIV n - (10000L * n_pos) DIV n").as("gap_bp"),
+          expr("sq DIV n").as("brier_e4"))
+        .orderBy(col("bin"))
+    },
+
     // Exact-QUOTA stratified sampling: exactly k rows per stratum (the
     // eval-set / few-shot-pool builder), chosen by md5-hash rank so
     // the pick is reprocessing-stable and needs NO per-stratum counts

@@ -412,6 +412,62 @@ object RerankQueries {
             expr(s"(10000 * n_hits) DIV ${NumQueries * TopK}")
               .as("recall_bp"))
       }.reduce(_ unionByName _).orderBy(col("dim_budget"))
+    },
+
+    // LATE-INTERACTION (ColBERT MaxSim) scoring: each 64-dim vector is
+    // treated as 4 token vectors of 16 dims and score(q, d) =
+    // Σ_{query token} max_{doc token} ⟨qt, dt⟩ — the multi-vector
+    // retrieval model where a document matches if EVERY query aspect
+    // finds its best-matching doc aspect. Coordinates quantize to
+    // exact integers (floor(x·2^14), the SQ8-family convention) so
+    // all 16 dots per pair are order-free BIGINTs. Scale shape: the
+    // 5-query token set rides along broadcast and the whole 4×4
+    // dot/max/sum block is ONE per-(doc, query) row expression — the
+    // corpus is scanned once, zero pre-rank shuffle, and only the
+    // per-query top-5 crosses the exchange.
+    QueryDef("q280_maxsim_rerank", {
+      val NT = 4; val TD = 16
+      s"""WITH e AS (SELECT vec_id,
+         |             [CAST(floor(x * 16384) AS BIGINT) for x in embedding::DOUBLE[]] AS v
+         |           FROM embeddings),
+         |tok AS (SELECT vec_id, t, list_slice(v, t*$TD + 1, t*$TD + $TD) AS tv
+         |        FROM e CROSS JOIN generate_series(0, ${NT - 1}) g(t)),
+         |qt AS (SELECT vec_id AS qid, t AS qtk, tv AS qtv FROM tok WHERE vec_id < $NumQueries),
+         |dots AS (
+         |  SELECT qid, tok.vec_id AS nid, qtk,
+         |         max(list_aggregate([qtv[i]*tv[i] for i in generate_series(1, $TD)], 'sum')) AS best
+         |  FROM qt, tok GROUP BY qid, tok.vec_id, qtk),
+         |sc AS (SELECT qid, nid, sum(best)::BIGINT AS maxsim FROM dots GROUP BY qid, nid)
+         |SELECT qid, nid, maxsim, rank FROM (
+         |  SELECT qid, nid, maxsim,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY maxsim DESC, nid) AS BIGINT) AS rank
+         |  FROM sc) t
+         |WHERE rank <= $MmrK ORDER BY qid, rank""".stripMargin
+    }) { (spark, dir) =>
+      val NT = 4; val TD = 16
+      val qvec = transform(col("embedding").cast("array<double>"),
+        x => floor(x * 16384))
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), qvec.as("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val q = broadcast(Tables.load(spark, dir, "embeddings")
+        .where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), qvec.as("qv")))
+      val dotQ = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val score = aggregate(
+        transform(sequence(lit(0), lit(NT - 1)), qt =>
+          array_max(transform(sequence(lit(0), lit(NT - 1)), dt =>
+            dotQ(slice(col("qv"), qt * TD + 1, lit(TD)),
+              slice(col("v"), dt * TD + 1, lit(TD)))))),
+        lit(0L), (acc, x) => acc + x)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("maxsim").desc, col("nid"))
+      e.crossJoin(q)
+        .select(col("qid"), col("vec_id").as("nid"), score.as("maxsim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= MmrK)
+        .orderBy(col("qid"), col("rank"))
     }
   )
 }

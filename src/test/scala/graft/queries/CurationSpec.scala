@@ -358,4 +358,44 @@ class CurationSpec extends SparkTestBase {
     // fold rows must appear
     assert(rows.length >= 2)
   }
+
+  test("q279 Brier calibration == independent Scala replay on sf0.001") {
+    // replay shares no code with the gate: Java MessageDigest md5,
+    // plain integer arithmetic
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(t: String): Long = {
+      val hex = md.digest(("w:" + t).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 7)
+      java.lang.Long.parseLong(hex, 16) % 10000L - 5000L
+    }
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val per = docs.map { case (text, nChars) =>
+      val score = text.split(" ", -1).map(weight).sum
+      val pBp = math.max(0L, math.min(159999L, score + 80000L)) / 16L
+      val y = if (nChars >= 300) 10000L else 0L
+      (pBp / 1000L, y == 10000L, pBp, (pBp - y) * (pBp - y))
+    }
+    val bins = per.groupBy(_._1).map { case (bin, rs) =>
+      val n = rs.length.toLong
+      val nPos = rs.count(_._2).toLong
+      val sp = rs.map(_._3).sum
+      val sq = rs.map(_._4).sum
+      (bin, n, nPos, sp / n, 10000L * nPos / n,
+        sp / n - 10000L * nPos / n, sq / n)
+    }.toSeq
+    val n = per.length.toLong
+    val nPos = per.count(_._2).toLong
+    val sp = per.map(_._3).sum
+    val sq = per.map(_._4).sum
+    val expect = ((-1L, n, nPos, sp / n, 10000L * nPos / n,
+      sp / n - 10000L * nPos / n, sq / n) +: bins).sortBy(_._1)
+    val got = graft.SparkEntry.queries("q279_brier_calibration")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expect)
+  }
 }

@@ -204,4 +204,42 @@ class RerankSpec extends SparkTestBase {
     assert(phys.contains("TakeOrderedAndProject"),
       "top-5 keys should be a bounded heap, not a global sort")
   }
+
+  // ---- q280 MaxSim -----------------------------------------------------
+
+  test("q280 MaxSim == naive late-interaction replay; rank-1 is self") {
+    writeFixture()
+    val vs = corpus()
+    // the gate's integer quantization: floor(x * 2^14) per coordinate
+    val qvs = vs.map { case (k, v) =>
+      k -> v.map(x => math.floor(x * 16384).toLong)
+    }
+    def tokens(v: Array[Long]): Seq[Array[Long]] =
+      (0 until 4).map(t => v.slice(t * 16, t * 16 + 16))
+    def maxsim(q: Array[Long], d: Array[Long]): Long =
+      tokens(q).map { qt =>
+        tokens(d).map(dt =>
+          qt.zip(dt).map { case (x, y) => x * y }.sum).max
+      }.sum
+    val expect = (0L until NumQ).flatMap { q =>
+      qvs.keys.toSeq.map(n => (q, n, maxsim(qvs(q), qvs(n))))
+        .sortBy { case (_, n, s) => (-s, n) }.take(5).zipWithIndex
+        .map { case ((qid, nid, s), i) => (qid, nid, s, (i + 1).toLong) }
+    }
+    val got = SparkEntry.queries("q280_maxsim_rerank")(spark, Fix)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect)
+    // MaxSim is NOT norm-invariant, so self need not be rank-1 — but
+    // the winner must score at least self, and in the two-cluster
+    // geometry every top-5 hit shares the query's cluster (parity)
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val self = maxsim(qvs(qid), qvs(qid))
+      assert(rows.minBy(_._4)._3 >= self,
+        s"query $qid: rank-1 score below self-score")
+      rows.foreach { case (_, nid, _, _) =>
+        assert(nid % 2 == qid % 2, s"query $qid matched cross-cluster $nid")
+      }
+    }
+  }
 }
