@@ -1382,6 +1382,36 @@ object CoreQueries {
           expr("CAST((1000000 * sum(k * v)) DIV sum(k) AS BIGINT)")
             .as("mean_micro"))
         .orderBy("flag")
-    }
+    },
+
+    // PARETO FRONTIER (2-D skyline): the orders no other order
+    // dominates on (earlier date, higher price) — the classic
+    // multi-criteria shortlist (best-tradeoff sweep in tuning /
+    // curation). NOT the textbook O(n²) dominance anti-join: dedupe
+    // to points, reduce to the per-DATE max price (any lower price on
+    // the same date is dominated), then one running-max window over
+    // the date-grain frame keeps exactly the dates whose max price
+    // strictly exceeds every earlier date's — the bounded-grain
+    // pattern (q275/q212): the unpartitioned window sees one row per
+    // distinct date (~2.4k over the TPC-H range), never the corpus.
+    // ONE ANSI text for both engines.
+    QueryDef.sqlSurface("q281_pareto_frontier",
+      """WITH pts AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |dm AS (SELECT d, max(cents) AS mc,
+        |              CAST(sum(n_orders) AS BIGINT) AS nd
+        |       FROM pts GROUP BY d),
+        |r AS (SELECT d, mc,
+        |             max(mc) OVER (ORDER BY d
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |      FROM dm),
+        |f AS (SELECT d, mc FROM r WHERE prevmax IS NULL OR mc > prevmax)
+        |SELECT CAST(f.d AS STRING) AS frontier_date, f.mc AS cents, p.n_orders
+        |FROM f JOIN pts p ON p.d = f.d AND p.cents = f.mc
+        |ORDER BY f.d""".stripMargin,
+      Seq("orders"))
   )
 }

@@ -95,6 +95,91 @@ object DedupQueries {
         .select(col("l_returnflag"), col("n_exact"),
           (abs(col("n_appx") - col("n_exact")) * 5 <= col("n_exact")).as("ok"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // RECORD LINKAGE / entity resolution: match a "dirty" external
+    // record set back to the master table through blocking + fuzzy
+    // verify — the cross-SOURCE sibling of near-dup (one record per
+    // entity, typos included). The dirty side is derived in-query,
+    // deterministically in both engines: each customer's name gets an
+    // md5-chosen edit (delete / substitute a serial digit at position
+    // 11-18, or kept verbatim). The pipeline is the scale-canonical
+    // shape: candidates come ONLY from an equi-join on the blocking
+    // key (nation, name-prefix-10 — untouched by the edits), never a
+    // cross join; levenshtein ≤ 1 verifies inside blocks; one
+    // window picks each dirty record's best master (min distance,
+    // lowest key). The audit reports, per nation: dirty records,
+    // matched, matched-to-the-TRUE-entity, exact and fuzzy counts —
+    // n_correct < n_matched exposes real serial-collision traps.
+    QueryDef("q282_record_linkage",
+      """WITH crm AS (
+        |  SELECT c_custkey AS crm_id, c_nationkey,
+        |         CAST(('0x' || substr(md5('rl:' || CAST(c_custkey AS VARCHAR)), 1, 7)) AS BIGINT) AS h,
+        |         c_name
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT crm_id, c_nationkey,
+        |         CASE h % 3
+        |           WHEN 0 THEN substr(c_name, 1, 10 + (h // 3) % 8) || substr(c_name, 12 + (h // 3) % 8)
+        |           WHEN 1 THEN substr(c_name, 1, 10 + (h // 3) % 8) || 'x' || substr(c_name, 12 + (h // 3) % 8)
+        |           ELSE c_name END AS dname
+        |  FROM crm),
+        |cand AS (
+        |  SELECT d.crm_id, d.c_nationkey, c.c_custkey,
+        |         levenshtein(d.dname, c.c_name) AS lev
+        |  FROM dirty d JOIN customer c
+        |    ON d.c_nationkey = c.c_nationkey
+        |   AND substr(d.dname, 1, 10) = substr(c.c_name, 1, 10)),
+        |best AS (
+        |  SELECT crm_id, c_nationkey, c_custkey, lev FROM (
+        |    SELECT crm_id, c_nationkey, c_custkey, lev,
+        |           row_number() OVER (PARTITION BY crm_id ORDER BY lev, c_custkey) AS rn
+        |    FROM cand WHERE lev <= 1) t
+        |  WHERE rn = 1)
+        |SELECT CAST(d.c_nationkey AS BIGINT) AS nation,
+        |       CAST(count(*) AS BIGINT) AS n_crm,
+        |       CAST(sum(CASE WHEN b.crm_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |       CAST(sum(CASE WHEN b.c_custkey = d.crm_id THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |       CAST(sum(CASE WHEN b.lev = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |       CAST(sum(CASE WHEN b.lev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy
+        |FROM dirty d LEFT JOIN best b ON b.crm_id = d.crm_id
+        |GROUP BY d.c_nationkey ORDER BY nation""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cust = Tables.load(spark, dir, "customer")
+      val h = conv(substring(md5(concat(lit("rl:"),
+        col("c_custkey").cast("string"))), 1, 7), 16, 10).cast("long")
+      val p8 = expr("h DIV 3") % 8
+      val prefix = col("c_name").substr(lit(1), lit(10) + p8)
+      val suffix = col("c_name").substr(lit(12) + p8, lit(18))
+      val dirty = cust
+        .select(col("c_custkey").as("crm_id"), col("c_nationkey"),
+          col("c_name"), h.as("h"))
+        .select(col("crm_id"), col("c_nationkey"),
+          when(col("h") % 3 === 0, concat(prefix, suffix))
+            .when(col("h") % 3 === 1, concat(prefix, lit("x"), suffix))
+            .otherwise(col("c_name")).as("dname"))
+      val cand = dirty.as("d").join(cust.as("m"),
+        col("d.c_nationkey") === col("m.c_nationkey") &&
+          substring(col("d.dname"), 1, 10) === substring(col("m.c_name"), 1, 10))
+        .select(col("d.crm_id").as("crm_id"),
+          col("d.c_nationkey").as("c_nationkey"),
+          col("m.c_custkey").as("c_custkey"),
+          levenshtein(col("d.dname"), col("m.c_name")).as("lev"))
+      val w = Window.partitionBy(col("crm_id"))
+        .orderBy(col("lev"), col("c_custkey"))
+      val best = cand.where(col("lev") <= 1)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("crm_id"), col("c_custkey"), col("lev"))
+      dirty.join(best, Seq("crm_id"), "left")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_crm"),
+          sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("c_custkey") === col("crm_id"), 1L).otherwise(0L)).as("n_correct"),
+          sum(when(col("lev") === 0, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("lev") === 1, 1L).otherwise(0L)).as("n_fuzzy"))
+        .select(col("c_nationkey").cast("long").as("nation"), col("n_crm"),
+          col("n_matched"), col("n_correct"), col("n_exact"), col("n_fuzzy"))
+        .orderBy(col("nation"))
     }
   )
 }
