@@ -80,13 +80,24 @@ case class JoinElimRule(spark: SparkSession) extends Rule[LogicalPlan] {
           .map(c => a.copy(child = c)).getOrElse(a)
     }
 
-  /** Descend a Filter chain to a Join, accumulating the filters'
-    * references into the consumed set; rebuild the chain on success. */
+  /** Descend a Filter/Project chain to a Join, accumulating the
+    * filters' references into the consumed set; rebuild the chain on
+    * success. Attribute-only Projects NARROW to the consumed set on
+    * the way down — after an outer join eliminates, the column-pruned
+    * Project the optimizer left between two stacked dim joins still
+    * names the dead join key, and nothing re-runs ColumnPruning after
+    * the extraOptimizations batch; dropping the unconsumed attrs here
+    * lets the fixed point unwind the whole chain. */
   private def rewriteChild(p: LogicalPlan,
       consumed: AttributeSet): Option[LogicalPlan] = p match {
     case f: Filter =>
       rewriteChild(f.child, consumed ++ f.references)
         .map(c => f.copy(child = c))
+    case pr @ Project(exprs, child)
+        if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      val kept = exprs.filter(e => consumed.contains(e.toAttribute))
+      rewriteChild(child, AttributeSet(kept.map(_.toAttribute)))
+        .map(c => Project(kept, c))
     case j: Join => eliminate(j, consumed)
     case _ => None
   }

@@ -106,4 +106,21 @@ class JoinElimSpec extends SparkTestBase {
     declareAll()
     assert(joins(leftAgg) == 1, "disabled rule must leave the plan alone")
   }
+
+  test("chained dim joins unwind across fixpoint iterations") {
+    // orders ⟕ customer ⟕ nation: the customer join is pinned by the
+    // nation join's condition (c_nationkey) until the nation join
+    // goes; the fixed-point batch then unwinds both.
+    declareAll()
+    JoinElimRule.declarePk(s"$sf/nation.parquet", "n_nationkey")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val df = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"), "left")
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"), "left")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    JoinElimRule.scoped(spark) {
+      assert(joins(df) == 0, "both chained dim joins should unwind")
+    }
+  }
 }
