@@ -91,4 +91,57 @@ class AuditStreamSpec extends SparkTestBase {
     assert(gini(streamed) == gini(batch))
     assert(gini(streamed) > 0) // the fixture is genuinely unequal
   }
+
+  test("q279 streaming: calibration bin partials accumulate at ingest; Brier off the streamed bins == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // per-doc (text, n_chars) batches with tokens whose md5 weights
+    // spread the scores across bins
+    val b1 = (0 until 30).map(i => (s"tok$i alpha ${i % 7}", 200L + 20L * i))
+    val b2 = (30 until 80).map(i => (s"beta$i ${i % 5} gamma", 100L + 9L * i))
+    // the gate's own expressions: md5 token weight -> clamped p_bp ->
+    // bin -> (n, n_pos, sp, sq) partials
+    def bins(df: DataFrame): DataFrame = {
+      val weight = (t: org.apache.spark.sql.Column) =>
+        conv(substring(md5(concat(lit("w:"), t)), 1, 7), 16, 10)
+          .cast("long") % 10000 - 5000
+      df.select((col("n_chars") >= 300).as("pos"),
+          aggregate(transform(split(col("text"), " "), weight),
+            lit(0L), (a, x) => a + x).as("score"))
+        .select(col("pos"),
+          expr("greatest(0L, least(159999L, score + 80000L)) DIV 16").as("p_bp"))
+        .select(expr("p_bp DIV 1000").as("bin"), col("pos"), col("p_bp"),
+          expr("p_bp - IF(pos, 10000L, 0L)").as("err"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(col("p_bp")).as("sp"), sum(col("err") * col("err")).as("sq"))
+    }
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val q = bins(mem.toDF().toDF("text", "n_chars"))
+      .writeStream.format("memory").queryName("brier_bin_stream")
+      .outputMode("complete").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+
+    def frame(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val streamed = frame(spark.table("brier_bin_stream"))
+    val batch = frame(bins((b1 ++ b2).toDF("text", "n_chars")))
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed.size > 1, "fixture should populate multiple bins")
+
+    // the q279 output columns are pure functions of the partials
+    def brier(bins: Map[Long, (Long, Long, Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+      val (n, _, _, sq) = bins.values
+        .foldLeft((0L, 0L, 0L, 0L)) { case ((a, b, c, d), (w, x, y, z)) =>
+          (a + w, b + x, c + y, d + z)
+        }
+      bins.toSeq.sortBy(_._1).map { case (bin, (bn, bp, bsp, bsq)) =>
+        (bin, bsp / bn, 10000L * bp / bn, bsq / bn)
+      } :+ (-1L, n, n, sq / n)
+    }
+    assert(brier(streamed) == brier(batch))
+  }
 }
