@@ -812,6 +812,73 @@ object CurationQueries {
         .orderBy(col("bin"))
     },
 
+    // ISOTONIC CALIBRATION (pool-adjacent-violators) of the q279
+    // reliability curve, via the PAVA minimax identity iso(i) =
+    // max_{j≤i} min_{k≥i} mean(obs[j..k]) — which turns the
+    // inherently-sequential pooling algorithm into three θ-joins over
+    // the BOUNDED BIN GRAIN (10 rows → ≤55 segments, whatever the
+    // corpus size; the corpus is touched exactly once, in the bin
+    // aggregation). Segment means are exact-integer micro-rates with
+    // nonneg-operand DIV, so the fitted curve hashes identically in
+    // both engines, and monotonicity is structural (the minimax is
+    // non-decreasing in i). CalibrationSpec pins monotone + PAVA
+    // pool-equality against a sequential replay.
+    QueryDef("q283_isotonic_calibration",
+      """WITH s AS (
+        |  SELECT doc_id, n_chars >= 300 AS pos,
+        |         list_aggregate(list_transform(string_split(text, ' '),
+        |           t -> ('0x' || substr(md5('w:' || t), 1, 7))::BIGINT % 10000 - 5000),
+        |           'sum')::BIGINT AS score
+        |  FROM documents),
+        |p AS (SELECT pos,
+        |             greatest(0, least(159999, score + 80000)) // 16 AS p_bp FROM s),
+        |g AS (SELECT p_bp // 1000 AS bin, count(*)::BIGINT AS n,
+        |             sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos
+        |      FROM p GROUP BY 1),
+        |seg AS (SELECT j.bin AS j, k.bin AS k,
+        |               ((1000000 * sum(x.n_pos)) // sum(x.n))::BIGINT AS m
+        |        FROM g j JOIN g k ON j.bin <= k.bin
+        |        JOIN g x ON x.bin BETWEEN j.bin AND k.bin
+        |        GROUP BY j.bin, k.bin),
+        |mins AS (SELECT i.bin AS bin, s2.j AS j, min(s2.m) AS mn
+        |         FROM g i JOIN seg s2 ON s2.j <= i.bin AND i.bin <= s2.k
+        |         GROUP BY i.bin, s2.j),
+        |iso AS (SELECT bin, CAST(max(mn) AS BIGINT) AS iso_micro
+        |        FROM mins GROUP BY bin)
+        |SELECT g.bin, g.n, ((10000 * g.n_pos) // g.n)::BIGINT AS obs_bp,
+        |       iso.iso_micro
+        |FROM g JOIN iso ON iso.bin = g.bin ORDER BY g.bin""".stripMargin) {
+      (spark, dir) =>
+        val weight = (t: Column) =>
+          conv(substring(md5(concat(lit("w:"), t)), 1, 7), 16, 10)
+            .cast("long") % 10000 - 5000
+        val g = FrameMemo.checkpointed(Tables.load(spark, dir, "documents")
+          .select((col("n_chars") >= 300).as("pos"),
+            aggregate(transform(split(col("text"), " "), weight),
+              lit(0L), (a, x) => a + x).as("score"))
+          .select(col("pos"),
+            expr("greatest(0L, least(159999L, score + 80000L)) DIV 16").as("p_bp"))
+          .groupBy(expr("p_bp DIV 1000").as("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos")))
+        val jj = g.select(col("bin").as("j"))
+        val kk = g.select(col("bin").as("k"))
+        val xx = g.select(col("bin").as("xb"), col("n_pos").as("xp"),
+          col("n").as("xn"))
+        val seg = jj.join(kk, col("j") <= col("k"))
+          .join(xx, col("xb").between(col("j"), col("k")))
+          .groupBy(col("j"), col("k"))
+          .agg(expr("(1000000L * sum(xp)) DIV sum(xn)").as("m"))
+        val mins = g.select(col("bin").as("i"))
+          .join(seg, col("j") <= col("i") && col("i") <= col("k"))
+          .groupBy(col("i"), col("j")).agg(min(col("m")).as("mn"))
+        val iso = mins.groupBy(col("i")).agg(max(col("mn")).as("iso_micro"))
+        g.join(iso, g("bin") === iso("i"))
+          .select(col("bin"), col("n"),
+            expr("(10000L * n_pos) DIV n").as("obs_bp"), col("iso_micro"))
+          .orderBy(col("bin"))
+    },
+
     // Exact-QUOTA stratified sampling: exactly k rows per stratum (the
     // eval-set / few-shot-pool builder), chosen by md5-hash rank so
     // the pick is reprocessing-stable and needs NO per-stratum counts

@@ -1156,6 +1156,66 @@ object EventQueries {
             countDistinct(col("user_id")).as("n_users"),
             min(col("t")).as("min_t"), max(col("t")).as("max_t"))
           .orderBy("split")
+    },
+
+    // EXACT 1-D WASSERSTEIN (earth-mover) drift between the even- and
+    // odd-user event-value distributions — the metric drift monitor
+    // PSI (q247) cannot provide: PSI ignores HOW FAR mass moved; W1 =
+    // ∫|F0−F1| prices each unit of mass by the distance it travels.
+    // Computed EXACTLY on the whole-unit value grid: per-(unit, half)
+    // counts (the only corpus-grain pass, map-side combined), one
+    // cumulative window over the BOUNDED unit grid (q275 discipline),
+    // and the integral as Σ gap·|F0·n1 − F1·n0| — cross-multiplied
+    // BIGINTs, no division until the final micro-unit scaling, so the
+    // gate is hash-exact. Values shift by +1e9 before the unit DIV so
+    // every operand stays nonnegative (Spark DIV truncates toward
+    // zero, DuckDB // floors — they agree only above zero).
+    QueryDef("q285_wasserstein_drift",
+      """WITH e AS (
+        |  SELECT user_id % 2 AS half,
+        |         (CAST(round(value * 100) AS BIGINT) + 1000000000) // 100 AS v
+        |  FROM events),
+        |n AS (SELECT CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |      FROM e),
+        |g AS (SELECT v,
+        |             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |      FROM e GROUP BY v),
+        |c AS (SELECT v,
+        |             CAST(sum(c0) OVER (ORDER BY v) AS BIGINT) AS f0,
+        |             CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
+        |             lead(v) OVER (ORDER BY v) AS nxt
+        |      FROM g)
+        |SELECT CAST(count(*) + 1 AS BIGINT) AS grid_cells,
+        |       any_value(n0) AS n0, any_value(n1) AS n1,
+        |       CAST(sum((nxt - v) * abs(f0 * n1 - f1 * n0)) AS BIGINT) AS w1_scaled,
+        |       CAST((1000000 * sum((nxt - v) * abs(f0 * n1 - f1 * n0)))
+        |              // (any_value(n0) * any_value(n1)) AS BIGINT) AS w1_micro
+        |FROM c CROSS JOIN n WHERE nxt IS NOT NULL""".stripMargin) {
+      (spark, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.load(spark, dir, "events")
+          .select((col("user_id") % 2).as("half"),
+            expr("(CAST(round(value * 100) AS BIGINT) + 1000000000L) DIV 100")
+              .as("v"))
+        val n = ev.agg(
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
+        val g = ev.groupBy(col("v"))
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+        val w = Window.orderBy(col("v"))
+        val c = g.select(col("v"),
+          sum(col("c0")).over(w).as("f0"), sum(col("c1")).over(w).as("f1"),
+          lead(col("v"), 1).over(w).as("nxt"))
+        c.where(col("nxt").isNotNull).crossJoin(broadcast(n))
+          .agg((count(lit(1)) + 1).as("grid_cells"),
+            first(col("n0")).as("n0"), first(col("n1")).as("n1"),
+            sum((col("nxt") - col("v")) *
+              abs(col("f0") * col("n1") - col("f1") * col("n0"))).as("w1_scaled"))
+          .select(col("grid_cells"), col("n0"), col("n1"), col("w1_scaled"),
+            expr("(1000000L * w1_scaled) DIV (n0 * n1)").as("w1_micro"))
     }
   )
 }

@@ -591,6 +591,77 @@ object PipelineQueries {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
           sum(col("doc_id")).as("id_sum"))
         .orderBy(col("fold"))
+    },
+
+    // RENDEZVOUS (highest-random-weight) SHARD ASSIGNMENT + the
+    // minimal-movement rebalance audit: every doc goes to
+    // argmax_shard md5(doc:shard), for 8 shards and again for 9. HRW's
+    // defining property — adding a shard moves ONLY the docs whose
+    // new argmax IS the new shard (expected 1/9; nothing reshuffles
+    // between survivors) — is emitted as data: per-shard old/new
+    // counts plus arrivals, and the shard=-1 summary's n_arrived
+    // counts moved-docs-that-did-NOT-land-on-shard-8, which HRW
+    // guarantees is ZERO (both engines compute it; the oracle hash
+    // pins it). This is how a 100 TB ANN/posting index grows capacity
+    // without a full re-shard: assignment is a per-row O(shards)
+    // expression, map-only — no coordination state anywhere.
+    QueryDef("q284_rendezvous_shards",
+      """WITH sh AS (SELECT unnest(generate_series(0, 8)) AS shard),
+        |hk AS (SELECT doc_id, shard,
+        |             ('0x' || substr(md5('rdv:' || CAST(doc_id AS VARCHAR) || ':' || CAST(shard AS VARCHAR)), 1, 15))::BIGINT AS w
+        |       FROM documents CROSS JOIN sh),
+        |a8 AS (SELECT doc_id, shard AS s8 FROM (
+        |         SELECT doc_id, shard,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, shard) AS rn
+        |         FROM hk WHERE shard < 8) t WHERE rn = 1),
+        |a9 AS (SELECT doc_id, shard AS s9 FROM (
+        |         SELECT doc_id, shard,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, shard) AS rn
+        |         FROM hk) t WHERE rn = 1),
+        |mv AS (SELECT a8.doc_id, s8, s9 FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id),
+        |per AS (SELECT s9 AS shard,
+        |               CAST(sum(CASE WHEN s8 = s9 THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed,
+        |               count(*)::BIGINT AS n_new,
+        |               CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS n_arrived
+        |        FROM mv GROUP BY s9),
+        |tot AS (SELECT CAST(-1 AS BIGINT) AS shard,
+        |               CAST(sum(CASE WHEN s8 = s9 THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed,
+        |               count(*)::BIGINT AS n_new,
+        |               CAST(sum(CASE WHEN s8 <> s9 AND s9 <> 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_arrived
+        |        FROM mv)
+        |SELECT CAST(shard AS BIGINT) AS shard, n_stayed, n_new, n_arrived
+        |FROM (SELECT * FROM per UNION ALL SELECT * FROM tot) u
+        |ORDER BY shard""".stripMargin) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+      val sh = broadcast(spark.range(0, 9).select(col("id").as("shard")))
+      val hk = docs.crossJoin(sh)
+        .select(col("doc_id"), col("shard"),
+          conv(substring(md5(concat(lit("rdv:"), col("doc_id").cast("string"),
+            lit(":"), col("shard").cast("string"))), 1, 15), 16, 10)
+            .cast("long").as("w"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("w").desc, col("shard"))
+      def argmax(df: org.apache.spark.sql.DataFrame, as: String) = df
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), col("shard").as(as))
+      val hkM = FrameMemo.checkpointed(hk)
+      val mv = argmax(hkM.where(col("shard") < 8), "s8")
+        .join(argmax(hkM, "s9"), "doc_id")
+      val per = mv.groupBy(col("s9").as("shard"))
+        .agg(sum(when(col("s8") === col("s9"), 1L).otherwise(0L)).as("n_stayed"),
+          count(lit(1)).as("n_new"),
+          sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("n_arrived"))
+      val tot = mv.agg(
+          sum(when(col("s8") === col("s9"), 1L).otherwise(0L)).as("n_stayed"),
+          count(lit(1)).as("n_new"),
+          sum(when(col("s8") =!= col("s9") && col("s9") =!= 8, 1L).otherwise(0L))
+            .as("n_arrived"))
+        .select(lit(-1L).as("shard"), col("n_stayed"), col("n_new"),
+          col("n_arrived"))
+      per.select(col("shard").cast("long"), col("n_stayed"), col("n_new"),
+          col("n_arrived"))
+        .unionByName(tot).orderBy(col("shard"))
     }
   )
 }
