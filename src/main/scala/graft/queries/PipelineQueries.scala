@@ -633,21 +633,22 @@ object PipelineQueries {
         |FROM (SELECT * FROM per UNION ALL SELECT * FROM tot) u
         |ORDER BY shard""".stripMargin) { (spark, dir) =>
       val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
-      val sh = broadcast(spark.range(0, 9).select(col("id").as("shard")))
-      val hk = docs.crossJoin(sh)
-        .select(col("doc_id"), col("shard"),
-          conv(substring(md5(concat(lit("rdv:"), col("doc_id").cast("string"),
-            lit(":"), col("shard").cast("string"))), 1, 15), 16, 10)
-            .cast("long").as("w"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("w").desc, col("shard"))
-      def argmax(df: org.apache.spark.sql.DataFrame, as: String) = df
-        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("doc_id"), col("shard").as(as))
-      val hkM = FrameMemo.checkpointed(hk)
-      val mv = argmax(hkM.where(col("shard") < 8), "s8")
-        .join(argmax(hkM, "s9"), "doc_id")
+      // per-row O(shards) argmax — ONE fold expression, no explode, no
+      // window, no join: the assignment is embarrassingly map-only
+      // (strict > keeps the first = lowest shard on hash ties, the
+      // oracle's ORDER BY w DESC, shard tie-break)
+      val wexp = (s: Column) =>
+        conv(substring(md5(concat(lit("rdv:"), col("doc_id").cast("string"),
+          lit(":"), s.cast("string"))), 1, 15), 16, 10).cast("long")
+      def amax(hi: Int): Column = aggregate(
+        sequence(lit(0), lit(hi)),
+        struct(lit(-1L).as("w"), lit(-1L).as("s")),
+        (acc, s) => {
+          val wv = wexp(s)
+          when(wv > acc("w"),
+            struct(wv.as("w"), s.cast("long").as("s"))).otherwise(acc)
+        })("s")
+      val mv = docs.select(col("doc_id"), amax(7).as("s8"), amax(8).as("s9"))
       val per = mv.groupBy(col("s9").as("shard"))
         .agg(sum(when(col("s8") === col("s9"), 1L).otherwise(0L)).as("n_stayed"),
           count(lit(1)).as("n_new"),
