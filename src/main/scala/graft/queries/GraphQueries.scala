@@ -58,6 +58,11 @@ object GraphQueries {
     * oracle unroll fails the HASH (Spark emits hops/rounds the oracle
     * lacks) — loud, never silent truncation. */
   private val BfsOracleRounds = 16
+
+  /** q286: FIXED sync-LPA round count (both engines) — sync LPA can
+    * oscillate, so fixed-iteration is the contract (GraphFrames'
+    * maxIter), not a fixpoint probe. */
+  private val LpaRounds = 4
   private val CoreOracleRounds = 12
 
   /** q232 k-core threshold. */
@@ -309,6 +314,66 @@ object GraphQueries {
         .crossJoin(eFix.agg(count(lit(1)).as("n_edges")))
         .select(lit(nRounds.toLong).as("n_rounds"), col("n_nodes"),
           col("n_edges"), col("id_sum"))
+    },
+
+    // LABEL-PROPAGATION community detection (the Raghavan et al.
+    // algorithm GraphFrames ships as `labelPropagation`) over the
+    // shared mutual-kNN graph — the community rung of the graph
+    // family (CC answers "connected?", LPA answers "densely knit?").
+    // Synchronous LPA with deterministic ties (max neighbor-label
+    // frequency, then MIN label) for a FIXED [[LpaRounds]] rounds in
+    // both engines: sync LPA on bipartite-ish structures can
+    // oscillate forever, so fixed-iteration IS the standard contract
+    // (GraphFrames' maxIter) — unlike the monotone BFS/k-core loops
+    // (q231/q232), a fixpoint probe would not terminate on all
+    // inputs. Isolated nodes keep their own label. Per round: one
+    // equi-join of edges against the O(nodes) label frame + a
+    // per-node argmax window, frames checkpointed per round; the
+    // kNN build is memoized across the graph family.
+    QueryDef("q286_lpa_communities", {
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""c$r AS MATERIALIZED (
+           |  SELECT e.nb AS id, l${r - 1}.lab AS lab, count(*)::BIGINT AS c
+           |  FROM edges e JOIN l${r - 1} ON e.id = l${r - 1}.id
+           |  GROUP BY e.nb, l${r - 1}.lab),
+           |b$r AS MATERIALIZED (SELECT id, lab FROM (
+           |  SELECT id, lab,
+           |         row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+           |  FROM c$r) t$r WHERE rn = 1),
+           |l$r AS MATERIALIZED (
+           |  SELECT n.id, coalesce(b$r.lab, n.lab) AS lab
+           |  FROM l${r - 1} n LEFT JOIN b$r ON b$r.id = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${SimilarityQueries.mutualEdgesCte},
+         |l0 AS (SELECT vec_id AS id, vec_id AS lab FROM embeddings),
+         |$rounds
+         |SELECT lab AS community, count(*)::BIGINT AS n_nodes,
+         |       CAST(min(id) AS BIGINT) AS min_id,
+         |       CAST(sum(id) AS BIGINT) AS id_sum
+         |FROM l$LpaRounds GROUP BY lab ORDER BY community""".stripMargin
+    }) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val mut = SimilarityQueries.mutualKnnEdges(spark, dir)
+      val edges = FrameMemo.checkpointed(
+        mut.select(col("doc_a").as("id"), col("doc_b").as("nb"))
+          .unionByName(mut.select(col("doc_b").as("id"),
+            col("doc_a").as("nb"))))
+      var labels = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("vec_id").as("lab"))
+      val w = Window.partitionBy(col("nb")).orderBy(col("c").desc, col("lab"))
+      (1 to LpaRounds).foreach { _ =>
+        val best = edges.join(labels, "id")
+          .groupBy(col("nb"), col("lab")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("nb").as("id"), col("lab").as("newlab"))
+        labels = FrameMemo.checkpointed(labels.join(best, Seq("id"), "left")
+          .select(col("id"), coalesce(col("newlab"), col("lab")).as("lab")))
+      }
+      labels.groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("id")).cast("long").as("min_id"),
+          sum(col("id")).cast("long").as("id_sum"))
+        .orderBy(col("community"))
     }
   )
 }

@@ -59,8 +59,13 @@ object PcaQueries {
   /** CTE chain (needs a leading WITH) ending in `base`: one row with
     * the covariance-numerator matrix `m` (DOUBLE[][]), the coordinate
     * sums `sarr` (BIGINT[]), and the row count `nn`. */
-  private def covCtes: String =
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private def covCtes: String = covCtesWhere("")
+
+  /** [[covCtes]] with an optional WHERE on the embeddings scan — the
+    * q287 unlearning oracle recomputes directly over the RETAINED
+    * set, which the engine side must match from partial subtraction. */
+  private def covCtesWhere(whereSql: String): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings $whereSql),
        |qz AS (SELECT vec_id, [CAST(floor(v[i]*100.0 + 0.5) AS BIGINT)
        |                      for i in generate_series(1, $Dim)] AS qv FROM e),
        |cells AS (
@@ -247,8 +252,10 @@ object PcaQueries {
        |    (s, j) -> s + element_at(element_at($mCol, i), j) * element_at($vCol, j))),
        |  0D, (a, y) -> a + y)""".stripMargin
 
-  private lazy val pc1OracleSql: String =
-    s"""WITH $covCtes,
+  private lazy val pc1OracleSql: String = pc1OracleFor("")
+
+  private def pc1OracleFor(whereSql: String): String =
+    s"""WITH ${covCtesWhere(whereSql)},
        |${iterCtes("m", "tr", "base", Nil, "i", "fin", "v")},
        |ray AS (SELECT m, v, tr, ${raySql("m", "v")} AS lam FROM fin)
        |SELECT dim, val FROM (
@@ -293,6 +300,26 @@ object PcaQueries {
       val merged = base.crossJoin(delta)
         .select(expr("zip_with(gsa, gsb, (a, b) -> a + b)").as("gs"))
       pc1Out(unpackCov(merged))
+    },
+
+    // EXACT UNLEARNING (the GDPR/right-to-be-forgotten path, q276's
+    // inverse): delete vec_id % 5 = 0 from the decomposition WITHOUT
+    // rescanning what remains — whole-corpus gram_sums partials (the
+    // "stored" state) MINUS the delete-set's partials, zip_with
+    // subtraction on exact integers, identical downstream chain. The
+    // oracle recomputes DIRECTLY over the retained set, so
+    // subtraction == recomputation to the byte or the hash fails. At
+    // 100 TB the engine side scans only the deleted rows; the q245/
+    // q260/q276 maintenance algebra run in reverse.
+    QueryDef("q287_pca_unlearning",
+      pc1OracleFor("WHERE vec_id % 5 <> 0")) { (spark, dir) =>
+      val qz = quantized(spark, dir)
+      val gsum = graft.functions.GraftFunctions.gram_sums(col("qv"), Dim)
+      val whole = qz.agg(gsum.as("gsa"))
+      val deleted = qz.where(col("vec_id") % 5 === 0).agg(gsum.as("gsb"))
+      val retained = whole.crossJoin(deleted)
+        .select(expr("zip_with(gsa, gsb, (a, b) -> a - b)").as("gs"))
+      pc1Out(unpackCov(retained))
     },
 
     // TWO-COMPONENT PCA WHITENING: PC1 by power iteration, λ₁ by

@@ -72,4 +72,37 @@ class GraphQueriesSpec extends SparkTestBase {
       assert(2 * nEdges >= 3 * nNodes, s"avg degree below K: $rows")
     } else assert(nEdges == 0)
   }
+
+  test("q286 LPA == naive 4-round sync replay over the collected graph") {
+    val mut = SimilarityQueries.mutualKnnEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (mut ++ mut.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    val nodes = graft.sources.Tables.load(spark, sf0001, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"))
+      .collect().map(_.getLong(0))
+    var lab = nodes.map(n => n -> n).toMap
+    (1 to 4).foreach { _ =>
+      lab = nodes.map { n =>
+        nbrs.get(n) match {
+          case None => n -> lab(n)
+          case Some(ns) =>
+            val counts = ns.map(lab).groupBy(identity)
+              .map { case (l, xs) => (l, xs.length) }
+            // max frequency, min label on ties
+            n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }.toMap
+    }
+    val expect = lab.groupBy(_._2).map { case (c, ms) =>
+      val ids = ms.keys.toSeq
+      (c, ids.length.toLong, ids.min, ids.sum)
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("q286_lpa_communities")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect)
+    // communities genuinely formed: fewer labels than nodes
+    assert(got.length < nodes.length)
+  }
 }

@@ -188,6 +188,26 @@ class PcaSpec extends SparkTestBase {
     assert(g264.toSeq == g276.toSeq)
   }
 
+  test("q287: whole-corpus gram minus delete-set gram == retained gram, cell for cell") {
+    import org.apache.spark.sql.functions._
+    val qz = PcaQueries.quantized(spark, sf0001)
+    val g = graft.functions.GraftFunctions.gram_sums(col("qv"), 64)
+    val whole = qz.agg(g.as("gs")).collect().head.getSeq[Long](0)
+    val del = qz.where(col("vec_id") % 5 === 0).agg(g.as("gs"))
+      .collect().head.getSeq[Long](0)
+    val retained = qz.where(col("vec_id") % 5 =!= 0).agg(g.as("gs"))
+      .collect().head.getSeq[Long](0)
+    assert(whole.zip(del).map { case (x, y) => x - y } == retained)
+    // gate sanity (the oracle already pins unlearned == direct
+    // recompute over the retained corpus, to the byte)
+    val g287 = SparkEntry.queries("q287_pca_unlearning")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(g287.length == 65 && g287.last._1 == 64L)
+    // summary row: explained variance in (0, 1]
+    val ev = g287.head
+    assert(ev._1 == -1L && ev._2 > 0 && ev._2 <= 1.0)
+  }
+
   test("plan: the corpus-wide stage is one scan + a partial-agg exchange of O(d^2) cells") {
     // inspect the BUILD lineage (the gates checkpoint it, so their own
     // executed plans read an RDD scan — the FrameMemo convention)
