@@ -1216,6 +1216,66 @@ object EventQueries {
               abs(col("f0") * col("n1") - col("f1") * col("n0"))).as("w1_scaled"))
           .select(col("grid_cells"), col("n0"), col("n1"), col("w1_scaled"),
             expr("(1000000L * w1_scaled) DIV (n0 * n1)").as("w1_micro"))
+    },
+
+    // PEAK CONCURRENCY (interval stabbing maximum) per event type —
+    // the capacity-planning sweep line: each event opens an interval
+    // [t, t + dur) (dur derived deterministically from value), and the
+    // peak is the max of the ±1 boundary running sum. The textbook
+    // form is ONE unpartitioned window over the corpus — the exact
+    // shape the q237 advice flagged; here it runs as a DISTRIBUTED
+    // TWO-PHASE PREFIX SUM instead: intra-bucket running sums under a
+    // (type, 6h-bucket)-partitioned window, bucket carry-ins from a
+    // window over the BOUNDED bucket grain, peak = max over buckets of
+    // (carry + intra max) — algebraically identical to the global
+    // sweep (the oracle runs the naive single window; equal results
+    // ARE the equivalence proof). Ties at one instant order ends
+    // before starts (d ASC), the half-open-interval convention.
+    QueryDef("q288_peak_concurrency",
+      """WITH iv AS (
+        |  SELECT event_type AS et, epoch_us(ts) AS s,
+        |         epoch_us(ts) + ((CAST(round(value * 100) AS BIGINT) % 3600) + 60) * 1000000 AS e
+        |  FROM events),
+        |b AS (SELECT et, s AS t, 1 AS d FROM iv
+        |      UNION ALL SELECT et, e, -1 FROM iv),
+        |r AS (SELECT et,
+        |             CAST(sum(d) OVER (PARTITION BY et ORDER BY t, d
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+        |      FROM b),
+        |p AS (SELECT et, CAST(max(run) AS BIGINT) AS peak FROM r GROUP BY et),
+        |n AS (SELECT et, count(*)::BIGINT AS n_intervals FROM iv GROUP BY et)
+        |SELECT n.et AS event_type, n.n_intervals, p.peak
+        |FROM n JOIN p ON n.et = p.et ORDER BY event_type""".stripMargin) {
+      (spark, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val BucketUs = 21600L * 1000000L // 6 h
+        val evRaw = Tables.load(spark, dir, "events")
+        val t = Tables.tsMicros(evRaw)
+        val iv = evRaw.select(col("event_type").as("et"), t.as("s"),
+          (t + (expr("CAST(round(value * 100) AS BIGINT) % 3600") + 60L) *
+            1000000L).as("e"))
+        val bounds = iv.select(col("et"), col("s").as("t"), lit(1L).as("d"))
+          .unionByName(iv.select(col("et"), col("e").as("t"),
+            lit(-1L).as("d")))
+          .withColumn("bkt", expr(s"t DIV $BucketUs"))
+        val w1 = Window.partitionBy(col("et"), col("bkt"))
+          .orderBy(col("t"), col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val intra = bounds.withColumn("run", sum(col("d")).over(w1))
+          .groupBy(col("et"), col("bkt")).agg(max(col("run")).as("mx"))
+        val w2 = Window.partitionBy(col("et")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = bounds.groupBy(col("et"), col("bkt"))
+          .agg(sum(col("d")).as("tot"))
+          .withColumn("carry", coalesce(sum(col("tot")).over(w2), lit(0L)))
+          .select(col("et"), col("bkt"), col("carry"))
+        val peak = intra.join(carry, Seq("et", "bkt"))
+          .select(col("et"), (col("mx") + col("carry")).as("pk"))
+          .groupBy(col("et")).agg(max(col("pk")).as("peak"))
+        iv.groupBy(col("et")).agg(count(lit(1)).as("n_intervals"))
+          .join(peak, "et")
+          .select(col("et").as("event_type"), col("n_intervals"), col("peak"))
+          .orderBy(col("event_type"))
     }
   )
 }

@@ -663,6 +663,38 @@ object PipelineQueries {
       per.select(col("shard").cast("long"), col("n_stayed"), col("n_new"),
           col("n_arrived"))
         .unionByName(tot).orderBy(col("shard"))
+    },
+
+    // GROUP-AWARE train/val/test split: folds assigned by
+    // md5(seed:SOURCE), not doc id — the constructive fix for the
+    // leakage q141/q219 AUDIT: near-duplicates cluster within a
+    // source, so a doc-grain split leaks them across train/test while
+    // the group-grain split provably cannot (one source → one fold is
+    // structural: fold is a pure function of source). The gate emits
+    // per-fold doc AND distinct-source counts; Σ n_sources over folds
+    // equals the global distinct-source count exactly BECAUSE no
+    // source spans folds — both engines compute it, the hash pins it.
+    // Same scale contract as q100: a per-row hash expression, zero
+    // shuffle beyond the audit aggregation.
+    QueryDef("q289_group_split",
+      """SELECT fold, count(*)::BIGINT AS n_docs,
+        |       count(DISTINCT source)::BIGINT AS n_sources,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM (SELECT doc_id, source,
+        |             CASE WHEN bp < 8000 THEN 'train'
+        |                  WHEN bp < 9000 THEN 'val'
+        |                  ELSE 'test' END AS fold
+        |      FROM (SELECT doc_id, source,
+        |                   ('0x' || substr(md5('g42:' || source), 1, 7))::BIGINT % 10000 AS bp
+        |            FROM documents))
+        |GROUP BY fold ORDER BY fold""".stripMargin) { (spark, dir) =>
+      graft.operators.DataSplit
+        .withFold(Tables.load(spark, dir, "documents"), "source", "g42")
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("fold"))
     }
   )
 }

@@ -359,6 +359,32 @@ class CurationSpec extends SparkTestBase {
     assert(rows.length >= 2)
   }
 
+  test("q289 group split: no source ever spans folds; assignment is md5-stable") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fold(source: String): String = {
+      val bp = java.lang.Long.parseLong(
+        md.digest(("g42:" + source).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 7), 16) % 10000L
+      if (bp < 8000) "train" else if (bp < 9000) "val" else "test"
+    }
+    val expect = docs.groupBy(d => fold(d._2)).map { case (f, ds) =>
+      (f, ds.length.toLong, ds.map(_._2).distinct.length.toLong,
+        ds.map(_._1).sum)
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("q289_group_split")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect)
+    // structural no-leak: fold counts of distinct sources partition
+    // the global distinct-source set
+    val totalSources = docs.map(_._2).distinct.length.toLong
+    assert(got.map(_._3).sum == totalSources)
+  }
+
   test("q279 Brier calibration == independent Scala replay on sf0.001") {
     // replay shares no code with the gate: Java MessageDigest md5,
     // plain integer arithmetic

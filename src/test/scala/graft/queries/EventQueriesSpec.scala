@@ -154,4 +154,36 @@ class EventQueriesSpec extends SparkTestBase {
     assert(got(2L) == ((3L, 500L, 10L)), got.toString)
     assert(got(3L) == ((1L, -1L, 0L)), got.toString)
   }
+
+  test("q288 two-phase prefix sum == naive sweep; no unpartitioned window") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("q288_peak_concurrency")(spark, sf)
+    // every Window in the plan is partitioned — the whole point of the
+    // two-phase form (the naive sweep's global window moves the corpus
+    // to one task)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LW}
+    df.queryExecution.optimizedPlan.collect { case w: LW => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty,
+        "unpartitioned window in the q288 plan"))
+    // naive replay: sort all boundaries per type, run the sweep
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val iv = ev.select(org.apache.spark.sql.functions.col("event_type"),
+        graft.sources.Tables.tsMicros(ev).as("t"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(value * 100) AS BIGINT) % 3600").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(1) + (r.getLong(2) + 60L) * 1000000L))
+    val expect = iv.groupBy(_._1).map { case (et, xs) =>
+      val bounds = xs.flatMap(x => Seq((x._2, 1L), (x._3, -1L)))
+        .sortBy(identity)
+      var run = 0L; var mx = Long.MinValue
+      bounds.foreach { case (_, d) => run += d; mx = math.max(mx, run) }
+      (et, xs.length.toLong, mx)
+    }.toSeq.sortBy(_._1)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // sanity: at least one type genuinely overlaps
+    assert(got.exists(_._3 > 1L))
+  }
 }
