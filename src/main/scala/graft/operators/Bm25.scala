@@ -202,14 +202,10 @@ object Bm25 {
     def side(df: DataFrame, tag: String): DataFrame =
       df.select(col("term"), col("block"), col("n_docs").as(s"n_$tag"),
         col("sum_tf").as(s"t_$tag"), col("postings").as(s"p_$tag"))
-    // parse "doc:tf:dl" back to structs; sort_array on the struct
-    // orders by doc_id (distinct across sides), then re-serialize
-    def entries(c: Column): Column =
-      when(c.isNull, array().cast("array<struct<doc_id:bigint,tf:bigint,dl:bigint>>"))
-        .otherwise(transform(split(c, ","), e => struct(
-          split(e, ":").getItem(0).cast("long").as("doc_id"),
-          split(e, ":").getItem(1).cast("long").as("tf"),
-          split(e, ":").getItem(2).cast("long").as("dl"))))
+    // parse "doc:tf:dl" back to structs ([[parseEntries]]); sort_array
+    // on the struct orders by doc_id (distinct across sides), then
+    // re-serialize
+    def entries(c: Column): Column = parseEntries(c)
     side(base, "a").join(side(delta, "b"), Seq("term", "block"), "full_outer")
       .select(col("term"), col("block"),
         (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n_docs"),
@@ -220,6 +216,68 @@ object Bm25 {
             e.getField("tf").cast("string"), lit(":"),
             e.getField("dl").cast("string"))), ",").as("postings"))
   }
+
+  /** TOMBSTONE DELETION from the persisted index — the missing verb of
+    * the index lifecycle (build → serve → compress → merge → DELETE):
+    * given only the deleted DOC IDS, rewrite the affected blocks and
+    * fix the global scalars, touching nothing else.
+    *
+    *  - Only blocks that can contain a tombstoned id (block = id DIV
+    *    blockSize) are parsed; every other row passes through
+    *    byte-identical — at 100 TB a delete batch costs O(touched
+    *    blocks), never an index rebuild.
+    *  - The deleted docs' lengths are recovered FROM THE INDEX (each
+    *    posting carries dl), so deletion needs no corpus access at
+    *    all. Caveat: a doc with zero tokens never entered the index —
+    *    its scalars contribution must be adjusted by the caller.
+    *  - df per term self-heals: [[searchIndex]] derives df from the
+    *    per-block n_docs this rewrite recomputes, so post-delete
+    *    scores equal a from-scratch build over the retained corpus
+    *    bit for bit (the q290 gate's oracle states exactly that).
+    *
+    * Returns (new index, new scalars). */
+  def deleteFromIndex(index: DataFrame, scalars: DataFrame,
+      tombstones: DataFrame, blockSize: Int): (DataFrame, DataFrame) = {
+    val tb = tombstones.select(col("doc_id").cast("long").as("del_id"))
+      .withColumn("block", floor(col("del_id") / blockSize).cast("long"))
+    val tbBlocks = tb.groupBy(col("block"))
+      .agg(collect_list(col("del_id")).as("del_ids"))
+    val untouched = index.join(tbBlocks, Seq("block"), "left_anti")
+    val parsed = index.join(tbBlocks, Seq("block"))
+      .withColumn("es", parseEntries(col("postings")))
+    val kept = parsed.withColumn("keep", filter(col("es"),
+      e => !array_contains(col("del_ids"), e.getField("doc_id"))))
+    val rewritten = kept.where(size(col("keep")) > 0)
+      .select(col("term"), col("block"),
+        size(col("keep")).cast("long").as("n_docs"),
+        aggregate(col("keep"), lit(0L),
+          (a, e) => a + e.getField("tf")).as("sum_tf"),
+        array_join(transform(col("keep"),
+          e => concat(e.getField("doc_id").cast("string"), lit(":"),
+            e.getField("tf").cast("string"), lit(":"),
+            e.getField("dl").cast("string"))), ",").as("postings"))
+    val delDocs = parsed
+      .select(explode(col("es")).as("e"), col("del_ids"))
+      .where(array_contains(col("del_ids"), col("e.doc_id")))
+      .select(col("e.doc_id").as("doc_id"), col("e.dl").as("dl")).distinct()
+    val delta = delDocs.agg(
+      coalesce(count(lit(1)), lit(0L)).as("dn"),
+      coalesce(sum(col("dl")), lit(0L)).as("ddl"))
+    val newScal = scalars.crossJoin(delta)
+      .select((col("n_docs") - col("dn")).as("n_docs"),
+        (col("dl_sum") - col("ddl")).as("dl_sum"))
+    (untouched.unionByName(rewritten), newScal)
+  }
+
+  /** Parse a serialized "doc:tf:dl,..." entry list back to structs
+    * (null-safe — absent sides of outer joins become empty lists). */
+  private def parseEntries(c: Column): Column =
+    when(c.isNull,
+      array().cast("array<struct<doc_id:bigint,tf:bigint,dl:bigint>>"))
+      .otherwise(transform(split(c, ","), e => struct(
+        split(e, ":").getItem(0).cast("long").as("doc_id"),
+        split(e, ":").getItem(1).cast("long").as("tf"),
+        split(e, ":").getItem(2).cast("long").as("dl"))))
 
   /** LEB128-style varint byte length of a non-negative long:
     * `max(1, ceil(bitlen/7))` via `(length(bin(x)) + 6) div 7` —

@@ -92,11 +92,17 @@ object TextQueries {
     * share one scoring tail and produce bit-identical doubles, so ONE
     * SQL replay gates both — the strongest possible statement that
     * serving from the artifact loses nothing. */
-  private lazy val bm25SearchSql: String =
+  private lazy val bm25SearchSql: String = bm25SearchFor("")
+
+  /** [[bm25SearchSql]] with an optional WHERE on the documents scan —
+    * the q290 tombstone-delete oracle recomputes BM25 directly over
+    * the RETAINED corpus, which the index-delete path must match bit
+    * for bit. */
+  private def bm25SearchFor(whereSql: String): String =
     s"""WITH stats AS (
        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
        |         string_split(text, ' ') AS t
-       |  FROM documents),
+       |  FROM documents $whereSql),
        |scal AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS dl_sum FROM stats),
        |post AS (
        |  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
@@ -1004,6 +1010,25 @@ object TextQueries {
     QueryDef("q144_bm25_index_serve", bm25SearchSql) { (spark, dir) =>
       val (post, scal) = bm25Artifacts(spark, dir, force = false)
       graft.operators.Bm25.searchIndex(post, scal, Bm25Terms, 20)
+    },
+
+    // INDEX TOMBSTONE DELETE (the unlearning verb of the BM25
+    // lifecycle, q287's sibling for the retrieval family): delete
+    // doc_id % 7 = 0 from the PERSISTED index given only the ids —
+    // affected blocks rewritten, deleted lengths recovered from the
+    // postings themselves (no corpus access), scalars and per-term df
+    // self-corrected — then serve the standard query. The oracle runs
+    // the full BM25 directly over the RETAINED corpus: every score
+    // depends on the deletion-corrected N, avgdl and df, so a single
+    // stale statistic anywhere diverges the hash.
+    QueryDef("q290_bm25_delete",
+      bm25SearchFor("WHERE doc_id % 7 <> 0")) { (spark, dir) =>
+      val (post, scal) = bm25Artifacts(spark, dir, force = false)
+      val tomb = Tables.load(spark, dir, "documents")
+        .where(col("doc_id") % 7 === 0).select(col("doc_id"))
+      val (post2, scal2) = graft.operators.Bm25
+        .deleteFromIndex(post, scal, tomb, IdxBlock)
+      graft.operators.Bm25.searchIndex(post2, scal2, Bm25Terms, 20)
     },
 
     // Posting-list compression accounting: what delta-gap + LEB128

@@ -109,4 +109,38 @@ class TextIndexSpec extends SparkTestBase {
       } else assert(r.isNullAt(3), "stage 3 reached without stage 2")
     }
   }
+
+  test("q290 delete: index-after-delete == rebuild over retained, untouched blocks byte-identical") {
+    import graft.operators.Bm25
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val block = 64
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val full = Bm25.buildIndex(docs, "doc_id", "t", block)
+    val scal = Bm25.corpusScalars(docs, "doc_id", "t")
+    val tomb = docs.where(col("doc_id") % 7 === 0).select(col("doc_id"))
+    val (del, delScal) = Bm25.deleteFromIndex(full, scal, tomb, block)
+    // equality with a from-scratch build over the retained corpus
+    val retained = docs.where(col("doc_id") % 7 =!= 0)
+    val rebuilt = Bm25.buildIndex(retained, "doc_id", "t", block)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "block", "n_docs", "sum_tf", "postings")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+    assert(rows(del) == rows(rebuilt))
+    val rs = Bm25.corpusScalars(retained, "doc_id", "t").collect().head
+    val ds = delScal.collect().head
+    assert(ds.getLong(0) == rs.getLong(0) && ds.getLong(1) == rs.getLong(1))
+    // untouched blocks must pass through without a rewrite: every
+    // block holding no tombstoned id keeps its exact postings string
+    val tombBlocks = tomb.collect().map(_.getLong(0) / block).toSet
+    val before = full.select("term", "block", "postings").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    del.select("term", "block", "postings").collect().foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      if (!tombBlocks.contains(r.getLong(1)))
+        assert(r.getString(2) == before(key), s"untouched block rewrote: $key")
+    }
+  }
 }
