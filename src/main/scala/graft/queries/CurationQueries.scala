@@ -812,6 +812,57 @@ object CurationQueries {
         .orderBy(col("bin"))
     },
 
+    // COHEN'S KAPPA inter-rater agreement between the hashed-score
+    // classifier (score ≥ 0) and the length rule (n_chars ≥ 300) —
+    // the chance-corrected agreement statistic the PR/Brier/isotonic
+    // family still lacked. One map-only pass to the 2×2 confusion
+    // matrix, then κ in exact micro-units: po, pe and the final
+    // ratio all use nonneg-operand DIV (pe < 1e6 structurally, so
+    // the denominator is positive). Single-row output, every column
+    // BIGINT.
+    QueryDef("q291_cohens_kappa",
+      """WITH s AS (
+        |  SELECT n_chars >= 300 AS b,
+        |         list_aggregate(list_transform(string_split(text, ' '),
+        |           t -> ('0x' || substr(md5('w:' || t), 1, 7))::BIGINT % 10000 - 5000),
+        |           'sum')::BIGINT >= 0 AS a
+        |  FROM documents),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |             sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
+        |             sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
+        |             sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
+        |             sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n00
+        |      FROM s),
+        |k AS (SELECT n, n11, n10, n01, n00,
+        |             (1000000 * (n11 + n00)) // n AS po,
+        |             (1000000 * ((n11 + n10) * (n11 + n01)
+        |                         + (n01 + n00) * (n10 + n00))) // (n * n) AS pe
+        |      FROM m)
+        |SELECT n, n11, n10, n01, n00, po AS po_micro, pe AS pe_micro,
+        |       ((1000000 * (po - pe)) // (1000000 - pe))::BIGINT AS kappa_micro
+        |FROM k""".stripMargin) { (spark, dir) =>
+      val weight = (t: Column) =>
+        conv(substring(md5(concat(lit("w:"), t)), 1, 7), 16, 10)
+          .cast("long") % 10000 - 5000
+      val s = Tables.load(spark, dir, "documents")
+        .select((col("n_chars") >= 300).as("b"),
+          (aggregate(transform(split(col("text"), " "), weight),
+            lit(0L), (a, x) => a + x) >= 0).as("a"))
+      s.agg(count(lit(1)).as("n"),
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          expr("(1000000L * (n11 + n00)) DIV n").as("po"),
+          expr("""(1000000L * ((n11 + n10) * (n11 + n01)
+                 | + (n01 + n00) * (n10 + n00))) DIV (n * n)""".stripMargin)
+            .as("pe"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          col("po").as("po_micro"), col("pe").as("pe_micro"),
+          expr("(1000000L * (po - pe)) DIV (1000000L - pe)").as("kappa_micro"))
+    },
+
     // ISOTONIC CALIBRATION (pool-adjacent-violators) of the q279
     // reliability curve, via the PAVA minimax identity iso(i) =
     // max_{j≤i} min_{k≥i} mean(obs[j..k]) — which turns the

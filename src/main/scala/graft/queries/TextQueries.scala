@@ -2050,6 +2050,57 @@ object TextQueries {
         .select(col("source"), col("n_tokens"), col("n_oov"),
           expr("(10000 * n_oov) DIV n_tokens").as("oov_bp"))
         .orderBy("source")
+    },
+
+    // CLIPPED N-GRAM PRECISION (the BLEU numerator, corpus-level):
+    // how much of the odd-doc slice's uni/bigram mass the even-doc
+    // slice "covers", with each candidate gram CLIPPED at its
+    // reference count — the standard generated-text-vs-reference
+    // overlap audit, and (flipped) a contamination signal. One gram
+    // pass per order, a single equi-join per gram on the 8-byte-ish
+    // gram key, Σ min(c_cand, c_ref) / Σ c_cand in exact basis
+    // points. The bigram build guards Spark's DESCENDING
+    // sequence(1, 0) on one-token docs (the playbook trap; DuckDB's
+    // generate_series is empty there by itself).
+    QueryDef("q292_ngram_precision",
+      """WITH tok AS (
+        |  SELECT doc_id % 2 AS par, string_split(text, ' ') AS t FROM documents),
+        |u AS (SELECT par, unnest(t) AS g FROM tok),
+        |b AS (SELECT par, unnest([t[i] || ' ' || t[i+1]
+        |                          for i in generate_series(1, len(t) - 1)]) AS g
+        |      FROM tok),
+        |grams AS (SELECT 1 AS ord, par, g FROM u
+        |          UNION ALL SELECT 2, par, g FROM b),
+        |c AS (SELECT ord, g,
+        |             sum(CASE WHEN par = 1 THEN 1 ELSE 0 END)::BIGINT AS cand,
+        |             sum(CASE WHEN par = 0 THEN 1 ELSE 0 END)::BIGINT AS ref
+        |      FROM grams GROUP BY ord, g)
+        |SELECT CAST(ord AS BIGINT) AS ord,
+        |       CAST(sum(cand) AS BIGINT) AS n_cand,
+        |       CAST(sum(least(cand, ref)) AS BIGINT) AS n_clipped,
+        |       CAST((10000 * sum(least(cand, ref))) // sum(cand) AS BIGINT) AS precision_bp
+        |FROM c WHERE cand > 0 GROUP BY ord ORDER BY ord""".stripMargin) {
+      (spark, dir) =>
+        val tok = Tables.load(spark, dir, "documents")
+          .select((col("doc_id") % 2).as("par"), split(col("text"), " ").as("t"))
+        val uni = tok.select(col("par"), explode(col("t")).as("g"))
+        val bi = tok.select(col("par"), explode(expr(
+          """IF(size(t) >= 2,
+            |   transform(sequence(1, size(t) - 1),
+            |     i -> concat(element_at(t, i), ' ', element_at(t, i + 1))),
+            |   CAST(array() AS array<string>))""".stripMargin)).as("g"))
+        val grams = uni.select(lit(1L).as("ord"), col("par"), col("g"))
+          .unionByName(bi.select(lit(2L).as("ord"), col("par"), col("g")))
+        grams.groupBy(col("ord"), col("g"))
+          .agg(sum(when(col("par") === 1, 1L).otherwise(0L)).as("cand"),
+            sum(when(col("par") === 0, 1L).otherwise(0L)).as("ref"))
+          .where(col("cand") > 0)
+          .groupBy(col("ord"))
+          .agg(sum(col("cand")).as("n_cand"),
+            sum(least(col("cand"), col("ref"))).as("n_clipped"))
+          .select(col("ord"), col("n_cand"), col("n_clipped"),
+            expr("(10000L * n_clipped) DIV n_cand").as("precision_bp"))
+          .orderBy(col("ord"))
     }
   )
 

@@ -385,6 +385,55 @@ class CurationSpec extends SparkTestBase {
     assert(got.map(_._3).sum == totalSources)
   }
 
+  test("q291 kappa == independent confusion-matrix replay on sf0.001") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(t: String): Long = java.lang.Long.parseLong(
+      md.digest(("w:" + t).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 7), 16) % 10000L - 5000L
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("text", "n_chars").collect()
+      .map(r => (r.getString(0).split(" ", -1).map(weight).sum >= 0,
+        r.getLong(1) >= 300L))
+    val n = docs.length.toLong
+    val n11 = docs.count(d => d._1 && d._2).toLong
+    val n10 = docs.count(d => d._1 && !d._2).toLong
+    val n01 = docs.count(d => !d._1 && d._2).toLong
+    val n00 = docs.count(d => !d._1 && !d._2).toLong
+    val po = 1000000L * (n11 + n00) / n
+    val pe = 1000000L * ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    val kappa = 1000000L * (po - pe) / (1000000L - pe)
+    val got = graft.SparkEntry.queries("q291_cohens_kappa")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == ((n, n11, n10, n01, n00)))
+    assert((got.getLong(5), got.getLong(6), got.getLong(7)) == ((po, pe, kappa)))
+    // the two raters genuinely agree beyond chance on this fixture
+    assert(kappa > 0)
+  }
+
+  test("q292 clipped n-gram precision == naive replay; bigram edge on 1-token docs") {
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id % 2 AS par", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    def counts(grams: Seq[(Long, String)]) = {
+      val cand = grams.filter(_._1 == 1L).groupBy(_._2).map { case (g, x) => g -> x.size.toLong }
+      val ref = grams.filter(_._1 == 0L).groupBy(_._2).map { case (g, x) => g -> x.size.toLong }
+      val nCand = cand.values.sum
+      val nClip = cand.map { case (g, c) => math.min(c, ref.getOrElse(g, 0L)) }.sum
+      (nCand, nClip, 10000L * nClip / nCand)
+    }
+    val uni = texts.flatMap { case (p, t) => t.map(p -> _) }.toSeq
+    val bi = texts.flatMap { case (p, t) =>
+      t.sliding(2).filter(_.size == 2).map(w => p -> w.mkString(" "))
+    }.toSeq
+    val expect = Seq(1L -> counts(uni), 2L -> counts(bi))
+      .map { case (o, (a, b, c)) => (o, a, b, c) }
+    val got = graft.SparkEntry.queries("q292_ngram_precision")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+
   test("q279 Brier calibration == independent Scala replay on sf0.001") {
     // replay shares no code with the gate: Java MessageDigest md5,
     // plain integer arithmetic
