@@ -468,6 +468,81 @@ object RerankQueries {
         .withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= MmrK)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // NDCG@10 — the GRADED ranking-quality metric the retrieval-eval
+    // family (recall curves q115/q218/q268, hit-based eval q152) still
+    // lacked: positions discount by 1/log2(i+1), so a relevant doc at
+    // rank 1 counts ~3.5× one at rank 10. Relevance = label match
+    // (the embeddings fixture's cluster id). Position weights
+    // pre-quantize to exact micro-units (floor(1e6/log2(i+1) + 0.5) —
+    // ten fixed constants both engines compute identically, none near
+    // a rounding boundary), so DCG/IDCG/NDCG are all exact BIGINT
+    // arithmetic. Scale shape: the exact top-10 is the q26 brute
+    // chain (broadcast queries, one corpus scan); everything after
+    // operates on ≤ 10 rows per query.
+    QueryDef("q293_ndcg_eval", {
+      s"""${SimilarityQueries.normedCte},
+         |$simsCte,
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |top AS (SELECT qid, nid, rank FROM (
+         |    SELECT qid, nid,
+         |           CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank
+         |    FROM sims) t
+         |  WHERE rank <= $TopK),
+         |wt AS (SELECT i, CAST(floor(1000000 / log2(i + 1) + 0.5) AS BIGINT) AS w
+         |       FROM generate_series(1, $TopK) t(i)),
+         |rel AS (SELECT t.qid, t.rank,
+         |               CASE WHEN ql.label = dl.label THEN 1 ELSE 0 END AS r
+         |        FROM top t JOIN lb ql ON ql.vec_id = t.qid
+         |                   JOIN lb dl ON dl.vec_id = t.nid),
+         |dcg AS (SELECT qid, CAST(sum(r * wt.w) AS BIGINT) AS dcg
+         |        FROM rel JOIN wt ON wt.i = rel.rank GROUP BY qid),
+         |nrel AS (SELECT q.qid, count(*)::BIGINT AS n_rel
+         |         FROM q JOIN lb ql ON ql.vec_id = q.qid
+         |                JOIN lb dl ON dl.label = ql.label
+         |         GROUP BY q.qid),
+         |idcg AS (SELECT n.qid, CAST(sum(wt.w) AS BIGINT) AS idcg
+         |         FROM nrel n JOIN wt ON wt.i <= least($TopK, n.n_rel)
+         |         GROUP BY n.qid)
+         |SELECT d.qid, nrel.n_rel, d.dcg AS dcg_micro, idcg.idcg AS idcg_micro,
+         |       ((10000 * d.dcg) // idcg.idcg)::BIGINT AS ndcg_bp
+         |FROM dcg d JOIN nrel ON nrel.qid = d.qid JOIN idcg ON idcg.qid = d.qid
+         |ORDER BY d.qid""".stripMargin
+    }) { (spark, dir) =>
+      val c = corpus(spark, dir)
+      val q = queriesDf(spark, dir)
+      val lb = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid"))
+      val top = q.crossJoin(c)
+        .select(col("qid"), col("vec_id").as("nid"),
+          cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= TopK)
+      val wt = broadcast(spark.range(1, TopK + 1)
+        .select(col("id").as("i"),
+          expr("CAST(floor(1000000 / log2(CAST(id + 1 AS DOUBLE)) + 0.5) AS BIGINT)")
+            .as("w")))
+      val rel = top
+        .join(lb.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
+        .join(lb.select(col("vec_id").as("nid"), col("label").as("dl")), "nid")
+        .select(col("qid"), col("rank"),
+          when(col("ql") === col("dl"), 1L).otherwise(0L).as("r"))
+      val dcg = rel.join(wt, rel("rank") === wt("i"))
+        .groupBy(col("qid")).agg(sum(col("r") * col("w")).as("dcg_micro"))
+      val lcnt = lb.groupBy(col("label")).agg(count(lit(1)).as("n_rel"))
+      val nrel = q.select(col("qid"))
+        .join(lb.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
+        .join(lcnt, col("ql") === col("label"))
+        .select(col("qid"), col("n_rel"))
+      val idcg = nrel.join(wt, wt("i") <= least(lit(TopK.toLong), col("n_rel")))
+        .groupBy(col("qid")).agg(sum(col("w")).as("idcg_micro"))
+      dcg.join(nrel, "qid").join(idcg, "qid")
+        .select(col("qid"), col("n_rel"), col("dcg_micro"), col("idcg_micro"),
+          expr("(10000L * dcg_micro) DIV idcg_micro").as("ndcg_bp"))
+        .orderBy(col("qid"))
     }
   )
 }

@@ -27,9 +27,9 @@ class RerankSpec extends SparkTestBase {
     val rows = (0 until 40).map { i =>
       val cent = if (i % 2 == 0) centA else centB
       val v = cent.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
-      (i.toLong, v.toSeq)
+      (i.toLong, v.toSeq, (i % 2).toInt)
     }
-    rows.toDF("vec_id", "embedding")
+    rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$Fix/embeddings.parquet")
   }
 
@@ -240,6 +240,34 @@ class RerankSpec extends SparkTestBase {
       rows.foreach { case (_, nid, _, _) =>
         assert(nid % 2 == qid % 2, s"query $qid matched cross-cluster $nid")
       }
+    }
+  }
+
+  // ---- q293 NDCG -------------------------------------------------------
+
+  test("q293 NDCG == naive replay; clustered fixture scores a perfect 10000") {
+    writeFixture() // fixture labels ARE the parity clusters
+    val vs = corpus()
+    val wts = (1 to 10).map(i =>
+      math.floor(1000000.0 / (math.log(i + 1) / math.log(2)) + 0.5).toLong)
+    val expect = (0L until NumQ).map { q =>
+      val top = vs.keys.toSeq.map(n => (n, cos(vs(q), vs(n))))
+        .sortBy { case (n, s) => (-s, n) }.take(10)
+      val dcg = top.zipWithIndex.map { case ((n, _), i) =>
+        (if (n % 2 == q % 2) 1L else 0L) * wts(i)
+      }.sum
+      val nRel = vs.keys.count(_ % 2 == q % 2).toLong
+      val idcg = wts.take(math.min(10L, nRel).toInt).sum
+      (q, nRel, dcg, idcg, 10000L * dcg / idcg)
+    }
+    val got = graft.SparkEntry.queries("q293_ndcg_eval")(spark, Fix)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect)
+    // 20 same-cluster docs exist per query and cosine separates the
+    // clusters, so every query's top-10 is all-relevant: NDCG = 10000
+    got.foreach { case (q, _, _, _, bp) =>
+      assert(bp == 10000L, s"query $q ndcg_bp $bp")
     }
   }
 }
