@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
 import org.apache.spark.sql.functions.{coalesce, col, count, greatest, least,
-  lit, max, min, sum}
+  lit, max, min, sum, when}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** MATERIALIZED-VIEW rewrite — the warehouse accelerator every
@@ -198,8 +198,13 @@ object MvRewriteRule {
         (coalesce(col(s"${CntCol}_a"), lit(0L)) +
           coalesce(col(s"${CntCol}_b"), lit(0L))).as(CntCol)) ++
         mv.measures.flatMap(m => Seq(
-          (coalesce(col(s"__sum_${m}_a"), lit(0L)) +
-            coalesce(col(s"__sum_${m}_b"), lit(0L))).as(s"__sum_$m"),
+          // Spark's Sum is NULL over an all-NULL group — a 0L coalesce
+          // here would make refresh diverge from a full rebuild for
+          // groups whose measure is NULL in every row
+          when(col(s"__sum_${m}_a").isNull && col(s"__sum_${m}_b").isNull,
+            lit(null))
+            .otherwise(coalesce(col(s"__sum_${m}_a"), lit(0L)) +
+              coalesce(col(s"__sum_${m}_b"), lit(0L))).as(s"__sum_$m"),
           least(col(s"__min_${m}_a"), col(s"__min_${m}_b")).as(s"__min_$m"),
           greatest(col(s"__max_${m}_a"), col(s"__max_${m}_b")).as(s"__max_$m"))): _*)
     graft.operators.IndexStore.rebuild(spark, mv.mvPath)(merged)

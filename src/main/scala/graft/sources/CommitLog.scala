@@ -19,6 +19,14 @@ private[sources] sealed trait LogEntry {
 private[sources] final case class DataCommit(version: Int, replace: Boolean,
     tsMicros: Long, rows: Vector[InternalRow],
     stats: Option[CommitStats] = None) extends LogEntry
+/** A row-level (MERGE/UPDATE/DELETE) commit: O(delta) on disk —
+  * positions index the previous version's snapshot ordering. Its
+  * stats sidecar carries the RESULT snapshot's statistics (a delete
+  * can't be folded forward from per-commit stats). */
+private[sources] final case class DeltaCommit(version: Int, tsMicros: Long,
+    deletes: Vector[Long], updates: Vector[(Long, InternalRow)],
+    inserts: Vector[InternalRow],
+    stats: Option[CommitStats] = None) extends LogEntry
 private[sources] final case class SchemaCommit(version: Int,
     tsMicros: Long, schema: StructType) extends LogEntry
 
@@ -67,24 +75,41 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Pad a (possibly historical prefix-arity) row to the latest
+    * schema, appended columns NULL — the same padding reads apply, so
+    * consolidating a version whose vector MIXES pre- and
+    * post-ADD-COLUMN arities serializes every row at ONE arity
+    * without dropping post-evolution values (an expiry/restore over a
+    * mixed vector used to project everything at rows.head's arity). */
+  private def padded(r: InternalRow): InternalRow =
+    if (r.numFields == cur.length) r
+    else {
+      require(r.numFields < cur.length,
+        s"commit arity ${r.numFields} exceeds schema ${cur.length}")
+      val vals = new Array[Any](cur.length)
+      var j = 0
+      while (j < r.numFields) { vals(j) = r.get(j, cur(j).dataType); j += 1 }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+    }
+
   /** Persist one data commit (version >= 1) stamped with its commit
     * time (epoch micros — the `TIMESTAMP AS OF` resolution source).
     * Callers serialize commits (MemStore's synchronized
     * append/replace), matching the single-writer assumption of the
-    * atomic move. Rows may carry a historical (prefix) arity — expiry
-    * consolidates pre-evolution versions. */
+    * atomic move. Rows may carry historical (prefix) arities — every
+    * row is padded to the LATEST schema before serializing, so a
+    * consolidation over mixed-arity history round-trips exactly. */
   def record(version: Int, replace: Boolean, tsMicros: Long,
       rows: Seq[InternalRow]): Unit = {
-    val n = rows.headOption.map(_.numFields).getOrElse(cur.length)
-    require(n <= cur.length, s"commit arity $n exceeds schema ${cur.length}")
-    val proj = UnsafeProjection.create(StructType(cur.take(n)))
+    val n = cur.length
+    val proj = UnsafeProjection.create(cur)
     writeCommit(version) { out =>
       out.writeByte(if (replace) 1 else 0)
       out.writeLong(tsMicros)
       out.writeInt(n)
       out.writeInt(rows.length)
       rows.foreach { r =>
-        val bytes = proj(r).getBytes
+        val bytes = proj(padded(r)).getBytes
         out.writeInt(bytes.length)
         out.write(bytes)
       }
@@ -94,7 +119,10 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
     // commit whose aggregates simply fall back to a scan. Computed over
     // the latest schema — columns beyond a row's arity count as NULL,
     // matching read-time padding.
-    val st = CommitStats.of(rows, cur)
+    writeStats(version, CommitStats.of(rows, cur))
+  }
+
+  private def writeStats(version: Int, st: CommitStats): Unit = {
     val tmp = dir.resolve(f"$version%08d.stats.inprogress")
     val sout = new DataOutputStream(new BufferedOutputStream(
       Files.newOutputStream(tmp, StandardOpenOption.CREATE,
@@ -102,6 +130,40 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
     try CommitStats.write(sout, cur, st) finally sout.close()
     Files.move(tmp, statsFile(version), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Persist one row-level DELTA commit — O(delta) bytes: only the
+    * deleted positions, the updated (position, row) pairs, and the
+    * inserted rows land on disk, never the surviving row set. The
+    * sidecar carries `resultStats` — exact statistics of the RESULT
+    * snapshot (the self-healed fold [[graft.sources.CommitStats.applyDelta]]
+    * computes), since a deletion cannot be folded forward from
+    * per-commit stats the way appends can. */
+  def recordDelta(version: Int, tsMicros: Long, d: graft.sources.VRowDelta,
+      resultStats: CommitStats): Unit = {
+    val n = cur.length
+    val proj = UnsafeProjection.create(cur)
+    writeCommit(version) { out =>
+      out.writeByte(3)
+      out.writeLong(tsMicros)
+      out.writeInt(n)
+      out.writeInt(d.deletes.length)
+      d.deletes.foreach(out.writeLong)
+      out.writeInt(d.updates.length)
+      d.updates.foreach { case (pos, r) =>
+        out.writeLong(pos)
+        val bytes = proj(padded(r)).getBytes
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+      out.writeInt(d.inserts.length)
+      d.inserts.foreach { r =>
+        val bytes = proj(padded(r)).getBytes
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+    }
+    writeStats(version, resultStats)
   }
 
   /** Persist a schema-change commit (ALTER TABLE ADD COLUMN): the
@@ -140,14 +202,17 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
   def expireBefore(version: Int, tsMicros: Long,
       rows: Seq[InternalRow]): Unit = {
     record(version, replace = true, tsMicros, rows)
-    val files = Files.list(dir).iterator()
+    val stream = Files.list(dir)
     val stale = scala.collection.mutable.ArrayBuffer.empty[Path]
-    while (files.hasNext) {
-      val p = files.next()
-      val n = p.getFileName.toString
-      if (n.matches("\\d{8}\\.(commit|stats)") && n.take(8).toInt < version)
-        stale += p
-    }
+    try {
+      val files = stream.iterator()
+      while (files.hasNext) {
+        val p = files.next()
+        val n = p.getFileName.toString
+        if (n.matches("\\d{8}\\.(commit|stats)") && n.take(8).toInt < version)
+          stale += p
+      }
+    } finally stream.close()
     stale.foreach(Files.delete)
   }
 
@@ -156,12 +221,15 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
     * version > 1. `.inprogress` leftovers from a crashed writer are
     * ignored — only atomically-moved commits are history. */
   def replay(): Seq[LogEntry] = {
-    val files = Files.list(dir).iterator()
+    val stream = Files.list(dir)
     val commits = scala.collection.mutable.ArrayBuffer.empty[Path]
-    while (files.hasNext) {
-      val p = files.next()
-      if (p.getFileName.toString.matches("\\d{8}\\.commit")) commits += p
-    }
+    try {
+      val files = stream.iterator()
+      while (files.hasNext) {
+        val p = files.next()
+        if (p.getFileName.toString.matches("\\d{8}\\.commit")) commits += p
+      }
+    } finally stream.close()
     commits.sortBy(_.getFileName.toString).toSeq.map { p =>
       val ver = p.getFileName.toString.take(8).toInt
       val in = new DataInputStream(new BufferedInputStream(
@@ -178,23 +246,21 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
           SchemaCommit(ver, ts, s)
         } else {
           val fields = in.readInt()
-          val n = in.readInt()
-          val rows = Vector.newBuilder[InternalRow]
-          var i = 0
-          while (i < n) {
+          def readRow(): InternalRow = {
             val len = in.readInt()
             val bytes = new Array[Byte](len)
             in.readFully(bytes)
             val row = new UnsafeRow(fields)
             row.pointTo(bytes, len)
-            rows += row
-            i += 1
+            row
           }
+          def readRows(n: Int): Vector[InternalRow] =
+            Vector.fill(n)(readRow())
           // stats ride in the sidecar; a missing/unreadable sidecar
           // (crash window, hand-pruned file) degrades to scan-backed
           // aggregation for every snapshot from this commit on
-          val sf = statsFile(ver)
-          val stats =
+          def stats: Option[CommitStats] = {
+            val sf = statsFile(ver)
             if (!Files.exists(sf)) None
             else {
               val sin = new DataInputStream(new BufferedInputStream(
@@ -203,7 +269,18 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
               catch { case _: Exception => None }
               finally sin.close()
             }
-          DataCommit(ver, kind == 1, ts, rows.result(), stats)
+          }
+          if (kind == 3) {
+            val deletes = Vector.fill(in.readInt())(in.readLong())
+            val updates = Vector.fill(in.readInt()) {
+              val pos = in.readLong()
+              (pos, readRow())
+            }
+            val inserts = readRows(in.readInt())
+            DeltaCommit(ver, ts, deletes, updates, inserts, stats)
+          } else {
+            DataCommit(ver, kind == 1, ts, readRows(in.readInt()), stats)
+          }
         }
       } finally in.close()
     }

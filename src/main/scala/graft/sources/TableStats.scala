@@ -94,6 +94,68 @@ private[sources] object CommitStats {
     }.toMap)
   }
 
+  /** Fold one row-level delta onto the previous snapshot's exact
+    * stats, SELF-HEALING instead of rescanning: counts and null
+    * counts adjust arithmetically, new values (update-new + inserts)
+    * fold into min/max, and ONLY a column whose current extremal
+    * value was removed (deleted, or overwritten by an update)
+    * rescans — and only that one column of the result. At 100 TB
+    * that keeps a small MERGE's stats maintenance O(delta) unless the
+    * merge happened to delete the corpus minimum/maximum (the same
+    * only-heal-what-broke discipline as the BM25 tombstone delete,
+    * `operators/Bm25.scala`). A real format gets the equivalent for
+    * free from per-file stats; a single-store log must heal. */
+  def applyDelta(prev: CommitStats, schema: StructType,
+      prevRows: Vector[InternalRow], d: VRowDelta,
+      result: Vector[InternalRow]): CommitStats = {
+    val removed: Seq[InternalRow] =
+      d.deletes.map(p => prevRows(p.toInt)) ++
+        d.updates.map { case (p, _) => prevRows(p.toInt) }
+    val added: Seq[InternalRow] = d.updates.map(_._2) ++ d.inserts
+    val count = prev.count - d.deletes.length + d.inserts.length
+    def valueAt(r: InternalRow, i: Int, dt: DataType): Any =
+      if (i >= r.numFields || r.isNullAt(i)) null else r.get(i, dt)
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      val dt = f.dataType
+      // a column added after the last full recompute is all-NULL in
+      // the history prev covers (the merge() default)
+      val c0 = prev.cols.getOrElse(f.name,
+        ColStats(prev.count, minMaxTracked(dt), None, None))
+      val remVals = removed.map(valueAt(_, i, dt))
+      val addVals = added.map(valueAt(_, i, dt))
+      val nulls = c0.nulls - remVals.count(_ == null) +
+        addVals.count(_ == null)
+      if (!c0.tracked) f.name -> ColStats(nulls, tracked = false, None, None)
+      else {
+        def recompute(lt: Boolean): Option[Any] = {
+          var best: Any = null
+          result.foreach { r =>
+            val v = valueAt(r, i, dt)
+            if (v != null && (best == null ||
+                (if (lt) cmp(v, best) < 0 else cmp(v, best) > 0))) best = v
+          }
+          Option(best)
+        }
+        def removedHits(bound: Option[Any]): Boolean =
+          bound.exists(b => remVals.exists(v => v != null && cmp(v, b) == 0))
+        def foldIn(bound: Option[Any], lt: Boolean): Option[Any] =
+          addVals.filter(_ != null).foldLeft(bound) { (acc, v) =>
+            acc match {
+              case Some(a) if (if (lt) cmp(a, v) <= 0 else cmp(a, v) >= 0) =>
+                acc
+              case _ => Some(v)
+            }
+          }
+        val mn = if (removedHits(c0.min)) recompute(lt = true)
+          else foldIn(c0.min, lt = true)
+        val mx = if (removedHits(c0.max)) recompute(lt = false)
+          else foldIn(c0.max, lt = false)
+        f.name -> ColStats(nulls, tracked = true, mn, mx)
+      }
+    }
+    CommitStats(count, cols.toMap)
+  }
+
   // ---- sidecar codec (same DataOutputStream discipline as the commit
   // files; values are type-dispatched on the column's schema type,
   // which never changes — evolution is append-only) ------------------

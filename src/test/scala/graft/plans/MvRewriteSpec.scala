@@ -123,6 +123,40 @@ class MvRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("refresh keeps NULL for an all-NULL group's sum (Sum semantics, not 0)") {
+    MvRewriteRule.clear()
+    val tmp = java.nio.file.Files.createTempDirectory("mv_nullsum").toString
+    val dir = s"$tmp/t.parquet"
+    // group 7's measure is NULL in every row, base and delta alike
+    spark.range(40).selectExpr("id % 4 AS g",
+      "IF(id % 4 = 3, NULL, id) AS v")
+      .selectExpr("IF(g = 3, 7, g) AS g", "v")
+      .write.mode("overwrite").parquet(dir)
+    val mv = MvRewriteRule.create(spark, dir, Seq("g"), Seq("v"))
+    Thread.sleep(1100)
+    val delta = spark.range(40, 60).selectExpr("id % 4 AS g",
+      "IF(id % 4 = 3, NULL, id) AS v")
+      .selectExpr("IF(g = 3, 7, g) AS g", "v")
+    delta.write.mode("append").parquet(dir)
+    MvRewriteRule.refresh(spark, mv, delta)
+    val folded = spark.read.parquet(mv.mvPath)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    val rebuilt = spark.read.parquet(dir).groupBy(col("g"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("v")).as("__sum_v"),
+        min(col("v")).as("__min_v"), max(col("v")).as("__max_v"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(folded == rebuilt,
+      s"all-NULL group diverged:\n$folded\nvs\n$rebuilt")
+    // and the rewrite serves the NULL through SUM
+    MvRewriteRule.scoped(spark) {
+      val df = spark.read.parquet(dir).groupBy(col("g"))
+        .agg(sum(col("v")).as("s"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("__cnt"))
+      val row7 = df.filter(col("g") === 7).head()
+      assert(row7.isNullAt(1), s"expected NULL sum for group 7, got $row7")
+    }
+  }
+
   test("float measures are refused at registration") {
     val e = intercept[IllegalArgumentException](
       MvRewriteRule.create(spark, basePath, Seq("o_orderstatus"),

@@ -11,6 +11,10 @@ class MemCatalogSpec extends SparkTestBase {
 
   private def freshTable(name: String, rows: String): Unit = {
     spark.conf.set("spark.sql.catalog.graftmem", classOf[MemCatalog].getName)
+    // the session CACHES catalog instances on first use — set the
+    // durable path here too, so suite ordering can't leave a later
+    // suite's graftmem restart tests with a path-less instance
+    spark.conf.set("spark.sql.catalog.graftmem.path", MemCatalog.defaultRoot)
     spark.sql(s"DROP TABLE IF EXISTS graftmem.$name")
     spark.sql(s"CREATE TABLE graftmem.$name (k BIGINT, v STRING, bal DOUBLE)")
     spark.sql(s"INSERT INTO graftmem.$name VALUES $rows")
@@ -294,6 +298,67 @@ class MemCatalogSpec extends SparkTestBase {
       Seq("k", "v", "bal"))
     assert(MemCatalog.history(spark, "graftdur", "a2")
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("a 1-key MERGE into an N-row table commits O(delta), not O(N)") {
+    durableCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdur.od1")
+    spark.sql("CREATE TABLE graftdur.od1 (k BIGINT, v STRING, bal DOUBLE)")
+    spark.sql(
+      """INSERT INTO graftdur.od1
+        |SELECT id, concat('v', id), CAST(id AS DOUBLE) FROM RANGE(500)""".stripMargin) // v1
+    spark.sql(
+      """MERGE INTO graftdur.od1 t
+        |USING (SELECT 7 AS k, 99.0 AS bal) s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET bal = s.bal""".stripMargin)      // v2
+    spark.sql("DELETE FROM graftdur.od1 WHERE k = 123")                // v3
+    // the raw commit log: row-level commits hold ONLY the delta
+    val entries =
+      CommitLog.open(java.nio.file.Paths.get(durRoot, "od1")).replay()
+    val v2 = entries.find(_.version == 2).get.asInstanceOf[DeltaCommit]
+    assert(v2.deletes.isEmpty && v2.updates.length == 1 &&
+      v2.inserts.isEmpty, v2.toString.take(200))
+    val v3 = entries.find(_.version == 3).get.asInstanceOf[DeltaCommit]
+    assert(v3.deletes.length == 1 && v3.updates.isEmpty &&
+      v3.inserts.isEmpty, v3.toString.take(200))
+    // and the commit FILES are delta-sized: the 500-row v1 dwarfs both
+    def sz(v: Int) = java.nio.file.Files.size(
+      java.nio.file.Paths.get(durRoot, "od1", f"$v%08d.commit"))
+    assert(sz(2) < sz(1) / 50 && sz(3) < sz(1) / 50,
+      s"v1=${sz(1)}B v2=${sz(2)}B v3=${sz(3)}B")
+    // restart replay composes the deltas back to the same state
+    def state = spark.table("graftdur.od1").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val expect = state
+    assert(expect.size == 499 && expect.contains((7L, "v7", 99.0)) &&
+      !expect.exists(_._1 == 123L))
+    MemCatalog.simulateRestart()
+    assert(state == expect, "delta replay diverged from the live state")
+  }
+
+  test("expiry at a version MIXING pre- and post-ADD-COLUMN rows replays exactly") {
+    // the consolidation commit serializes a row vector whose rows have
+    // DIFFERENT arities (appended before and after the ALTER); every
+    // row must land at the latest arity — projecting at rows.head's
+    // width silently dropped post-evolution values
+    durableCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdur.a3")
+    spark.sql("CREATE TABLE graftdur.a3 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftdur.a3 VALUES (1, 'a'), (2, 'b')")   // v1: 2-col rows
+    spark.sql("ALTER TABLE graftdur.a3 ADD COLUMN bal DOUBLE")       // v2
+    spark.sql("INSERT INTO graftdur.a3 VALUES (3, 'c', 3.5)")        // v3: mixed vector
+    spark.sql("INSERT INTO graftdur.a3 VALUES (4, 'd', 4.5)")        // v4
+    MemCatalog.expireSnapshots("graftdur", "a3", before = 3)
+    MemCatalog.simulateRestart()
+    def rows(sql: String) = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows("SELECT k, v, bal FROM graftdur.a3") ==
+      Set((1L, "a", None), (2L, "b", None),
+        (3L, "c", Some(3.5)), (4L, "d", Some(4.5))),
+      "post-evolution value lost through mixed-arity consolidation")
+    assert(rows("SELECT k, v, bal FROM graftdur.a3 VERSION AS OF 3") ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(3.5))))
   }
 
   test("SHOW TABLES sees durable tables straight after a restart") {

@@ -203,6 +203,38 @@ class MemCatalogStatsSpec extends SparkTestBase {
     assert((ar.getLong(0), ar.getLong(1)) == ((3L, 30L)))
   }
 
+  test("delta commits self-heal stats: extremal removal rescans, the rest folds") {
+    setupCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftmem.st12")
+    spark.sql("CREATE TABLE graftmem.st12 (k BIGINT, c BIGINT)")
+    spark.sql(
+      "INSERT INTO graftmem.st12 VALUES (5, 50), (10, NULL), (20, 200), (40, 400)")
+    def probe() = {
+      val q = spark.sql(
+        """SELECT count(*) AS n, count(c) AS nc, min(k) AS mn, max(k) AS mx
+          |FROM graftmem.st12""".stripMargin)
+      assert(pushed(q), "delta commit lost the stats-served path")
+      val r = q.collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // delete the row holding min(k): the min must RESCAN-heal
+    spark.sql("DELETE FROM graftmem.st12 WHERE k = 5")
+    assert(probe() == ((3L, 2L, 10L, 40L)))
+    // update the max row's key downward: max heals; null count adjusts
+    spark.sql("UPDATE graftmem.st12 SET k = 15, c = NULL WHERE k = 40")
+    assert(probe() == ((3L, 1L, 10L, 20L)))
+    // a MERGE inserting a new extreme folds in without a rescan
+    spark.sql(
+      """MERGE INTO graftmem.st12 t
+        |USING (SELECT 99 AS k, 990 AS c) s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, c) VALUES (s.k, s.c)""".stripMargin)
+    assert(probe() == ((4L, 2L, 10L, 99L)))
+    // the healed stats ride the sidecars across a restart
+    MemCatalog.simulateRestart()
+    setupCatalog()
+    assert(probe() == ((4L, 2L, 10L, 99L)))
+  }
+
   test("empty table serves count 0 and NULL min/max from metadata") {
     setupCatalog()
     spark.sql("DROP TABLE IF EXISTS graftmem.st10")
