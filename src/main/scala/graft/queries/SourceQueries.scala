@@ -92,6 +92,44 @@ object SourceQueries {
       path
     })
 
+  /** The q294 event-type dimension: a 5-row parquet dim keyed by the
+    * fact's PARTITION column. Written once per session — it must be a
+    * FILE relation, not a VALUES local relation, because Spark folds a
+    * Filter into a LocalRelation before the DPP rule looks for a
+    * selective predicate on the dim side. */
+  private val dimSetup =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+
+  private[graft] val EventDimRows = Seq(
+    ("click", "interaction"), ("view", "interaction"),
+    ("purchase", "conversion"), ("signup", "conversion"),
+    ("error", "ops"))
+
+  private[graft] def eventDim(spark: SparkSession): String =
+    dimSetup.getOrElseUpdate(System.identityHashCode(spark), {
+      val path = "/root/repo/target/graft_partitioned/event_dim"
+      spark.createDataFrame(EventDimRows).toDF("event_type", "type_class")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** The q294 join, shared by the gate and the plan spec: partitioned
+    * fact × filtered broadcast dim on the partition column — the shape
+    * Spark's dynamic partition pruning turns into a runtime directory
+    * prune (the fact scan receives a `dynamicpruning` subquery filter
+    * reusing the dim's broadcast, so only the 2 matching partitions'
+    * files are ever opened). */
+  private[graft] def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = spark.read.parquet(partitionedEvents(spark, dir))
+    val dim = spark.read.parquet(eventDim(spark))
+      .where(col("type_class") === "conversion")
+    fact.join(broadcast(dim), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** The q135/q194 CDC fixture: one oracle text and one changelog
     * derivation shared by the DataFrame operator gate and the literal
     * `MERGE INTO` gate, so the two surfaces cannot fork. */
@@ -161,6 +199,27 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_clicks"),
           sum(round(col("value") * 100).cast("long")).as("cents"))
         .orderBy(col("user_id"))
+    },
+
+    // DYNAMIC partition pruning (q68's runtime sibling — the most
+    // common BI scan optimization): the pruning predicate is only
+    // knowable after filtering the DIM side, so the fact scan gets a
+    // join-driven `dynamicpruning` subquery filter at runtime instead
+    // of a static directory prune. Result must be invisible vs the
+    // unpartitioned oracle join; PartitionPruneSpec pins the plan
+    // (dynamicpruning in PartitionFilters, fewer files read).
+    QueryDef("q294_dpp_join",
+      """WITH dim AS (
+        |  SELECT * FROM (VALUES
+        |    ('click','interaction'), ('view','interaction'),
+        |    ('purchase','conversion'), ('signup','conversion'),
+        |    ('error','ops')) AS t(event_type, type_class))
+        |SELECT e.event_type, count(*)::BIGINT AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |WHERE d.type_class = 'conversion'
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) {
+      (spark, dir) => dppJoin(spark, dir)
     },
 
     // CSV sink -> CSV source -> aggregate; oracle re-reads the files
