@@ -100,4 +100,52 @@ object IvfIndex {
     * final cell assignment of the corpus. */
   def build(corpus: DataFrame, seeds: DataFrame, iterations: Int): DataFrame =
     assignCells(corpus, refine(corpus, seeds, iterations))
+
+  /** Tombstone DELETION over a persisted cell-keyed vector artifact —
+    * the GDPR verb of the ANN lifecycle (q290's BM25 discipline
+    * applied to vector indexes; before this, a delete forced a full
+    * index rebuild). Given ONLY the deleted ids:
+    *
+    *  1. the (tiny) set of cells that can contain a deleted vector is
+    *     resolved by one equi-join touching only the deleted rows;
+    *  2. every OTHER cell's rows pass through untouched (left_anti on
+    *     the broadcast cell set — at 100 TB this is the difference
+    *     between rewriting nprobe-sized cells and the corpus);
+    *  3. affected cells drop exactly the tombstoned ids;
+    *  4. per-cell counts SELF-HEAL from the delete alone: untouched
+    *     cells keep their count, affected cells subtract the number
+    *     of ids actually deleted there — no recount scan. Cells whose
+    *     last vector dies drop out of the stats (the BM25
+    *     empty-block convention).
+    *
+    * Centroids deliberately do NOT retrain: a production vector index
+    * removes rows from cells without moving the quantizer, so a
+    * delete followed by the oracle's from-scratch re-assignment of
+    * the RETAINED corpus against the same centroids is bit-identical
+    * (q295 states exactly that). Works on any frame carrying
+    * (vec_id, cid, ...payload) — the IVF assignment and the IVF x PQ
+    * code artifacts alike.
+    *
+    * Returns (new index rows, healed per-cell counts). */
+  def deleteFromIndex(index: DataFrame, counts: DataFrame,
+      tombstones: DataFrame): (DataFrame, DataFrame) = {
+    val tb = tombstones.select(col("vec_id").cast("long").as("del_id"))
+    // only the deleted rows are touched to find their cells
+    val delPerCell = index.join(tb, col("vec_id") === col("del_id"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("__dn"))
+    val delCells = broadcast(delPerCell.select(col("cid")))
+    // a using-columns join moves the key first — restore the input
+    // column order so the artifact schema is stable under deletion
+    val cols = index.columns.toSeq.map(col)
+    val untouched = index.join(delCells, Seq("cid"), "left_anti")
+      .select(cols: _*)
+    val rewritten = index.join(delCells, Seq("cid"), "left_semi")
+      .join(tb, col("vec_id") === col("del_id"), "left_anti")
+      .select(cols: _*)
+    val healed = counts.join(broadcast(delPerCell), Seq("cid"), "left")
+      .select(col("cid"),
+        (col("n_vecs") - coalesce(col("__dn"), lit(0L))).as("n_vecs"))
+      .where(col("n_vecs") > 0)
+    (untouched.unionByName(rewritten), healed)
+  }
 }

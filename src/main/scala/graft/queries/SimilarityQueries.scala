@@ -560,6 +560,66 @@ object SimilarityQueries {
         ivfIndex(spark, dir).select(col("vec_id"), col("cid")), "vec_id")
     }
 
+  // ---- q295: vector-index tombstone deletion -------------------------
+
+  /** Deterministic tombstone set: every 17th id (residue 3). */
+  private val DelMod = 17
+  private val DelRem = 3
+
+  private def ivfPqDeleteArtifact(dir: String): String = IndexStore.artifactPath(
+    dir, s"ivfpq_codes_m${PqIndex.M}_k${PqIndex.Ks}_i${PqIterations}" +
+      s"_c${NumCentroids}_l${LloydIterations}_del${DelMod}r$DelRem")
+
+  /** q295: the GDPR delete verb for the persisted vector index —
+    * [[graft.operators.IvfIndex.deleteFromIndex]] applied to the
+    * composed IVF x PQ code artifact (q290's BM25 tombstone
+    * discipline on the vector side; before this, deleting ids forced
+    * a full rebuild). Only cells containing a tombstoned id rewrite;
+    * per-cell counts self-heal without a recount; the result persists
+    * as its own artifact. The gate emits healed counts joined with
+    * id checksums of the PERSISTED artifact, against an oracle that
+    * re-assigns the RETAINED corpus from scratch against the same
+    * (full-corpus-trained) centroids — one stale count or one
+    * mis-dropped row anywhere diverges the hash. */
+  def ivfPqDelete(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val idx = ivfPqCodes(spark, dir)
+    // prior per-cell stats (in production: the index's stats sidecar)
+    val counts = idx.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    // "given ONLY the deleted ids": a bare id frame
+    val tomb = idx.select(col("vec_id"))
+      .where(col("vec_id") % DelMod === DelRem)
+    val (newIdx, healed) = IvfIndex.deleteFromIndex(idx, counts, tomb)
+    val persisted = IndexStore.rebuild(spark, ivfPqDeleteArtifact(dir))(newIdx)
+    persisted.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_check"), sum(col("vec_id")).as("id_sum"),
+        min(col("vec_id")).as("id_min"), max(col("vec_id")).as("id_max"))
+      .join(healed, "cid")
+      // healed count and artifact recount BOTH ride the output: a
+      // self-heal bug cannot hide behind a correct artifact
+      .select(col("cid"), col("n_vecs").cast("long").as("n_vecs"),
+        col("n_check").cast("long").as("n_check"),
+        col("id_sum").cast("long").as("id_sum"),
+        col("id_min").cast("long").as("id_min"),
+        col("id_max").cast("long").as("id_max"))
+      .orderBy(col("cid"))
+  }
+
+  // lazy: normedCte/ivfAssignSql declare later in the object body
+  private lazy val ivfPqDeleteSql =
+    s"""$normedCte,
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NumCentroids),
+       |${ivfAssignSql("c0", "a0")},
+       |${ivfLloydSql("a0", "c1")},
+       |${ivfAssignSql("c1", "a1")},
+       |${ivfLloydSql("a1", "c2")},
+       |${ivfAssignSql("c2", "cell")}
+       |SELECT cid, count(*)::BIGINT AS n_vecs, count(*)::BIGINT AS n_check,
+       |       sum(vec_id)::BIGINT AS id_sum,
+       |       min(vec_id)::BIGINT AS id_min, max(vec_id)::BIGINT AS id_max
+       |FROM cell WHERE vec_id % $DelMod <> $DelRem
+       |GROUP BY cid ORDER BY cid""".stripMargin
+
   /** Probe-limited ADC search — the IVF x PQ composition (the judge's
     * round-5 top item): rank cells per query exactly as q52 does
     * (window over the broadcast-small query x centroid frame), build
@@ -1555,6 +1615,12 @@ object SimilarityQueries {
     // Residual (stage-2) build follows q0b; q109 scans its artifacts.
     QueryDef("q0r_rq_build", rqBuildSql)(rqBuild),
     QueryDef("q108_ivfpq_search", ivfPqSql)(ivfPqTopK(_, _)),
+
+    // Vector-index tombstone deletion: only affected cells rewrite,
+    // counts self-heal, and the persisted post-delete artifact equals
+    // a from-scratch re-assignment of the retained corpus (same
+    // centroids — production deletes never retrain the quantizer).
+    QueryDef("q295_ivfpq_delete", ivfPqDeleteSql)(ivfPqDelete),
     // The operating-point sweep over the same persisted artifact:
     // recall@10 at nprobe in {1,2,4,8}, gated value-for-value.
     QueryDef("q115_ivfpq_recall_curve", ivfPqRecallSql)(ivfPqRecallCurve),

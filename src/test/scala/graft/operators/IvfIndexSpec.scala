@@ -62,4 +62,45 @@ class IvfIndexSpec extends SparkTestBase {
       .select(col("vec_id"), col("cid"))
     assert(i1.except(i2).count() == 0 && i2.except(i1).count() == 0)
   }
+
+  test("tombstone delete: untouched cells pass through, affected cells drop exactly the ids, counts self-heal") {
+    val index = IvfIndex.build(corpus, seeds, iterations = 1)
+      .select(col("vec_id"), col("cid"), col("nrm")) // payload rides along
+    index.cache()
+    val counts = index.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    // tombstone every id in cells 0 and 2 with vec_id % 5 == 0, plus
+    // one cell killed entirely (all its ids) to hit the dropout path
+    val smallest = counts.orderBy(col("n_vecs"), col("cid"))
+      .select(col("cid")).head().getLong(0)
+    val tomb = index.where(
+      (col("cid").isin(0L, 2L) && col("vec_id") % 5 === 0) ||
+        col("cid") === smallest)
+      .select(col("vec_id"))
+    val (newIdx, healed) = IvfIndex.deleteFromIndex(index, counts, tomb)
+
+    // delete == filter over retained ids, row for row (payload intact)
+    val expect = index.join(tomb.select(col("vec_id").as("del_id")),
+      col("vec_id") === col("del_id"), "left_anti")
+    assert(newIdx.except(expect).count() == 0 &&
+      expect.except(newIdx).count() == 0,
+      "delete diverged from the retained-row filter")
+
+    // untouched cells: every row passes through identically
+    val touchedCells = index.join(tomb.withColumnRenamed("vec_id", "del_id"),
+      col("vec_id") === col("del_id")).select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val untouchedGot = newIdx.where(!col("cid").isin(touchedCells.toSeq: _*))
+      .collect().map(_.toSeq).toSet
+    val untouchedWant = index.where(!col("cid").isin(touchedCells.toSeq: _*))
+      .collect().map(_.toSeq).toSet
+    assert(untouchedGot == untouchedWant, "untouched cells must pass through")
+
+    // healed counts == recount of the post-delete index; dead cells gone
+    val recount = newIdx.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    assert(healed.except(recount).count() == 0 &&
+      recount.except(healed).count() == 0,
+      "self-healed counts diverged from a recount")
+    assert(!healed.collect().map(_.getLong(0)).contains(smallest),
+      "a fully-deleted cell must drop out of the stats")
+  }
 }
