@@ -139,6 +139,64 @@ object MediaOps {
     }
   }
 
+  /** Perceptual dHash over the decoded image byte stream — the
+    * standard multimodal-corpus near-dup grain (a real decoder would
+    * hand pixel luminance here; the deterministic stand-in downsamples
+    * the post-header content stream, keeping every Spark-side shape
+    * real). Per image:
+    *
+    *  1. the container header is parsed off ([[MediaCodec
+    *     .headerLength]] — PNG/JPEG aware), leaving the content bytes;
+    *  2. the stream DOWNSAMPLES to an 8 x 9 grid: byte i lands in
+    *     region `i * 72 / len` (integer arithmetic, exact), each
+    *     region's value is the integer mean of its bytes (empty
+    *     regions read 0 — short streams degrade gracefully);
+    *  3. the classic dHash gradient: bit (r, c) = 1 iff region
+    *     (r, c) > region (r, c+1) — 8 comparisons per row, 64 bits;
+    *  4. the 64 bits are emitted as four 16-bit BANDS (b0..b3), which
+    *     is simultaneously the LSH banding key layout (q32's
+    *     discipline: a near-identical pair differing in <= 2 bits can
+    *     corrupt at most 2 bands, so at least one band collides) and
+    *     sign-safe in every engine's BIGINT.
+    *
+    * One map-only pass at the codec boundary — the same
+    * `mapPartitions` amortization shape as [[extractFeatures]]. */
+  def imageDHash(files: Dataset[MediaFile]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.filter(f => f.kind.startsWith("image/"))
+      .mapPartitions { it =>
+        it.map { f =>
+          val off = MediaCodec.headerLength(f.payload).getOrElse(0)
+          val len = f.payload.length - off
+          val sums = new Array[Long](72)
+          val cnts = new Array[Long](72)
+          var i = 0
+          while (i < len) {
+            val r = (i.toLong * 72 / len).toInt
+            sums(r) += f.payload(off + i) & 0xff
+            cnts(r) += 1
+            i += 1
+          }
+          val avg = Array.tabulate(72)(j =>
+            if (cnts(j) == 0) 0L else sums(j) / cnts(j))
+          val bands = new Array[Long](4)
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              val b = r * 8 + c
+              if (avg(r * 9 + c) > avg(r * 9 + c + 1))
+                bands(b / 16) |= 1L << (b % 16)
+              c += 1
+            }
+            r += 1
+          }
+          (f.mediaId, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+  }
+
   /** The fixture's kind assignment (id % 4), shared with the
     * binaryFile-ingest gate so a path-recovered id maps to the same
     * container kind [[mediaFromDocuments]] encoded. */

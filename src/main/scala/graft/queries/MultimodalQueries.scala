@@ -37,6 +37,113 @@ object MultimodalQueries {
         |             ELSE 0 END)::BIGINT AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---- q296: perceptual-hash image near-dup ---------------------------
+
+  /** Planted near-identical images: the first [[PlantBound]]/4 PNG
+    * objects reappear under offset ids with ONE content byte changed —
+    * a one-byte edit moves at most one downsample region, flips at
+    * most 2 dHash bits, and so corrupts at most 2 of the 4 bands:
+    * banding recall of the plants is structural, not probabilistic. */
+  private val PlantOffset = 10000000L
+  private val PlantBound = 240L
+  private val HamThreshold = 6
+
+  private def imageLake(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[MediaFile] = {
+    import spark.implicits._
+    val base = MediaOps.mediaFromDocuments(spark, dir)
+      .filter(f => f.kind.startsWith("image/"))
+    val plants = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .filter(t => t._1 % 4 == 0 && t._1 < PlantBound)
+      .map { case (id, text) =>
+        val body = ("X" + text.drop(1)).getBytes("UTF-8")
+        MediaFile(id + PlantOffset, "image/png",
+          graft.multimodal.MediaCodec.pngBytes(
+            (id * 7 % 1920 + 1).toInt, (id * 13 % 1080 + 1).toInt, body))
+      }
+    base.union(plants)
+  }
+
+  /** The q296 chain, shared by the gate and the plan/recall spec. */
+  private[graft] def imagePhashPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val bands = FrameMemo.checkpointed(
+      MediaOps.imageDHash(imageLake(spark, dir)))
+    // LSH banding: equi-joins per 16-bit band, never a cartesian —
+    // exactly the q32/q263 Hamming-bucket discipline
+    val cand = Seq("b0", "b1", "b2", "b3").map { bc =>
+      val l = bands.select(col("media_id").as("id_a"), col(bc).as("__bv"))
+      val r = bands.select(col("media_id").as("id_b"), col(bc).as("__bv"))
+      l.join(r, "__bv").where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }.reduce(_ unionByName _).distinct()
+    val xa = bands.select(col("media_id").as("id_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val xb = bands.select(col("media_id").as("id_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(xa, "id_a").join(xb, "id_b")
+      .withColumn("hamming", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .where(col("hamming") <= HamThreshold)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB replay of the whole q296 chain from (doc_id, text) alone:
+    * plant -> strip the (id-deterministic) container header by using
+    * the text as the content stream directly -> 72-region integer
+    * downsample -> dHash gradient bits -> 16-bit bands -> band
+    * equi-join candidates -> Hamming verify. */
+  private val imagePhashSql =
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS media_id, text AS body FROM documents WHERE doc_id % 4 < 2
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, 'X' || substr(text, 2) FROM documents
+       |  WHERE doc_id % 4 = 0 AND doc_id < $PlantBound),
+       |b AS (SELECT media_id,
+       |        unnest([((i-1) * 72) // length(body) for i in generate_series(1, length(body))]) AS region,
+       |        unnest([ord(substr(body, i, 1)) for i in generate_series(1, length(body))]) AS v
+       |      FROM imgs WHERE length(body) > 0),
+       |ra AS (SELECT media_id, region, sum(v) // count(*) AS avg FROM b GROUP BY 1, 2),
+       |grid AS (SELECT ids.media_id, gs.j, coalesce(ra.avg, 0) AS avg
+       |         FROM (SELECT media_id FROM imgs) ids
+       |         CROSS JOIN generate_series(0, 71) gs(j)
+       |         LEFT JOIN ra ON ra.media_id = ids.media_id AND ra.region = gs.j),
+       |cmp AS (SELECT g1.media_id, (g1.j // 9) * 8 + (g1.j % 9) AS bit,
+       |               CASE WHEN g1.avg > g2.avg THEN 1 ELSE 0 END AS v
+       |        FROM grid g1 JOIN grid g2
+       |          ON g2.media_id = g1.media_id AND g2.j = g1.j + 1
+       |        WHERE g1.j % 9 < 8),
+       |bands AS (SELECT media_id,
+       |    sum(CASE WHEN bit // 16 = 0 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b0,
+       |    sum(CASE WHEN bit // 16 = 1 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b1,
+       |    sum(CASE WHEN bit // 16 = 2 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b2,
+       |    sum(CASE WHEN bit // 16 = 3 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b3
+       |  FROM cmp GROUP BY 1),
+       |cand AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b FROM bands a
+       |    JOIN bands b ON a.b0 = b.b0 AND a.media_id < b.media_id
+       |  UNION
+       |  SELECT a.media_id, b.media_id FROM bands a
+       |    JOIN bands b ON a.b1 = b.b1 AND a.media_id < b.media_id
+       |  UNION
+       |  SELECT a.media_id, b.media_id FROM bands a
+       |    JOIN bands b ON a.b2 = b.b2 AND a.media_id < b.media_id
+       |  UNION
+       |  SELECT a.media_id, b.media_id FROM bands a
+       |    JOIN bands b ON a.b3 = b.b3 AND a.media_id < b.media_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT cand.id_a, cand.id_b,
+       |         (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+       |          bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT AS hamming
+       |  FROM cand JOIN bands x ON x.media_id = cand.id_a
+       |            JOIN bands y ON y.media_id = cand.id_b) t
+       |WHERE hamming <= $HamThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- q165: multimodal -> ANN composition ---------------------------
 
   /** IVF parameters for the media-feature ANN chain (Dim = 8 content
@@ -256,7 +363,15 @@ object MultimodalQueries {
       sims.withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= MediaTopK)
         .orderBy(col("qid"), col("rank"))
-    }
+    },
+
+    // Perceptual-hash (dHash) image near-dup: decode-boundary
+    // downsample -> 64-bit gradient hash as four 16-bit bands ->
+    // band equi-join candidates -> Hamming verify. Planted
+    // one-byte-perturbed copies must all surface (structural: <= 2
+    // corrupted bands of 4); the oracle replays hash + banding +
+    // verify byte for byte.
+    QueryDef("q296_image_phash_neardup", imagePhashSql)(imagePhashPairs)
   )
 
   /** One-time-per-(session, dir) file-lake staging for q132: each

@@ -1,0 +1,60 @@
+package graft.multimodal
+
+import graft.SparkTestBase
+import graft.queries.MultimodalQueries
+
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash (dHash) image near-dup: hash shape, planted-pair
+  * recall, and the banding plan discipline (equi-joins only — q32's
+  * no-cartesian contract applied to the Hamming buckets). */
+class ImagePhashSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dHash is deterministic, header-independent, and 16-bit banded") {
+    import spark.implicits._
+    val body = ("the quick brown fox jumps over the lazy dog " * 8)
+      .getBytes("UTF-8")
+    // same content stream under different containers/dims must hash
+    // identically: the hash reads the DECODED stream, not the header
+    val files = Seq(
+      MediaFile(1L, "image/png", MediaCodec.pngBytes(100, 50, body)),
+      MediaFile(2L, "image/jpeg", MediaCodec.jpegBytes(640, 480, body)),
+      MediaFile(3L, "image/png", MediaCodec.pngBytes(1, 1, body)))
+      .toDS()
+    val got = MediaOps.imageDHash(files).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.distinct.length == 1,
+      s"container header leaked into the hash: ${got.mkString(", ")}")
+    got.head.productIterator.foreach { b =>
+      val v = b.asInstanceOf[Long]
+      assert(v >= 0 && v < 65536, s"band out of 16-bit range: $v")
+    }
+    // and a genuinely different stream hashes differently
+    val other = MediaOps.imageDHash(Seq(MediaFile(9L, "image/png",
+      MediaCodec.pngBytes(100, 50,
+        body.reverse))).toDS()).collect().head
+    assert((other.getLong(1), other.getLong(2), other.getLong(3),
+      other.getLong(4)) != got.head)
+  }
+
+  test("one-byte perturbation flips at most 2 bits, so banding recall of plants is total") {
+    val pairs = MultimodalQueries.imagePhashPairs(spark, dir)
+    pairs.cache()
+    val plantPairs = pairs
+      .where(col("id_b") === col("id_a") + 10000000L).collect()
+    // every planted copy (doc_id % 4 == 0, doc_id < 240 -> 60 plants)
+    assert(plantPairs.length == 60,
+      s"expected all 60 planted pairs, got ${plantPairs.length}")
+    assert(plantPairs.forall(_.getLong(2) <= 2),
+      "a one-byte edit moved more than one region")
+  }
+
+  test("banding candidates come from equi-joins: no cartesian product in the plan") {
+    val plan = MultimodalQueries.imagePhashPairs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
