@@ -655,10 +655,15 @@ private[sources] final class MemScanBuilder(store: MemStore,
     served match {
       case Some((schema, row)) =>
         // the metadata-served aggregate row already IS the output row
-        new MemScan(schema, schema, () => Array(row), direct = true)
+        new MemScan(schema, schema, () => Array(row), () => 1L,
+          direct = true)
       case None =>
+        val rowCount =
+          () => targetStats.map(_.count)
+            .getOrElse(pinned.map(_._2.length.toLong)
+              .getOrElse(store.snapshot().length.toLong))
         new MemScan(required.getOrElse(store.schema), store.schema,
-          () => pinned.map(_._2).getOrElse(store.snapshot()))
+          () => pinned.map(_._2).getOrElse(store.snapshot()), rowCount)
     }
 }
 
@@ -672,9 +677,29 @@ private[sources] final class MemScanBuilder(store: MemStore,
   * stable between a row-level scan and its delta commit). */
 private[sources] final class MemScan(outSchema: StructType,
     dataSchema: StructType, snap: () => Array[InternalRow],
-    direct: Boolean = false) extends Scan with Batch {
+    rowCount: () => Long = () => 0L, direct: Boolean = false)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
+
+  /** CBO statistics served from the snapshot stats (the commit-log
+    * sidecar fold): exact row count, size estimated at the pruned
+    * read schema's default width. This is what lets Spark choose a
+    * BROADCAST join for a small catalog dim against a 100 TB fact
+    * without a hint — a v2 scan with no reported statistics defaults
+    * to "infinitely large" and every catalog join degrades to
+    * sort-merge (CboStatsSpec pins both directions). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val n = rowCount()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n)
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(
+          math.max(1L, n * outSchema.defaultSize))
+    }
   override def planInputPartitions(): Array[InputPartition] =
     Array(MemPartition(snap()))
   override def createReaderFactory(): PartitionReaderFactory = {
