@@ -63,5 +63,36 @@ class StreamUpsertSpec extends SparkTestBase {
     graft.sources.MemCatalog.simulateRestart()
     assert(spark.table("graftstr.acc").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap == got)
+
+    // the streamed MERGEs land as DELTA commits: each micro-batch's
+    // file holds only its changes (batch 2 = 1 update + 1 delete +
+    // 1 insert), never the surviving row set — the shape that keeps a
+    // continuous CDC ingest O(changes/batch) at 100 TB
+    def commitSize(v: Int) = java.nio.file.Files.size(
+      root.resolve("acc").resolve(f"$v%08d.commit"))
+    assert(commitSize(1) < 500 && commitSize(2) < 500,
+      s"streamed commits must be delta-sized: v1=${commitSize(1)}B v2=${commitSize(2)}B")
+
+    // foreachBatch RETRY semantics: re-applying the last batch's MERGE
+    // (the failure-recovery path) must leave the state unchanged —
+    // updates rewrite the same values, the delete no-ops, the insert
+    // turns into a matched same-value update
+    spark.createDataset(b2).toDF("k", "ver", "op", "bal")
+      .createOrReplaceTempView("cdc_batch_retry")
+    spark.sql(
+      """MERGE INTO graftstr.acc t
+        |USING (SELECT k, op, bal FROM (
+        |         SELECT k, op, bal,
+        |                row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+        |         FROM cdc_batch_retry) z WHERE rn = 1) s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET bal = s.bal
+        |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, bal) VALUES (s.k, s.bal)
+        |""".stripMargin)
+    assert(spark.table("graftstr.acc").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap == got,
+      "re-applied batch changed the state")
+    assert(commitSize(3) < 500, "the retry commit must also be a delta")
   }
 }
