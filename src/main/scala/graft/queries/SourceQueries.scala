@@ -826,6 +826,44 @@ object SourceQueries {
         vAgg(1).unionByName(vAgg(2)).orderBy(col("ver"))
     },
 
+    // Filter pushdown into the catalog scan (q265's sibling on the
+    // predicate side): the translatable conjuncts evaluate INSIDE the
+    // scan (Spark drops its FilterExec for them), an untranslatable
+    // conjunct stays as a residual Spark filter, and a predicate the
+    // snapshot stats contradict serves empty without touching rows.
+    // Oracle = the same predicate over the same derivation; the plan
+    // and zero-scan properties are pinned in CatalogFilterSpec.
+    QueryDef("q297_catalog_filter_pushdown",
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |              ELSE o_orderkey * 2 END AS c,
+        |         o_orderpriority AS tag
+        |  FROM orders)
+        |SELECT k::BIGINT AS k, c::BIGINT AS c, tag
+        |FROM src
+        |WHERE k > 40 AND tag >= '3' AND c IS NOT NULL AND k % 3 = 1
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.filtq")
+      spark.sql("CREATE TABLE graftmem.filtq (k BIGINT, c BIGINT, tag STRING)")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 5 === 0, lit(null))
+            .otherwise(col("o_orderkey") * 2).cast("long").as("c"),
+          col("o_orderpriority").as("tag"))
+        .createOrReplaceTempView("q297_src")
+      spark.sql("INSERT INTO graftmem.filtq SELECT * FROM q297_src")
+      // k/tag/IS NOT NULL push into the scan; k % 3 = 1 is residual
+      spark.sql(
+        """SELECT k, c, tag FROM graftmem.filtq
+          |WHERE k > 40 AND tag >= '3' AND c IS NOT NULL AND k % 3 = 1
+          |ORDER BY k""".stripMargin)
+    },
+
     // RESTORE (rollback) on the v2 catalog — the Delta `RESTORE TABLE
     // ... VERSION AS OF` convention: rolling back to version 1 commits
     // the historical row set FORWARD as a new replace version (v3), so

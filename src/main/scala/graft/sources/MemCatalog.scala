@@ -556,6 +556,148 @@ private[sources] object MemTable {
   val PosCol = "__pos"
 }
 
+/** Filter-pushdown support for the catalog scan: the translatable
+  * subset (comparisons/IS NULL/IN on atomic orderable columns with
+  * exact-type literals) evaluates INSIDE the scan, and a predicate the
+  * snapshot statistics CONTRADICT (e.g. `k > max(k)`) short-circuits
+  * to an empty scan without touching a single row — the catalog-grain
+  * zone-map skip. Anything else is declined and Spark filters above
+  * the scan; handled filters are exact, so Spark drops its own
+  * FilterExec for them. */
+private[sources] object MemFilters {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+
+  /** TEST HOOK: rows actually evaluated by pushed filters — lets a
+    * spec prove the stats short-circuit never scanned. */
+  private[sources] val evaluated = new java.util.concurrent.atomic.AtomicLong
+
+  /** Exact-type literal -> Catalyst internal value; None = decline.
+    * Strict on numeric classes: a cross-type literal means Catalyst
+    * cast the column, and such predicates are never translated — a
+    * lenient narrowing here would silently change semantics. */
+  private def internal(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (LongType, x: java.lang.Long) => Some(x)
+    case (IntegerType, x: java.lang.Integer) => Some(x)
+    case (ShortType, x: java.lang.Short) => Some(x)
+    case (ByteType, x: java.lang.Byte) => Some(x)
+    case (BooleanType, x: java.lang.Boolean) => Some(x)
+    case (StringType, x: String) =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(x))
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  private def fieldIdx(schema: StructType, name: String): Option[Int] =
+    schema.fields.indexWhere(_.name == name) match {
+      case -1 => None
+      case i => Some(i)
+    }
+
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, v) => lit(schema, a, v).isDefined
+    case GreaterThan(a, v) => lit(schema, a, v).isDefined
+    case GreaterThanOrEqual(a, v) => lit(schema, a, v).isDefined
+    case LessThan(a, v) => lit(schema, a, v).isDefined
+    case LessThanOrEqual(a, v) => lit(schema, a, v).isDefined
+    case In(a, vs) => vs.nonEmpty && vs.forall(v => lit(schema, a, v).isDefined)
+    case IsNull(a) => fieldIdx(schema, a).isDefined
+    case IsNotNull(a) => fieldIdx(schema, a).isDefined
+    case _ => false
+  }
+
+  private def lit(schema: StructType, name: String, v: Any): Option[(Int, Any)] =
+    fieldIdx(schema, name).flatMap(i =>
+      internal(schema(i).dataType, v).map(iv => (i, iv)))
+
+  /** SQL semantics: a comparison with a NULL row value is not TRUE —
+    * the row drops. Prefix-arity rows read appended columns as NULL. */
+  def eval(schema: StructType, filters: Seq[Filter], r: InternalRow): Boolean = {
+    evaluated.incrementAndGet()
+    def value(i: Int): Any =
+      if (i >= r.numFields || r.isNullAt(i)) null
+      else r.get(i, schema(i).dataType)
+    filters.forall {
+      case EqualTo(a, v) => test(schema, a, v, value, _ == 0)
+      case GreaterThan(a, v) => test(schema, a, v, value, _ > 0)
+      case GreaterThanOrEqual(a, v) => test(schema, a, v, value, _ >= 0)
+      case LessThan(a, v) => test(schema, a, v, value, _ < 0)
+      case LessThanOrEqual(a, v) => test(schema, a, v, value, _ <= 0)
+      case In(a, vs) => vs.exists(v => test(schema, a, v, value, _ == 0))
+      case IsNull(a) => fieldIdx(schema, a).exists(i => value(i) == null)
+      case IsNotNull(a) => fieldIdx(schema, a).exists(i => value(i) != null)
+      case _ => false // unreachable: only supported() filters are pushed
+    }
+  }
+
+  private def test(schema: StructType, a: String, v: Any, value: Int => Any,
+      ok: Int => Boolean): Boolean =
+    lit(schema, a, v) match {
+      case Some((i, iv)) =>
+        val x = value(i)
+        x != null && ok(cmp(x, iv))
+      case None => false
+    }
+
+  /** True only when the snapshot statistics PROVE the conjunction is
+    * empty (min/max tracked, every matching value outside the range,
+    * or the null/non-null population is zero) — then the scan serves
+    * empty without materializing rows. Conservative: unknown = false. */
+  def contradictsStats(stats: Option[CommitStats], schema: StructType,
+      filters: Seq[Filter]): Boolean = stats.exists { st =>
+    filters.exists {
+      case EqualTo(a, v) => outside(st, schema, a, v, eqOnly = true)
+      case GreaterThan(a, v) => boundDead(st, schema, a, v)(
+        (mx, iv) => cmp(mx, iv) <= 0)
+      case GreaterThanOrEqual(a, v) => boundDead(st, schema, a, v)(
+        (mx, iv) => cmp(mx, iv) < 0)
+      case LessThan(a, v) => boundDeadMin(st, schema, a, v)(
+        (mn, iv) => cmp(mn, iv) >= 0)
+      case LessThanOrEqual(a, v) => boundDeadMin(st, schema, a, v)(
+        (mn, iv) => cmp(mn, iv) > 0)
+      case In(a, vs) => vs.forall(v => outside(st, schema, a, v, eqOnly = true))
+      case IsNull(a) =>
+        st.cols.get(a).exists(_.nulls == 0) && st.count > 0
+      case IsNotNull(a) =>
+        st.cols.get(a).exists(c => c.nulls == st.count)
+      case _ => false
+    }
+  }
+
+  private def tracked(st: CommitStats, schema: StructType, a: String,
+      v: Any): Option[(ColStats, Any)] =
+    for {
+      i <- fieldIdx(schema, a)
+      iv <- internal(schema(i).dataType, v)
+      c <- st.cols.get(a) if c.tracked
+    } yield (c, iv)
+
+  private def outside(st: CommitStats, schema: StructType, a: String,
+      v: Any, eqOnly: Boolean): Boolean =
+    tracked(st, schema, a, v).exists { case (c, iv) =>
+      (c.min, c.max) match {
+        case (Some(mn), Some(mx)) => cmp(iv, mn) < 0 || cmp(iv, mx) > 0
+        case _ => st.count > 0 && c.nulls == st.count // all-NULL column
+      }
+    }
+
+  private def boundDead(st: CommitStats, schema: StructType, a: String,
+      v: Any)(dead: (Any, Any) => Boolean): Boolean =
+    tracked(st, schema, a, v).exists { case (c, iv) =>
+      c.max.exists(mx => dead(mx, iv)) ||
+        (c.max.isEmpty && st.count > 0 && c.nulls == st.count)
+    }
+
+  private def boundDeadMin(st: CommitStats, schema: StructType, a: String,
+      v: Any)(dead: (Any, Any) => Boolean): Boolean =
+    tracked(st, schema, a, v).exists { case (c, iv) =>
+      c.min.exists(mn => dead(mn, iv)) ||
+        (c.min.isEmpty && st.count > 0 && c.nulls == st.count)
+    }
+}
+
 /** Scan builder with COLUMN PRUNING (incl. the `__pos` metadata
   * column) and AGGREGATE PUSHDOWN served from the commit-log stats
   * sidecars (the Delta/Iceberg metadata-only `SELECT count(*)` path):
@@ -570,14 +712,29 @@ private[sources] object MemTable {
 private[sources] final class MemScanBuilder(store: MemStore,
     pinned: Option[(Int, Array[InternalRow])]) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var served: Option[(StructType, InternalRow)] = None
   private var required: Option[StructType] = None
+  private var pushedArr: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
+
+  /** Push the translatable subset; the rest stays with Spark. Handled
+    * filters are evaluated EXACTLY in the scan, so Spark drops its own
+    * FilterExec for them (partial pushdown keeps a residual filter). */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (ok, rest) = filters.partition(MemFilters.supported(store.schema, _))
+    pushedArr = ok
+    rest
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushedArr
 
   private def targetStats: Option[CommitStats] =
     pinned.map(p => store.statsAt(p._1))
@@ -592,6 +749,10 @@ private[sources] final class MemScanBuilder(store: MemStore,
 
   private def plan(agg: Aggregation): Option[(StructType, InternalRow)] = {
     if (agg.groupByExpressions.nonEmpty) return None
+    // snapshot stats describe the UNFILTERED table: with any pushed
+    // filter the metadata answer would be wrong — decline, Spark
+    // aggregates the (source-filtered) scan
+    if (pushedArr.nonEmpty) return None
     val schema = store.schema
     targetStats.flatMap { st =>
       val fields = Vector.newBuilder[org.apache.spark.sql.types.StructField]
@@ -658,12 +819,30 @@ private[sources] final class MemScanBuilder(store: MemStore,
         new MemScan(schema, schema, () => Array(row), () => 1L,
           direct = true)
       case None =>
+        // with pushed filters the count is an upper bound (the
+        // unfiltered snapshot) — still finite and sane for planning
         val rowCount =
           () => targetStats.map(_.count)
             .getOrElse(pinned.map(_._2.length.toLong)
               .getOrElse(store.snapshot().length.toLong))
-        new MemScan(required.getOrElse(store.schema), store.schema,
-          () => pinned.map(_._2).getOrElse(store.snapshot()), rowCount)
+        val schema = store.schema
+        val pushed = pushedArr.toSeq
+        val st = () => targetStats
+        val snap = () => {
+          val base = pinned.map(_._2).getOrElse(store.snapshot())
+          if (pushed.nonEmpty &&
+              MemFilters.contradictsStats(st(), schema, pushed))
+            Array.empty[InternalRow] // zone-map skip: zero rows touched
+          else base
+        }
+        // filters evaluate in the READER so `__pos` stays the row's
+        // index in the UNFILTERED snapshot — a filtered row-level scan
+        // must hand the delta writer true snapshot positions
+        val keep: InternalRow => Boolean =
+          if (pushed.isEmpty) null
+          else r => MemFilters.eval(schema, pushed, r)
+        new MemScan(required.getOrElse(schema), schema, snap, rowCount,
+          keep = keep)
     }
 }
 
@@ -677,7 +856,8 @@ private[sources] final class MemScanBuilder(store: MemStore,
   * stable between a row-level scan and its delta commit). */
 private[sources] final class MemScan(outSchema: StructType,
     dataSchema: StructType, snap: () => Array[InternalRow],
-    rowCount: () => Long = () => 0L, direct: Boolean = false)
+    rowCount: () => Long = () => 0L, direct: Boolean = false,
+    keep: InternalRow => Boolean = null)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = outSchema
@@ -706,6 +886,7 @@ private[sources] final class MemScan(outSchema: StructType,
     val out = outSchema
     val data = dataSchema
     val serveAsIs = direct
+    val keepFn = keep
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
@@ -720,7 +901,12 @@ private[sources] final class MemScan(outSchema: StructType,
               if (f.name == MemTable.PosCol) -1 else data.fieldIndex(f.name)
             }
           private var i = -1
-          override def next(): Boolean = { i += 1; i < rows.length }
+          override def next(): Boolean = {
+            i += 1
+            if (keepFn != null)
+              while (i < rows.length && !keepFn(rows(i))) i += 1
+            i < rows.length
+          }
           // rows written before an ADD COLUMN carry a prefix arity:
           // appended columns read as NULL (the Delta AddColumn read
           // behavior — no rewrite of history)

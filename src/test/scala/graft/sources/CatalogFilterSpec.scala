@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.SparkTestBase
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FilterExec
+
+/** Filter pushdown into the catalog scan: handled conjuncts evaluate
+  * inside the source (no FilterExec remains for them), untranslatable
+  * conjuncts stay as a residual Spark filter, and a predicate the
+  * snapshot statistics contradict serves EMPTY without evaluating a
+  * single row — the catalog-grain zone-map skip. */
+class CatalogFilterSpec extends SparkTestBase {
+
+  private def setup(): Unit = {
+    spark.conf.set("spark.sql.catalog.graftmem",
+      classOf[MemCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftmem.path", MemCatalog.defaultRoot)
+    spark.sql("DROP TABLE IF EXISTS graftmem.fspec")
+    spark.sql("CREATE TABLE graftmem.fspec (k BIGINT, c BIGINT, tag STRING)")
+    spark.sql(
+      """INSERT INTO graftmem.fspec
+        |SELECT id, IF(id % 5 = 0, NULL, id * 2), concat('t', id % 7)
+        |FROM RANGE(200)""".stripMargin)
+  }
+
+  private def filterExecs(df: DataFrame): Seq[FilterExec] = {
+    df.collect() // materialize so AQE finalizes its stages
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[FilterExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(s.plan)
+        case f: FilterExec => f +: f.children.flatMap(walk)
+        case other => other.children.flatMap(walk)
+      }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("handled conjuncts leave no FilterExec; results match the in-memory filter") {
+    setup()
+    val q = spark.sql(
+      "SELECT k FROM graftmem.fspec WHERE k > 150 AND tag = 't3' ORDER BY k")
+    assert(filterExecs(q).isEmpty,
+      s"fully-pushed predicate must drop Spark's filter:\n${q.queryExecution.executedPlan}")
+    val got = q.collect().map(_.getLong(0)).toSeq
+    val want = (151L until 200L).filter(k => k % 7 == 3)
+    assert(got == want, s"got $got")
+  }
+
+  test("partial pushdown: the untranslatable conjunct stays as a residual filter") {
+    setup()
+    val q = spark.sql(
+      "SELECT k FROM graftmem.fspec WHERE k > 150 AND k % 3 = 1 ORDER BY k")
+    val residuals = filterExecs(q)
+    assert(residuals.nonEmpty, "k % 3 = 1 cannot push — a residual must remain")
+    val cond = residuals.map(_.condition.toString).mkString(" ")
+    assert(cond.contains("% 3"), s"residual lost the modulo conjunct: $cond")
+    assert(!cond.contains("> 150"),
+      s"the pushed range conjunct must not be re-evaluated by Spark: $cond")
+    assert(q.collect().map(_.getLong(0)).toSeq ==
+      (151L until 200L).filter(_ % 3 == 1))
+  }
+
+  test("stats-contradicted predicates serve empty without evaluating any row") {
+    setup()
+    MemFilters.evaluated.set(0L)
+    // k ranges [0, 199]: every one of these is provably empty from
+    // the snapshot min/max/null statistics alone
+    val dead = Seq(
+      "k > 1000", "k >= 200", "k < 0", "k <= -1", "k = 5000",
+      "k IN (777, 888)", "k IS NULL")
+    dead.foreach { p =>
+      val n = spark.sql(s"SELECT * FROM graftmem.fspec WHERE $p").count()
+      assert(n == 0, s"$p returned $n rows")
+    }
+    assert(MemFilters.evaluated.get() == 0L,
+      s"zone-map skip must not touch rows (evaluated ${MemFilters.evaluated.get()})")
+    // and a live predicate does evaluate — the counter is real
+    spark.sql("SELECT * FROM graftmem.fspec WHERE k >= 199").count()
+    assert(MemFilters.evaluated.get() > 0L)
+  }
+
+  test("aggregate pushdown declines under a pushed filter (stats describe the unfiltered table)") {
+    setup()
+    val q = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mn FROM graftmem.fspec WHERE k >= 100")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"a filtered aggregate must not be stats-served:\n$plan")
+    val r = q.collect().head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 100L)
+  }
+
+  test("NULL semantics under pushdown match Spark's") {
+    setup()
+    // c IS NULL hits the planted nulls; comparisons drop NULL rows
+    assert(spark.sql("SELECT count(*) AS n FROM graftmem.fspec WHERE c IS NULL")
+      .head().getLong(0) == 40L)
+    assert(spark.sql("SELECT count(*) AS n FROM graftmem.fspec WHERE c > 0")
+      .head().getLong(0) == 160L)
+    // pushed vs unpushed (modulo forces residual-only path) agree
+    val pushed = spark.sql(
+      "SELECT k FROM graftmem.fspec WHERE c >= 100 ORDER BY k").collect().toSeq
+    val spark_side = spark.sql(
+      "SELECT k FROM graftmem.fspec WHERE c + 0 >= 100 ORDER BY k").collect().toSeq
+    assert(pushed == spark_side)
+  }
+}
