@@ -880,8 +880,24 @@ private[sources] final class MemScan(outSchema: StructType,
         java.util.OptionalLong.of(
           math.max(1L, n * outSchema.defaultSize))
     }
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(MemPartition(snap()))
+  /** Split the snapshot into ranged partitions (a format would plan
+    * file splits here): contiguous slices carrying their GLOBAL base
+    * position, so `__pos` and the delta protocol stay correct under a
+    * parallel scan. Tiny snapshots stay single-partition. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rows = snap()
+    val chunk = MemScan.TargetChunk
+    if (rows.length <= chunk) Array(MemPartition(rows, 0L))
+    else {
+      val n = math.min(MemScan.MaxPartitions,
+        (rows.length + chunk - 1) / chunk)
+      val per = (rows.length + n - 1) / n
+      Array.tabulate(n) { k =>
+        MemPartition(rows.slice(k * per,
+          math.min(rows.length, (k + 1) * per)), (k * per).toLong)
+      }
+    }
+  }
   override def createReaderFactory(): PartitionReaderFactory = {
     val out = outSchema
     val data = dataSchema
@@ -891,6 +907,7 @@ private[sources] final class MemScan(outSchema: StructType,
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
           private val rows = p.asInstanceOf[MemPartition].rows
+          private val base = p.asInstanceOf[MemPartition].basePos
           // identity fast path: full-width rows served as-is
           private val identity = serveAsIs ||
             (out == data && rows.forall(_.numFields == data.length))
@@ -919,7 +936,7 @@ private[sources] final class MemScan(outSchema: StructType,
               while (j < srcIdx.length) {
                 val s = srcIdx(j)
                 vals(j) =
-                  if (s < 0) i.toLong
+                  if (s < 0) base + i
                   else if (s < r.numFields) r.get(s, data(s).dataType)
                   else null
                 j += 1
@@ -934,8 +951,17 @@ private[sources] final class MemScan(outSchema: StructType,
   }
 }
 
-private[sources] final case class MemPartition(rows: Array[InternalRow])
-  extends InputPartition
+private[sources] object MemScan {
+  /** Rows per planned split (and the single-partition threshold). */
+  val TargetChunk: Int =
+    sys.props.getOrElse("graft.catalog.scan.chunk", "8192").toInt
+  val MaxPartitions = 32
+}
+
+/** One contiguous snapshot slice; `basePos` is the slice's first row's
+  * index in the FULL snapshot (keeps `__pos` global). */
+private[sources] final case class MemPartition(rows: Array[InternalRow],
+    basePos: Long) extends InputPartition
 
 /** DELTA-BASED row-level operation (the `SupportsDelta` side of the
   * DSv2 contract — Iceberg's position-delta class): the scan exposes

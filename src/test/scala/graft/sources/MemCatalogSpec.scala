@@ -361,6 +361,34 @@ class MemCatalogSpec extends SparkTestBase {
       Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(3.5))))
   }
 
+  test("large snapshots scan as ranged partitions; __pos stays global; DML lands correctly") {
+    durableCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdur.par1")
+    spark.sql("CREATE TABLE graftdur.par1 (k BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO graftdur.par1 SELECT id, concat('v', id) FROM RANGE(20000)")
+    val df = spark.table("graftdur.par1")
+    assert(df.rdd.getNumPartitions > 1,
+      s"20k rows must plan multiple splits, got ${df.rdd.getNumPartitions}")
+    // __pos is the row's index in the FULL snapshot, not its slice
+    val pos = spark.sql("SELECT __pos FROM graftdur.par1")
+      .collect().map(_.getLong(0)).sorted
+    assert(pos.toSeq == (0L until 20000L),
+      s"positions not global: ${pos.take(5).mkString(",")}...")
+    // a delta write through the parallel scan targets true positions
+    spark.sql(
+      """MERGE INTO graftdur.par1 t
+        |USING (SELECT id * 997 AS k FROM RANGE(15)) s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = 'hit'""".stripMargin)
+    spark.sql("DELETE FROM graftdur.par1 WHERE k >= 19990")
+    val got = spark.table("graftdur.par1").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 19990)
+    (0 until 15).map(_ * 997L).filter(_ < 19990).foreach(k =>
+      assert(got(k) == "hit", s"update missed k=$k"))
+    assert(got(12345L) == "v12345", "an untouched row changed")
+  }
+
   test("SHOW TABLES sees durable tables straight after a restart") {
     durableCatalog()
     spark.sql("DROP TABLE IF EXISTS graftdur.lst1")
