@@ -127,6 +127,28 @@ object IvfIndex {
     * code artifacts alike.
     *
     * Returns (new index rows, healed per-cell counts). */
+  /** Incremental ADDITION to a persisted cell-keyed vector artifact —
+    * [[deleteFromIndex]]'s mirror, completing the index lifecycle
+    * (build -> serve -> add -> delete). `additions` must already
+    * carry the index schema (assigned against the FIXED centroids and
+    * encoded with the FIXED codebook — production adds never retrain
+    * the quantizer, so an add followed by the oracle's from-scratch
+    * assignment of the union corpus is bit-identical). Existing rows
+    * pass through untouched; per-cell counts heal UPWARD from the
+    * additions alone, full-outer so a previously-empty cell enters
+    * the stats. Returns (new index rows, healed per-cell counts). */
+  def addToIndex(index: DataFrame, counts: DataFrame,
+      additions: DataFrame): (DataFrame, DataFrame) = {
+    val cols = index.columns.toSeq.map(col)
+    val addPerCell = additions.groupBy(col("cid"))
+      .agg(count(lit(1)).as("__an"))
+    val healed = counts.join(broadcast(addPerCell), Seq("cid"), "full_outer")
+      .select(col("cid"),
+        (coalesce(col("n_vecs"), lit(0L)) +
+          coalesce(col("__an"), lit(0L))).as("n_vecs"))
+    (index.unionByName(additions.select(cols: _*)), healed)
+  }
+
   def deleteFromIndex(index: DataFrame, counts: DataFrame,
       tombstones: DataFrame): (DataFrame, DataFrame) = {
     val tb = tombstones.select(col("vec_id").cast("long").as("del_id"))

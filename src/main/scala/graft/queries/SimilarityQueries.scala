@@ -620,6 +620,79 @@ object SimilarityQueries {
        |FROM cell WHERE vec_id % $DelMod <> $DelRem
        |GROUP BY cid ORDER BY cid""".stripMargin
 
+  // ---- q298: vector-index incremental add -----------------------------
+
+  /** New arrivals for q298: reversed embeddings under offset ids —
+    * disjoint from every live id, same value distribution, and both
+    * engines derive them deterministically (reverse preserves norm). */
+  private val AddOffset = 20000000L
+  private val AddBound = 200L
+
+  private def ivfPqAddArtifact(dir: String): String = IndexStore.artifactPath(
+    dir, s"ivfpq_codes_m${PqIndex.M}_k${PqIndex.Ks}_i${PqIterations}" +
+      s"_c${NumCentroids}_l${LloydIterations}_add${AddBound}")
+
+  /** q298: incremental ADD to the persisted vector index — q295's
+    * mirror ([[graft.operators.IvfIndex.addToIndex]]): new vectors
+    * assign against the FIXED persisted centroids and encode with the
+    * FIXED persisted codebook (continuous-ingest adds never retrain),
+    * existing rows pass through, per-cell counts heal upward, and the
+    * grown index persists as its own artifact. Oracle = from-scratch
+    * assignment of the UNION corpus against the original-corpus
+    * centroids — batch-vs-incremental equivalence, the same contract
+    * the BM25 merge chain (q146) pins on the text side. */
+  def ivfPqAdd(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val idx = ivfPqCodes(spark, dir)
+    val counts = idx.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    val fresh = Tables.load(spark, dir, "embeddings")
+      .where(col("vec_id") < AddBound)
+      .select((col("vec_id") + AddOffset).as("vec_id"),
+        reverse(vecD(col("embedding"))).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val assigned = IvfIndex.assignCells(fresh, ivfCentroids(spark, dir))
+    val additions = PqIndex.encode(fresh, pqCodebook(spark, dir))
+      .select(col("vec_id"), col("nrm"), col("codes"))
+      .join(assigned.select(col("vec_id"), col("cid")), "vec_id")
+    val (newIdx, healed) = IvfIndex.addToIndex(idx, counts, additions)
+    val persisted = IndexStore.rebuild(spark, ivfPqAddArtifact(dir))(newIdx)
+    persisted.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_check"), sum(col("vec_id")).as("id_sum"),
+        min(col("vec_id")).as("id_min"), max(col("vec_id")).as("id_max"))
+      .join(healed, "cid")
+      .select(col("cid"), col("n_vecs").cast("long").as("n_vecs"),
+        col("n_check").cast("long").as("n_check"),
+        col("id_sum").cast("long").as("id_sum"),
+        col("id_min").cast("long").as("id_min"),
+        col("id_max").cast("long").as("id_max"))
+      .orderBy(col("cid"))
+  }
+
+  // lazy: normedCte/ivfAssignSql declare later in the object body
+  private lazy val ivfPqAddSql =
+    s"""$normedCte,
+       |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < $NumCentroids),
+       |${ivfAssignSql("c0", "a0")},
+       |${ivfLloydSql("a0", "c1")},
+       |${ivfAssignSql("c1", "a1")},
+       |${ivfLloydSql("a1", "c2")},
+       |u AS (SELECT vec_id, v, nrm FROM n
+       |      UNION ALL
+       |      SELECT vec_id + $AddOffset, list_reverse(v) AS v, nrm
+       |      FROM n WHERE vec_id < $AddBound),
+       |cell_u AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT u.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY u.vec_id ORDER BY
+       |             list_aggregate([u.v[i]*c.cv[i] for i in generate_series(1, $Dim)], 'sum')
+       |               / (u.nrm*c.cnrm) DESC, c.cid) AS rn
+       |    FROM u CROSS JOIN c2 c) t WHERE rn = 1)
+       |SELECT cid, count(*)::BIGINT AS n_vecs, count(*)::BIGINT AS n_check,
+       |       sum(vec_id)::BIGINT AS id_sum,
+       |       min(vec_id)::BIGINT AS id_min, max(vec_id)::BIGINT AS id_max
+       |FROM cell_u
+       |GROUP BY cid ORDER BY cid""".stripMargin
+
   /** Probe-limited ADC search — the IVF x PQ composition (the judge's
     * round-5 top item): rank cells per query exactly as q52 does
     * (window over the broadcast-small query x centroid frame), build
@@ -1621,6 +1694,10 @@ object SimilarityQueries {
     // a from-scratch re-assignment of the retained corpus (same
     // centroids — production deletes never retrain the quantizer).
     QueryDef("q295_ivfpq_delete", ivfPqDeleteSql)(ivfPqDelete),
+
+    // Incremental vector-index ADD (q295's mirror): new vectors enter
+    // the fixed-quantizer index without a rebuild; batch == incremental.
+    QueryDef("q298_ivfpq_add", ivfPqAddSql)(ivfPqAdd),
     // The operating-point sweep over the same persisted artifact:
     // recall@10 at nprobe in {1,2,4,8}, gated value-for-value.
     QueryDef("q115_ivfpq_recall_curve", ivfPqRecallSql)(ivfPqRecallCurve),

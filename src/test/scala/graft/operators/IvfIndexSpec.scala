@@ -63,6 +63,45 @@ class IvfIndexSpec extends SparkTestBase {
     assert(i1.except(i2).count() == 0 && i2.except(i1).count() == 0)
   }
 
+  test("incremental add == rebuild over the union; add-then-delete roundtrips to the original") {
+    val cents = IvfIndex.refine(corpus, seeds, iterations = 1)
+    val index = IvfIndex.assignCells(corpus, cents)
+      .select(col("vec_id"), col("cid"), col("nrm"))
+    index.cache()
+    val counts = index.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    // arrivals: reversed vectors under offset ids (disjoint, same norm)
+    val fresh = corpus.where(col("vec_id") < 40)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        reverse(col("v")).as("v"))
+      .withColumn("nrm", sqrt(GraftFunctions.vec_dot(col("v"), col("v"))))
+    val additions = IvfIndex.assignCells(fresh, cents)
+      .select(col("vec_id"), col("cid"), col("nrm"))
+    val (grown, healed) = IvfIndex.addToIndex(index, counts, additions)
+
+    // add == from-scratch assignment of the union (fixed centroids)
+    val union = corpus.select(col("vec_id"), col("v"), col("nrm"))
+      .unionByName(fresh)
+    val rebuilt = IvfIndex.assignCells(union, cents)
+      .select(col("vec_id"), col("cid"), col("nrm"))
+    assert(grown.except(rebuilt).count() == 0 &&
+      rebuilt.except(grown).count() == 0,
+      "incremental add diverged from the union rebuild")
+
+    // healed counts == recount of the grown index
+    val recount = grown.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    assert(healed.except(recount).count() == 0 &&
+      recount.except(healed).count() == 0)
+
+    // roundtrip: deleting exactly the added ids restores the original
+    val (back, backCounts) = IvfIndex.deleteFromIndex(grown, healed,
+      additions.select(col("vec_id")))
+    assert(back.except(index).count() == 0 &&
+      index.except(back).count() == 0,
+      "add-then-delete is not the identity")
+    assert(backCounts.except(counts).count() == 0 &&
+      counts.except(backCounts).count() == 0)
+  }
+
   test("tombstone delete: untouched cells pass through, affected cells drop exactly the ids, counts self-heal") {
     val index = IvfIndex.build(corpus, seeds, iterations = 1)
       .select(col("vec_id"), col("cid"), col("nrm")) // payload rides along
