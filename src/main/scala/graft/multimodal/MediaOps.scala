@@ -197,6 +197,47 @@ object MediaOps {
       .toDF("media_id", "b0", "b1", "b2", "b3")
   }
 
+  /** Acoustic fingerprint over the decoded PCM sample stream — the
+    * audio-side near-dup grain (the chromaprint shape: window the
+    * signal, fingerprint the ENERGY GRADIENT between consecutive
+    * windows). Unlike [[imageDHash]]'s byte stream, this genuinely
+    * decodes samples: the WAV data chunk parses as little-endian
+    * signed 16-bit PCM (`s = b0 | b1 << 8`, sign-adjusted), sample i
+    * lands in window `i * 65 / n`, each window's energy is the exact
+    * integer sum of |sample|, and bit (w) = 1 iff energy(w) >
+    * energy(w+1) — 64 gradient bits emitted as four 16-bit LSH bands
+    * (the q296 banding layout: a near-identical pair differing in one
+    * sample corrupts at most 2 bits, so at most 2 bands). Map-only at
+    * the codec boundary. */
+  def audioFingerprint(files: Dataset[MediaFile]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.filter(f => f.kind.startsWith("audio/"))
+      .mapPartitions { it =>
+        it.map { f =>
+          val off = MediaCodec.headerLength(f.payload).getOrElse(0)
+          val n = (f.payload.length - off) / 2 // LE16 sample count
+          val energy = new Array[Long](65)
+          var i = 0
+          while (i < n) {
+            val lo = f.payload(off + 2 * i) & 0xff
+            val hi = f.payload(off + 2 * i + 1) & 0xff
+            val raw = lo | (hi << 8)
+            val s = if (raw >= 32768) raw - 65536 else raw
+            energy((i.toLong * 65 / n).toInt) += math.abs(s)
+            i += 1
+          }
+          val bands = new Array[Long](4)
+          var w = 0
+          while (w < 64) {
+            if (energy(w) > energy(w + 1)) bands(w / 16) |= 1L << (w % 16)
+            w += 1
+          }
+          (f.mediaId, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+  }
+
   /** The fixture's kind assignment (id % 4), shared with the
     * binaryFile-ingest gate so a path-recovered id maps to the same
     * container kind [[mediaFromDocuments]] encoded. */

@@ -65,14 +65,14 @@ object MultimodalQueries {
     base.union(plants)
   }
 
-  /** The q296 chain, shared by the gate and the plan/recall spec. */
-  private[graft] def imagePhashPairs(
-      spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val bands = FrameMemo.checkpointed(
-      MediaOps.imageDHash(imageLake(spark, dir)))
-    // LSH banding: equi-joins per 16-bit band, never a cartesian —
-    // exactly the q32/q263 Hamming-bucket discipline
+  /** Shared Hamming-LSH tail over a (media_id, b0..b3) band frame:
+    * candidates from per-band equi-joins (never a cartesian — the
+    * q32/q263 discipline), verified by exact bit_count Hamming
+    * distance. One definition for the image (q296) and audio (q299)
+    * fingerprint gates, so a banding change cannot fork them. */
+  private def bandedHammingPairs(bands0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = FrameMemo.checkpointed(bands0)
     val cand = Seq("b0", "b1", "b2", "b3").map { bc =>
       val l = bands.select(col("media_id").as("id_a"), col(bc).as("__bv"))
       val r = bands.select(col("media_id").as("id_b"), col(bc).as("__bv"))
@@ -91,6 +91,43 @@ object MultimodalQueries {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Matching DuckDB tail: assumes a CTE `cmp(media_id, bit, v)` of
+    * fingerprint bits is in scope; emits bands -> band-join
+    * candidates -> Hamming verify, mirroring [[bandedHammingPairs]]. */
+  private def bandedTailSql: String =
+    s"""bands AS (SELECT media_id,
+       |    sum(CASE WHEN bit // 16 = 0 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b0,
+       |    sum(CASE WHEN bit // 16 = 1 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b1,
+       |    sum(CASE WHEN bit // 16 = 2 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b2,
+       |    sum(CASE WHEN bit // 16 = 3 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b3
+       |  FROM cmp GROUP BY 1),
+       |cand AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b FROM bands a
+       |    JOIN bands b ON a.b0 = b.b0 AND a.media_id < b.media_id
+       |  UNION
+       |  SELECT a.media_id, b.media_id FROM bands a
+       |    JOIN bands b ON a.b1 = b.b1 AND a.media_id < b.media_id
+       |  UNION
+       |  SELECT a.media_id, b.media_id FROM bands a
+       |    JOIN bands b ON a.b2 = b.b2 AND a.media_id < b.media_id
+       |  UNION
+       |  SELECT a.media_id, b.media_id FROM bands a
+       |    JOIN bands b ON a.b3 = b.b3 AND a.media_id < b.media_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT cand.id_a, cand.id_b,
+       |         (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+       |          bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT AS hamming
+       |  FROM cand JOIN bands x ON x.media_id = cand.id_a
+       |            JOIN bands y ON y.media_id = cand.id_b) t
+       |WHERE hamming <= $HamThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The q296 chain, shared by the gate and the plan/recall spec. */
+  private[graft] def imagePhashPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    bandedHammingPairs(MediaOps.imageDHash(imageLake(spark, dir)))
 
   /** DuckDB replay of the whole q296 chain from (doc_id, text) alone:
     * plant -> strip the (id-deterministic) container header by using
@@ -117,32 +154,67 @@ object MultimodalQueries {
        |        FROM grid g1 JOIN grid g2
        |          ON g2.media_id = g1.media_id AND g2.j = g1.j + 1
        |        WHERE g1.j % 9 < 8),
-       |bands AS (SELECT media_id,
-       |    sum(CASE WHEN bit // 16 = 0 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b0,
-       |    sum(CASE WHEN bit // 16 = 1 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b1,
-       |    sum(CASE WHEN bit // 16 = 2 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b2,
-       |    sum(CASE WHEN bit // 16 = 3 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b3
-       |  FROM cmp GROUP BY 1),
-       |cand AS (
-       |  SELECT a.media_id AS id_a, b.media_id AS id_b FROM bands a
-       |    JOIN bands b ON a.b0 = b.b0 AND a.media_id < b.media_id
-       |  UNION
-       |  SELECT a.media_id, b.media_id FROM bands a
-       |    JOIN bands b ON a.b1 = b.b1 AND a.media_id < b.media_id
-       |  UNION
-       |  SELECT a.media_id, b.media_id FROM bands a
-       |    JOIN bands b ON a.b2 = b.b2 AND a.media_id < b.media_id
-       |  UNION
-       |  SELECT a.media_id, b.media_id FROM bands a
-       |    JOIN bands b ON a.b3 = b.b3 AND a.media_id < b.media_id)
-       |SELECT id_a, id_b, hamming FROM (
-       |  SELECT cand.id_a, cand.id_b,
-       |         (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
-       |          bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT AS hamming
-       |  FROM cand JOIN bands x ON x.media_id = cand.id_a
-       |            JOIN bands y ON y.media_id = cand.id_b) t
-       |WHERE hamming <= $HamThreshold
-       |ORDER BY id_a, id_b""".stripMargin
+       |$bandedTailSql""".stripMargin
+
+  // ---- q299: acoustic-fingerprint audio near-dup ----------------------
+
+  /** Planted near-identical WAVs: one content byte changed moves one
+    * sample, hence one window energy, hence at most 2 gradient bits
+    * (and at most 2 of 4 bands) — same structural-recall argument as
+    * the image plants. */
+  private val AudioPlantBound = 242L
+
+  private def audioLake(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[MediaFile] = {
+    import spark.implicits._
+    val base = MediaOps.mediaFromDocuments(spark, dir)
+      .filter(f => f.kind.startsWith("audio/"))
+    val plants = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .filter(t => t._1 % 4 == 2 && t._1 < AudioPlantBound)
+      .map { case (id, text) =>
+        val body = ("X" + text.drop(1)).getBytes("UTF-8")
+        MediaFile(id + PlantOffset, "audio/wav",
+          graft.multimodal.MediaCodec.wavBytes(
+            (8000 + id % 8 * 1000).toInt, (id / 4 % 2 + 1).toInt, 16, body))
+      }
+    base.union(plants)
+  }
+
+  /** The q299 chain, shared by the gate and the recall spec. */
+  private[graft] def audioFingerprintPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    bandedHammingPairs(MediaOps.audioFingerprint(audioLake(spark, dir)))
+
+  /** DuckDB replay: plant -> LE16 signed-PCM sample decode from the
+    * text bytes -> 65-window integer energy sums -> gradient bits ->
+    * the shared banded-Hamming tail. */
+  private val audioFpSql =
+    s"""WITH auds AS (
+       |  SELECT doc_id AS media_id, text AS body FROM documents WHERE doc_id % 4 = 2
+       |  UNION ALL
+       |  SELECT doc_id + $PlantOffset, 'X' || substr(text, 2) FROM documents
+       |  WHERE doc_id % 4 = 2 AND doc_id < $AudioPlantBound),
+       |smp AS (SELECT media_id,
+       |        unnest([((k-1) * 65) // (length(body) // 2)
+       |                for k in generate_series(1, length(body) // 2)]) AS w,
+       |        unnest([abs(CASE WHEN ord(substr(body, 2*k-1, 1)) + 256 * ord(substr(body, 2*k, 1)) >= 32768
+       |                    THEN ord(substr(body, 2*k-1, 1)) + 256 * ord(substr(body, 2*k, 1)) - 65536
+       |                    ELSE ord(substr(body, 2*k-1, 1)) + 256 * ord(substr(body, 2*k, 1)) END)
+       |                for k in generate_series(1, length(body) // 2)]) AS v
+       |        FROM auds WHERE length(body) >= 2),
+       |we AS (SELECT media_id, w, sum(v) AS e FROM smp GROUP BY 1, 2),
+       |grid AS (SELECT ids.media_id, gs.j, coalesce(we.e, 0) AS e
+       |         FROM (SELECT media_id FROM auds) ids
+       |         CROSS JOIN generate_series(0, 64) gs(j)
+       |         LEFT JOIN we ON we.media_id = ids.media_id AND we.w = gs.j),
+       |cmp AS (SELECT g1.media_id, g1.j AS bit,
+       |               CASE WHEN g1.e > g2.e THEN 1 ELSE 0 END AS v
+       |        FROM grid g1 JOIN grid g2
+       |          ON g2.media_id = g1.media_id AND g2.j = g1.j + 1
+       |        WHERE g1.j < 64),
+       |$bandedTailSql""".stripMargin
 
   // ---- q165: multimodal -> ANN composition ---------------------------
 
@@ -371,7 +443,14 @@ object MultimodalQueries {
     // one-byte-perturbed copies must all surface (structural: <= 2
     // corrupted bands of 4); the oracle replays hash + banding +
     // verify byte for byte.
-    QueryDef("q296_image_phash_neardup", imagePhashSql)(imagePhashPairs)
+    QueryDef("q296_image_phash_neardup", imagePhashSql)(imagePhashPairs),
+
+    // Acoustic-fingerprint audio near-dup (q296's audio sibling):
+    // real LE16 signed-PCM decode -> windowed energy gradient -> the
+    // same banded-Hamming LSH tail. One-sample-perturbed plants must
+    // all surface; the oracle replays decode + fingerprint + banding.
+    QueryDef("q299_audio_fingerprint_neardup", audioFpSql)(
+      audioFingerprintPairs)
   )
 
   /** One-time-per-(session, dir) file-lake staging for q132: each

@@ -51,6 +51,33 @@ class ImagePhashSpec extends SparkTestBase {
       "a one-byte edit moved more than one region")
   }
 
+  test("audio fingerprint: LE16 decode is signed, and one-sample plants all surface") {
+    import spark.implicits._
+    // bytes chosen so the high byte sets the sign bit: 0x80 0xff ->
+    // raw 0xff80 = 65408 -> signed -128, |s| = 128 (an unsigned read
+    // would score 65408 and shift every window energy)
+    val neg = Array.fill(40)(Array(0x80.toByte, 0xff.toByte)).flatten
+    val pos = Array.fill(40)(Array(0x80.toByte, 0x00.toByte)).flatten // +128
+    val files = Seq(
+      MediaFile(1L, "audio/wav", MediaCodec.wavBytes(8000, 1, 16, neg)),
+      MediaFile(2L, "audio/wav", MediaCodec.wavBytes(8000, 1, 16, pos)))
+      .toDS()
+    val fp = MediaOps.audioFingerprint(files).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(fp(1L) == fp(2L),
+      "|−128| must fingerprint like |+128| — the signed decode is wrong")
+
+    val pairs = MultimodalQueries.audioFingerprintPairs(spark, dir)
+    val plantPairs = pairs
+      .where(col("id_b") === col("id_a") + 10000000L)
+      .collect()
+    assert(plantPairs.length == 60,
+      s"expected all 60 planted audio pairs, got ${plantPairs.length}")
+    assert(plantPairs.forall(_.getLong(2) <= 2),
+      "a one-byte edit moved more than one window")
+  }
+
   test("banding candidates come from equi-joins: no cartesian product in the plan") {
     val plan = MultimodalQueries.imagePhashPairs(spark, dir)
       .queryExecution.executedPlan.toString
