@@ -495,6 +495,69 @@ object SourceQueries {
         .orderBy(col("k"))
     },
 
+    // CHANGE DATA FEED (the Delta `table_changes` surface): every row
+    // changed in a version range with its change type + commit
+    // version, read straight off the retained delta history — the
+    // downstream-sync primitive. v1 = the base INSERT (all `insert`),
+    // v2 = the q194 MERGE (deletes with pre-images resolved from the
+    // prior snapshot, update pre/post pairs, inserts). The oracle
+    // re-derives the classification from the same fixture; one wrong
+    // change type, version stamp, or pre-image value fails the hash.
+    QueryDef("q300_table_changes",
+      s"""WITH $cdcFixtureCte,
+        |latest AS (
+        |  SELECT k, op, bal FROM (
+        |    SELECT k, op, bal, row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+        |    FROM changes) t WHERE rn = 1),
+        |feed AS (
+        |  SELECT 'insert' AS _change_type, 1 AS _commit_version, k,
+        |         bal FROM base
+        |  UNION ALL
+        |  SELECT 'delete', 2, b.k, b.bal
+        |  FROM base b JOIN latest l ON b.k = l.k AND l.op = 'D'
+        |  UNION ALL
+        |  SELECT 'update_preimage', 2, b.k, b.bal
+        |  FROM base b JOIN latest l ON b.k = l.k AND l.op <> 'D'
+        |  UNION ALL
+        |  SELECT 'update_postimage', 2, b.k, l.bal
+        |  FROM base b JOIN latest l ON b.k = l.k AND l.op <> 'D'
+        |  UNION ALL
+        |  SELECT 'insert', 2, l.k, l.bal
+        |  FROM latest l LEFT JOIN base b ON b.k = l.k
+        |  WHERE b.k IS NULL AND l.op <> 'D')
+        |SELECT _change_type, _commit_version::BIGINT AS _commit_version,
+        |       k::BIGINT AS k, CAST(round(bal * 100) AS BIGINT) AS cents
+        |FROM feed
+        |ORDER BY _commit_version, _change_type, k""".stripMargin) {
+      (spark, dir) =>
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmem.path",
+          graft.sources.MemCatalog.defaultRoot)
+        spark.sql("DROP TABLE IF EXISTS graftmem.cdf")
+        spark.sql("CREATE TABLE graftmem.cdf (k BIGINT, bal DOUBLE)")
+        val base = cdcBase(spark, dir)
+        base.createOrReplaceTempView("q300_base")
+        cdcChanges(base).createOrReplaceTempView("q300_changes")
+        spark.sql("INSERT INTO graftmem.cdf SELECT k, bal FROM q300_base")
+        spark.sql(
+          """MERGE INTO graftmem.cdf t
+            |USING (SELECT k, op, bal FROM (
+            |         SELECT k, op, bal,
+            |                row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+            |         FROM q300_changes) z WHERE rn = 1) s
+            |ON t.k = s.k
+            |WHEN MATCHED AND s.op = 'D' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET bal = s.bal
+            |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, bal) VALUES (s.k, s.bal)
+            |""".stripMargin)
+        graft.sources.MemCatalog
+          .tableChanges(spark, "graftmem", "cdf", 1, 2)
+          .select(col("_change_type"), col("_commit_version"), col("k"),
+            round(col("bal") * 100).cast("long").as("cents"))
+          .orderBy(col("_commit_version"), col("_change_type"), col("k"))
+    },
+
     // SNAPSHOT TIME TRAVEL (`VERSION AS OF`) through the v2 catalog:
     // version 1 = the base INSERT, version 2 = the post-MERGE state —
     // both read back EXACTLY after the table has moved on, the

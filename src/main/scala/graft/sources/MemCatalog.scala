@@ -3,6 +3,7 @@ package graft.sources
 import java.util
 
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
@@ -239,6 +240,44 @@ object MemCatalog {
       case None => throw new IllegalArgumentException(
         s"restoreSnapshot: $catalogName.$table is not loaded in this JVM")
     }
+
+  /** `table_changes(from, to)` (the Delta Change Data Feed surface):
+    * every row changed in versions [from, to] with its change type and
+    * commit version — `insert`, `delete`, `update_preimage` /
+    * `update_postimage` — read straight off the retained delta
+    * history ([[MemStore.changes]]). The downstream-sync primitive: a
+    * consumer replaying the feed reconstructs the table without ever
+    * re-scanning it. */
+  def tableChanges(spark: org.apache.spark.sql.SparkSession,
+      catalogName: String, table: String, fromV: Int,
+      toV: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val store = stores.getOrElse(catalogName + "\u0000" + table,
+      throw new IllegalArgumentException(
+        s"tableChanges: $catalogName.$table is not loaded in this JVM"))
+    val schema = store.schema
+    val full = StructType(
+      StructField("_change_type", StringType, nullable = false) +:
+        StructField("_commit_version", LongType, nullable = false) +:
+        schema.fields)
+    def external(dt: DataType, v: Any): Any = (dt, v) match {
+      case (_, null) => null
+      case (StringType, u: org.apache.spark.unsafe.types.UTF8String) =>
+        u.toString
+      case (_: DecimalType, d: org.apache.spark.sql.types.Decimal) =>
+        d.toJavaBigDecimal
+      case _ => v // atomic internal == external (long/int/double/bool)
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      store.changes(fromV, toV).map { case (ct, ver, r) =>
+        val vals = schema.fields.zipWithIndex.map { case (f, i) =>
+          if (i >= r.numFields || r.isNullAt(i)) null
+          else external(f.dataType, r.get(i, f.dataType))
+        }
+        org.apache.spark.sql.Row.fromSeq(ct +: ver +: vals.toSeq)
+      }.asJava
+    spark.createDataFrame(rows, full)
+  }
 }
 
 /** One retained version's content, stored AS ITS DELTA over the
@@ -418,6 +457,52 @@ private[sources] final class MemStore(schema0: StructType,
   def historyRows: Seq[(Long, Long, Long)] = synchronized {
     entries.indices.map(i => ((base + i).toLong, times(i), counts(i)))
   }
+
+  /** CHANGE DATA FEED over the retained delta history (the Delta
+    * `table_changes(from, to)` surface): one (change_type, version,
+    * row) triple per changed row — appends emit `insert`, row-level
+    * deltas emit `delete` (the pre-image resolved from the previous
+    * snapshot at the recorded position) and `update_preimage` /
+    * `update_postimage` pairs, replaces (INSERT OVERWRITE / RESTORE)
+    * emit a full delete+insert sweep (the Delta overwrite convention),
+    * schema markers emit nothing. This falls straight out of storing
+    * history AS deltas — no diffing of snapshots, cost O(changes in
+    * range) plus one fold to the range's starting snapshot. */
+  def changes(fromV: Int, toV: Int): Seq[(String, Long, InternalRow)] =
+    synchronized {
+      require(fromV > base,
+        s"changes from version $fromV need version ${fromV - 1}'s " +
+          s"snapshot — history is pruned before version $base")
+      require(fromV <= toV && toV <= currentVersion,
+        s"change range [$fromV, $toV] outside retained " +
+          s"window [$base, $currentVersion]")
+      var prev = entries.slice(0, fromV - base)
+        .foldLeft(Vector.empty[InternalRow])(VDelta.apply)
+      val out = Vector.newBuilder[(String, Long, InternalRow)]
+      var v = fromV
+      while (v <= toV) {
+        val d = entries(v - base)
+        d match {
+          case VAppend(rows) =>
+            rows.foreach(r => out += (("insert", v.toLong, r)))
+          case VBase(rows) =>
+            prev.foreach(r => out += (("delete", v.toLong, r)))
+            rows.foreach(r => out += (("insert", v.toLong, r)))
+          case VRowDelta(dels, upds, ins) =>
+            dels.foreach(pn =>
+              out += (("delete", v.toLong, prev(pn.toInt))))
+            upds.foreach { case (pn, r) =>
+              out += (("update_preimage", v.toLong, prev(pn.toInt)))
+              out += (("update_postimage", v.toLong, r))
+            }
+            ins.foreach(r => out += (("insert", v.toLong, r)))
+          case VMarker => ()
+        }
+        prev = VDelta.apply(prev, d)
+        v += 1
+      }
+      out.result()
+    }
 
   /** Expire every snapshot before `before` (retention): the log
     * consolidates `before` into a self-contained replace commit and

@@ -389,6 +389,39 @@ class MemCatalogSpec extends SparkTestBase {
     assert(got(12345L) == "v12345", "an untouched row changed")
   }
 
+  test("table_changes: full merge matrix (incl. NOT MATCHED BY SOURCE), durable across restart") {
+    durableCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdur.cdf1")
+    spark.sql("CREATE TABLE graftdur.cdf1 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftdur.cdf1 VALUES (1, 'a'), (2, 'b'), (3, 'c')") // v1
+    spark.sql(
+      """MERGE INTO graftdur.cdf1 t
+        |USING (SELECT * FROM VALUES (2, 'B'), (9, 'Z') AS s(k, v)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN DELETE
+        |""".stripMargin)                                                      // v2
+    def feed = graft.sources.MemCatalog
+      .tableChanges(spark, "graftdur", "cdf1", 1, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val expect = Set(
+      ("insert", 1L, 1L, "a"), ("insert", 1L, 2L, "b"), ("insert", 1L, 3L, "c"),
+      ("update_preimage", 2L, 2L, "b"), ("update_postimage", 2L, 2L, "B"),
+      ("insert", 2L, 9L, "Z"),
+      ("delete", 2L, 3L, "c")) // the NOT MATCHED BY SOURCE branch
+    assert(feed == expect, feed.toString)
+    // the feed reads off the durable delta log: identical after restart
+    MemCatalog.simulateRestart()
+    spark.table("graftdur.cdf1").count() // reload the store
+    assert(feed == expect, "change feed lost across restart")
+    // out-of-range / pruned requests fail loudly
+    val e = intercept[Exception](graft.sources.MemCatalog
+      .tableChanges(spark, "graftdur", "cdf1", 1, 99).collect())
+    assert(e.getMessage.contains("window"), e.getMessage)
+  }
+
   test("SHOW TABLES sees durable tables straight after a restart") {
     durableCatalog()
     spark.sql("DROP TABLE IF EXISTS graftdur.lst1")
