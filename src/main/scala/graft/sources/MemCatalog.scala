@@ -370,6 +370,7 @@ private[sources] final class MemStore(schema0: StructType,
       .foldLeft(Vector.empty[InternalRow])(VDelta.apply).toArray
   }
   def currentVersion: Int = base + entries.length - 1
+  def oldestVersion: Int = base
   /** Snapshot statistics for a retained version — the metadata that
     * serves COUNT/MIN/MAX without touching rows. None when any
     * contributing commit's sidecar was lost (reads fall back to a
@@ -470,9 +471,13 @@ private[sources] final class MemStore(schema0: StructType,
     * range) plus one fold to the range's starting snapshot. */
   def changes(fromV: Int, toV: Int): Seq[(String, Long, InternalRow)] =
     synchronized {
-      require(fromV > base,
-        s"changes from version $fromV need version ${fromV - 1}'s " +
-          s"snapshot — history is pruned before version $base")
+      // fromV == base is allowed: the oldest retained version streams
+      // as pure inserts of its consolidated snapshot (folded from the
+      // empty table) — the initial-load convention a streaming reader
+      // starting before retention uses. Anything earlier is pruned.
+      require(fromV >= base,
+        s"changes from version $fromV — history is pruned before " +
+          s"version $base")
       require(fromV <= toV && toV <= currentVersion,
         s"change range [$fromV, $toV] outside retained " +
           s"window [$base, $currentVersion]")
@@ -604,7 +609,7 @@ private[sources] final class MemTable(tableName: String, store: MemStore,
   override def schema(): StructType = store.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -616,7 +621,10 @@ private[sources] final class MemTable(tableName: String, store: MemStore,
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(store, pinned)
+    // a LIVE table can also be read as a stream (version offsets);
+    // time-travel handles are batch-only by construction
+    new MemScanBuilder(store, pinned,
+      streamStore = if (pinned.isEmpty) Some(store) else None)
 
   /** Plain writes append; `INSERT OVERWRITE` routes through the
     * `SupportsTruncate` hook (the unpartitioned-table overwrite
@@ -795,7 +803,8 @@ private[sources] object MemFilters {
   * sidecar is lost) declines, and Spark aggregates the plain scan —
   * pushdown steers the plan, never the results. */
 private[sources] final class MemScanBuilder(store: MemStore,
-    pinned: Option[(Int, Array[InternalRow])]) extends ScanBuilder
+    pinned: Option[(Int, Array[InternalRow])],
+    streamStore: Option[MemStore] = None) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -927,7 +936,7 @@ private[sources] final class MemScanBuilder(store: MemStore,
           if (pushed.isEmpty) null
           else r => MemFilters.eval(schema, pushed, r)
         new MemScan(required.getOrElse(schema), schema, snap, rowCount,
-          keep = keep)
+          keep = keep, streamStore = streamStore)
     }
 }
 
@@ -942,11 +951,25 @@ private[sources] final class MemScanBuilder(store: MemStore,
 private[sources] final class MemScan(outSchema: StructType,
     dataSchema: StructType, snap: () => Array[InternalRow],
     rowCount: () => Long = () => 0L, direct: Boolean = false,
-    keep: InternalRow => Boolean = null)
+    keep: InternalRow => Boolean = null,
+    streamStore: Option[MemStore] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
+  /** STREAMING read of the live table (`spark.readStream.table`):
+    * offsets are COMMIT VERSIONS off the delta log — each micro-batch
+    * serves the rows INSERTED in (start, end] (appends, merge inserts,
+    * and the consolidated initial load; updates/deletes are skipped —
+    * the Delta `ignoreChanges` posture), so a downstream job follows a
+    * continuously-ingesting table exactly-once with checkpointed
+    * version offsets and never rescans history. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    streamStore.map(st =>
+      new MemMicroBatchStream(st, () => createReaderFactory())).getOrElse(
+      throw new UnsupportedOperationException(
+        "streaming reads address the LIVE table, not a time-travel handle"))
 
   /** CBO statistics served from the snapshot stats (the commit-log
     * sidecar fold): exact row count, size estimated at the pruned
@@ -1047,6 +1070,49 @@ private[sources] object MemScan {
   * index in the FULL snapshot (keeps `__pos` global). */
 private[sources] final case class MemPartition(rows: Array[InternalRow],
     basePos: Long) extends InputPartition
+
+/** Version offset for the catalog's streaming read. */
+private[sources] final case class MemOffset(version: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** Micro-batch stream over the delta log: initial offset sits just
+  * below the oldest retained version, so the first batch delivers the
+  * full existing table (consolidated snapshot = pure inserts) and
+  * every later batch exactly the rows inserted by the commits in its
+  * offset range — O(changes), never a table rescan. */
+private[sources] final class MemMicroBatchStream(store: MemStore,
+    readerFactory: () => PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = MemOffset(store.oldestVersion - 1)
+  override def latestOffset(): Offset = MemOffset(store.currentVersion)
+  override def deserializeOffset(json: String): Offset =
+    MemOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[MemOffset].version
+    val e = end.asInstanceOf[MemOffset].version
+    if (e <= s) Array.empty
+    else {
+      val from = math.max(s + 1, store.oldestVersion)
+      val rows = store.changes(from, e)
+        .collect { case ("insert", _, r) => r }
+      Array(MemPartition(rows.toArray, 0L))
+    }
+  }
+
+  // reuse the batch scan's reader verbatim: pruned schemas, pushed
+  // filters, and prefix-arity padding behave identically under the
+  // stream (a batch-position __pos is batch-local by construction)
+  override def createReaderFactory(): PartitionReaderFactory =
+    readerFactory()
+}
 
 /** DELTA-BASED row-level operation (the `SupportsDelta` side of the
   * DSv2 contract — Iceberg's position-delta class): the scan exposes
