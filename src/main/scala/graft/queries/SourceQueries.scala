@@ -558,6 +558,67 @@ object SourceQueries {
           .orderBy(col("_commit_version"), col("_change_type"), col("k"))
     },
 
+    // The canonical CDF CONSUMER: maintain a derived aggregate from
+    // the change feed ALONE — insert/update_postimage contribute +1,
+    // delete/update_preimage -1 — and the result must equal a direct
+    // aggregate over the table's final state (the oracle derives that
+    // state independently from the fixture). Proves the feed is
+    // COMPLETE and CONSISTENT: one missing change row, wrong type, or
+    // stale pre-image anywhere and the folded aggregate diverges. At
+    // 100 TB this is how downstream marts stay fresh without
+    // re-scanning the source.
+    QueryDef("q301_cdf_incremental_agg",
+      s"""WITH $cdcFixtureCte,
+        |latest AS (
+        |  SELECT k, op, bal FROM (
+        |    SELECT k, op, bal, row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+        |    FROM changes) t WHERE rn = 1),
+        |merged AS (
+        |  SELECT coalesce(b.k, c.k) AS k,
+        |         CASE WHEN c.k IS NOT NULL THEN c.bal ELSE b.bal END AS bal,
+        |         c.op AS op
+        |  FROM base b FULL OUTER JOIN latest c ON b.k = c.k),
+        |final AS (SELECT k, bal FROM merged WHERE op IS NULL OR op <> 'D')
+        |SELECT (k % 10)::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
+        |       CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM final GROUP BY 1 ORDER BY bucket""".stripMargin) {
+      (spark, dir) =>
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmem.path",
+          graft.sources.MemCatalog.defaultRoot)
+        spark.sql("DROP TABLE IF EXISTS graftmem.cdfagg")
+        spark.sql("CREATE TABLE graftmem.cdfagg (k BIGINT, bal DOUBLE)")
+        val base = cdcBase(spark, dir)
+        base.createOrReplaceTempView("q301_base")
+        cdcChanges(base).createOrReplaceTempView("q301_changes")
+        spark.sql("INSERT INTO graftmem.cdfagg SELECT k, bal FROM q301_base")
+        spark.sql(
+          """MERGE INTO graftmem.cdfagg t
+            |USING (SELECT k, op, bal FROM (
+            |         SELECT k, op, bal,
+            |                row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+            |         FROM q301_changes) z WHERE rn = 1) s
+            |ON t.k = s.k
+            |WHEN MATCHED AND s.op = 'D' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET bal = s.bal
+            |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, bal) VALUES (s.k, s.bal)
+            |""".stripMargin)
+        // the derived mart reads ONLY the feed, never the table
+        graft.sources.MemCatalog
+          .tableChanges(spark, "graftmem", "cdfagg", 1, 2)
+          .select((col("k") % 10).as("bucket"),
+            when(col("_change_type").isin("insert", "update_postimage"),
+              lit(1L)).otherwise(lit(-1L)).as("sign"),
+            round(col("bal") * 100).cast("long").as("cents"))
+          .groupBy(col("bucket"))
+          .agg(sum(col("sign")).as("n_rows"),
+            sum(col("sign") * col("cents")).as("cents"))
+          .where(col("n_rows") > 0)
+          .select(col("bucket").cast("long"), col("n_rows"), col("cents"))
+          .orderBy(col("bucket"))
+    },
+
     // SNAPSHOT TIME TRAVEL (`VERSION AS OF`) through the v2 catalog:
     // version 1 = the base INSERT, version 2 = the post-MERGE state —
     // both read back EXACTLY after the table has moved on, the
