@@ -21,7 +21,7 @@ class StreamCatalogSourceSpec extends SparkTestBase {
       new java.util.ArrayList[(Long, String)]())
 
   private def startFollow(ckpt: String) =
-    spark.readStream.table("graftdur.src1").writeStream
+    spark.readStream.table("graftsrc.src1").writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.collect().foreach(r =>
@@ -33,13 +33,13 @@ class StreamCatalogSourceSpec extends SparkTestBase {
   test("version-offset micro-batches: initial load, appends, merge inserts, checkpointed restart") {
     val root = java.nio.file.Files.createTempDirectory("graft_cat_src")
     val ckpt = root.resolve("ckpt").toString
-    spark.conf.set("spark.sql.catalog.graftdur",
+    spark.conf.set("spark.sql.catalog.graftsrc",
       classOf[MemCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graftdur.path",
+    spark.conf.set("spark.sql.catalog.graftsrc.path",
       root.resolve("cat").toString)
-    spark.sql("DROP TABLE IF EXISTS graftdur.src1")
-    spark.sql("CREATE TABLE graftdur.src1 (k BIGINT, v STRING)")
-    spark.sql("INSERT INTO graftdur.src1 VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql("DROP TABLE IF EXISTS graftsrc.src1")
+    spark.sql("CREATE TABLE graftsrc.src1 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftsrc.src1 VALUES (1, 'a'), (2, 'b')") // v1
 
     import scala.jdk.CollectionConverters._
     val q1 = startFollow(ckpt)
@@ -47,7 +47,7 @@ class StreamCatalogSourceSpec extends SparkTestBase {
     assert(delivered.asScala.toSet == Set((1L, "a"), (2L, "b")),
       s"initial load wrong: $delivered")
 
-    spark.sql("INSERT INTO graftdur.src1 VALUES (3, 'c')")            // v2
+    spark.sql("INSERT INTO graftsrc.src1 VALUES (3, 'c')")            // v2
     q1.processAllAvailable()
     assert(delivered.asScala.toSet ==
       Set((1L, "a"), (2L, "b"), (3L, "c")), delivered.toString)
@@ -56,7 +56,7 @@ class StreamCatalogSourceSpec extends SparkTestBase {
     // streams (the ignore-changes posture — updates rewrite history
     // the follower already consumed)
     spark.sql(
-      """MERGE INTO graftdur.src1 t
+      """MERGE INTO graftsrc.src1 t
         |USING (SELECT * FROM VALUES (2, 'B'), (7, 'g') AS s(k, v)) s
         |ON t.k = s.k
         |WHEN MATCHED THEN UPDATE SET v = s.v
@@ -67,7 +67,7 @@ class StreamCatalogSourceSpec extends SparkTestBase {
     q1.stop()
 
     // restart from the checkpoint: nothing re-delivers; new commits do
-    spark.sql("INSERT INTO graftdur.src1 VALUES (8, 'h')")            // v4
+    spark.sql("INSERT INTO graftsrc.src1 VALUES (8, 'h')")            // v4
     val before = delivered.size()
     val q2 = startFollow(ckpt)
     q2.processAllAvailable()
