@@ -422,6 +422,40 @@ class MemCatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("window"), e.getMessage)
   }
 
+  test("table_changes across ADD COLUMN pads pre-evolution pre-images; pruned logs feed from the consolidated base") {
+    durableCatalog()
+    spark.sql("DROP TABLE IF EXISTS graftdur.cdf2")
+    spark.sql("CREATE TABLE graftdur.cdf2 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftdur.cdf2 VALUES (1, 'a'), (2, 'b')")  // v1
+    spark.sql("ALTER TABLE graftdur.cdf2 ADD COLUMN bal DOUBLE")      // v2 (marker: no feed rows)
+    spark.sql("INSERT INTO graftdur.cdf2 VALUES (3, 'c', 3.5)")       // v3
+    spark.sql("UPDATE graftdur.cdf2 SET bal = 9.9 WHERE k = 1")       // v4
+    def feed(from: Int, to: Int) = graft.sources.MemCatalog
+      .tableChanges(spark, "graftdur", "cdf2", from, to).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
+    assert(feed(1, 4) == Set(
+      ("insert", 1L, 1L, None), ("insert", 1L, 2L, None), // padded NULL
+      ("insert", 3L, 3L, Some(3.5)),
+      ("update_preimage", 4L, 1L, None),                  // old row: no bal yet
+      ("update_postimage", 4L, 1L, Some(9.9))),
+      feed(1, 4).toString)
+
+    // expire into the middle: the retained window re-bases, and the
+    // feed FROM the base version streams the consolidated snapshot as
+    // pure inserts (the streaming initial-load convention)
+    MemCatalog.expireSnapshots("graftdur", "cdf2", before = 3)
+    val fromBase = feed(3, 4)
+    assert(fromBase == Set(
+      ("insert", 3L, 1L, None), ("insert", 3L, 2L, None),
+      ("insert", 3L, 3L, Some(3.5)),
+      ("update_preimage", 4L, 1L, None),
+      ("update_postimage", 4L, 1L, Some(9.9))), fromBase.toString)
+    // pre-window requests still fail loudly
+    val e = intercept[Exception](feed(2, 4))
+    assert(e.getMessage.contains("pruned"), e.getMessage)
+  }
+
   test("SHOW TABLES sees durable tables straight after a restart") {
     durableCatalog()
     spark.sql("DROP TABLE IF EXISTS graftdur.lst1")
