@@ -1100,8 +1100,18 @@ private[sources] final class MemMicroBatchStream(store: MemStore,
     val e = end.asInstanceOf[MemOffset].version
     if (e <= s) Array.empty
     else {
-      val from = math.max(s + 1, store.oldestVersion)
-      val rows = store.changes(from, e)
+      // a FRESH stream's initial offset is oldestVersion - 1 (first
+      // batch = the consolidated base). A CHECKPOINTED offset below
+      // that means retention expired commits the checkpoint never
+      // consumed-past — resuming would silently re-deliver the whole
+      // consolidated snapshot as duplicates. Fail loudly instead (the
+      // Delta startingVersion-below-retention convention).
+      require(s >= store.oldestVersion - 1,
+        s"checkpointed offset $s predates the retained window " +
+          s"[${store.oldestVersion}, ${store.currentVersion}] — " +
+          "resuming would re-deliver the consolidated base; reset the " +
+          "checkpoint or retain more history")
+      val rows = store.changes(s + 1, e)
         .collect { case ("insert", _, r) => r }
       Array(MemPartition(rows.toArray, 0L))
     }

@@ -75,5 +75,27 @@ class StreamCatalogSourceSpec extends SparkTestBase {
     val fresh = delivered.asScala.drop(before).toSet
     assert(fresh == Set((8L, "h")),
       s"restart must deliver exactly the new commit, got $fresh")
+
+    // retention vs checkpoints: an offset that predates the retained
+    // window must fail LOUDLY — silently resuming would re-deliver
+    // the consolidated base as duplicates
+    MemCatalog.expireSnapshots("graftsrc", "src1", before = 3)
+    val e = intercept[Exception] {
+      // drive the stream surface directly at the stale offset
+      val table = spark.sessionState.catalogManager
+        .catalog("graftsrc").asInstanceOf[MemCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array.empty, "src1"))
+      val stream = table
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new org.apache.spark.sql.util
+          .CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+        .build()
+        .toMicroBatchStream("/tmp/unused")
+      stream.planInputPartitions(
+        stream.deserializeOffset("0"), stream.deserializeOffset("4"))
+    }
+    assert(e.getMessage.contains("predates the retained window"),
+      e.getMessage)
   }
 }
