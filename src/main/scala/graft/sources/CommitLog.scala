@@ -29,6 +29,14 @@ private[sources] final case class DeltaCommit(version: Int, tsMicros: Long,
     stats: Option[CommitStats] = None) extends LogEntry
 private[sources] final case class SchemaCommit(version: Int,
     tsMicros: Long, schema: StructType) extends LogEntry
+/** A FILE-REFERENCE commit (the Delta `add` action shape): the commit
+  * file holds only (data-file name, row count) pairs — the data
+  * itself lives in immutable parquet files under `data/`. This is the
+  * form every bulk write of a durable table takes; the commit file is
+  * O(files), never O(rows). */
+private[sources] final case class FileCommit(version: Int, replace: Boolean,
+    tsMicros: Long, files: Vector[(String, Long)],
+    stats: Option[CommitStats] = None) extends LogEntry
 
 /** Durable snapshot log for [[MemCatalog]] tables — the Delta/Iceberg
   * commit-log shape in miniature: a per-table directory holding
@@ -60,6 +68,19 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
 
   private def commitFile(version: Int): Path =
     dir.resolve(f"$version%08d.commit")
+
+  /** Data-file directory (the table's parquet files). Write tasks
+    * stream rows here under fresh UUID names; a file becomes LIVE only
+    * when a commit file referencing it lands atomically — a crashed
+    * write leaves an orphan, never a half-visible table (the
+    * Iceberg/Delta optimistic-file discipline). */
+  private[sources] def dataDir: Path = dir.resolve("data")
+
+  private[sources] def dataFilePath(name: String): String =
+    dataDir.resolve(name).toString
+
+  private[sources] def newDataFileName(tag: String): String =
+    s"$tag-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
 
   private def statsFile(version: Int): Path =
     dir.resolve(f"$version%08d.stats")
@@ -166,6 +187,27 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
     writeStats(version, resultStats)
   }
 
+  /** Persist one FILE-REFERENCE commit — the durable data plane's
+    * bulk-write form: the commit file carries only the referenced
+    * data-file names and their row counts (O(files) bytes), the rows
+    * themselves already sit in immutable parquet files the write
+    * tasks streamed directly. Caller passes the commit's exact stats
+    * (the write tasks folded them row-by-row while streaming). */
+  def recordFiles(version: Int, replace: Boolean, tsMicros: Long,
+      files: Seq[(String, Long)], stats: CommitStats): Unit = {
+    writeCommit(version) { out =>
+      out.writeByte(4)
+      out.writeLong(tsMicros)
+      out.writeBoolean(replace)
+      out.writeInt(files.length)
+      files.foreach { case (name, count) =>
+        out.writeUTF(name)
+        out.writeLong(count)
+      }
+    }
+    writeStats(version, stats)
+  }
+
   /** Persist a schema-change commit (ALTER TABLE ADD COLUMN): the
     * latest schema lands in `_schema.json` FIRST (atomic rewrite —
     * decode correctness must not depend on the marker commit), then
@@ -200,8 +242,9 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
     * A pruned schema-change marker is harmless: decode arity rides in
     * every data commit and `_schema.json` already holds the latest. */
   def expireBefore(version: Int, tsMicros: Long,
-      rows: Seq[InternalRow]): Unit = {
-    record(version, replace = true, tsMicros, rows)
+      consolidated: Seq[(String, Long)], stats: CommitStats,
+      referenced: Set[String]): Unit = {
+    recordFiles(version, replace = true, tsMicros, consolidated, stats)
     val stream = Files.list(dir)
     val stale = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
@@ -214,6 +257,23 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
       }
     } finally stream.close()
     stale.foreach(Files.delete)
+    // PHYSICAL deletion of data files no retained commit references —
+    // the vacuum half of retention; without it expiry bounds the log
+    // but storage grows forever. Runs AFTER the consolidated commit
+    // landed, so a crash mid-sweep only leaves still-orphaned files
+    // (cleaned by the next expiry), never a dangling reference.
+    if (Files.isDirectory(dataDir)) {
+      val ds = Files.list(dataDir)
+      val orphans = scala.collection.mutable.ArrayBuffer.empty[Path]
+      try {
+        val it = ds.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (!referenced.contains(p.getFileName.toString)) orphans += p
+        }
+      } finally ds.close()
+      orphans.foreach(Files.delete)
+    }
   }
 
   /** Replay every retained commit in version order. After an expiry
@@ -237,6 +297,20 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
       try {
         val kind = in.readByte()
         val ts = in.readLong()
+        // stats ride in the sidecar; a missing/unreadable sidecar
+        // (crash window, hand-pruned file) degrades to scan-backed
+        // aggregation for every snapshot from this commit on
+        def stats: Option[CommitStats] = {
+          val sf = statsFile(ver)
+          if (!Files.exists(sf)) None
+          else {
+            val sin = new DataInputStream(new BufferedInputStream(
+              Files.newInputStream(sf)))
+            try Some(CommitStats.read(sin, cur))
+            catch { case _: Exception => None }
+            finally sin.close()
+          }
+        }
         if (kind == 2) {
           val len = in.readInt()
           val bytes = new Array[Byte](len)
@@ -244,6 +318,16 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
           val s = DataType.fromJson(new String(bytes, StandardCharsets.UTF_8))
             .asInstanceOf[StructType]
           SchemaCommit(ver, ts, s)
+        } else if (kind == 4) {
+          // file-reference commit: names + counts only — replay never
+          // touches a data file, so a restart is O(commits) metadata
+          val replace = in.readBoolean()
+          val files = Vector.fill(in.readInt()) {
+            val name = in.readUTF()
+            val count = in.readLong()
+            (name, count)
+          }
+          FileCommit(ver, replace, ts, files, stats)
         } else {
           val fields = in.readInt()
           def readRow(): InternalRow = {
@@ -256,20 +340,6 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
           }
           def readRows(n: Int): Vector[InternalRow] =
             Vector.fill(n)(readRow())
-          // stats ride in the sidecar; a missing/unreadable sidecar
-          // (crash window, hand-pruned file) degrades to scan-backed
-          // aggregation for every snapshot from this commit on
-          def stats: Option[CommitStats] = {
-            val sf = statsFile(ver)
-            if (!Files.exists(sf)) None
-            else {
-              val sin = new DataInputStream(new BufferedInputStream(
-                Files.newInputStream(sf)))
-              try Some(CommitStats.read(sin, cur))
-              catch { case _: Exception => None }
-              finally sin.close()
-            }
-          }
           if (kind == 3) {
             val deletes = Vector.fill(in.readInt())(in.readLong())
             val updates = Vector.fill(in.readInt()) {
@@ -303,7 +373,7 @@ private[sources] object CommitLog {
   /** Initialize a fresh log directory (schema written last, via temp +
     * atomic move, so `existsAt` implies a complete creation). */
   def create(dir: Path, schema: StructType, createdMicros: Long): CommitLog = {
-    Files.createDirectories(dir)
+    Files.createDirectories(dir.resolve("data"))
     Files.writeString(dir.resolve("_created"), createdMicros.toString)
     writeSchemaFile(dir, schema)
     new CommitLog(dir, schema)
@@ -314,6 +384,7 @@ private[sources] object CommitLog {
   def open(dir: Path): CommitLog = {
     val schema = DataType.fromJson(Files.readString(schemaFile(dir)))
       .asInstanceOf[StructType]
+    Files.createDirectories(dir.resolve("data"))
     new CommitLog(dir, schema)
   }
 

@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport,
+  ParquetWriteSupport}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.StructType
+
+/** Executor-side parquet codec for [[MemCatalog]]'s FILE-BACKED data
+  * plane: plain `InternalRow` in, standard parquet files out (and
+  * back), with NO SparkSession in sight — a write task streams its
+  * rows straight into a data file, a scan task streams them back, so
+  * the table's data never has to exist as one in-heap array anywhere.
+  *
+  * Built on Spark's own parquet support classes
+  * (`ParquetWriteSupport` / `ParquetReadSupport`, the row-based codec
+  * `spark.read.parquet` itself uses under the hood), driven directly
+  * through parquet-mr. That buys, for free, the exact on-disk
+  * dialect of every other Spark parquet file: the files are readable
+  * by any engine (DuckDB replays them in the oracle), a PRUNED read
+  * schema materializes only the requested columns, and a requested
+  * column missing from an old file (written before an ADD COLUMN)
+  * reads as NULL — the lakehouse schema-evolution read path, straight
+  * from the format.
+  */
+private[sources] object ParquetRowIO {
+
+  /** Hadoop conf for the write side. `ParquetWriteSupport` reads its
+    * session flags from the conf with NO defaults, so every key it
+    * touches is pinned here (values = Spark's defaults, with rebase
+    * modes CORRECTED — we never write legacy calendars). */
+  private def writeConf(schema: StructType): Configuration = {
+    val conf = new Configuration(false)
+    ParquetWriteSupport.setSchema(schema, conf)
+    Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
+      SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).foreach(e =>
+      conf.set(e.key, e.defaultValueString))
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf
+  }
+
+  private def readConf(requested: StructType): Configuration = {
+    val conf = new Configuration(false)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
+    Seq(SQLConf.PARQUET_BINARY_AS_STRING, SQLConf.PARQUET_INT96_AS_TIMESTAMP,
+      SQLConf.CASE_SENSITIVE, SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+      SQLConf.LEGACY_PARQUET_NANOS_AS_LONG).foreach(e =>
+      conf.set(e.key, e.defaultValueString))
+    conf
+  }
+
+  private final class RowBuilder(path: org.apache.hadoop.fs.Path)
+      extends ParquetWriter.Builder[InternalRow, RowBuilder](path) {
+    override def self(): RowBuilder = this
+    override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+  }
+
+  /** Streaming writer for one data file. Rows may carry a historical
+    * PREFIX arity (pre-ADD-COLUMN); they are padded to `schema` with
+    * NULLs before hitting the encoder, so one file always has one
+    * arity (the same padding reads apply). Single-threaded, like a
+    * write task. */
+  final class RowFileWriter(pathStr: String, schema: StructType) {
+    private val writer = new RowBuilder(new org.apache.hadoop.fs.Path(pathStr))
+      .withConf(writeConf(schema))
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    private var n = 0L
+    def write(r: InternalRow): Unit = {
+      writer.write(pad(r))
+      n += 1
+    }
+    private def pad(r: InternalRow): InternalRow =
+      if (r.numFields == schema.length) r
+      else {
+        require(r.numFields < schema.length,
+          s"row arity ${r.numFields} exceeds schema ${schema.length}")
+        val vals = new Array[Any](schema.length)
+        var j = 0
+        while (j < r.numFields) {
+          vals(j) = if (r.isNullAt(j)) null else r.get(j, schema(j).dataType)
+          j += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      }
+    /** Close and return the row count. */
+    def close(): Long = { writer.close(); n }
+  }
+
+  /** Iterator over one data file at `requested` (any subset of the
+    * table schema, in any order; columns the file predates read NULL).
+    *
+    * Rows are VOLATILE — each is a reused `UnsafeRow` buffer valid
+    * only until the next `next()` (the same contract Spark's own
+    * parquet row reader hands its scan pipeline). A consumer that
+    * RETAINS a row past the next step must `.copy()` it (UnsafeRow
+    * copies are deep, so retained strings can't alias the buffer).
+    * Closes itself on exhaustion; call `close()` for early exit. */
+  final class RowFileIterator(pathStr: String, requested: StructType)
+      extends Iterator[InternalRow] with AutoCloseable {
+    private val reader: ParquetReader[InternalRow] =
+      ParquetReader.builder[InternalRow](new ParquetReadSupport(),
+          new org.apache.hadoop.fs.Path(pathStr))
+        .withConf(readConf(requested)).build()
+    private val proj = UnsafeProjection.create(requested)
+    private var nextRow: InternalRow = _
+    private var closed = false
+    private def advance(): Unit = {
+      nextRow = if (closed) null else reader.read()
+      if (nextRow == null) close()
+    }
+    advance()
+    override def hasNext: Boolean = nextRow != null
+    override def next(): InternalRow = {
+      val r = proj(nextRow)
+      advance()
+      r
+    }
+    override def close(): Unit =
+      if (!closed) { closed = true; reader.close() }
+  }
+
+  def writer(path: String, schema: StructType): RowFileWriter =
+    new RowFileWriter(path, schema)
+
+  def open(path: String, requested: StructType): RowFileIterator =
+    new RowFileIterator(path, requested)
+}

@@ -41,32 +41,55 @@ private[sources] object CommitStats {
   private def cmp(a: Any, b: Any): Int =
     a.asInstanceOf[Comparable[Any]].compareTo(b)
 
-  /** Exact stats of one commit's rows under `schema` (the latest
-    * schema at commit time). Rows may carry a historical prefix arity
-    * (pre-evolution); fields beyond a row's arity read as NULL —
+  /** Retained extremal candidates must not alias a VOLATILE row buffer
+    * (write-exec rows and parquet-read rows are reused between steps) —
+    * strings are the only tracked type whose internal value is a
+    * reference into the buffer, so clone exactly those. */
+  private def stable(v: Any): Any = v match {
+    case u: UTF8String => u.clone()
+    case other => other
+  }
+
+  /** Streaming accumulator for one commit's statistics — the form a
+    * WRITE TASK folds row-by-row while streaming into its parquet data
+    * file, so stats cost one O(1)-state pass and the rows are never
+    * retained. Rows may carry a historical prefix arity
+    * (pre-evolution); fields beyond a row's arity count as NULL —
     * exactly how the scan pads them. */
-  def of(rows: Seq[InternalRow], schema: StructType): CommitStats = {
-    val n = schema.length
-    val tracked = Array.tabulate(n)(i => minMaxTracked(schema(i).dataType))
-    val nulls = new Array[Long](n)
-    val mins = new Array[Any](n)
-    val maxs = new Array[Any](n)
-    rows.foreach { r =>
+  final class Acc(schema: StructType) extends Serializable {
+    private val n = schema.length
+    private val tracked =
+      Array.tabulate(n)(i => minMaxTracked(schema(i).dataType))
+    private val nulls = new Array[Long](n)
+    private val mins = new Array[Any](n)
+    private val maxs = new Array[Any](n)
+    private var count = 0L
+    def add(r: InternalRow): Unit = {
+      count += 1
       var i = 0
       while (i < n) {
         if (i >= r.numFields || r.isNullAt(i)) nulls(i) += 1
         else if (tracked(i)) {
           val v = r.get(i, schema(i).dataType)
-          if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = v
-          if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = v
+          if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = stable(v)
+          if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = stable(v)
         }
         i += 1
       }
     }
-    CommitStats(rows.length.toLong, schema.fields.zipWithIndex.map {
-      case (f, i) =>
-        f.name -> ColStats(nulls(i), tracked(i), Option(mins(i)), Option(maxs(i)))
-    }.toMap)
+    def result: CommitStats =
+      CommitStats(count, schema.fields.zipWithIndex.map { case (f, i) =>
+        f.name ->
+          ColStats(nulls(i), tracked(i), Option(mins(i)), Option(maxs(i)))
+      }.toMap)
+  }
+
+  /** Exact stats of one commit's rows under `schema` (the latest
+    * schema at commit time). */
+  def of(rows: IterableOnce[InternalRow], schema: StructType): CommitStats = {
+    val acc = new Acc(schema)
+    rows.iterator.foreach(acc.add)
+    acc.result
   }
 
   def empty(schema: StructType): CommitStats =
@@ -112,7 +135,26 @@ private[sources] object CommitStats {
       d.deletes.map(p => prevRows(p.toInt)) ++
         d.updates.map { case (p, _) => prevRows(p.toInt) }
     val added: Seq[InternalRow] = d.updates.map(_._2) ++ d.inserts
-    val count = prev.count - d.deletes.length + d.inserts.length
+    def resultCol(i: Int): Iterator[Any] = {
+      val dt = schema(i).dataType
+      result.iterator.map(r =>
+        if (i >= r.numFields || r.isNullAt(i)) null else r.get(i, dt))
+    }
+    applyDelta(prev, schema, removed, added,
+      prev.count - d.deletes.length + d.inserts.length, resultCol)
+  }
+
+  /** The general form of the self-heal, decoupled from in-heap row
+    * vectors for the FILE-BACKED data plane: `removed`/`added` are the
+    * O(delta) rows the commit touched (pre-images batch-resolved by
+    * [[Snap.rowsAt]]), and `resultCol(i)` streams ONE column of the
+    * result snapshot — for file segments a single-column pruned
+    * parquet read — so the rescan-on-extremal-removal branch costs one
+    * column's pages of the touched table, never a whole-row pass. */
+  def applyDelta(prev: CommitStats, schema: StructType,
+      removed: Seq[InternalRow], added: Seq[InternalRow],
+      resultCount: Long, resultCol: Int => Iterator[Any]): CommitStats = {
+    val count = resultCount
     def valueAt(r: InternalRow, i: Int, dt: DataType): Any =
       if (i >= r.numFields || r.isNullAt(i)) null else r.get(i, dt)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
@@ -129,10 +171,10 @@ private[sources] object CommitStats {
       else {
         def recompute(lt: Boolean): Option[Any] = {
           var best: Any = null
-          result.foreach { r =>
-            val v = valueAt(r, i, dt)
+          resultCol(i).foreach { v =>
             if (v != null && (best == null ||
-                (if (lt) cmp(v, best) < 0 else cmp(v, best) > 0))) best = v
+                (if (lt) cmp(v, best) < 0 else cmp(v, best) > 0)))
+              best = stable(v)
           }
           Option(best)
         }

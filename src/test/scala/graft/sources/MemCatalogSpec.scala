@@ -321,11 +321,23 @@ class MemCatalogSpec extends SparkTestBase {
     val v3 = entries.find(_.version == 3).get.asInstanceOf[DeltaCommit]
     assert(v3.deletes.length == 1 && v3.updates.isEmpty &&
       v3.inserts.isEmpty, v3.toString.take(200))
-    // and the commit FILES are delta-sized: the 500-row v1 dwarfs both
+    // commit files REFERENCE data, never contain it: the 500-row v1
+    // commit is O(file refs) — its row bytes live in parquet data
+    // files the write tasks streamed — and the delta commits are
+    // O(delta). Nothing on the metadata plane scales with the table.
     def sz(v: Int) = java.nio.file.Files.size(
       java.nio.file.Paths.get(durRoot, "od1", f"$v%08d.commit"))
-    assert(sz(2) < sz(1) / 50 && sz(3) < sz(1) / 50,
+    assert(sz(1) < 2048 && sz(2) < 2048 && sz(3) < 2048,
       s"v1=${sz(1)}B v2=${sz(2)}B v3=${sz(3)}B")
+    val v1files = entries.find(_.version == 1).get.asInstanceOf[FileCommit]
+    assert(v1files.files.map(_._2).sum == 500L,
+      s"v1 must reference 500 rows of data files: ${v1files.files}")
+    val dataBytes = v1files.files.map { case (name, _) =>
+      java.nio.file.Files.size(
+        java.nio.file.Paths.get(durRoot, "od1", "data", name))
+    }.sum
+    assert(dataBytes > sz(1),
+      s"row bytes must live in data files (data=$dataBytes, commit=${sz(1)})")
     // restart replay composes the deltas back to the same state
     def state = spark.table("graftdur.od1").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
