@@ -619,6 +619,69 @@ object SourceQueries {
           .orderBy(col("bucket"))
     },
 
+    // The CHANGE-FEED METADATA TABLE (`cat.t.changes`, the Iceberg
+    // metadata-table suffix carrying the Delta CDF): the SAME feed as
+    // q300, but consumed through plain SQL text against a named table
+    // — the surface a warehouse user's BI/CDC tooling actually hits —
+    // with the `_commit_version` range predicate PUSHED into the
+    // source. Streaming consumption of this table (version offsets,
+    // checkpointed restart, pre-images included) is pinned by
+    // StreamCdfSourceSpec; the batch surface is oracle-gated here.
+    QueryDef("q302_changes_metadata_table",
+      s"""WITH $cdcFixtureCte,
+        |latest AS (
+        |  SELECT k, op, bal FROM (
+        |    SELECT k, op, bal, row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+        |    FROM changes) t WHERE rn = 1),
+        |feed AS (
+        |  SELECT 'delete' AS _change_type, 2 AS _commit_version, b.k, b.bal
+        |  FROM base b JOIN latest l ON b.k = l.k AND l.op = 'D'
+        |  UNION ALL
+        |  SELECT 'update_preimage', 2, b.k, b.bal
+        |  FROM base b JOIN latest l ON b.k = l.k AND l.op <> 'D'
+        |  UNION ALL
+        |  SELECT 'update_postimage', 2, b.k, l.bal
+        |  FROM base b JOIN latest l ON b.k = l.k AND l.op <> 'D'
+        |  UNION ALL
+        |  SELECT 'insert', 2, l.k, l.bal
+        |  FROM latest l LEFT JOIN base b ON b.k = l.k
+        |  WHERE b.k IS NULL AND l.op <> 'D')
+        |SELECT _change_type, _commit_version::BIGINT AS _commit_version,
+        |       k::BIGINT AS k, CAST(round(bal * 100) AS BIGINT) AS cents
+        |FROM feed
+        |ORDER BY _commit_version, _change_type, k""".stripMargin) {
+      (spark, dir) =>
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmem.path",
+          graft.sources.MemCatalog.defaultRoot)
+        spark.sql("DROP TABLE IF EXISTS graftmem.cdfsql")
+        spark.sql("CREATE TABLE graftmem.cdfsql (k BIGINT, bal DOUBLE)")
+        val base = cdcBase(spark, dir)
+        base.createOrReplaceTempView("q302_base")
+        cdcChanges(base).createOrReplaceTempView("q302_changes")
+        spark.sql("INSERT INTO graftmem.cdfsql SELECT k, bal FROM q302_base")
+        spark.sql(
+          """MERGE INTO graftmem.cdfsql t
+            |USING (SELECT k, op, bal FROM (
+            |         SELECT k, op, bal,
+            |                row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+            |         FROM q302_changes) z WHERE rn = 1) s
+            |ON t.k = s.k
+            |WHEN MATCHED AND s.op = 'D' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET bal = s.bal
+            |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, bal) VALUES (s.k, s.bal)
+            |""".stripMargin)
+        // plain SQL against the metadata table; the version predicate
+        // pushes into the source (only v2 rows are planned)
+        spark.sql(
+          """SELECT _change_type, _commit_version, k,
+            |       CAST(round(bal * 100) AS BIGINT) AS cents
+            |FROM graftmem.cdfsql.changes
+            |WHERE _commit_version >= 2
+            |ORDER BY _commit_version, _change_type, k""".stripMargin)
+    },
+
     // SNAPSHOT TIME TRAVEL (`VERSION AS OF`) through the v2 catalog:
     // version 1 = the base INSERT, version 2 = the post-MERGE state —
     // both read back EXACTLY after the table has moved on, the
