@@ -38,6 +38,101 @@ object MediaCodec {
     out.array()
   }
 
+  // ---- REAL pixel codec (javax.imageio — pure JVM, public API) ------
+
+  private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false) // no tmp-file churn per task
+
+  /** Encode a REAL deflate-compressed 8-bit GRAYSCALE PNG. Pixel
+    * values land in the raster directly (never through `getRGB`'s
+    * gray->sRGB colorspace transform, which is NOT the identity), so
+    * `decodeLuma` recovers every value EXACTLY — the property the
+    * q296 oracle replay rests on. */
+  def pngEncodeGray(width: Int, height: Int, lum: Array[Int]): Array[Byte] = {
+    imageIoInit
+    require(lum.length == width * height,
+      s"luminance grid ${lum.length} for ${width}x$height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, lum(y * width + x) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** The same pixels as an RGB PNG (r = g = b = luminance): a
+    * BYTE-DIFFERENT, PIXEL-IDENTICAL re-encode — decoded luma
+    * (299r + 587g + 114b) / 1000 collapses exactly to the gray value,
+    * so perceptual hashes of the two encodings must be equal. */
+  def pngEncodeRgbGray(width: Int, height: Int,
+      lum: Array[Int]): Array[Byte] = {
+    imageIoInit
+    require(lum.length == width * height,
+      s"luminance grid ${lum.length} for ${width}x$height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = lum(y * width + x) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** TRUE pixel decode: run the payload through the registered
+    * ImageIO readers (PNG/JPEG/GIF/BMP in every JVM) and return the
+    * (width, height, luminance) grid. Luma reads RASTER samples —
+    * single-band rasters verbatim (exact for grayscale), multi-band
+    * as integer ITU-R 601 luma (299r + 587g + 114b) / 1000, which is
+    * exact whenever r = g = b. None when no reader decodes the bytes
+    * (the synthetic header-only fixtures take this path and fall back
+    * to the byte-stream hash). */
+  def decodeLuma(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      imageIoInit
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        val lum = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            lum(y * w + x) =
+              if (bands == 1) raster.getSample(x, y, 0)
+              else if (bands >= 3)
+                (299 * raster.getSample(x, y, 0) +
+                  587 * raster.getSample(x, y, 1) +
+                  114 * raster.getSample(x, y, 2)) / 1000
+              else raster.getSample(x, y, 0) // gray + alpha
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, lum))
+      }
+    } catch { case _: Exception => None }
+
   /** JPEG: SOI + one SOF0 frame header (8-bit precision, single
     * component), then `body` as opaque trailing bytes. Header is
     * exactly 15 bytes. */

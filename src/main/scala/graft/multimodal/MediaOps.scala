@@ -139,18 +139,20 @@ object MediaOps {
     }
   }
 
-  /** Perceptual dHash over the decoded image byte stream — the
-    * standard multimodal-corpus near-dup grain (a real decoder would
-    * hand pixel luminance here; the deterministic stand-in downsamples
-    * the post-header content stream, keeping every Spark-side shape
-    * real). Per image:
+  /** Perceptual dHash over TRUE DECODED PIXELS — the standard
+    * multimodal-corpus near-dup grain. Per image:
     *
-    *  1. the container header is parsed off ([[MediaCodec
-    *     .headerLength]] — PNG/JPEG aware), leaving the content bytes;
-    *  2. the stream DOWNSAMPLES to an 8 x 9 grid: byte i lands in
-    *     region `i * 72 / len` (integer arithmetic, exact), each
-    *     region's value is the integer mean of its bytes (empty
-    *     regions read 0 — short streams degrade gracefully);
+    *  1. the payload DECODES through `javax.imageio`
+    *     ([[MediaCodec.decodeLuma]] — real deflate-compressed PNG,
+    *     DCT-coded JPEG, GIF, BMP) to a luminance grid; a payload no
+    *     registered reader accepts (the synthetic header-only fixture
+    *     containers) falls back to downsampling the post-header
+    *     content byte stream, so the operator still hashes
+    *     EVERYTHING deterministically;
+    *  2. luminance DOWNSAMPLES to an 8 x 9 grid: pixel (x, y) lands in
+    *     region `(y*8/h)*9 + (x*9/w)` (integer arithmetic, exact),
+    *     each region's value is the integer mean (empty regions read
+    *     0 — degenerate dims degrade gracefully);
     *  3. the classic dHash gradient: bit (r, c) = 1 iff region
     *     (r, c) > region (r, c+1) — 8 comparisons per row, 64 bits;
     *  4. the 64 bits are emitted as four 16-bit BANDS (b0..b3), which
@@ -159,6 +161,9 @@ object MediaOps {
     *     corrupt at most 2 bands, so at least one band collides) and
     *     sign-safe in every engine's BIGINT.
     *
+    * Because the hash reads pixels, a RE-ENCODED image —
+    * byte-different, pixel-identical (gray PNG vs RGB PNG, different
+    * compression levels) — hashes EQUAL ([[ImagePhashSpec]] pins it).
     * One map-only pass at the codec boundary — the same
     * `mapPartitions` amortization shape as [[extractFeatures]]. */
   def imageDHash(files: Dataset[MediaFile]): DataFrame = {
@@ -166,16 +171,32 @@ object MediaOps {
     files.filter(f => f.kind.startsWith("image/"))
       .mapPartitions { it =>
         it.map { f =>
-          val off = MediaCodec.headerLength(f.payload).getOrElse(0)
-          val len = f.payload.length - off
           val sums = new Array[Long](72)
           val cnts = new Array[Long](72)
-          var i = 0
-          while (i < len) {
-            val r = (i.toLong * 72 / len).toInt
-            sums(r) += f.payload(off + i) & 0xff
-            cnts(r) += 1
-            i += 1
+          MediaCodec.decodeLuma(f.payload) match {
+            case Some((w, h, lum)) =>
+              var y = 0
+              while (y < h) {
+                val rowBase = (y * 8 / h) * 9
+                var x = 0
+                while (x < w) {
+                  val r = rowBase + x * 9 / w
+                  sums(r) += lum(y * w + x)
+                  cnts(r) += 1
+                  x += 1
+                }
+                y += 1
+              }
+            case None =>
+              val off = MediaCodec.headerLength(f.payload).getOrElse(0)
+              val len = f.payload.length - off
+              var i = 0
+              while (i < len) {
+                val r = (i.toLong * 72 / len).toInt
+                sums(r) += f.payload(off + i) & 0xff
+                cnts(r) += 1
+                i += 1
+              }
           }
           val avg = Array.tabulate(72)(j =>
             if (cnts(j) == 0) 0L else sums(j) / cnts(j))

@@ -39,28 +39,50 @@ object MultimodalQueries {
 
   // ---- q296: perceptual-hash image near-dup ---------------------------
 
-  /** Planted near-identical images: the first [[PlantBound]]/4 PNG
-    * objects reappear under offset ids with ONE content byte changed —
-    * a one-byte edit moves at most one downsample region, flips at
-    * most 2 dHash bits, and so corrupts at most 2 of the 4 bands:
+  /** The REAL-PIXEL image lake: every image document renders as a
+    * genuine deflate-compressed grayscale PNG
+    * ([[graft.multimodal.MediaCodec.pngEncodeGray]]) whose pixels are
+    * a DETERMINISTIC function of the text — pixel i = body byte
+    * (i mod len) — so the DuckDB oracle replays the whole chain from
+    * (doc_id, text) arithmetic while the Spark side must actually
+    * DECODE compressed pixel data to match. Plants: the first
+    * [[PlantBound]]/4 images reappear under offset ids with ONE PIXEL
+    * flipped — pixel (0,0) only feeds region (0,0), which only feeds
+    * dHash bit (0,0), so a plant corrupts at most 1 of the 4 bands:
     * banding recall of the plants is structural, not probabilistic. */
   private val PlantOffset = 10000000L
   private val PlantBound = 240L
   private val HamThreshold = 6
 
+  /** Deterministic pixel-lake dims: small enough that the oracle's
+    * per-pixel unnest stays tractable, spread enough to exercise the
+    * region arithmetic (w in [8, 71] hits the empty-region edge at
+    * w = 8, h in [8, 55]). */
+  private def imgDims(id: Long): (Int, Int) =
+    ((id * 7 % 64 + 8).toInt, (id * 13 % 48 + 8).toInt)
+
+  private[graft] def realPng(id: Long, text: String,
+      plant: Boolean): Array[Byte] = {
+    val body = text.getBytes("UTF-8")
+    val (w, h) = imgDims(id)
+    val lum = Array.tabulate(w * h)(i =>
+      if (body.isEmpty) 0 else body(i % body.length) & 0xff)
+    if (plant) lum(0) = (lum(0) + 128) % 256
+    graft.multimodal.MediaCodec.pngEncodeGray(w, h, lum)
+  }
+
   private def imageLake(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.Dataset[MediaFile] = {
     import spark.implicits._
-    val base = MediaOps.mediaFromDocuments(spark, dir)
-      .filter(f => f.kind.startsWith("image/"))
-    val plants = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .filter(t => t._1 % 4 == 0 && t._1 < PlantBound)
+    val base = docs.filter(t => t._1 % 4 < 2).map { case (id, text) =>
+      MediaFile(id, "image/png", realPng(id, text, plant = false))
+    }
+    val plants = docs.filter(t => t._1 % 4 == 0 && t._1 < PlantBound)
       .map { case (id, text) =>
-        val body = ("X" + text.drop(1)).getBytes("UTF-8")
         MediaFile(id + PlantOffset, "image/png",
-          graft.multimodal.MediaCodec.pngBytes(
-            (id * 7 % 1920 + 1).toInt, (id * 13 % 1080 + 1).toInt, body))
+          realPng(id, text, plant = true))
       }
     base.union(plants)
   }
@@ -129,22 +151,33 @@ object MultimodalQueries {
       dir: String): org.apache.spark.sql.DataFrame =
     bandedHammingPairs(MediaOps.imageDHash(imageLake(spark, dir)))
 
-  /** DuckDB replay of the whole q296 chain from (doc_id, text) alone:
-    * plant -> strip the (id-deterministic) container header by using
-    * the text as the content stream directly -> 72-region integer
-    * downsample -> dHash gradient bits -> 16-bit bands -> band
-    * equi-join candidates -> Hamming verify. */
+  /** DuckDB replay of the whole q296 chain from (doc_id, text) alone —
+    * possible precisely BECAUSE the lake's pixels are a deterministic
+    * function of the text: plant (pixel-0 flip) -> per-pixel region
+    * assignment `(y*8//h)*9 + (x*9//w)` -> integer region means ->
+    * dHash gradient bits -> 16-bit bands -> band equi-join candidates
+    * -> Hamming verify. The Spark side can only match by correctly
+    * DECODING the deflate-compressed PNGs back to those pixels. */
   private val imagePhashSql =
     s"""WITH imgs AS (
-       |  SELECT doc_id AS media_id, text AS body FROM documents WHERE doc_id % 4 < 2
+       |  SELECT doc_id AS media_id, text AS body,
+       |         (doc_id * 7 % 64 + 8)::BIGINT AS w,
+       |         (doc_id * 13 % 48 + 8)::BIGINT AS h, 0 AS flip
+       |  FROM documents WHERE doc_id % 4 < 2
        |  UNION ALL
-       |  SELECT doc_id + $PlantOffset, 'X' || substr(text, 2) FROM documents
-       |  WHERE doc_id % 4 = 0 AND doc_id < $PlantBound),
-       |b AS (SELECT media_id,
-       |        unnest([((i-1) * 72) // length(body) for i in generate_series(1, length(body))]) AS region,
-       |        unnest([ord(substr(body, i, 1)) for i in generate_series(1, length(body))]) AS v
-       |      FROM imgs WHERE length(body) > 0),
-       |ra AS (SELECT media_id, region, sum(v) // count(*) AS avg FROM b GROUP BY 1, 2),
+       |  SELECT doc_id + $PlantOffset, text,
+       |         (doc_id * 7 % 64 + 8)::BIGINT,
+       |         (doc_id * 13 % 48 + 8)::BIGINT, 1
+       |  FROM documents WHERE doc_id % 4 = 0 AND doc_id < $PlantBound),
+       |px AS (SELECT media_id,
+       |        unnest([(((i-1) // w) * 8 // h) * 9 + (((i-1) % w) * 9 // w)
+       |                for i in generate_series(1, w * h)]) AS region,
+       |        unnest([(CASE WHEN length(body) = 0 THEN 0
+       |                      ELSE ord(substr(body, ((i-1) % length(body)) + 1, 1)) END
+       |                 + CASE WHEN flip = 1 AND i = 1 THEN 128 ELSE 0 END) % 256
+       |                for i in generate_series(1, w * h)]) AS v
+       |      FROM imgs),
+       |ra AS (SELECT media_id, region, sum(v) // count(*) AS avg FROM px GROUP BY 1, 2),
        |grid AS (SELECT ids.media_id, gs.j, coalesce(ra.avg, 0) AS avg
        |         FROM (SELECT media_id FROM imgs) ids
        |         CROSS JOIN generate_series(0, 71) gs(j)

@@ -39,7 +39,38 @@ class ImagePhashSpec extends SparkTestBase {
       other.getLong(4)) != got.head)
   }
 
-  test("one-byte perturbation flips at most 2 bits, so banding recall of plants is total") {
+  test("REAL pixel decode: a re-encoded (byte-different, pixel-identical) image hashes EQUAL") {
+    import spark.implicits._
+    val lum = Array.tabulate(40 * 30)(i => (i * 37 + 11) % 256)
+    val gray = MediaCodec.pngEncodeGray(40, 30, lum)
+    val rgb = MediaCodec.pngEncodeRgbGray(40, 30, lum)
+    // genuinely different BYTES (different PNG color type + streams)
+    assert(!java.util.Arrays.equals(gray, rgb),
+      "the two encodings must differ on disk")
+    assert(gray.length != lum.length + 33,
+      "pngEncodeGray must produce a real compressed PNG, not header+raw")
+    // ... and a real decoder round-trips the exact pixels
+    val (dw, dh, dlum) = MediaCodec.decodeLuma(gray).get
+    assert((dw, dh) == ((40, 30)) && dlum.sameElements(lum),
+      "grayscale PNG decode must be pixel-exact")
+    val files = Seq(
+      MediaFile(1L, "image/png", gray),
+      MediaFile(2L, "image/png", rgb)).toDS()
+    val got = MediaOps.imageDHash(files).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == got(2L),
+      s"pixel-identical re-encodes must hash equal: $got")
+    // while genuinely different PIXELS (inverted luminance flips every
+    // strict gradient) move the hash
+    val inverted = lum.map(255 - _)
+    val fl = MediaOps.imageDHash(Seq(MediaFile(3L, "image/png",
+      MediaCodec.pngEncodeGray(40, 30, inverted))).toDS()).collect().head
+    assert((fl.getLong(1), fl.getLong(2), fl.getLong(3), fl.getLong(4))
+      != got(1L), "a real pixel edit must move the hash")
+  }
+
+  test("one-pixel plants corrupt at most 1 band, so banding recall is total") {
     val pairs = MultimodalQueries.imagePhashPairs(spark, dir)
     pairs.cache()
     val plantPairs = pairs
@@ -47,8 +78,8 @@ class ImagePhashSpec extends SparkTestBase {
     // every planted copy (doc_id % 4 == 0, doc_id < 240 -> 60 plants)
     assert(plantPairs.length == 60,
       s"expected all 60 planted pairs, got ${plantPairs.length}")
-    assert(plantPairs.forall(_.getLong(2) <= 2),
-      "a one-byte edit moved more than one region")
+    assert(plantPairs.forall(_.getLong(2) <= 1),
+      "a one-pixel flip feeds only region (0,0), hence only bit (0,0)")
   }
 
   test("audio fingerprint: LE16 decode is signed, and one-sample plants all surface") {
