@@ -101,6 +101,31 @@ object IvfIndex {
   def build(corpus: DataFrame, seeds: DataFrame, iterations: Int): DataFrame =
     assignCells(corpus, refine(corpus, seeds, iterations))
 
+  /** Incremental ADDITION to a persisted cell-keyed vector artifact —
+    * [[deleteFromIndex]]'s mirror, completing the index lifecycle
+    * (build -> serve -> add -> delete). `additions` must already
+    * carry the index schema (assigned against the FIXED centroids and
+    * encoded with the FIXED codebook — production adds never retrain
+    * the quantizer, so an add followed by the oracle's from-scratch
+    * assignment of the union corpus is bit-identical). Existing rows
+    * pass through untouched; per-cell counts heal UPWARD from the
+    * additions alone, full-outer so a previously-empty cell enters
+    * the stats. (Both sides of the count join are cells-sized — tiny;
+    * no broadcast hint: Spark ignores broadcast on FULL OUTER, so a
+    * hint would just imply a plan that never materializes.)
+    * Returns (new index rows, healed per-cell counts). */
+  def addToIndex(index: DataFrame, counts: DataFrame,
+      additions: DataFrame): (DataFrame, DataFrame) = {
+    val cols = index.columns.toSeq.map(col)
+    val addPerCell = additions.groupBy(col("cid"))
+      .agg(count(lit(1)).as("__an"))
+    val healed = counts.join(addPerCell, Seq("cid"), "full_outer")
+      .select(col("cid"),
+        (coalesce(col("n_vecs"), lit(0L)) +
+          coalesce(col("__an"), lit(0L))).as("n_vecs"))
+    (index.unionByName(additions.select(cols: _*)), healed)
+  }
+
   /** Tombstone DELETION over a persisted cell-keyed vector artifact —
     * the GDPR verb of the ANN lifecycle (q290's BM25 discipline
     * applied to vector indexes; before this, a delete forced a full
@@ -124,31 +149,10 @@ object IvfIndex {
     * the RETAINED corpus against the same centroids is bit-identical
     * (q295 states exactly that). Works on any frame carrying
     * (vec_id, cid, ...payload) — the IVF assignment and the IVF x PQ
-    * code artifacts alike.
+    * code artifacts alike. When accumulated churn has decayed the
+    * quantizer's fit, [[rebalance]] is the retrain remedy.
     *
     * Returns (new index rows, healed per-cell counts). */
-  /** Incremental ADDITION to a persisted cell-keyed vector artifact —
-    * [[deleteFromIndex]]'s mirror, completing the index lifecycle
-    * (build -> serve -> add -> delete). `additions` must already
-    * carry the index schema (assigned against the FIXED centroids and
-    * encoded with the FIXED codebook — production adds never retrain
-    * the quantizer, so an add followed by the oracle's from-scratch
-    * assignment of the union corpus is bit-identical). Existing rows
-    * pass through untouched; per-cell counts heal UPWARD from the
-    * additions alone, full-outer so a previously-empty cell enters
-    * the stats. Returns (new index rows, healed per-cell counts). */
-  def addToIndex(index: DataFrame, counts: DataFrame,
-      additions: DataFrame): (DataFrame, DataFrame) = {
-    val cols = index.columns.toSeq.map(col)
-    val addPerCell = additions.groupBy(col("cid"))
-      .agg(count(lit(1)).as("__an"))
-    val healed = counts.join(broadcast(addPerCell), Seq("cid"), "full_outer")
-      .select(col("cid"),
-        (coalesce(col("n_vecs"), lit(0L)) +
-          coalesce(col("__an"), lit(0L))).as("n_vecs"))
-    (index.unionByName(additions.select(cols: _*)), healed)
-  }
-
   def deleteFromIndex(index: DataFrame, counts: DataFrame,
       tombstones: DataFrame): (DataFrame, DataFrame) = {
     val tb = tombstones.select(col("vec_id").cast("long").as("del_id"))
@@ -169,5 +173,42 @@ object IvfIndex {
         (col("n_vecs") - coalesce(col("__dn"), lit(0L))).as("n_vecs"))
       .where(col("n_vecs") > 0)
     (untouched.unionByName(rewritten), healed)
+  }
+
+  /** RETRAIN / REBALANCE — the verb that completes the lifecycle
+    * (build -> serve -> add -> delete -> REBALANCE). [[addToIndex]] /
+    * [[deleteFromIndex]] deliberately pin the quantizer, so under
+    * heavy churn the centroids drift away from the corpus they
+    * partition: cells bloat or starve and probe recall decays with no
+    * remedy short of a rebuild. `rebalance` IS that rebuild, as a
+    * first-class operation on the index itself:
+    *
+    *  1. the CURRENT corpus is exactly the index's own rows — no
+    *     re-read of a source table (at 100 TB the index artifact is
+    *     the only authority on what survived the churn);
+    *  2. fresh seeds are the `k` lowest-id survivors (deterministic —
+    *     the same rule the original build used, so the retrain chain
+    *     replays in SQL);
+    *  3. the seed set refines through the same quantized-Lloyd rounds
+    *     as a fresh build ([[refine]]) and every row re-assigns
+    *     ([[assignCells]] — one corpus pass, no shuffle);
+    *  4. the caller swaps the result in ATOMICALLY via
+    *     [[IndexStore.rebuild]]'s temp-dir + move, so probes serve
+    *     the old artifact until the new one is complete.
+    *
+    * By construction the result is BIT-IDENTICAL to a fresh build of
+    * the surviving corpus under the same parameters
+    * (IvfRebalanceSpec pins the equality), which is exactly the
+    * recall guarantee: post-rebalance probes perform as if the index
+    * had never churned. Returns (retrained centroids, re-assigned
+    * index rows). */
+  def rebalance(index: DataFrame, k: Int,
+      iterations: Int): (DataFrame, DataFrame) = {
+    val corpus = index.select(col("vec_id"), col("v"), col("nrm"))
+    val seeds = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    val cents = refine(corpus, seeds, iterations)
+    (cents, assignCells(corpus, cents))
   }
 }

@@ -693,6 +693,90 @@ object SimilarityQueries {
        |FROM cell_u
        |GROUP BY cid ORDER BY cid""".stripMargin
 
+  // ---- q303: IVF retrain/rebalance ------------------------------------
+
+  private def ivfRebalanceArtifact(dir: String): String =
+    IndexStore.artifactPath(dir,
+      s"ivf_rebalanced_c${NumCentroids}_i${LloydIterations}" +
+        s"_del${DelMod}r${DelRem}_add$AddBound")
+
+  /** q303: the RETRAIN/REBALANCE verb that closes the index lifecycle
+    * ([[graft.operators.IvfIndex.rebalance]]). The persisted IVF index
+    * churns heavily — every ${DelMod}th id tombstoned
+    * ([[graft.operators.IvfIndex.deleteFromIndex]]) and reversed-vector
+    * arrivals folded in under the PINNED old centroids
+    * ([[graft.operators.IvfIndex.addToIndex]], the drift the add/delete
+    * verbs deliberately accumulate) — then rebalances: fresh seeds from
+    * the survivors (lowest ids), the same quantized-Lloyd chain as a
+    * build, full re-assignment, and an ATOMIC artifact swap
+    * ([[graft.operators.IndexStore.rebuild]]'s temp + move, so probes
+    * serve the old index until the new one is complete). The gate
+    * emits per-cell stats of the PERSISTED rebalanced artifact joined
+    * with a quantized checksum of every retrained centroid, against an
+    * oracle that replays churn + retrain from scratch in SQL — a
+    * drifted seed, one skipped Lloyd round, or a stale artifact row
+    * anywhere diverges the hash. Because rebalance == fresh build of
+    * the surviving corpus (IvfRebalanceSpec pins bit-equality), the
+    * post-rebalance recall is BY CONSTRUCTION the fresh-build recall. */
+  def ivfRebalance(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val idx = ivfIndex(spark, dir)
+    val counts = idx.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    val tomb = idx.select(col("vec_id"))
+      .where(col("vec_id") % DelMod === DelRem)
+    val (afterDel, countsDel) = IvfIndex.deleteFromIndex(idx, counts, tomb)
+    val fresh = Tables.load(spark, dir, "embeddings")
+      .where(col("vec_id") < AddBound)
+      .select((col("vec_id") + AddOffset).as("vec_id"),
+        reverse(vecD(col("embedding"))).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val arrivals = IvfIndex.assignCells(fresh, ivfCentroids(spark, dir))
+    val (churned, _) = IvfIndex.addToIndex(afterDel, countsDel, arrivals)
+    val (cents2, rebuilt) =
+      IvfIndex.rebalance(churned, NumCentroids, LloydIterations)
+    val persisted = IndexStore.rebuild(spark, ivfRebalanceArtifact(dir))(rebuilt)
+    val checks = cents2.select(col("cid"),
+      expr(s"aggregate(transform(cv, x -> CAST(floor(x * ${IvfIndex.Scale})" +
+        " AS BIGINT)), 0L, (a, b) -> a + b)").as("c_check"))
+    persisted.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_sum"),
+        min(col("vec_id")).as("id_min"), max(col("vec_id")).as("id_max"))
+      .join(checks, "cid")
+      .select(col("cid"), col("n_vecs").cast("long").as("n_vecs"),
+        col("id_sum").cast("long").as("id_sum"),
+        col("id_min").cast("long").as("id_min"),
+        col("id_max").cast("long").as("id_max"),
+        col("c_check").cast("long").as("c_check"))
+      .orderBy(col("cid"))
+  }
+
+  // lazy: normedCte/ivfAssignSql declare later in the object body
+  private lazy val ivfRebalanceSql =
+    s"""$normedCte,
+       |u AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % $DelMod <> $DelRem
+       |      UNION ALL
+       |      SELECT vec_id + $AddOffset, list_reverse(v) AS v, nrm
+       |      FROM n WHERE vec_id < $AddBound),
+       |r0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM u
+       |       ORDER BY vec_id LIMIT $NumCentroids),
+       |${ivfAssignSql("r0", "b0", corpus = "u")},
+       |${ivfLloydSql("b0", "r1")},
+       |${ivfAssignSql("r1", "b1", corpus = "u")},
+       |${ivfLloydSql("b1", "r2")},
+       |${ivfAssignSql("r2", "cell2", corpus = "u")},
+       |cks AS (SELECT cid,
+       |          CAST(list_aggregate([CAST(floor(x * ${IvfIndex.Scale}) AS BIGINT)
+       |                               for x in cv], 'sum') AS BIGINT) AS c_check
+       |        FROM r2),
+       |agg AS (SELECT cid, count(*)::BIGINT AS n_vecs,
+       |               sum(vec_id)::BIGINT AS id_sum,
+       |               min(vec_id)::BIGINT AS id_min,
+       |               max(vec_id)::BIGINT AS id_max
+       |        FROM cell2 GROUP BY cid)
+       |SELECT agg.cid, n_vecs, id_sum, id_min, id_max, c_check
+       |FROM agg JOIN cks ON agg.cid = cks.cid
+       |ORDER BY agg.cid""".stripMargin
+
   /** Probe-limited ADC search — the IVF x PQ composition (the judge's
     * round-5 top item): rank cells per query exactly as q52 does
     * (window over the broadcast-small query x centroid frame), build
@@ -1005,14 +1089,15 @@ object SimilarityQueries {
     * centroid from `cents`, ties to the lowest cid (mirrors the Spark
     * fold's strict-greater replacement). The oracle may use the
     * crossJoin+window shape freely — only the Spark plan must scale. */
-  private[queries] def ivfAssignSql(cents: String, out: String): String =
+  private[queries] def ivfAssignSql(cents: String, out: String,
+      corpus: String = "n"): String =
     s"""$out AS (
        |  SELECT vec_id, v, nrm, cid FROM (
-       |    SELECT n.vec_id, n.v, n.nrm, c.cid,
-       |           row_number() OVER (PARTITION BY n.vec_id ORDER BY
-       |             list_aggregate([n.v[i]*c.cv[i] for i in generate_series(1, $Dim)], 'sum')
-       |               / (n.nrm*c.cnrm) DESC, c.cid) AS rn
-       |    FROM n CROSS JOIN $cents c) t WHERE rn = 1)"""
+       |    SELECT $corpus.vec_id, $corpus.v, $corpus.nrm, c.cid,
+       |           row_number() OVER (PARTITION BY $corpus.vec_id ORDER BY
+       |             list_aggregate([$corpus.v[i]*c.cv[i] for i in generate_series(1, $Dim)], 'sum')
+       |               / ($corpus.nrm*c.cnrm) DESC, c.cid) AS rn
+       |    FROM $corpus CROSS JOIN $cents c) t WHERE rn = 1)"""
 
   /** One Lloyd update CTE: per-cell coordinate means over coordinates
     * quantized with floor(x * 2^20) — BIGINT sums are exact in any
@@ -1698,6 +1783,7 @@ object SimilarityQueries {
     // Incremental vector-index ADD (q295's mirror): new vectors enter
     // the fixed-quantizer index without a rebuild; batch == incremental.
     QueryDef("q298_ivfpq_add", ivfPqAddSql)(ivfPqAdd),
+    QueryDef("q303_ivf_rebalance", ivfRebalanceSql)(ivfRebalance),
     // The operating-point sweep over the same persisted artifact:
     // recall@10 at nprobe in {1,2,4,8}, gated value-for-value.
     QueryDef("q115_ivfpq_recall_curve", ivfPqRecallSql)(ivfPqRecallCurve),
