@@ -69,10 +69,38 @@ object ZOrder {
           lit(java.lang.Long.divideUnsigned(span, 1L << bits) + 1))
     }
 
+  /** Bits per dimension for an n-key interleave: the full
+    * [[BitsPerDim]] while n·bits fits a Long's 62 usable bits, scaled
+    * down past that (4 keys -> 15 bits, 6 keys -> 10, ...). Resolution
+    * per axis stays far above the √files rectangle-edge bound. */
+  def bitsFor(n: Int): Int = math.min(BitsPerDim, 62 / n)
+
+  /** N-ary Morton interleave: bit i of key j lands at position
+    * i·n + j (real `OPTIMIZE ZORDER BY` takes a COLUMN LIST, not a
+    * pair). Inputs must already be normalized into [0, 2^bits). */
+  def interleaveBits(keys: Seq[Column], bits: Int): Column = {
+    val n = keys.length
+    require(n >= 2 && n * bits <= 62, s"$n keys at $bits bits overflow a Long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      keys.zipWithIndex.foldLeft(acc) { case (a, (k, j)) =>
+        a.bitwiseOR(
+          shiftleft(shiftright(k, i).bitwiseAND(lit(1L)), i * n + j))
+      }
+    }
+  }
+
   /** Reference implementation of the interleave for tests. */
   private[graft] def interleaveRef(a: Long, b: Long, bits: Int = BitsPerDim): Long =
     (0 until bits).foldLeft(0L) { (acc, i) =>
       acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }
+
+  /** N-ary reference for tests. */
+  private[graft] def interleaveRefN(ks: Seq[Long], bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      ks.zipWithIndex.foldLeft(acc) { case (a, (k, j)) =>
+        a | (((k >> i) & 1L) << (i * ks.length + j))
+      }
     }
 
   /** Z-order-clustered rewrite of `df` by (`keyA`, `keyB`) into
@@ -80,13 +108,25 @@ object ZOrder {
     * keys ([[ZoneMap.persist]]) — each file now spans a tight
     * rectangle, so both maps prune. */
   def writeClustered(df: DataFrame, keyA: String, keyB: String,
-      numFiles: Int, path: String): Unit = {
-    val Row(loA: Long, hiA: Long, loB: Long, hiB: Long) = df.agg(
-      min(col(keyA)).cast("long"), max(col(keyA)).cast("long"),
-      min(col(keyB)).cast("long"), max(col(keyB)).cast("long")).head()
-    val z = interleaveBits(
-      normalize(col(keyA), loA, hiA), normalize(col(keyB), loB, hiB))
-    df.withColumn("_z", z)
+      numFiles: Int, path: String): Unit =
+    writeClustered(df, Seq(keyA, keyB), numFiles, path)
+
+  /** The COLUMN-LIST form (d >= 2 — `OPTIMIZE ... ZORDER BY (a, b, c)`):
+    * one bounds aggregate over all keys (2·d longs of planning
+    * metadata), one interleaved curve value per row at [[bitsFor]]
+    * resolution, one range exchange. Each output file covers a tight
+    * d-dimensional BOX, so a zone map on ANY of the keys prunes. */
+  def writeClustered(df: DataFrame, keys: Seq[String], numFiles: Int,
+      path: String): Unit = {
+    require(keys.length >= 2, "Z-order needs at least 2 keys")
+    val bits = bitsFor(keys.length)
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k)).cast("long"), max(col(k)).cast("long")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val normed = keys.zipWithIndex.map { case (k, j) =>
+      normalize(col(k), bounds.getLong(2 * j), bounds.getLong(2 * j + 1), bits)
+    }
+    df.withColumn("_z", interleaveBits(normed, bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")

@@ -2083,7 +2083,11 @@ object SimilarityQueries {
         .select(col("vec_id"),
           transform(col("v"), x => floor(x * 127.0 / col("mx")).cast("long"))
             .as("vq"))
-      graft.operators.KCenter.select(e, "vec_id", CoresetK)
+      // cachedMinDist: the gate exercises the O(k*corpus) PRODUCTION
+      // path (flat per-round cost); KCenterSpec pins both modes select
+      // identical centers, so the oracle is unchanged
+      graft.operators.KCenter.select(e, "vec_id", CoresetK,
+        cachedMinDist = true)
         .orderBy(col("round"))
     },
 

@@ -88,4 +88,60 @@ class HilbertSpec extends SparkTestBase {
       assert(got == want, s"dimension $key: skipping changed the result")
     }
   }
+
+  test("n-d Skilling column chain matches the reference for 3 dims") {
+    val bits = 4
+    val side = 1L << bits
+    val sample = spark.range(0, 2048)
+      .select(((col("id") * 37) % side).as("x"),
+        ((col("id") * 101 + 7) % side).as("y"),
+        ((col("id") * 53 + 3) % side).as("z"))
+    val rows = Hilbert.withIndexN(sample,
+      Seq(col("x"), col("y"), col("z")), bits).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) == Hilbert.indexRefN(
+        Array(r.getLong(0), r.getLong(1), r.getLong(2)), bits),
+        s"(${r.getLong(0)},${r.getLong(1)},${r.getLong(2)})")
+    }
+  }
+
+  test("the n-d curve is a bijection with unit steps for n = 2, 3, 4") {
+    for ((n, bits) <- Seq((2, 4), (3, 3), (4, 2))) {
+      val side = 1 << bits
+      val total = math.pow(side, n).toLong
+      val seen = scala.collection.mutable.Map[Long, Array[Long]]()
+      def rec(dims: Int, acc: List[Long]): Unit =
+        if (dims == 0) {
+          val c = acc.toArray
+          seen(Hilbert.indexRefN(c, bits)) = c
+        } else (0L until side).foreach(v => rec(dims - 1, v :: acc))
+      rec(n, Nil)
+      assert(seen.size == total, s"n=$n: not a bijection")
+      (1L until total).foreach { h =>
+        val l1 = seen(h - 1).zip(seen(h))
+          .map { case (a, b) => math.abs(a - b) }.sum
+        assert(l1 == 1, s"n=$n: non-unit step at $h")
+      }
+    }
+  }
+
+  test("3-key hilbert layout prunes on all three dimensions, result-invisible") {
+    val cube = spark.range(0, 40000)
+      .select((col("id") % 40).as("a"),
+        (call_function("div", col("id"), lit(40L)) % 40).as("b"),
+        call_function("div", col("id"), lit(1600L)).as("c"),
+        col("id").as("payload"))
+    val path = freshDir("h3")
+    Hilbert.writeClustered(cube, Seq("a", "b", "c"), 16, path)
+    for (key <- Seq("a", "b", "c")) {
+      val surv = survivors(path, key, 0, 9)
+      assert(surv < 16, s"$key-range must prune 3-key h-files, kept $surv/16")
+      val zmap = ZoneMap.build(spark, path, key)
+      val got = ZoneMap.skippingScan(spark, path, zmap, key, 0L, 9L)
+        .agg(count(lit(1)), sum(col("payload"))).head()
+      val want = cube.where(col(key).between(0L, 9L))
+        .agg(count(lit(1)), sum(col("payload"))).head()
+      assert(got == want, s"dimension $key: 3-key skipping changed the result")
+    }
+  }
 }

@@ -89,4 +89,37 @@ class ZOrderSpec extends SparkTestBase {
       assert(got == want, s"dimension $key: skipping changed the result")
     }
   }
+
+  test("3-key interleave matches the n-ary reference; all three dims prune") {
+    val bits = ZOrder.bitsFor(3)
+    val rows = spark.range(0, 4096)
+      .select((col("id") % 16).as("a"),
+        (call_function("div", col("id"), lit(16L)) % 16).as("b"),
+        call_function("div", col("id"), lit(256L)).as("c"))
+      .select(col("a"), col("b"), col("c"),
+        ZOrder.interleaveBits(Seq(col("a"), col("b"), col("c")), bits).as("z"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) == ZOrder.interleaveRefN(
+        Seq(r.getLong(0), r.getLong(1), r.getLong(2)), bits))
+    }
+    // 40x40x25 grid, all three dimensions equally hot
+    val cube = spark.range(0, 40000)
+      .select((col("id") % 40).as("a"),
+        (call_function("div", col("id"), lit(40L)) % 40).as("b"),
+        call_function("div", col("id"), lit(1600L)).as("c"),
+        col("id").as("payload"))
+    val path = freshDir("z3")
+    ZOrder.writeClustered(cube, Seq("a", "b", "c"), 16, path)
+    for (key <- Seq("a", "b", "c")) {
+      val surv = survivors(path, key, 0, 9)
+      assert(surv < 16, s"$key-range must prune 3-key z-files, kept $surv/16")
+      val zmap = ZoneMap.build(spark, path, key)
+      val got = ZoneMap.skippingScan(spark, path, zmap, key, 0L, 9L)
+        .agg(count(lit(1)), sum(col("payload"))).head()
+      val want = cube.where(col(key).between(0L, 9L))
+        .agg(count(lit(1)), sum(col("payload"))).head()
+      assert(got == want, s"dimension $key: 3-key skipping changed the result")
+    }
+  }
 }
