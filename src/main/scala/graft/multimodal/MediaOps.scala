@@ -198,24 +198,87 @@ object MediaOps {
                 i += 1
               }
           }
-          val avg = Array.tabulate(72)(j =>
-            if (cnts(j) == 0) 0L else sums(j) / cnts(j))
-          val bands = new Array[Long](4)
-          var r = 0
-          while (r < 8) {
-            var c = 0
-            while (c < 8) {
-              val b = r * 8 + c
-              if (avg(r * 9 + c) > avg(r * 9 + c + 1))
-                bands(b / 16) |= 1L << (b % 16)
-              c += 1
-            }
-            r += 1
-          }
+          val bands = dHashBands(sums, cnts)
           (f.mediaId, bands(0), bands(1), bands(2), bands(3))
         }
       }
       .toDF("media_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** 72 region means -> 64 dHash gradient bits -> four 16-bit LSH
+    * bands (shared by the whole-image and tile hashes). */
+  private def dHashBands(sums: Array[Long], cnts: Array[Long]): Array[Long] = {
+    val avg = Array.tabulate(72)(j =>
+      if (cnts(j) == 0) 0L else sums(j) / cnts(j))
+    val bands = new Array[Long](4)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val b = r * 8 + c
+        if (avg(r * 9 + c) > avg(r * 9 + c + 1))
+          bands(b / 16) |= 1L << (b % 16)
+        c += 1
+      }
+      r += 1
+    }
+    bands
+  }
+
+  /** dHash of one rectangular tile of a decoded luminance grid —
+    * region assignment in TILE-LOCAL coordinates, so a standalone
+    * image whose pixels equal the tile hashes IDENTICALLY (the
+    * crop-recall property the tile grain exists for). */
+  private def tileHash(lum: Array[Int], w: Int, xlo: Int, xhi: Int,
+      ylo: Int, yhi: Int): Array[Long] = {
+    val tw = xhi - xlo
+    val th = yhi - ylo
+    val sums = new Array[Long](72)
+    val cnts = new Array[Long](72)
+    var y = ylo
+    while (y < yhi) {
+      val rowBase = ((y - ylo) * 8 / th) * 9
+      var x = xlo
+      while (x < xhi) {
+        val r = rowBase + (x - xlo) * 9 / tw
+        sums(r) += lum(y * w + x)
+        cnts(r) += 1
+        x += 1
+      }
+      y += 1
+    }
+    dHashBands(sums, cnts)
+  }
+
+  /** TILE-GRAIN perceptual hashes — the crop-robust near-dup grain
+    * (q114's paragraph-grain discipline on the image side): every
+    * decodable image emits 5 tiles — the full frame (tile 0) plus its
+    * four quadrants (1..4, row-major) — each dHashed in tile-local
+    * coordinates. A CROPPED copy therefore hashes EXACTLY like the
+    * source's matching quadrant, so crop pairs surface from the same
+    * band equi-joins whole-image hashing misses entirely. Undecodable
+    * payloads are skipped — a crop grain is meaningless on an opaque
+    * byte stream. Map-only at the codec boundary; corpus tile count
+    * is 5x rows, bands stay 16-bit equi-join keys. */
+  def imageTileDHash(files: Dataset[MediaFile]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.filter(f => f.kind.startsWith("image/"))
+      .mapPartitions { it =>
+        it.flatMap { f =>
+          MediaCodec.decodeLuma(f.payload).toSeq.flatMap { case (w, h, lum) =>
+            val xs = w / 2
+            val ys = h / 2
+            Seq((0, 0, w, 0, h), (1, 0, xs, 0, ys), (2, xs, w, 0, ys),
+              (3, 0, xs, ys, h), (4, xs, w, ys, h))
+              .filter(t => t._3 > t._2 && t._5 > t._4)
+              .map { case (tid, xlo, xhi, ylo, yhi) =>
+                val b = tileHash(lum, w, xlo, xhi, ylo, yhi)
+                (f.mediaId, tid.toLong, b(0), b(1), b(2), b(3))
+              }
+          }
+        }
+      }
+      .toDF("media_id", "tile", "b0", "b1", "b2", "b3")
   }
 
   /** Acoustic fingerprint over the decoded PCM sample stream — the

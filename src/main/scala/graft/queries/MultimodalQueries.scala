@@ -189,6 +189,179 @@ object MultimodalQueries {
        |        WHERE g1.j % 9 < 8),
        |$bandedTailSql""".stripMargin
 
+  // ---- q306: tile-grain (crop-robust) image near-dup -------------------
+
+  /** Planted CROPS: the first [[PlantBound]]/4 images reappear under
+    * offset ids as their BOTTOM-RIGHT QUADRANT — pixels identical to
+    * the source's quadrant, so the crop's full-frame tile hashes
+    * EXACTLY like the source's tile 4 and banding recall of every
+    * crop pair is structural (hamming 0 on at least one tile pair).
+    * Whole-image hashing (q296) cannot see these: a crop shares no
+    * full-frame geometry with its source. */
+  private val CropOffset = 30000000L
+
+  private[graft] def croppedPng(id: Long, text: String): Array[Byte] = {
+    val body = text.getBytes("UTF-8")
+    val (w, h) = imgDims(id)
+    val lum = Array.tabulate(w * h)(i =>
+      if (body.isEmpty) 0 else body(i % body.length) & 0xff)
+    val xs = w / 2
+    val ys = h / 2
+    val cw = w - xs
+    val ch = h - ys
+    val crop = Array.tabulate(cw * ch) { i =>
+      val x = i % cw
+      val y = i / cw
+      lum((y + ys) * w + (x + xs))
+    }
+    graft.multimodal.MediaCodec.pngEncodeGray(cw, ch, crop)
+  }
+
+  private def cropLake(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[MediaFile] = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val base = docs.filter(t => t._1 % 4 < 2).map { case (id, text) =>
+      MediaFile(id, "image/png", realPng(id, text, plant = false))
+    }
+    val crops = docs.filter(t => t._1 % 4 == 0 && t._1 < PlantBound)
+      .map { case (id, text) =>
+        MediaFile(id + CropOffset, "image/png", croppedPng(id, text))
+      }
+    base.union(crops)
+  }
+
+  /** The q306 chain: tile hashes -> per-band equi-join candidates at
+    * (image, tile) grain (distinct union across bands, never a
+    * cartesian) -> exact Hamming verify per TILE PAIR. Emits the
+    * verified tile-pair rows — more granular than an image-pair
+    * aggregate, so the compare pins every tile's hash. */
+  private[graft] def imageTilePairs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tiles = FrameMemo.checkpointed(
+      MediaOps.imageTileDHash(cropLake(spark, dir)))
+    val cand = Seq("b0", "b1", "b2", "b3").map { bc =>
+      val l = tiles.select(col("media_id").as("id_a"),
+        col("tile").as("tile_a"), col(bc).as("__bv"))
+      val r = tiles.select(col("media_id").as("id_b"),
+        col("tile").as("tile_b"), col(bc).as("__bv"))
+      l.join(r, "__bv").where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("tile_a"), col("id_b"), col("tile_b"))
+    }.reduce(_ unionByName _).distinct()
+    val xa = tiles.select(col("media_id").as("id_a"),
+      col("tile").as("tile_a"), col("b0").as("a0"), col("b1").as("a1"),
+      col("b2").as("a2"), col("b3").as("a3"))
+    val xb = tiles.select(col("media_id").as("id_b"),
+      col("tile").as("tile_b"), col("b0").as("c0"), col("b1").as("c1"),
+      col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(xa, Seq("id_a", "tile_a")).join(xb, Seq("id_b", "tile_b"))
+      .withColumn("hamming", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .where(col("hamming") <= HamThreshold)
+      .select(col("id_a"), col("tile_a").cast("long").as("tile_a"),
+        col("id_b"), col("tile_b").cast("long").as("tile_b"),
+        col("hamming"))
+      .orderBy(col("id_a"), col("id_b"), col("tile_a"), col("tile_b"))
+  }
+
+  /** DuckDB replay: the crop lake's pixels are arithmetic over
+    * (doc_id, text) — a crop's pixel (x, y) reads the SOURCE pixel
+    * field at (x + w/2, y + h/2) — so tiles, regions, gradient bits,
+    * bands, candidates, and Hamming verification all replay without
+    * decoding anything; Spark must decode compressed PNGs AND tile
+    * them in tile-local coordinates to match. */
+  private val imageTileSql = {
+    // pixel value of image coords (x, y) through the crop offset
+    def pix(x: String, y: String): String =
+      s"""(CASE WHEN length(body) = 0 THEN 0
+         |  ELSE ord(substr(body, ((($y + yoff) * w0 + ($x + xoff)) % length(body)) + 1, 1)) END)"""
+        .stripMargin.replace("\n", " ")
+    val x = "((i-1) % wi)"
+    val y = "((i-1) // wi)"
+    // quadrant decomposition of image coords
+    val qx = s"(CASE WHEN $x < wi // 2 THEN 0 ELSE 1 END)"
+    val qy = s"(CASE WHEN $y < hi // 2 THEN 0 ELSE 1 END)"
+    val tx = s"($x - $qx * (wi // 2))"
+    val ty = s"($y - $qy * (hi // 2))"
+    val tw = s"(CASE WHEN $qx = 0 THEN wi // 2 ELSE wi - wi // 2 END)"
+    val th = s"(CASE WHEN $qy = 0 THEN hi // 2 ELSE hi - hi // 2 END)"
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS media_id, text AS body,
+       |         (doc_id * 7 % 64 + 8)::BIGINT AS w0,
+       |         (doc_id * 13 % 48 + 8)::BIGINT AS h0,
+       |         (doc_id * 7 % 64 + 8)::BIGINT AS wi,
+       |         (doc_id * 13 % 48 + 8)::BIGINT AS hi,
+       |         0::BIGINT AS xoff, 0::BIGINT AS yoff
+       |  FROM documents WHERE doc_id % 4 < 2
+       |  UNION ALL
+       |  SELECT doc_id + $CropOffset, text,
+       |         (doc_id * 7 % 64 + 8)::BIGINT,
+       |         (doc_id * 13 % 48 + 8)::BIGINT,
+       |         (doc_id * 7 % 64 + 8)::BIGINT - (doc_id * 7 % 64 + 8) // 2,
+       |         (doc_id * 13 % 48 + 8)::BIGINT - (doc_id * 13 % 48 + 8) // 2,
+       |         ((doc_id * 7 % 64 + 8) // 2)::BIGINT,
+       |         ((doc_id * 13 % 48 + 8) // 2)::BIGINT
+       |  FROM documents WHERE doc_id % 4 = 0 AND doc_id < $PlantBound),
+       |px AS (
+       |  SELECT media_id, 0 AS tile,
+       |    unnest([(($y * 8) // hi) * 9 + (($x * 9) // wi)
+       |            for i in generate_series(1, wi * hi)]) AS region,
+       |    unnest([${pix(x, y)} for i in generate_series(1, wi * hi)]) AS v
+       |  FROM imgs
+       |  UNION ALL
+       |  SELECT media_id,
+       |    unnest([1 + $qy * 2 + $qx for i in generate_series(1, wi * hi)]) AS tile,
+       |    unnest([(($ty * 8) // $th) * 9 + (($tx * 9) // $tw)
+       |            for i in generate_series(1, wi * hi)]) AS region,
+       |    unnest([${pix(x, y)} for i in generate_series(1, wi * hi)]) AS v
+       |  FROM imgs),
+       |ra AS (SELECT media_id, tile, region, sum(v) // count(*) AS avg
+       |       FROM px GROUP BY 1, 2, 3),
+       |grid AS (SELECT t.media_id, t.tile, gs.j, coalesce(ra.avg, 0) AS avg
+       |         FROM (SELECT DISTINCT media_id, tile FROM px) t
+       |         CROSS JOIN generate_series(0, 71) gs(j)
+       |         LEFT JOIN ra ON ra.media_id = t.media_id
+       |           AND ra.tile = t.tile AND ra.region = gs.j),
+       |cmp AS (SELECT g1.media_id, g1.tile,
+       |               (g1.j // 9) * 8 + (g1.j % 9) AS bit,
+       |               CASE WHEN g1.avg > g2.avg THEN 1 ELSE 0 END AS v
+       |        FROM grid g1 JOIN grid g2
+       |          ON g2.media_id = g1.media_id AND g2.tile = g1.tile
+       |          AND g2.j = g1.j + 1
+       |        WHERE g1.j % 9 < 8),
+       |bands AS (SELECT media_id, tile,
+       |    sum(CASE WHEN bit // 16 = 0 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b0,
+       |    sum(CASE WHEN bit // 16 = 1 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b1,
+       |    sum(CASE WHEN bit // 16 = 2 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b2,
+       |    sum(CASE WHEN bit // 16 = 3 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b3
+       |  FROM cmp GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT a.media_id AS id_a, a.tile AS tile_a,
+       |         b.media_id AS id_b, b.tile AS tile_b FROM bands a
+       |    JOIN bands b ON a.b0 = b.b0 AND a.media_id < b.media_id
+       |  UNION
+       |  SELECT a.media_id, a.tile, b.media_id, b.tile FROM bands a
+       |    JOIN bands b ON a.b1 = b.b1 AND a.media_id < b.media_id
+       |  UNION
+       |  SELECT a.media_id, a.tile, b.media_id, b.tile FROM bands a
+       |    JOIN bands b ON a.b2 = b.b2 AND a.media_id < b.media_id
+       |  UNION
+       |  SELECT a.media_id, a.tile, b.media_id, b.tile FROM bands a
+       |    JOIN bands b ON a.b3 = b.b3 AND a.media_id < b.media_id)
+       |SELECT id_a, tile_a, id_b, tile_b, hamming FROM (
+       |  SELECT cand.id_a, cand.tile_a::BIGINT AS tile_a,
+       |         cand.id_b, cand.tile_b::BIGINT AS tile_b,
+       |         (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+       |          bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT AS hamming
+       |  FROM cand JOIN bands x ON x.media_id = cand.id_a AND x.tile = cand.tile_a
+       |            JOIN bands y ON y.media_id = cand.id_b AND y.tile = cand.tile_b) t
+       |WHERE hamming <= $HamThreshold
+       |ORDER BY id_a, id_b, tile_a, tile_b""".stripMargin
+  }
+
   // ---- q299: acoustic-fingerprint audio near-dup ----------------------
 
   /** Planted near-identical WAVs: one content byte changed moves one
@@ -477,6 +650,14 @@ object MultimodalQueries {
     // corrupted bands of 4); the oracle replays hash + banding +
     // verify byte for byte.
     QueryDef("q296_image_phash_neardup", imagePhashSql)(imagePhashPairs),
+
+    // Tile-grain (CROP-robust) image near-dup: q296's physics at
+    // sub-file grain — full frame + 4 quadrants per image, hashed in
+    // tile-local coordinates, band equi-joins at (image, tile) grain,
+    // exact Hamming verify per tile pair. Planted crops (bottom-right
+    // quadrants under offset ids) surface at hamming 0 against the
+    // source's tile 4 — the pairs whole-image hashing cannot see.
+    QueryDef("q306_image_tile_neardup", imageTileSql)(imageTilePairs),
 
     // Acoustic-fingerprint audio near-dup (q296's audio sibling):
     // real LE16 signed-PCM decode -> windowed energy gradient -> the

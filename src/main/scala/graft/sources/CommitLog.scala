@@ -38,6 +38,17 @@ private[sources] final case class FileCommit(version: Int, replace: Boolean,
     tsMicros: Long, files: Vector[(String, Long)],
     stats: Option[CommitStats] = None) extends LogEntry
 
+/** One serialized store state — what a CHECKPOINT file holds: the
+  * whole retained window's metadata (entries as deltas, commit times,
+  * counts, folded stats) at some version, so a cold load reads
+  * checkpoint + commit suffix instead of replaying every retained
+  * commit (the Delta `_checkpoint` analog). */
+private[sources] final case class Checkpoint(base: Int,
+    entries: Vector[VDelta], times: Vector[Long], counts: Vector[Long],
+    stats: Vector[Option[CommitStats]]) {
+  def version: Int = base + entries.length - 1
+}
+
 /** Durable snapshot log for [[MemCatalog]] tables — the Delta/Iceberg
   * commit-log shape in miniature: a per-table directory holding
   * `_schema.json` (the LATEST schema — rewritten atomically on
@@ -244,6 +255,11 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
   def expireBefore(version: Int, tsMicros: Long,
       consolidated: Seq[(String, Long)], stats: CommitStats,
       referenced: Set[String]): Unit = {
+    // checkpoints written before the expiry capture pruned versions
+    // (and reference files the vacuum is about to delete): they go
+    // FIRST, so no crash window can leave a cold load resurrecting
+    // expired history — worst case is a full (commit-file) replay
+    deleteCheckpoints()
     recordFiles(version, replace = true, tsMicros, consolidated, stats)
     val stream = Files.list(dir)
     val stale = scala.collection.mutable.ArrayBuffer.empty[Path]
@@ -280,14 +296,169 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
     * the first retained commit is a self-contained replace with
     * version > 1. `.inprogress` leftovers from a crashed writer are
     * ignored — only atomically-moved commits are history. */
-  def replay(): Seq[LogEntry] = {
+  // ---- checkpoints (the Delta `_checkpoint` analog) -------------------
+
+  private def checkpointFile(version: Int): Path =
+    dir.resolve(f"$version%08d.checkpoint")
+
+  /** Drop every checkpoint — expiry calls this FIRST (a pre-expiry
+    * checkpoint captures pruned versions and references data files
+    * the vacuum deletes; losing all checkpoints merely costs one full
+    * commit replay). */
+  private[sources] def deleteCheckpoints(): Unit = {
+    val stream = Files.list(dir)
+    val stale = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.contains(".checkpoint")) stale += p
+      }
+    } finally stream.close()
+    stale.foreach(Files.deleteIfExists(_))
+  }
+
+  /** Persist the whole retained-window state at `c.version` — entries
+    * (file references / O(delta) rows), commit times, counts, and the
+    * FOLDED stats — so a cold load costs checkpoint + suffix instead
+    * of every retained commit. Atomic like every commit write. */
+  def writeCheckpoint(c: Checkpoint): Unit = {
+    val n = cur.length
+    val proj = UnsafeProjection.create(cur)
+    val tmp = dir.resolve(f"${c.version}%08d.checkpoint.inprogress")
+    val out = new DataOutputStream(new BufferedOutputStream(
+      Files.newOutputStream(tmp, StandardOpenOption.CREATE,
+        StandardOpenOption.TRUNCATE_EXISTING)))
+    def writeRow(r: InternalRow): Unit = {
+      val bytes = proj(padded(r)).getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    def writeSegs(segs: Vector[RowSeg]): Unit = {
+      out.writeInt(segs.length)
+      segs.foreach {
+        case MemSeg(rows) =>
+          out.writeByte(0)
+          out.writeInt(rows.length)
+          rows.foreach(writeRow)
+        case FileSeg(path, count) =>
+          out.writeByte(1)
+          out.writeUTF(java.nio.file.Paths.get(path).getFileName.toString)
+          out.writeLong(count)
+      }
+    }
+    try {
+      out.writeInt(c.base)
+      out.writeInt(n) // row decode arity (schema may grow later)
+      out.writeInt(c.entries.length)
+      var i = 0
+      while (i < c.entries.length) {
+        out.writeLong(c.times(i))
+        out.writeLong(c.counts(i))
+        out.writeBoolean(c.stats(i).isDefined)
+        c.stats(i).foreach(CommitStats.write(out, cur, _))
+        c.entries(i) match {
+          case VBase(segs) => out.writeByte(0); writeSegs(segs)
+          case VAppend(segs) => out.writeByte(1); writeSegs(segs)
+          case VRowDelta(dels, upds, ins) =>
+            out.writeByte(2)
+            out.writeInt(dels.length)
+            dels.foreach(out.writeLong)
+            out.writeInt(upds.length)
+            upds.foreach { case (pos, r) => out.writeLong(pos); writeRow(r) }
+            out.writeInt(ins.length)
+            ins.foreach(writeRow)
+          case VMarker => out.writeByte(3)
+        }
+        i += 1
+      }
+    } finally out.close()
+    Files.move(tmp, checkpointFile(c.version), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The newest readable checkpoint, or None (no checkpoint, or a
+    * corrupt one — the loader falls back to full commit replay, never
+    * fails the open). */
+  def readLatestCheckpoint(): Option[Checkpoint] = {
+    val stream = Files.list(dir)
+    val cands = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.matches("\\d{8}\\.checkpoint")) cands += p
+      }
+    } finally stream.close()
+    cands.sortBy(_.getFileName.toString).lastOption.flatMap { p =>
+      try {
+        val in = new DataInputStream(new BufferedInputStream(
+          Files.newInputStream(p)))
+        try {
+          val base = in.readInt()
+          val arity = in.readInt()
+          val nEntries = in.readInt()
+          def readRow(): InternalRow = {
+            val len = in.readInt()
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            val row = new UnsafeRow(arity)
+            row.pointTo(bytes, len)
+            row
+          }
+          def readSegs(): Vector[RowSeg] = Vector.fill(in.readInt()) {
+            in.readByte() match {
+              case 0 => MemSeg(Vector.fill(in.readInt())(readRow()))
+              case 1 =>
+                val name = in.readUTF()
+                FileSeg(dataFilePath(name), in.readLong())
+            }
+          }
+          val times = Vector.newBuilder[Long]
+          val counts = Vector.newBuilder[Long]
+          val stats = Vector.newBuilder[Option[CommitStats]]
+          val entries = Vector.newBuilder[VDelta]
+          var i = 0
+          while (i < nEntries) {
+            times += in.readLong()
+            counts += in.readLong()
+            stats += (if (in.readBoolean()) Some(CommitStats.read(in, cur))
+              else None)
+            entries += (in.readByte() match {
+              case 0 => VBase(readSegs())
+              case 1 => VAppend(readSegs())
+              case 2 =>
+                val dels = Vector.fill(in.readInt())(in.readLong())
+                val upds = Vector.fill(in.readInt()) {
+                  val pos = in.readLong()
+                  (pos, readRow())
+                }
+                VRowDelta(dels, upds, Vector.fill(in.readInt())(readRow()))
+              case 3 => VMarker
+            })
+            i += 1
+          }
+          Some(Checkpoint(base, entries.result(), times.result(),
+            counts.result(), stats.result()))
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+  }
+
+  def replay(): Seq[LogEntry] = replayAfter(-1)
+
+  /** Replay only commits with version > `afterVersion` — the suffix a
+    * checkpoint load still needs. */
+  def replayAfter(afterVersion: Int): Seq[LogEntry] = {
     val stream = Files.list(dir)
     val commits = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
       val files = stream.iterator()
       while (files.hasNext) {
         val p = files.next()
-        if (p.getFileName.toString.matches("\\d{8}\\.commit")) commits += p
+        val nm = p.getFileName.toString
+        if (nm.matches("\\d{8}\\.commit") && nm.take(8).toInt > afterVersion)
+          commits += p
       }
     } finally stream.close()
     commits.sortBy(_.getFileName.toString).toSeq.map { p =>

@@ -115,4 +115,25 @@ class ImagePhashSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("tile grain recalls CROPS: a quadrant crop matches its source at hamming 0") {
+    val pairs = MultimodalQueries.imageTilePairs(spark, dir).cache()
+    // every planted crop (doc_id % 4 == 0, doc_id < 240 -> 60 plants)
+    // surfaces against its source; the crop's FULL frame (tile 0)
+    // equals the source's bottom-right quadrant (tile 4) exactly
+    val plantPairs = pairs
+      .where(col("id_b") === col("id_a") + 30000000L)
+      .where(col("tile_a") === 4 && col("tile_b") === 0)
+      .collect()
+    assert(plantPairs.length == 60,
+      s"expected all 60 crop pairs at (tile 4, tile 0), got ${plantPairs.length}")
+    assert(plantPairs.forall(_.getLong(4) == 0L),
+      "a pixel-exact crop must hash identically in tile-local coords")
+    // and the WHOLE-IMAGE hash cannot see crops: no q296-style pair
+    // links a crop to its source at the full-frame grain with both
+    // geometries intact (dims differ, regions differ)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
