@@ -34,8 +34,23 @@ private[sources] object ParquetRowIO {
     * session flags from the conf with NO defaults, so every key it
     * touches is pinned here (values = Spark's defaults, with rebase
     * modes CORRECTED — we never write legacy calendars). */
+  /** Local paths go through RawLocalFileSystem: the default
+    * (checksummed) local FS writes a hidden `.<name>.crc` sidecar per
+    * data file, which pollutes the table's data dir with files the
+    * commit log never referenced (and the expiry vacuum would
+    * churn). Object-store schemes (the cluster deployment) are
+    * unaffected — they never checksum client-side. */
+  private def noCrc(conf: Configuration): Configuration = {
+    conf.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    // the JVM-wide FileSystem cache already holds the checksummed
+    // local FS (Spark resolved it first) and ignores fs.file.impl on
+    // a cache hit — bypass it for these confs
+    conf.set("fs.file.impl.disable.cache", "true")
+    conf
+  }
+
   private def writeConf(schema: StructType): Configuration = {
-    val conf = new Configuration(false)
+    val conf = noCrc(new Configuration(false))
     ParquetWriteSupport.setSchema(schema, conf)
     Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
       SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
@@ -48,7 +63,7 @@ private[sources] object ParquetRowIO {
   }
 
   private def readConf(requested: StructType): Configuration = {
-    val conf = new Configuration(false)
+    val conf = noCrc(new Configuration(false))
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
     Seq(SQLConf.PARQUET_BINARY_AS_STRING, SQLConf.PARQUET_INT96_AS_TIMESTAMP,
       SQLConf.CASE_SENSITIVE, SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,

@@ -53,6 +53,19 @@ class FileDataPlaneSpec extends SparkTestBase {
     val dataBytes = v1.files.map { case (n, _) =>
       java.nio.file.Files.size(dir.resolve("data").resolve(n))
     }.sum[Long]
+    // and the data dir holds ONLY the referenced parquet files — no
+    // hidden .crc sidecars (RawLocalFileSystem), no orphans
+    val onDisk = {
+      val s = java.nio.file.Files.list(dir.resolve("data"))
+      try {
+        val it = s.iterator()
+        val b = Set.newBuilder[String]
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.result()
+      } finally s.close()
+    }
+    assert(onDisk == v1.files.map(_._1).toSet,
+      s"unreferenced files in the data dir: ${onDisk -- v1.files.map(_._1).toSet}")
     assert(dataBytes > 10L * 1024 * 1024,
       s"1M rows of data must live in data files, got $dataBytes B")
 
@@ -156,5 +169,41 @@ class FileDataPlaneSpec extends SparkTestBase {
     // replays clean from the pruned, vacuumed log
     MemCatalog.simulateRestart()
     assert(spark.table("graftfp.vac").count() == 3001L)
+  }
+
+  test("DATE/TIMESTAMP/DECIMAL columns ride the parquet plane and the change feed") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graftfp.dt")
+    spark.sql(
+      "CREATE TABLE graftfp.dt (k BIGINT, d DATE, ts TIMESTAMP, amt DECIMAL(12,2))")
+    spark.sql(
+      """INSERT INTO graftfp.dt VALUES
+        |(1, DATE'2024-03-01', TIMESTAMP'2024-03-01 12:34:56', 12.34),
+        |(2, NULL, NULL, NULL)""".stripMargin)                         // v1
+    spark.sql("UPDATE graftfp.dt SET d = DATE'2025-01-02' WHERE k = 1") // v2
+    // the table itself round-trips through the data files
+    val direct = spark.table("graftfp.dt").orderBy("k").collect()
+    assert(direct(0).getDate(1).toString == "2025-01-02")
+    assert(direct(0).getDecimal(3).toPlainString == "12.34")
+    assert(direct(1).isNullAt(1) && direct(1).isNullAt(2))
+    // the CDF frame converts internal date/timestamp/decimal values
+    // to proper external types (raw Int days / Long micros used to
+    // reach createDataFrame and mis-encode)
+    val feed = MemCatalog.tableChanges(spark, "graftfp", "dt", 1, 2)
+      .orderBy("_commit_version", "_change_type", "k").collect()
+    val ins1 = feed.find(r =>
+      r.getString(0) == "insert" && r.getLong(2) == 1L).get
+    assert(ins1.getDate(3).toString == "2024-03-01")
+    assert(ins1.getTimestamp(4) != null)
+    assert(ins1.getDecimal(5).toPlainString == "12.34")
+    val pre = feed.find(_.getString(0) == "update_preimage").get
+    val post = feed.find(_.getString(0) == "update_postimage").get
+    assert(pre.getDate(3).toString == "2024-03-01" &&
+      post.getDate(3).toString == "2025-01-02")
+    assert(pre.getTimestamp(4) == ins1.getTimestamp(4))
+    // durable: identical after a restart (values replay off parquet)
+    MemCatalog.simulateRestart()
+    assert(spark.table("graftfp.dt").orderBy("k").collect()(0)
+      .getDate(1).toString == "2025-01-02")
   }
 }
