@@ -29,14 +29,31 @@ private[sources] final case class DeltaCommit(version: Int, tsMicros: Long,
     stats: Option[CommitStats] = None) extends LogEntry
 private[sources] final case class SchemaCommit(version: Int,
     tsMicros: Long, schema: StructType) extends LogEntry
+/** One data-file reference inside a commit: name, exact row count,
+  * and the FILE's OWN column statistics (the Delta `add.stats` shape
+  * at file grain — what lets a scan SKIP whole files against pushed
+  * predicates without opening them). */
+private[sources] final case class FileRef(name: String, count: Long,
+    stats: Option[CommitStats] = None)
+
 /** A FILE-REFERENCE commit (the Delta `add` action shape): the commit
-  * file holds only (data-file name, row count) pairs — the data
-  * itself lives in immutable parquet files under `data/`. This is the
-  * form every bulk write of a durable table takes; the commit file is
-  * O(files), never O(rows). */
-private[sources] final case class FileCommit(version: Int, replace: Boolean,
-    tsMicros: Long, files: Vector[(String, Long)],
-    stats: Option[CommitStats] = None) extends LogEntry
+  * file holds only [[FileRef]]s — the data itself lives in immutable
+  * parquet files under `data/`. This is the form every bulk write of
+  * a durable table takes; the commit file is O(files), never O(rows).
+  * `mode`: Append / Replace / Rewrite — Rewrite (OPTIMIZE) replaces
+  * the snapshot with CONTENT-IDENTICAL files and is `dataChange =
+  * false`: the change feed and streaming sources skip it. */
+private[sources] final case class FileCommit(version: Int, mode: Int,
+    tsMicros: Long, files: Vector[FileRef],
+    stats: Option[CommitStats] = None) extends LogEntry {
+  def replace: Boolean = mode != FileCommit.Append
+}
+
+private[sources] object FileCommit {
+  val Append = 0
+  val Replace = 1
+  val Rewrite = 2
+}
 
 /** One serialized store state — what a CHECKPOINT file holds: the
   * whole retained window's metadata (entries as deltas, commit times,
@@ -204,16 +221,18 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
     * themselves already sit in immutable parquet files the write
     * tasks streamed directly. Caller passes the commit's exact stats
     * (the write tasks folded them row-by-row while streaming). */
-  def recordFiles(version: Int, replace: Boolean, tsMicros: Long,
-      files: Seq[(String, Long)], stats: CommitStats): Unit = {
+  def recordFiles(version: Int, mode: Int, tsMicros: Long,
+      files: Seq[FileRef], stats: CommitStats): Unit = {
     writeCommit(version) { out =>
       out.writeByte(4)
       out.writeLong(tsMicros)
-      out.writeBoolean(replace)
+      out.writeByte(mode)
       out.writeInt(files.length)
-      files.foreach { case (name, count) =>
-        out.writeUTF(name)
-        out.writeLong(count)
+      files.foreach { f =>
+        out.writeUTF(f.name)
+        out.writeLong(f.count)
+        out.writeBoolean(f.stats.isDefined)
+        f.stats.foreach(CommitStats.write(out, cur, _))
       }
     }
     writeStats(version, stats)
@@ -253,14 +272,14 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
     * A pruned schema-change marker is harmless: decode arity rides in
     * every data commit and `_schema.json` already holds the latest. */
   def expireBefore(version: Int, tsMicros: Long,
-      consolidated: Seq[(String, Long)], stats: CommitStats,
+      consolidated: Seq[FileRef], stats: CommitStats,
       referenced: Set[String]): Unit = {
     // checkpoints written before the expiry capture pruned versions
     // (and reference files the vacuum is about to delete): they go
     // FIRST, so no crash window can leave a cold load resurrecting
     // expired history — worst case is a full (commit-file) replay
     deleteCheckpoints()
-    recordFiles(version, replace = true, tsMicros, consolidated, stats)
+    recordFiles(version, FileCommit.Replace, tsMicros, consolidated, stats)
     val stream = Files.list(dir)
     val stale = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
@@ -341,10 +360,12 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
           out.writeByte(0)
           out.writeInt(rows.length)
           rows.foreach(writeRow)
-        case FileSeg(path, count) =>
+        case FileSeg(path, count, fstats) =>
           out.writeByte(1)
           out.writeUTF(java.nio.file.Paths.get(path).getFileName.toString)
           out.writeLong(count)
+          out.writeBoolean(fstats.isDefined)
+          fstats.foreach(CommitStats.write(out, cur, _))
       }
     }
     try {
@@ -360,6 +381,7 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
         c.entries(i) match {
           case VBase(segs) => out.writeByte(0); writeSegs(segs)
           case VAppend(segs) => out.writeByte(1); writeSegs(segs)
+          case VRewrite(segs) => out.writeByte(4); writeSegs(segs)
           case VRowDelta(dels, upds, ins) =>
             out.writeByte(2)
             out.writeInt(dels.length)
@@ -411,7 +433,10 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
               case 0 => MemSeg(Vector.fill(in.readInt())(readRow()))
               case 1 =>
                 val name = in.readUTF()
-                FileSeg(dataFilePath(name), in.readLong())
+                val count = in.readLong()
+                val fstats = if (in.readBoolean())
+                  Some(CommitStats.read(in, cur)) else None
+                FileSeg(dataFilePath(name), count, fstats)
             }
           }
           val times = Vector.newBuilder[Long]
@@ -435,6 +460,7 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
                 }
                 VRowDelta(dels, upds, Vector.fill(in.readInt())(readRow()))
               case 3 => VMarker
+              case 4 => VRewrite(readSegs())
             })
             i += 1
           }
@@ -490,15 +516,18 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
             .asInstanceOf[StructType]
           SchemaCommit(ver, ts, s)
         } else if (kind == 4) {
-          // file-reference commit: names + counts only — replay never
-          // touches a data file, so a restart is O(commits) metadata
-          val replace = in.readBoolean()
+          // file-reference commit: names + counts + per-file stats —
+          // replay never touches a data file, so a restart is
+          // O(commits) metadata
+          val mode = in.readByte().toInt
           val files = Vector.fill(in.readInt()) {
             val name = in.readUTF()
             val count = in.readLong()
-            (name, count)
+            val fstats = if (in.readBoolean())
+              Some(CommitStats.read(in, cur)) else None
+            FileRef(name, count, fstats)
           }
-          FileCommit(ver, replace, ts, files, stats)
+          FileCommit(ver, mode, ts, files, stats)
         } else {
           val fields = in.readInt()
           def readRow(): InternalRow = {

@@ -16,11 +16,12 @@ private[sources] final case class MemSeg(rows: Vector[InternalRow])
     extends RowSeg {
   override def count: Long = rows.length.toLong
 }
-/** `path` is the absolute data-file path; `count` its exact row count
-  * (recorded at write time — split planning and CBO never open the
-  * file). */
-private[sources] final case class FileSeg(path: String, count: Long)
-    extends RowSeg
+/** `path` is the absolute data-file path; `count` its exact row count;
+  * `stats` the file's own column statistics — all recorded at write
+  * time (the write task folds them while streaming), so split
+  * planning, CBO, and FILE-LEVEL SKIPPING never open a file. */
+private[sources] final case class FileSeg(path: String, count: Long,
+    stats: Option[CommitStats] = None) extends RowSeg
 
 /** One segment of the LIVE view of a snapshot: the immutable segment
   * plus the row-level overlay accumulated by later `WriteDelta`
@@ -81,7 +82,7 @@ private[sources] final case class Snap(segs: Vector[LiveSeg]) {
       if (backed.nonEmpty) ls.seg match {
         case MemSeg(rows) =>
           backed.foreach { case (p, (_, phys)) => out += p -> rows(phys.toInt) }
-        case FileSeg(path, _) =>
+        case FileSeg(path, _, _) =>
           val wanted = backed.map { case (p, (_, phys)) => phys -> p }.toMap
           val maxPhys = wanted.keys.max
           val it = ParquetRowIO.open(path, schema)
@@ -106,7 +107,7 @@ private[sources] final case class Snap(segs: Vector[LiveSeg]) {
     segs.iterator.flatMap { ls =>
       val base: Iterator[InternalRow] = ls.seg match {
         case MemSeg(rows) => rows.iterator
-        case FileSeg(path, _) => ParquetRowIO.open(path, schema)
+        case FileSeg(path, _, _) => ParquetRowIO.open(path, schema)
       }
       overlaid(ls, base)
     }
@@ -150,7 +151,7 @@ private[sources] final case class Snap(segs: Vector[LiveSeg]) {
             if (field >= r.numFields || r.isNullAt(field)) null
             else r.get(field, dt))
         }
-        case FileSeg(path, _) =>
+        case FileSeg(path, _, _) =>
           val one = StructType(Array(schema(field)))
           ParquetRowIO.open(path, one).zipWithIndex.map { case (r, i) =>
             (i.toLong, if (r.isNullAt(0)) null else r.get(0, dt))
@@ -185,6 +186,7 @@ private[sources] object Snap {
     * as a heap segment (O(delta) by the protocol's nature). */
   def applyDelta(prev: Snap, d: VDelta): Snap = d match {
     case VBase(segs) => base(segs)
+    case VRewrite(segs) => base(segs) // content-identical re-layout
     case VAppend(segs) => Snap(prev.segs ++ segs.map(LiveSeg.raw))
     case VMarker => prev
     case VRowDelta(deletes, updates, inserts) =>

@@ -49,10 +49,12 @@ class FileDataPlaneSpec extends SparkTestBase {
     assert(commit1 < 4096, s"1M-row commit file must be O(refs): $commit1 B")
     val entries = CommitLog.open(dir).replay()
     val v1 = entries.find(_.version == 1).get.asInstanceOf[FileCommit]
-    assert(v1.files.map(_._2).sum == 1000000L, v1.files.toString)
-    val dataBytes = v1.files.map { case (n, _) =>
-      java.nio.file.Files.size(dir.resolve("data").resolve(n))
-    }.sum[Long]
+    assert(v1.files.map(_.count).sum == 1000000L, v1.files.toString)
+    // every file carries its OWN stats — the file-skip metadata
+    assert(v1.files.forall(_.stats.isDefined), "per-file stats missing")
+    val dataBytes = v1.files.map(f =>
+      java.nio.file.Files.size(dir.resolve("data").resolve(f.name))
+    ).sum[Long]
     // and the data dir holds ONLY the referenced parquet files — no
     // hidden .crc sidecars (RawLocalFileSystem), no orphans
     val onDisk = {
@@ -64,8 +66,8 @@ class FileDataPlaneSpec extends SparkTestBase {
         b.result()
       } finally s.close()
     }
-    assert(onDisk == v1.files.map(_._1).toSet,
-      s"unreferenced files in the data dir: ${onDisk -- v1.files.map(_._1).toSet}")
+    assert(onDisk == v1.files.map(_.name).toSet,
+      s"unreferenced files in the data dir: ${onDisk -- v1.files.map(_.name).toSet}")
     assert(dataBytes > 10L * 1024 * 1024,
       s"1M rows of data must live in data files, got $dataBytes B")
 
@@ -73,7 +75,7 @@ class FileDataPlaneSpec extends SparkTestBase {
     //    through Spark's GENERIC parquet reader with identical content
     //    (the oracle reads the same files from DuckDB)
     val generic = spark.read.parquet(
-      v1.files.map(f => dir.resolve("data").resolve(f._1).toString): _*)
+      v1.files.map(f => dir.resolve("data").resolve(f.name).toString): _*)
     assert(generic.count() == 1000000L)
     assert(generic.schema.fieldNames.toSeq == Seq("k", "payload"))
     assert(generic.selectExpr("sum(k)").head().getLong(0) ==

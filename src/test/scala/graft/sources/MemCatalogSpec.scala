@@ -330,12 +330,12 @@ class MemCatalogSpec extends SparkTestBase {
     assert(sz(1) < 2048 && sz(2) < 2048 && sz(3) < 2048,
       s"v1=${sz(1)}B v2=${sz(2)}B v3=${sz(3)}B")
     val v1files = entries.find(_.version == 1).get.asInstanceOf[FileCommit]
-    assert(v1files.files.map(_._2).sum == 500L,
+    assert(v1files.files.map(_.count).sum == 500L,
       s"v1 must reference 500 rows of data files: ${v1files.files}")
-    val dataBytes = v1files.files.map { case (name, _) =>
+    val dataBytes = v1files.files.map(f =>
       java.nio.file.Files.size(
-        java.nio.file.Paths.get(durRoot, "od1", "data", name))
-    }.sum
+        java.nio.file.Paths.get(durRoot, "od1", "data", f.name))
+    ).sum
     assert(dataBytes > sz(1),
       s"row bytes must live in data files (data=$dataBytes, commit=${sz(1)})")
     // restart replay composes the deltas back to the same state
