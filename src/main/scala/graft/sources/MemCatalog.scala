@@ -1280,7 +1280,8 @@ private[sources] final class MemScanBuilder(store: MemStore,
   * segments slice by ranges. */
 private[sources] final case class SegSlice(seg: RowSeg, physStart: Long,
     physEnd: Long, dels: Vector[Long], patches: Map[Long, InternalRow],
-    liveBase: Long) extends InputPartition
+    liveBase: Long, byteStart: Long = -1L, byteEnd: Long = -1L)
+    extends InputPartition
 
 /** The catalog scan over a snapshot VIEW: splits are segment slices —
   * for the file-backed plane, one per parquet data file, read at a
@@ -1363,8 +1364,36 @@ private[sources] final class MemScan private (outSchema: StructType,
           // skipped file's rows keep their global positions.
           val skip = pushed.nonEmpty && ls.patches.isEmpty &&
             MemFilters.contradictsStats(f.stats, dataSchema, pushed)
-          if (!skip)
-            out += SegSlice(f, 0L, f.count, ls.dels, ls.patches, liveBase)
+          if (!skip) {
+            // ROW-GROUP SPLITS: a large file scans one split per row
+            // group (footer metadata, cached — read parallelism is
+            // not bound by write parallelism). Physical positions are
+            // exact: each block's start row = the sum of preceding
+            // block row counts, so `__pos` and the delta protocol
+            // hold under intra-file parallelism. Deletions/patches
+            // stay in GLOBAL physical coordinates (the reader walks
+            // phys from physStart).
+            val blocks =
+              if (f.count > MemScan.TargetChunk) ParquetRowIO.blocks(f.path)
+              else Vector.empty
+            if (blocks.length > 1) {
+              var phys = 0L
+              var lb = liveBase
+              blocks.foreach { b =>
+                val ps = phys
+                val pe = phys + b.rows
+                val dels = ls.dels.filter(d => d >= ps && d < pe)
+                val patches = ls.patches.filter { case (pp, _) =>
+                  pp >= ps && pp < pe
+                }
+                out += SegSlice(f, ps, pe, dels, patches, lb,
+                  b.startByte, b.endByte)
+                lb += (pe - ps) - dels.length
+                phys = pe
+              }
+            } else
+              out += SegSlice(f, 0L, f.count, ls.dels, ls.patches, liveBase)
+          }
         case m: MemSeg =>
           val chunk = MemScan.TargetChunk
           if (m.count <= chunk)
@@ -1467,7 +1496,10 @@ private[sources] final class SegReaderFactory(out: StructType,
     val slice = p.asInstanceOf[SegSlice]
     new PartitionReader[InternalRow] {
       private val fileIter = slice.seg match {
-        case FileSeg(path, _, _) => ParquetRowIO.open(path, fileRead)
+        case FileSeg(path, _, _) =>
+          if (slice.byteStart >= 0)
+            ParquetRowIO.open(path, fileRead, slice.byteStart, slice.byteEnd)
+          else ParquetRowIO.open(path, fileRead)
         case _ => null
       }
       private val memRows = slice.seg match {

@@ -89,6 +89,12 @@ private[sources] object ParquetRowIO {
       .withConf(writeConf(schema))
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      // row-group size bounds the unit of read parallelism: a single
+      // huge task file still scans as one split per group (prop for
+      // test tuning; default = parquet's 128 MB)
+      .withRowGroupSize(
+        sys.props.getOrElse("graft.catalog.rowgroup.bytes",
+          (128L * 1024 * 1024).toString).toLong)
       .build()
     private var n = 0L
     def write(r: InternalRow): Unit = {
@@ -121,12 +127,15 @@ private[sources] object ParquetRowIO {
     * RETAINS a row past the next step must `.copy()` it (UnsafeRow
     * copies are deep, so retained strings can't alias the buffer).
     * Closes itself on exhaustion; call `close()` for early exit. */
-  final class RowFileIterator(pathStr: String, requested: StructType)
-      extends Iterator[InternalRow] with AutoCloseable {
-    private val reader: ParquetReader[InternalRow] =
-      ParquetReader.builder[InternalRow](new ParquetReadSupport(),
+  final class RowFileIterator(pathStr: String, requested: StructType,
+      range: Option[(Long, Long)]) extends Iterator[InternalRow]
+      with AutoCloseable {
+    private val reader: ParquetReader[InternalRow] = {
+      val b = ParquetReader.builder[InternalRow](new ParquetReadSupport(),
           new org.apache.hadoop.fs.Path(pathStr))
-        .withConf(readConf(requested)).build()
+        .withConf(readConf(requested))
+      range.fold(b) { case (s, e) => b.withFileRange(s, e) }.build()
+    }
     private val proj = UnsafeProjection.create(requested)
     private var nextRow: InternalRow = _
     private var closed = false
@@ -149,5 +158,37 @@ private[sources] object ParquetRowIO {
     new RowFileWriter(path, schema)
 
   def open(path: String, requested: StructType): RowFileIterator =
-    new RowFileIterator(path, requested)
+    new RowFileIterator(path, requested, None)
+
+  /** Open only the ROW GROUPS whose byte midpoint falls in
+    * [startByte, endByte) — the parquet-mr range filter Spark's own
+    * file splits use. One [[blocks]] entry's range selects exactly
+    * that row group. */
+  def open(path: String, requested: StructType,
+      startByte: Long, endByte: Long): RowFileIterator =
+    new RowFileIterator(path, requested, Some((startByte, endByte)))
+
+  /** One row group's (startByte, endByte, rowCount). */
+  final case class Block(startByte: Long, endByte: Long, rows: Long)
+
+  private val blockCache =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[Block]]
+
+  /** Row-group layout of a data file (footer metadata, cached — data
+    * files are immutable, so the layout never changes). This is what
+    * lets the scan split ONE large file into parallel row-group
+    * reads with exact row-position bookkeeping. */
+  def blocks(path: String): Vector[Block] =
+    blockCache.getOrElseUpdate(path, {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), noCrc(new Configuration(false)))
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.iterator.map { b =>
+          Block(b.getStartingPos, b.getStartingPos + b.getCompressedSize,
+            b.getRowCount)
+        }.toVector
+      } finally r.close()
+    })
 }

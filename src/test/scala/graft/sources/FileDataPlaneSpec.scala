@@ -208,4 +208,49 @@ class FileDataPlaneSpec extends SparkTestBase {
     assert(spark.table("graftfp.dt").orderBy("k").collect()(0)
       .getDate(1).toString == "2025-01-02")
   }
+
+  test("row-group splits: ONE single-task file scans in parallel, __pos and DML exact") {
+    setup()
+    // force small row groups so one file carries many (restore after)
+    val prev = sys.props.get("graft.catalog.rowgroup.bytes")
+    sys.props("graft.catalog.rowgroup.bytes") = (64 * 1024).toString
+    try {
+      spark.sql("DROP TABLE IF EXISTS graftfp.rg")
+      spark.sql("CREATE TABLE graftfp.rg (k BIGINT, v STRING)")
+      // range(..., numSlices = 1): ONE write task -> ONE data file
+      spark.sql(
+        """INSERT INTO graftfp.rg
+          |SELECT id, concat('v', id) FROM RANGE(0, 200000, 1, 1)""".stripMargin)
+      val entries = CommitLog.open(
+        java.nio.file.Paths.get(root, "rg")).replay()
+      val v1 = entries.find(_.version == 1).get.asInstanceOf[FileCommit]
+      assert(v1.files.length == 1, s"one task must write one file: ${v1.files}")
+      // read parallelism decoupled from write parallelism: many splits
+      val df = spark.table("graftfp.rg")
+      assert(df.rdd.getNumPartitions > 4,
+        s"a multi-row-group file must plan >4 splits, got ${df.rdd.getNumPartitions}")
+      // __pos is GLOBAL across block splits
+      val pos = spark.sql("SELECT __pos FROM graftfp.rg")
+        .collect().map(_.getLong(0)).sorted
+      assert(pos.toSeq == (0L until 200000L),
+        s"positions not global under block splits: ${pos.take(5).mkString(",")}")
+      // DML through the parallel block scan targets true positions
+      spark.sql(
+        """MERGE INTO graftfp.rg t
+          |USING (SELECT id * 9973 AS k FROM RANGE(15)) s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = 'hit'""".stripMargin)
+      spark.sql("DELETE FROM graftfp.rg WHERE k >= 199990")
+      val got = spark.table("graftfp.rg").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.size == 199990)
+      (0 until 15).map(_ * 9973L).filter(_ < 199990).foreach(k =>
+        assert(got(k) == "hit", s"update missed k=$k"))
+      assert(got(123456L) == "v123456", "an untouched row changed")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.rowgroup.bytes") = v
+        case None => sys.props.remove("graft.catalog.rowgroup.bytes")
+      }
+    }
+  }
 }
