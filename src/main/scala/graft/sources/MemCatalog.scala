@@ -108,13 +108,18 @@ class MemCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table =
     liveStore(ident) match {
       case Some(store) => new MemTable(ident.toString, store)
-      // the CHANGES metadata table (the Iceberg `db.table.<meta>`
-      // suffix convention): `cat.t.changes` serves the Change Data
-      // Feed — batch SQL over the retained window, or a STREAMING
-      // source delivering change rows with commit-version offsets
-      case None if ident.namespace.length == 1 && ident.name == "changes" =>
+      // METADATA TABLES (the Iceberg `db.table.<meta>` suffix
+      // convention): `cat.t.changes` = the Change Data Feed (batch SQL
+      // or a streaming source with commit-version offsets);
+      // `cat.t.history` = DESCRIBE HISTORY through plain SQL;
+      // `cat.t.files` = the live snapshot's data-file inventory
+      case None if ident.namespace.length == 1 &&
+          MemCatalog.MetaTables.contains(ident.name) =>
         liveStore(Identifier.of(Array.empty, ident.namespace.head)) match {
-          case Some(store) => new ChangesTable(ident.toString, store)
+          case Some(store) if ident.name == "changes" =>
+            new ChangesTable(ident.toString, store)
+          case Some(store) =>
+            new MetaTable(ident.toString, store, ident.name)
           case None => throw new NoSuchTableException(ident)
         }
       case None => throw new NoSuchTableException(ident)
@@ -197,6 +202,9 @@ class MemCatalog extends TableCatalog {
 }
 
 object MemCatalog {
+  /** Metadata-table suffixes [[MemCatalog.loadTable]] resolves. */
+  private[sources] val MetaTables = Set("changes", "history", "files")
+
   /** JVM-wide table stores — the catalog plugin is instantiated per
     * session, but local-mode executors and the driver share one JVM. */
   private val stores = TrieMap.empty[String, MemStore]
@@ -1933,4 +1941,74 @@ private[sources] final class MemCdfMicroBatchStream(store: MemStore,
 
   override def createReaderFactory(): PartitionReaderFactory =
     readerFactory()
+}
+
+/** The `.history` and `.files` METADATA TABLES — `DESCRIBE HISTORY`
+  * and the live file inventory through plain SQL (the Iceberg
+  * `db.table.history` / `db.table.files` convention):
+  *
+  *  - `history(version, commit_micros, n_rows)`: one row per RETAINED
+  *    version, straight off the incrementally-maintained store
+  *    metadata — no snapshot is materialized;
+  *  - `files(seg, file, n_rows, n_live, n_deleted, n_patched)`: one
+  *    row per LIVE SEGMENT — its data file (NULL for heap segments),
+  *    physical row count, and the row-level overlay sizes — the
+  *    observability surface an operator sizes compaction from.
+  *
+  * Both are O(metadata): tiny heap frames, never a data-file read. */
+private[sources] final class MetaTable(tableName: String, store: MemStore,
+    kind: String) extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  override def name(): String = tableName
+  override def schema(): StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("commit_micros", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false)))
+    case _ => StructType(Seq(
+      StructField("seg", LongType, nullable = false),
+      StructField("file", StringType, nullable = true),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_live", LongType, nullable = false),
+      StructField("n_deleted", LongType, nullable = false),
+      StructField("n_patched", LongType, nullable = false)))
+  }
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new MetaScan(schema(), rows())
+
+  private def rows(): Vector[InternalRow] = kind match {
+    case "history" =>
+      store.historyRows.iterator.map { case (v, t, n) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](v, t, n))
+      }.toVector
+    case _ =>
+      val (snap, _) = store.currentState()
+      snap.segs.zipWithIndex.iterator.map { case (ls, i) =>
+        val file = ls.seg match {
+          case FileSeg(path, _, _) =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              java.nio.file.Paths.get(path).getFileName.toString)
+          case _ => null
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i.toLong, file, ls.seg.count, ls.liveCount,
+            ls.dels.length.toLong, ls.patches.size.toLong))
+      }.toVector
+  }
+}
+
+/** Trivial scan over a tiny metadata frame. */
+private[sources] final class MetaScan(out: StructType,
+    rows: Vector[InternalRow]) extends Scan with Batch {
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SegSlice(MemSeg(rows), 0L, rows.length.toLong, Vector.empty,
+      Map.empty, 0L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SegReaderFactory(out, out, out, Seq.empty, direct = false)
 }
