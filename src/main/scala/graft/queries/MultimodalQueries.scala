@@ -87,16 +87,40 @@ object MultimodalQueries {
     base.union(plants)
   }
 
+  /** Degenerate-bucket cap for the media band joins. The band space is
+    * bounded at 65,536 16-bit values, so bucket occupancy grows
+    * LINEARLY with corpus size and a band value shared by k
+    * fingerprints yields k^2/2 candidate pairs — uncapped, the
+    * candidate join is super-linear (measured: 80x shuffle bytes on
+    * 10x data, round 13). Buckets above the cap are DROPPED before the
+    * self-join — the `queries/NearDupQueries.scala` `maxBucketSize`
+    * discipline — and the drop is mirrored EXACTLY in the DuckDB
+    * oracles (HAVING count(*) <= cap), so the gates stay hash-green at
+    * every SF while the plan stays ~linear. Constant-image /
+    * constant-energy fingerprints (all-zero bands) are the usual
+    * degenerates: near-dup noise, never the planted pairs. */
+  private[graft] val MediaBandCap = 512
+
   /** Shared Hamming-LSH tail over a (media_id, b0..b3) band frame:
     * candidates from per-band equi-joins (never a cartesian — the
-    * q32/q263 discipline), verified by exact bit_count Hamming
-    * distance. One definition for the image (q296) and audio (q299)
-    * fingerprint gates, so a banding change cannot fork them. */
-  private def bandedHammingPairs(bands0: org.apache.spark.sql.DataFrame)
+    * q32/q263 discipline) with the [[MediaBandCap]] degenerate-bucket
+    * guard, verified by exact bit_count Hamming distance. One
+    * definition for the image (q296) and audio (q299) fingerprint
+    * gates, so a banding change cannot fork them. The per-band cap
+    * filter is a groupBy on the SAME key the join shuffles on —
+    * co-partitioned, no extra exchange of the bands frame. */
+  private[graft] def bandedHammingPairs(
+      bands0: org.apache.spark.sql.DataFrame,
+      maxBucketSize: Int = MediaBandCap)
       : org.apache.spark.sql.DataFrame = {
     val bands = FrameMemo.checkpointed(bands0)
     val cand = Seq("b0", "b1", "b2", "b3").map { bc =>
+      val ok = bands.groupBy(col(bc))
+        .agg(count(lit(1)).as("__bn"))
+        .where(col("__bn") <= maxBucketSize)
+        .select(col(bc).as("__bv"))
       val l = bands.select(col("media_id").as("id_a"), col(bc).as("__bv"))
+        .join(ok, "__bv")
       val r = bands.select(col("media_id").as("id_b"), col(bc).as("__bv"))
       l.join(r, "__bv").where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
@@ -124,17 +148,25 @@ object MultimodalQueries {
        |    sum(CASE WHEN bit // 16 = 2 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b2,
        |    sum(CASE WHEN bit // 16 = 3 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b3
        |  FROM cmp GROUP BY 1),
+       |ok0 AS (SELECT b0 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
+       |ok1 AS (SELECT b1 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
+       |ok2 AS (SELECT b2 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
+       |ok3 AS (SELECT b3 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
        |cand AS (
        |  SELECT a.media_id AS id_a, b.media_id AS id_b FROM bands a
+       |    JOIN ok0 ON a.b0 = ok0.v
        |    JOIN bands b ON a.b0 = b.b0 AND a.media_id < b.media_id
        |  UNION
        |  SELECT a.media_id, b.media_id FROM bands a
+       |    JOIN ok1 ON a.b1 = ok1.v
        |    JOIN bands b ON a.b1 = b.b1 AND a.media_id < b.media_id
        |  UNION
        |  SELECT a.media_id, b.media_id FROM bands a
+       |    JOIN ok2 ON a.b2 = ok2.v
        |    JOIN bands b ON a.b2 = b.b2 AND a.media_id < b.media_id
        |  UNION
        |  SELECT a.media_id, b.media_id FROM bands a
+       |    JOIN ok3 ON a.b3 = ok3.v
        |    JOIN bands b ON a.b3 = b.b3 AND a.media_id < b.media_id)
        |SELECT id_a, id_b, hamming FROM (
        |  SELECT cand.id_a, cand.id_b,
@@ -239,12 +271,28 @@ object MultimodalQueries {
     * aggregate, so the compare pins every tile's hash. */
   private[graft] def imageTilePairs(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val tiles = FrameMemo.checkpointed(
-      MediaOps.imageTileDHash(cropLake(spark, dir)))
+      dir: String): org.apache.spark.sql.DataFrame =
+    tileBandedPairs(MediaOps.imageTileDHash(cropLake(spark, dir)))
+
+  /** The tile-grain banded-Hamming tail, with the same
+    * [[MediaBandCap]] degenerate-bucket guard as
+    * [[bandedHammingPairs]]: a 16-bit band value's bucket holds
+    * (image, tile) rows, whose count grows linearly with the corpus,
+    * so buckets above the cap are dropped before the self-join
+    * (mirrored in the oracle's HAVING). */
+  private[graft] def tileBandedPairs(
+      tiles0: org.apache.spark.sql.DataFrame,
+      maxBucketSize: Int = MediaBandCap)
+      : org.apache.spark.sql.DataFrame = {
+    val tiles = FrameMemo.checkpointed(tiles0)
     val cand = Seq("b0", "b1", "b2", "b3").map { bc =>
+      val ok = tiles.groupBy(col(bc))
+        .agg(count(lit(1)).as("__bn"))
+        .where(col("__bn") <= maxBucketSize)
+        .select(col(bc).as("__bv"))
       val l = tiles.select(col("media_id").as("id_a"),
         col("tile").as("tile_a"), col(bc).as("__bv"))
+        .join(ok, "__bv")
       val r = tiles.select(col("media_id").as("id_b"),
         col("tile").as("tile_b"), col(bc).as("__bv"))
       l.join(r, "__bv").where(col("id_a") < col("id_b"))
@@ -338,18 +386,26 @@ object MultimodalQueries {
        |    sum(CASE WHEN bit // 16 = 2 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b2,
        |    sum(CASE WHEN bit // 16 = 3 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b3
        |  FROM cmp GROUP BY 1, 2),
+       |ok0 AS (SELECT b0 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
+       |ok1 AS (SELECT b1 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
+       |ok2 AS (SELECT b2 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
+       |ok3 AS (SELECT b3 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
        |cand AS (
        |  SELECT a.media_id AS id_a, a.tile AS tile_a,
        |         b.media_id AS id_b, b.tile AS tile_b FROM bands a
+       |    JOIN ok0 ON a.b0 = ok0.v
        |    JOIN bands b ON a.b0 = b.b0 AND a.media_id < b.media_id
        |  UNION
        |  SELECT a.media_id, a.tile, b.media_id, b.tile FROM bands a
+       |    JOIN ok1 ON a.b1 = ok1.v
        |    JOIN bands b ON a.b1 = b.b1 AND a.media_id < b.media_id
        |  UNION
        |  SELECT a.media_id, a.tile, b.media_id, b.tile FROM bands a
+       |    JOIN ok2 ON a.b2 = ok2.v
        |    JOIN bands b ON a.b2 = b.b2 AND a.media_id < b.media_id
        |  UNION
        |  SELECT a.media_id, a.tile, b.media_id, b.tile FROM bands a
+       |    JOIN ok3 ON a.b3 = ok3.v
        |    JOIN bands b ON a.b3 = b.b3 AND a.media_id < b.media_id)
        |SELECT id_a, tile_a, id_b, tile_b, hamming FROM (
        |  SELECT cand.id_a, cand.tile_a::BIGINT AS tile_a,

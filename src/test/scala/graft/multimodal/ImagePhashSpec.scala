@@ -136,4 +136,41 @@ class ImagePhashSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("degenerate band buckets are capped: a planted hot band yields bounded candidates") {
+    import spark.implicits._
+    // 50 fingerprints sharing EVERY band (the constant-image
+    // degenerate): uncapped they produce 50*49/2 hamming-0 pairs —
+    // quadratic in bucket occupancy, which grows linearly with the
+    // corpus on a 65,536-value band space
+    val hot = (1L to 50L).map(i => (i, 7L, 7L, 7L, 7L))
+    // plus one genuine near-dup pair in its own (cold) buckets
+    val pair = Seq((100L, 1L, 2L, 3L, 4L), (101L, 1L, 2L, 3L, 5L))
+    val bands = (hot ++ pair)
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+
+    val uncapped = MultimodalQueries
+      .bandedHammingPairs(bands, maxBucketSize = Int.MaxValue).collect()
+    assert(uncapped.length == 50 * 49 / 2 + 1,
+      s"uncapped baseline wrong: ${uncapped.length}")
+
+    val capped = MultimodalQueries
+      .bandedHammingPairs(bands, maxBucketSize = 8).collect()
+    assert(capped.length == 1 &&
+      capped.head.getLong(0) == 100L && capped.head.getLong(1) == 101L,
+      s"hot bucket must be dropped, cold pair kept: ${capped.mkString(", ")}")
+
+    // tile grain: same guard, bucket = (image, tile) rows per band value
+    val hotT = (1L to 50L).map(i => (i, 0, 7L, 7L, 7L, 7L))
+    val pairT = Seq((100L, 2, 1L, 2L, 3L, 4L), (101L, 0, 1L, 2L, 3L, 5L))
+    val tiles = (hotT ++ pairT)
+      .toDF("media_id", "tile", "b0", "b1", "b2", "b3")
+    val cappedT = MultimodalQueries
+      .tileBandedPairs(tiles, maxBucketSize = 8).collect()
+    assert(cappedT.length == 1 && cappedT.head.getLong(0) == 100L,
+      s"tile hot bucket must be dropped, cold pair kept: ${cappedT.mkString(", ")}")
+    val uncappedT = MultimodalQueries
+      .tileBandedPairs(tiles, maxBucketSize = Int.MaxValue).collect()
+    assert(uncappedT.length == 50 * 49 / 2 + 1)
+  }
 }
