@@ -1196,6 +1196,78 @@ object SourceQueries {
         df.queryExecution.executedPlan
         df
       }
+    },
+
+    // PARTITIONED catalog table (CREATE ... PARTITIONED BY identity):
+    // every data file carries its partition tuple in the commit
+    // metadata, and the scan prunes whole files on the partition
+    // predicate BEFORE consulting per-file stats — O(matching files)
+    // planning with zero statistics work (CatalogPartitionSpec pins
+    // the planned-split counts, days()/bucket() transforms, overlay
+    // safety, and restart/checkpoint round-trips). Pruning is
+    // result-invisible: the oracle reads the unpartitioned source.
+    QueryDef("q308_catalog_partitioned",
+      """SELECT l_linestatus, count(*)::BIGINT AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) {
+      (spark, dir) =>
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmem.path",
+          graft.sources.MemCatalog.defaultRoot)
+        spark.sql("DROP TABLE IF EXISTS graftmem.partli")
+        spark.sql(
+          """CREATE TABLE graftmem.partli (l_returnflag STRING,
+            |  l_linestatus STRING, l_extendedprice DOUBLE)
+            |PARTITIONED BY (l_returnflag)""".stripMargin)
+        Tables.load(spark, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_extendedprice"))
+          .createOrReplaceTempView("q308_src")
+        spark.sql("INSERT INTO graftmem.partli SELECT * FROM q308_src")
+        spark.sql(
+          """SELECT l_linestatus, count(*) AS n_lines,
+            |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            |FROM graftmem.partli WHERE l_returnflag = 'R'
+            |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    },
+
+    // DYNAMIC partition pruning against the partitioned CATALOG fact
+    // (q294's shape moved onto the connector): the dim predicate is
+    // only known at run time, Spark plans a dynamic-pruning subquery
+    // on the v2 scan (SupportsRuntimeFiltering), and the fact scan
+    // drops whole files per the runtime IN-set before reading a row.
+    // The oracle computes the join over the raw tables.
+    QueryDef("q309_catalog_dpp",
+      """SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders,
+        |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders o JOIN nation n ON o.o_custkey % 25 = n.n_nationkey
+        |WHERE n.n_name = 'NATION_6'
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin) {
+      (spark, dir) =>
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmem.path",
+          graft.sources.MemCatalog.defaultRoot)
+        spark.sql("DROP TABLE IF EXISTS graftmem.dppfact")
+        spark.sql(
+          """CREATE TABLE graftmem.dppfact (nk BIGINT,
+            |  o_orderpriority STRING, o_totalprice DOUBLE)
+            |PARTITIONED BY (nk)""".stripMargin)
+        Tables.load(spark, dir, "orders")
+          .select((col("o_custkey") % 25).as("nk"), col("o_orderpriority"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("q309_src")
+        spark.sql("INSERT INTO graftmem.dppfact SELECT * FROM q309_src")
+        Tables.load(spark, dir, "nation").createOrReplaceTempView("nation")
+        spark.sql(
+          """SELECT f.o_orderpriority, count(*) AS n_orders,
+            |       CAST(sum(CAST(round(f.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            |FROM graftmem.dppfact f
+            |JOIN nation n ON f.nk = n.n_nationkey
+            |WHERE n.n_name = 'NATION_6'
+            |GROUP BY f.o_orderpriority ORDER BY f.o_orderpriority""".stripMargin)
     }
   )
 

@@ -34,7 +34,7 @@ private[sources] final case class SchemaCommit(version: Int,
   * at file grain — what lets a scan SKIP whole files against pushed
   * predicates without opening them). */
 private[sources] final case class FileRef(name: String, count: Long,
-    stats: Option[CommitStats] = None)
+    stats: Option[CommitStats] = None, partVals: Option[Vector[Any]] = None)
 
 /** A FILE-REFERENCE commit (the Delta `add` action shape): the commit
   * file holds only [[FileRef]]s — the data itself lives in immutable
@@ -87,7 +87,8 @@ private[sources] final case class Checkpoint(base: Int,
   * exactly how a lakehouse log replays snapshots (retention prunes
   * the prefix via [[expireBefore]]).
   */
-private[sources] final class CommitLog(dir: Path, initial: StructType) {
+private[sources] final class CommitLog(dir: Path, initial: StructType,
+    val partSpec: Seq[PartTransform] = Nil) {
 
   // the latest schema this log knows (updated by recordSchema; replay
   // decoders take per-commit column prefixes of it)
@@ -233,6 +234,13 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
         out.writeLong(f.count)
         out.writeBoolean(f.stats.isDefined)
         f.stats.foreach(CommitStats.write(out, cur, _))
+        // partition tuple — present exactly when the table has a
+        // spec, so unpartitioned logs keep the pre-partitioning
+        // byte layout and replay unchanged
+        if (partSpec.nonEmpty) {
+          out.writeBoolean(f.partVals.isDefined)
+          f.partVals.foreach(Partitioning.write(out, _))
+        }
       }
     }
     writeStats(version, stats)
@@ -273,7 +281,7 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
     * every data commit and `_schema.json` already holds the latest. */
   def expireBefore(version: Int, tsMicros: Long,
       consolidated: Seq[FileRef], stats: CommitStats,
-      referenced: Set[String]): Unit = {
+      referenced: Set[String], prunedNamed: Set[String] = Set.empty): Unit = {
     // checkpoints written before the expiry capture pruned versions
     // (and reference files the vacuum is about to delete): they go
     // FIRST, so no crash window can leave a cold load resurrecting
@@ -297,14 +305,28 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
     // but storage grows forever. Runs AFTER the consolidated commit
     // landed, so a crash mid-sweep only leaves still-orphaned files
     // (cleaned by the next expiry), never a dangling reference.
+    // Deletion is RESTRICTED to (a) files the pruned commits named —
+    // log-owned, provably superseded by the consolidated base — and
+    // (b) unnamed strays older than a retention grace window: a bulk
+    // write in flight streams part files from tasks BEFORE its commit
+    // lands, and deleting "everything unreferenced" would tear it
+    // down mid-write (the VACUUM-retention lesson of the real
+    // formats). Fresh strays survive until they either commit
+    // (become referenced) or age past the grace horizon.
     if (Files.isDirectory(dataDir)) {
+      val graceMs = CommitLog.vacuumGraceMs
+      val horizon = System.currentTimeMillis() - graceMs
       val ds = Files.list(dataDir)
       val orphans = scala.collection.mutable.ArrayBuffer.empty[Path]
       try {
         val it = ds.iterator()
         while (it.hasNext) {
           val p = it.next()
-          if (!referenced.contains(p.getFileName.toString)) orphans += p
+          val nm = p.getFileName.toString
+          if (!referenced.contains(nm) &&
+              (prunedNamed.contains(nm) ||
+                Files.getLastModifiedTime(p).toMillis < horizon))
+            orphans += p
         }
       } finally ds.close()
       orphans.foreach(Files.delete)
@@ -360,12 +382,16 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
           out.writeByte(0)
           out.writeInt(rows.length)
           rows.foreach(writeRow)
-        case FileSeg(path, count, fstats) =>
+        case FileSeg(path, count, fstats, pv) =>
           out.writeByte(1)
           out.writeUTF(java.nio.file.Paths.get(path).getFileName.toString)
           out.writeLong(count)
           out.writeBoolean(fstats.isDefined)
           fstats.foreach(CommitStats.write(out, cur, _))
+          if (partSpec.nonEmpty) {
+            out.writeBoolean(pv.isDefined)
+            pv.foreach(Partitioning.write(out, _))
+          }
       }
     }
     try {
@@ -397,6 +423,23 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
     } finally out.close()
     Files.move(tmp, checkpointFile(c.version), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // GC superseded checkpoints AFTER the new one landed atomically —
+    // keep the newest two (the new one plus its predecessor, for crash
+    // safety), so a long-lived table holds O(1) checkpoint files
+    // instead of one per cadence, each a full retained-window copy
+    val stream = Files.list(dir)
+    val old = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val nm = p.getFileName.toString
+        if (nm.matches("\\d{8}\\.checkpoint") && nm.take(8).toInt < c.version)
+          old += p
+      }
+    } finally stream.close()
+    old.sortBy(_.getFileName.toString).dropRight(1)
+      .foreach(Files.deleteIfExists(_))
   }
 
   /** The newest readable checkpoint, or None (no checkpoint, or a
@@ -436,7 +479,9 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
                 val count = in.readLong()
                 val fstats = if (in.readBoolean())
                   Some(CommitStats.read(in, cur)) else None
-                FileSeg(dataFilePath(name), count, fstats)
+                val pv = if (partSpec.nonEmpty && in.readBoolean())
+                  Some(Partitioning.read(in, partSpec.length)) else None
+                FileSeg(dataFilePath(name), count, fstats, pv)
             }
           }
           val times = Vector.newBuilder[Long]
@@ -525,7 +570,9 @@ private[sources] final class CommitLog(dir: Path, initial: StructType) {
             val count = in.readLong()
             val fstats = if (in.readBoolean())
               Some(CommitStats.read(in, cur)) else None
-            FileRef(name, count, fstats)
+            val pv = if (partSpec.nonEmpty && in.readBoolean())
+              Some(Partitioning.read(in, partSpec.length)) else None
+            FileRef(name, count, fstats, pv)
           }
           FileCommit(ver, mode, ts, files, stats)
         } else {
@@ -570,13 +617,25 @@ private[sources] object CommitLog {
 
   def existsAt(dir: Path): Boolean = Files.exists(schemaFile(dir))
 
+  /** Vacuum retention grace for data files NOT named by any commit
+    * (in-flight writer strays): default 24 h, override for tests via
+    * `-Dgraft.vacuum.grace.ms=0`. Files named by pruned commits are
+    * log-owned and deleted immediately regardless. */
+  private[sources] def vacuumGraceMs: Long =
+    sys.props.get("graft.vacuum.grace.ms").map(_.toLong)
+      .getOrElse(24L * 3600 * 1000)
+
   /** Initialize a fresh log directory (schema written last, via temp +
     * atomic move, so `existsAt` implies a complete creation). */
-  def create(dir: Path, schema: StructType, createdMicros: Long): CommitLog = {
+  def create(dir: Path, schema: StructType, createdMicros: Long,
+      partSpec: Seq[PartTransform] = Nil): CommitLog = {
     Files.createDirectories(dir.resolve("data"))
     Files.writeString(dir.resolve("_created"), createdMicros.toString)
+    if (partSpec.nonEmpty)
+      Files.writeString(dir.resolve("_partition"),
+        Partitioning.renderSpec(partSpec))
     writeSchemaFile(dir, schema)
-    new CommitLog(dir, schema)
+    new CommitLog(dir, schema, partSpec)
   }
 
   /** Open an existing log for replay after a restart — `_schema.json`
@@ -585,7 +644,11 @@ private[sources] object CommitLog {
     val schema = DataType.fromJson(Files.readString(schemaFile(dir)))
       .asInstanceOf[StructType]
     Files.createDirectories(dir.resolve("data"))
-    new CommitLog(dir, schema)
+    val pf = dir.resolve("_partition")
+    val spec =
+      if (Files.exists(pf)) Partitioning.parseSpec(Files.readString(pf))
+      else Nil
+    new CommitLog(dir, schema, spec)
   }
 
   def destroy(dir: Path): Unit =

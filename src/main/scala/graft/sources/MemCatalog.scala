@@ -61,7 +61,7 @@ class MemCatalog extends TableCatalog {
   override def name(): String = catalogName
 
   private def key(ident: Identifier): String =
-    catalogName + " " + ident.toString
+    catalogName + MemCatalog.KeySep + ident.toString
 
   /** Per-table durable log directory (identifier sanitized for the
     * fs); None when the catalog runs purely in-memory. */
@@ -84,8 +84,8 @@ class MemCatalog extends TableCatalog {
     * straight after a restart. */
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val live = MemCatalog.stores.keys
-      .filter(_.startsWith(catalogName + " "))
-      .map(_.split(" ", 2)(1))
+      .filter(_.startsWith(catalogName + MemCatalog.KeySep))
+      .map(_.split(MemCatalog.KeySep, 2)(1))
     val logged = logRoot.toSeq.flatMap { root =>
       if (!java.nio.file.Files.isDirectory(root)) Seq.empty
       else {
@@ -131,8 +131,10 @@ class MemCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     liveStore(ident) match {
       case Some(store) =>
+        val v = version.toInt
+        val (snap, stats) = store.versionState(v)
         new MemTable(s"${ident.toString}@v$version", store,
-          Some((version.toInt, store.versionSnapshot(version.toInt))))
+          Some(Pinned(v, snap, stats)))
       case None => throw new NoSuchTableException(ident)
     }
 
@@ -144,20 +146,34 @@ class MemCatalog extends TableCatalog {
     liveStore(ident) match {
       case Some(store) =>
         val v = store.versionAt(timestamp)
+        val (snap, stats) = store.versionState(v)
         new MemTable(s"${ident.toString}@t$timestamp", store,
-          Some((v, store.versionSnapshot(v))))
+          Some(Pinned(v, snap, stats)))
       case None => throw new NoSuchTableException(ident)
     }
 
+  /** `PARTITIONED BY` — identity, `days(ts)`, and `bucket(n, col)`
+    * transforms (the lakehouse trio). Every data file then carries
+    * its partition tuple in the commit metadata, the scan prunes
+    * whole files on partition predicates BEFORE consulting stats,
+    * and runtime (DPP) filters prune at execution. Partitioning is a
+    * property of the durable data plane — an in-memory scratch table
+    * has no files to prune, so it requires a `path` catalog. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty, "MemCatalog tables are unpartitioned")
+    val spec = partitions.toSeq.map(MemCatalog.toPartTransform)
+    if (spec.nonEmpty) {
+      require(logRoot.isDefined,
+        "partitioned MemCatalog tables need a durable catalog (path option)")
+      Partitioning.validate(spec, schema)
+    }
     // A leftover durable log for this identifier IS the table (the
-    // restart path) — resume its history rather than shadowing it.
+    // restart path) — resume its history (and ITS recorded partition
+    // spec) rather than shadowing it.
     val store = liveStore(ident).getOrElse {
       val created = MemStore.nowMicros()
       val fresh = new MemStore(schema,
-        logDir(ident).map(d => CommitLog.create(d, schema, created)),
+        logDir(ident).map(d => CommitLog.create(d, schema, created, spec)),
         created)
       MemCatalog.stores.putIfAbsent(key(ident), fresh)
       MemCatalog.stores(key(ident))
@@ -202,6 +218,40 @@ class MemCatalog extends TableCatalog {
 }
 
 object MemCatalog {
+
+  /** Translate a Spark connector [[Transform]] into the catalog's
+    * partition model — identity / days / bucket only, loudly
+    * otherwise. Matching on `name()`/`references()` keeps this
+    * independent of the concrete Transform case classes. */
+  private[sources] def toPartTransform(
+      t: org.apache.spark.sql.connector.expressions.Transform)
+      : PartTransform = {
+    def oneCol: String = {
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        s"partition transform $t must reference one top-level column")
+      refs(0).fieldNames()(0)
+    }
+    t.name() match {
+      case "identity" => PIdentity(oneCol)
+      case "days" => PDays(oneCol)
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform $t carries no bucket count"))
+        PBucket(n, oneCol)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform '$other' (identity/days/bucket)")
+    }
+  }
+
+  /** JVM-wide store-key separator between catalog name and table
+    * identifier: NUL is illegal in both, so the key can never be
+    * ambiguous (a space-separated key would collide for identifiers
+    * that themselves render with spaces). */
+  private[sources] val KeySep = "\u0000"
   /** Metadata-table suffixes [[MemCatalog.loadTable]] resolves. */
   private[sources] val MetaTables = Set("changes", "history", "files")
 
@@ -227,7 +277,7 @@ object MemCatalog {
   def history(spark: org.apache.spark.sql.SparkSession, catalogName: String,
       table: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    stores.get(catalogName + " " + table) match {
+    stores.get(catalogName + KeySep + table) match {
       case Some(store) => store.historyRows
         .toDF("version", "commit_micros", "n_rows")
       case None => throw new IllegalArgumentException(
@@ -244,7 +294,7 @@ object MemCatalog {
     * `TIMESTAMP AS OF` reads fail loudly afterwards. The table must
     * have been loaded in this JVM (load it once first). */
   def expireSnapshots(catalogName: String, table: String, before: Int): Unit =
-    stores.get(catalogName + " " + table) match {
+    stores.get(catalogName + KeySep + table) match {
       case Some(store) => store.expireBefore(before)
       case None => throw new IllegalArgumentException(
         s"expireSnapshots: $catalogName.$table is not loaded in this JVM")
@@ -257,7 +307,7 @@ object MemCatalog {
     * restore is a forward commit, never a rewind). Stats re-seed from
     * the replace, so metadata-served aggregates stay exact. */
   def restoreSnapshot(catalogName: String, table: String, v: Int): Unit =
-    stores.get(catalogName + " " + table) match {
+    stores.get(catalogName + KeySep + table) match {
       case Some(store) => store.restoreVersion(v)
       case None => throw new IllegalArgumentException(
         s"restoreSnapshot: $catalogName.$table is not loaded in this JVM")
@@ -281,7 +331,7 @@ object MemCatalog {
       zorderBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions._
     require(targetFileRows > 0, s"targetFileRows must be > 0")
-    val store = stores.getOrElse(catalogName + " " + table,
+    val store = stores.getOrElse(catalogName + KeySep + table,
       throw new IllegalArgumentException(
         s"optimizeTable: $catalogName.$table is not loaded in this JVM"))
     require(store.dataDirStr.isDefined,
@@ -297,18 +347,33 @@ object MemCatalog {
         val aggs = zorderBy.flatMap(k =>
           Seq(min(col(k)).cast("long"), max(col(k)).cast("long")))
         val bounds = df.agg(aggs.head, aggs.tail: _*).head()
-        val normed = zorderBy.zipWithIndex.map { case (k, j) =>
-          graft.operators.ZOrder.normalize(col(k), bounds.getLong(2 * j),
-            bounds.getLong(2 * j + 1), bits)
-        }
-        df.withColumn("_z",
-            graft.operators.ZOrder.interleaveBits(normed, bits))
-          .repartitionByRange(nFiles, col("_z"))
-          .sortWithinPartitions(col("_z"))
-          .drop("_z")
+        // an empty table (or an all-NULL key column) has no bounds to
+        // normalize against: clustering is meaningless there — fall
+        // back to the plain repartition instead of unboxing a NULL
+        if (n == 0 || (0 until bounds.length).exists(bounds.isNullAt))
+          df.repartition(nFiles)
+        else zorderLayout(df, zorderBy, bounds, bits, nFiles)
       }
     laidOut.writeTo(tbl).option("dataChange", "false")
       .overwrite(lit(true))
+  }
+
+  /** The clustered rewrite layout: normalize each key against its
+    * (non-NULL) bounds, interleave, range-partition and sort on the
+    * curve value. */
+  private def zorderLayout(df: org.apache.spark.sql.DataFrame,
+      zorderBy: Seq[String], bounds: org.apache.spark.sql.Row,
+      bits: Int, nFiles: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val normed = zorderBy.zipWithIndex.map { case (k, j) =>
+      graft.operators.ZOrder.normalize(col(k), bounds.getLong(2 * j),
+        bounds.getLong(2 * j + 1), bits)
+    }
+    df.withColumn("_z",
+        graft.operators.ZOrder.interleaveBits(normed, bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
   }
 
   /** `table_changes(from, to)` (the Delta Change Data Feed surface):
@@ -321,7 +386,7 @@ object MemCatalog {
   def tableChanges(spark: org.apache.spark.sql.SparkSession,
       catalogName: String, table: String, fromV: Int,
       toV: Int): org.apache.spark.sql.DataFrame = {
-    val store = stores.getOrElse(catalogName + " " + table,
+    val store = stores.getOrElse(catalogName + KeySep + table,
       throw new IllegalArgumentException(
         s"tableChanges: $catalogName.$table is not loaded in this JVM"))
     val schema = store.schema
@@ -461,6 +526,9 @@ private[sources] final class MemStore(schema0: StructType,
   /** Data-file directory of the durable plane; None = in-memory. */
   def dataDirStr: Option[String] = log.map(_.dataDir.toString)
 
+  /** Partition spec (durable tables; Nil = unpartitioned). */
+  def partSpec: Seq[PartTransform] = log.map(_.partSpec).getOrElse(Nil)
+
   /** One consistent (snapshot, statistics) pair under a single
     * synchronized read — a scan capturing the two separately could
     * pair a fresh snapshot with stale stats (or vice versa) and let
@@ -476,6 +544,14 @@ private[sources] final class MemStore(schema0: StructType,
     * log). No rows are materialized — the result is segment
     * references plus overlays. The LIVE version is served from the
     * maintained view, never folded. */
+  /** One consistent (historical snapshot, its stats) pair under a
+    * single synchronized read — the pinned-scan analog of
+    * [[currentState]]: a concurrent expiry re-basing `base`/`statsHist`
+    * between two separate reads could pair a snapshot with mismatched
+    * stats (or throw mid-pair). */
+  def versionState(v: Int): (Snap, Option[CommitStats]) =
+    synchronized { (versionSnapshot(v), statsAt(v)) }
+
   def versionSnapshot(v: Int): Snap = synchronized {
     require(v >= base,
       s"version $v expired — history is pruned before version $base")
@@ -549,7 +625,7 @@ private[sources] final class MemStore(schema0: StructType,
     l.recordFiles(currentVersion + 1, mode, t, files, cs)
     val segs: Vector[RowSeg] =
       files.iterator.map(f => FileSeg(l.dataFilePath(f.name), f.count,
-        f.stats)).toVector
+        f.stats, f.partVals)).toVector
     if (mode == FileCommit.Append) {
       statsHist = statsHist :+ statsHist.last.map(CommitStats.merge(_, cs))
       cur = Snap(cur.segs ++ segs.map(LiveSeg.raw))
@@ -740,7 +816,12 @@ private[sources] final class MemStore(schema0: StructType,
           FileSeg(l.dataFilePath(f.name), f.count, f.stats): RowSeg
         ).toVector) +: keep
         val referenced = newEntries.flatMap(MemStore.fileNamesOf).toSet
-        l.expireBefore(before, times(i), files, cs, referenced)
+        // the pruned prefix's files are log-owned: vacuum them NOW;
+        // anything else unreferenced in data/ may be an in-flight
+        // writer's stream and only falls past the grace horizon
+        val prunedNamed =
+          entries.take(i + 1).flatMap(MemStore.fileNamesOf).toSet -- referenced
+        l.expireBefore(before, times(i), files, cs, referenced, prunedNamed)
         entries = newEntries
         statsHist = statsHist.drop(i).updated(0, Some(cs))
       case None =>
@@ -844,7 +925,8 @@ private[sources] final class MemStore(schema0: StructType,
         }
       case FileCommit(ver, mode, _, files, s) =>
         val segs: Vector[RowSeg] = files.map(f =>
-          FileSeg(log.get.dataFilePath(f.name), f.count, f.stats))
+          FileSeg(log.get.dataFilePath(f.name), f.count, f.stats,
+            f.partVals))
         if (pruned) {
           require(mode != FileCommit.Append,
             s"corrupt log: first retained commit $ver is not self-contained")
@@ -921,12 +1003,12 @@ private[sources] object MemStore {
   def segRows(seg: RowSeg, schema: StructType): Iterator[InternalRow] =
     seg match {
       case MemSeg(rows) => rows.iterator
-      case FileSeg(path, _, _) => ParquetRowIO.open(path, schema)
+      case FileSeg(path, _, _, _) => ParquetRowIO.open(path, schema)
     }
 
   def fileNamesOf(d: VDelta): Seq[String] = {
     def names(segs: Vector[RowSeg]): Seq[String] = segs.collect {
-      case FileSeg(path, _, _) =>
+      case FileSeg(path, _, _, _) =>
         java.nio.file.Paths.get(path).getFileName.toString
     }
     d match {
@@ -944,8 +1026,15 @@ private[sources] object MemStore {
   * `__pos` row-position METADATA column ([[MemTable.PosCol]]) — the
   * row id the delta protocol addresses deletes/updates by, the
   * single-store analog of Iceberg's `(_file, _pos)`. */
+/** A time-travel pin: version, its snapshot view, and the stats that
+  * were current AT that version — captured atomically
+  * ([[MemStore.versionState]]) so no later store mutation can pair
+  * them inconsistently. */
+private[sources] final case class Pinned(version: Int, snap: Snap,
+    stats: Option[CommitStats])
+
 private[sources] final class MemTable(tableName: String, store: MemStore,
-    pinned: Option[(Int, Snap)] = None)
+    pinned: Option[Pinned] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -1020,7 +1109,7 @@ private[sources] object MemFilters {
     * Strict on numeric classes: a cross-type literal means Catalyst
     * cast the column, and such predicates are never translated — a
     * lenient narrowing here would silently change semantics. */
-  private def internal(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+  private[sources] def internal(dt: DataType, v: Any): Option[Any] = (dt, v) match {
     case (LongType, x: java.lang.Long) => Some(x)
     case (IntegerType, x: java.lang.Integer) => Some(x)
     case (ShortType, x: java.lang.Short) => Some(x)
@@ -1028,6 +1117,23 @@ private[sources] object MemFilters {
     case (BooleanType, x: java.lang.Boolean) => Some(x)
     case (StringType, x: String) =>
       Some(org.apache.spark.unsafe.types.UTF8String.fromString(x))
+    // datetime literals arrive as java.sql types (or java.time under
+    // the Java-8 API conf); internal form is days / epoch micros
+    case (DateType, x: java.sql.Date) =>
+      Some(Int.box(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(x)))
+    case (DateType, x: java.time.LocalDate) =>
+      Some(Int.box(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(x)))
+    case (TimestampType, x: java.sql.Timestamp) =>
+      Some(Long.box(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(x)))
+    case (TimestampType, x: java.time.Instant) =>
+      Some(Long.box(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .instantToMicros(x)))
+    case (TimestampNTZType, x: java.time.LocalDateTime) =>
+      Some(Long.box(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(x)))
     case _ => None
   }
 
@@ -1157,7 +1263,7 @@ private[sources] object MemFilters {
   * sidecar is lost) declines, and Spark aggregates the plain scan —
   * pushdown steers the plan, never the results. */
 private[sources] final class MemScanBuilder(store: MemStore,
-    pinned: Option[(Int, Snap)],
+    pinned: Option[Pinned],
     streamStore: Option[MemStore] = None) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -1185,7 +1291,7 @@ private[sources] final class MemScanBuilder(store: MemStore,
     pushedArr
 
   private def targetStats: Option[CommitStats] =
-    pinned.map(p => store.statsAt(p._1))
+    pinned.map(_.stats)
       .getOrElse(store.statsAt(store.currentVersion))
 
   private def colName(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -1270,12 +1376,13 @@ private[sources] final class MemScanBuilder(store: MemStore,
         // single synchronized read, so the zone-map short-circuit can
         // never contradict the very snapshot it is about to serve
         val (snap, stats) = pinned match {
-          case Some((v, s)) => (s, store.statsAt(v))
+          case Some(p) => (p.snap, p.stats)
           case None => store.currentState()
         }
         val schema = store.schema
         new MemScan(required.getOrElse(schema), schema, snap, stats,
-          pushedArr.toSeq, streamStore = streamStore)
+          pushedArr.toSeq, streamStore = streamStore,
+          partSpec = store.partSpec)
     }
 }
 
@@ -1300,16 +1407,35 @@ private[sources] final class MemScan private (outSchema: StructType,
     dataSchema: StructType, snap: Snap, stats: Option[CommitStats],
     pushed: Seq[org.apache.spark.sql.sources.Filter],
     direct: Boolean,
-    streamStore: Option[MemStore])
+    streamStore: Option[MemStore],
+    partSpec: Seq[PartTransform])
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   def this(outSchema: StructType, dataSchema: StructType, snap: Snap,
       stats: Option[CommitStats],
       pushed: Seq[org.apache.spark.sql.sources.Filter],
-      streamStore: Option[MemStore]) =
+      streamStore: Option[MemStore],
+      partSpec: Seq[PartTransform] = Nil) =
     this(outSchema, dataSchema, snap, stats, pushed, direct = false,
-      streamStore)
+      streamStore, partSpec)
+
+  /** RUNTIME (dynamic partition pruning) filters: Spark offers the
+    * partition source columns at planning time; a dimension-derived
+    * IN-set arrives at execution and prunes whole files before the
+    * fact scan runs — the DSv2 DPP contract. Pruning here is
+    * file-grain only (the join above still applies the predicate
+    * row-exactly, so dropping non-matching FILES is the sound part). */
+  @volatile private var runtime: Seq[org.apache.spark.sql.sources.Filter] =
+    Nil
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (direct || partSpec.isEmpty) Array.empty
+    else partSpec.map(p => Expressions.column(p.col)).toArray
+  override def filter(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtime = filters.toSeq.filter(MemFilters.supported(dataSchema, _))
 
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
@@ -1370,8 +1496,16 @@ private[sources] final class MemScan private (outSchema: StructType,
           // file stats know nothing about; deletions only remove rows
           // and can't create matches. liveBase still advances: the
           // skipped file's rows keep their global positions.
-          val skip = pushed.nonEmpty && ls.patches.isEmpty &&
-            MemFilters.contradictsStats(f.stats, dataSchema, pushed)
+          // PARTITION PRUNE (before stats): the file's partition
+          // tuple proves emptiness against pushed AND runtime (DPP)
+          // predicates with zero per-column statistics work
+          val preds = pushed ++ runtime
+          val partSkip = preds.nonEmpty && ls.patches.isEmpty &&
+            f.partVals.exists(pv => Partitioning.contradicts(
+              partSpec, pv, dataSchema, f.count, preds))
+          if (partSkip) MemScan.partPruned.incrementAndGet()
+          val skip = partSkip || (preds.nonEmpty && ls.patches.isEmpty &&
+            MemFilters.contradictsStats(f.stats, dataSchema, preds))
           if (!skip) {
             // ROW-GROUP SPLITS: a large file scans one split per row
             // group (footer metadata, cached — read parallelism is
@@ -1442,6 +1576,12 @@ private[sources] final class MemScan private (outSchema: StructType,
 }
 
 private[sources] object MemScan {
+  /** TEST HOOK: files skipped by PARTITION-TUPLE pruning (static +
+    * runtime) since the last reset — lets specs prove a partition
+    * predicate planned only matching files. */
+  private[sources] val partPruned =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** Rows per planned heap slice (and the single-partition threshold). */
   val TargetChunk: Int =
     sys.props.getOrElse("graft.catalog.scan.chunk", "8192").toInt
@@ -1452,7 +1592,7 @@ private[sources] object MemScan {
   def direct(schema: StructType, row: InternalRow): MemScan =
     new MemScan(schema, schema,
       Snap(Vector(LiveSeg.raw(MemSeg(Vector(row))))), None, Seq.empty,
-      direct = true, streamStore = None)
+      direct = true, streamStore = None, partSpec = Nil)
 
   /** Chunked overlay-free slices of one heap row vector (the
     * `.changes` feed's partition planning). */
@@ -1504,7 +1644,7 @@ private[sources] final class SegReaderFactory(out: StructType,
     val slice = p.asInstanceOf[SegSlice]
     new PartitionReader[InternalRow] {
       private val fileIter = slice.seg match {
-        case FileSeg(path, _, _) =>
+        case FileSeg(path, _, _, _) =>
           if (slice.byteStart >= 0)
             ParquetRowIO.open(path, fileRead, slice.byteStart, slice.byteEnd)
           else ParquetRowIO.open(path, fileRead)
@@ -1731,11 +1871,37 @@ private[sources] final case class MemDeltaCommit(deletes: Vector[Long],
   * ingest a 100 TB table. In-memory tables buffer rows in the commit
   * message (the scratch path). */
 private[sources] final class MemWrite(store: MemStore, mode: Int)
-    extends Write with BatchWrite {
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite = this
+
+  /** Partitioned writes CLUSTER rows by the partition source columns
+    * and SORT within tasks — Spark plans the one shuffle that turns a
+    * partitioned ingest into one-or-few files per partition tuple per
+    * task (the "optimized write" shape) instead of one file per
+    * (task x partition) at every grain. Unpartitioned writes declare
+    * nothing and stay shuffle-free. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (store.partSpec.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        store.partSpec.map(p => Expressions.identity(p.col)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (store.partSpec.isEmpty) Array.empty
+    else store.partSpec.map(p =>
+      Expressions.sort(Expressions.column(p.col),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      .toArray
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     store.dataDirStr match {
+      case Some(dir) if store.partSpec.nonEmpty =>
+        new PartFileWriterFactory(dir, store.schema, store.partSpec)
       case Some(dir) => new FileWriterFactory(dir, store.schema)
       case None => new HeapWriterFactory(store.schema.length)
     }
@@ -1745,11 +1911,16 @@ private[sources] final class MemWrite(store: MemStore, mode: Int)
       // row ordering `__pos` is defined over. Each task's own folded
       // stats become the FILE's stats (the Delta add.stats analog the
       // scan's file-level skip reads).
-      val refs = messages.toSeq.collect {
+      val refs = messages.toSeq.flatMap {
         case MemFileCommit(name, count, s) if count > 0 =>
-          FileRef(name, count, Some(s))
+          Seq(FileRef(name, count, Some(s)))
+        case MemPartFilesCommit(files) => files.collect {
+          case pf if pf.count > 0 =>
+            FileRef(pf.name, pf.count, Some(pf.stats), Some(pf.partVals))
+        }
+        case _ => Seq.empty
       }
-      val stats = messages.toSeq.collect { case MemFileCommit(_, _, s) => s }
+      val stats = refs.flatMap(_.stats)
         .foldLeft(CommitStats.empty(store.schema))(CommitStats.merge)
       store.commitFiles(refs, stats, mode)
     } else {
@@ -1765,9 +1936,73 @@ private[sources] final class MemWrite(store: MemStore, mode: Int)
       case MemFileCommit(name, count, _) if count > 0 =>
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
           store.dataDirStr.get, name))
+      case MemPartFilesCommit(files) => files.foreach(pf =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+          store.dataDirStr.get, pf.name)))
       case _ =>
     }
 }
+
+/** Task-side writer of the PARTITIONED durable plane: rows fan out to
+  * one open parquet file per partition tuple seen by this task (the
+  * task's rows arrive clustered and sorted on the source columns, so
+  * the live-writer set stays small), each file's commit message
+  * carrying its tuple and its own folded stats. Tuple values are
+  * copied on capture — file-backed input rows are volatile. */
+private[sources] final class PartFileWriterFactory(dir: String,
+    schema: StructType, spec: Seq[PartTransform]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val idx = spec.map(p => schema.fieldIndex(p.col)).toArray
+      private val dts = idx.map(schema(_).dataType)
+      private final class OpenFile(val name: String) {
+        val w: ParquetRowIO.RowFileWriter =
+          ParquetRowIO.writer(s"$dir/$name", schema)
+        val acc = new CommitStats.Acc(schema)
+        var n = 0L
+      }
+      private val open =
+        scala.collection.mutable.LinkedHashMap.empty[Vector[Any], OpenFile]
+      private def tupleOf(r: InternalRow): Vector[Any] =
+        Vector.tabulate(spec.length) { j =>
+          val raw = if (r.isNullAt(idx(j))) null else r.get(idx(j), dts(j))
+          val v = spec(j).eval(raw, dts(j))
+          v match { // copy: input rows are reused buffers
+            case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+            case x => x
+          }
+        }
+      override def write(record: InternalRow): Unit = {
+        require(record.numFields == schema.length,
+          s"unexpected write row arity ${record.numFields} for " +
+            s"${schema.length}-column table")
+        val f = open.getOrElseUpdate(tupleOf(record), new OpenFile(
+          s"part-${java.util.UUID.randomUUID().toString.take(12)}.parquet"))
+        f.w.write(record)
+        f.acc.add(record)
+        f.n += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        open.values.foreach(_.w.close())
+        MemPartFilesCommit(open.iterator.map { case (tuple, f) =>
+          PartFile(f.name, f.n, f.acc.result, tuple)
+        }.toVector)
+      }
+      override def abort(): Unit = open.values.foreach { f =>
+        f.w.close()
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$dir/${f.name}"))
+      }
+      override def close(): Unit = ()
+    }
+}
+
+private[sources] final case class PartFile(name: String, count: Long,
+    stats: CommitStats, partVals: Vector[Any])
+
+private[sources] final case class MemPartFilesCommit(files: Vector[PartFile])
+  extends WriterCommitMessage
 
 /** Task-side writer of the durable plane: rows stream into one
   * parquet file in the table's data dir; the commit message is a file
@@ -1969,6 +2204,7 @@ private[sources] final class MetaTable(tableName: String, store: MemStore,
     case _ => StructType(Seq(
       StructField("seg", LongType, nullable = false),
       StructField("file", StringType, nullable = true),
+      StructField("partition", StringType, nullable = true),
       StructField("n_rows", LongType, nullable = false),
       StructField("n_live", LongType, nullable = false),
       StructField("n_deleted", LongType, nullable = false),
@@ -1988,14 +2224,17 @@ private[sources] final class MetaTable(tableName: String, store: MemStore,
     case _ =>
       val (snap, _) = store.currentState()
       snap.segs.zipWithIndex.iterator.map { case (ls, i) =>
-        val file = ls.seg match {
-          case FileSeg(path, _, _) =>
-            org.apache.spark.unsafe.types.UTF8String.fromString(
-              java.nio.file.Paths.get(path).getFileName.toString)
-          case _ => null
+        val (file, part) = ls.seg match {
+          case f: FileSeg =>
+            (org.apache.spark.unsafe.types.UTF8String.fromString(
+              java.nio.file.Paths.get(f.path).getFileName.toString),
+              f.partVals.map(pv =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  Partitioning.renderVals(store.partSpec, pv))).orNull)
+          case _ => (null, null)
         }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](i.toLong, file, ls.seg.count, ls.liveCount,
+          Array[Any](i.toLong, file, part, ls.seg.count, ls.liveCount,
             ls.dels.length.toLong, ls.patches.size.toLong))
       }.toVector
   }

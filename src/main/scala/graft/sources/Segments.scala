@@ -19,9 +19,13 @@ private[sources] final case class MemSeg(rows: Vector[InternalRow])
 /** `path` is the absolute data-file path; `count` its exact row count;
   * `stats` the file's own column statistics — all recorded at write
   * time (the write task folds them while streaming), so split
-  * planning, CBO, and FILE-LEVEL SKIPPING never open a file. */
+  * planning, CBO, and FILE-LEVEL SKIPPING never open a file.
+  * `partVals` is the ONE partition-transform output tuple every row in
+  * the file shares (partitioned tables only): what partition pruning
+  * plans against before stats are even consulted. */
 private[sources] final case class FileSeg(path: String, count: Long,
-    stats: Option[CommitStats] = None) extends RowSeg
+    stats: Option[CommitStats] = None,
+    partVals: Option[Vector[Any]] = None) extends RowSeg
 
 /** One segment of the LIVE view of a snapshot: the immutable segment
   * plus the row-level overlay accumulated by later `WriteDelta`
@@ -82,7 +86,7 @@ private[sources] final case class Snap(segs: Vector[LiveSeg]) {
       if (backed.nonEmpty) ls.seg match {
         case MemSeg(rows) =>
           backed.foreach { case (p, (_, phys)) => out += p -> rows(phys.toInt) }
-        case FileSeg(path, _, _) =>
+        case FileSeg(path, _, _, _) =>
           val wanted = backed.map { case (p, (_, phys)) => phys -> p }.toMap
           val maxPhys = wanted.keys.max
           val it = ParquetRowIO.open(path, schema)
@@ -107,7 +111,7 @@ private[sources] final case class Snap(segs: Vector[LiveSeg]) {
     segs.iterator.flatMap { ls =>
       val base: Iterator[InternalRow] = ls.seg match {
         case MemSeg(rows) => rows.iterator
-        case FileSeg(path, _, _) => ParquetRowIO.open(path, schema)
+        case FileSeg(path, _, _, _) => ParquetRowIO.open(path, schema)
       }
       overlaid(ls, base)
     }
@@ -151,7 +155,7 @@ private[sources] final case class Snap(segs: Vector[LiveSeg]) {
             if (field >= r.numFields || r.isNullAt(field)) null
             else r.get(field, dt))
         }
-        case FileSeg(path, _, _) =>
+        case FileSeg(path, _, _, _) =>
           val one = StructType(Array(schema(field)))
           ParquetRowIO.open(path, one).zipWithIndex.map { case (r, i) =>
             (i.toLong, if (r.isNullAt(0)) null else r.get(0, dt))
