@@ -114,15 +114,37 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
   private def statsFile(version: Int): Path =
     dir.resolve(f"$version%08d.stats")
 
-  private def writeCommit(version: Int)(body: DataOutputStream => Unit): Unit = {
-    val tmp = dir.resolve(f"$version%08d.commit.inprogress")
+  /** Serialize and PUBLISH one commit file. Publication is the
+    * multi-writer linearization point: the default path creates the
+    * numbered file with CREATE-NEW semantics (a hard link from a
+    * writer-unique temp — the one filesystem primitive that FAILS
+    * atomically when the name exists), so when two writers race for
+    * the same version exactly one wins and the loser gets
+    * [[CommitLog.VersionConflictException]] to refresh-and-retry on —
+    * the Delta/Iceberg optimistic-concurrency shape. Snapshot expiry
+    * alone passes `replaceExisting = true`: it consolidates ONTO an
+    * existing version number by design. */
+  private def writeCommit(version: Int, replaceExisting: Boolean = false)(
+      body: DataOutputStream => Unit): Unit = {
+    // writer-unique temp: two racing writers must never share one
+    val tmp = dir.resolve(f"$version%08d.commit.inprogress." +
+      java.util.UUID.randomUUID().toString.take(8))
     val out = new DataOutputStream(new BufferedOutputStream(
       Files.newOutputStream(tmp, StandardOpenOption.CREATE,
         StandardOpenOption.TRUNCATE_EXISTING)))
     try body(out) finally out.close()
-    // REPLACE_EXISTING: expiry consolidates onto an existing file name
-    Files.move(tmp, commitFile(version), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    if (replaceExisting)
+      Files.move(tmp, commitFile(version), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    else {
+      try Files.createLink(commitFile(version), tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          throw new CommitLog.VersionConflictException(version)
+      }
+      Files.deleteIfExists(tmp)
+    }
   }
 
   /** Pad a (possibly historical prefix-arity) row to the latest
@@ -223,8 +245,9 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
     * tasks streamed directly. Caller passes the commit's exact stats
     * (the write tasks folded them row-by-row while streaming). */
   def recordFiles(version: Int, mode: Int, tsMicros: Long,
-      files: Seq[FileRef], stats: CommitStats): Unit = {
-    writeCommit(version) { out =>
+      files: Seq[FileRef], stats: CommitStats,
+      replaceExisting: Boolean = false): Unit = {
+    writeCommit(version, replaceExisting) { out =>
       out.writeByte(4)
       out.writeLong(tsMicros)
       out.writeByte(mode)
@@ -287,7 +310,8 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
     // FIRST, so no crash window can leave a cold load resurrecting
     // expired history — worst case is a full (commit-file) replay
     deleteCheckpoints()
-    recordFiles(version, FileCommit.Replace, tsMicros, consolidated, stats)
+    recordFiles(version, FileCommit.Replace, tsMicros, consolidated, stats,
+      replaceExisting = true)
     val stream = Files.list(dir)
     val stale = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
@@ -605,6 +629,13 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
 }
 
 private[sources] object CommitLog {
+
+  /** Another writer already published this version — refresh from the
+    * log, re-check conflicts, retry (the optimistic-concurrency
+    * signal, never user-visible). */
+  private[sources] final class VersionConflictException(version: Int)
+    extends Exception(s"commit version $version already published")
+
 
   private def schemaFile(dir: Path): Path = dir.resolve("_schema.json")
 

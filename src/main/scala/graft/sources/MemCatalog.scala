@@ -611,33 +611,87 @@ private[sources] final class MemStore(schema0: StructType,
       times = times :+ t
     }
 
+  /** Fold commits OTHER writers published (version > ours) into this
+    * store's state — the refresh step of the optimistic-concurrency
+    * loop. Returns the interleaved entries for the conflict check. */
+  private def refreshFromLog(l: CommitLog): Seq[LogEntry] = {
+    val fresh = l.replayAfter(currentVersion)
+    fresh.foreach(fold)
+    fresh
+  }
+
+  /** True iff every interleaved commit is a plain APPEND — the class
+    * that commutes with everything: appends only extend the live
+    * ordering, so existing row POSITIONS (what a row-level delta
+    * addresses) stay valid under rebase. */
+  private def appendsOnly(es: Seq[LogEntry]): Boolean = es.forall {
+    case DataCommit(_, replace, _, _, _) => !replace
+    case FileCommit(_, mode, _, _, _) => mode == FileCommit.Append
+    case _ => false
+  }
+
+  /** OPTIMISTIC MULTI-WRITER COMMIT: attempt to publish at
+    * `currentVersion + 1`; when another writer won that version
+    * (create-new publication failed), refresh this store from the
+    * log, run the caller's semantic conflict check over the
+    * interleaved commits (throw to abort, return to rebase), and
+    * retry at the new head — the Delta/Iceberg concurrency protocol.
+    * Disjoint writers both land; conflicting ones fail loudly with
+    * a ConcurrentModificationException rather than corrupting. */
+  private def publishWithRetry(l: CommitLog)(
+      conflictCheck: Seq[LogEntry] => Unit)(attempt: Int => Unit): Unit = {
+    var tries = 0
+    var done = false
+    while (!done) {
+      try { attempt(currentVersion + 1); done = true }
+      catch {
+        case _: CommitLog.VersionConflictException =>
+          tries += 1
+          require(tries <= 64, "commit collision storm: giving up")
+          conflictCheck(refreshFromLog(l))
+      }
+    }
+  }
+
   /** Commit one bulk write of the FILE-BACKED plane: the write tasks
     * already streamed their rows into immutable data files under the
     * log's `data/` dir and folded exact stats on the way; this makes
     * them live as ONE atomic version whose durable commit holds file
     * REFERENCES. Write-ahead like every commit: the commit file lands
-    * before the in-memory version advances. */
+    * before the in-memory version advances. Concurrency: appends
+    * rebase over ANY interleaved commit; replaces and rewrites abort
+    * on any (an overwrite that silently dropped a concurrent append,
+    * or an OPTIMIZE whose "content-identical" claim a concurrent
+    * delta falsified, would corrupt). */
   def commitFiles(files: Seq[FileRef], cs: CommitStats,
       mode: Int): Unit = synchronized {
     val l = log.getOrElse(throw new IllegalStateException(
       "commitFiles needs a durable log"))
-    val t = MemStore.nowMicros()
-    l.recordFiles(currentVersion + 1, mode, t, files, cs)
-    val segs: Vector[RowSeg] =
-      files.iterator.map(f => FileSeg(l.dataFilePath(f.name), f.count,
-        f.stats, f.partVals)).toVector
-    if (mode == FileCommit.Append) {
-      statsHist = statsHist :+ statsHist.last.map(CommitStats.merge(_, cs))
-      cur = Snap(cur.segs ++ segs.map(LiveSeg.raw))
-      entries = entries :+ VAppend(segs)
-    } else {
-      statsHist = statsHist :+ Some(cs)
-      cur = Snap.base(segs)
-      entries = entries :+ (if (mode == FileCommit.Rewrite) VRewrite(segs)
-        else VBase(segs))
+    val check: Seq[LogEntry] => Unit =
+      if (mode == FileCommit.Append) _ => ()
+      else es => if (es.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commits ${es.map(_.version).mkString(",")} conflict " +
+            "with a replace/rewrite — recompute against the new snapshot")
+    publishWithRetry(l)(check) { next =>
+      val t = MemStore.nowMicros()
+      l.recordFiles(next, mode, t, files, cs)
+      val segs: Vector[RowSeg] =
+        files.iterator.map(f => FileSeg(l.dataFilePath(f.name), f.count,
+          f.stats, f.partVals)).toVector
+      if (mode == FileCommit.Append) {
+        statsHist = statsHist :+ statsHist.last.map(CommitStats.merge(_, cs))
+        cur = Snap(cur.segs ++ segs.map(LiveSeg.raw))
+        entries = entries :+ VAppend(segs)
+      } else {
+        statsHist = statsHist :+ Some(cs)
+        cur = Snap.base(segs)
+        entries = entries :+ (if (mode == FileCommit.Rewrite) VRewrite(segs)
+          else VBase(segs))
+      }
+      counts = counts :+ cur.count
+      times = times :+ t
     }
-    counts = counts :+ cur.count
-    times = times :+ t
     maybeCheckpoint()
   }
 
@@ -649,30 +703,45 @@ private[sources] final class MemStore(schema0: StructType,
     * that column's pages ([[Snap.columnValues]] prunes the read). */
   def applyRowDelta(deletes: Seq[Long], updates: Seq[(Long, InternalRow)],
       inserts: Seq[InternalRow]): Unit = synchronized {
-    val prev = cur
-    val n = prev.count
-    deletes.foreach(p => require(p >= 0 && p < n,
-      s"delta delete position $p outside snapshot of $n"))
-    updates.foreach { case (p, _) => require(p >= 0 && p < n,
-      s"delta update position $p outside snapshot of $n") }
-    val d = VRowDelta(deletes.toVector, updates.toVector, inserts.toVector)
-    val next = Snap.applyDelta(prev, d)
-    val t = MemStore.nowMicros()
-    val st = statsHist.last match {
-      case Some(ps) =>
-        val removedPos = deletes ++ updates.map(_._1)
-        val pre = prev.rowsAt(removedPos, curSchema)
-        CommitStats.applyDelta(ps, curSchema,
-          removedPos.map(pre(_)), updates.map(_._2) ++ inserts,
-          next.count, i => next.columnValues(curSchema, i))
-      case None => CommitStats.of(next.iterator(curSchema), curSchema)
+    // one attempt, re-runnable: a rebase over interleaved APPENDS is
+    // sound (appends only extend the live ordering, so the delta's
+    // positions still address the same rows); anything else aborts —
+    // the positions were computed against a snapshot that no longer
+    // exists (the write-write conflict every format refuses)
+    def attempt(nextVer: Int): Unit = {
+      val prev = cur
+      val n = prev.count
+      deletes.foreach(p => require(p >= 0 && p < n,
+        s"delta delete position $p outside snapshot of $n"))
+      updates.foreach { case (p, _) => require(p >= 0 && p < n,
+        s"delta update position $p outside snapshot of $n") }
+      val d = VRowDelta(deletes.toVector, updates.toVector, inserts.toVector)
+      val next = Snap.applyDelta(prev, d)
+      val t = MemStore.nowMicros()
+      val st = statsHist.last match {
+        case Some(ps) =>
+          val removedPos = deletes ++ updates.map(_._1)
+          val pre = prev.rowsAt(removedPos, curSchema)
+          CommitStats.applyDelta(ps, curSchema,
+            removedPos.map(pre(_)), updates.map(_._2) ++ inserts,
+            next.count, i => next.columnValues(curSchema, i))
+        case None => CommitStats.of(next.iterator(curSchema), curSchema)
+      }
+      log.foreach(_.recordDelta(nextVer, t, d, st))
+      statsHist = statsHist :+ Some(st)
+      cur = next
+      entries = entries :+ d
+      counts = counts :+ cur.count
+      times = times :+ t
     }
-    log.foreach(_.recordDelta(currentVersion + 1, t, d, st))
-    statsHist = statsHist :+ Some(st)
-    cur = next
-    entries = entries :+ d
-    counts = counts :+ cur.count
-    times = times :+ t
+    log match {
+      case Some(l) =>
+        publishWithRetry(l)(es => if (!appendsOnly(es))
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent non-append commits ${es.map(_.version).mkString(",")} " +
+              "shifted row positions under this delta — recompute"))(attempt)
+      case None => attempt(currentVersion + 1)
+    }
     maybeCheckpoint()
   }
 
@@ -680,16 +749,27 @@ private[sources] final class MemStore(schema0: StructType,
     * commit version (rows unchanged; existing versions read the new
     * column as NULL). Write-ahead like data commits. */
   def evolveSchema(newSchema: StructType): Unit = synchronized {
-    require(newSchema.length > curSchema.length &&
-      newSchema.take(curSchema.length) == StructType(curSchema.fields),
-      "schema evolution must be append-only (ADD COLUMN)")
-    val t = MemStore.nowMicros()
-    log.foreach(_.recordSchema(currentVersion + 1, t, newSchema))
-    curSchema = newSchema
-    statsHist = statsHist :+ statsHist.last
-    entries = entries :+ VMarker
-    counts = counts :+ counts.last
-    times = times :+ t
+    def attempt(nextVer: Int): Unit = {
+      require(newSchema.length > curSchema.length &&
+        newSchema.take(curSchema.length) == StructType(curSchema.fields),
+        "schema evolution must be append-only (ADD COLUMN)")
+      val t = MemStore.nowMicros()
+      log.foreach(_.recordSchema(nextVer, t, newSchema))
+      curSchema = newSchema
+      statsHist = statsHist :+ statsHist.last
+      entries = entries :+ VMarker
+      counts = counts :+ counts.last
+      times = times :+ t
+    }
+    log match {
+      case Some(l) =>
+        // rebase over appends; a concurrent ALTER/replace aborts
+        publishWithRetry(l)(es => if (!appendsOnly(es))
+          throw new java.util.ConcurrentModificationException(
+            "concurrent non-append commits conflict with ALTER TABLE"))(
+          attempt)
+      case None => attempt(currentVersion + 1)
+    }
     maybeCheckpoint()
   }
   /** (version, commit micros, row count) per retained version. */

@@ -116,6 +116,12 @@ private[sources] final case class Snap(segs: Vector[LiveSeg]) {
       overlaid(ls, base)
     }
 
+  /** Overlay iterator. NEVER reads ahead of the row it hands out:
+    * file-backed base rows are VOLATILE (the reader reuses one
+    * buffer), so a prefetch inside `next()` would silently overwrite
+    * the row the caller is still holding — the returned row is valid
+    * until the caller's next `hasNext`/`next`, exactly the
+    * [[ParquetRowIO]] contract the underlying iterator gives. */
   private def overlaid(ls: LiveSeg,
       base: Iterator[InternalRow]): Iterator[InternalRow] =
     if (ls.dels.isEmpty && ls.patches.isEmpty) base
@@ -123,20 +129,18 @@ private[sources] final case class Snap(segs: Vector[LiveSeg]) {
       private var phys = -1L
       private var pending: InternalRow = _
       private var delIdx = 0
-      private def advance(): Unit = {
-        pending = null
+      private def fill(): Unit =
         while (pending == null && base.hasNext) {
           val r = base.next()
           phys += 1
           if (delIdx < ls.dels.length && ls.dels(delIdx) == phys) delIdx += 1
           else pending = ls.patches.getOrElse(phys, r)
         }
-      }
-      advance()
-      override def hasNext: Boolean = pending != null
+      override def hasNext: Boolean = { fill(); pending != null }
       override def next(): InternalRow = {
+        fill()
         val r = pending
-        advance()
+        pending = null
         r
       }
     }
