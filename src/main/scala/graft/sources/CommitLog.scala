@@ -62,7 +62,8 @@ private[sources] object FileCommit {
   * commit (the Delta `_checkpoint` analog). */
 private[sources] final case class Checkpoint(base: Int,
     entries: Vector[VDelta], times: Vector[Long], counts: Vector[Long],
-    stats: Vector[Option[CommitStats]]) {
+    stats: Vector[Option[CommitStats]],
+    schemas: Vector[StructType] = Vector.empty) {
   def version: Int = base + entries.length - 1
 }
 
@@ -275,9 +276,9 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
     * the versioned marker records when the change happened. */
   def recordSchema(version: Int, tsMicros: Long,
       newSchema: StructType): Unit = {
-    require(newSchema.length >= cur.length &&
-      newSchema.take(cur.length) == StructType(cur.fields),
-      "schema evolution must be append-only")
+    require(ColumnMapping.compatible(cur, newSchema),
+      "schema evolution must be append-only or metadata-only " +
+        "(shared slots keep datatype and field id)")
     CommitLog.writeSchemaFile(dir, newSchema)
     cur = newSchema
     val json = newSchema.json.getBytes(StandardCharsets.UTF_8)
@@ -444,6 +445,15 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
         }
         i += 1
       }
+      // per-version physical schemas (rename/drop history) — readers
+      // of the pre-mapping layout fail the read harmlessly (checkpoint
+      // load falls back to a full commit replay)
+      out.writeInt(c.schemas.length)
+      c.schemas.foreach { sc =>
+        val js = sc.json.getBytes(StandardCharsets.UTF_8)
+        out.writeInt(js.length)
+        out.write(js)
+      }
     } finally out.close()
     Files.move(tmp, checkpointFile(c.version), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -533,8 +543,14 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
             })
             i += 1
           }
+          val schemas = Vector.fill(in.readInt()) {
+            val js = new Array[Byte](in.readInt())
+            in.readFully(js)
+            DataType.fromJson(new String(js, StandardCharsets.UTF_8))
+              .asInstanceOf[StructType]
+          }
           Some(Checkpoint(base, entries.result(), times.result(),
-            counts.result(), stats.result()))
+            counts.result(), stats.result(), schemas))
         } finally in.close()
       } catch { case _: Exception => None }
     }

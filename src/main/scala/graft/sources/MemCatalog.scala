@@ -132,9 +132,9 @@ class MemCatalog extends TableCatalog {
     liveStore(ident) match {
       case Some(store) =>
         val v = version.toInt
-        val (snap, stats) = store.versionState(v)
+        val (snap, stats, phys) = store.versionState(v)
         new MemTable(s"${ident.toString}@v$version", store,
-          Some(Pinned(v, snap, stats)))
+          Some(Pinned(v, snap, stats, phys)))
       case None => throw new NoSuchTableException(ident)
     }
 
@@ -146,9 +146,9 @@ class MemCatalog extends TableCatalog {
     liveStore(ident) match {
       case Some(store) =>
         val v = store.versionAt(timestamp)
-        val (snap, stats) = store.versionState(v)
+        val (snap, stats, phys) = store.versionState(v)
         new MemTable(s"${ident.toString}@t$timestamp", store,
-          Some(Pinned(v, snap, stats)))
+          Some(Pinned(v, snap, stats, phys)))
       case None => throw new NoSuchTableException(ident)
     }
 
@@ -172,8 +172,12 @@ class MemCatalog extends TableCatalog {
     // spec) rather than shadowing it.
     val store = liveStore(ident).getOrElse {
       val created = MemStore.nowMicros()
-      val fresh = new MemStore(schema,
-        logDir(ident).map(d => CommitLog.create(d, schema, created, spec)),
+      // stable field ids from day one (ColumnMapping): what makes
+      // RENAME/DROP COLUMN metadata-only later, and what the parquet
+      // footers carry so id-based reads survive renames
+      val mapped = ColumnMapping.withIds(schema)
+      val fresh = new MemStore(mapped,
+        logDir(ident).map(d => CommitLog.create(d, mapped, created, spec)),
         created)
       MemCatalog.stores.putIfAbsent(key(ident), fresh)
       MemCatalog.stores(key(ident))
@@ -181,13 +185,28 @@ class MemCatalog extends TableCatalog {
     new MemTable(ident.toString, store)
   }
 
-  /** `ALTER TABLE ADD COLUMN` (append-only, nullable — the evolution
-    * every format supports without rewriting history). Other changes
-    * (drop/rename/retype) would need column-mapping metadata and stay
-    * unsupported — loudly. */
+  /** `ALTER TABLE ADD / RENAME / DROP COLUMN`. ADD is append-only and
+    * nullable (history is not backfilled). RENAME and DROP are
+    * METADATA-ONLY through field-id column mapping: the physical
+    * schema keeps every slot forever (a dropped column is flagged and
+    * tombstone-named, a renamed one changes only its name slot), rows
+    * and commit files keep decoding positionally, and data files
+    * written under an old name still serve the new one because
+    * parquet matches BY FIELD ID. Tables created before mapping (no
+    * ids) refuse rename/drop loudly — the protocol-upgrade posture. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val store = liveStore(ident).getOrElse(throw new NoSuchTableException(ident))
-    val newSchema = changes.foldLeft(store.schema) {
+    def liveIndex(s: StructType, name: String): Int = {
+      val i = s.fields.indexWhere(f =>
+        !ColumnMapping.isDropped(f) && f.name == name)
+      require(i >= 0, s"column $name not found in ${ident.toString}")
+      i
+    }
+    def requireMapped(s: StructType, what: String): Unit =
+      require(ColumnMapping.mapped(s),
+        s"$what needs column mapping (field ids); table " +
+          s"${ident.toString} predates it — recreate the table")
+    val newSchema = changes.foldLeft(store.physSchema) {
       case (s, add: TableChange.AddColumn) =>
         require(add.fieldNames.length == 1,
           "MemCatalog.alterTable: nested ADD COLUMN unsupported")
@@ -195,10 +214,40 @@ class MemCatalog extends TableCatalog {
           "MemCatalog.alterTable: positioned ADD COLUMN unsupported (append-only)")
         require(add.isNullable,
           "MemCatalog.alterTable: new columns must be nullable (history is not backfilled)")
-        s.add(org.apache.spark.sql.types.StructField(
-          add.fieldNames()(0), add.dataType(), nullable = true))
+        val f = org.apache.spark.sql.types.StructField(
+          add.fieldNames()(0), add.dataType(), nullable = true)
+        s.add(if (ColumnMapping.mapped(s))
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(ColumnMapping.IdKey, ColumnMapping.nextId(s)).build())
+        else f)
+      case (s, rn: TableChange.RenameColumn) =>
+        requireMapped(s, "RENAME COLUMN")
+        require(rn.fieldNames.length == 1,
+          "MemCatalog.alterTable: nested RENAME unsupported")
+        val i = liveIndex(s, rn.fieldNames()(0))
+        require(!s.fields.zipWithIndex.exists { case (f, j) =>
+          j != i && !ColumnMapping.isDropped(f) && f.name == rn.newName },
+          s"column ${rn.newName} already exists")
+        StructType(s.fields.updated(i,
+          ColumnMapping.rename(s.fields(i), rn.newName)))
+      case (s, del: TableChange.DeleteColumn) =>
+        requireMapped(s, "DROP COLUMN")
+        require(del.fieldNames.length == 1,
+          "MemCatalog.alterTable: nested DROP unsupported")
+        val name = del.fieldNames()(0)
+        require(!store.partSpec.exists(_.col == name),
+          s"cannot drop partition column $name")
+        require(ColumnMapping.logical(s).length > 1,
+          "cannot drop the last column")
+        val i = liveIndex(s, name)
+        val f = s.fields(i)
+        // tombstone-name the physical slot so a future ADD may reuse
+        // the logical name without a physical collision
+        val tomb = ColumnMapping.rename(f,
+          s"__dropped_${ColumnMapping.fieldId(f).get}_${f.name}")
+        StructType(s.fields.updated(i, ColumnMapping.markDropped(tomb)))
       case (_, other) => throw new UnsupportedOperationException(
-        s"MemCatalog.alterTable: only ADD COLUMN is supported, got $other")
+        s"MemCatalog.alterTable: unsupported change $other")
     }
     store.evolveSchema(newSchema)
     new MemTable(ident.toString, store)
@@ -505,7 +554,13 @@ private[sources] final class MemStore(schema0: StructType,
   // keep their original (prefix) arity and reads pad with NULLs (the
   // Delta AddColumn read behavior)
   @volatile private var curSchema: StructType = schema0
-  def schema: StructType = curSchema
+  /** LOGICAL schema — what the table surfaces: physical minus dropped
+    * columns (ColumnMapping). Identical to [[physSchema]] until a
+    * DROP happens. */
+  def schema: StructType = ColumnMapping.logical(curSchema)
+  /** PHYSICAL schema — every slot ever added (dropped ones flagged),
+    * the layout rows, stats, and commit files decode against. */
+  def physSchema: StructType = curSchema
   // versions [base, base + entries.length): entries(i) is version
   // base + i; entries(0) is always a self-contained VBase.
   // base > 0 only after snapshot expiry pruned the prefix.
@@ -522,6 +577,11 @@ private[sources] final class MemStore(schema0: StructType,
   // missing until the next replace/delta re-seeds exact stats
   @volatile private var statsHist: Vector[Option[CommitStats]] =
     Vector(Some(CommitStats.empty(schema0)))
+
+  // PHYSICAL schema per retained version (the rename/drop history):
+  // what a time-travel handle surfaces and a pinned scan decodes
+  // against — `VERSION AS OF n` shows the names of version n
+  @volatile private var schemaHist: Vector[StructType] = Vector(schema0)
 
   /** Data-file directory of the durable plane; None = in-memory. */
   def dataDirStr: Option[String] = log.map(_.dataDir.toString)
@@ -549,8 +609,9 @@ private[sources] final class MemStore(schema0: StructType,
     * [[currentState]]: a concurrent expiry re-basing `base`/`statsHist`
     * between two separate reads could pair a snapshot with mismatched
     * stats (or throw mid-pair). */
-  def versionState(v: Int): (Snap, Option[CommitStats]) =
-    synchronized { (versionSnapshot(v), statsAt(v)) }
+  def versionState(v: Int): (Snap, Option[CommitStats], StructType) =
+    synchronized { (versionSnapshot(v), statsAt(v),
+      schemaHist(math.min(v - base, schemaHist.length - 1))) }
 
   def versionSnapshot(v: Int): Snap = synchronized {
     require(v >= base,
@@ -594,6 +655,7 @@ private[sources] final class MemStore(schema0: StructType,
     entries = entries :+ VAppend(Vector(seg))
     counts = counts :+ cur.count
     times = times :+ t
+    schemaHist = schemaHist :+ curSchema
   }
   /** In-memory replace (INSERT OVERWRITE / RESTORE, pathless);
     * `rewrite = true` = the dataChange-false OPTIMIZE landing. */
@@ -609,6 +671,7 @@ private[sources] final class MemStore(schema0: StructType,
         (if (rewrite) VRewrite(Vector(seg)) else VBase(Vector(seg)))
       counts = counts :+ cur.count
       times = times :+ t
+      schemaHist = schemaHist :+ curSchema
     }
 
   /** Fold commits OTHER writers published (version > ours) into this
@@ -691,6 +754,7 @@ private[sources] final class MemStore(schema0: StructType,
       }
       counts = counts :+ cur.count
       times = times :+ t
+      schemaHist = schemaHist :+ curSchema
     }
     maybeCheckpoint()
   }
@@ -733,6 +797,7 @@ private[sources] final class MemStore(schema0: StructType,
       entries = entries :+ d
       counts = counts :+ cur.count
       times = times :+ t
+      schemaHist = schemaHist :+ curSchema
     }
     log match {
       case Some(l) =>
@@ -750,13 +815,19 @@ private[sources] final class MemStore(schema0: StructType,
     * column as NULL). Write-ahead like data commits. */
   def evolveSchema(newSchema: StructType): Unit = synchronized {
     def attempt(nextVer: Int): Unit = {
-      require(newSchema.length > curSchema.length &&
-        newSchema.take(curSchema.length) == StructType(curSchema.fields),
-        "schema evolution must be append-only (ADD COLUMN)")
+      require(ColumnMapping.compatible(curSchema, newSchema) &&
+        newSchema != curSchema,
+        "schema evolution must be append-only or metadata-only " +
+          "(ADD / RENAME / DROP COLUMN)")
       val t = MemStore.nowMicros()
       log.foreach(_.recordSchema(nextVer, t, newSchema))
+      // re-key the live stats fold onto the new names (a rename moves
+      // the name, not the slot) so pruning keeps working; historical
+      // sidecars keep their old names and simply stop matching
+      statsHist = statsHist :+
+        statsHist.last.map(CommitStats.rekey(_, curSchema, newSchema))
+      schemaHist = schemaHist :+ newSchema
       curSchema = newSchema
-      statsHist = statsHist :+ statsHist.last
       entries = entries :+ VMarker
       counts = counts :+ counts.last
       times = times :+ t
@@ -860,15 +931,19 @@ private[sources] final class MemStore(schema0: StructType,
     * pads NULL like every read. */
   def changeRows(fromV: Int, toV: Int): Vector[InternalRow] = {
     val sch = curSchema
+    val l2p = ColumnMapping.logicalToPhys(sch)
     changes(fromV, toV).iterator.map { case (ct, v, r) =>
-      val vals = new Array[Any](2 + sch.length)
+      // feed rows surface the LOGICAL columns: project each physical
+      // slot of interest (dropped slots never appear in the feed)
+      val vals = new Array[Any](2 + l2p.length)
       vals(0) = org.apache.spark.unsafe.types.UTF8String.fromString(ct)
       vals(1) = v
       var i = 0
-      while (i < sch.length) {
+      while (i < l2p.length) {
+        val pIdx = l2p(i)
         vals(2 + i) =
-          if (i >= r.numFields || r.isNullAt(i)) null
-          else r.get(i, sch(i).dataType)
+          if (pIdx >= r.numFields || r.isNullAt(pIdx)) null
+          else r.get(pIdx, sch(pIdx).dataType)
         i += 1
       }
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
@@ -919,6 +994,7 @@ private[sources] final class MemStore(schema0: StructType,
     cur = entries.foldLeft(Snap.empty)(Snap.applyDelta)
     times = times.drop(i)
     counts = counts.drop(i)
+    schemaHist = schemaHist.drop(i)
     base = before
     // pre-expiry checkpoints were invalidated (they captured pruned
     // versions); re-seed one so cold loads stay checkpoint-fast
@@ -965,7 +1041,8 @@ private[sources] final class MemStore(schema0: StructType,
     log.foreach { l =>
       if (force ||
           (currentVersion > 0 && currentVersion % MemStore.CheckpointEvery == 0))
-        l.writeCheckpoint(Checkpoint(base, entries, times, counts, statsHist))
+        l.writeCheckpoint(Checkpoint(base, entries, times, counts,
+          statsHist, schemaHist))
     }
 
   /** Install a loaded checkpoint (cold-open fast path). */
@@ -975,6 +1052,9 @@ private[sources] final class MemStore(schema0: StructType,
     times = c.times
     counts = c.counts
     statsHist = c.stats
+    schemaHist =
+      if (c.schemas.nonEmpty) c.schemas
+      else Vector.fill(c.entries.length)(curSchema)
     cur = entries.foldLeft(Snap.empty)(Snap.applyDelta)
   }
 
@@ -988,6 +1068,7 @@ private[sources] final class MemStore(schema0: StructType,
       times = Vector.empty
       counts = Vector.empty
       statsHist = Vector.empty
+      schemaHist = Vector.empty
     }
     val (delta, st): (VDelta, Option[CommitStats]) = entry match {
       case DataCommit(ver, replace, _, rows, s) =>
@@ -1045,6 +1126,11 @@ private[sources] final class MemStore(schema0: StructType,
     counts = counts :+ cur.count
     times = times :+ entry.tsMicros
     statsHist = statsHist :+ st
+    schemaHist = schemaHist :+ (entry match {
+      case SchemaCommit(_, _, sc) => sc
+      case _ if schemaHist.nonEmpty => schemaHist.last
+      case _ => curSchema
+    })
   }
 }
 
@@ -1111,7 +1197,7 @@ private[sources] object MemStore {
   * ([[MemStore.versionState]]) so no later store mutation can pair
   * them inconsistently. */
 private[sources] final case class Pinned(version: Int, snap: Snap,
-    stats: Option[CommitStats])
+    stats: Option[CommitStats], phys: StructType)
 
 private[sources] final class MemTable(tableName: String, store: MemStore,
     pinned: Option[Pinned] = None)
@@ -1119,7 +1205,10 @@ private[sources] final class MemTable(tableName: String, store: MemStore,
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def name(): String = tableName
-  override def schema(): StructType = store.schema
+  /** Pinned (time-travel) handles surface the schema AS OF that
+    * version — a pre-rename pin shows the pre-rename names. */
+  override def schema(): StructType =
+    pinned.map(p => ColumnMapping.logical(p.phys)).getOrElse(store.schema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
@@ -1352,6 +1441,10 @@ private[sources] final class MemScanBuilder(store: MemStore,
 
   private var served: Option[(StructType, InternalRow)] = None
   private var required: Option[StructType] = None
+  /** The PHYSICAL layout this scan decodes against: the pinned
+    * version's schema for time travel, else the store's current. */
+  private def dataSchema: StructType =
+    pinned.map(_.phys).getOrElse(store.physSchema)
   private var pushedArr: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
 
@@ -1363,7 +1456,8 @@ private[sources] final class MemScanBuilder(store: MemStore,
     * FilterExec for them (partial pushdown keeps a residual filter). */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
-    val (ok, rest) = filters.partition(MemFilters.supported(store.schema, _))
+    val (ok, rest) = filters.partition(
+      MemFilters.supported(dataSchema, _))
     pushedArr = ok
     rest
   }
@@ -1459,8 +1553,9 @@ private[sources] final class MemScanBuilder(store: MemStore,
           case Some(p) => (p.snap, p.stats)
           case None => store.currentState()
         }
-        val schema = store.schema
-        new MemScan(required.getOrElse(schema), schema, snap, stats,
+        new MemScan(
+          required.getOrElse(ColumnMapping.logical(dataSchema)),
+          dataSchema, snap, stats,
           pushedArr.toSeq, streamStore = streamStore,
           partSpec = store.partSpec)
     }
@@ -1701,7 +1796,11 @@ private[sources] object MemScan {
     * reaches the parquet pages; `__pos` is computed, never stored. */
   def fileReadSchema(out: StructType, data: StructType,
       pushed: Seq[org.apache.spark.sql.sources.Filter]): StructType = {
+    // resolve by name from the PHYSICAL schema: the store's field
+    // carries the parquet field id the id-based read matches on
     val outData = out.fields.filter(_.name != MemTable.PosCol)
+      .map(f => if (data.fieldNames.contains(f.name))
+        data(data.fieldIndex(f.name)) else f)
     val have = outData.map(_.name).toSet
     val extra = pushed.flatMap(_.references).distinct
       .filterNot(have).filter(n => data.fieldNames.contains(n))
@@ -1897,7 +1996,8 @@ private[sources] final class MemDeltaWrite(store: MemStore)
   override def toBatch: DeltaBatchWrite = this
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
-    val width = store.schema.length
+    val phys = store.physSchema
+    val l2p = ColumnMapping.logicalToPhys(phys)
     new DeltaWriterFactory {
       override def createWriter(partitionId: Int,
           taskId: Long): DeltaWriter[InternalRow] =
@@ -1906,9 +2006,10 @@ private[sources] final class MemDeltaWrite(store: MemStore)
           private val updates = Vector.newBuilder[(Long, InternalRow)]
           private val inserts = Vector.newBuilder[InternalRow]
           private def checkArity(row: InternalRow): InternalRow = {
-            require(row.numFields == width,
-              s"delta row arity ${row.numFields} for $width-column table")
-            row.copy()
+            require(row.numFields == l2p.length,
+              s"delta row arity ${row.numFields} for " +
+                s"${l2p.length}-column table")
+            ColumnMapping.expand(row.copy(), phys, l2p)
           }
           override def delete(meta: InternalRow, id: InternalRow): Unit =
             deletes += id.getLong(0)
@@ -1978,13 +2079,16 @@ private[sources] final class MemWrite(store: MemStore, mode: Int)
       .toArray
 
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory =
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val phys = store.physSchema
+    val l2p = ColumnMapping.logicalToPhys(phys)
     store.dataDirStr match {
       case Some(dir) if store.partSpec.nonEmpty =>
-        new PartFileWriterFactory(dir, store.schema, store.partSpec)
-      case Some(dir) => new FileWriterFactory(dir, store.schema)
-      case None => new HeapWriterFactory(store.schema.length)
+        new PartFileWriterFactory(dir, phys, l2p, store.partSpec)
+      case Some(dir) => new FileWriterFactory(dir, phys, l2p)
+      case None => new HeapWriterFactory(phys, l2p)
     }
+  }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (store.dataDirStr.isDefined) {
       // messages arrive in partition order — the deterministic global
@@ -2001,7 +2105,7 @@ private[sources] final class MemWrite(store: MemStore, mode: Int)
         case _ => Seq.empty
       }
       val stats = refs.flatMap(_.stats)
-        .foldLeft(CommitStats.empty(store.schema))(CommitStats.merge)
+        .foldLeft(CommitStats.empty(store.physSchema))(CommitStats.merge)
       store.commitFiles(refs, stats, mode)
     } else {
       val rows = messages.toSeq.flatMap {
@@ -2030,7 +2134,8 @@ private[sources] final class MemWrite(store: MemStore, mode: Int)
   * carrying its tuple and its own folded stats. Tuple values are
   * copied on capture — file-backed input rows are volatile. */
 private[sources] final class PartFileWriterFactory(dir: String,
-    schema: StructType, spec: Seq[PartTransform]) extends DataWriterFactory {
+    schema: StructType, l2p: Array[Int], spec: Seq[PartTransform])
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -2053,10 +2158,11 @@ private[sources] final class PartFileWriterFactory(dir: String,
             case x => x
           }
         }
-      override def write(record: InternalRow): Unit = {
-        require(record.numFields == schema.length,
-          s"unexpected write row arity ${record.numFields} for " +
-            s"${schema.length}-column table")
+      override def write(record0: InternalRow): Unit = {
+        require(record0.numFields == l2p.length,
+          s"unexpected write row arity ${record0.numFields} for " +
+            s"${l2p.length}-column table")
+        val record = ColumnMapping.expand(record0, schema, l2p)
         val f = open.getOrElseUpdate(tupleOf(record), new OpenFile(
           s"part-${java.util.UUID.randomUUID().toString.take(12)}.parquet"))
         f.w.write(record)
@@ -2089,7 +2195,7 @@ private[sources] final case class MemPartFilesCommit(files: Vector[PartFile])
   * REFERENCE plus the stats folded en route. An empty task writes no
   * file at all. */
 private[sources] final class FileWriterFactory(dir: String,
-    schema: StructType) extends DataWriterFactory {
+    schema: StructType, l2p: Array[Int]) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -2097,10 +2203,13 @@ private[sources] final class FileWriterFactory(dir: String,
       private var name: String = _
       private val acc = new CommitStats.Acc(schema)
       private var n = 0L
-      override def write(record: InternalRow): Unit = {
-        require(record.numFields == schema.length,
-          s"unexpected write row arity ${record.numFields} for " +
-            s"${schema.length}-column table")
+      override def write(record0: InternalRow): Unit = {
+        require(record0.numFields == l2p.length,
+          s"unexpected write row arity ${record0.numFields} for " +
+            s"${l2p.length}-column table")
+        // logical-arity input expands to the physical layout (dropped
+        // slots NULL) — identity until a DROP ever happened
+        val record = ColumnMapping.expand(record0, schema, l2p)
         if (w == null) {
           name = s"part-${java.util.UUID.randomUUID().toString.take(12)}" +
             ".parquet"
@@ -2126,16 +2235,17 @@ private[sources] final class FileWriterFactory(dir: String,
 
 /** Task-side writer of the in-memory plane: rows buffer in the commit
   * message. Rows arrive in reused buffers — copy on receipt. */
-private[sources] final class HeapWriterFactory(width: Int)
-    extends DataWriterFactory {
+private[sources] final class HeapWriterFactory(schema: StructType,
+    l2p: Array[Int]) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = Vector.newBuilder[InternalRow]
       override def write(record: InternalRow): Unit = {
-        require(record.numFields == width,
-          s"unexpected write row arity ${record.numFields} for $width-column table")
-        buf += record.copy()
+        require(record.numFields == l2p.length,
+          s"unexpected write row arity ${record.numFields} for " +
+            s"${l2p.length}-column table")
+        buf += ColumnMapping.expand(record.copy(), schema, l2p)
       }
       override def commit(): WriterCommitMessage = MemCommit(buf.result())
       override def abort(): Unit = ()

@@ -72,6 +72,60 @@ private[sources] object ParquetRowIO {
     conf
   }
 
+  // ---- COLUMN MAPPING: id-based read resolution --------------------
+  // Spark's row converter takes its field-id flag from the
+  // thread-local SQLConf (absent in this sessionless codec), so the
+  // id matching happens HERE instead: requested field names are
+  // translated to the FILE's names by footer field id before the
+  // parquet-layer (name-based) clip runs. A file written before a
+  // RENAME then serves the renamed column; a requested id absent
+  // from the file maps to a sentinel name so it can never
+  // name-collide into a DIFFERENT column (it reads NULL — the
+  // dropped-then-readded case). Output rows are positional in the
+  // requested order, so consumers never see the translated names.
+
+  private val fileIdNames =
+    scala.collection.concurrent.TrieMap.empty[String, Map[Long, String]]
+
+  /** field id -> column name of one data file's footer (cached —
+    * files are immutable). Empty for pre-mapping files. */
+  private def fileIdMap(path: String): Map[Long, String] =
+    fileIdNames.getOrElseUpdate(path, {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), noCrc(new Configuration(false)))
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getFileMetaData.getSchema.getFields.asScala.iterator
+          .filter(_.getId != null)
+          .map(f => f.getId.intValue().toLong -> f.getName)
+          .toMap
+      } finally r.close()
+    })
+
+  private def resolveById(path: String,
+      requested: StructType): StructType = {
+    import org.apache.spark.sql.types.StructField
+    def idOf(f: StructField): Option[Long] =
+      if (f.metadata.contains("parquet.field.id"))
+        Some(f.metadata.getLong("parquet.field.id"))
+      else None
+    if (!requested.fields.exists(f => idOf(f).isDefined)) requested
+    else {
+      val byId = fileIdMap(path)
+      if (byId.isEmpty) requested // pre-mapping file: match by name
+      else StructType(requested.fields.map { f =>
+        idOf(f) match {
+          case Some(id) => byId.get(id) match {
+            case Some(n) => if (n == f.name) f else f.copy(name = n)
+            case None => f.copy(name = s"__graft_absent_$id")
+          }
+          case None => f
+        }
+      })
+    }
+  }
+
   private final class RowBuilder(path: org.apache.hadoop.fs.Path)
       extends ParquetWriter.Builder[InternalRow, RowBuilder](path) {
     override def self(): RowBuilder = this
@@ -130,13 +184,16 @@ private[sources] object ParquetRowIO {
   final class RowFileIterator(pathStr: String, requested: StructType,
       range: Option[(Long, Long)]) extends Iterator[InternalRow]
       with AutoCloseable {
+    // id-based name translation (column mapping) happens before the
+    // parquet-layer name clip; rows stay positional in `requested`
+    private val effective = resolveById(pathStr, requested)
     private val reader: ParquetReader[InternalRow] = {
       val b = ParquetReader.builder[InternalRow](new ParquetReadSupport(),
           new org.apache.hadoop.fs.Path(pathStr))
-        .withConf(readConf(requested))
+        .withConf(readConf(effective))
       range.fold(b) { case (s, e) => b.withFileRange(s, e) }.build()
     }
-    private val proj = UnsafeProjection.create(requested)
+    private val proj = UnsafeProjection.create(effective)
     private var nextRow: InternalRow = _
     private var closed = false
     private def advance(): Unit = {

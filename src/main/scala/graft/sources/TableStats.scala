@@ -27,6 +27,16 @@ private[sources] final case class CommitStats(count: Long,
 
 private[sources] object CommitStats {
 
+  /** Re-key a stats map across a schema change: shared physical slots
+    * map old name -> new name positionally (a rename keeps the slot),
+    * so live pruning keeps working under the new names. */
+  def rekey(s: CommitStats, oldPhys: StructType,
+      newPhys: StructType): CommitStats = {
+    val m = oldPhys.fields.zip(newPhys.fields)
+      .map { case (a, b) => a.name -> b.name }.toMap
+    CommitStats(s.count, s.cols.map { case (k, v) => m.getOrElse(k, k) -> v })
+  }
+
   /** Min/max are tracked only for types whose ordering is total and
     * identical to Spark's aggregate semantics without edge cases:
     * integers, strings (UTF8_BINARY), dates, timestamps. Floating
@@ -230,12 +240,23 @@ private[sources] object CommitStats {
       s"untracked type $other has no stats codec")
   }
 
+  /** On-disk key of one column's stats entry: the FIELD ID when the
+    * table has column mapping (`#<id>` — rename-proof, the name in
+    * force at write time becomes irrelevant), else the plain name
+    * (legacy tables, which can never rename). */
+  private def keyFor(f: StructField): String =
+    ColumnMapping.fieldId(f).map(id => "#" + id).getOrElse(f.name)
+
   def write(out: DataOutputStream, schema: StructType, s: CommitStats): Unit = {
     out.writeLong(s.count)
-    out.writeInt(s.cols.size)
-    schema.fields.filter(f => s.cols.contains(f.name)).foreach { f =>
+    // count MATCHING entries, not map size: a fold that still carries
+    // keys the schema no longer names (pre-RENAME history) must not
+    // promise entries it then cannot write
+    val matching = schema.fields.filter(f => s.cols.contains(f.name))
+    out.writeInt(matching.length)
+    matching.foreach { f =>
       val c = s.cols(f.name)
-      out.writeUTF(f.name)
+      out.writeUTF(keyFor(f))
       out.writeLong(c.nulls)
       out.writeBoolean(c.tracked)
       out.writeBoolean(c.tracked && c.min.isDefined)
@@ -250,11 +271,21 @@ private[sources] object CommitStats {
   def read(in: DataInputStream, schema: StructType): CommitStats = {
     val count = in.readLong()
     val n = in.readInt()
-    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    val byId = schema.fields.flatMap(f =>
+      ColumnMapping.fieldId(f).map(_ -> f)).toMap
     val cols = (0 until n).map { _ =>
-      val name = in.readUTF()
-      val dt = byName.getOrElse(name, throw new IllegalStateException(
-        s"stats sidecar names unknown column $name"))
+      val key = in.readUTF()
+      // id-keyed entries (#<id>) resolve to the field's CURRENT name,
+      // so a rename never orphans historical stats
+      val field =
+        if (key.startsWith("#")) byId.getOrElse(key.drop(1).toLong,
+          throw new IllegalStateException(
+            s"stats sidecar names unknown field id $key"))
+        else byName.getOrElse(key, throw new IllegalStateException(
+          s"stats sidecar names unknown column $key"))
+      val name = field.name
+      val dt = field.dataType
       val nulls = in.readLong()
       val tracked = in.readBoolean()
       val mn = if (in.readBoolean()) Some(readVal(in, dt)) else None

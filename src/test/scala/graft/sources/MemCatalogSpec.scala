@@ -273,10 +273,12 @@ class MemCatalogSpec extends SparkTestBase {
       Set((1L, "a", Some(9.9)), (2L, "b", None), (3L, "c", Some(3.5))))
     assert(spark.table("graftdur.a1").schema.fieldNames.toSeq ==
       Seq("k", "v", "bal"))
-    // non-append evolution fails loudly
+    // DROP is metadata-only column mapping now (ColumnMappingSpec);
+    // a RETYPE remains unsupported and fails loudly
     val e = intercept[Exception](
-      spark.sql("ALTER TABLE graftdur.a1 DROP COLUMN v"))
-    assert(e.getMessage.contains("ADD COLUMN"), e.getMessage)
+      spark.sql("ALTER TABLE graftdur.a1 ALTER COLUMN bal TYPE STRING"))
+    assert(e.getMessage.toLowerCase.contains("unsupported") ||
+      e.getMessage.contains("alterTable"), e.getMessage)
   }
 
   test("expiry across a schema change: pruned marker, pre-evolution consolidation, clean replay") {
