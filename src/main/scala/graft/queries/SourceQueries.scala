@@ -1268,6 +1268,77 @@ object SourceQueries {
             |JOIN nation n ON f.nk = n.n_nationkey
             |WHERE n.n_name = 'NATION_6'
             |GROUP BY f.o_orderpriority ORDER BY f.o_orderpriority""".stripMargin)
+    },
+
+    // OPTIMIZE ... CURVE HILBERT: q307's compaction verb with the
+    // Skilling n-d Hilbert layout instead of Morton interleaving —
+    // consecutive curve runs are CONNECTED rectangles, so per-file
+    // stats are tighter and range predicates on any clustered key
+    // skip more files (CatalogOptimizeSpec pins fewer-splits on both
+    // keys under the hilbert layout). Result-invisible: the oracle
+    // reads the raw table.
+    QueryDef("q310_catalog_optimize_hilbert",
+      """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem WHERE l_suppkey BETWEEN 10 AND 60
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (spark, dir) =>
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmem.path",
+          graft.sources.MemCatalog.defaultRoot)
+        spark.sql("DROP TABLE IF EXISTS graftmem.hbli")
+        spark.sql(
+          "CREATE TABLE graftmem.hbli (l_orderkey BIGINT, l_suppkey BIGINT, " +
+            "l_returnflag STRING, l_extendedprice DOUBLE)")
+        Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"),
+            col("l_extendedprice"))
+          .createOrReplaceTempView("q310_src")
+        spark.sql("INSERT INTO graftmem.hbli SELECT * FROM q310_src")
+        val n = spark.table("graftmem.hbli").count()
+        graft.sources.MemCatalog.optimizeTable(spark, "graftmem", "hbli",
+          targetFileRows = math.max(1, (n / 12).toInt),
+          zorderBy = Seq("l_orderkey", "l_suppkey"), curve = "hilbert")
+        spark.sql(
+          """SELECT l_returnflag, count(*) AS n_lines,
+            |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            |FROM graftmem.hbli WHERE l_suppkey BETWEEN 10 AND 60
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // CATALOG-SCAN throughput family: the table is staged ONCE per
+    // (session, dir) — clustered multi-file ingest — so these two
+    // entries bench the FILE-PLANE SCAN itself round over round.
+    // q311: selective range on the clustering key -> per-file stats
+    // skipping + row-group splits plan O(matching) work;
+    QueryDef("q311_catalog_scan_range",
+      """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem WHERE l_orderkey BETWEEN 500 AND 2500
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (spark, dir) =>
+        catalogScanTable(spark, dir)
+        spark.sql(
+          """SELECT l_returnflag, count(*) AS n_lines,
+            |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            |FROM graftmem.scanli WHERE l_orderkey BETWEEN 500 AND 2500
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // q312: the FULL-table aggregate at a pruned read schema — the
+    // wide-scan throughput bound (no skipping helps; the cost is
+    // streaming every row group of two columns).
+    QueryDef("q312_catalog_scan_full",
+      """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (spark, dir) =>
+        catalogScanTable(spark, dir)
+        spark.sql(
+          """SELECT l_returnflag, count(*) AS n_lines,
+            |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+            |FROM graftmem.scanli GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }
   )
 
@@ -1411,6 +1482,36 @@ object SourceQueries {
         Seq("l_orderkey", "l_partkey", "l_suppkey"), 16, path)
       path
     })
+
+  /** One-time-per-(session, dir) CATALOG SCAN staging for q311: load
+    * lineitem into a durable catalog table once (multi-task insert ->
+    * many data files with per-file stats), so the declared query
+    * times the FILE-PLANE SCAN alone — row-group splits, per-file
+    * stats skipping, pruned read schema — not the ingest. */
+  private val catalogScanSetup =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Unit]
+
+  private def catalogScanTable(spark: SparkSession, dir: String): Unit =
+    catalogScanSetup.getOrElseUpdate(
+      (System.identityHashCode(spark), dir), {
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmem.path",
+          graft.sources.MemCatalog.defaultRoot)
+        spark.sql("DROP TABLE IF EXISTS graftmem.scanli")
+        spark.sql(
+          "CREATE TABLE graftmem.scanli (l_orderkey BIGINT, " +
+            "l_partkey BIGINT, l_returnflag STRING, l_quantity DOUBLE, " +
+            "l_extendedprice DOUBLE)")
+        Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+            col("l_quantity"), col("l_extendedprice"))
+          .repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"))
+          .createOrReplaceTempView("q311_src")
+        spark.sql("INSERT INTO graftmem.scanli SELECT * FROM q311_src")
+        ()
+      })
 
   /** One-time-per-(session, dir) compaction staging for q130: write
     * orders fragmented into 48 tiny files (the shape a streaming sink

@@ -45,7 +45,8 @@ private[sources] final case class FileRef(name: String, count: Long,
   * false`: the change feed and streaming sources skip it. */
 private[sources] final case class FileCommit(version: Int, mode: Int,
     tsMicros: Long, files: Vector[FileRef],
-    stats: Option[CommitStats] = None) extends LogEntry {
+    stats: Option[CommitStats] = None,
+    txn: Option[(String, Long)] = None) extends LogEntry {
   def replace: Boolean = mode != FileCommit.Append
 }
 
@@ -247,7 +248,8 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
     * (the write tasks folded them row-by-row while streaming). */
   def recordFiles(version: Int, mode: Int, tsMicros: Long,
       files: Seq[FileRef], stats: CommitStats,
-      replaceExisting: Boolean = false): Unit = {
+      replaceExisting: Boolean = false,
+      txn: Option[(String, Long)] = None): Unit = {
     writeCommit(version, replaceExisting) { out =>
       out.writeByte(4)
       out.writeLong(tsMicros)
@@ -265,6 +267,14 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
           out.writeBoolean(f.partVals.isDefined)
           f.partVals.foreach(Partitioning.write(out, _))
         }
+      }
+      // STREAMING TRANSACTION marker (the Delta SetTransaction shape):
+      // an optional (queryId, epochId) tail — absent, the file simply
+      // ends, so batch commits keep the pre-streaming byte layout
+      txn.foreach { case (q, e) =>
+        out.writeByte(1)
+        out.writeUTF(q)
+        out.writeLong(e)
       }
     }
     writeStats(version, stats)
@@ -614,7 +624,9 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
               Some(Partitioning.read(in, partSpec.length)) else None
             FileRef(name, count, fstats, pv)
           }
-          FileCommit(ver, mode, ts, files, stats)
+          val txn = if (in.read() == 1)
+            Some((in.readUTF(), in.readLong())) else None
+          FileCommit(ver, mode, ts, files, stats, txn)
         } else {
           val fields = in.readInt()
           def readRow(): InternalRow = {

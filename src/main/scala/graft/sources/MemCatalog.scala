@@ -377,7 +377,9 @@ object MemCatalog {
     * lakehouse compaction contract. */
   def optimizeTable(spark: org.apache.spark.sql.SparkSession,
       catalogName: String, table: String, targetFileRows: Int,
-      zorderBy: Seq[String] = Nil): Unit = {
+      zorderBy: Seq[String] = Nil, curve: String = "zorder"): Unit = {
+    require(curve == "zorder" || curve == "hilbert",
+      s"optimizeTable: unknown curve '$curve' (zorder | hilbert)")
     import org.apache.spark.sql.functions._
     require(targetFileRows > 0, s"targetFileRows must be > 0")
     val store = stores.getOrElse(catalogName + KeySep + table,
@@ -401,10 +403,35 @@ object MemCatalog {
         // back to the plain repartition instead of unboxing a NULL
         if (n == 0 || (0 until bounds.length).exists(bounds.isNullAt))
           df.repartition(nFiles)
+        else if (curve == "hilbert" && zorderBy.length >= 2)
+          hilbertLayout(df, zorderBy, bounds, nFiles)
         else zorderLayout(df, zorderBy, bounds, bits, nFiles)
       }
     laidOut.writeTo(tbl).option("dataChange", "false")
       .overwrite(lit(true))
+  }
+
+  /** The HILBERT-curve rewrite layout (`curve = "hilbert"`): the
+    * Skilling transform over the normalized keys instead of Morton
+    * interleaving — consecutive curve runs are CONNECTED
+    * d-dimensional blobs, so per-file rectangles are tighter and
+    * range predicates on any clustered key skip more files than
+    * under Z-order (the q305 measurement, now on the compaction
+    * verb). Same one-shuffle distributed shape. */
+  private def hilbertLayout(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], bounds: org.apache.spark.sql.Row,
+      nFiles: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bits = math.min(graft.operators.Hilbert.BitsPerDim,
+      62 / keys.length)
+    val normed = keys.zipWithIndex.map { case (k, j) =>
+      graft.operators.ZOrder.normalize(col(k), bounds.getLong(2 * j),
+        bounds.getLong(2 * j + 1), bits)
+    }
+    graft.operators.Hilbert.withIndexN(df, normed, bits)
+      .repartitionByRange(nFiles, col("_h"))
+      .sortWithinPartitions(col("_h"))
+      .drop("_h")
   }
 
   /** The clustered rewrite layout: normalize each key against its
@@ -689,7 +716,7 @@ private[sources] final class MemStore(schema0: StructType,
     * addresses) stay valid under rebase. */
   private def appendsOnly(es: Seq[LogEntry]): Boolean = es.forall {
     case DataCommit(_, replace, _, _, _) => !replace
-    case FileCommit(_, mode, _, _, _) => mode == FileCommit.Append
+    case fc: FileCommit => fc.mode == FileCommit.Append
     case _ => false
   }
 
@@ -716,6 +743,38 @@ private[sources] final class MemStore(schema0: StructType,
     }
   }
 
+  // last committed streaming epoch per query id (the Delta
+  // SetTransaction map): rebuilt from retained commits on replay,
+  // consulted for exactly-once idempotence on epoch re-delivery
+  @volatile private var txns: Map[String, Long] = Map.empty
+  def lastEpoch(queryId: String): Option[Long] = txns.get(queryId)
+
+  /** Commit one STREAMING epoch of file refs — exactly-once: an epoch
+    * at or below the query's last recorded one is a checkpoint replay
+    * and commits NOTHING (the caller deletes its stray files). The
+    * (queryId, epochId) marker rides IN the commit, so idempotence
+    * survives restarts via the same log replay as everything else. */
+  def commitStreamFiles(queryId: String, epochId: Long, files: Seq[FileRef],
+      cs: CommitStats): Boolean = synchronized {
+    if (txns.get(queryId).exists(_ >= epochId)) false
+    else {
+      commitFilesTxn(files, cs, FileCommit.Append, Some((queryId, epochId)))
+      true
+    }
+  }
+
+  /** Streaming epoch append of HEAP rows (in-memory tables): same
+    * idempotence, volatile txn map (the table itself is volatile). */
+  def appendStreamRows(queryId: String, epochId: Long,
+      rows: Seq[InternalRow]): Boolean = synchronized {
+    if (txns.get(queryId).exists(_ >= epochId)) false
+    else {
+      append(rows)
+      txns = txns.updated(queryId, epochId)
+      true
+    }
+  }
+
   /** Commit one bulk write of the FILE-BACKED plane: the write tasks
     * already streamed their rows into immutable data files under the
     * log's `data/` dir and folded exact stats on the way; this makes
@@ -727,7 +786,10 @@ private[sources] final class MemStore(schema0: StructType,
     * or an OPTIMIZE whose "content-identical" claim a concurrent
     * delta falsified, would corrupt). */
   def commitFiles(files: Seq[FileRef], cs: CommitStats,
-      mode: Int): Unit = synchronized {
+      mode: Int): Unit = commitFilesTxn(files, cs, mode, None)
+
+  private def commitFilesTxn(files: Seq[FileRef], cs: CommitStats,
+      mode: Int, txn: Option[(String, Long)]): Unit = synchronized {
     val l = log.getOrElse(throw new IllegalStateException(
       "commitFiles needs a durable log"))
     val check: Seq[LogEntry] => Unit =
@@ -738,7 +800,8 @@ private[sources] final class MemStore(schema0: StructType,
             "with a replace/rewrite — recompute against the new snapshot")
     publishWithRetry(l)(check) { next =>
       val t = MemStore.nowMicros()
-      l.recordFiles(next, mode, t, files, cs)
+      l.recordFiles(next, mode, t, files, cs, txn = txn)
+      txn.foreach { case (q, e) => txns = txns.updated(q, e) }
       val segs: Vector[RowSeg] =
         files.iterator.map(f => FileSeg(l.dataFilePath(f.name), f.count,
           f.stats, f.partVals)).toVector
@@ -1084,7 +1147,10 @@ private[sources] final class MemStore(schema0: StructType,
           else (VAppend(Vector(MemSeg(rows))),
             for { a <- statsHist.last; b <- s } yield CommitStats.merge(a, b))
         }
-      case FileCommit(ver, mode, _, files, s) =>
+      case FileCommit(ver, mode, _, files, s, txn) =>
+        txn.foreach { case (q, e) =>
+          txns = txns.updated(q, math.max(e, txns.getOrElse(q, Long.MinValue)))
+        }
         val segs: Vector[RowSeg] = files.map(f =>
           FileSeg(log.get.dataFilePath(f.name), f.count, f.stats,
             f.partVals))
@@ -1211,7 +1277,8 @@ private[sources] final class MemTable(tableName: String, store: MemStore,
     pinned.map(p => ColumnMapping.logical(p.phys)).getOrElse(store.schema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -1244,7 +1311,8 @@ private[sources] final class MemTable(tableName: String, store: MemStore,
         mode =
           if (!replaceAll) FileCommit.Append
           else if (dataChange) FileCommit.Replace
-          else FileCommit.Rewrite)
+          else FileCommit.Rewrite,
+        queryId = info.queryId())
     }
 
   override def newRowLevelOperationBuilder(
@@ -2051,10 +2119,63 @@ private[sources] final case class MemDeltaCommit(deletes: Vector[Long],
   * never sit in one heap, which is what lets the same commit path
   * ingest a 100 TB table. In-memory tables buffer rows in the commit
   * message (the scratch path). */
-private[sources] final class MemWrite(store: MemStore, mode: Int)
+private[sources] final class MemWrite(store: MemStore, mode: Int,
+    queryId: String = "")
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite = this
+
+  /** NATIVE streaming sink (`writeStream.toTable`): each micro-batch
+    * lands as ONE atomic commit carrying its (queryId, epochId)
+    * transaction marker, so a checkpoint-replayed epoch after a crash
+    * commits NOTHING — exactly-once into the table and its change
+    * feed, straight through the DSv2 StreamingWrite path (no
+    * foreachBatch detour). Appends only: streaming output modes that
+    * replace state route through foreachBatch MERGE as before. */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+      require(mode == FileCommit.Append,
+        "streaming writes append; use foreachBatch for overwrite/merge")
+      override def createStreamingWriterFactory(
+          info: PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.streaming
+            .StreamingDataWriterFactory = {
+        val batch = createBatchWriterFactory(info)
+        (partitionId: Int, taskId: Long, epochId: Long) =>
+          batch.createWriter(partitionId, taskId)
+      }
+      override def commit(epochId: Long,
+          messages: Array[WriterCommitMessage]): Unit =
+        if (store.dataDirStr.isDefined) {
+          val refs = messages.toSeq.flatMap {
+            case MemFileCommit(name, count, s) if count > 0 =>
+              Seq(FileRef(name, count, Some(s)))
+            case MemPartFilesCommit(files) => files.collect {
+              case pf if pf.count > 0 =>
+                FileRef(pf.name, pf.count, Some(pf.stats), Some(pf.partVals))
+            }
+            case _ => Seq.empty
+          }
+          val stats = refs.flatMap(_.stats)
+            .foldLeft(CommitStats.empty(store.physSchema))(CommitStats.merge)
+          val committed =
+            store.commitStreamFiles(queryId, epochId, refs, stats)
+          // a replayed epoch commits nothing: its freshly-written
+          // files are strays — delete them now (the vacuum's grace
+          // window would otherwise hold them for a day)
+          if (!committed) abort(epochId, messages)
+        } else {
+          val rows = messages.toSeq.flatMap {
+            case MemCommit(r) => r
+            case _ => Seq.empty
+          }
+          store.appendStreamRows(queryId, epochId, rows)
+        }
+      override def abort(epochId: Long,
+          messages: Array[WriterCommitMessage]): Unit =
+        MemWrite.this.abort(messages)
+    }
 
   /** Partitioned writes CLUSTER rows by the partition source columns
     * and SORT within tasks — Spark plans the one shuffle that turns a

@@ -139,4 +139,33 @@ class CatalogOptimizeSpec extends SparkTestBase {
     assert(fresh == 1,
       s"the follower must see only the real insert, got $fresh new rows")
   }
+
+  test("OPTIMIZE CURVE HILBERT: fewer splits on ALL clustered keys, content-invisible") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graftopt.h1")
+    spark.sql("CREATE TABLE graftopt.h1 (a BIGINT, b BIGINT, payload BIGINT)")
+    spark.sql(
+      """INSERT INTO graftopt.h1
+        |SELECT id % 100, id DIV 100, id FROM RANGE(10000)""".stripMargin)
+    val before = spark.table("graftopt.h1").orderBy("payload").collect()
+    MemCatalog.optimizeTable(spark, "graftopt", "h1",
+      targetFileRows = 700, zorderBy = Seq("a", "b"), curve = "hilbert")
+    assert(spark.table("graftopt.h1").orderBy("payload").collect()
+      .sameElements(before), "hilbert OPTIMIZE changed the content")
+    val files = spark.sql("SELECT count(*) AS n FROM graftopt.h1.files")
+      .head().getLong(0).toInt
+    val total = planned("SELECT payload FROM graftopt.h1")
+    assert(total == files, s"$total vs $files")
+    val prunedA = planned(
+      "SELECT payload FROM graftopt.h1 WHERE a >= 10 AND a <= 19")
+    val prunedB = planned(
+      "SELECT payload FROM graftopt.h1 WHERE b >= 80 AND b <= 89")
+    assert(prunedA < total, s"a-range must skip files: $prunedA/$total")
+    assert(prunedB < total, s"b-range must skip files: $prunedB/$total")
+    // dataChange = false: the hilbert rewrite is feed-invisible too
+    val v = spark.sql("SELECT max(version) AS v FROM graftopt.h1.history")
+      .head().getLong(0).toInt
+    assert(MemCatalog.tableChanges(spark, "graftopt", "h1", v, v)
+      .count() == 0L, "hilbert rewrite must emit no change rows")
+  }
 }
