@@ -87,42 +87,82 @@ object MultimodalQueries {
     base.union(plants)
   }
 
-  /** Degenerate-bucket cap for the media band joins. The band space is
-    * bounded at 65,536 16-bit values, so bucket occupancy grows
-    * LINEARLY with corpus size and a band value shared by k
-    * fingerprints yields k^2/2 candidate pairs — uncapped, the
-    * candidate join is super-linear (measured: 80x shuffle bytes on
-    * 10x data, round 13). Buckets above the cap are DROPPED before the
-    * self-join — the `queries/NearDupQueries.scala` `maxBucketSize`
-    * discipline — and the drop is mirrored EXACTLY in the DuckDB
-    * oracles (HAVING count(*) <= cap), so the gates stay hash-green at
-    * every SF while the plan stays ~linear. Constant-image /
-    * constant-energy fingerprints (all-zero bands) are the usual
-    * degenerates: near-dup noise, never the planted pairs. */
+  /** Degenerate-bucket cap for the media band joins — the safety net
+    * ON TOP of the 32-bit pair banding ([[WordPairs]]): a band value
+    * shared by k fingerprints yields k^2/2 candidate pairs, so
+    * buckets above the cap are DROPPED before the self-join (the
+    * `queries/NearDupQueries.scala` `maxBucketSize` discipline),
+    * mirrored EXACTLY in the DuckDB oracles (HAVING count(*) <= cap)
+    * so the gates stay hash-green at every SF. With pair bands the
+    * only buckets that ever approach the cap are true duplicate
+    * stacks (constant-image / constant-energy fingerprints) — the
+    * 16-bit single-word bands this replaces grew occupancy linearly
+    * with corpus size (80x shuffle on 10x data, round 13; still 28x
+    * capped — the width, not the cap, was the bottleneck). */
   private[graft] val MediaBandCap = 512
 
+  /** The 6 WORD-PAIR bands over the 4 16-bit fingerprint words: each
+    * band key is 32 bits, so the band space is ~4.3e9 values and
+    * bucket occupancy stays O(true near-dups) at ANY corpus size —
+    * the structural fix for the 16-bit bands' linear bucket growth
+    * (quadratic candidates). Recall is still structural: an image
+    * plant corrupts 1 word (3 clean pairs survive), an audio plant
+    * corrupts at most 2 words (>= 1 clean pair survives), and a
+    * pixel-exact crop matches on all 6. */
+  private val WordPairs =
+    Seq(("b0", "b1"), ("b0", "b2"), ("b0", "b3"),
+      ("b1", "b2"), ("b1", "b3"), ("b2", "b3"))
+
+  /** DuckDB mirror of the pair-band candidate step: per word pair,
+    * a capped-bucket CTE plus the 2-column equi-join, unioned —
+    * exactly [[bandedHammingPairs]]/[[tileBandedPairs]]' shape. */
+  private def pairBandCandSql(idCol: String,
+      tiled: Boolean = false): String = {
+    val oks = WordPairs.zipWithIndex.map { case ((bi, bj), k) =>
+      s"ok$k AS (SELECT $bi AS v1, $bj AS v2 FROM bands GROUP BY 1, 2 " +
+        s"HAVING count(*) <= $MediaBandCap)"
+    }.mkString(",\n")
+    val sel =
+      if (tiled) s"a.$idCol AS id_a, a.tile AS tile_a, " +
+        s"b.$idCol AS id_b, b.tile AS tile_b"
+      else s"a.$idCol AS id_a, b.$idCol AS id_b"
+    val selShort =
+      if (tiled) s"a.$idCol, a.tile, b.$idCol, b.tile"
+      else s"a.$idCol, b.$idCol"
+    val branches = WordPairs.zipWithIndex.map { case ((bi, bj), k) =>
+      val head = if (k == 0) sel else selShort
+      s"  SELECT $head FROM bands a\n" +
+        s"    JOIN ok$k ON a.$bi = ok$k.v1 AND a.$bj = ok$k.v2\n" +
+        s"    JOIN bands b ON a.$bi = b.$bi AND a.$bj = b.$bj " +
+        s"AND a.$idCol < b.$idCol"
+    }.mkString("\n  UNION\n")
+    oks + ",\ncand AS (\n" + branches + ")"
+  }
+
   /** Shared Hamming-LSH tail over a (media_id, b0..b3) band frame:
-    * candidates from per-band equi-joins (never a cartesian — the
-    * q32/q263 discipline) with the [[MediaBandCap]] degenerate-bucket
-    * guard, verified by exact bit_count Hamming distance. One
-    * definition for the image (q296) and audio (q299) fingerprint
-    * gates, so a banding change cannot fork them. The per-band cap
-    * filter is a groupBy on the SAME key the join shuffles on —
-    * co-partitioned, no extra exchange of the bands frame. */
+    * candidates from per-PAIR-band equi-joins (never a cartesian —
+    * the q32/q263 discipline) with the [[MediaBandCap]]
+    * degenerate-bucket guard on top, verified by exact bit_count
+    * Hamming distance. One definition for the image (q296) and audio
+    * (q299) fingerprint gates, so a banding change cannot fork them.
+    * The per-band cap filter is a groupBy on the SAME keys the join
+    * shuffles on — co-partitioned, no extra exchange. */
   private[graft] def bandedHammingPairs(
       bands0: org.apache.spark.sql.DataFrame,
       maxBucketSize: Int = MediaBandCap)
       : org.apache.spark.sql.DataFrame = {
     val bands = FrameMemo.checkpointed(bands0)
-    val cand = Seq("b0", "b1", "b2", "b3").map { bc =>
-      val ok = bands.groupBy(col(bc))
+    val cand = WordPairs.map { case (bi, bj) =>
+      val ok = bands.groupBy(col(bi), col(bj))
         .agg(count(lit(1)).as("__bn"))
         .where(col("__bn") <= maxBucketSize)
-        .select(col(bc).as("__bv"))
-      val l = bands.select(col("media_id").as("id_a"), col(bc).as("__bv"))
-        .join(ok, "__bv")
-      val r = bands.select(col("media_id").as("id_b"), col(bc).as("__bv"))
-      l.join(r, "__bv").where(col("id_a") < col("id_b"))
+        .select(col(bi).as("__v1"), col(bj).as("__v2"))
+      val l = bands.select(col("media_id").as("id_a"),
+        col(bi).as("__v1"), col(bj).as("__v2"))
+        .join(ok, Seq("__v1", "__v2"))
+      val r = bands.select(col("media_id").as("id_b"),
+        col(bi).as("__v1"), col(bj).as("__v2"))
+      l.join(r, Seq("__v1", "__v2")).where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
     }.reduce(_ unionByName _).distinct()
     val xa = bands.select(col("media_id").as("id_a"), col("b0").as("a0"),
@@ -148,26 +188,7 @@ object MultimodalQueries {
        |    sum(CASE WHEN bit // 16 = 2 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b2,
        |    sum(CASE WHEN bit // 16 = 3 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b3
        |  FROM cmp GROUP BY 1),
-       |ok0 AS (SELECT b0 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
-       |ok1 AS (SELECT b1 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
-       |ok2 AS (SELECT b2 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
-       |ok3 AS (SELECT b3 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
-       |cand AS (
-       |  SELECT a.media_id AS id_a, b.media_id AS id_b FROM bands a
-       |    JOIN ok0 ON a.b0 = ok0.v
-       |    JOIN bands b ON a.b0 = b.b0 AND a.media_id < b.media_id
-       |  UNION
-       |  SELECT a.media_id, b.media_id FROM bands a
-       |    JOIN ok1 ON a.b1 = ok1.v
-       |    JOIN bands b ON a.b1 = b.b1 AND a.media_id < b.media_id
-       |  UNION
-       |  SELECT a.media_id, b.media_id FROM bands a
-       |    JOIN ok2 ON a.b2 = ok2.v
-       |    JOIN bands b ON a.b2 = b.b2 AND a.media_id < b.media_id
-       |  UNION
-       |  SELECT a.media_id, b.media_id FROM bands a
-       |    JOIN ok3 ON a.b3 = ok3.v
-       |    JOIN bands b ON a.b3 = b.b3 AND a.media_id < b.media_id)
+       |${pairBandCandSql("media_id")}
        |SELECT id_a, id_b, hamming FROM (
        |  SELECT cand.id_a, cand.id_b,
        |         (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
@@ -285,17 +306,17 @@ object MultimodalQueries {
       maxBucketSize: Int = MediaBandCap)
       : org.apache.spark.sql.DataFrame = {
     val tiles = FrameMemo.checkpointed(tiles0)
-    val cand = Seq("b0", "b1", "b2", "b3").map { bc =>
-      val ok = tiles.groupBy(col(bc))
+    val cand = WordPairs.map { case (bi, bj) =>
+      val ok = tiles.groupBy(col(bi), col(bj))
         .agg(count(lit(1)).as("__bn"))
         .where(col("__bn") <= maxBucketSize)
-        .select(col(bc).as("__bv"))
+        .select(col(bi).as("__v1"), col(bj).as("__v2"))
       val l = tiles.select(col("media_id").as("id_a"),
-        col("tile").as("tile_a"), col(bc).as("__bv"))
-        .join(ok, "__bv")
+        col("tile").as("tile_a"), col(bi).as("__v1"), col(bj).as("__v2"))
+        .join(ok, Seq("__v1", "__v2"))
       val r = tiles.select(col("media_id").as("id_b"),
-        col("tile").as("tile_b"), col(bc).as("__bv"))
-      l.join(r, "__bv").where(col("id_a") < col("id_b"))
+        col("tile").as("tile_b"), col(bi).as("__v1"), col(bj).as("__v2"))
+      l.join(r, Seq("__v1", "__v2")).where(col("id_a") < col("id_b"))
         .select(col("id_a"), col("tile_a"), col("id_b"), col("tile_b"))
     }.reduce(_ unionByName _).distinct()
     val xa = tiles.select(col("media_id").as("id_a"),
@@ -386,27 +407,7 @@ object MultimodalQueries {
        |    sum(CASE WHEN bit // 16 = 2 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b2,
        |    sum(CASE WHEN bit // 16 = 3 THEN v * (1 << (bit % 16)) ELSE 0 END)::BIGINT AS b3
        |  FROM cmp GROUP BY 1, 2),
-       |ok0 AS (SELECT b0 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
-       |ok1 AS (SELECT b1 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
-       |ok2 AS (SELECT b2 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
-       |ok3 AS (SELECT b3 AS v FROM bands GROUP BY 1 HAVING count(*) <= $MediaBandCap),
-       |cand AS (
-       |  SELECT a.media_id AS id_a, a.tile AS tile_a,
-       |         b.media_id AS id_b, b.tile AS tile_b FROM bands a
-       |    JOIN ok0 ON a.b0 = ok0.v
-       |    JOIN bands b ON a.b0 = b.b0 AND a.media_id < b.media_id
-       |  UNION
-       |  SELECT a.media_id, a.tile, b.media_id, b.tile FROM bands a
-       |    JOIN ok1 ON a.b1 = ok1.v
-       |    JOIN bands b ON a.b1 = b.b1 AND a.media_id < b.media_id
-       |  UNION
-       |  SELECT a.media_id, a.tile, b.media_id, b.tile FROM bands a
-       |    JOIN ok2 ON a.b2 = ok2.v
-       |    JOIN bands b ON a.b2 = b.b2 AND a.media_id < b.media_id
-       |  UNION
-       |  SELECT a.media_id, a.tile, b.media_id, b.tile FROM bands a
-       |    JOIN ok3 ON a.b3 = ok3.v
-       |    JOIN bands b ON a.b3 = b.b3 AND a.media_id < b.media_id)
+       |${pairBandCandSql("media_id", tiled = true)}
        |SELECT id_a, tile_a, id_b, tile_b, hamming FROM (
        |  SELECT cand.id_a, cand.tile_a::BIGINT AS tile_a,
        |         cand.id_b, cand.tile_b::BIGINT AS tile_b,
