@@ -1339,6 +1339,62 @@ object SourceQueries {
           """SELECT l_returnflag, count(*) AS n_lines,
             |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
             |FROM graftmem.scanli GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // STORAGE-PARTITIONED JOIN (DSv2 v2-bucketing): both sides are
+    // catalog tables identity-partitioned on the join key, the scans
+    // report KeyGroupedPartitioning with per-split keys, and the join
+    // plans with NO exchange on either side
+    // (StoragePartitionJoinSpec pins the plan shapes and the
+    // UPDATE-overlay fallback). Result-invisible: the oracle computes
+    // the same join over the raw tables.
+    QueryDef("q313_catalog_spj",
+      """WITH f AS (SELECT o_custkey % 25 AS nk, o_totalprice FROM orders),
+        |d AS (SELECT n_nationkey AS nk, n_name FROM nation)
+        |SELECT d.n_name, count(*)::BIGINT AS n_orders,
+        |       CAST(sum(CAST(round(f.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM f JOIN d ON f.nk = d.nk
+        |GROUP BY d.n_name ORDER BY d.n_name""".stripMargin) {
+      (spark, dir) =>
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmem.path",
+          graft.sources.MemCatalog.defaultRoot)
+        spark.sql("DROP TABLE IF EXISTS graftmem.spjfact")
+        spark.sql("DROP TABLE IF EXISTS graftmem.spjdim")
+        spark.sql(
+          """CREATE TABLE graftmem.spjfact (nk BIGINT, o_totalprice DOUBLE)
+            |PARTITIONED BY (nk)""".stripMargin)
+        spark.sql(
+          """CREATE TABLE graftmem.spjdim (nk BIGINT, n_name STRING)
+            |PARTITIONED BY (nk)""".stripMargin)
+        Tables.load(spark, dir, "orders")
+          .select((col("o_custkey") % 25).as("nk"), col("o_totalprice"))
+          .createOrReplaceTempView("q313_fact")
+        Tables.load(spark, dir, "nation")
+          .select(col("n_nationkey").as("nk"), col("n_name"))
+          .createOrReplaceTempView("q313_dim")
+        spark.sql("INSERT INTO graftmem.spjfact SELECT * FROM q313_fact")
+        spark.sql("INSERT INTO graftmem.spjdim SELECT * FROM q313_dim")
+        val prevBucketing =
+          spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        try {
+          val df = spark.sql(
+            """SELECT d.n_name, count(*) AS n_orders,
+              |       CAST(sum(CAST(round(f.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+              |FROM graftmem.spjfact f JOIN graftmem.spjdim d ON f.nk = d.nk
+              |GROUP BY d.n_name ORDER BY d.n_name""".stripMargin)
+          // bake the key-grouped physical plan inside the conf scope
+          // (the scoped-rule contract): later actions reuse it
+          df.queryExecution.executedPlan
+          df
+        } finally prevBucketing match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None =>
+            spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
     }
   )
 

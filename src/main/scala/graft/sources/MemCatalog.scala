@@ -1641,6 +1641,16 @@ private[sources] final case class SegSlice(seg: RowSeg, physStart: Long,
     liveBase: Long, byteStart: Long = -1L, byteEnd: Long = -1L)
     extends InputPartition
 
+/** A [[SegSlice]] that KNOWS its partition key (identity-partitioned
+  * file scans): what lets the scan report KeyGroupedPartitioning so
+  * Spark plans STORAGE-PARTITIONED JOINS — two catalog tables
+  * partitioned on the join key exchange NOTHING. */
+private[sources] final case class KeyedSlice(slice: SegSlice,
+    key: InternalRow) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 /** The catalog scan over a snapshot VIEW: splits are segment slices —
   * for the file-backed plane, one per parquet data file, read at a
   * PRUNED schema (required output columns plus pushed-filter columns,
@@ -1654,7 +1664,8 @@ private[sources] final class MemScan private (outSchema: StructType,
     partSpec: Seq[PartTransform])
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   def this(outSchema: StructType, dataSchema: StructType, snap: Snap,
       stats: Option[CommitStats],
@@ -1663,6 +1674,47 @@ private[sources] final class MemScan private (outSchema: StructType,
       partSpec: Seq[PartTransform] = Nil) =
     this(outSchema, dataSchema, snap, stats, pushed, direct = false,
       streamStore, partSpec)
+
+  /** STORAGE-PARTITIONED JOIN eligibility: every live segment is a
+    * data file carrying its partition tuple, the spec is identity
+    * transforms only (bucket/days keys would need a shared v2
+    * function for both join sides), and no UPDATE overlay exists (a
+    * patch can move a row's partition column under its file — the
+    * same condition that suppresses partition pruning). Then every
+    * split knows its key and the scan reports KeyGroupedPartitioning:
+    * a join of two tables partitioned on the key plans NO exchange
+    * (spark.sql.sources.v2.bucketing.enabled). */
+  private lazy val spjKeys: Option[Vector[Vector[Any]]] = {
+    val identityOnly = partSpec.nonEmpty &&
+      partSpec.forall(_.isInstanceOf[PIdentity])
+    val clean = !direct && identityOnly && snap.segs.nonEmpty &&
+      snap.segs.forall(ls => ls.patches.isEmpty && (ls.seg match {
+        case f: FileSeg => f.partVals.isDefined
+        case _ => false
+      }))
+    if (!clean) None
+    else {
+      val keys = planSlices(pushed).iterator.collect {
+        case sl: SegSlice => sl.seg.asInstanceOf[FileSeg].partVals.get
+      }.toVector.distinct
+      if (keys.isEmpty) None else Some(keys)
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjKeys match {
+      case Some(keys) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            partSpec.map(p => Expressions.identity(p.col)
+              : org.apache.spark.sql.connector.expressions.Expression)
+              .toArray,
+            keys.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   /** RUNTIME (dynamic partition pruning) filters: Spark offers the
     * partition source columns at planning time; a dimension-derived
@@ -1677,8 +1729,10 @@ private[sources] final class MemScan private (outSchema: StructType,
     if (direct || partSpec.isEmpty) Array.empty
     else partSpec.map(p => Expressions.column(p.col)).toArray
   override def filter(
-      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    runtime = filters.toSeq.filter(MemFilters.supported(dataSchema, _))
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter
+        .Predicate]): Unit =
+    runtime = predicates.toSeq.flatMap(MemScan.v2ToV1(_))
+      .filter(MemFilters.supported(dataSchema, _))
 
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
@@ -1724,8 +1778,25 @@ private[sources] final class MemScan private (outSchema: StructType,
     if (direct)
       return Array(SegSlice(snap.segs.head.seg, 0L, 1L, Vector.empty,
         Map.empty, 0L))
-    if (pushed.nonEmpty &&
-        MemFilters.contradictsStats(stats, dataSchema, pushed))
+    val slices = planSlices(pushed ++ runtime)
+    // key-grouped scans attach each split's partition key: Spark
+    // groups them for storage-partitioned joins, and a runtime (DPP)
+    // prune is fine — the validated contract is that the surviving
+    // keys are a SUBSET of the reported partition values
+    if (spjKeys.isDefined) slices.map {
+      case sl: SegSlice =>
+        val pv = sl.seg.asInstanceOf[FileSeg].partVals.get
+        KeyedSlice(sl,
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            pv.toArray))
+      case other => other
+    } else slices
+  }
+
+  private def planSlices(preds0: Seq[org.apache.spark.sql.sources.Filter])
+      : Array[InputPartition] = {
+    if (preds0.nonEmpty &&
+        MemFilters.contradictsStats(stats, dataSchema, preds0))
       return Array.empty // zone-map skip: zero rows touched
     val out = Vector.newBuilder[InputPartition]
     var liveBase = 0L
@@ -1742,7 +1813,7 @@ private[sources] final class MemScan private (outSchema: StructType,
           // PARTITION PRUNE (before stats): the file's partition
           // tuple proves emptiness against pushed AND runtime (DPP)
           // predicates with zero per-column statistics work
-          val preds = pushed ++ runtime
+          val preds = preds0
           val partSkip = preds.nonEmpty && ls.patches.isEmpty &&
             f.partVals.exists(pv => Partitioning.contradicts(
               partSpec, pv, dataSchema, f.count, preds))
@@ -1819,6 +1890,51 @@ private[sources] final class MemScan private (outSchema: StructType,
 }
 
 private[sources] object MemScan {
+
+  /** Translate the runtime V2 predicates Spark hands a
+    * SupportsRuntimeV2Filtering scan (DPP emits `IN`/`=` over one
+    * column) into V1 filters with EXTERNAL literal values — the coin
+    * the pruning layer speaks. Unknown shapes are dropped (runtime
+    * filters are an optimization; the join re-applies them). */
+  private[sources] def v2ToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def ext(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Any] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        Some(l.value match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case v => v
+        })
+      case _ => None
+    }
+    val ch = p.children()
+    p.name() match {
+      case "IN" if ch.length >= 2 =>
+        for {
+          c <- colOf(ch(0))
+          vs <- Some(ch.drop(1).flatMap(ext))
+          if vs.length == ch.length - 1
+        } yield org.apache.spark.sql.sources.In(c, vs)
+      case "=" if ch.length == 2 =>
+        (colOf(ch(0)), ext(ch(1))) match {
+          case (Some(c), Some(v)) =>
+            Some(org.apache.spark.sql.sources.EqualTo(c, v))
+          case _ => (colOf(ch(1)), ext(ch(0))) match {
+            case (Some(c), Some(v)) =>
+              Some(org.apache.spark.sql.sources.EqualTo(c, v))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+  }
   /** TEST HOOK: files skipped by PARTITION-TUPLE pruning (static +
     * runtime) since the last reset — lets specs prove a partition
     * predicate planned only matching files. */
@@ -1888,7 +2004,10 @@ private[sources] final class SegReaderFactory(out: StructType,
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val slice = p.asInstanceOf[SegSlice]
+    val slice = p match {
+      case k: KeyedSlice => k.slice
+      case s => s.asInstanceOf[SegSlice]
+    }
     new PartitionReader[InternalRow] {
       private val fileIter = slice.seg match {
         case FileSeg(path, _, _, _) =>
