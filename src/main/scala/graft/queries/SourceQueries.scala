@@ -1395,6 +1395,69 @@ object SourceQueries {
           case None =>
             spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
         }
+    },
+
+    // PARTITION OVERWRITE (INSERT OVERWRITE ... PARTITION, static +
+    // dynamic modes): one atomic kind-6 commit drops exactly the
+    // selected partitions' files and adds the fresh ones — kept
+    // partitions keep their files AND their row-level overlays
+    // (CatalogOverwriteSpec pins files, CDF one-version shape, time
+    // travel, expiry, restart). The oracle computes the expected
+    // FINAL state from the same arithmetic.
+    QueryDef("q314_catalog_partition_overwrite",
+      """WITH base AS (
+        |  SELECT o_custkey % 25 AS nk, o_orderpriority,
+        |         round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |finals AS (
+        |  SELECT nk, o_orderpriority, cents FROM base
+        |  WHERE nk NOT IN (3, 7, 11)
+        |  UNION ALL
+        |  SELECT 3, 'STATIC', 100 * i FROM generate_series(1, 5) t(i)
+        |  UNION ALL
+        |  SELECT nk, 'DYN', nk * 1000 + i
+        |  FROM (VALUES (7), (11)) p(nk), generate_series(1, 4) t(i))
+        |SELECT nk, o_orderpriority, count(*)::BIGINT AS n,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM finals GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (spark, dir) =>
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmem.path",
+          graft.sources.MemCatalog.defaultRoot)
+        spark.sql("DROP TABLE IF EXISTS graftmem.owli")
+        spark.sql(
+          """CREATE TABLE graftmem.owli (nk BIGINT,
+            |  o_orderpriority STRING, cents BIGINT)
+            |PARTITIONED BY (nk)""".stripMargin)
+        Tables.load(spark, dir, "orders")
+          .select((col("o_custkey") % 25).as("nk"), col("o_orderpriority"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q314_src")
+        spark.sql("INSERT INTO graftmem.owli SELECT * FROM q314_src")
+        // STATIC: replace partition nk = 3
+        spark.sql(
+          """INSERT OVERWRITE graftmem.owli PARTITION (nk = 3)
+            |SELECT 'STATIC', 100 * id FROM RANGE(1, 6)""".stripMargin)
+        // DYNAMIC: replace exactly partitions 7 and 11
+        val prev =
+          spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try spark.sql(
+          """INSERT OVERWRITE graftmem.owli
+            |SELECT nk, 'DYN', nk * 1000 + id
+            |FROM (SELECT explode(array(7L, 11L)) AS nk)
+            |CROSS JOIN RANGE(1, 5)""".stripMargin)
+        finally prev match {
+          case Some(v) => spark.conf
+            .set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf
+            .unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        spark.sql(
+          """SELECT nk, o_orderpriority, count(*) AS n,
+            |       CAST(sum(cents) AS BIGINT) AS cents_sum
+            |FROM graftmem.owli GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     }
   )
 

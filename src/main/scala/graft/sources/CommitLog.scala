@@ -43,6 +43,12 @@ private[sources] final case class FileRef(name: String, count: Long,
   * `mode`: Append / Replace / Rewrite — Rewrite (OPTIMIZE) replaces
   * the snapshot with CONTENT-IDENTICAL files and is `dataChange =
   * false`: the change feed and streaming sources skip it. */
+/** A PARTITION-OVERWRITE commit: named data files leave the
+  * snapshot, fresh ones join — one atomic version (kind 6). */
+private[sources] final case class DropAddCommit(version: Int,
+    tsMicros: Long, removeNames: Vector[String], add: Vector[FileRef],
+    stats: Option[CommitStats] = None) extends LogEntry
+
 private[sources] final case class FileCommit(version: Int, mode: Int,
     tsMicros: Long, files: Vector[FileRef],
     stats: Option[CommitStats] = None,
@@ -280,6 +286,32 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
     writeStats(version, stats)
   }
 
+  /** Persist one PARTITION-OVERWRITE commit (kind 6): the dropped
+    * file names plus the added file references — O(files) bytes,
+    * same publication/conflict semantics as every commit. */
+  def recordDropAdd(version: Int, tsMicros: Long,
+      removeNames: Seq[String], add: Seq[FileRef],
+      stats: CommitStats): Unit = {
+    writeCommit(version) { out =>
+      out.writeByte(6)
+      out.writeLong(tsMicros)
+      out.writeInt(removeNames.length)
+      removeNames.foreach(out.writeUTF)
+      out.writeInt(add.length)
+      add.foreach { f =>
+        out.writeUTF(f.name)
+        out.writeLong(f.count)
+        out.writeBoolean(f.stats.isDefined)
+        f.stats.foreach(CommitStats.write(out, cur, _))
+        if (partSpec.nonEmpty) {
+          out.writeBoolean(f.partVals.isDefined)
+          f.partVals.foreach(Partitioning.write(out, _))
+        }
+      }
+    }
+    writeStats(version, stats)
+  }
+
   /** Persist a schema-change commit (ALTER TABLE ADD COLUMN): the
     * latest schema lands in `_schema.json` FIRST (atomic rewrite —
     * decode correctness must not depend on the marker commit), then
@@ -443,6 +475,11 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
           case VBase(segs) => out.writeByte(0); writeSegs(segs)
           case VAppend(segs) => out.writeByte(1); writeSegs(segs)
           case VRewrite(segs) => out.writeByte(4); writeSegs(segs)
+          case VDropAdd(remove, add) =>
+            out.writeByte(5)
+            out.writeInt(remove.length)
+            remove.foreach(out.writeUTF)
+            writeSegs(add)
           case VRowDelta(dels, upds, ins) =>
             out.writeByte(2)
             out.writeInt(dels.length)
@@ -541,6 +578,8 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
             entries += (in.readByte() match {
               case 0 => VBase(readSegs())
               case 1 => VAppend(readSegs())
+              case 5 =>
+                VDropAdd(Vector.fill(in.readInt())(in.readUTF()), readSegs())
               case 2 =>
                 val dels = Vector.fill(in.readInt())(in.readLong())
                 val upds = Vector.fill(in.readInt()) {
@@ -610,6 +649,18 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
           val s = DataType.fromJson(new String(bytes, StandardCharsets.UTF_8))
             .asInstanceOf[StructType]
           SchemaCommit(ver, ts, s)
+        } else if (kind == 6) {
+          val removeNames = Vector.fill(in.readInt())(in.readUTF())
+          val add = Vector.fill(in.readInt()) {
+            val name = in.readUTF()
+            val count = in.readLong()
+            val fstats = if (in.readBoolean())
+              Some(CommitStats.read(in, cur)) else None
+            val pv = if (partSpec.nonEmpty && in.readBoolean())
+              Some(Partitioning.read(in, partSpec.length)) else None
+            FileRef(name, count, fstats, pv)
+          }
+          DropAddCommit(ver, ts, removeNames, add, stats)
         } else if (kind == 4) {
           // file-reference commit: names + counts + per-file stats —
           // replay never touches a data file, so a restart is

@@ -391,9 +391,18 @@ object MemCatalog {
     val df = spark.table(tbl)
     val n = store.currentState()._1.count
     val nFiles = math.max(1, ((n + targetFileRows - 1) / targetFileRows).toInt)
+    // PARTITIONED tables compact WITHIN partitions: cluster tasks by
+    // the partition columns (satisfying the write's required
+    // distribution — no second exchange) and sort the curve INSIDE
+    // each partition run, so both the partition tuples and the
+    // per-file curve rectangles survive the rewrite
+    val partCols = store.partSpec.map(_.col)
     val laidOut =
-      if (zorderBy.isEmpty) df.repartition(nFiles)
-      else {
+      if (zorderBy.isEmpty) {
+        if (partCols.isEmpty) df.repartition(nFiles)
+        else df.repartition(nFiles, partCols.map(col): _*)
+          .sortWithinPartitions(partCols.map(col): _*)
+      } else {
         val bits = graft.operators.ZOrder.bitsFor(zorderBy.length)
         val aggs = zorderBy.flatMap(k =>
           Seq(min(col(k)).cast("long"), max(col(k)).cast("long")))
@@ -404,8 +413,8 @@ object MemCatalog {
         if (n == 0 || (0 until bounds.length).exists(bounds.isNullAt))
           df.repartition(nFiles)
         else if (curve == "hilbert" && zorderBy.length >= 2)
-          hilbertLayout(df, zorderBy, bounds, nFiles)
-        else zorderLayout(df, zorderBy, bounds, bits, nFiles)
+          hilbertLayout(df, zorderBy, bounds, nFiles, partCols)
+        else zorderLayout(df, zorderBy, bounds, bits, nFiles, partCols)
       }
     laidOut.writeTo(tbl).option("dataChange", "false")
       .overwrite(lit(true))
@@ -420,7 +429,8 @@ object MemCatalog {
     * verb). Same one-shuffle distributed shape. */
   private def hilbertLayout(df: org.apache.spark.sql.DataFrame,
       keys: Seq[String], bounds: org.apache.spark.sql.Row,
-      nFiles: Int): org.apache.spark.sql.DataFrame = {
+      nFiles: Int, partCols: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val bits = math.min(graft.operators.Hilbert.BitsPerDim,
       62 / keys.length)
@@ -428,10 +438,25 @@ object MemCatalog {
       graft.operators.ZOrder.normalize(col(k), bounds.getLong(2 * j),
         bounds.getLong(2 * j + 1), bits)
     }
-    graft.operators.Hilbert.withIndexN(df, normed, bits)
-      .repartitionByRange(nFiles, col("_h"))
-      .sortWithinPartitions(col("_h"))
-      .drop("_h")
+    curveExchange(graft.operators.Hilbert.withIndexN(df, normed, bits),
+      "_h", nFiles, partCols)
+  }
+
+  /** The one exchange of a clustered rewrite: range on the curve for
+    * unpartitioned tables; partition-clustered with the curve sorted
+    * INSIDE each partition run for partitioned ones. */
+  private def curveExchange(withCurve: org.apache.spark.sql.DataFrame,
+      curveCol: String, nFiles: Int, partCols: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val laid =
+      if (partCols.isEmpty)
+        withCurve.repartitionByRange(nFiles, col(curveCol))
+          .sortWithinPartitions(col(curveCol))
+      else
+        withCurve.repartition(nFiles, partCols.map(col): _*)
+          .sortWithinPartitions((partCols :+ curveCol).map(col): _*)
+    laid.drop(curveCol)
   }
 
   /** The clustered rewrite layout: normalize each key against its
@@ -439,17 +464,22 @@ object MemCatalog {
     * curve value. */
   private def zorderLayout(df: org.apache.spark.sql.DataFrame,
       zorderBy: Seq[String], bounds: org.apache.spark.sql.Row,
-      bits: Int, nFiles: Int): org.apache.spark.sql.DataFrame = {
+      bits: Int, nFiles: Int, partCols: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val normed = zorderBy.zipWithIndex.map { case (k, j) =>
-      graft.operators.ZOrder.normalize(col(k), bounds.getLong(2 * j),
-        bounds.getLong(2 * j + 1), bits)
+    // one key needs no interleaving: clustering = the key's own order
+    if (zorderBy.length == 1)
+      curveExchange(df.withColumn("_z", col(zorderBy.head)),
+        "_z", nFiles, partCols)
+    else {
+      val normed = zorderBy.zipWithIndex.map { case (k, j) =>
+        graft.operators.ZOrder.normalize(col(k), bounds.getLong(2 * j),
+          bounds.getLong(2 * j + 1), bits)
+      }
+      curveExchange(df.withColumn("_z",
+          graft.operators.ZOrder.interleaveBits(normed, bits)),
+        "_z", nFiles, partCols)
     }
-    df.withColumn("_z",
-        graft.operators.ZOrder.interleaveBits(normed, bits))
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
   }
 
   /** `table_changes(from, to)` (the Delta Change Data Feed surface):
@@ -531,6 +561,13 @@ private[sources] case object VMarker extends VDelta
   * convention (a CDC consumer must not re-process a compaction). */
 private[sources] final case class VRewrite(segs: Vector[RowSeg])
   extends VDelta
+/** PARTITION OVERWRITE's landing (INSERT OVERWRITE ... PARTITION /
+  * dynamic-mode overwrite): drop whole named data files (partition-
+  * pure by construction) and add fresh ones, ONE atomic version.
+  * Kept segments carry their overlays forward untouched — only the
+  * named files (and their overlays) leave the snapshot. */
+private[sources] final case class VDropAdd(removeNames: Vector[String],
+    add: Vector[RowSeg]) extends VDelta
 
 private[sources] object VDelta {
   /** Apply one version delta to a materialized row vector — the
@@ -539,6 +576,8 @@ private[sources] object VDelta {
     * the stats fold). Heap segments only. */
   def apply(prev: Vector[InternalRow], d: VDelta): Vector[InternalRow] =
     d match {
+      case _: VDropAdd => throw new UnsupportedOperationException(
+        "VDropAdd names data files — file plane only")
       case VBase(segs) => segs.flatMap(memRows)
       case VRewrite(segs) => segs.flatMap(memRows)
       case VAppend(segs) => prev ++ segs.flatMap(memRows)
@@ -822,6 +861,65 @@ private[sources] final class MemStore(schema0: StructType,
     maybeCheckpoint()
   }
 
+  /** PARTITION OVERWRITE (INSERT OVERWRITE ... PARTITION / dynamic
+    * mode): drop the files whose partition tuple the caller selected,
+    * add the freshly-written ones — ONE atomic version (a kind-6
+    * commit). Stats stay EXACT without a table scan: overlay-free
+    * kept files contribute their commit-time per-file stats,
+    * overlaid kept segments stream their (few) live rows, added
+    * files bring their own — merged. Conflicts: like a replace, any
+    * interleaved commit aborts. */
+  def overwriteFiles(removeNames: Set[String], add: Seq[FileRef]): Unit =
+    synchronized {
+      val l = log.getOrElse(throw new IllegalStateException(
+        "overwriteFiles needs a durable log"))
+      publishWithRetry(l)(es => if (es.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commits ${es.map(_.version).mkString(",")} conflict " +
+            "with a partition overwrite — recompute"))  { next =>
+        val t = MemStore.nowMicros()
+        val addSegs: Vector[RowSeg] = add.iterator.map(f =>
+          FileSeg(l.dataFilePath(f.name), f.count, f.stats,
+            f.partVals): RowSeg).toVector
+        val d = VDropAdd(removeNames.toVector.sorted, addSegs)
+        val next0 = Snap.applyDelta(cur, d)
+        // exact result stats from metadata + the overlaid few
+        val kept = cur.segs.filterNot(ls => ls.seg match {
+          case f: FileSeg => removeNames.contains(
+            java.nio.file.Paths.get(f.path).getFileName.toString)
+          case _ => false
+        })
+        val parts = Vector.newBuilder[CommitStats]
+        var exact = true
+        kept.foreach { ls =>
+          if (ls.dels.isEmpty && ls.patches.isEmpty) ls.seg match {
+            case f: FileSeg if f.stats.isDefined => parts += f.stats.get
+            case seg =>
+              parts += CommitStats.of(
+                MemStore.segRows(seg, curSchema), curSchema)
+          } else {
+            val acc = new CommitStats.Acc(curSchema)
+            Snap(Vector(ls)).iterator(curSchema).foreach(acc.add)
+            parts += acc.result
+          }
+        }
+        add.foreach(f => if (f.stats.isDefined) parts += f.stats.get
+          else exact = false)
+        val st =
+          if (exact) parts.result()
+            .foldLeft(CommitStats.empty(curSchema))(CommitStats.merge)
+          else CommitStats.of(next0.iterator(curSchema), curSchema)
+        l.recordDropAdd(next, t, d.removeNames, add, st)
+        statsHist = statsHist :+ Some(st)
+        cur = next0
+        entries = entries :+ d
+        counts = counts :+ cur.count
+        times = times :+ t
+        schemaHist = schemaHist :+ curSchema
+      }
+      maybeCheckpoint()
+    }
+
   /** Commit one row-level delta (the `WriteDelta` landing): positions
     * index the current snapshot's live ordering. Memory retains
     * O(delta), the durable commit file holds O(delta) bytes, and the
@@ -950,6 +1048,19 @@ private[sources] final class MemStore(schema0: StructType,
             emit("delete", v, prev.iterator(curSchema))
             segs.foreach(s => emit("insert", v, MemStore.segRows(s, curSchema)))
           case VRewrite(_) => () // dataChange = false: no feed rows
+          case VDropAdd(remove, add) =>
+            val rm = remove.toSet
+            prev.segs.foreach { ls =>
+              val hit = ls.seg match {
+                case f: FileSeg => rm.contains(
+                  java.nio.file.Paths.get(f.path).getFileName.toString)
+                case _ => false
+              }
+              if (hit)
+                emit("delete", v, Snap(Vector(ls)).iterator(curSchema))
+            }
+            add.foreach(sg =>
+              emit("insert", v, MemStore.segRows(sg, curSchema)))
           case VRowDelta(dels, upds, ins) =>
             val pre = prev.rowsAt(dels ++ upds.map(_._1), curSchema)
             dels.foreach(p => out += (("delete", v.toLong, pre(p))))
@@ -983,6 +1094,7 @@ private[sources] final class MemStore(schema0: StructType,
       entries.slice(fromV - base, toV - base + 1).flatMap {
         case VAppend(segs) => segs
         case VBase(segs) => segs
+        case VDropAdd(_, add) => add // the overwrite's fresh rows
         case VRowDelta(_, _, ins) if ins.nonEmpty => Vector(MemSeg(ins))
         case _ => Vector.empty // markers and dataChange-false rewrites
       }
@@ -1031,7 +1143,8 @@ private[sources] final class MemStore(schema0: StructType,
         val (files, cs) = writeSnapFile(l, snap, s"base-v$before")
         val keep = entries.drop(i + 1)
         val newEntries = VBase(files.iterator.map(f =>
-          FileSeg(l.dataFilePath(f.name), f.count, f.stats): RowSeg
+          FileSeg(l.dataFilePath(f.name), f.count, f.stats,
+            f.partVals): RowSeg
         ).toVector) +: keep
         val referenced = newEntries.flatMap(MemStore.fileNamesOf).toSet
         // the pruned prefix's files are log-owned: vacuum them NOW;
@@ -1081,18 +1194,60 @@ private[sources] final class MemStore(schema0: StructType,
 
   /** Stream a snapshot view into one parquet data file, folding exact
     * stats on the way; an empty snapshot yields no file. */
+  /** Stream a snapshot's live rows into fresh data files (expiry
+    * consolidation / RESTORE). PARTITION-AWARE: a partitioned table
+    * consolidates into one file PER PARTITION TUPLE (an open writer
+    * per tuple — O(partitions) driver memory), so partition pruning
+    * and storage-partitioned joins survive retention; unpartitioned
+    * tables stream into one file as before. */
   private def writeSnapFile(l: CommitLog, snap: Snap,
       tag: String): (Seq[FileRef], CommitStats) = {
-    val name = l.newDataFileName(tag)
-    val w = ParquetRowIO.writer(l.dataFilePath(name), curSchema)
-    val acc = new CommitStats.Acc(curSchema)
-    snap.iterator(curSchema).foreach { r => w.write(r); acc.add(r) }
-    val cnt = w.close()
-    if (cnt == 0L) {
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(l.dataFilePath(name)))
-      (Seq.empty, acc.result)
-    } else (Seq(FileRef(name, cnt, Some(acc.result))), acc.result)
+    val spec = partSpec
+    if (spec.isEmpty) {
+      val name = l.newDataFileName(tag)
+      val w = ParquetRowIO.writer(l.dataFilePath(name), curSchema)
+      val acc = new CommitStats.Acc(curSchema)
+      snap.iterator(curSchema).foreach { r => w.write(r); acc.add(r) }
+      val cnt = w.close()
+      if (cnt == 0L) {
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(l.dataFilePath(name)))
+        (Seq.empty, acc.result)
+      } else (Seq(FileRef(name, cnt, Some(acc.result))), acc.result)
+    } else {
+      val idx = spec.map(p => curSchema.fieldIndex(p.col)).toArray
+      val dts = idx.map(curSchema(_).dataType)
+      final class OpenFile(val name: String) {
+        val w: ParquetRowIO.RowFileWriter =
+          ParquetRowIO.writer(l.dataFilePath(name), curSchema)
+        val acc = new CommitStats.Acc(curSchema)
+        var n = 0L
+      }
+      val open =
+        scala.collection.mutable.LinkedHashMap.empty[Vector[Any], OpenFile]
+      val total = new CommitStats.Acc(curSchema)
+      snap.iterator(curSchema).foreach { r =>
+        val tuple = Vector.tabulate(spec.length) { j =>
+          val raw = if (idx(j) >= r.numFields || r.isNullAt(idx(j))) null
+            else r.get(idx(j), dts(j))
+          spec(j).eval(raw, dts(j)) match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+            case x => x
+          }
+        }
+        val f = open.getOrElseUpdate(tuple, new OpenFile(
+          l.newDataFileName(tag)))
+        f.w.write(r)
+        f.acc.add(r)
+        f.n += 1
+        total.add(r)
+      }
+      open.values.foreach(_.w.close())
+      val refs = open.iterator.map { case (tuple, f) =>
+        FileRef(f.name, f.n, Some(f.acc.result), Some(tuple))
+      }.toSeq
+      (refs, total.result)
+    }
   }
 
   /** Write a checkpoint every [[MemStore.CheckpointEvery]] commits
@@ -1167,6 +1322,14 @@ private[sources] final class MemStore(schema0: StructType,
           else (VAppend(segs),
             for { a <- statsHist.last; b <- s } yield CommitStats.merge(a, b))
         }
+      case DropAddCommit(ver, _, removeNames, add, s) =>
+        require(!pruned,
+          s"corrupt log: pruned prefix opens with drop-add commit $ver")
+        require(ver == currentVersion + 1,
+          s"corrupt log: commit $ver after version $currentVersion")
+        (VDropAdd(removeNames, add.map(f =>
+          FileSeg(log.get.dataFilePath(f.name), f.count, f.stats,
+            f.partVals): RowSeg)), s)
       case DeltaCommit(ver, _, deletes, updates, inserts, s) =>
         require(!pruned,
           s"corrupt log: pruned prefix opens with delta commit $ver")
@@ -1247,6 +1410,7 @@ private[sources] object MemStore {
       case VBase(segs) => names(segs)
       case VAppend(segs) => names(segs)
       case VRewrite(segs) => names(segs)
+      case VDropAdd(_, add) => names(add)
       case _ => Seq.empty
     }
   }
@@ -1275,10 +1439,20 @@ private[sources] final class MemTable(tableName: String, store: MemStore,
     * version — a pre-rename pin shows the pre-rename names. */
   override def schema(): StructType =
     pinned.map(p => ColumnMapping.logical(p.phys)).getOrElse(store.schema)
+  /** The table's partition transforms — what the analyzer validates
+    * `PARTITION (...)` clauses against and `DESCRIBE` shows. */
+  override def partitioning(): Array[Transform] =
+    store.partSpec.map {
+      case PIdentity(c) => Expressions.identity(c)
+      case PDays(c) => Expressions.days(c)
+      case PBucket(n, c) => Expressions.bucket(n, c)
+    }.toArray
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -1301,18 +1475,42 @@ private[sources] final class MemTable(tableName: String, store: MemStore,
     * atomic, and a single entry in the snapshot history. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var replaceAll = false
+      private var owFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] =
+        None
+      private var dynamic = false
       // writeTo(...).option("dataChange", "false"): the OPTIMIZE
       // landing — content-identical re-layout the change feed skips
       private val dataChange = info.options.getBoolean("dataChange", true)
       override def truncate(): WriteBuilder = { replaceAll = true; this }
-      override def build(): Write = new MemWrite(store,
-        mode =
-          if (!replaceAll) FileCommit.Append
-          else if (dataChange) FileCommit.Replace
-          else FileCommit.Rewrite,
-        queryId = info.queryId())
+      /** `INSERT OVERWRITE ... PARTITION (static mode)`: Spark hands
+        * the partition predicate; AlwaysTrue degenerates to the full
+        * replace. */
+      override def overwrite(filters: Array[org.apache.spark.sql.sources
+          .Filter]): WriteBuilder = {
+        if (filters.isEmpty || filters.forall(
+            _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          replaceAll = true
+        else owFilters = Some(filters.toSeq)
+        this
+      }
+      /** Dynamic partition-overwrite mode: replace exactly the
+        * partitions the incoming data touches. */
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamic = true
+        this
+      }
+      override def build(): Write =
+        if (owFilters.isDefined || dynamic)
+          new MemOverwriteWrite(store, owFilters, dynamic)
+        else new MemWrite(store,
+          mode =
+            if (!replaceAll) FileCommit.Append
+            else if (dataChange) FileCommit.Replace
+            else FileCommit.Rewrite,
+          queryId = info.queryId())
     }
 
   override def newRowLevelOperationBuilder(
@@ -1385,6 +1583,8 @@ private[sources] object MemFilters {
 
   def supported(schema: StructType, f: Filter): Boolean = f match {
     case EqualTo(a, v) => lit(schema, a, v).isDefined
+    case EqualNullSafe(a, null) => fieldIdx(schema, a).isDefined
+    case EqualNullSafe(a, v) => lit(schema, a, v).isDefined
     case GreaterThan(a, v) => lit(schema, a, v).isDefined
     case GreaterThanOrEqual(a, v) => lit(schema, a, v).isDefined
     case LessThan(a, v) => lit(schema, a, v).isDefined
@@ -1411,6 +1611,10 @@ private[sources] object MemFilters {
       else r.get(i, schema(i).dataType)
     filters.forall {
       case EqualTo(a, v) => test(schema, a, v, value, _ == 0)
+      case EqualNullSafe(a, v) =>
+        // null-safe equality: NULL <=> NULL is true, NULL <=> x false
+        if (v == null) fieldIdx(schema, a).exists(i => value(i) == null)
+        else test(schema, a, v, value, _ == 0)
       case GreaterThan(a, v) => test(schema, a, v, value, _ > 0)
       case GreaterThanOrEqual(a, v) => test(schema, a, v, value, _ >= 0)
       case LessThan(a, v) => test(schema, a, v, value, _ < 0)
@@ -1439,6 +1643,9 @@ private[sources] object MemFilters {
       filters: Seq[Filter]): Boolean = stats.exists { st =>
     filters.exists {
       case EqualTo(a, v) => outside(st, schema, a, v, eqOnly = true)
+      case EqualNullSafe(a, null) =>
+        st.cols.get(a).exists(_.nulls == 0) && st.count > 0
+      case EqualNullSafe(a, v) => outside(st, schema, a, v, eqOnly = true)
       case GreaterThan(a, v) => boundDead(st, schema, a, v)(
         (mx, iv) => cmp(mx, iv) <= 0)
       case GreaterThanOrEqual(a, v) => boundDead(st, schema, a, v)(
@@ -2360,6 +2567,107 @@ private[sources] final class MemWrite(store: MemStore, mode: Int,
       case MemFileCommit(name, count, _) if count > 0 =>
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
           store.dataDirStr.get, name))
+      case MemPartFilesCommit(files) => files.foreach(pf =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+          store.dataDirStr.get, pf.name)))
+      case _ =>
+    }
+}
+
+/** PARTITION OVERWRITE write (`INSERT OVERWRITE ... PARTITION` /
+  * dynamic mode): write tasks stream the fresh partition files
+  * exactly like an append; the driver-side commit then drops every
+  * existing file whose partition tuple the overwrite selects — by
+  * the STATIC filter (each file's one tuple either satisfies it or
+  * not), or dynamically by the tuple set the new data actually
+  * touches — and adds the new files, ONE atomic version. Requires a
+  * partitioned file plane with identity transforms covering the
+  * filtered columns. */
+private[sources] final class MemOverwriteWrite(store: MemStore,
+    owFilters: Option[Seq[org.apache.spark.sql.sources.Filter]],
+    dynamic: Boolean)
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  override def toBatch: BatchWrite = this
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (store.partSpec.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        store.partSpec.map(p => Expressions.identity(p.col)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (store.partSpec.isEmpty) Array.empty
+    else store.partSpec.map(p =>
+      Expressions.sort(Expressions.column(p.col),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      .toArray
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    require(store.partSpec.nonEmpty && store.dataDirStr.isDefined,
+      "overwrite by filter / dynamic partition overwrite needs a " +
+        "partitioned durable table")
+    owFilters.foreach { fs =>
+      val idCols = store.partSpec.collect { case PIdentity(c) => c }.toSet
+      val refs = fs.flatMap(_.references).distinct
+      require(refs.nonEmpty && refs.forall(idCols.contains),
+        s"overwrite filter may only reference identity partition " +
+          s"columns ${idCols.mkString(", ")}, got ${refs.mkString(", ")}")
+    }
+    val phys = store.physSchema
+    new PartFileWriterFactory(store.dataDirStr.get, phys,
+      ColumnMapping.logicalToPhys(phys), store.partSpec)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val add = messages.toSeq.flatMap {
+      case MemPartFilesCommit(files) => files.collect {
+        case pf if pf.count > 0 =>
+          FileRef(pf.name, pf.count, Some(pf.stats), Some(pf.partVals))
+      }
+      case _ => Seq.empty
+    }
+    val (snap, _) = store.currentState()
+    // every existing segment must be a tuple-tagged file — a heap
+    // insert tail could hold rows of ANY partition and cannot be
+    // dropped selectively
+    snap.segs.foreach(ls => ls.seg match {
+      case f: FileSeg if f.partVals.isDefined => ()
+      case _ => throw new UnsupportedOperationException(
+        "partition overwrite needs a fully partitioned file plane " +
+          "(run OPTIMIZE first to fold row-level inserts into files)")
+    })
+    val spec = store.partSpec
+    val phys = store.physSchema
+    val removeNames: Set[String] = owFilters match {
+      case Some(fs) =>
+        // STATIC: a file goes iff its tuple satisfies the filter —
+        // evaluated on a one-row frame of the partition columns
+        val cols = spec.map(p => phys(phys.fieldIndex(p.col)))
+        val sub = org.apache.spark.sql.types.StructType(cols)
+        snap.segs.iterator.map(_.seg.asInstanceOf[FileSeg]).filter { f =>
+          val row = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(f.partVals.get.toArray)
+          MemFilters.eval(sub, fs, row)
+        }.map(f =>
+          java.nio.file.Paths.get(f.path).getFileName.toString).toSet
+      case None =>
+        // DYNAMIC: replace exactly the tuples the new data touches
+        val touched = add.flatMap(_.partVals).toSet
+        snap.segs.iterator.map(_.seg.asInstanceOf[FileSeg])
+          .filter(f => touched.contains(f.partVals.get))
+          .map(f =>
+            java.nio.file.Paths.get(f.path).getFileName.toString).toSet
+    }
+    store.overwriteFiles(removeNames, add)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
       case MemPartFilesCommit(files) => files.foreach(pf =>
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
           store.dataDirStr.get, pf.name)))

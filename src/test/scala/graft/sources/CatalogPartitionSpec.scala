@@ -194,4 +194,49 @@ class CatalogPartitionSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("days"), e2.getMessage)
   }
+
+  test("OPTIMIZE on a partitioned table keeps tuples; expiry consolidates per partition") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graftpart.t5")
+    spark.sql(
+      """CREATE TABLE graftpart.t5 (grp STRING, k BIGINT, v BIGINT)
+        |PARTITIONED BY (grp)""".stripMargin)
+    // several small inserts -> many small files per partition
+    (0 until 4).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO graftpart.t5
+           |SELECT CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END,
+           |       id + ${i * 1000}, id FROM RANGE(1000)""".stripMargin)
+    }
+    val before = spark.table("graftpart.t5").orderBy("k").collect()
+    MemCatalog.optimizeTable(spark, "graftpart", "t5",
+      targetFileRows = 1000, zorderBy = Seq("k"))
+    assert(spark.table("graftpart.t5").orderBy("k").collect()
+      .sameElements(before), "OPTIMIZE changed content")
+    // every rewritten file still carries its ONE partition tuple...
+    val parts = spark.sql("SELECT partition FROM graftpart.t5.files")
+      .collect().map(_.getString(0))
+    assert(parts.forall(p => p == "grp=x" || p == "grp=y"),
+      s"rewritten files lost their tuples: ${parts.toSeq}")
+    // ...so partition pruning still plans fewer files
+    val total = spark.sql("SELECT v FROM graftpart.t5").rdd.getNumPartitions
+    val one = spark.sql("SELECT v FROM graftpart.t5 WHERE grp = 'x'")
+      .rdd.getNumPartitions
+    assert(one < total, s"post-OPTIMIZE prune: $one/$total")
+
+    // expiry consolidation keeps one file PER PARTITION, tuples intact
+    val v = spark.sql("SELECT max(version) FROM graftpart.t5.history")
+      .head().getLong(0).toInt
+    MemCatalog.expireSnapshots("graftpart", "t5", before = v)
+    assert(spark.table("graftpart.t5").orderBy("k").collect()
+      .sameElements(before), "expiry changed content")
+    val partsAfter = spark.sql("SELECT partition FROM graftpart.t5.files")
+      .collect().map(_.getString(0)).toSeq
+    assert(partsAfter.sorted == Seq("grp=x", "grp=y"),
+      s"consolidation must keep per-partition files: $partsAfter")
+    val one2 = spark.sql("SELECT v FROM graftpart.t5 WHERE grp = 'y'")
+      .rdd.getNumPartitions
+    val total2 = spark.sql("SELECT v FROM graftpart.t5").rdd.getNumPartitions
+    assert(one2 < total2, s"post-expiry prune: $one2/$total2")
+  }
 }
