@@ -302,7 +302,8 @@ object MemCatalog {
     * that themselves render with spaces). */
   private[sources] val KeySep = "\u0000"
   /** Metadata-table suffixes [[MemCatalog.loadTable]] resolves. */
-  private[sources] val MetaTables = Set("changes", "history", "files")
+  private[sources] val MetaTables =
+    Set("changes", "history", "files", "partitions")
 
   /** JVM-wide table stores — the catalog plugin is instantiated per
     * session, but local-mode executors and the driver share one JVM. */
@@ -2939,6 +2940,11 @@ private[sources] final class MetaTable(tableName: String, store: MemStore,
       StructField("version", LongType, nullable = false),
       StructField("commit_micros", LongType, nullable = false),
       StructField("n_rows", LongType, nullable = false)))
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType, nullable = true),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_live", LongType, nullable = false)))
     case _ => StructType(Seq(
       StructField("seg", LongType, nullable = false),
       StructField("file", StringType, nullable = true),
@@ -2958,6 +2964,26 @@ private[sources] final class MetaTable(tableName: String, store: MemStore,
       store.historyRows.iterator.map { case (v, t, n) =>
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](v, t, n))
+      }.toVector
+    case "partitions" =>
+      // SHOW PARTITIONS: live per-tuple census off the snapshot
+      // metadata — no data file opened. Heap tails / tuple-less files
+      // group under NULL (rows whose partition is only knowable by
+      // reading them).
+      val (snap, _) = store.currentState()
+      snap.segs.groupBy(_.seg match {
+        case f: FileSeg => f.partVals.map(pv =>
+          Partitioning.renderVals(store.partSpec, pv))
+        case _ => None
+      }).toVector.sortBy(_._1.getOrElse("~")).iterator.map {
+        case (part, group) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](
+              part.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+                .orNull,
+              group.length.toLong,
+              group.iterator.map(_.seg.count).sum,
+              group.iterator.map(_.liveCount).sum))
       }.toVector
     case _ =>
       val (snap, _) = store.currentState()

@@ -239,4 +239,53 @@ class CatalogPartitionSpec extends SparkTestBase {
     val total2 = spark.sql("SELECT v FROM graftpart.t5").rdd.getNumPartitions
     assert(one2 < total2, s"post-expiry prune: $one2/$total2")
   }
+
+  test(".partitions metadata table: live per-tuple census, O(metadata)") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graftpart.t6")
+    spark.sql(
+      """CREATE TABLE graftpart.t6 (grp STRING, v BIGINT)
+        |PARTITIONED BY (grp)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graftpart.t6
+        |SELECT CASE WHEN id < 30 THEN 'a' ELSE 'b' END, id
+        |FROM RANGE(100)""".stripMargin)
+    spark.sql("DELETE FROM graftpart.t6 WHERE grp = 'b' AND v >= 90")
+    val rows = spark.sql(
+      "SELECT partition, n_files, n_rows, n_live FROM graftpart.t6.partitions " +
+        "ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq(("grp=a", 30L, 30L), ("grp=b", 70L, 60L)),
+      s".partitions census wrong: $rows")
+  }
+
+  test("streaming sink into a PARTITIONED table: per-tuple files, prune works") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graftpart.t7")
+    spark.sql(
+      """CREATE TABLE graftpart.t7 (grp STRING, v BIGINT)
+        |PARTITIONED BY (grp)""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("gp_sink").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    source.addData(0L until 40L: _*)
+    val q = source.toDS()
+      .select(concat(lit("g"), col("value") % 2).as("grp"),
+        col("value").as("v"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("graftpart.t7")
+    q.processAllAvailable()
+    q.stop()
+    val parts = spark.sql("SELECT partition FROM graftpart.t7.files")
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set("grp=g0", "grp=g1"),
+      s"streamed files must carry tuples: $parts")
+    val total = planned("SELECT v FROM graftpart.t7")
+    val one = planned("SELECT v FROM graftpart.t7 WHERE grp = 'g0'")
+    assert(one < total, s"streamed partitions must prune: $one/$total")
+    assert(spark.sql("SELECT count(*) FROM graftpart.t7 WHERE grp = 'g1'")
+      .head().getLong(0) == 20L)
+  }
 }
