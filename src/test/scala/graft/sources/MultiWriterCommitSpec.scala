@@ -157,4 +157,39 @@ class MultiWriterCommitSpec extends SparkTestBase {
       assert(snap.count == v.toLong, s"version $v holds ${snap.count}")
     }
   }
+
+  test("contention stress: 8 writers x 6 appends race one log, nothing lost") {
+    val (dir, w0) = freshTable("t_stress")
+    val seed = Seq(row(0L, "seed"))
+    w0.commitFiles(Seq(writeFile(dir, seed)), statsOf(seed),
+      FileCommit.Append)
+    // 8 INDEPENDENT stores (simulated drivers), each appending 6
+    // commits concurrently — every attempt races the others for its
+    // version; the retry loop must land all 48 with zero loss
+    val writers = (0 until 8).map(_ => secondWriter(dir))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    try {
+      val tasks = writers.zipWithIndex.map { case (w, wi) =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try (0 until 6).foreach { k =>
+              val rows = Seq(row(1000L * (wi + 1) + k, s"w$wi-$k"))
+              w.commitFiles(Seq(writeFile(dir, rows)), statsOf(rows),
+                FileCommit.Append)
+            } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(errs.isEmpty, s"writer errors: ${errs.toArray.mkString(", ")}")
+    val cold = MemStore.replayFrom(CommitLog.open(dir))
+    assert(cold.currentVersion == 49,
+      s"expected 49 contiguous versions, got ${cold.currentVersion}")
+    val ks = keys(dir)
+    assert(ks.length == 49 && ks.toSet.size == 49,
+      s"rows lost or duplicated: ${ks.length}")
+    (0 until 8).foreach(wi => (0 until 6).foreach(k =>
+      assert(ks.contains(1000L * (wi + 1) + k), s"missing w$wi-$k")))
+  }
 }
