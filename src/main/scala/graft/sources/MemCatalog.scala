@@ -262,8 +262,28 @@ class MemCatalog extends TableCatalog {
     MemCatalog.stores.remove(key(ident)).isDefined || hadLog
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("MemCatalog.renameTable")
+  /** `ALTER TABLE RENAME TO`: durable tables move their whole log
+    * directory (one atomic same-filesystem rename — commits, data
+    * files, checkpoints, partition spec all travel together) and the
+    * JVM cache drops the old entry, so the next load replays from the
+    * new location with freshly-derived file paths; in-memory tables
+    * re-key. The rename is invisible to content, history, and time
+    * travel. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(MemCatalog.stores.get(key(newIdent)).isEmpty &&
+      !logDir(newIdent).exists(CommitLog.existsAt),
+      s"renameTable: ${newIdent.toString} already exists")
+    val cached = MemCatalog.stores.remove(key(oldIdent))
+    (logDir(oldIdent), logDir(newIdent)) match {
+      case (Some(from), Some(to)) if CommitLog.existsAt(from) =>
+        java.nio.file.Files.move(from, to,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      case _ =>
+        val store = cached.getOrElse(
+          throw new NoSuchTableException(oldIdent))
+        MemCatalog.stores.putIfAbsent(key(newIdent), store)
+    }
+  }
 }
 
 object MemCatalog {

@@ -129,4 +129,30 @@ class ColumnMappingSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("predates"), e.getMessage)
   }
+
+  test("ALTER TABLE RENAME TO moves the durable table wholesale") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graftcm.rt1")
+    spark.sql("DROP TABLE IF EXISTS graftcm.rt2")
+    spark.sql("CREATE TABLE graftcm.rt1 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftcm.rt1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("UPDATE graftcm.rt1 SET v = 'B' WHERE k = 2")
+    val before = spark.table("graftcm.rt1").orderBy("k").collect().toSeq
+
+    spark.sql("ALTER TABLE graftcm.rt1 RENAME TO rt2")
+    assert(spark.table("graftcm.rt2").orderBy("k").collect().toSeq == before,
+      "rename changed content")
+    // history and time travel travel with the table
+    assert(spark.sql("SELECT count(*) FROM graftcm.rt2 VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    intercept[Exception](spark.table("graftcm.rt1").collect())
+    // durable across restart under the NEW name
+    MemCatalog.simulateRestart()
+    assert(spark.table("graftcm.rt2").orderBy("k").collect().toSeq == before)
+    // renaming onto an existing table refuses
+    spark.sql("CREATE TABLE graftcm.rt3 (x BIGINT)")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graftcm.rt2 RENAME TO rt3"))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
 }
