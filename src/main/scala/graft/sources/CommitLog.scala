@@ -47,7 +47,8 @@ private[sources] final case class FileRef(name: String, count: Long,
   * snapshot, fresh ones join — one atomic version (kind 6). */
 private[sources] final case class DropAddCommit(version: Int,
     tsMicros: Long, removeNames: Vector[String], add: Vector[FileRef],
-    stats: Option[CommitStats] = None) extends LogEntry
+    stats: Option[CommitStats] = None,
+    removeTuples: Vector[Vector[Any]] = Vector.empty) extends LogEntry
 
 private[sources] final case class FileCommit(version: Int, mode: Int,
     tsMicros: Long, files: Vector[FileRef],
@@ -291,7 +292,8 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
     * same publication/conflict semantics as every commit. */
   def recordDropAdd(version: Int, tsMicros: Long,
       removeNames: Seq[String], add: Seq[FileRef],
-      stats: CommitStats): Unit = {
+      stats: CommitStats,
+      removeTuples: Seq[Vector[Any]] = Nil): Unit = {
     writeCommit(version) { out =>
       out.writeByte(6)
       out.writeLong(tsMicros)
@@ -308,6 +310,14 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
           f.partVals.foreach(Partitioning.write(out, _))
         }
       }
+      // OPTIONAL TAIL (EOF-probed on read — round-14 commits lack it):
+      // the overwritten partition tuples, the rename-proof removal
+      // form expiry consolidation replays against
+      if (removeTuples.nonEmpty) {
+        out.writeByte(1)
+        out.writeInt(removeTuples.length)
+        removeTuples.foreach(Partitioning.write(out, _))
+      }
     }
     writeStats(version, stats)
   }
@@ -315,20 +325,37 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
   /** Persist a schema-change commit (ALTER TABLE ADD COLUMN): the
     * latest schema lands in `_schema.json` FIRST (atomic rewrite —
     * decode correctness must not depend on the marker commit), then
-    * the versioned marker records when the change happened. */
+    * the versioned marker records when the change happened. If the
+    * marker LOSES its version to a concurrent writer
+    * ([[CommitLog.VersionConflictException]]), the durable schema and
+    * `cur` ROLL BACK before the exception propagates — otherwise an
+    * ALTER the conflict check then aborts would leave the new schema
+    * on disk and a restart would replay the aborted change. */
   def recordSchema(version: Int, tsMicros: Long,
       newSchema: StructType): Unit = {
     require(ColumnMapping.compatible(cur, newSchema),
       "schema evolution must be append-only or metadata-only " +
         "(shared slots keep datatype and field id)")
+    val prev = cur
     CommitLog.writeSchemaFile(dir, newSchema)
     cur = newSchema
     val json = newSchema.json.getBytes(StandardCharsets.UTF_8)
-    writeCommit(version) { out =>
-      out.writeByte(2)
-      out.writeLong(tsMicros)
-      out.writeInt(json.length)
-      out.write(json)
+    try {
+      writeCommit(version) { out =>
+        out.writeByte(2)
+        out.writeLong(tsMicros)
+        out.writeInt(json.length)
+        out.write(json)
+      }
+    } catch {
+      case e: CommitLog.VersionConflictException =>
+        // restore only if the file still holds OUR write — a
+        // concurrent ALTER that won the version may have already
+        // published its own schema there
+        if (Files.readString(CommitLog.schemaFile(dir)) == newSchema.json)
+          CommitLog.writeSchemaFile(dir, prev)
+        cur = prev
+        throw e
     }
   }
 
@@ -475,11 +502,13 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
           case VBase(segs) => out.writeByte(0); writeSegs(segs)
           case VAppend(segs) => out.writeByte(1); writeSegs(segs)
           case VRewrite(segs) => out.writeByte(4); writeSegs(segs)
-          case VDropAdd(remove, add) =>
+          case VDropAdd(remove, add, tuples) =>
             out.writeByte(5)
             out.writeInt(remove.length)
             remove.foreach(out.writeUTF)
             writeSegs(add)
+            out.writeInt(tuples.length)
+            tuples.foreach(Partitioning.write(out, _))
           case VRowDelta(dels, upds, ins) =>
             out.writeByte(2)
             out.writeInt(dels.length)
@@ -579,7 +608,11 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
               case 0 => VBase(readSegs())
               case 1 => VAppend(readSegs())
               case 5 =>
-                VDropAdd(Vector.fill(in.readInt())(in.readUTF()), readSegs())
+                val names = Vector.fill(in.readInt())(in.readUTF())
+                val segs = readSegs()
+                val tuples = Vector.fill(in.readInt())(
+                  Partitioning.read(in, partSpec.length))
+                VDropAdd(names, segs, tuples)
               case 2 =>
                 val dels = Vector.fill(in.readInt())(in.readLong())
                 val upds = Vector.fill(in.readInt()) {
@@ -660,7 +693,13 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
               Some(Partitioning.read(in, partSpec.length)) else None
             FileRef(name, count, fstats, pv)
           }
-          DropAddCommit(ver, ts, removeNames, add, stats)
+          // optional tail: overwritten partition tuples (EOF probe —
+          // pre-round-15 commits end here and read as name-only)
+          val removeTuples =
+            if (in.read() == 1)
+              Vector.fill(in.readInt())(Partitioning.read(in, partSpec.length))
+            else Vector.empty[Vector[Any]]
+          DropAddCommit(ver, ts, removeNames, add, stats, removeTuples)
         } else if (kind == 4) {
           // file-reference commit: names + counts + per-file stats —
           // replay never touches a data file, so a restart is

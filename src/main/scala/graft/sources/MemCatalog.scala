@@ -586,9 +586,31 @@ private[sources] final case class VRewrite(segs: Vector[RowSeg])
   * dynamic-mode overwrite): drop whole named data files (partition-
   * pure by construction) and add fresh ones, ONE atomic version.
   * Kept segments carry their overlays forward untouched — only the
-  * named files (and their overlays) leave the snapshot. */
+  * named files (and their overlays) leave the snapshot.
+  *
+  * `removeTuples` records the overwritten PARTITION TUPLES alongside
+  * the names (equal row sets at commit time, since an overwrite drops
+  * every live file of its tuples). The tuple form is what survives
+  * retention: expiry consolidation rewrites the snapshot into
+  * freshly-NAMED files, so a drop-add retained above the consolidation
+  * point would match nothing by name and silently resurrect the
+  * overwritten partition — matching by tuple is rename-proof. */
 private[sources] final case class VDropAdd(removeNames: Vector[String],
-    add: Vector[RowSeg]) extends VDelta
+    add: Vector[RowSeg],
+    removeTuples: Vector[Vector[Any]] = Vector.empty) extends VDelta {
+  @transient private lazy val nameSet = removeNames.toSet
+  @transient private lazy val tupleSet = removeTuples.toSet
+  /** Does this overwrite drop the given segment? Name match covers
+    * files live at commit time; tuple match covers the same partition
+    * content after expiry consolidation renamed the files. */
+  def drops(seg: RowSeg): Boolean = seg match {
+    case f: FileSeg =>
+      nameSet.contains(
+        java.nio.file.Paths.get(f.path).getFileName.toString) ||
+        f.partVals.exists(tupleSet.contains)
+    case _ => false
+  }
+}
 
 private[sources] object VDelta {
   /** Apply one version delta to a materialized row vector — the
@@ -683,6 +705,13 @@ private[sources] final class MemStore(schema0: StructType,
     * still holds matching rows. */
   def currentState(): (Snap, Option[CommitStats]) =
     synchronized { (cur, statsHist.last) }
+
+  /** One consistent (snapshot, version) pair — for writers that
+    * compute a commit OUTSIDE the lock against this snapshot and need
+    * the commit path to verify nothing landed in between (the
+    * optimistic-concurrency read anchor). */
+  def currentStateVersioned(): (Snap, Int) =
+    synchronized { (cur, currentVersion) }
 
   /** Reconstruct a historical snapshot VIEW by folding retained
     * deltas — O(retained window) metadata per time-travel read, the
@@ -890,10 +919,20 @@ private[sources] final class MemStore(schema0: StructType,
     * overlaid kept segments stream their (few) live rows, added
     * files bring their own — merged. Conflicts: like a replace, any
     * interleaved commit aborts. */
-  def overwriteFiles(removeNames: Set[String], add: Seq[FileRef]): Unit =
+  def overwriteFiles(removeNames: Set[String], add: Seq[FileRef],
+      expectedVersion: Int): Unit =
     synchronized {
       val l = log.getOrElse(throw new IllegalStateException(
         "overwriteFiles needs a durable log"))
+      // the caller computed removeNames against `expectedVersion`'s
+      // snapshot OUTSIDE this lock; a same-JVM commit that landed in
+      // between never hits the create-new publication conflict (we'd
+      // publish at the NEW head), so anchor the conflict check at the
+      // read snapshot explicitly — mirror of the cross-process path
+      if (currentVersion != expectedVersion)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit(s) advanced version $expectedVersion -> " +
+            s"$currentVersion under this partition overwrite — recompute")
       publishWithRetry(l)(es => if (es.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"concurrent commits ${es.map(_.version).mkString(",")} conflict " +
@@ -902,14 +941,18 @@ private[sources] final class MemStore(schema0: StructType,
         val addSegs: Vector[RowSeg] = add.iterator.map(f =>
           FileSeg(l.dataFilePath(f.name), f.count, f.stats,
             f.partVals): RowSeg).toVector
-        val d = VDropAdd(removeNames.toVector.sorted, addSegs)
+        // record the overwritten partition tuples alongside the names:
+        // the rename-proof form expiry consolidation needs (see
+        // [[VDropAdd]])
+        val removeTuples = cur.segs.iterator.map(_.seg).collect {
+          case f: FileSeg if removeNames.contains(
+            java.nio.file.Paths.get(f.path).getFileName.toString) &&
+            f.partVals.isDefined => f.partVals.get
+        }.toVector.distinct
+        val d = VDropAdd(removeNames.toVector.sorted, addSegs, removeTuples)
         val next0 = Snap.applyDelta(cur, d)
         // exact result stats from metadata + the overlaid few
-        val kept = cur.segs.filterNot(ls => ls.seg match {
-          case f: FileSeg => removeNames.contains(
-            java.nio.file.Paths.get(f.path).getFileName.toString)
-          case _ => false
-        })
+        val kept = cur.segs.filterNot(ls => d.drops(ls.seg))
         val parts = Vector.newBuilder[CommitStats]
         var exact = true
         kept.foreach { ls =>
@@ -930,7 +973,7 @@ private[sources] final class MemStore(schema0: StructType,
           if (exact) parts.result()
             .foldLeft(CommitStats.empty(curSchema))(CommitStats.merge)
           else CommitStats.of(next0.iterator(curSchema), curSchema)
-        l.recordDropAdd(next, t, d.removeNames, add, st)
+        l.recordDropAdd(next, t, d.removeNames, add, st, d.removeTuples)
         statsHist = statsHist :+ Some(st)
         cur = next0
         entries = entries :+ d
@@ -1069,15 +1112,9 @@ private[sources] final class MemStore(schema0: StructType,
             emit("delete", v, prev.iterator(curSchema))
             segs.foreach(s => emit("insert", v, MemStore.segRows(s, curSchema)))
           case VRewrite(_) => () // dataChange = false: no feed rows
-          case VDropAdd(remove, add) =>
-            val rm = remove.toSet
+          case da @ VDropAdd(_, add, _) =>
             prev.segs.foreach { ls =>
-              val hit = ls.seg match {
-                case f: FileSeg => rm.contains(
-                  java.nio.file.Paths.get(f.path).getFileName.toString)
-                case _ => false
-              }
-              if (hit)
+              if (da.drops(ls.seg))
                 emit("delete", v, Snap(Vector(ls)).iterator(curSchema))
             }
             add.foreach(sg =>
@@ -1115,7 +1152,7 @@ private[sources] final class MemStore(schema0: StructType,
       entries.slice(fromV - base, toV - base + 1).flatMap {
         case VAppend(segs) => segs
         case VBase(segs) => segs
-        case VDropAdd(_, add) => add // the overwrite's fresh rows
+        case VDropAdd(_, add, _) => add // the overwrite's fresh rows
         case VRowDelta(_, _, ins) if ins.nonEmpty => Vector(MemSeg(ins))
         case _ => Vector.empty // markers and dataChange-false rewrites
       }
@@ -1159,9 +1196,32 @@ private[sources] final class MemStore(schema0: StructType,
       s"expireBefore($before): retained window is [$base, $currentVersion]")
     val i = before - base
     val snap = versionSnapshot(before)
+    val retained = entries.drop(i + 1)
+    // a retained partition overwrite re-applies on top of the
+    // consolidated (freshly-NAMED) base: only its partition-tuple form
+    // matches there. Name-only drop-adds (pre-round-15 logs) would
+    // silently resurrect the overwritten partition — refuse.
+    retained.foreach {
+      case da: VDropAdd if da.removeNames.nonEmpty &&
+          da.removeTuples.isEmpty =>
+        throw new UnsupportedOperationException(
+          s"expireBefore($before): a retained partition overwrite " +
+            "records file names only (pre-tuple log format); it cannot " +
+            "re-apply over consolidated files — expire at or above it")
+      case _ => ()
+    }
+    // a retained row-level delta addresses POSITIONS of the live
+    // ordering at its commit time: the consolidated base must
+    // reproduce version `before`'s live order EXACTLY (per-tuple
+    // merging may not reorder interleaved partitions)
+    val preserveOrder = retained.exists {
+      case _: VRowDelta => true
+      case _ => false
+    }
     log match {
       case Some(l) =>
-        val (files, cs) = writeSnapFile(l, snap, s"base-v$before")
+        val (files, cs) = writeSnapFile(l, snap, s"base-v$before",
+          preserveOrder)
         val keep = entries.drop(i + 1)
         val newEntries = VBase(files.iterator.map(f =>
           FileSeg(l.dataFilePath(f.name), f.count, f.stats,
@@ -1213,16 +1273,25 @@ private[sources] final class MemStore(schema0: StructType,
     }
   }
 
-  /** Stream a snapshot view into one parquet data file, folding exact
-    * stats on the way; an empty snapshot yields no file. */
   /** Stream a snapshot's live rows into fresh data files (expiry
     * consolidation / RESTORE). PARTITION-AWARE: a partitioned table
     * consolidates into one file PER PARTITION TUPLE (an open writer
     * per tuple — O(partitions) driver memory), so partition pruning
     * and storage-partitioned joins survive retention; unpartitioned
-    * tables stream into one file as before. */
+    * tables stream into one file as before.
+    *
+    * `preserveOrder` (expiry with RETAINED row-level deltas above the
+    * consolidation point): per-tuple merging would reorder rows
+    * whenever partitions interleave across segments, and the retained
+    * deltas' recorded positions would then re-apply against the WRONG
+    * rows. In that mode a new file is cut at every partition-tuple
+    * CHANGE along the live order — each file still single-tuple (so
+    * pruning/SPJ survive), row order bit-identical to the live view;
+    * the extra files are run-length-of-interleave many and OPTIMIZE
+    * folds them later. */
   private def writeSnapFile(l: CommitLog, snap: Snap,
-      tag: String): (Seq[FileRef], CommitStats) = {
+      tag: String,
+      preserveOrder: Boolean = false): (Seq[FileRef], CommitStats) = {
     val spec = partSpec
     if (spec.isEmpty) {
       val name = l.newDataFileName(tag)
@@ -1238,7 +1307,7 @@ private[sources] final class MemStore(schema0: StructType,
     } else {
       val idx = spec.map(p => curSchema.fieldIndex(p.col)).toArray
       val dts = idx.map(curSchema(_).dataType)
-      final class OpenFile(val name: String) {
+      final class OpenFile(val name: String, val tuple: Vector[Any]) {
         val w: ParquetRowIO.RowFileWriter =
           ParquetRowIO.writer(l.dataFilePath(name), curSchema)
         val acc = new CommitStats.Acc(curSchema)
@@ -1246,6 +1315,8 @@ private[sources] final class MemStore(schema0: StructType,
       }
       val open =
         scala.collection.mutable.LinkedHashMap.empty[Vector[Any], OpenFile]
+      val runs = Vector.newBuilder[OpenFile] // preserveOrder: closed runs
+      var run: OpenFile = null
       val total = new CommitStats.Acc(curSchema)
       snap.iterator(curSchema).foreach { r =>
         val tuple = Vector.tabulate(spec.length) { j =>
@@ -1256,17 +1327,30 @@ private[sources] final class MemStore(schema0: StructType,
             case x => x
           }
         }
-        val f = open.getOrElseUpdate(tuple, new OpenFile(
-          l.newDataFileName(tag)))
+        val f =
+          if (preserveOrder) {
+            if (run == null || run.tuple != tuple) {
+              if (run != null) { run.w.close(); runs += run }
+              run = new OpenFile(l.newDataFileName(tag), tuple)
+            }
+            run
+          } else open.getOrElseUpdate(tuple, new OpenFile(
+            l.newDataFileName(tag), tuple))
         f.w.write(r)
         f.acc.add(r)
         f.n += 1
         total.add(r)
       }
-      open.values.foreach(_.w.close())
-      val refs = open.iterator.map { case (tuple, f) =>
-        FileRef(f.name, f.n, Some(f.acc.result), Some(tuple))
-      }.toSeq
+      val ordered: Seq[OpenFile] =
+        if (preserveOrder) {
+          if (run != null) { run.w.close(); runs += run }
+          runs.result()
+        } else {
+          open.values.foreach(_.w.close())
+          open.values.toSeq
+        }
+      val refs = ordered.map(f =>
+        FileRef(f.name, f.n, Some(f.acc.result), Some(f.tuple)))
       (refs, total.result)
     }
   }
@@ -1343,14 +1427,14 @@ private[sources] final class MemStore(schema0: StructType,
           else (VAppend(segs),
             for { a <- statsHist.last; b <- s } yield CommitStats.merge(a, b))
         }
-      case DropAddCommit(ver, _, removeNames, add, s) =>
+      case DropAddCommit(ver, _, removeNames, add, s, removeTuples) =>
         require(!pruned,
           s"corrupt log: pruned prefix opens with drop-add commit $ver")
         require(ver == currentVersion + 1,
           s"corrupt log: commit $ver after version $currentVersion")
         (VDropAdd(removeNames, add.map(f =>
           FileSeg(log.get.dataFilePath(f.name), f.count, f.stats,
-            f.partVals): RowSeg)), s)
+            f.partVals): RowSeg), removeTuples), s)
       case DeltaCommit(ver, _, deletes, updates, inserts, s) =>
         require(!pruned,
           s"corrupt log: pruned prefix opens with delta commit $ver")
@@ -1431,7 +1515,7 @@ private[sources] object MemStore {
       case VBase(segs) => names(segs)
       case VAppend(segs) => names(segs)
       case VRewrite(segs) => names(segs)
-      case VDropAdd(_, add) => names(add)
+      case VDropAdd(_, add, _) => names(add)
       case _ => Seq.empty
     }
   }
@@ -2061,6 +2145,17 @@ private[sources] final class MemScan private (outSchema: StructType,
               if (f.count > MemScan.TargetChunk) ParquetRowIO.blocks(f.path)
               else Vector.empty
             if (blocks.length > 1) {
+              // ROW-GROUP SKIP inside a surviving file: a block whose
+              // own footer statistics contradict the predicates plans
+              // NO slice — position bookkeeping stays exact because
+              // the block's row count is known (liveBase advances as
+              // if scanned; deletions only remove rows and cannot
+              // create matches; patched segments never skip).
+              val bstats: Map[Long, CommitStats] =
+                if (preds.nonEmpty && ls.patches.isEmpty)
+                  ParquetRowIO.blockStats(f.path, dataSchema)
+                    .map { case (b, cs) => b.startByte -> cs }.toMap
+                else Map.empty
               var phys = 0L
               var lb = liveBase
               blocks.foreach { b =>
@@ -2070,7 +2165,10 @@ private[sources] final class MemScan private (outSchema: StructType,
                 val patches = ls.patches.filter { case (pp, _) =>
                   pp >= ps && pp < pe
                 }
-                out += SegSlice(f, ps, pe, dels, patches, lb,
+                val bSkip = bstats.get(b.startByte).exists(cs =>
+                  MemFilters.contradictsStats(Some(cs), dataSchema, preds))
+                if (bSkip) MemScan.rowGroupsPruned.incrementAndGet()
+                else out += SegSlice(f, ps, pe, dels, patches, lb,
                   b.startByte, b.endByte)
                 lb += (pe - ps) - dels.length
                 phys = pe
@@ -2169,6 +2267,11 @@ private[sources] object MemScan {
   private[sources] val partPruned =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** TEST HOOK: row groups of SURVIVING files skipped by per-block
+    * footer statistics since the last reset. */
+  private[sources] val rowGroupsPruned =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** Rows per planned heap slice (and the single-partition threshold). */
   val TargetChunk: Int =
     sys.props.getOrElse("graft.catalog.scan.chunk", "8192").toInt
@@ -2237,11 +2340,20 @@ private[sources] final class SegReaderFactory(out: StructType,
       case s => s.asInstanceOf[SegSlice]
     }
     new PartitionReader[InternalRow] {
+      private val outHasPos = out.fields.exists(_.name == MemTable.PosCol)
       private val fileIter = slice.seg match {
         case FileSeg(path, _, _, _) =>
+          // hand parquet-mr the pushed filters (page/dictionary/
+          // record-level skipping INSIDE the row group) only when
+          // dropped rows can't shift anything the caller observes:
+          // no `__pos` output, no delete/patch overlay on this range.
+          // DML scans keep the exact unfiltered walk.
+          val fl = if (!direct && !outHasPos && slice.dels.isEmpty &&
+              slice.patches.isEmpty) pushed else Nil
           if (slice.byteStart >= 0)
-            ParquetRowIO.open(path, fileRead, slice.byteStart, slice.byteEnd)
-          else ParquetRowIO.open(path, fileRead)
+            ParquetRowIO.open(path, fileRead, slice.byteStart,
+              slice.byteEnd, fl)
+          else ParquetRowIO.open(path, fileRead, fl)
         case _ => null
       }
       private val memRows = slice.seg match {
@@ -2255,7 +2367,6 @@ private[sources] final class SegReaderFactory(out: StructType,
       private val fromFile = if (fileIter == null) null else srcIdx(fileRead)
       private val fromData = srcIdx(data)
       private val identityFile = fileIter != null && out == fileRead
-      private val outHasPos = out.fields.exists(_.name == MemTable.PosCol)
 
       private var phys = slice.physStart - 1
       private var live = slice.liveBase - 1
@@ -2652,7 +2763,11 @@ private[sources] final class MemOverwriteWrite(store: MemStore,
       }
       case _ => Seq.empty
     }
-    val (snap, _) = store.currentState()
+    // snapshot AND its version captured atomically: overwriteFiles
+    // re-checks the version inside its lock, so a same-JVM commit
+    // landing between this read and the publication aborts loudly
+    // instead of silently surviving the overwrite
+    val (snap, readVersion) = store.currentStateVersioned()
     // every existing segment must be a tuple-tagged file — a heap
     // insert tail could hold rows of ANY partition and cannot be
     // dropped selectively
@@ -2684,7 +2799,7 @@ private[sources] final class MemOverwriteWrite(store: MemStore,
           .map(f =>
             java.nio.file.Paths.get(f.path).getFileName.toString).toSet
     }
-    store.overwriteFiles(removeNames, add)
+    store.overwriteFiles(removeNames, add, readVersion)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -196,15 +196,12 @@ private[sources] object Snap {
     case VBase(segs) => base(segs)
     case VRewrite(segs) => base(segs) // content-identical re-layout
     case VAppend(segs) => Snap(prev.segs ++ segs.map(LiveSeg.raw))
-    case VDropAdd(remove, add) =>
-      // partition overwrite: named files leave WITH their overlays;
-      // every kept segment keeps its overlay object untouched
-      val rm = remove.toSet
-      Snap(prev.segs.filterNot(ls => ls.seg match {
-        case f: FileSeg =>
-          rm.contains(java.nio.file.Paths.get(f.path).getFileName.toString)
-        case _ => false
-      }) ++ add.map(LiveSeg.raw))
+    case da @ VDropAdd(_, add, _) =>
+      // partition overwrite: named (or tuple-matched, post-expiry)
+      // files leave WITH their overlays; every kept segment keeps its
+      // overlay object untouched
+      Snap(prev.segs.filterNot(ls => da.drops(ls.seg)) ++
+        add.map(LiveSeg.raw))
     case VMarker => prev
     case VRowDelta(deletes, updates, inserts) =>
       val n = prev.segs.length
