@@ -84,13 +84,35 @@ private[sources] object ParquetRowIO {
   // dropped-then-readded case). Output rows are positional in the
   // requested order, so consumers never see the translated names.
 
-  private val fileIdNames =
-    scala.collection.concurrent.TrieMap.empty[String, Map[Long, String]]
+  // BOUNDED footer cache: keyed by absolute file path, so vacuumed /
+  // overwritten / renamed-table files would otherwise pin entries
+  // forever in a long-lived session with churny tables. LRU-bounded —
+  // entries are cheap to rebuild from the footer on a miss.
+  private val FileIdCacheMax = 4096
+  private val fileIdNames = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Map[Long, String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[Long, String]]): Boolean =
+        size() > FileIdCacheMax
+    })
 
   /** field id -> column name of one data file's footer (cached —
     * files are immutable). Empty for pre-mapping files. */
-  private def fileIdMap(path: String): Map[Long, String] =
-    fileIdNames.getOrElseUpdate(path, {
+  private def fileIdMap(path: String): Map[Long, String] = {
+    val hit = fileIdNames.get(path)
+    if (hit != null) hit
+    else fileIdNames.synchronized {
+      val again = fileIdNames.get(path)
+      if (again != null) again
+      else {
+        val m = loadFileIdMap(path)
+        fileIdNames.put(path, m)
+        m
+      }
+    }
+  }
+
+  private def loadFileIdMap(path: String): Map[Long, String] = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(path), noCrc(new Configuration(false)))
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -101,7 +123,7 @@ private[sources] object ParquetRowIO {
           .map(f => f.getId.intValue().toLong -> f.getName)
           .toMap
       } finally r.close()
-    })
+  }
 
   private def resolveById(path: String,
       requested: StructType): StructType = {
@@ -182,16 +204,31 @@ private[sources] object ParquetRowIO {
     * copies are deep, so retained strings can't alias the buffer).
     * Closes itself on exhaustion; call `close()` for early exit. */
   final class RowFileIterator(pathStr: String, requested: StructType,
-      range: Option[(Long, Long)]) extends Iterator[InternalRow]
+      range: Option[(Long, Long)],
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      extends Iterator[InternalRow]
       with AutoCloseable {
     // id-based name translation (column mapping) happens before the
     // parquet-layer name clip; rows stay positional in `requested`
     private val effective = resolveById(pathStr, requested)
     private val reader: ParquetReader[InternalRow] = {
-      val b = ParquetReader.builder[InternalRow](new ParquetReadSupport(),
+      val b0 = ParquetReader.builder[InternalRow](new ParquetReadSupport(),
           new org.apache.hadoop.fs.Path(pathStr))
         .withConf(readConf(effective))
-      range.fold(b) { case (s, e) => b.withFileRange(s, e) }.build()
+      // PUSHED FILTERS inside the file: row-group stats, dictionary,
+      // page-index, and record-level skipping all engage under this
+      // one handoff. ONLY sound when the caller's positions don't
+      // matter (no `__pos`, no delete/patch overlay on this range) —
+      // parquet silently drops rows, so physical positions shift.
+      // The translation is a sound superset; the caller's residual
+      // evaluation stays authoritative.
+      val b1 =
+        if (filters.isEmpty) b0
+        else ParquetFilterBridge.build(requested,
+            requested.fieldNames.zip(effective.fieldNames).toMap,
+            fileColumns(pathStr), filePrimTypes(pathStr), filters)
+          .fold(b0)(f => { filtersEngaged.incrementAndGet(); b0.withFilter(f) })
+      range.fold(b1) { case (s, e) => b1.withFileRange(s, e) }.build()
     }
     private val proj = UnsafeProjection.create(effective)
     private var nextRow: InternalRow = _
@@ -217,35 +254,162 @@ private[sources] object ParquetRowIO {
   def open(path: String, requested: StructType): RowFileIterator =
     new RowFileIterator(path, requested, None)
 
+  /** Open with pushed filters handed to parquet-mr (see
+    * [[RowFileIterator]] — positions must not matter to the caller). */
+  def open(path: String, requested: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): RowFileIterator =
+    new RowFileIterator(path, requested, None, filters)
+
   /** Open only the ROW GROUPS whose byte midpoint falls in
     * [startByte, endByte) — the parquet-mr range filter Spark's own
     * file splits use. One [[blocks]] entry's range selects exactly
     * that row group. */
   def open(path: String, requested: StructType,
-      startByte: Long, endByte: Long): RowFileIterator =
-    new RowFileIterator(path, requested, Some((startByte, endByte)))
+      startByte: Long, endByte: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : RowFileIterator =
+    new RowFileIterator(path, requested, Some((startByte, endByte)), filters)
 
-  /** One row group's (startByte, endByte, rowCount). */
-  final case class Block(startByte: Long, endByte: Long, rows: Long)
+  /** TEST HOOK: how many reader opens engaged a parquet-mr filter. */
+  private[sources] val filtersEngaged =
+    new java.util.concurrent.atomic.AtomicLong
 
-  private val blockCache =
-    scala.collection.concurrent.TrieMap.empty[String, Vector[Block]]
+  /** One row group's (startByte, endByte, rowCount) plus its column
+    * statistics keyed by FILE footer column name — exact values
+    * parquet-mr recorded at write time, converted to Catalyst
+    * internal form by physical type (INT32 -> Int, INT64 -> Long,
+    * UTF8 BINARY -> UTF8String). Columns whose null count the footer
+    * doesn't state are OMITTED (pruning must never claim nulls=0 it
+    * can't prove). */
+  final case class Block(startByte: Long, endByte: Long, rows: Long,
+      cols: Map[String, ColStats] = Map.empty)
+
+  private final case class FooterInfo(blocks: Vector[Block],
+      columns: Set[String],
+      primTypes: Map[String, org.apache.parquet.schema.PrimitiveType])
+
+  // bounded like the field-id cache: churny tables would otherwise
+  // pin footer metadata of vacuumed files forever
+  private val footerCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, FooterInfo](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, FooterInfo]): Boolean =
+        size() > FileIdCacheMax
+    })
+
+  private def footerInfo(path: String): FooterInfo = {
+    val hit = footerCache.get(path)
+    if (hit != null) hit
+    else {
+      val fi = loadFooter(path)
+      footerCache.put(path, fi)
+      fi
+    }
+  }
+
+  private def loadFooter(path: String): FooterInfo = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), noCrc(new Configuration(false)))
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val fields = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      val cols = fields.iterator.map(_.getName).toSet
+      val prims = fields.iterator.filter(_.isPrimitive).map(f =>
+        f.getName -> f.asPrimitiveType()).toMap
+      val bs = r.getFooter.getBlocks.asScala.iterator.map { b =>
+        val st = b.getColumns.asScala.iterator.flatMap { c =>
+          chunkStats(c).map(c.getPath.toDotString -> _)
+        }.toMap
+        Block(b.getStartingPos, b.getStartingPos + b.getCompressedSize,
+          b.getRowCount, st)
+      }.toVector
+      FooterInfo(bs, cols, prims)
+    } finally r.close()
+  }
+
+  /** Exact per-chunk statistics -> [[ColStats]] in internal form;
+    * None when the footer doesn't state a null count (nothing can be
+    * proven) or the chunk has no statistics at all. */
+  private def chunkStats(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[ColStats] = {
+    val st = c.getStatistics
+    if (st == null || !st.isNumNullsSet) return None
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val prim = c.getPrimitiveType
+    def mm(f: Any => Any): (Option[Any], Option[Any]) =
+      if (!st.hasNonNullValue) (None, None)
+      else (Some(f(st.genericGetMin())), Some(f(st.genericGetMax())))
+    val (tracked, minMax) = prim.getPrimitiveTypeName match {
+      case INT32 => (true, mm(identity))
+      case INT64 =>
+        // an int64 TIMESTAMP is only comparable to Catalyst micros
+        // when its unit IS micros (MILLIS/NANOS stats would compare
+        // in the wrong scale)
+        val ok = prim.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+          case _ => true
+        }
+        (ok, if (ok) mm(identity) else (None, None))
+      case BINARY
+        if prim.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        (true, mm(v =>
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(
+            v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)))
+      case _ => (false, (None, None)) // float/double/bool/etc: nulls only
+    }
+    Some(ColStats(st.getNumNulls, tracked && minMax._1.isDefined,
+      minMax._1, minMax._2))
+  }
+
+  /** Top-level column names of a data file's footer (cached). */
+  private[sources] def fileColumns(path: String): Set[String] =
+    footerInfo(path).columns
+
+  /** Physical (primitive) type per top-level column of a data file —
+    * filter translation must match it exactly (an INT96 legacy
+    * timestamp cannot take an int64 predicate; an int64 MILLIS
+    * timestamp compares in the wrong scale). */
+  private[sources] def filePrimTypes(path: String)
+      : Map[String, org.apache.parquet.schema.PrimitiveType] =
+    footerInfo(path).primTypes
 
   /** Row-group layout of a data file (footer metadata, cached — data
     * files are immutable, so the layout never changes). This is what
     * lets the scan split ONE large file into parallel row-group
     * reads with exact row-position bookkeeping. */
-  def blocks(path: String): Vector[Block] =
-    blockCache.getOrElseUpdate(path, {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path), noCrc(new Configuration(false)))
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        import scala.jdk.CollectionConverters._
-        r.getFooter.getBlocks.asScala.iterator.map { b =>
-          Block(b.getStartingPos, b.getStartingPos + b.getCompressedSize,
-            b.getRowCount)
-        }.toVector
-      } finally r.close()
-    })
+  def blocks(path: String): Vector[Block] = footerInfo(path).blocks
+
+  /** Per-row-group statistics of one file keyed by the TABLE's
+    * physical column names (column-mapping translation by field id,
+    * Short/Byte coercion to the table type) — the zone-map coin
+    * [[MemFilters.contradictsStats]] consumes, so the scan planner
+    * can skip WHOLE ROW GROUPS of a surviving file with exact
+    * position bookkeeping (each block's row count is known). */
+  def blockStats(path: String, data: StructType)
+      : Vector[(Block, CommitStats)] = {
+    val effective = resolveById(path, data)
+    val nameMap = data.fieldNames.zip(effective.fieldNames).toMap
+    blocks(path).map { b =>
+      val cols = data.fields.iterator.flatMap { f =>
+        b.cols.get(nameMap.getOrElse(f.name, f.name)).map { cs =>
+          val coerce: Any => Any = f.dataType match {
+            case org.apache.spark.sql.types.ShortType =>
+              v => Short.box(v.asInstanceOf[java.lang.Integer].shortValue())
+            case org.apache.spark.sql.types.ByteType =>
+              v => Byte.box(v.asInstanceOf[java.lang.Integer].byteValue())
+            case _ => identity
+          }
+          f.name -> ColStats(cs.nulls,
+            cs.tracked && CommitStats.minMaxTracked(f.dataType),
+            cs.min.map(coerce), cs.max.map(coerce))
+        }
+      }.toMap
+      (b, CommitStats(b.rows, cols))
+    }
+  }
 }
