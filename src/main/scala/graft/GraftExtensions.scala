@@ -108,5 +108,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-plan rewrite (off unless spark.graft.joinElim.enabled):
     // RELY PK/FK constraints drop provably-redundant dimension joins
     ext.injectOptimizerRule(graft.plans.JoinElimRule)
+    // SQL surface for the catalog maintenance verbs (OPTIMIZE /
+    // VACUUM / RESTORE ... VERSION AS OF) — a ParserInterface
+    // DELEGATE: only statements opening with one of the three verbs
+    // parse here; everything else goes to Spark's parser verbatim
+    ext.injectParser((_, parser) =>
+      new graft.sources.GraftSqlParser(parser))
   }
 }

@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the production registration path: functions + conf-gated
+      // optimizer rules + the maintenance-SQL parser delegate
+      // (OPTIMIZE / VACUUM / RESTORE ... VERSION AS OF)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config(graft.sources.Tables.requiredConf)
     // extra confs from the environment — the local harness's stand-in
     // for `spark-submit --conf` (e.g. SPARK_GRAFT_EXTRA_CONF=

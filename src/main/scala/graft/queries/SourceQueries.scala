@@ -868,9 +868,10 @@ object SourceQueries {
         .createOrReplaceTempView("q307_src")
       spark.sql("INSERT INTO graftmem.optli SELECT * FROM q307_src")
       val n = spark.table("graftmem.optli").count()
-      graft.sources.MemCatalog.optimizeTable(spark, "graftmem", "optli",
-        targetFileRows = math.max(1, (n / 12).toInt),
-        zorderBy = Seq("l_orderkey", "l_partkey"))
+      // the SQL maintenance surface (GraftSqlParser) — the verb a
+      // real lakehouse user types; routes to MemCatalog.optimizeTable
+      spark.sql(s"OPTIMIZE graftmem.optli TARGET ${math.max(1, (n / 12).toInt)} " +
+        "ROWS ZORDER BY (l_orderkey, l_partkey)")
       spark.sql(
         """SELECT l_returnflag, count(*) AS n_lines,
           |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -1164,7 +1165,7 @@ object SourceQueries {
           .createOrReplaceTempView("q272_src")
         spark.sql("INSERT INTO graftmem.restq SELECT k FROM q272_src WHERE k % 3 = 0")
         spark.sql("INSERT INTO graftmem.restq SELECT k FROM q272_src WHERE k % 3 = 1")
-        graft.sources.MemCatalog.restoreSnapshot("graftmem", "restq", 1)
+        spark.sql("RESTORE TABLE graftmem.restq VERSION AS OF 1")
         def vAgg(v: Int) = spark.sql(
           s"""SELECT CAST($v AS BIGINT) AS ver, count(*) AS n_rows,
              |       min(k) AS min_k, max(k) AS max_k, sum(k) AS k_sum
@@ -1298,9 +1299,8 @@ object SourceQueries {
           .createOrReplaceTempView("q310_src")
         spark.sql("INSERT INTO graftmem.hbli SELECT * FROM q310_src")
         val n = spark.table("graftmem.hbli").count()
-        graft.sources.MemCatalog.optimizeTable(spark, "graftmem", "hbli",
-          targetFileRows = math.max(1, (n / 12).toInt),
-          zorderBy = Seq("l_orderkey", "l_suppkey"), curve = "hilbert")
+        spark.sql(s"OPTIMIZE graftmem.hbli TARGET ${math.max(1, (n / 12).toInt)} " +
+          "ROWS HILBERT BY (l_orderkey, l_suppkey)")
         spark.sql(
           """SELECT l_returnflag, count(*) AS n_lines,
             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
@@ -1494,6 +1494,36 @@ object SourceQueries {
             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
             |FROM graftmem.rgli WHERE l_orderkey BETWEEN 1200 AND 2600
             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // SQL `VACUUM ... RETAIN n VERSIONS` (snapshot expiry through the
+    // maintenance parser): two appends, then retain only the newest
+    // version — the consolidated table must hold EXACTLY the same
+    // rows (expiry is a metadata/layout operation) and `.history`'s
+    // oldest version must be the retained head. The oracle derives
+    // both from the fixture + the deterministic version arithmetic.
+    QueryDef("q316_catalog_sql_vacuum",
+      """SELECT count(*)::BIGINT AS n_rows,
+        |       sum(o_orderkey)::BIGINT AS k_sum,
+        |       CAST(2 AS BIGINT) AS oldest_ver
+        |FROM orders""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.vacq")
+      spark.sql("CREATE TABLE graftmem.vacq (k BIGINT)")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"))
+        .createOrReplaceTempView("q316_src")
+      spark.sql("INSERT INTO graftmem.vacq SELECT k FROM q316_src WHERE k % 2 = 0")
+      spark.sql("INSERT INTO graftmem.vacq SELECT k FROM q316_src WHERE k % 2 = 1")
+      spark.sql("VACUUM graftmem.vacq RETAIN 1 VERSIONS")
+      val hist = graft.sources.MemCatalog.history(spark, "graftmem", "vacq")
+        .agg(min(col("version")).cast("long").as("oldest_ver"))
+      spark.sql(
+        "SELECT count(*) AS n_rows, sum(k) AS k_sum FROM graftmem.vacq")
+        .crossJoin(hist)
     }
   )
 

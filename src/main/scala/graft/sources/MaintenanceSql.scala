@@ -1,0 +1,196 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+
+/** The SQL surface for the catalog's MAINTENANCE verbs — every
+  * lakehouse user's first maintenance action is SQL, not a Scala API:
+  *
+  * {{{
+  *   OPTIMIZE cat.tbl [TARGET <n> ROWS] [ZORDER|HILBERT BY (c1, c2)]
+  *   VACUUM cat.tbl [RETAIN <n> VERSIONS]
+  *   RESTORE [TABLE] cat.tbl VERSION AS OF <v>
+  * }}}
+  *
+  * Injected as a [[ParserInterface]] DELEGATE via
+  * `GraftExtensions` (`spark.sql.extensions`): statements opening
+  * with one of the three verbs parse here into thin
+  * [[LeafRunnableCommand]]s that route to the existing engine verbs
+  * ([[MemCatalog.optimizeTable]] / [[MemCatalog.expireSnapshots]] /
+  * [[MemCatalog.restoreSnapshot]]); EVERYTHING else — including
+  * EXPLAIN/CTE/strings that merely contain the words — delegates
+  * verbatim to Spark's parser, so the full ANSI surface is untouched.
+  * Malformed maintenance statements fail loudly at parse time with
+  * the expected grammar; unknown tables fail at execution via normal
+  * analysis (the command resolves the table through the session
+  * catalog first, which also loads the store after a restart).
+  *
+  * The Delta/Iceberg analog: `OPTIMIZE ... ZORDER BY`, `VACUUM`,
+  * `RESTORE TABLE ... VERSION AS OF` (Delta SQL), or
+  * `CALL cat.system.rewrite_data_files / expire_snapshots /
+  * rollback_to_snapshot` (Iceberg procedures). */
+final class GraftSqlParser(delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    MaintenanceSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: ParameterContext): LogicalPlan =
+    MaintenanceSql.parse(sqlText)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+
+  override def parseExpression(s: String): Expression =
+    delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String): LogicalPlan = delegate.parseQuery(s)
+  override def parseTableSchema(s: String): StructType =
+    delegate.parseTableSchema(s)
+  override def parseDataType(s: String): DataType = delegate.parseDataType(s)
+  override def parseRoutineParam(s: String): StructType =
+    delegate.parseRoutineParam(s)
+}
+
+/** Loud parse failure for a recognized-but-malformed maintenance
+  * statement (we own the verb, so falling through to Spark's parser
+  * would only produce a confusing ANTLR error). */
+final class GraftSqlParseException(msg: String)
+  extends IllegalArgumentException(msg)
+
+private[sources] object MaintenanceSql {
+
+  // identifiers: plain or backquoted, exactly catalog.table (the
+  // catalog connector's tables have no namespace level)
+  private val Id = "(?:`([^`]+)`|([A-Za-z_][A-Za-z0-9_]*))"
+  private val Tbl = s"$Id\\s*\\.\\s*$Id"
+
+  private val OptimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+""" + Tbl +
+      """(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
+      """(?:\s+(ZORDER|HILBERT)\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""").r
+  private val VacuumRe =
+    ("""(?is)^\s*VACUUM\s+""" + Tbl +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""").r
+  private val RestoreRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Tbl +
+      """\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+
+  private val Verb = """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE)\b.*""".r
+
+  private def pick(bq: String, plain: String): String =
+    if (bq != null) bq else plain
+
+  /** Some(plan) when the text is one of our verbs; None = delegate. */
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case OptimizeRe(c1, c2, t1, t2, target, curve, cols) =>
+      val colSeq =
+        if (cols == null) Nil
+        else cols.split(",").toSeq.map(_.trim.stripPrefix("`")
+          .stripSuffix("`")).filter(_.nonEmpty)
+      if (curve != null && colSeq.isEmpty)
+        throw new GraftSqlParseException(
+          s"OPTIMIZE ... ${curve.toUpperCase} BY needs at least one column")
+      Some(OptimizeTableCommand(pick(c1, c2), pick(t1, t2),
+        Option(target).map(_.toInt),
+        colSeq,
+        if (curve == null) "zorder" else curve.toLowerCase))
+    case VacuumRe(c1, c2, t1, t2, retain) =>
+      val n = Option(retain).map(_.toInt).getOrElse(1)
+      if (n < 1) throw new GraftSqlParseException(
+        "VACUUM ... RETAIN needs at least 1 version")
+      Some(VacuumTableCommand(pick(c1, c2), pick(t1, t2), n))
+    case RestoreRe(c1, c2, t1, t2, v) =>
+      Some(RestoreTableCommand(pick(c1, c2), pick(t1, t2), v.toInt))
+    case Verb(verb) =>
+      throw new GraftSqlParseException(
+        s"malformed ${verb.toUpperCase} statement. Expected one of:\n" +
+          "  OPTIMIZE cat.tbl [TARGET <n> ROWS] " +
+          "[ZORDER|HILBERT BY (c1, c2, ...)]\n" +
+          "  VACUUM cat.tbl [RETAIN <n> VERSIONS]\n" +
+          "  RESTORE [TABLE] cat.tbl VERSION AS OF <v>\n" +
+          s"got: ${sqlText.trim}")
+    case _ => None
+  }
+
+  private[sources] def summaryAttrs: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("detail", StringType, nullable = false)())
+
+  /** Resolve through the session catalog (loud AnalysisException for
+    * unknown tables; also loads the store after a restart), then hand
+    * back the live store. */
+  private[sources] def storeFor(spark: SparkSession, cat: String,
+      tbl: String): MemStore = {
+    spark.table(s"$cat.$tbl").queryExecution.analyzed // force resolution
+    MemCatalog.storeOf(cat, tbl).getOrElse(
+      throw new IllegalArgumentException(
+        s"$cat.$tbl resolved but is not a graft catalog table"))
+  }
+}
+
+/** `OPTIMIZE cat.tbl [TARGET n ROWS] [ZORDER|HILBERT BY (...)]` —
+  * routes to [[MemCatalog.optimizeTable]]. Default target: ~16
+  * bin-packed files of the current snapshot. */
+final case class OptimizeTableCommand(cat: String, tbl: String,
+    targetRows: Option[Int], zorderBy: Seq[String], curve: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = MaintenanceSql.storeFor(spark, cat, tbl)
+    val n = store.currentState()._1.count
+    val target = targetRows.getOrElse(math.max(1, (n / 16).toInt))
+    MemCatalog.optimizeTable(spark, cat, tbl, targetFileRows = target,
+      zorderBy = zorderBy, curve = curve)
+    val detail = s"optimized ${n} rows, target $target rows/file" +
+      (if (zorderBy.nonEmpty)
+        s", $curve by (${zorderBy.mkString(", ")})" else "")
+    Seq(Row(s"$cat.$tbl", detail))
+  }
+}
+
+/** `VACUUM cat.tbl [RETAIN n VERSIONS]` — snapshot expiry keeping the
+  * newest `n` versions (default 1): consolidates the oldest retained
+  * version and PHYSICALLY deletes unreferenced data files. Already
+  * within the window = no-op (idempotent, like Delta's VACUUM). */
+final case class VacuumTableCommand(cat: String, tbl: String,
+    retainVersions: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = MaintenanceSql.storeFor(spark, cat, tbl)
+    val before = store.currentVersion - retainVersions + 1
+    val detail =
+      if (before <= store.oldestVersion)
+        s"nothing to expire (window [${store.oldestVersion}, " +
+          s"${store.currentVersion}] already within $retainVersions)"
+      else {
+        MemCatalog.expireSnapshots(cat, tbl, before = before)
+        s"expired versions below $before, retained $retainVersions"
+      }
+    Seq(Row(s"$cat.$tbl", detail))
+  }
+}
+
+/** `RESTORE [TABLE] cat.tbl VERSION AS OF v` — re-commits version
+  * `v`'s row set as a NEW replace version (forward commit; history
+  * stays time-travelable). */
+final case class RestoreTableCommand(cat: String, tbl: String, version: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = MaintenanceSql.storeFor(spark, cat, tbl)
+    MemCatalog.restoreSnapshot(cat, tbl, version)
+    Seq(Row(s"$cat.$tbl",
+      s"restored version $version as version ${store.currentVersion}"))
+  }
+}

@@ -334,6 +334,13 @@ object MemCatalog {
     * purely in-memory ones must vanish. */
   private[graft] def simulateRestart(): Unit = stores.clear()
 
+  /** The live store of a loaded table (the SQL maintenance commands'
+    * lookup — they resolve through the session catalog first, which
+    * loads the store after a restart). */
+  private[sources] def storeOf(catalogName: String,
+      table: String): Option[MemStore] =
+    stores.get(catalogName + KeySep + table)
+
   /** Default durable-log root the gate surfaces point the catalog's
     * `path` option at (JVM prop override for test isolation). */
   def defaultRoot: String =

@@ -101,6 +101,12 @@ private[sources] object Partitioning {
     }
 
   // ---- spec persistence (`_partition` in the table log dir) ---------
+  //
+  // v1 (pre-evolution): bare transform lines — ONE immutable spec.
+  // v2 (spec evolution, the Iceberg model): a `#v2` header, then one
+  // `spec <id>` block per spec VERSION; the highest id is the current
+  // write spec, older ids stay resolvable because every data file's
+  // tuple records the spec id it was written under.
 
   def renderSpec(spec: Seq[PartTransform]): String =
     spec.map {
@@ -119,6 +125,49 @@ private[sources] object Partitioning {
           s"bad partition spec line: $other")
       }
     }
+
+  def renderSpecsV2(specs: Vector[Seq[PartTransform]]): String =
+    "#v2\n" + specs.zipWithIndex.map { case (s, i) =>
+      s"spec $i\n" + renderSpec(s)
+    }.mkString("\n")
+
+  def isV2(s: String): Boolean = s.startsWith("#v2")
+
+  def parseSpecsV2(s: String): Vector[Seq[PartTransform]] = {
+    require(isV2(s), "not a #v2 partition registry")
+    val out = Vector.newBuilder[Seq[PartTransform]]
+    var cur: Option[scala.collection.mutable.ArrayBuffer[PartTransform]] = None
+    s.split("\n").iterator.drop(1).filter(_.nonEmpty).foreach { line =>
+      if (line.startsWith("spec ")) {
+        cur.foreach(b => out += b.toSeq)
+        cur = Some(scala.collection.mutable.ArrayBuffer.empty)
+      } else cur.getOrElse(throw new IllegalArgumentException(
+        s"spec line before any 'spec <id>' header: $line")) ++=
+        parseSpec(line)
+    }
+    cur.foreach(b => out += b.toSeq)
+    out.result()
+  }
+
+  // ---- SELF-DESCRIBING tuple codec (v2 tables) -----------------------
+  // [specId: byte][width: byte][tagged values] — decode never needs
+  // the registry, so replay is robust to any crash window around a
+  // spec-change publication.
+
+  def writeTagged(out: DataOutputStream, specId: Int,
+      vals: Vector[Any]): Unit = {
+    require(specId >= 0 && specId <= 127 && vals.length <= 127,
+      s"spec id $specId / width ${vals.length} out of byte range")
+    out.writeByte(specId)
+    out.writeByte(vals.length)
+    write(out, vals)
+  }
+
+  def readTagged(in: DataInputStream): (Int, Vector[Any]) = {
+    val sid = in.readByte().toInt
+    val w = in.readByte().toInt
+    (sid, read(in, w))
+  }
 
   // ---- partition-tuple wire codec (inside commits/checkpoints) ------
   // tagged, self-describing values; the reader knows the tuple WIDTH
