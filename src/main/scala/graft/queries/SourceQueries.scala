@@ -1524,6 +1524,55 @@ object SourceQueries {
       spark.sql(
         "SELECT count(*) AS n_rows, sum(k) AS k_sum FROM graftmem.vacq")
         .crossJoin(hist)
+    },
+
+    // PARTITION-SPEC EVOLUTION (ALTER TABLE ... SET PARTITIONED BY,
+    // the Iceberg per-file-spec model): generation 0 lands under
+    // identity(o_orderpriority), the spec evolves to
+    // days(o_orderdate) as a METADATA-ONLY commit (no rows move),
+    // generation 1 lands under the new spec, and the probe mixes
+    // predicates over BOTH partition columns across the generations —
+    // each file prunes against its OWN spec
+    // (PartitionEvolutionSpec pins the prune counters, restart, and
+    // OPTIMIZE unification). Result-invisible: the oracle computes
+    // over raw orders.
+    QueryDef("q317_partition_evolution",
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pri, o_orderdate AS d,
+        |         round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders)
+        |SELECT pri, count(*)::BIGINT AS n,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum
+        |FROM src
+        |WHERE (k % 2 = 0 AND pri IN ('1-URGENT', '3-MEDIUM'))
+        |   OR (k % 2 = 1 AND d >= DATE '1995-01-01')
+        |GROUP BY pri ORDER BY pri""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.evoq")
+      spark.sql(
+        """CREATE TABLE graftmem.evoq (k BIGINT, pri STRING, d DATE,
+          |  cents BIGINT, gen BIGINT)
+          |PARTITIONED BY (pri)""".stripMargin)
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+          col("o_orderdate").as("d"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q317_src")
+      spark.sql(
+        "INSERT INTO graftmem.evoq SELECT k, pri, d, cents, 0 FROM q317_src WHERE k % 2 = 0")
+      spark.sql(
+        "ALTER TABLE graftmem.evoq SET PARTITIONED BY (days(d))")
+      spark.sql(
+        "INSERT INTO graftmem.evoq SELECT k, pri, d, cents, 1 FROM q317_src WHERE k % 2 = 1")
+      spark.sql(
+        """SELECT pri, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum
+          |FROM graftmem.evoq
+          |WHERE (gen = 0 AND pri IN ('1-URGENT', '3-MEDIUM'))
+          |   OR (gen = 1 AND d >= DATE '1995-01-01')
+          |GROUP BY pri ORDER BY pri""".stripMargin)
     }
   )
 

@@ -34,7 +34,8 @@ private[sources] final case class SchemaCommit(version: Int,
   * at file grain — what lets a scan SKIP whole files against pushed
   * predicates without opening them). */
 private[sources] final case class FileRef(name: String, count: Long,
-    stats: Option[CommitStats] = None, partVals: Option[Vector[Any]] = None)
+    stats: Option[CommitStats] = None, partVals: Option[Vector[Any]] = None,
+    specId: Int = 0)
 
 /** A FILE-REFERENCE commit (the Delta `add` action shape): the commit
   * file holds only [[FileRef]]s — the data itself lives in immutable
@@ -48,7 +49,16 @@ private[sources] final case class FileRef(name: String, count: Long,
 private[sources] final case class DropAddCommit(version: Int,
     tsMicros: Long, removeNames: Vector[String], add: Vector[FileRef],
     stats: Option[CommitStats] = None,
-    removeTuples: Vector[Vector[Any]] = Vector.empty) extends LogEntry
+    removeTuples: Vector[Vector[Any]] = Vector.empty,
+    removeSpecId: Int = 0) extends LogEntry
+
+/** A PARTITION-SPEC-EVOLUTION commit (kind 7, the Iceberg
+  * `ALTER TABLE ... SET PARTITIONED BY` model): records the NEW write
+  * spec and its id; rows are identical to the previous version. Old
+  * data files keep their tuples under their own spec ids. */
+private[sources] final case class SpecCommit(version: Int,
+    tsMicros: Long, specId: Int,
+    spec: Seq[PartTransform]) extends LogEntry
 
 private[sources] final case class FileCommit(version: Int, mode: Int,
     tsMicros: Long, files: Vector[FileRef],
@@ -97,12 +107,63 @@ private[sources] final case class Checkpoint(base: Int,
   * the prefix via [[expireBefore]]).
   */
 private[sources] final class CommitLog(dir: Path, initial: StructType,
-    val partSpec: Seq[PartTransform] = Nil) {
+    initialSpecs: Vector[Seq[PartTransform]],
+    val tupleV2: Boolean) {
 
   // the latest schema this log knows (updated by recordSchema; replay
   // decoders take per-commit column prefixes of it)
   @volatile private var cur: StructType = initial
   def schema: StructType = cur
+
+  // ---- PARTITION-SPEC REGISTRY (spec evolution) ---------------------
+  // Every published spec, id = index; the LAST one is the write spec.
+  // v2 tables persist the whole registry in `_partition` (rewritten on
+  // evolution) and every data-file tuple self-describes its spec id,
+  // so decode never depends on the registry and replay self-heals a
+  // crash window between marker publication and the registry rewrite.
+  @volatile private var specsV: Vector[Seq[PartTransform]] = initialSpecs
+  def specs: Vector[Seq[PartTransform]] = specsV
+  def partSpec: Seq[PartTransform] = specsV.last
+  def currentSpecId: Int = specsV.length - 1
+  def specOf(id: Int): Seq[PartTransform] =
+    if (id >= 0 && id < specsV.length) specsV(id) else Nil
+
+  /** Replay-time registry alignment (idempotent): a kind-7 commit seen
+    * during replay appends its spec when the registry (crash window)
+    * missed it. */
+  private[sources] def ensureSpec(id: Int, spec: Seq[PartTransform]): Unit =
+    if (specsV.length <= id) {
+      require(specsV.length == id,
+        s"spec id gap: registry has ${specsV.length}, commit says $id")
+      specsV = specsV :+ spec
+      CommitLog.writePartitionFile(dir, specsV)
+    }
+
+  /** Tuple block codec: v2 = self-describing [specId, width, values]
+    * with the presence boolean ALWAYS written (evolution can turn an
+    * unpartitioned table partitioned); v1 = the pre-evolution layout
+    * (presence boolean only when the table has a spec, width from the
+    * single spec). */
+  private def writeTuple(out: DataOutputStream, pv: Option[Vector[Any]],
+      specId: Int): Unit =
+    if (tupleV2) {
+      out.writeBoolean(pv.isDefined)
+      pv.foreach(Partitioning.writeTagged(out, specId, _))
+    } else if (partSpec.nonEmpty) {
+      out.writeBoolean(pv.isDefined)
+      pv.foreach(Partitioning.write(out, _))
+    }
+
+  private def readTuple(in: DataInputStream): (Option[Vector[Any]], Int) =
+    if (tupleV2) {
+      if (in.readBoolean()) {
+        val (sid, vals) = Partitioning.readTagged(in)
+        (Some(vals), sid)
+      } else (None, 0)
+    } else if (partSpec.nonEmpty) {
+      if (in.readBoolean()) (Some(Partitioning.read(in, partSpec.length)), 0)
+      else (None, 0)
+    } else (None, 0)
 
   private def commitFile(version: Int): Path =
     dir.resolve(f"$version%08d.commit")
@@ -267,13 +328,7 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
         out.writeLong(f.count)
         out.writeBoolean(f.stats.isDefined)
         f.stats.foreach(CommitStats.write(out, cur, _))
-        // partition tuple — present exactly when the table has a
-        // spec, so unpartitioned logs keep the pre-partitioning
-        // byte layout and replay unchanged
-        if (partSpec.nonEmpty) {
-          out.writeBoolean(f.partVals.isDefined)
-          f.partVals.foreach(Partitioning.write(out, _))
-        }
+        writeTuple(out, f.partVals, f.specId)
       }
       // STREAMING TRANSACTION marker (the Delta SetTransaction shape):
       // an optional (queryId, epochId) tail — absent, the file simply
@@ -293,7 +348,8 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
   def recordDropAdd(version: Int, tsMicros: Long,
       removeNames: Seq[String], add: Seq[FileRef],
       stats: CommitStats,
-      removeTuples: Seq[Vector[Any]] = Nil): Unit = {
+      removeTuples: Seq[Vector[Any]] = Nil,
+      removeSpecId: Int = 0): Unit = {
     writeCommit(version) { out =>
       out.writeByte(6)
       out.writeLong(tsMicros)
@@ -305,21 +361,45 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
         out.writeLong(f.count)
         out.writeBoolean(f.stats.isDefined)
         f.stats.foreach(CommitStats.write(out, cur, _))
-        if (partSpec.nonEmpty) {
-          out.writeBoolean(f.partVals.isDefined)
-          f.partVals.foreach(Partitioning.write(out, _))
-        }
+        writeTuple(out, f.partVals, f.specId)
       }
       // OPTIONAL TAIL (EOF-probed on read — round-14 commits lack it):
       // the overwritten partition tuples, the rename-proof removal
-      // form expiry consolidation replays against
+      // form expiry consolidation replays against (v2: tagged with
+      // the spec id the overwrite ran under)
       if (removeTuples.nonEmpty) {
         out.writeByte(1)
         out.writeInt(removeTuples.length)
-        removeTuples.foreach(Partitioning.write(out, _))
+        if (tupleV2)
+          removeTuples.foreach(Partitioning.writeTagged(out, removeSpecId, _))
+        else removeTuples.foreach(Partitioning.write(out, _))
       }
     }
     writeStats(version, stats)
+  }
+
+  /** Persist a PARTITION-SPEC-EVOLUTION commit (kind 7): the new
+    * write spec with its id. Marker publishes first; the durable
+    * registry (`_partition`) rewrites after — decode never depends on
+    * it (tuples self-describe), and replay self-heals the crash
+    * window via [[ensureSpec]]. */
+  def recordSpecChange(version: Int, tsMicros: Long,
+      spec: Seq[PartTransform]): Unit = {
+    require(tupleV2,
+      "partition-spec evolution needs the v2 table format (tables " +
+        "created before spec evolution shipped must be recreated)")
+    val id = specsV.length
+    val bytes = Partitioning.renderSpec(spec)
+      .getBytes(StandardCharsets.UTF_8)
+    writeCommit(version) { out =>
+      out.writeByte(7)
+      out.writeLong(tsMicros)
+      out.writeInt(id)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    specsV = specsV :+ spec
+    CommitLog.writePartitionFile(dir, specsV)
   }
 
   /** Persist a schema-change commit (ALTER TABLE ADD COLUMN): the
@@ -476,16 +556,17 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
           out.writeByte(0)
           out.writeInt(rows.length)
           rows.foreach(writeRow)
-        case FileSeg(path, count, fstats, pv) =>
+        case FileSeg(path, count, fstats, pv, sid) =>
           out.writeByte(1)
           out.writeUTF(java.nio.file.Paths.get(path).getFileName.toString)
           out.writeLong(count)
           out.writeBoolean(fstats.isDefined)
           fstats.foreach(CommitStats.write(out, cur, _))
-          if (partSpec.nonEmpty) {
-            out.writeBoolean(pv.isDefined)
-            pv.foreach(Partitioning.write(out, _))
-          }
+          // checkpoint tuples are ALWAYS self-describing (the file is
+          // written and read by the same code; a stale-format
+          // checkpoint falls back to full replay by design)
+          out.writeBoolean(pv.isDefined)
+          pv.foreach(Partitioning.writeTagged(out, sid, _))
       }
     }
     try {
@@ -502,13 +583,20 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
           case VBase(segs) => out.writeByte(0); writeSegs(segs)
           case VAppend(segs) => out.writeByte(1); writeSegs(segs)
           case VRewrite(segs) => out.writeByte(4); writeSegs(segs)
-          case VDropAdd(remove, add, tuples) =>
+          case VDropAdd(remove, add, tuples, rsid) =>
             out.writeByte(5)
             out.writeInt(remove.length)
             remove.foreach(out.writeUTF)
             writeSegs(add)
             out.writeInt(tuples.length)
-            tuples.foreach(Partitioning.write(out, _))
+            tuples.foreach(Partitioning.writeTagged(out, rsid, _))
+          case VSpecChange(id, spec) =>
+            out.writeByte(6)
+            out.writeInt(id)
+            val sj = Partitioning.renderSpec(spec)
+              .getBytes(StandardCharsets.UTF_8)
+            out.writeInt(sj.length)
+            out.write(sj)
           case VRowDelta(dels, upds, ins) =>
             out.writeByte(2)
             out.writeInt(dels.length)
@@ -589,9 +677,12 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
                 val count = in.readLong()
                 val fstats = if (in.readBoolean())
                   Some(CommitStats.read(in, cur)) else None
-                val pv = if (partSpec.nonEmpty && in.readBoolean())
-                  Some(Partitioning.read(in, partSpec.length)) else None
-                FileSeg(dataFilePath(name), count, fstats, pv)
+                val (pv, sid) =
+                  if (in.readBoolean()) {
+                    val (s0, v0) = Partitioning.readTagged(in)
+                    (Some(v0), s0)
+                  } else (None, 0)
+                FileSeg(dataFilePath(name), count, fstats, pv, sid)
             }
           }
           val times = Vector.newBuilder[Long]
@@ -610,9 +701,19 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
               case 5 =>
                 val names = Vector.fill(in.readInt())(in.readUTF())
                 val segs = readSegs()
-                val tuples = Vector.fill(in.readInt())(
-                  Partitioning.read(in, partSpec.length))
-                VDropAdd(names, segs, tuples)
+                var rsid = 0
+                val tuples = Vector.fill(in.readInt()) {
+                  val (s0, v0) = Partitioning.readTagged(in)
+                  rsid = s0
+                  v0
+                }
+                VDropAdd(names, segs, tuples, rsid)
+              case 6 =>
+                val id = in.readInt()
+                val sj = new Array[Byte](in.readInt())
+                in.readFully(sj)
+                VSpecChange(id, Partitioning.parseSpec(
+                  new String(sj, StandardCharsets.UTF_8)))
               case 2 =>
                 val dels = Vector.fill(in.readInt())(in.readLong())
                 val upds = Vector.fill(in.readInt()) {
@@ -682,6 +783,13 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
           val s = DataType.fromJson(new String(bytes, StandardCharsets.UTF_8))
             .asInstanceOf[StructType]
           SchemaCommit(ver, ts, s)
+        } else if (kind == 7) {
+          val id = in.readInt()
+          val bytes = new Array[Byte](in.readInt())
+          in.readFully(bytes)
+          val spec = Partitioning.parseSpec(
+            new String(bytes, StandardCharsets.UTF_8))
+          SpecCommit(ver, ts, id, spec)
         } else if (kind == 6) {
           val removeNames = Vector.fill(in.readInt())(in.readUTF())
           val add = Vector.fill(in.readInt()) {
@@ -689,17 +797,24 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
             val count = in.readLong()
             val fstats = if (in.readBoolean())
               Some(CommitStats.read(in, cur)) else None
-            val pv = if (partSpec.nonEmpty && in.readBoolean())
-              Some(Partitioning.read(in, partSpec.length)) else None
-            FileRef(name, count, fstats, pv)
+            val (pv, sid) = readTuple(in)
+            FileRef(name, count, fstats, pv, sid)
           }
           // optional tail: overwritten partition tuples (EOF probe —
           // pre-round-15 commits end here and read as name-only)
+          var removeSpecId = 0
           val removeTuples =
-            if (in.read() == 1)
-              Vector.fill(in.readInt())(Partitioning.read(in, partSpec.length))
-            else Vector.empty[Vector[Any]]
-          DropAddCommit(ver, ts, removeNames, add, stats, removeTuples)
+            if (in.read() == 1) {
+              Vector.fill(in.readInt()) {
+                if (tupleV2) {
+                  val (sid, vals) = Partitioning.readTagged(in)
+                  removeSpecId = sid
+                  vals
+                } else Partitioning.read(in, partSpec.length)
+              }
+            } else Vector.empty[Vector[Any]]
+          DropAddCommit(ver, ts, removeNames, add, stats, removeTuples,
+            removeSpecId)
         } else if (kind == 4) {
           // file-reference commit: names + counts + per-file stats —
           // replay never touches a data file, so a restart is
@@ -710,9 +825,8 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
             val count = in.readLong()
             val fstats = if (in.readBoolean())
               Some(CommitStats.read(in, cur)) else None
-            val pv = if (partSpec.nonEmpty && in.readBoolean())
-              Some(Partitioning.read(in, partSpec.length)) else None
-            FileRef(name, count, fstats, pv)
+            val (pv, sid) = readTuple(in)
+            FileRef(name, count, fstats, pv, sid)
           }
           val txn = if (in.read() == 1)
             Some((in.readUTF(), in.readLong())) else None
@@ -774,30 +888,49 @@ private[sources] object CommitLog {
     sys.props.get("graft.vacuum.grace.ms").map(_.toLong)
       .getOrElse(24L * 3600 * 1000)
 
+  /** Atomic rewrite of the v2 partition-spec registry. */
+  private[sources] def writePartitionFile(dir: Path,
+      specs: Vector[Seq[PartTransform]]): Unit = {
+    val tmp = dir.resolve("_partition.inprogress")
+    Files.writeString(tmp, Partitioning.renderSpecsV2(specs))
+    Files.move(tmp, dir.resolve("_partition"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Initialize a fresh log directory (schema written last, via temp +
-    * atomic move, so `existsAt` implies a complete creation). */
+    * atomic move, so `existsAt` implies a complete creation). New
+    * tables are always the v2 tuple format: the `_partition` registry
+    * exists even for unpartitioned tables (spec 0 = empty), so spec
+    * evolution — including unpartitioned -> partitioned — is open to
+    * every table created from here on. */
   def create(dir: Path, schema: StructType, createdMicros: Long,
       partSpec: Seq[PartTransform] = Nil): CommitLog = {
     Files.createDirectories(dir.resolve("data"))
     Files.writeString(dir.resolve("_created"), createdMicros.toString)
-    if (partSpec.nonEmpty)
-      Files.writeString(dir.resolve("_partition"),
-        Partitioning.renderSpec(partSpec))
+    writePartitionFile(dir, Vector(partSpec))
     writeSchemaFile(dir, schema)
-    new CommitLog(dir, schema, partSpec)
+    new CommitLog(dir, schema, Vector(partSpec), tupleV2 = true)
   }
 
   /** Open an existing log for replay after a restart — `_schema.json`
-    * always holds the LATEST schema. */
+    * always holds the LATEST schema; `_partition` the spec registry
+    * (v2) or the single immutable spec (v1 tables, pre-evolution
+    * layout). */
   def open(dir: Path): CommitLog = {
     val schema = DataType.fromJson(Files.readString(schemaFile(dir)))
       .asInstanceOf[StructType]
     Files.createDirectories(dir.resolve("data"))
     val pf = dir.resolve("_partition")
-    val spec =
-      if (Files.exists(pf)) Partitioning.parseSpec(Files.readString(pf))
-      else Nil
-    new CommitLog(dir, schema, spec)
+    if (!Files.exists(pf))
+      new CommitLog(dir, schema, Vector(Nil), tupleV2 = false)
+    else {
+      val txt = Files.readString(pf)
+      if (Partitioning.isV2(txt))
+        new CommitLog(dir, schema, Partitioning.parseSpecsV2(txt),
+          tupleV2 = true)
+      else new CommitLog(dir, schema, Vector(Partitioning.parseSpec(txt)),
+        tupleV2 = false)
+    }
   }
 
   def destroy(dir: Path): Unit =

@@ -85,8 +85,32 @@ private[sources] object MaintenanceSql {
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Tbl +
       """\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  // partition-spec evolution: only THIS alter form is ours — every
+  // other ALTER TABLE delegates to Spark's parser
+  private val SetPartRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+SET\s+PARTITIONED\s+BY\s*\(\s*(.*?)\s*\)\s*;?\s*$""").r
+  private val SetPartVerb =
+    """(?is)^\s*ALTER\s+TABLE\s+.*\bSET\s+PARTITIONED\s+BY\b.*""".r
 
   private val Verb = """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE)\b.*""".r
+
+  /** One transform element of a SET PARTITIONED BY list:
+    * `col` | `days(col)` | `bucket(n, col)`. */
+  private[sources] def parseTransform(raw: String): PartTransform = {
+    val t = raw.trim
+    val days = """(?i)^days\s*\(\s*`?([^`()\s]+)`?\s*\)$""".r
+    val bucket = """(?i)^bucket\s*\(\s*(\d+)\s*,\s*`?([^`()\s]+)`?\s*\)$""".r
+    val ident = """^`?([A-Za-z_][A-Za-z0-9_]*)`?$""".r
+    t match {
+      case days(c) => PDays(c)
+      case bucket(n, c) => PBucket(n.toInt, c)
+      case ident(c) => PIdentity(c)
+      case other => throw new GraftSqlParseException(
+        s"bad partition transform '$other' — expected col | days(col) " +
+          "| bucket(n, col)")
+    }
+  }
 
   private def pick(bq: String, plain: String): String =
     if (bq != null) bq else plain
@@ -112,6 +136,31 @@ private[sources] object MaintenanceSql {
       Some(VacuumTableCommand(pick(c1, c2), pick(t1, t2), n))
     case RestoreRe(c1, c2, t1, t2, v) =>
       Some(RestoreTableCommand(pick(c1, c2), pick(t1, t2), v.toInt))
+    case SetPartRe(c1, c2, t1, t2, specText) =>
+      // split on commas OUTSIDE parens — bucket(4, k) is one element
+      val parts = {
+        val out = Seq.newBuilder[String]
+        val sb = new StringBuilder
+        var depth = 0
+        specText.foreach {
+          case ',' if depth == 0 => out += sb.result(); sb.clear()
+          case c =>
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1
+            sb += c
+        }
+        out += sb.result()
+        out.result()
+      }
+      val spec = parts.map(_.trim).filter(_.nonEmpty).map(parseTransform)
+      if (spec.isEmpty) throw new GraftSqlParseException(
+        "SET PARTITIONED BY needs at least one transform " +
+          "(col | days(col) | bucket(n, col))")
+      Some(SetPartitionSpecCommand(pick(c1, c2), pick(t1, t2), spec))
+    case SetPartVerb() =>
+      throw new GraftSqlParseException(
+        "malformed ALTER TABLE ... SET PARTITIONED BY statement. " +
+          "Expected: ALTER TABLE cat.tbl SET PARTITIONED BY " +
+          s"(col | days(col) | bucket(n, col), ...)\ngot: ${sqlText.trim}")
     case Verb(verb) =>
       throw new GraftSqlParseException(
         s"malformed ${verb.toUpperCase} statement. Expected one of:\n" +
@@ -178,6 +227,23 @@ final case class VacuumTableCommand(cat: String, tbl: String,
         s"expired versions below $before, retained $retainVersions"
       }
     Seq(Row(s"$cat.$tbl", detail))
+  }
+}
+
+/** `ALTER TABLE cat.tbl SET PARTITIONED BY (...)` — PARTITION-SPEC
+  * EVOLUTION (the Iceberg model): a metadata-only commit; old files
+  * keep their tuples under their own spec ids, new writes land under
+  * the new spec, OPTIMIZE unifies the generations. */
+final case class SetPartitionSpecCommand(cat: String, tbl: String,
+    spec: Seq[PartTransform]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    MaintenanceSql.storeFor(spark, cat, tbl)
+    MemCatalog.evolvePartitionSpec(cat, tbl, spec)
+    // no cache to bust: the catalog hands out a fresh MemTable per
+    // resolution, so partitioning() reflects the new spec immediately
+    Seq(Row(s"$cat.$tbl",
+      s"partition spec evolved to (${spec.map(_.render).mkString(", ")})"))
   }
 }
 

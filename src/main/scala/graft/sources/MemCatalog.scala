@@ -341,6 +341,16 @@ object MemCatalog {
       table: String): Option[MemStore] =
     stores.get(catalogName + KeySep + table)
 
+  /** PARTITION-SPEC EVOLUTION (`ALTER TABLE ... SET PARTITIONED BY`):
+    * see [[MemStore.evolvePartitionSpec]]. */
+  def evolvePartitionSpec(catalogName: String, table: String,
+      spec: Seq[PartTransform]): Unit =
+    stores.get(catalogName + KeySep + table) match {
+      case Some(store) => store.evolvePartitionSpec(spec)
+      case None => throw new IllegalArgumentException(
+        s"evolvePartitionSpec: $catalogName.$table is not loaded in this JVM")
+    }
+
   /** Default durable-log root the gate surfaces point the catalog's
     * `path` option at (JVM prop override for test isolation). */
   def defaultRoot: String =
@@ -604,20 +614,28 @@ private[sources] final case class VRewrite(segs: Vector[RowSeg])
   * overwritten partition — matching by tuple is rename-proof. */
 private[sources] final case class VDropAdd(removeNames: Vector[String],
     add: Vector[RowSeg],
-    removeTuples: Vector[Vector[Any]] = Vector.empty) extends VDelta {
+    removeTuples: Vector[Vector[Any]] = Vector.empty,
+    removeSpecId: Int = 0) extends VDelta {
   @transient private lazy val nameSet = removeNames.toSet
   @transient private lazy val tupleSet = removeTuples.toSet
   /** Does this overwrite drop the given segment? Name match covers
     * files live at commit time; tuple match covers the same partition
-    * content after expiry consolidation renamed the files. */
+    * content after expiry consolidation renamed the files — spec-id
+    * guarded, so a tuple under an EVOLVED spec can never alias one
+    * recorded under the overwrite's spec. */
   def drops(seg: RowSeg): Boolean = seg match {
     case f: FileSeg =>
       nameSet.contains(
         java.nio.file.Paths.get(f.path).getFileName.toString) ||
-        f.partVals.exists(tupleSet.contains)
+        (f.specId == removeSpecId && f.partVals.exists(tupleSet.contains))
     case _ => false
   }
 }
+
+/** PARTITION-SPEC-EVOLUTION marker (rows identical; subsequent writes
+  * land under the new spec; old files keep their tuples + spec id). */
+private[sources] final case class VSpecChange(specId: Int,
+    spec: Seq[PartTransform]) extends VDelta
 
 private[sources] object VDelta {
   /** Apply one version delta to a materialized row vector — the
@@ -632,6 +650,7 @@ private[sources] object VDelta {
       case VRewrite(segs) => segs.flatMap(memRows)
       case VAppend(segs) => prev ++ segs.flatMap(memRows)
       case VMarker => prev
+      case _: VSpecChange => prev
       case VRowDelta(deletes, updates, inserts) =>
         val del = deletes.toSet
         val upd = updates.toMap
@@ -704,6 +723,46 @@ private[sources] final class MemStore(schema0: StructType,
 
   /** Partition spec (durable tables; Nil = unpartitioned). */
   def partSpec: Seq[PartTransform] = log.map(_.partSpec).getOrElse(Nil)
+
+  /** Full spec registry (spec evolution); id = index, last = write
+    * spec. Heap tables: one empty spec. */
+  def specsAll: Vector[Seq[PartTransform]] =
+    log.map(_.specs).getOrElse(Vector(Nil))
+  def currentSpecId: Int = specsAll.length - 1
+  def specOf(id: Int): Seq[PartTransform] =
+    log.map(_.specOf(id)).getOrElse(Nil)
+
+  /** ALTER TABLE ... SET PARTITIONED BY — PARTITION-SPEC EVOLUTION
+    * (the Iceberg model): publishes a new write spec as its own
+    * commit version. Old data files keep their tuples under their own
+    * spec ids (pruning consults each file's spec); new writes land
+    * under the new spec; OPTIMIZE rewrites the whole plane under the
+    * current spec, unifying the generations. Rows are untouched —
+    * evolution is a metadata operation, which at 100 TB is the whole
+    * point (no table rewrite to change time-partitioning grain). */
+  def evolvePartitionSpec(newSpec: Seq[PartTransform]): Unit = synchronized {
+    val l = log.getOrElse(throw new UnsupportedOperationException(
+      "partition-spec evolution needs a durable (file-backed) table"))
+    Partitioning.validate(newSpec, ColumnMapping.logical(curSchema))
+    require(newSpec != partSpec, "SET PARTITIONED BY: spec unchanged")
+    def attempt(nextVer: Int): Unit = {
+      val t = MemStore.nowMicros()
+      l.recordSpecChange(nextVer, t, newSpec)
+      entries = entries :+ VSpecChange(l.currentSpecId, newSpec)
+      statsHist = statsHist :+ statsHist.last
+      schemaHist = schemaHist :+ curSchema
+      counts = counts :+ counts.last
+      times = times :+ t
+    }
+    // rebase over appends; any other concurrent commit aborts (an
+    // in-flight overwrite/delta computed under the old spec must not
+    // silently interleave with the spec change)
+    publishWithRetry(l)(es => if (!appendsOnly(es))
+      throw new java.util.ConcurrentModificationException(
+        "concurrent non-append commits conflict with SET PARTITIONED BY"))(
+      attempt)
+    maybeCheckpoint()
+  }
 
   /** One consistent (snapshot, statistics) pair under a single
     * synchronized read — a scan capturing the two separately could
@@ -900,7 +959,7 @@ private[sources] final class MemStore(schema0: StructType,
       txn.foreach { case (q, e) => txns = txns.updated(q, e) }
       val segs: Vector[RowSeg] =
         files.iterator.map(f => FileSeg(l.dataFilePath(f.name), f.count,
-          f.stats, f.partVals)).toVector
+          f.stats, f.partVals, f.specId)).toVector
       if (mode == FileCommit.Append) {
         statsHist = statsHist :+ statsHist.last.map(CommitStats.merge(_, cs))
         cur = Snap(cur.segs ++ segs.map(LiveSeg.raw))
@@ -947,16 +1006,19 @@ private[sources] final class MemStore(schema0: StructType,
         val t = MemStore.nowMicros()
         val addSegs: Vector[RowSeg] = add.iterator.map(f =>
           FileSeg(l.dataFilePath(f.name), f.count, f.stats,
-            f.partVals): RowSeg).toVector
+            f.partVals, f.specId): RowSeg).toVector
         // record the overwritten partition tuples alongside the names:
         // the rename-proof form expiry consolidation needs (see
-        // [[VDropAdd]])
+        // [[VDropAdd]]) — all under one spec id (the write guard
+        // requires a current-spec-only file plane)
         val removeTuples = cur.segs.iterator.map(_.seg).collect {
           case f: FileSeg if removeNames.contains(
             java.nio.file.Paths.get(f.path).getFileName.toString) &&
             f.partVals.isDefined => f.partVals.get
         }.toVector.distinct
-        val d = VDropAdd(removeNames.toVector.sorted, addSegs, removeTuples)
+        val removeSpecId = l.currentSpecId
+        val d = VDropAdd(removeNames.toVector.sorted, addSegs, removeTuples,
+          removeSpecId)
         val next0 = Snap.applyDelta(cur, d)
         // exact result stats from metadata + the overlaid few
         val kept = cur.segs.filterNot(ls => d.drops(ls.seg))
@@ -980,7 +1042,8 @@ private[sources] final class MemStore(schema0: StructType,
           if (exact) parts.result()
             .foldLeft(CommitStats.empty(curSchema))(CommitStats.merge)
           else CommitStats.of(next0.iterator(curSchema), curSchema)
-        l.recordDropAdd(next, t, d.removeNames, add, st, d.removeTuples)
+        l.recordDropAdd(next, t, d.removeNames, add, st, d.removeTuples,
+          d.removeSpecId)
         statsHist = statsHist :+ Some(st)
         cur = next0
         entries = entries :+ d
@@ -1119,7 +1182,7 @@ private[sources] final class MemStore(schema0: StructType,
             emit("delete", v, prev.iterator(curSchema))
             segs.foreach(s => emit("insert", v, MemStore.segRows(s, curSchema)))
           case VRewrite(_) => () // dataChange = false: no feed rows
-          case da @ VDropAdd(_, add, _) =>
+          case da @ VDropAdd(_, add, _, _) =>
             prev.segs.foreach { ls =>
               if (da.drops(ls.seg))
                 emit("delete", v, Snap(Vector(ls)).iterator(curSchema))
@@ -1135,6 +1198,7 @@ private[sources] final class MemStore(schema0: StructType,
             }
             ins.foreach(r => out += (("insert", v.toLong, r)))
           case VMarker => ()
+          case _: VSpecChange => ()
         }
         prev = Snap.applyDelta(prev, d)
         v += 1
@@ -1159,7 +1223,7 @@ private[sources] final class MemStore(schema0: StructType,
       entries.slice(fromV - base, toV - base + 1).flatMap {
         case VAppend(segs) => segs
         case VBase(segs) => segs
-        case VDropAdd(_, add, _) => add // the overwrite's fresh rows
+        case VDropAdd(_, add, _, _) => add // the overwrite's fresh rows
         case VRowDelta(_, _, ins) if ins.nonEmpty => Vector(MemSeg(ins))
         case _ => Vector.empty // markers and dataChange-false rewrites
       }
@@ -1215,6 +1279,13 @@ private[sources] final class MemStore(schema0: StructType,
           s"expireBefore($before): a retained partition overwrite " +
             "records file names only (pre-tuple log format); it cannot " +
             "re-apply over consolidated files — expire at or above it")
+      case da: VDropAdd if log.exists(_.currentSpecId != da.removeSpecId) =>
+        // consolidation writes CURRENT-spec tuples; a retained
+        // overwrite recorded under an older spec would match nothing
+        throw new UnsupportedOperationException(
+          s"expireBefore($before): a retained partition overwrite was " +
+            "committed under an evolved-away partition spec — expire at " +
+            "or above it (or OPTIMIZE first)")
       case _ => ()
     }
     // a retained row-level delta addresses POSITIONS of the live
@@ -1356,8 +1427,9 @@ private[sources] final class MemStore(schema0: StructType,
           open.values.foreach(_.w.close())
           open.values.toSeq
         }
+      val sid = l.currentSpecId
       val refs = ordered.map(f =>
-        FileRef(f.name, f.n, Some(f.acc.result), Some(f.tuple)))
+        FileRef(f.name, f.n, Some(f.acc.result), Some(f.tuple), sid))
       (refs, total.result)
     }
   }
@@ -1420,7 +1492,7 @@ private[sources] final class MemStore(schema0: StructType,
         }
         val segs: Vector[RowSeg] = files.map(f =>
           FileSeg(log.get.dataFilePath(f.name), f.count, f.stats,
-            f.partVals))
+            f.partVals, f.specId))
         if (pruned) {
           require(mode != FileCommit.Append,
             s"corrupt log: first retained commit $ver is not self-contained")
@@ -1434,14 +1506,25 @@ private[sources] final class MemStore(schema0: StructType,
           else (VAppend(segs),
             for { a <- statsHist.last; b <- s } yield CommitStats.merge(a, b))
         }
-      case DropAddCommit(ver, _, removeNames, add, s, removeTuples) =>
+      case DropAddCommit(ver, _, removeNames, add, s, removeTuples,
+          removeSpecId) =>
         require(!pruned,
           s"corrupt log: pruned prefix opens with drop-add commit $ver")
         require(ver == currentVersion + 1,
           s"corrupt log: commit $ver after version $currentVersion")
         (VDropAdd(removeNames, add.map(f =>
           FileSeg(log.get.dataFilePath(f.name), f.count, f.stats,
-            f.partVals): RowSeg), removeTuples), s)
+            f.partVals, f.specId): RowSeg), removeTuples, removeSpecId), s)
+      case SpecCommit(ver, _, specId, spec) =>
+        require(!pruned,
+          s"corrupt log: pruned prefix opens with spec commit $ver")
+        require(ver == currentVersion + 1,
+          s"corrupt log: commit $ver after version $currentVersion")
+        // align the registry (idempotent — self-heals the crash
+        // window between marker publication and the registry rewrite)
+        log.foreach(_.ensureSpec(specId, spec))
+        (VSpecChange(specId, spec),
+          if (statsHist.isEmpty) None else statsHist.last)
       case DeltaCommit(ver, _, deletes, updates, inserts, s) =>
         require(!pruned,
           s"corrupt log: pruned prefix opens with delta commit $ver")
@@ -1510,19 +1593,19 @@ private[sources] object MemStore {
   def segRows(seg: RowSeg, schema: StructType): Iterator[InternalRow] =
     seg match {
       case MemSeg(rows) => rows.iterator
-      case FileSeg(path, _, _, _) => ParquetRowIO.open(path, schema)
+      case FileSeg(path, _, _, _, _) => ParquetRowIO.open(path, schema)
     }
 
   def fileNamesOf(d: VDelta): Seq[String] = {
     def names(segs: Vector[RowSeg]): Seq[String] = segs.collect {
-      case FileSeg(path, _, _, _) =>
+      case FileSeg(path, _, _, _, _) =>
         java.nio.file.Paths.get(path).getFileName.toString
     }
     d match {
       case VBase(segs) => names(segs)
       case VAppend(segs) => names(segs)
       case VRewrite(segs) => names(segs)
-      case VDropAdd(_, add, _) => names(add)
+      case VDropAdd(_, add, _, _) => names(add)
       case _ => Seq.empty
     }
   }
@@ -1944,7 +2027,7 @@ private[sources] final class MemScanBuilder(store: MemStore,
           required.getOrElse(ColumnMapping.logical(dataSchema)),
           dataSchema, snap, stats,
           pushedArr.toSeq, streamStore = streamStore,
-          partSpec = store.partSpec)
+          specs = store.specsAll)
     }
 }
 
@@ -1980,7 +2063,7 @@ private[sources] final class MemScan private (outSchema: StructType,
     pushed: Seq[org.apache.spark.sql.sources.Filter],
     direct: Boolean,
     streamStore: Option[MemStore],
-    partSpec: Seq[PartTransform])
+    specs: Vector[Seq[PartTransform]])
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -1990,9 +2073,16 @@ private[sources] final class MemScan private (outSchema: StructType,
       stats: Option[CommitStats],
       pushed: Seq[org.apache.spark.sql.sources.Filter],
       streamStore: Option[MemStore],
-      partSpec: Seq[PartTransform] = Nil) =
+      specs: Vector[Seq[PartTransform]] = Vector(Nil)) =
     this(outSchema, dataSchema, snap, stats, pushed, direct = false,
-      streamStore, partSpec)
+      streamStore, specs)
+
+  /** The WRITE spec (current) — SPJ key reporting and DPP attribute
+    * offers address it; per-FILE pruning uses each file's own spec. */
+  private def partSpec: Seq[PartTransform] = specs.last
+  private def currentSpecId: Int = specs.length - 1
+  private def specOf(id: Int): Seq[PartTransform] =
+    if (id >= 0 && id < specs.length) specs(id) else Nil
 
   /** STORAGE-PARTITIONED JOIN eligibility: every live segment is a
     * data file carrying its partition tuple, the spec is identity
@@ -2008,7 +2098,8 @@ private[sources] final class MemScan private (outSchema: StructType,
       partSpec.forall(_.isInstanceOf[PIdentity])
     val clean = !direct && identityOnly && snap.segs.nonEmpty &&
       snap.segs.forall(ls => ls.patches.isEmpty && (ls.seg match {
-        case f: FileSeg => f.partVals.isDefined
+        case f: FileSeg =>
+          f.partVals.isDefined && f.specId == currentSpecId
         case _ => false
       }))
     if (!clean) None
@@ -2135,7 +2226,7 @@ private[sources] final class MemScan private (outSchema: StructType,
           val preds = preds0
           val partSkip = preds.nonEmpty && ls.patches.isEmpty &&
             f.partVals.exists(pv => Partitioning.contradicts(
-              partSpec, pv, dataSchema, f.count, preds))
+              specOf(f.specId), pv, dataSchema, f.count, preds))
           if (partSkip) MemScan.partPruned.incrementAndGet()
           val skip = partSkip || (preds.nonEmpty && ls.patches.isEmpty &&
             MemFilters.contradictsStats(f.stats, dataSchema, preds))
@@ -2289,7 +2380,7 @@ private[sources] object MemScan {
   def direct(schema: StructType, row: InternalRow): MemScan =
     new MemScan(schema, schema,
       Snap(Vector(LiveSeg.raw(MemSeg(Vector(row))))), None, Seq.empty,
-      direct = true, streamStore = None, partSpec = Nil)
+      direct = true, streamStore = None, specs = Vector(Nil))
 
   /** Chunked overlay-free slices of one heap row vector (the
     * `.changes` feed's partition planning). */
@@ -2349,7 +2440,7 @@ private[sources] final class SegReaderFactory(out: StructType,
     new PartitionReader[InternalRow] {
       private val outHasPos = out.fields.exists(_.name == MemTable.PosCol)
       private val fileIter = slice.seg match {
-        case FileSeg(path, _, _, _) =>
+        case FileSeg(path, _, _, _, _) =>
           // hand parquet-mr the pushed filters (page/dictionary/
           // record-level skipping INSIDE the row group) only when
           // dropped rows can't shift anything the caller observes:
@@ -2618,7 +2709,7 @@ private[sources] final class MemWrite(store: MemStore, mode: Int,
               Seq(FileRef(name, count, Some(s)))
             case MemPartFilesCommit(files) => files.collect {
               case pf if pf.count > 0 =>
-                FileRef(pf.name, pf.count, Some(pf.stats), Some(pf.partVals))
+                FileRef(pf.name, pf.count, Some(pf.stats), Some(pf.partVals), pf.specId)
             }
             case _ => Seq.empty
           }
@@ -2670,7 +2761,8 @@ private[sources] final class MemWrite(store: MemStore, mode: Int,
     val l2p = ColumnMapping.logicalToPhys(phys)
     store.dataDirStr match {
       case Some(dir) if store.partSpec.nonEmpty =>
-        new PartFileWriterFactory(dir, phys, l2p, store.partSpec)
+        new PartFileWriterFactory(dir, phys, l2p, store.partSpec,
+          store.currentSpecId)
       case Some(dir) => new FileWriterFactory(dir, phys, l2p)
       case None => new HeapWriterFactory(phys, l2p)
     }
@@ -2686,7 +2778,7 @@ private[sources] final class MemWrite(store: MemStore, mode: Int,
           Seq(FileRef(name, count, Some(s)))
         case MemPartFilesCommit(files) => files.collect {
           case pf if pf.count > 0 =>
-            FileRef(pf.name, pf.count, Some(pf.stats), Some(pf.partVals))
+            FileRef(pf.name, pf.count, Some(pf.stats), Some(pf.partVals), pf.specId)
         }
         case _ => Seq.empty
       }
@@ -2759,14 +2851,15 @@ private[sources] final class MemOverwriteWrite(store: MemStore,
     }
     val phys = store.physSchema
     new PartFileWriterFactory(store.dataDirStr.get, phys,
-      ColumnMapping.logicalToPhys(phys), store.partSpec)
+      ColumnMapping.logicalToPhys(phys), store.partSpec,
+      store.currentSpecId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val add = messages.toSeq.flatMap {
       case MemPartFilesCommit(files) => files.collect {
         case pf if pf.count > 0 =>
-          FileRef(pf.name, pf.count, Some(pf.stats), Some(pf.partVals))
+          FileRef(pf.name, pf.count, Some(pf.stats), Some(pf.partVals), pf.specId)
       }
       case _ => Seq.empty
     }
@@ -2778,8 +2871,14 @@ private[sources] final class MemOverwriteWrite(store: MemStore,
     // every existing segment must be a tuple-tagged file — a heap
     // insert tail could hold rows of ANY partition and cannot be
     // dropped selectively
+    val curSpecId = store.currentSpecId
     snap.segs.foreach(ls => ls.seg match {
-      case f: FileSeg if f.partVals.isDefined => ()
+      case f: FileSeg if f.partVals.isDefined && f.specId == curSpecId => ()
+      case f: FileSeg if f.partVals.isDefined =>
+        throw new UnsupportedOperationException(
+          "partition overwrite needs every data file under the CURRENT " +
+            "partition spec (run OPTIMIZE first to rewrite evolved-away " +
+            "generations)")
       case _ => throw new UnsupportedOperationException(
         "partition overwrite needs a fully partitioned file plane " +
           "(run OPTIMIZE first to fold row-level inserts into files)")
@@ -2825,7 +2924,8 @@ private[sources] final class MemOverwriteWrite(store: MemStore,
   * carrying its tuple and its own folded stats. Tuple values are
   * copied on capture — file-backed input rows are volatile. */
 private[sources] final class PartFileWriterFactory(dir: String,
-    schema: StructType, l2p: Array[Int], spec: Seq[PartTransform])
+    schema: StructType, l2p: Array[Int], spec: Seq[PartTransform],
+    specId: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
@@ -2863,7 +2963,7 @@ private[sources] final class PartFileWriterFactory(dir: String,
       override def commit(): WriterCommitMessage = {
         open.values.foreach(_.w.close())
         MemPartFilesCommit(open.iterator.map { case (tuple, f) =>
-          PartFile(f.name, f.n, f.acc.result, tuple)
+          PartFile(f.name, f.n, f.acc.result, tuple, specId)
         }.toVector)
       }
       override def abort(): Unit = open.values.foreach { f =>
@@ -2876,7 +2976,7 @@ private[sources] final class PartFileWriterFactory(dir: String,
 }
 
 private[sources] final case class PartFile(name: String, count: Long,
-    stats: CommitStats, partVals: Vector[Any])
+    stats: CommitStats, partVals: Vector[Any], specId: Int)
 
 private[sources] final case class MemPartFilesCommit(files: Vector[PartFile])
   extends WriterCommitMessage
@@ -3115,7 +3215,7 @@ private[sources] final class MetaTable(tableName: String, store: MemStore,
       val (snap, _) = store.currentState()
       snap.segs.groupBy(_.seg match {
         case f: FileSeg => f.partVals.map(pv =>
-          Partitioning.renderVals(store.partSpec, pv))
+          Partitioning.renderVals(store.specOf(f.specId), pv))
         case _ => None
       }).toVector.sortBy(_._1.getOrElse("~")).iterator.map {
         case (part, group) =>
@@ -3136,7 +3236,8 @@ private[sources] final class MetaTable(tableName: String, store: MemStore,
               java.nio.file.Paths.get(f.path).getFileName.toString),
               f.partVals.map(pv =>
                 org.apache.spark.unsafe.types.UTF8String.fromString(
-                  Partitioning.renderVals(store.partSpec, pv))).orNull)
+                  Partitioning.renderVals(store.specOf(f.specId), pv)))
+                .orNull)
           case _ => (null, null)
         }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

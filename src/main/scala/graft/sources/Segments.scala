@@ -25,7 +25,8 @@ private[sources] final case class MemSeg(rows: Vector[InternalRow])
   * plans against before stats are even consulted. */
 private[sources] final case class FileSeg(path: String, count: Long,
     stats: Option[CommitStats] = None,
-    partVals: Option[Vector[Any]] = None) extends RowSeg
+    partVals: Option[Vector[Any]] = None,
+    specId: Int = 0) extends RowSeg
 
 /** One segment of the LIVE view of a snapshot: the immutable segment
   * plus the row-level overlay accumulated by later `WriteDelta`
@@ -86,7 +87,7 @@ private[sources] final case class Snap(segs: Vector[LiveSeg]) {
       if (backed.nonEmpty) ls.seg match {
         case MemSeg(rows) =>
           backed.foreach { case (p, (_, phys)) => out += p -> rows(phys.toInt) }
-        case FileSeg(path, _, _, _) =>
+        case FileSeg(path, _, _, _, _) =>
           val wanted = backed.map { case (p, (_, phys)) => phys -> p }.toMap
           val maxPhys = wanted.keys.max
           val it = ParquetRowIO.open(path, schema)
@@ -111,7 +112,7 @@ private[sources] final case class Snap(segs: Vector[LiveSeg]) {
     segs.iterator.flatMap { ls =>
       val base: Iterator[InternalRow] = ls.seg match {
         case MemSeg(rows) => rows.iterator
-        case FileSeg(path, _, _, _) => ParquetRowIO.open(path, schema)
+        case FileSeg(path, _, _, _, _) => ParquetRowIO.open(path, schema)
       }
       overlaid(ls, base)
     }
@@ -159,7 +160,7 @@ private[sources] final case class Snap(segs: Vector[LiveSeg]) {
             if (field >= r.numFields || r.isNullAt(field)) null
             else r.get(field, dt))
         }
-        case FileSeg(path, _, _, _) =>
+        case FileSeg(path, _, _, _, _) =>
           val one = StructType(Array(schema(field)))
           ParquetRowIO.open(path, one).zipWithIndex.map { case (r, i) =>
             (i.toLong, if (r.isNullAt(0)) null else r.get(0, dt))
@@ -196,13 +197,14 @@ private[sources] object Snap {
     case VBase(segs) => base(segs)
     case VRewrite(segs) => base(segs) // content-identical re-layout
     case VAppend(segs) => Snap(prev.segs ++ segs.map(LiveSeg.raw))
-    case da @ VDropAdd(_, add, _) =>
+    case da @ VDropAdd(_, add, _, _) =>
       // partition overwrite: named (or tuple-matched, post-expiry)
       // files leave WITH their overlays; every kept segment keeps its
       // overlay object untouched
       Snap(prev.segs.filterNot(ls => da.drops(ls.seg)) ++
         add.map(LiveSeg.raw))
     case VMarker => prev
+    case _: VSpecChange => prev
     case VRowDelta(deletes, updates, inserts) =>
       val n = prev.segs.length
       val newDels = Array.fill(n)(Vector.newBuilder[Long])
