@@ -1573,6 +1573,73 @@ object SourceQueries {
           |WHERE (gen = 0 AND pri IN ('1-URGENT', '3-MEDIUM'))
           |   OR (gen = 1 AND d >= DATE '1995-01-01')
           |GROUP BY pri ORDER BY pri""".stripMargin)
+    },
+
+    // BUCKET storage-partitioned join (the Iceberg bucket-SPJ case,
+    // q313's shape on bucket transforms): both sides partitioned
+    // bucket(8, key), the scans report KeyGroupedPartitioning over a
+    // TransformExpression resolved through the catalog's
+    // FunctionCatalog (graft.bucket = the write-side Murmur3 hash),
+    // and the join plans ZERO exchanges (BucketSpjSpec pins the plan
+    // and the mismatched-count fallback). Oracle: the same join over
+    // the raw tables.
+    QueryDef("q318_bucket_spj",
+      """WITH f AS (SELECT o_custkey % 25 AS nk, o_totalprice FROM orders),
+        |d AS (SELECT n_nationkey AS nk, n_name FROM nation)
+        |SELECT d.n_name, count(*)::BIGINT AS n_orders,
+        |       CAST(sum(CAST(round(f.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM f JOIN d ON f.nk = d.nk
+        |GROUP BY d.n_name ORDER BY d.n_name""".stripMargin) {
+      (spark, dir) =>
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmem.path",
+          graft.sources.MemCatalog.defaultRoot)
+        spark.sql("DROP TABLE IF EXISTS graftmem.bspjf")
+        spark.sql("DROP TABLE IF EXISTS graftmem.bspjd")
+        spark.sql(
+          """CREATE TABLE graftmem.bspjf (nk BIGINT, cents BIGINT)
+            |PARTITIONED BY (bucket(8, nk))""".stripMargin)
+        spark.sql(
+          """CREATE TABLE graftmem.bspjd (nk BIGINT, n_name STRING)
+            |PARTITIONED BY (bucket(8, nk))""".stripMargin)
+        Tables.load(spark, dir, "orders")
+          .select((col("o_custkey") % 25).as("nk"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q318_f")
+        Tables.load(spark, dir, "nation")
+          .select(col("n_nationkey").as("nk"), col("n_name"))
+          .createOrReplaceTempView("q318_d")
+        spark.sql("INSERT INTO graftmem.bspjf SELECT * FROM q318_f")
+        spark.sql("INSERT INTO graftmem.bspjd SELECT * FROM q318_d")
+        val prevB =
+          spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val prevT =
+          spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val df = spark.sql(
+            """SELECT d.n_name, count(*) AS n_orders,
+              |       CAST(sum(f.cents) AS BIGINT) AS cents
+              |FROM graftmem.bspjf f JOIN graftmem.bspjd d ON f.nk = d.nk
+              |GROUP BY d.n_name ORDER BY d.n_name""".stripMargin)
+          df.collect() // materialize under the SPJ confs
+          df
+        } finally {
+          prevB match {
+            case Some(v) =>
+              spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+            case None =>
+              spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+          }
+          prevT match {
+            case Some(v) =>
+              spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+            case None =>
+              spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          }
+        }
     }
   )
 

@@ -6,7 +6,8 @@ import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException,
+  NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference,
   Transform}
@@ -45,9 +46,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * through real `MERGE INTO` text against the same DuckDB oracle,
   * proving a migrating warehouse user can keep their MERGE statements.
   */
-class MemCatalog extends TableCatalog {
+class MemCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
+
+  // ---- FunctionCatalog: the partition-transform functions ----------
+  // What lets Spark evaluate a BUCKET transform on the OTHER side of
+  // a join: two tables partitioned `bucket(n, k)` report
+  // KeyGroupedPartitioning over a TransformExpression that resolves
+  // through here, and the join plans with ZERO exchanges (the Iceberg
+  // bucket-SPJ case). The bound function IS the write-side hash
+  // ([[Partitioning.bucketOf]] — Spark Murmur3, pmod), so key groups
+  // agree with the files' recorded tuples by construction.
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name.toLowerCase match {
+      case "bucket" => MemCatalog.BucketUnbound
+      case other => throw new NoSuchFunctionException(ident)
+    }
 
   private var logRoot: Option[java.nio.file.Path] = None
 
@@ -340,6 +361,41 @@ object MemCatalog {
   private[sources] def storeOf(catalogName: String,
       table: String): Option[MemStore] =
     stores.get(catalogName + KeySep + table)
+
+  /** The v2 `bucket(numBuckets, col)` function — the write-side hash
+    * ([[Partitioning.bucketOf]]: Spark Murmur3 seed 42, pmod) exposed
+    * through the FunctionCatalog so Spark can evaluate the transform
+    * during storage-partitioned-join planning. `canonicalName` is what
+    * Spark compares across the two join sides — equal names + equal
+    * bucket counts = co-partitioned. */
+  private[sources] object BucketUnbound
+      extends org.apache.spark.sql.connector.catalog.functions
+        .UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(numBuckets, col) - graft catalog partition transform"
+    override def bind(inputType: StructType)
+        : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+      require(inputType.length == 2,
+        s"bucket expects (numBuckets, col), got ${inputType.length} args")
+      val dt = inputType(1).dataType
+      new org.apache.spark.sql.connector.catalog.functions
+          .ScalarFunction[Integer] {
+        override def inputTypes(): Array[org.apache.spark.sql.types
+          .DataType] = Array(inputType(0).dataType, dt)
+        override def resultType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.IntegerType
+        override def name(): String = "bucket"
+        override def canonicalName(): String = "graft.bucket"
+        override def isResultNullable: Boolean = true
+        override def produceResult(input: InternalRow): Integer = {
+          if (input.isNullAt(1)) null
+          else Int.box(Partitioning.bucketOf(
+            input.get(1, dt), dt, input.getInt(0)))
+        }
+      }
+    }
+  }
 
   /** PARTITION-SPEC EVOLUTION (`ALTER TABLE ... SET PARTITIONED BY`):
     * see [[MemStore.evolvePartitionSpec]]. */
@@ -2094,9 +2150,15 @@ private[sources] final class MemScan private (outSchema: StructType,
     * a join of two tables partitioned on the key plans NO exchange
     * (spark.sql.sources.v2.bucketing.enabled). */
   private lazy val spjKeys: Option[Vector[Vector[Any]]] = {
-    val identityOnly = partSpec.nonEmpty &&
-      partSpec.forall(_.isInstanceOf[PIdentity])
-    val clean = !direct && identityOnly && snap.segs.nonEmpty &&
+    // identity keys need no function; bucket keys resolve through the
+    // catalog's FunctionCatalog (graft.bucket) on BOTH join sides —
+    // days is excluded (a days-grain SPJ equi-join is rarely the
+    // user's join key and Spark would need the function for it too)
+    val spjAble = partSpec.nonEmpty && partSpec.forall {
+      case _: PIdentity | _: PBucket => true
+      case _ => false
+    }
+    val clean = !direct && spjAble && snap.segs.nonEmpty &&
       snap.segs.forall(ls => ls.patches.isEmpty && (ls.seg match {
         case f: FileSeg =>
           f.partVals.isDefined && f.specId == currentSpecId
@@ -2117,9 +2179,14 @@ private[sources] final class MemScan private (outSchema: StructType,
       case Some(keys) =>
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
-            partSpec.map(p => Expressions.identity(p.col)
-              : org.apache.spark.sql.connector.expressions.Expression)
-              .toArray,
+            partSpec.map {
+              case PIdentity(c) => Expressions.identity(c)
+                : org.apache.spark.sql.connector.expressions.Expression
+              case PBucket(n, c) => Expressions.bucket(n, c)
+                : org.apache.spark.sql.connector.expressions.Expression
+              case other => throw new IllegalStateException(
+                s"unexpected SPJ transform $other")
+            }.toArray,
             keys.length)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
