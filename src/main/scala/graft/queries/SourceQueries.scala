@@ -1640,6 +1640,57 @@ object SourceQueries {
               spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
           }
         }
+    },
+
+    // WRITE-TIME CONSTRAINTS (Delta invariants): NOT NULL + CHECK
+    // recorded on the table, enforced in the WRITE TASKS — the
+    // violating INSERT aborts atomically (zero versions land,
+    // ConstraintsSpec pins files/versions/restart), the valid load
+    // and a valid MERGE go through, and the final content matches the
+    // oracle's arithmetic exactly. `n_rejected` counts the two
+    // violating statements the gate fires on purpose.
+    QueryDef("q319_write_constraints",
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+        |         round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |final AS (
+        |  SELECT k, pri, CASE WHEN k % 97 = 0 THEN cents + 1 ELSE cents END
+        |           AS cents
+        |  FROM src)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |       CAST(2 AS BIGINT) AS n_rejected
+        |FROM final""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.ckq")
+      spark.sql(
+        "CREATE TABLE graftmem.ckq (k BIGINT, pri STRING, cents BIGINT)")
+      spark.sql(
+        "ALTER TABLE graftmem.ckq ADD CONSTRAINT cents_pos CHECK (cents >= 0)")
+      spark.sql(
+        "ALTER TABLE graftmem.ckq ALTER COLUMN pri SET NOT NULL")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q319_src")
+      spark.sql("INSERT INTO graftmem.ckq SELECT * FROM q319_src") // valid
+      var rejected = 0L
+      // a violating INSERT and a violating UPDATE must both abort
+      try spark.sql("INSERT INTO graftmem.ckq VALUES (0, NULL, 1)")
+      catch { case _: Exception => rejected += 1 }
+      try spark.sql("UPDATE graftmem.ckq SET cents = -1 WHERE k % 97 = 0")
+      catch { case _: Exception => rejected += 1 }
+      // a valid row-level write goes through beside the constraints
+      spark.sql("UPDATE graftmem.ckq SET cents = cents + 1 WHERE k % 97 = 0")
+      spark.sql(
+        s"""SELECT count(*) AS n_rows,
+           |       CAST(sum(cents) AS BIGINT) AS cents_sum,
+           |       CAST($rejected AS BIGINT) AS n_rejected
+           |FROM graftmem.ckq""".stripMargin)
     }
   )
 

@@ -175,6 +175,9 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
     * Iceberg/Delta optimistic-file discipline). */
   private[sources] def dataDir: Path = dir.resolve("data")
 
+  /** The table's log directory (sidecar files live here). */
+  private[sources] def rootDir: Path = dir
+
   private[sources] def dataFilePath(name: String): String =
     dataDir.resolve(name).toString
 

@@ -92,6 +92,21 @@ private[sources] object MaintenanceSql {
       """\s+SET\s+PARTITIONED\s+BY\s*\(\s*(.*?)\s*\)\s*;?\s*$""").r
   private val SetPartVerb =
     """(?is)^\s*ALTER\s+TABLE\s+.*\bSET\s+PARTITIONED\s+BY\b.*""".r
+  // write-time constraints (Delta invariants): only these ALTER forms
+  // are ours
+  private val AddCheckRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+ADD\s+CONSTRAINT\s+""" + Id +
+      """\s+CHECK\s*\(\s*(.*?)\s*\)\s*;?\s*$""").r
+  private val DropConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+DROP\s+CONSTRAINT\s+""" + Id + """\s*;?\s*$""").r
+  private val NotNullRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+ALTER\s+COLUMN\s+""" + Id +
+      """\s+(SET|DROP)\s+NOT\s+NULL\s*;?\s*$""").r
+  private val ConstraintVerb =
+    """(?is)^\s*ALTER\s+TABLE\s+.*\b(ADD|DROP)\s+CONSTRAINT\b.*""".r
 
   private val Verb = """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE)\b.*""".r
 
@@ -156,6 +171,23 @@ private[sources] object MaintenanceSql {
         "SET PARTITIONED BY needs at least one transform " +
           "(col | days(col) | bucket(n, col))")
       Some(SetPartitionSpecCommand(pick(c1, c2), pick(t1, t2), spec))
+    case AddCheckRe(c1, c2, t1, t2, n1, n2, expr) =>
+      if (expr.trim.isEmpty) throw new GraftSqlParseException(
+        "ADD CONSTRAINT ... CHECK needs a predicate")
+      Some(AddCheckConstraintCommand(pick(c1, c2), pick(t1, t2),
+        pick(n1, n2), expr))
+    case DropConstraintRe(c1, c2, t1, t2, n1, n2) =>
+      Some(DropConstraintCommand(pick(c1, c2), pick(t1, t2), pick(n1, n2)))
+    case NotNullRe(c1, c2, t1, t2, n1, n2, verb) =>
+      Some(SetNotNullCommand(pick(c1, c2), pick(t1, t2), pick(n1, n2),
+        enable = verb.equalsIgnoreCase("SET")))
+    case ConstraintVerb(_) =>
+      throw new GraftSqlParseException(
+        "malformed constraint statement. Expected:\n" +
+          "  ALTER TABLE cat.tbl ADD CONSTRAINT name CHECK (expr)\n" +
+          "  ALTER TABLE cat.tbl DROP CONSTRAINT name\n" +
+          "  ALTER TABLE cat.tbl ALTER COLUMN c SET|DROP NOT NULL\n" +
+          s"got: ${sqlText.trim}")
     case SetPartVerb() =>
       throw new GraftSqlParseException(
         "malformed ALTER TABLE ... SET PARTITIONED BY statement. " +
@@ -244,6 +276,45 @@ final case class SetPartitionSpecCommand(cat: String, tbl: String,
     // resolution, so partitioning() reflects the new spec immediately
     Seq(Row(s"$cat.$tbl",
       s"partition spec evolved to (${spec.map(_.render).mkString(", ")})"))
+  }
+}
+
+/** `ALTER TABLE cat.tbl ADD CONSTRAINT name CHECK (expr)` — a
+  * write-time invariant (Delta CHECK constraints): existing rows are
+  * validated first; every subsequent INSERT/MERGE/streaming epoch
+  * enforces it in the write tasks and aborts atomically on
+  * violation. */
+final case class AddCheckConstraintCommand(cat: String, tbl: String,
+    constraintName: String, expr: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = MaintenanceSql.storeFor(spark, cat, tbl)
+    store.addCheckConstraint(spark, constraintName, expr)
+    Seq(Row(s"$cat.$tbl", s"added CHECK $constraintName: ($expr)"))
+  }
+}
+
+/** `ALTER TABLE cat.tbl DROP CONSTRAINT name`. */
+final case class DropConstraintCommand(cat: String, tbl: String,
+    constraintName: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = MaintenanceSql.storeFor(spark, cat, tbl)
+    store.dropCheckConstraint(constraintName)
+    Seq(Row(s"$cat.$tbl", s"dropped constraint $constraintName"))
+  }
+}
+
+/** `ALTER TABLE cat.tbl ALTER COLUMN c SET|DROP NOT NULL` — field-id
+  * keyed, so the invariant survives RENAME COLUMN. */
+final case class SetNotNullCommand(cat: String, tbl: String, col: String,
+    enable: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = MaintenanceSql.storeFor(spark, cat, tbl)
+    store.setNotNull(spark, col, enable)
+    Seq(Row(s"$cat.$tbl",
+      s"${if (enable) "set" else "dropped"} NOT NULL on $col"))
   }
 }
 

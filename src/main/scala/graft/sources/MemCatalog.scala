@@ -245,6 +245,9 @@ class MemCatalog extends TableCatalog
         requireMapped(s, "RENAME COLUMN")
         require(rn.fieldNames.length == 1,
           "MemCatalog.alterTable: nested RENAME unsupported")
+        require(!store.checkReferencedCols.contains(rn.fieldNames()(0)),
+          s"cannot rename column ${rn.fieldNames()(0)}: referenced by a " +
+            "CHECK constraint (drop the constraint first)")
         val i = liveIndex(s, rn.fieldNames()(0))
         require(!s.fields.zipWithIndex.exists { case (f, j) =>
           j != i && !ColumnMapping.isDropped(f) && f.name == rn.newName },
@@ -258,6 +261,16 @@ class MemCatalog extends TableCatalog
         val name = del.fieldNames()(0)
         require(!store.partSpec.exists(_.col == name),
           s"cannot drop partition column $name")
+        require(!store.checkReferencedCols.contains(name),
+          s"cannot drop column $name: referenced by a CHECK constraint " +
+            "(drop the constraint first)")
+        require({
+          val idx0 = s.fields.indexWhere(f =>
+            !ColumnMapping.isDropped(f) && f.name == name)
+          idx0 < 0 || !ColumnMapping.fieldId(s.fields(idx0))
+            .exists(store.constraints.notNullIds.contains)
+        }, s"cannot drop column $name: it carries a NOT NULL constraint " +
+          "(drop the constraint first)")
         require(ColumnMapping.logical(s).length > 1,
           "cannot drop the last column")
         val i = liveIndex(s, name)
@@ -361,6 +374,23 @@ object MemCatalog {
   private[sources] def storeOf(catalogName: String,
       table: String): Option[MemStore] =
     stores.get(catalogName + KeySep + table)
+
+  private def requireStore(catalogName: String, table: String): MemStore =
+    stores.getOrElse(catalogName + KeySep + table,
+      throw new IllegalArgumentException(
+        s"$catalogName.$table is not loaded in this JVM"))
+
+  /** Write-time constraints (see [[MemStore]] / [[Constraints]]). */
+  def addCheckConstraint(spark: org.apache.spark.sql.SparkSession,
+      catalogName: String, table: String, name: String, sql: String): Unit =
+    requireStore(catalogName, table).addCheckConstraint(spark, name, sql)
+  def dropCheckConstraint(catalogName: String, table: String,
+      name: String): Unit =
+    requireStore(catalogName, table).dropCheckConstraint(name)
+  def setNotNull(spark: org.apache.spark.sql.SparkSession,
+      catalogName: String, table: String, col: String,
+      enable: Boolean): Unit =
+    requireStore(catalogName, table).setNotNull(spark, col, enable)
 
   /** The v2 `bucket(numBuckets, col)` function — the write-side hash
     * ([[Partitioning.bucketOf]]: Spark Murmur3 seed 42, pmod) exposed
@@ -787,6 +817,83 @@ private[sources] final class MemStore(schema0: StructType,
   def currentSpecId: Int = specsAll.length - 1
   def specOf(id: Int): Seq[PartTransform] =
     log.map(_.specOf(id)).getOrElse(Nil)
+
+  // ---- WRITE-TIME CONSTRAINTS (Delta invariants) --------------------
+  @volatile private var constraintsV: TableConstraints =
+    log.map(l => Constraints.read(l.rootDir)).getOrElse(TableConstraints())
+  def constraints: TableConstraints = constraintsV
+
+  private def persistConstraints(): Unit =
+    log.foreach(l => Constraints.write(l.rootDir, constraintsV))
+
+  /** Validate every LIVE row against a validator (add-time gate:
+    * adding a constraint a stored row already violates is refused,
+    * the Delta behavior). Driver-side stream; a cluster deployment
+    * distributes it as a validation job. */
+  private def validateExisting(rc: RowCheck): Unit = {
+    if (rc.isEmpty) return
+    val phys = curSchema
+    val l2p = ColumnMapping.logicalToPhys(phys)
+    cur.iterator(phys).foreach { r =>
+      val vals = new Array[Any](l2p.length)
+      var i = 0
+      while (i < l2p.length) {
+        val p = l2p(i)
+        vals(i) = if (p >= r.numFields || r.isNullAt(p)) null
+          else r.get(p, phys(p).dataType)
+        i += 1
+      }
+      rc.validate(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          vals))
+    }
+  }
+
+  def addCheckConstraint(spark: org.apache.spark.sql.SparkSession,
+      name: String, sql: String): Unit = synchronized {
+    require(!constraintsV.checks.exists(_.name == name),
+      s"constraint $name already exists")
+    require(!sql.contains("\n") && !sql.contains("\t"),
+      "CHECK expression must be one line")
+    val one = TableConstraints(checks = Vector(CheckConstraint(name, sql)))
+    validateExisting(Constraints.rowCheck(spark, one, curSchema))
+    constraintsV = constraintsV.copy(
+      checks = constraintsV.checks :+ CheckConstraint(name, sql))
+    persistConstraints()
+  }
+
+  def dropCheckConstraint(name: String): Unit = synchronized {
+    require(constraintsV.checks.exists(_.name == name),
+      s"no such constraint $name")
+    constraintsV = constraintsV.copy(
+      checks = constraintsV.checks.filterNot(_.name == name))
+    persistConstraints()
+  }
+
+  def setNotNull(spark: org.apache.spark.sql.SparkSession,
+      col: String, enable: Boolean): Unit = synchronized {
+    val phys = curSchema
+    val i = phys.fields.indexWhere(f =>
+      !ColumnMapping.isDropped(f) && f.name == col)
+    require(i >= 0, s"column $col not found")
+    val id = ColumnMapping.fieldId(phys(i)).getOrElse(
+      throw new UnsupportedOperationException(
+        "NOT NULL constraints are field-id keyed; this table predates " +
+          "column mapping — recreate it"))
+    if (enable) {
+      val one = TableConstraints(notNullIds = Set(id))
+      validateExisting(Constraints.rowCheck(spark, one, curSchema))
+      constraintsV = constraintsV.copy(
+        notNullIds = constraintsV.notNullIds + id)
+    } else constraintsV = constraintsV.copy(
+      notNullIds = constraintsV.notNullIds - id)
+    persistConstraints()
+  }
+
+  /** Columns the CHECK constraints reference — RENAME/DROP of one is
+    * refused (loud dependency rule). */
+  def checkReferencedCols: Set[String] =
+    constraintsV.checks.flatMap(c => Constraints.references(c.sql)).toSet
 
   /** ALTER TABLE ... SET PARTITIONED BY — PARTITION-SPEC EVOLUTION
     * (the Iceberg model): publishes a new write spec as its own
@@ -2689,6 +2796,8 @@ private[sources] final class MemDeltaWrite(store: MemStore)
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     val phys = store.physSchema
     val l2p = ColumnMapping.logicalToPhys(phys)
+    val check = Constraints.rowCheck(
+      org.apache.spark.sql.SparkSession.active, store.constraints, phys)
     new DeltaWriterFactory {
       override def createWriter(partitionId: Int,
           taskId: Long): DeltaWriter[InternalRow] =
@@ -2700,6 +2809,7 @@ private[sources] final class MemDeltaWrite(store: MemStore)
             require(row.numFields == l2p.length,
               s"delta row arity ${row.numFields} for " +
                 s"${l2p.length}-column table")
+            check.validate(row) // MERGE/UPDATE invariants, logical layout
             ColumnMapping.expand(row.copy(), phys, l2p)
           }
           override def delete(meta: InternalRow, id: InternalRow): Unit =
@@ -2826,12 +2936,14 @@ private[sources] final class MemWrite(store: MemStore, mode: Int,
       info: PhysicalWriteInfo): DataWriterFactory = {
     val phys = store.physSchema
     val l2p = ColumnMapping.logicalToPhys(phys)
+    val check = Constraints.rowCheck(
+      org.apache.spark.sql.SparkSession.active, store.constraints, phys)
     store.dataDirStr match {
       case Some(dir) if store.partSpec.nonEmpty =>
         new PartFileWriterFactory(dir, phys, l2p, store.partSpec,
-          store.currentSpecId)
-      case Some(dir) => new FileWriterFactory(dir, phys, l2p)
-      case None => new HeapWriterFactory(phys, l2p)
+          store.currentSpecId, check)
+      case Some(dir) => new FileWriterFactory(dir, phys, l2p, check)
+      case None => new HeapWriterFactory(phys, l2p, check)
     }
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -2919,7 +3031,9 @@ private[sources] final class MemOverwriteWrite(store: MemStore,
     val phys = store.physSchema
     new PartFileWriterFactory(store.dataDirStr.get, phys,
       ColumnMapping.logicalToPhys(phys), store.partSpec,
-      store.currentSpecId)
+      store.currentSpecId,
+      Constraints.rowCheck(org.apache.spark.sql.SparkSession.active,
+        store.constraints, phys))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -2992,7 +3106,7 @@ private[sources] final class MemOverwriteWrite(store: MemStore,
   * copied on capture — file-backed input rows are volatile. */
 private[sources] final class PartFileWriterFactory(dir: String,
     schema: StructType, l2p: Array[Int], spec: Seq[PartTransform],
-    specId: Int)
+    specId: Int, check: RowCheck)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
@@ -3020,6 +3134,7 @@ private[sources] final class PartFileWriterFactory(dir: String,
         require(record0.numFields == l2p.length,
           s"unexpected write row arity ${record0.numFields} for " +
             s"${l2p.length}-column table")
+        check.validate(record0)
         val record = ColumnMapping.expand(record0, schema, l2p)
         val f = open.getOrElseUpdate(tupleOf(record), new OpenFile(
           s"part-${java.util.UUID.randomUUID().toString.take(12)}.parquet"))
@@ -3053,7 +3168,8 @@ private[sources] final case class MemPartFilesCommit(files: Vector[PartFile])
   * REFERENCE plus the stats folded en route. An empty task writes no
   * file at all. */
 private[sources] final class FileWriterFactory(dir: String,
-    schema: StructType, l2p: Array[Int]) extends DataWriterFactory {
+    schema: StructType, l2p: Array[Int],
+    check: RowCheck) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -3065,6 +3181,7 @@ private[sources] final class FileWriterFactory(dir: String,
         require(record0.numFields == l2p.length,
           s"unexpected write row arity ${record0.numFields} for " +
             s"${l2p.length}-column table")
+        check.validate(record0) // write-time constraints, logical layout
         // logical-arity input expands to the physical layout (dropped
         // slots NULL) — identity until a DROP ever happened
         val record = ColumnMapping.expand(record0, schema, l2p)
@@ -3094,7 +3211,7 @@ private[sources] final class FileWriterFactory(dir: String,
 /** Task-side writer of the in-memory plane: rows buffer in the commit
   * message. Rows arrive in reused buffers — copy on receipt. */
 private[sources] final class HeapWriterFactory(schema: StructType,
-    l2p: Array[Int]) extends DataWriterFactory {
+    l2p: Array[Int], check: RowCheck) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -3103,6 +3220,7 @@ private[sources] final class HeapWriterFactory(schema: StructType,
         require(record.numFields == l2p.length,
           s"unexpected write row arity ${record.numFields} for " +
             s"${l2p.length}-column table")
+        check.validate(record)
         buf += ColumnMapping.expand(record.copy(), schema, l2p)
       }
       override def commit(): WriterCommitMessage = MemCommit(buf.result())
