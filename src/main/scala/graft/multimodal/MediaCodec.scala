@@ -359,6 +359,67 @@ object MediaCodec {
     } else None
   }
 
+  // ---- VIDEO: concatenated-PNG ticks in the mdat ---------------------
+  // The MJPEG-in-container shape with PNG ticks (the codec this
+  // container already decodes for real): one MP4 whose mdat payload
+  // is N complete PNG streams back to back, one per frame. Frame
+  // extraction walks REAL PNG chunk structure (length + type + CRC
+  // through IEND) — no tick index rides outside the frames
+  // themselves, so a consumer must genuinely parse the stream.
+
+  /** Length of ONE complete PNG stream starting at `off` (signature +
+    * chunks through IEND incl. its CRC); None when `off` is not a PNG
+    * start or the stream is truncated/corrupt. Length fields are
+    * untrusted: Long arithmetic, negatives rejected. */
+  def pngStreamLength(p: Array[Byte], off: Int): Option[Int] = {
+    if (off < 0 || off + 8 > p.length) return None
+    var i = 0
+    while (i < 8) {
+      if (p(off + i) != PngSignature(i)) return None
+      i += 1
+    }
+    var pos = off + 8
+    while (pos + 8 <= p.length) {
+      val len = i32(p, pos).toLong
+      if (len < 0) return None
+      val next = pos.toLong + 8 + len + 4
+      if (next > p.length) return None
+      val isEnd = p(pos + 4) == 'I' && p(pos + 5) == 'E' &&
+        p(pos + 6) == 'N' && p(pos + 7) == 'D'
+      pos = next.toInt
+      if (isEnd) return Some(pos - off)
+    }
+    None
+  }
+
+  /** Build a video: MP4 container, mdat = the concatenated frames. */
+  def videoBytes(timescale: Int, durationTicks: Long,
+      frames: Seq[Array[Byte]]): Array[Byte] =
+    mp4Bytes(timescale, durationTicks, frames.toArray.flatten)
+
+  /** The frame ticks of a concatenated-PNG video: byte slices of each
+    * complete PNG in the mdat payload. Some only when the ENTIRE mdat
+    * parses as consecutive PNG streams (an MP4 whose mdat holds
+    * anything else — the header-only synthetic fixtures — is not a
+    * tick stream and yields None). */
+  def videoFrames(p: Array[Byte]): Option[Vector[Array[Byte]]] =
+    if (!isMp4(p)) None
+    else headerLength(p).flatMap { start =>
+      val out = Vector.newBuilder[Array[Byte]]
+      var pos = start
+      var bad = false
+      while (!bad && pos < p.length) {
+        pngStreamLength(p, pos) match {
+          case Some(len) =>
+            out += java.util.Arrays.copyOfRange(p, pos, pos + len)
+            pos += len
+          case None => bad = true
+        }
+      }
+      val frames = out.result()
+      if (bad || frames.isEmpty) None else Some(frames)
+    }
+
   /** Container-header length: the offset where the content stream
     * starts — after the IHDR chunk (signature + length + type + data +
     * CRC) for PNG, after the first SOF segment for JPEG, at the data

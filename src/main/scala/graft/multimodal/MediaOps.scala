@@ -376,14 +376,30 @@ object MediaOps {
     }
   }
 
-  /** Frame sampling shape for video-kind payloads: emits one row per
-    * sampled frame (STUB: slices the payload deterministically). */
-  def sampleFrames(files: Dataset[MediaFile], everyBytes: Int): DataFrame = {
+  /** REAL frame sampling for video payloads (concatenated-PNG ticks
+    * in the mdat, [[MediaCodec.videoFrames]]): every `every`-th tick
+    * is GENUINELY decoded (javax.imageio via
+    * [[MediaCodec.decodeLuma]]) and emitted with its exact pixel
+    * statistics — one row per sampled frame, map-only at the codec
+    * boundary (the decode never leaves the task). Payloads that are
+    * not tick-stream videos emit no rows. */
+  def sampleFrames(files: Dataset[MediaFile], every: Int): DataFrame = {
     import files.sparkSession.implicits._
+    require(every >= 1, s"sample every $every")
     files.flatMap { f =>
-      f.payload.grouped(everyBytes).zipWithIndex.map {
-        case (chunk, idx) => (f.mediaId, idx, chunk)
+      MediaCodec.videoFrames(f.payload).toSeq.flatMap { frames =>
+        frames.zipWithIndex.collect {
+          case (bytes, idx) if idx % every == 0 => (bytes, idx)
+        }.flatMap { case (bytes, idx) =>
+          MediaCodec.decodeLuma(bytes).map { case (w, h, lum) =>
+            var s = 0L
+            var i = 0
+            while (i < lum.length) { s += lum(i); i += 1 }
+            (f.mediaId, idx, w, h, s, bytes.length)
+          }
+        }
       }
-    }.toDF("media_id", "frame_idx", "frame_payload")
+    }.toDF("media_id", "frame_idx", "width", "height", "luma_sum",
+      "frame_bytes")
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.GraftFunctions
-import graft.multimodal.{MediaFile, MediaOps}
+import graft.multimodal.{MediaCodec, MediaFile, MediaOps}
 import graft.operators.IvfIndex
 
 import org.apache.spark.sql.expressions.Window
@@ -721,7 +721,65 @@ object MultimodalQueries {
     // same banded-Hamming LSH tail. One-sample-perturbed plants must
     // all surface; the oracle replays decode + fingerprint + banding.
     QueryDef("q299_audio_fingerprint_neardup", audioFpSql)(
-      audioFingerprintPairs)
+      audioFingerprintPairs),
+
+    // REAL video frame decode (the last former stub, now genuine):
+    // each "video" doc becomes an MP4 whose mdat is a CONCATENATED
+    // stream of real deflate-compressed grayscale PNG frames — frame
+    // j's pixel p is body[(p + j) % len], so the frames exist ONLY as
+    // encoded PNG bytes. sampleFrames walks the real PNG chunk
+    // structure for the ticks and REALLY decodes every 2nd frame
+    // (javax.imageio); the oracle re-derives each sampled frame's
+    // exact luma sum from the id/text arithmetic — Spark must
+    // decompress to match (MediaOpsSpec pins tick-walk exactness and
+    // byte-different/pixel-identical re-encode equality).
+    QueryDef("q320_video_frames",
+      """WITH vids AS (
+        |  SELECT doc_id AS media_id, text AS body,
+        |         (doc_id % 3 + 2)::BIGINT AS nf,
+        |         (doc_id * 3 % 12 + 4)::BIGINT AS w,
+        |         (doc_id * 5 % 12 + 4)::BIGINT AS h
+        |  FROM documents WHERE doc_id % 4 = 3),
+        |frames AS (
+        |  SELECT media_id, body, w, h,
+        |         unnest([j for j in generate_series(0, nf - 1)]) AS j
+        |  FROM vids),
+        |sampled AS (SELECT * FROM frames WHERE j % 2 = 0),
+        |px AS (
+        |  SELECT media_id, j, w, h,
+        |         unnest([CASE WHEN length(body) = 0 THEN 0
+        |                      ELSE ord(substr(body,
+        |                        ((i - 1 + j) % length(body)) + 1, 1)) % 256
+        |                 END for i in generate_series(1, w * h)]) AS v
+        |  FROM sampled)
+        |SELECT media_id, CAST(j AS BIGINT) AS frame_idx,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(sum(v) AS BIGINT) AS luma_sum
+        |FROM px GROUP BY 1, 2, 3, 4
+        |ORDER BY media_id, frame_idx""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val vids = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .where(col("doc_id") % 4 === 3)
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val body = text.getBytes("UTF-8")
+          val nf = (id % 3 + 2).toInt
+          val w = (id * 3 % 12 + 4).toInt
+          val h = (id * 5 % 12 + 4).toInt
+          val frames = (0 until nf).map { j =>
+            val lum = Array.tabulate(w * h)(p =>
+              if (body.length == 0) 0 else body((p + j) % body.length) & 0xff)
+            MediaCodec.pngEncodeGray(w, h, lum)
+          }
+          MediaFile(id, "video/mp4",
+            MediaCodec.videoBytes(600, nf * 600L, frames))
+        }
+      MediaOps.sampleFrames(vids, every = 2)
+        .select(col("media_id"), col("frame_idx").cast("long"),
+          col("width"), col("height"), col("luma_sum"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }
   )
 
   /** One-time-per-(session, dir) file-lake staging for q132: each

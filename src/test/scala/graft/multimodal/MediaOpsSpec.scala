@@ -106,17 +106,55 @@ class MediaOpsSpec extends SparkTestBase {
     assert(feats(0).feature(6) == (3.0 / 11).toFloat) // digits
   }
 
-  test("frame sampling splits payloads and preserves all bytes in order") {
-    val ds = files(4)
-    val frames = MediaOps.sampleFrames(ds, everyBytes = 5).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
-    val reassembled = frames.groupBy(_._1).map { case (id, fs) =>
-      id -> fs.sortBy(_._2).flatMap(_._3)
+  test("frame sampling REALLY decodes every sampled tick (exact luma)") {
+    import spark.implicits._
+    // 3 videos, 4 frames each: frame j pixel p = (10*id + p + j) % 256
+    def lum(id: Long, j: Int, w: Int, h: Int): Array[Int] =
+      Array.tabulate(w * h)(p => ((10 * id + p + j) % 256).toInt)
+    val vids = (0L until 3L).map { id =>
+      val frames = (0 until 4).map(j =>
+        MediaCodec.pngEncodeGray(6, 5, lum(id, j, 6, 5)))
+      MediaFile(id, "video/mp4", MediaCodec.videoBytes(600, 2400L, frames))
     }
-    val original = ds.collect().map(f => f.mediaId -> f.payload.toSeq).toMap
-    reassembled.foreach { case (id, bytes) =>
-      assert(bytes.toSeq == original(id), s"media $id frames do not reassemble")
+    val got = MediaOps.sampleFrames(vids.toDS(), every = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4))).sortBy(t => (t._1, t._2))
+    // frames 0 and 2 sampled, each genuinely decoded
+    val expect = for (id <- 0L until 3L; j <- Seq(0, 2)) yield
+      (id, j, 6, 5, lum(id, j, 6, 5).map(_.toLong).sum)
+    assert(got.toSeq == expect.toSeq, got.mkString(", "))
+    // a NON-tick-stream mp4 (text body) emits no frames
+    val plain = Seq(MediaFile(9L, "video/mp4",
+      MediaCodec.mp4Bytes(600, 100L, "not a frame stream".getBytes)))
+    assert(MediaOps.sampleFrames(plain.toDS(), every = 1).count() == 0L)
+  }
+
+  test("byte-different, pixel-identical frame encodings sample identically") {
+    import spark.implicits._
+    val w = 7; val h = 4
+    val lum = Array.tabulate(w * h)(p => (p * 11) % 256)
+    // gray PNG vs truecolor PNG with r=g=b: different bytes, same luma
+    val gray = MediaCodec.pngEncodeGray(w, h, lum)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = lum(y * w + x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
     }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rgb = bos.toByteArray
+    assert(!java.util.Arrays.equals(gray, rgb), "encodings should differ")
+    val vids = Seq(
+      MediaFile(1L, "video/mp4", MediaCodec.videoBytes(600, 600L, Seq(gray))),
+      MediaFile(2L, "video/mp4", MediaCodec.videoBytes(600, 600L, Seq(rgb))))
+    val rows = MediaOps.sampleFrames(vids.toDS(), every = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.length == 2)
+    assert(rows(0)._2 == rows(1)._2 && rows(0)._3 == rows(1)._3 &&
+      rows(0)._4 == rows(1)._4,
+      s"pixel-identical re-encodes must hash equal: ${rows.toSeq}")
   }
 
   test("decode runs partition-parallel with no shuffle of payloads") {
