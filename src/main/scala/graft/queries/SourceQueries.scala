@@ -1691,6 +1691,107 @@ object SourceQueries {
            |       CAST(sum(cents) AS BIGINT) AS cents_sum,
            |       CAST($rejected AS BIGINT) AS n_rejected
            |FROM graftmem.ckq""".stripMargin)
+    },
+
+    // ANALYZE TABLE ... COMPUTE STATISTICS + cost-based planning over
+    // the catalog's reported column statistics: one distributed HLL
+    // aggregate records per-column NDV/byte-widths field-id keyed in
+    // the _colstats sidecar, the scan serves them (merged with the
+    // exact nullCount/min/max of the commit-log fold) through
+    // estimateStatistics().columnStats(), and the join below plans
+    // under spark.sql.cbo.enabled with filter-aware scan sizes.
+    // Statistics steer the PLAN, never the results — the oracle
+    // computes the same join over the raw tables
+    // (CboColumnStatsSpec pins the NDV accuracy, the broadcast flip,
+    // rename survival, restart replay, and delegation safety).
+    QueryDef("q321_analyze_cbo",
+      """SELECT c_mktsegment AS seg, count(*)::BIGINT AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY seg ORDER BY seg""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.cboord")
+      spark.sql("DROP TABLE IF EXISTS graftmem.cbocust")
+      spark.sql("CREATE TABLE graftmem.cboord " +
+        "(o_custkey BIGINT, o_orderpriority STRING, cents BIGINT)")
+      spark.sql("CREATE TABLE graftmem.cbocust " +
+        "(c_custkey BIGINT, c_mktsegment STRING)")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q321_ord")
+      Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .createOrReplaceTempView("q321_cust")
+      spark.sql("INSERT INTO graftmem.cboord SELECT * FROM q321_ord")
+      spark.sql("INSERT INTO graftmem.cbocust SELECT * FROM q321_cust")
+      spark.sql(
+        "ANALYZE TABLE graftmem.cboord COMPUTE STATISTICS FOR ALL COLUMNS")
+      spark.sql(
+        "ANALYZE TABLE graftmem.cbocust COMPUTE STATISTICS FOR ALL COLUMNS")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      spark.sql(
+        """SELECT c_mktsegment AS seg, count(*) AS n_orders,
+          |       CAST(sum(cents) AS BIGINT) AS cents
+          |FROM graftmem.cboord JOIN graftmem.cbocust
+          |  ON o_custkey = c_custkey
+          |WHERE o_orderpriority = '1-URGENT'
+          |GROUP BY seg ORDER BY seg""".stripMargin)
+    },
+
+    // NAMED TAGS (Iceberg refs over the linear log): generation 0
+    // (even keys) lands, `ALTER TABLE ... CREATE TAG g0` pins it,
+    // generation 1 (odd keys) lands on top — `VERSION AS OF 'g0'`
+    // must read EXACTLY generation 0 while the live table reads both,
+    // and VACUUM RETAIN 1 must REFUSE while the tag pins version 1
+    // (a named ref pointing at vanished files would break every
+    // reproducibility contract tags exist for). The oracle re-derives
+    // all four aggregates from the raw fixture; RefsSpec pins restart
+    // persistence, RESTORE-by-tag, .refs, and misuse errors.
+    QueryDef("q322_named_tags",
+      """WITH src AS (SELECT o_orderkey AS k FROM orders)
+        |SELECT (SELECT count(*) FROM src WHERE k % 2 = 0)::BIGINT
+        |         AS n_tagged,
+        |       (SELECT sum(k) FROM src WHERE k % 2 = 0)::BIGINT
+        |         AS s_tagged,
+        |       count(*)::BIGINT AS n_live,
+        |       CAST(sum(k) AS BIGINT) AS s_live,
+        |       CAST(1 AS BIGINT) AS n_refused
+        |FROM src""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.tagq")
+      spark.sql("CREATE TABLE graftmem.tagq (k BIGINT)")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"))
+        .createOrReplaceTempView("q322_src")
+      spark.sql("INSERT INTO graftmem.tagq SELECT k FROM q322_src " +
+        "WHERE k % 2 = 0")
+      spark.sql("ALTER TABLE graftmem.tagq CREATE TAG g0")
+      spark.sql("INSERT INTO graftmem.tagq SELECT k FROM q322_src " +
+        "WHERE k % 2 = 1")
+      var refused = 0L
+      try spark.sql("VACUUM graftmem.tagq RETAIN 1 VERSIONS").collect()
+      catch { case e: Exception
+          if String.valueOf(e.getMessage).contains("pinned by tags") =>
+        refused += 1
+      }
+      val tagged = spark.sql(
+        """SELECT count(*) AS n_tagged, sum(k) AS s_tagged
+          |FROM graftmem.tagq VERSION AS OF 'g0'""".stripMargin)
+      val live = spark.sql(
+        s"""SELECT count(*) AS n_live, CAST(sum(k) AS BIGINT) AS s_live,
+           |       CAST($refused AS BIGINT) AS n_refused
+           |FROM graftmem.tagq""".stripMargin)
+      tagged.crossJoin(live)
     }
   )
 

@@ -84,7 +84,17 @@ private[sources] object MaintenanceSql {
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""").r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Tbl +
-      """\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+      """\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)'|`([^`]+)`)\s*;?\s*$""").r
+  // named refs (tags): immutable version pointers, expiry-pinning
+  private val CreateTagRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+CREATE\s+TAG\s+""" + Id +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+  private val DropTagRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+DROP\s+TAG\s+""" + Id + """\s*;?\s*$""").r
+  private val TagVerb =
+    """(?is)^\s*ALTER\s+TABLE\s+.*\b(CREATE|DROP)\s+TAG\b.*""".r
   // partition-spec evolution: only THIS alter form is ours — every
   // other ALTER TABLE delegates to Spark's parser
   private val SetPartRe =
@@ -109,6 +119,25 @@ private[sources] object MaintenanceSql {
     """(?is)^\s*ALTER\s+TABLE\s+.*\b(ADD|DROP)\s+CONSTRAINT\b.*""".r
 
   private val Verb = """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE)\b.*""".r
+
+  // ANALYZE: ours ONLY for tables of a graft catalog in the active
+  // session (Spark's own ANALYZE handles v1 tables; see analyzeOurs)
+  private val AnalyzeRe =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+""" + Tbl +
+      """\s+COMPUTE\s+STATISTICS""" +
+      """(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+(.+?)))?\s*;?\s*$""").r
+
+  /** ANALYZE is a verb Spark's parser owns for v1 tables, so the
+    * delegation decision is SESSION-SCOPED, not purely syntactic:
+    * intercept only when the catalog component is configured as a
+    * graft catalog (`spark.sql.catalog.<cat>` = the MemCatalog
+    * plugin). Everything else — `ANALYZE TABLE db.tbl ...` over hive
+    * or spark_catalog tables — delegates verbatim. */
+  private def graftCatalog(cat: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists { sp =>
+      sp.conf.getOption(s"spark.sql.catalog.$cat")
+        .contains(classOf[MemCatalog].getName)
+    }
 
   /** One transform element of a SET PARTITIONED BY list:
     * `col` | `days(col)` | `bucket(n, col)`. */
@@ -149,8 +178,20 @@ private[sources] object MaintenanceSql {
       if (n < 1) throw new GraftSqlParseException(
         "VACUUM ... RETAIN needs at least 1 version")
       Some(VacuumTableCommand(pick(c1, c2), pick(t1, t2), n))
-    case RestoreRe(c1, c2, t1, t2, v) =>
-      Some(RestoreTableCommand(pick(c1, c2), pick(t1, t2), v.toInt))
+    case RestoreRe(c1, c2, t1, t2, v, tq, tb) =>
+      val ref = if (v != null) v else if (tq != null) tq else tb
+      Some(RestoreTableCommand(pick(c1, c2), pick(t1, t2), ref))
+    case CreateTagRe(c1, c2, t1, t2, n1, n2, v) =>
+      Some(CreateTagCommand(pick(c1, c2), pick(t1, t2), pick(n1, n2),
+        Option(v).map(_.toInt)))
+    case DropTagRe(c1, c2, t1, t2, n1, n2) =>
+      Some(DropTagCommand(pick(c1, c2), pick(t1, t2), pick(n1, n2)))
+    case TagVerb(_) =>
+      throw new GraftSqlParseException(
+        "malformed tag statement. Expected:\n" +
+          "  ALTER TABLE cat.tbl CREATE TAG name [VERSION AS OF v]\n" +
+          "  ALTER TABLE cat.tbl DROP TAG name\n" +
+          s"got: ${sqlText.trim}")
     case SetPartRe(c1, c2, t1, t2, specText) =>
       // split on commas OUTSIDE parens — bucket(4, k) is one element
       val parts = {
@@ -188,6 +229,16 @@ private[sources] object MaintenanceSql {
           "  ALTER TABLE cat.tbl DROP CONSTRAINT name\n" +
           "  ALTER TABLE cat.tbl ALTER COLUMN c SET|DROP NOT NULL\n" +
           s"got: ${sqlText.trim}")
+    case AnalyzeRe(c1, c2, t1, t2, all, cols)
+        if graftCatalog(pick(c1, c2)) =>
+      val colSeq =
+        if (cols == null) Nil
+        else cols.split(",").toSeq.map(_.trim.stripPrefix("`")
+          .stripSuffix("`")).filter(_.nonEmpty)
+      if (all == null && cols != null && colSeq.isEmpty)
+        throw new GraftSqlParseException(
+          "ANALYZE ... FOR COLUMNS needs at least one column")
+      Some(AnalyzeTableStatsCommand(pick(c1, c2), pick(t1, t2), colSeq))
     case SetPartVerb() =>
       throw new GraftSqlParseException(
         "malformed ALTER TABLE ... SET PARTITIONED BY statement. " +
@@ -199,7 +250,7 @@ private[sources] object MaintenanceSql {
           "  OPTIMIZE cat.tbl [TARGET <n> ROWS] " +
           "[ZORDER|HILBERT BY (c1, c2, ...)]\n" +
           "  VACUUM cat.tbl [RETAIN <n> VERSIONS]\n" +
-          "  RESTORE [TABLE] cat.tbl VERSION AS OF <v>\n" +
+          "  RESTORE [TABLE] cat.tbl VERSION AS OF <v | 'tag'>\n" +
           s"got: ${sqlText.trim}")
     case _ => None
   }
@@ -318,16 +369,123 @@ final case class SetNotNullCommand(cat: String, tbl: String, col: String,
   }
 }
 
-/** `RESTORE [TABLE] cat.tbl VERSION AS OF v` — re-commits version
-  * `v`'s row set as a NEW replace version (forward commit; history
-  * stays time-travelable). */
-final case class RestoreTableCommand(cat: String, tbl: String, version: Int)
+/** `RESTORE [TABLE] cat.tbl VERSION AS OF (v | 'tag')` — re-commits
+  * the referenced version's row set as a NEW replace version (forward
+  * commit; history stays time-travelable). A quoted/backquoted ref is
+  * a TAG name resolved at run time. */
+final case class RestoreTableCommand(cat: String, tbl: String, ref: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
   override def run(spark: SparkSession): Seq[Row] = {
     val store = MaintenanceSql.storeFor(spark, cat, tbl)
+    val version = store.resolveVersion(ref)
     MemCatalog.restoreSnapshot(cat, tbl, version)
     Seq(Row(s"$cat.$tbl",
       s"restored version $version as version ${store.currentVersion}"))
+  }
+}
+
+/** `ALTER TABLE cat.tbl CREATE TAG name [VERSION AS OF v]` — an
+  * immutable named pointer (default: the current version). Tagged
+  * versions are PINNED: expiry refuses to drop them ([[Refs]]). */
+final case class CreateTagCommand(cat: String, tbl: String, tag: String,
+    version: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = MaintenanceSql.storeFor(spark, cat, tbl)
+    val v = version.getOrElse(store.currentVersion)
+    store.createTag(tag, v)
+    Seq(Row(s"$cat.$tbl", s"created tag $tag at version $v"))
+  }
+}
+
+/** `ALTER TABLE cat.tbl DROP TAG name` — unpins the version. */
+final case class DropTagCommand(cat: String, tbl: String, tag: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = MaintenanceSql.storeFor(spark, cat, tbl)
+    store.dropTag(tag)
+    Seq(Row(s"$cat.$tbl", s"dropped tag $tag"))
+  }
+}
+
+/** `ANALYZE TABLE cat.tbl COMPUTE STATISTICS [FOR ALL COLUMNS | FOR
+  * COLUMNS c1, c2, ...]` — the CBO statistics pass: one distributed
+  * aggregate over the live table computing per-column NDV
+  * (HyperLogLog via `approx_count_distinct` — mergeable partial
+  * states, so the pass is a single map-side-combined exchange even at
+  * 100 TB) plus average/max byte lengths for variable-length columns.
+  * Results persist in the `_colstats` sidecar FIELD-ID keyed (they
+  * survive RENAME COLUMN) and serve through the scan's
+  * `estimateStatistics().columnStats()` — what
+  * `spark.sql.cbo.enabled` join-reorder and filter estimation
+  * consume. Exact min/max/nullCount already ride the commit-log
+  * stats fold and are merged in at serve time, so ANALYZE never
+  * recomputes them. Complex-typed columns (array/map/struct) are
+  * skipped — CBO consumes none of their statistics. */
+final case class AnalyzeTableStatsCommand(cat: String, tbl: String,
+    cols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType => ST}
+    val store = MaintenanceSql.storeFor(spark, cat, tbl)
+    val df = spark.table(s"$cat.$tbl")
+    def eligible(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: ST => false
+      case _ => true
+    }
+    val targets: Seq[org.apache.spark.sql.types.StructField] =
+      if (cols.isEmpty) df.schema.fields.toSeq.filter(f => eligible(f.dataType))
+      else cols.map { c =>
+        val f = df.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"ANALYZE: no such column $c in $cat.$tbl"))
+        require(eligible(f.dataType),
+          s"ANALYZE: column $c has complex type ${f.dataType.simpleString}" +
+            " — CBO statistics apply to atomic columns only")
+        f
+      }
+    if (targets.isEmpty)
+      return Seq(Row(s"$cat.$tbl", "nothing to analyze (no atomic columns)"))
+    val varLen: Set[String] = targets.collect {
+      case f if f.dataType == StringType ||
+        f.dataType == org.apache.spark.sql.types.BinaryType => f.name
+    }.toSet
+    val aggs = targets.flatMap { f =>
+      val ndv = approx_count_distinct(col(f.name)).as(s"__ndv__${f.name}")
+      if (varLen(f.name))
+        Seq(ndv,
+          coalesce(ceil(avg(octet_length(col(f.name)))), lit(1L))
+            .cast("long").as(s"__avg__${f.name}"),
+          coalesce(max(octet_length(col(f.name))), lit(1))
+            .cast("long").as(s"__max__${f.name}"))
+      else Seq(ndv)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // logical name -> field id through the PHYSICAL schema (the
+    // rename-stable key the sidecar stores)
+    val phys = store.physSchema
+    val logical = ColumnMapping.logical(phys)
+    val l2p = ColumnMapping.logicalToPhys(phys)
+    val idOf: Map[String, Long] = logical.fields.zipWithIndex.flatMap {
+      case (f, i) => ColumnMapping.fieldId(phys(l2p(i))).map(f.name -> _)
+    }.toMap
+    val out = targets.map { f =>
+      val id = idOf.getOrElse(f.name, throw new UnsupportedOperationException(
+        "ANALYZE statistics are field-id keyed; this table predates " +
+          "column mapping — recreate it"))
+      val ndv = row.getAs[Long](s"__ndv__${f.name}")
+      val (avgL, maxL) =
+        if (varLen(f.name))
+          (math.max(1L, row.getAs[Long](s"__avg__${f.name}")),
+            math.max(1L, row.getAs[Long](s"__max__${f.name}")))
+        else (f.dataType.defaultSize.toLong, f.dataType.defaultSize.toLong)
+      id -> AnalyzedCol(ndv, avgL, maxL)
+    }.toMap
+    store.recordColumnStats(out)
+    Seq(Row(s"$cat.$tbl",
+      s"analyzed ${targets.size} columns at version ${store.currentVersion}"))
   }
 }

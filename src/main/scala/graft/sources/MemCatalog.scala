@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
   RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo,
   SupportsDelta, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource-v2 catalog whose tables support DELTA-BASED row-level
@@ -148,11 +148,12 @@ class MemCatalog extends TableCatalog
 
   /** `VERSION AS OF n` time travel: serve the pinned historical
     * snapshot — the v2 connector hook Spark's TimeTravelSpec routes
-    * version-qualified reads through. */
+    * version-qualified reads through. A non-numeric version string is
+    * a TAG name (`VERSION AS OF 'prod-2026-08'`, see [[Refs]]). */
   override def loadTable(ident: Identifier, version: String): Table =
     liveStore(ident) match {
       case Some(store) =>
-        val v = version.toInt
+        val v = store.resolveVersion(version)
         val (snap, stats, phys) = store.versionState(v)
         new MemTable(s"${ident.toString}@v$version", store,
           Some(Pinned(v, snap, stats, phys)))
@@ -357,7 +358,7 @@ object MemCatalog {
   private[sources] val KeySep = "\u0000"
   /** Metadata-table suffixes [[MemCatalog.loadTable]] resolves. */
   private[sources] val MetaTables =
-    Set("changes", "history", "files", "partitions")
+    Set("changes", "history", "files", "partitions", "refs")
 
   /** JVM-wide table stores — the catalog plugin is instantiated per
     * session, but local-mode executors and the driver share one JVM. */
@@ -895,6 +896,61 @@ private[sources] final class MemStore(schema0: StructType,
   def checkReferencedCols: Set[String] =
     constraintsV.checks.flatMap(c => Constraints.references(c.sql)).toSet
 
+  // ---- NAMED REFS (tags) ---------------------------------------------
+  @volatile private var refsV: Map[String, Int] =
+    log.map(l => Refs.read(l.rootDir)).getOrElse(Map.empty)
+  /** Live tag map (name → version). */
+  def refs: Map[String, Int] = refsV
+
+  /** `ALTER TABLE ... CREATE TAG name [VERSION AS OF v]` — an
+    * immutable named pointer at a retained version. The tagged
+    * version is PROTECTED from expiry until the tag drops. */
+  def createTag(name: String, version: Int): Unit = synchronized {
+    require(Refs.validName(name),
+      s"bad tag name '$name' — must start with a letter/underscore " +
+        "(never purely numeric: digits mean versions in VERSION AS OF)")
+    require(!refsV.contains(name), s"tag $name already exists " +
+      s"(at version ${refsV(name)}) — tags are immutable; DROP TAG first")
+    require(version >= oldestVersion && version <= currentVersion,
+      s"CREATE TAG $name: version $version outside the retained window " +
+        s"[$oldestVersion, $currentVersion]")
+    refsV += name -> version
+    log.foreach(l => Refs.write(l.rootDir, refsV))
+  }
+
+  def dropTag(name: String): Unit = synchronized {
+    require(refsV.contains(name), s"no such tag $name")
+    refsV -= name
+    log.foreach(l => Refs.write(l.rootDir, refsV))
+  }
+
+  /** Resolve a `VERSION AS OF` string: digits = version number,
+    * otherwise a tag name (loud when unknown). */
+  def resolveVersion(version: String): Int =
+    if (version.nonEmpty && version.forall(_.isDigit)) version.toInt
+    else refsV.getOrElse(version, throw new IllegalArgumentException(
+      s"no such tag '$version' " +
+        s"(known tags: ${refsV.keys.toSeq.sorted.mkString(", ")})"))
+
+  // ---- ANALYZE column statistics (the CBO sidecar) -------------------
+  @volatile private var colStatsV: Option[AnalyzedStats] =
+    log.flatMap(l => AnalyzedColStats.read(l.rootDir))
+  /** ANALYZE-time NDV + byte lengths per FIELD ID (None until the
+    * first `ANALYZE TABLE ... COMPUTE STATISTICS`); exact
+    * min/max/nullCount ride [[statsAt]] instead. */
+  def analyzedStats: Option[AnalyzedStats] = colStatsV
+
+  /** Record an ANALYZE pass: `FOR COLUMNS c1, c2` merges over prior
+    * entries (per-column refresh), the version stamp records the
+    * snapshot the numbers describe. Field-id keying survives RENAME
+    * COLUMN; ids of dropped columns simply stop matching. */
+  def recordColumnStats(cols: Map[Long, AnalyzedCol]): Unit = synchronized {
+    val merged = colStatsV.map(_.cols).getOrElse(Map.empty) ++ cols
+    val next = AnalyzedStats(currentVersion, merged)
+    colStatsV = Some(next)
+    log.foreach(l => AnalyzedColStats.write(l.rootDir, next))
+  }
+
   /** ALTER TABLE ... SET PARTITIONED BY — PARTITION-SPEC EVOLUTION
     * (the Iceberg model): publishes a new write spec as its own
     * commit version. Old data files keep their tuples under their own
@@ -1428,6 +1484,16 @@ private[sources] final class MemStore(schema0: StructType,
   def expireBefore(before: Int): Unit = synchronized {
     require(before > base && before <= currentVersion,
       s"expireBefore($before): retained window is [$base, $currentVersion]")
+    // tagged versions are PINNED: expiring one would leave a named
+    // ref pointing at vanished files — refuse loudly (the Iceberg
+    // expire_snapshots posture: refs retain their snapshots)
+    val pinned = refsV.filter(_._2 < before)
+    if (pinned.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"expireBefore($before): version(s) " +
+          pinned.toSeq.sorted.map { case (n, v) => s"$v (tag '$n')" }
+            .mkString(", ") +
+          " are pinned by tags — DROP TAG first or expire above them")
     val i = before - base
     val snap = versionSnapshot(before)
     val retained = entries.drop(i + 1)
@@ -2190,7 +2256,8 @@ private[sources] final class MemScanBuilder(store: MemStore,
           required.getOrElse(ColumnMapping.logical(dataSchema)),
           dataSchema, snap, stats,
           pushedArr.toSeq, streamStore = streamStore,
-          specs = store.specsAll)
+          specs = store.specsAll,
+          analyzed = store.analyzedStats)
     }
 }
 
@@ -2226,7 +2293,8 @@ private[sources] final class MemScan private (outSchema: StructType,
     pushed: Seq[org.apache.spark.sql.sources.Filter],
     direct: Boolean,
     streamStore: Option[MemStore],
-    specs: Vector[Seq[PartTransform]])
+    specs: Vector[Seq[PartTransform]],
+    analyzed: Option[AnalyzedStats])
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -2236,9 +2304,10 @@ private[sources] final class MemScan private (outSchema: StructType,
       stats: Option[CommitStats],
       pushed: Seq[org.apache.spark.sql.sources.Filter],
       streamStore: Option[MemStore],
-      specs: Vector[Seq[PartTransform]] = Vector(Nil)) =
+      specs: Vector[Seq[PartTransform]] = Vector(Nil),
+      analyzed: Option[AnalyzedStats] = None) =
     this(outSchema, dataSchema, snap, stats, pushed, direct = false,
-      streamStore, specs)
+      streamStore, specs, analyzed)
 
   /** The WRITE spec (current) — SPJ key reporting and DPP attribute
     * offers address it; per-FILE pruning uses each file's own spec. */
@@ -2311,7 +2380,14 @@ private[sources] final class MemScan private (outSchema: StructType,
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (direct || partSpec.isEmpty) Array.empty
-    else partSpec.map(p => Expressions.column(p.col)).toArray
+    // only offer partition columns the scan actually OUTPUTS: Spark's
+    // PartitionPruning resolves these against the relation output and
+    // throws on a pruned-out column (a DPP offer over a column the
+    // join doesn't read is unplannable anyway — the runtime filter's
+    // values arrive keyed on join-side attributes)
+    else partSpec.iterator
+      .filter(p => outSchema.fieldNames.contains(p.col))
+      .map(p => Expressions.column(p.col)).toArray
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter
         .Predicate]): Unit =
@@ -2335,23 +2411,121 @@ private[sources] final class MemScan private (outSchema: StructType,
       throw new UnsupportedOperationException(
         "streaming reads address the LIVE table, not a time-travel handle"))
 
-  /** CBO statistics served from the snapshot stats (the commit-log
-    * sidecar fold): exact row count, size estimated at the pruned
-    * read schema's default width. This is what lets Spark choose a
-    * BROADCAST join for a small catalog dim against a 100 TB fact
-    * without a hint — a v2 scan with no reported statistics defaults
+  /** The physical field a LOGICAL output column decodes from (None
+    * for synthetic columns like `__pos`). */
+  private def physFieldOf(name: String): Option[StructField] = {
+    val logical = ColumnMapping.logical(dataSchema)
+    val l2p = ColumnMapping.logicalToPhys(dataSchema)
+    val i = logical.fields.indexWhere(_.name == name)
+    if (i < 0) None else Some(dataSchema(l2p(i)))
+  }
+
+  /** ANALYZE-time stats of one logical column (field-id keyed — a
+    * rename between ANALYZE and the query still resolves). */
+  private def analyzedOf(name: String): Option[AnalyzedCol] =
+    for {
+      f <- physFieldOf(name)
+      id <- ColumnMapping.fieldId(f)
+      a <- analyzed
+      c <- a.cols.get(id)
+    } yield c
+
+  /** CBO statistics — what lets Spark size catalog scans correctly
+    * without a hint (a v2 scan with no reported statistics defaults
     * to "infinitely large" and every catalog join degrades to
-    * sort-merge (CboStatsSpec pins both directions). */
+    * sort-merge; CboStatsSpec pins both directions):
+    *
+    *  - `numRows` is FILTER-AWARE: with pushed predicates it is the
+    *    live span of the SURVIVING splits after partition pruning +
+    *    file/row-group stats skipping — so a selective partition
+    *    filter over a 100 TB fact correctly re-plans the join side it
+    *    feeds as broadcast-able. Planning is pure metadata (the same
+    *    `planSlices` the scan itself runs).
+    *  - `sizeInBytes` uses ANALYZE-time average byte widths for
+    *    variable-length columns when available (a 2 KB-average
+    *    document column must not be costed at StringType's 20-byte
+    *    default), type default widths otherwise.
+    *  - `columnStats` serves per-column NDV + avg/max lengths from
+    *    the last `ANALYZE TABLE ... COMPUTE STATISTICS` pass
+    *    ([[AnalyzedStats]], field-id keyed) merged with EXACT
+    *    nullCount/min/max from the commit-log stats fold — the inputs
+    *    `spark.sql.cbo.enabled` join-reorder and filter estimation
+    *    consume (translated by `transformV2Stats` into the logical
+    *    plan's `attributeStats`). Min/max are served for
+    *    integral/date/timestamp columns only (CBO estimation is
+    *    numeric; string extremes don't inform it). */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val n =
-        if (direct) 1L else stats.map(_.count).getOrElse(snap.count)
+      private val n: Long =
+        if (direct) 1L
+        else if (pushed.nonEmpty)
+          planSlices(pushed).iterator.map {
+            case s: SegSlice =>
+              math.max(0L, s.physEnd - s.physStart - s.dels.length)
+            case _ => 0L
+          }.sum
+        else stats.map(_.count).getOrElse(snap.count)
+      private val rowWidth: Long = math.max(1L,
+        outSchema.fields.iterator.map { f =>
+          analyzedOf(f.name).map(_.avgLen)
+            .getOrElse(f.dataType.defaultSize.toLong)
+        }.sum)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(n)
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(
-          math.max(1L, n * outSchema.defaultSize))
+        java.util.OptionalLong.of(math.max(1L, n * rowWidth))
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val out = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        if (direct) return out
+        outSchema.fields.foreach { f =>
+          val exact = stats.flatMap(_.cols.get(f.name))
+          val ana = analyzedOf(f.name)
+          if (exact.isDefined || ana.isDefined) {
+            val serveMinMax = exact.exists(_.tracked) &&
+              (f.dataType match {
+                case StringType => false
+                case _ => true
+              })
+            val cs = new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                ana.map(a => java.util.OptionalLong.of(a.ndv))
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def nullCount(): java.util.OptionalLong =
+                exact.map(e => java.util.OptionalLong.of(e.nulls))
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def min(): java.util.Optional[Object] =
+                if (serveMinMax)
+                  exact.flatMap(_.min).map(v =>
+                    java.util.Optional.of(v.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                else java.util.Optional.empty[Object]()
+              override def max(): java.util.Optional[Object] =
+                if (serveMinMax)
+                  exact.flatMap(_.max).map(v =>
+                    java.util.Optional.of(v.asInstanceOf[Object]))
+                    .getOrElse(java.util.Optional.empty[Object]())
+                else java.util.Optional.empty[Object]()
+              override def avgLen(): java.util.OptionalLong =
+                ana.map(a => java.util.OptionalLong.of(a.avgLen))
+                  .getOrElse(java.util.OptionalLong.of(
+                    f.dataType.defaultSize.toLong))
+              override def maxLen(): java.util.OptionalLong =
+                ana.map(a => java.util.OptionalLong.of(a.maxLen))
+                  .getOrElse(java.util.OptionalLong.of(
+                    f.dataType.defaultSize.toLong))
+            }
+            out.put(org.apache.spark.sql.connector.expressions.Expressions
+              .column(f.name), cs)
+          }
+        }
+        out
+      }
     }
 
   /** Plan the splits: zone-map-contradicted predicates serve EMPTY
@@ -2554,7 +2728,8 @@ private[sources] object MemScan {
   def direct(schema: StructType, row: InternalRow): MemScan =
     new MemScan(schema, schema,
       Snap(Vector(LiveSeg.raw(MemSeg(Vector(row))))), None, Seq.empty,
-      direct = true, streamStore = None, specs = Vector(Nil))
+      direct = true, streamStore = None, specs = Vector(Nil),
+      analyzed = None)
 
   /** Chunked overlay-free slices of one heap row vector (the
     * `.changes` feed's partition planning). */
@@ -3372,6 +3547,9 @@ private[sources] final class MetaTable(tableName: String, store: MemStore,
       StructField("n_files", LongType, nullable = false),
       StructField("n_rows", LongType, nullable = false),
       StructField("n_live", LongType, nullable = false)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
     case _ => StructType(Seq(
       StructField("seg", LongType, nullable = false),
       StructField("file", StringType, nullable = true),
@@ -3387,6 +3565,12 @@ private[sources] final class MetaTable(tableName: String, store: MemStore,
     () => new MetaScan(schema(), rows())
 
   private def rows(): Vector[InternalRow] = kind match {
+    case "refs" =>
+      store.refs.toVector.sortBy(_._1).map { case (n, v) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(n),
+            v.toLong))
+      }
     case "history" =>
       store.historyRows.iterator.map { case (v, t, n) =>
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

@@ -20,34 +20,34 @@ class ConstraintsSpec extends SparkTestBase {
     java.nio.file.Files.createTempDirectory("graft_ck").toString
 
   private def setup(): Unit = {
-    spark.conf.set("spark.sql.catalog.graftck", classOf[MemCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graftck.path", root)
+    spark.conf.set("spark.sql.catalog.graftcons", classOf[MemCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcons.path", root)
   }
 
   private def version(t: String): Long =
-    spark.sql(s"SELECT max(version) FROM graftck.$t.history")
+    spark.sql(s"SELECT max(version) FROM graftcons.$t.history")
       .head().getLong(0)
 
   test("violating INSERT aborts atomically: no version, no rows, no files") {
     setup()
-    spark.sql("DROP TABLE IF EXISTS graftck.t1")
-    spark.sql("CREATE TABLE graftck.t1 (k BIGINT, v BIGINT)")
-    spark.sql("INSERT INTO graftck.t1 SELECT id, id * 2 FROM RANGE(10)")
+    spark.sql("DROP TABLE IF EXISTS graftcons.t1")
+    spark.sql("CREATE TABLE graftcons.t1 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftcons.t1 SELECT id, id * 2 FROM RANGE(10)")
     spark.sql(
-      "ALTER TABLE graftck.t1 ADD CONSTRAINT v_even CHECK (v % 2 = 0)")
+      "ALTER TABLE graftcons.t1 ADD CONSTRAINT v_even CHECK (v % 2 = 0)")
     val v0 = version("t1")
-    val files0 = spark.sql("SELECT file FROM graftck.t1.files")
+    val files0 = spark.sql("SELECT file FROM graftcons.t1.files")
       .collect().map(_.getString(0)).toSet
     val e = intercept[Exception] {
-      spark.sql("INSERT INTO graftck.t1 VALUES (100, 7)")
+      spark.sql("INSERT INTO graftcons.t1 VALUES (100, 7)")
     }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
     assert(causes(e).exists(_.isInstanceOf[ConstraintViolationException]),
       e.toString)
     assert(version("t1") == v0, "violating INSERT must commit no version")
-    assert(spark.table("graftck.t1").count() == 10L)
-    assert(spark.sql("SELECT file FROM graftck.t1.files")
+    assert(spark.table("graftcons.t1").count() == 10L)
+    assert(spark.sql("SELECT file FROM graftcons.t1.files")
       .collect().map(_.getString(0)).toSet == files0)
     // no stray files beyond the live set + log machinery
     val dataDir = java.nio.file.Paths.get(root, "t1", "data")
@@ -59,103 +59,103 @@ class ConstraintsSpec extends SparkTestBase {
     }
     assert(stray == 0, s"$stray stray data files after aborted INSERT")
     // valid writes unaffected
-    spark.sql("INSERT INTO graftck.t1 VALUES (100, 8)")
-    assert(spark.table("graftck.t1").count() == 11L)
+    spark.sql("INSERT INTO graftcons.t1 VALUES (100, 8)")
+    assert(spark.table("graftcons.t1").count() == 11L)
   }
 
   test("NOT NULL enforces and survives RENAME COLUMN (field-id keyed)") {
     setup()
-    spark.sql("DROP TABLE IF EXISTS graftck.t2")
-    spark.sql("CREATE TABLE graftck.t2 (k BIGINT, tag STRING)")
-    spark.sql("INSERT INTO graftck.t2 VALUES (1, 'a')")
-    spark.sql("ALTER TABLE graftck.t2 ALTER COLUMN tag SET NOT NULL")
+    spark.sql("DROP TABLE IF EXISTS graftcons.t2")
+    spark.sql("CREATE TABLE graftcons.t2 (k BIGINT, tag STRING)")
+    spark.sql("INSERT INTO graftcons.t2 VALUES (1, 'a')")
+    spark.sql("ALTER TABLE graftcons.t2 ALTER COLUMN tag SET NOT NULL")
     intercept[Exception] {
-      spark.sql("INSERT INTO graftck.t2 VALUES (2, NULL)")
+      spark.sql("INSERT INTO graftcons.t2 VALUES (2, NULL)")
     }
-    assert(spark.table("graftck.t2").count() == 1L)
-    spark.sql("ALTER TABLE graftck.t2 RENAME COLUMN tag TO label")
+    assert(spark.table("graftcons.t2").count() == 1L)
+    spark.sql("ALTER TABLE graftcons.t2 RENAME COLUMN tag TO label")
     intercept[Exception] {
-      spark.sql("INSERT INTO graftck.t2 VALUES (3, NULL)")
+      spark.sql("INSERT INTO graftcons.t2 VALUES (3, NULL)")
     }
-    spark.sql("INSERT INTO graftck.t2 VALUES (4, 'b')")
-    assert(spark.table("graftck.t2").count() == 2L)
+    spark.sql("INSERT INTO graftcons.t2 VALUES (4, 'b')")
+    assert(spark.table("graftcons.t2").count() == 2L)
     // DROP NOT NULL lifts it (by the renamed name)
-    spark.sql("ALTER TABLE graftck.t2 ALTER COLUMN label DROP NOT NULL")
-    spark.sql("INSERT INTO graftck.t2 VALUES (5, NULL)")
-    assert(spark.table("graftck.t2").count() == 3L)
+    spark.sql("ALTER TABLE graftcons.t2 ALTER COLUMN label DROP NOT NULL")
+    spark.sql("INSERT INTO graftcons.t2 VALUES (5, NULL)")
+    assert(spark.table("graftcons.t2").count() == 3L)
   }
 
   test("MERGE/UPDATE rows enforce CHECK constraints") {
     setup()
-    spark.sql("DROP TABLE IF EXISTS graftck.t3")
-    spark.sql("CREATE TABLE graftck.t3 (k BIGINT, v BIGINT)")
-    spark.sql("INSERT INTO graftck.t3 SELECT id, 10 + id FROM RANGE(5)")
+    spark.sql("DROP TABLE IF EXISTS graftcons.t3")
+    spark.sql("CREATE TABLE graftcons.t3 (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftcons.t3 SELECT id, 10 + id FROM RANGE(5)")
     spark.sql(
-      "ALTER TABLE graftck.t3 ADD CONSTRAINT v_pos CHECK (v >= 0)")
+      "ALTER TABLE graftcons.t3 ADD CONSTRAINT v_pos CHECK (v >= 0)")
     intercept[Exception] {
-      spark.sql("UPDATE graftck.t3 SET v = -1 WHERE k = 2")
+      spark.sql("UPDATE graftcons.t3 SET v = -1 WHERE k = 2")
     }
-    assert(spark.sql("SELECT v FROM graftck.t3 WHERE k = 2")
+    assert(spark.sql("SELECT v FROM graftcons.t3 WHERE k = 2")
       .head().getLong(0) == 12L, "aborted UPDATE must not land")
     intercept[Exception] {
       spark.sql(
-        """MERGE INTO graftck.t3 t USING (SELECT 99 AS k, -5 AS v) s
+        """MERGE INTO graftcons.t3 t USING (SELECT 99 AS k, -5 AS v) s
           |ON t.k = s.k WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
-    assert(spark.table("graftck.t3").count() == 5L)
-    spark.sql("UPDATE graftck.t3 SET v = 0 WHERE k = 2") // valid
-    assert(spark.sql("SELECT v FROM graftck.t3 WHERE k = 2")
+    assert(spark.table("graftcons.t3").count() == 5L)
+    spark.sql("UPDATE graftcons.t3 SET v = 0 WHERE k = 2") // valid
+    assert(spark.sql("SELECT v FROM graftcons.t3 WHERE k = 2")
       .head().getLong(0) == 0L)
   }
 
   test("adding a constraint validates existing rows; survives restart") {
     setup()
-    spark.sql("DROP TABLE IF EXISTS graftck.t4")
-    spark.sql("CREATE TABLE graftck.t4 (k BIGINT)")
-    spark.sql("INSERT INTO graftck.t4 VALUES (1), (2), (-3)")
+    spark.sql("DROP TABLE IF EXISTS graftcons.t4")
+    spark.sql("CREATE TABLE graftcons.t4 (k BIGINT)")
+    spark.sql("INSERT INTO graftcons.t4 VALUES (1), (2), (-3)")
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE graftck.t4 ADD CONSTRAINT k_pos CHECK (k > 0)")
+      spark.sql("ALTER TABLE graftcons.t4 ADD CONSTRAINT k_pos CHECK (k > 0)")
     }
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
     assert(causes(e).exists(_.isInstanceOf[ConstraintViolationException]),
       e.toString)
     // rejected: inserts still unconstrained
-    spark.sql("INSERT INTO graftck.t4 VALUES (-4)")
-    spark.sql("DELETE FROM graftck.t4 WHERE k < 0")
-    spark.sql("ALTER TABLE graftck.t4 ADD CONSTRAINT k_pos CHECK (k > 0)")
+    spark.sql("INSERT INTO graftcons.t4 VALUES (-4)")
+    spark.sql("DELETE FROM graftcons.t4 WHERE k < 0")
+    spark.sql("ALTER TABLE graftcons.t4 ADD CONSTRAINT k_pos CHECK (k > 0)")
     // restart: the constraint replays from the sidecar
     MemCatalog.simulateRestart()
     intercept[Exception] {
-      spark.sql("INSERT INTO graftck.t4 VALUES (-9)")
+      spark.sql("INSERT INTO graftcons.t4 VALUES (-9)")
     }
-    assert(spark.table("graftck.t4").count() == 2L)
-    spark.sql("ALTER TABLE graftck.t4 DROP CONSTRAINT k_pos")
-    spark.sql("INSERT INTO graftck.t4 VALUES (-9)") // gate lifted
-    assert(spark.table("graftck.t4").count() == 3L)
+    assert(spark.table("graftcons.t4").count() == 2L)
+    spark.sql("ALTER TABLE graftcons.t4 DROP CONSTRAINT k_pos")
+    spark.sql("INSERT INTO graftcons.t4 VALUES (-9)") // gate lifted
+    assert(spark.table("graftcons.t4").count() == 3L)
   }
 
   test("rename/drop of a CHECK-referenced column is refused") {
     setup()
-    spark.sql("DROP TABLE IF EXISTS graftck.t5")
-    spark.sql("CREATE TABLE graftck.t5 (a BIGINT, b BIGINT)")
+    spark.sql("DROP TABLE IF EXISTS graftcons.t5")
+    spark.sql("CREATE TABLE graftcons.t5 (a BIGINT, b BIGINT)")
     spark.sql(
-      "ALTER TABLE graftck.t5 ADD CONSTRAINT ab CHECK (a + b > 0 OR a IS NULL)")
+      "ALTER TABLE graftcons.t5 ADD CONSTRAINT ab CHECK (a + b > 0 OR a IS NULL)")
     val e1 = intercept[Exception] {
-      spark.sql("ALTER TABLE graftck.t5 RENAME COLUMN a TO a2")
+      spark.sql("ALTER TABLE graftcons.t5 RENAME COLUMN a TO a2")
     }
     assert(e1.getMessage.contains("CHECK"), e1.getMessage)
     val e2 = intercept[Exception] {
-      spark.sql("ALTER TABLE graftck.t5 DROP COLUMN b")
+      spark.sql("ALTER TABLE graftcons.t5 DROP COLUMN b")
     }
     assert(e2.getMessage.contains("CHECK"), e2.getMessage)
-    spark.sql("ALTER TABLE graftck.t5 DROP CONSTRAINT ab")
-    spark.sql("ALTER TABLE graftck.t5 RENAME COLUMN a TO a2") // now fine
-    assert(spark.table("graftck.t5").columns.toSeq == Seq("a2", "b"))
+    spark.sql("ALTER TABLE graftcons.t5 DROP CONSTRAINT ab")
+    spark.sql("ALTER TABLE graftcons.t5 RENAME COLUMN a TO a2") // now fine
+    assert(spark.table("graftcons.t5").columns.toSeq == Seq("a2", "b"))
     // NULL passes a CHECK (ANSI): re-add over the renamed layout
     spark.sql(
-      "ALTER TABLE graftck.t5 ADD CONSTRAINT pos CHECK (a2 > 0)")
-    spark.sql("INSERT INTO graftck.t5 VALUES (NULL, 1)") // NULL passes
-    assert(spark.table("graftck.t5").count() == 1L)
+      "ALTER TABLE graftcons.t5 ADD CONSTRAINT pos CHECK (a2 > 0)")
+    spark.sql("INSERT INTO graftcons.t5 VALUES (NULL, 1)") // NULL passes
+    assert(spark.table("graftcons.t5").count() == 1L)
   }
 }
