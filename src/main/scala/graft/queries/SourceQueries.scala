@@ -1792,6 +1792,61 @@ object SourceQueries {
            |       CAST($refused AS BIGINT) AS n_refused
            |FROM graftmem.tagq""".stripMargin)
       tagged.crossJoin(live)
+    },
+
+    // WRITE-AUDIT-PUBLISH (SHALLOW CLONE + FAST FORWARD): production
+    // holds generation 0 (even keys); a ZERO-COPY clone forks it
+    // (hard-linked commit + data files — O(files) metadata, no bytes
+    // move); the audit writes land on the CLONE ONLY (an append of
+    // the odd keys and a correction UPDATE zeroing k%10==0 cents);
+    // FAST FORWARD then publishes the audited suffix back with
+    // create-new commit semantics. The probe reads the published
+    // production table AND time-travels to the pre-publish version —
+    // both derivable from raw orders by the oracle. CloneSpec pins
+    // link identity, two-way isolation, vacuum safety, moved-target
+    // refusal, and restart durability.
+    QueryDef("q323_wap_clone_publish",
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |         round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |published AS (
+        |  SELECT k, CASE WHEN k % 10 = 0 THEN 0 ELSE cents END AS cents
+        |  FROM src)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |       (SELECT count(*) FROM src WHERE k % 2 = 0)::BIGINT
+        |         AS n_preclone
+        |FROM published""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.wapprod")
+      spark.sql("DROP TABLE IF EXISTS graftmem.wapdev")
+      spark.sql("CREATE TABLE graftmem.wapprod (k BIGINT, cents BIGINT)")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q323_src")
+      spark.sql("INSERT INTO graftmem.wapprod " +
+        "SELECT * FROM q323_src WHERE k % 2 = 0") // v1
+      spark.sql("CREATE TABLE graftmem.wapdev SHALLOW CLONE " +
+        "graftmem.wapprod").collect()
+      // audit writes on the clone only
+      spark.sql("INSERT INTO graftmem.wapdev " +
+        "SELECT * FROM q323_src WHERE k % 2 = 1")
+      spark.sql("UPDATE graftmem.wapdev SET cents = 0 WHERE k % 10 = 0")
+      spark.sql("ALTER TABLE graftmem.wapprod FAST FORWARD TO " +
+        "graftmem.wapdev").collect()
+      val pre = spark.sql(
+        """SELECT count(*) AS n_preclone
+          |FROM graftmem.wapprod VERSION AS OF 1""".stripMargin)
+      spark.sql(
+        """SELECT count(*) AS n_rows, CAST(sum(cents) AS BIGINT)
+          |  AS cents_sum
+          |FROM graftmem.wapprod""".stripMargin)
+        .crossJoin(pre)
     }
   )
 

@@ -168,6 +168,14 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
   private def commitFile(version: Int): Path =
     dir.resolve(f"$version%08d.commit")
 
+  /** Commit/stats file paths for SHALLOW CLONE / FAST FORWARD —
+    * commit files are immutable once published, so cross-table hard
+    * links are safe ([[TableClone]]). */
+  private[sources] def commitFilePath(version: Int): Path =
+    commitFile(version)
+  private[sources] def statsFilePath(version: Int): Path =
+    statsFile(version)
+
   /** Data-file directory (the table's parquet files). Write tasks
     * stream rows here under fresh UUID names; a file becomes LIVE only
     * when a commit file referencing it lands atomically — a crashed
@@ -874,7 +882,7 @@ private[sources] object CommitLog {
 
   private def schemaFile(dir: Path): Path = dir.resolve("_schema.json")
 
-  private def writeSchemaFile(dir: Path, schema: StructType): Unit = {
+  private[sources] def writeSchemaFile(dir: Path, schema: StructType): Unit = {
     val tmp = dir.resolve("_schema.json.inprogress")
     Files.writeString(tmp, schema.json)
     Files.move(tmp, schemaFile(dir), StandardCopyOption.ATOMIC_MOVE,

@@ -95,6 +95,19 @@ private[sources] object MaintenanceSql {
       """\s+DROP\s+TAG\s+""" + Id + """\s*;?\s*$""").r
   private val TagVerb =
     """(?is)^\s*ALTER\s+TABLE\s+.*\b(CREATE|DROP)\s+TAG\b.*""".r
+  // shallow clone + fast-forward (write-audit-publish)
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+""" + Tbl +
+      """\s+SHALLOW\s+CLONE\s+""" + Tbl +
+      """(?:\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)'|`([^`]+)`))?""" +
+      """\s*;?\s*$""").r
+  private val CloneVerb =
+    """(?is)^\s*CREATE\s+TABLE\s+.*\bSHALLOW\s+CLONE\b.*""".r
+  private val FastForwardRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+FAST\s+FORWARD\s+TO\s+""" + Tbl + """\s*;?\s*$""").r
+  private val FastForwardVerb =
+    """(?is)^\s*ALTER\s+TABLE\s+.*\bFAST\s+FORWARD\b.*""".r
   // partition-spec evolution: only THIS alter form is ours — every
   // other ALTER TABLE delegates to Spark's parser
   private val SetPartRe =
@@ -191,6 +204,29 @@ private[sources] object MaintenanceSql {
         "malformed tag statement. Expected:\n" +
           "  ALTER TABLE cat.tbl CREATE TAG name [VERSION AS OF v]\n" +
           "  ALTER TABLE cat.tbl DROP TAG name\n" +
+          s"got: ${sqlText.trim}")
+    case CloneRe(dc1, dc2, dt1, dt2, sc1, sc2, st1, st2, v, tq, tb) =>
+      val srcCat = pick(sc1, sc2)
+      require(pick(dc1, dc2) == srcCat,
+        s"SHALLOW CLONE within one catalog: got ${pick(dc1, dc2)} vs " +
+          s"$srcCat")
+      val ref = if (v != null) Some(v)
+        else if (tq != null) Some(tq) else Option(tb)
+      Some(ShallowCloneCommand(srcCat, pick(st1, st2), pick(dt1, dt2), ref))
+    case CloneVerb() =>
+      throw new GraftSqlParseException(
+        "malformed SHALLOW CLONE statement. Expected: CREATE TABLE " +
+          "cat.dst SHALLOW CLONE cat.src [VERSION AS OF <v | 'tag'>]\n" +
+          s"got: ${sqlText.trim}")
+    case FastForwardRe(tc1, tc2, tt1, tt2, cc1, cc2, ct1, ct2) =>
+      require(pick(tc1, tc2) == pick(cc1, cc2),
+        "FAST FORWARD within one catalog")
+      Some(FastForwardCommand(pick(tc1, tc2), pick(tt1, tt2),
+        pick(ct1, ct2)))
+    case FastForwardVerb(_) =>
+      throw new GraftSqlParseException(
+        "malformed FAST FORWARD statement. Expected: ALTER TABLE " +
+          "cat.tgt FAST FORWARD TO cat.clone\n" +
           s"got: ${sqlText.trim}")
     case SetPartRe(c1, c2, t1, t2, specText) =>
       // split on commas OUTSIDE parens — bucket(4, k) is one element
@@ -487,5 +523,32 @@ final case class AnalyzeTableStatsCommand(cat: String, tbl: String,
     store.recordColumnStats(out)
     Seq(Row(s"$cat.$tbl",
       s"analyzed ${targets.size} columns at version ${store.currentVersion}"))
+  }
+}
+
+/** `CREATE TABLE cat.dst SHALLOW CLONE cat.src [VERSION AS OF
+  * (v | 'tag')]` — zero-copy table fork ([[TableClone]]): the clone's
+  * log is the source's truncated at the cloned version, data files
+  * hard-linked (strict per-table ownership over shared inodes). */
+final case class ShallowCloneCommand(cat: String, src: String, dst: String,
+    ref: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = TableClone.shallowClone(spark, cat, src, dst, ref)
+    Seq(Row(s"$cat.$dst", s"shallow clone of $cat.$src at version $v"))
+  }
+}
+
+/** `ALTER TABLE cat.tgt FAST FORWARD TO cat.clone` — publish the
+  * clone's audited suffix back onto its source (write-audit-publish).
+  * Refused loudly when the target moved since the clone. */
+final case class FastForwardCommand(cat: String, tgt: String,
+    cloneTbl: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (base, head) = TableClone.fastForward(spark, cat, tgt, cloneTbl)
+    Seq(Row(s"$cat.$tgt",
+      s"fast-forwarded from version $base to $head (${head - base} " +
+        s"commits published from $cat.$cloneTbl)"))
   }
 }

@@ -376,6 +376,13 @@ object MemCatalog {
       table: String): Option[MemStore] =
     stores.get(catalogName + KeySep + table)
 
+  /** Drop the JVM-cached store so the next resolution replays the
+    * durable log — how FAST FORWARD surfaces the published suffix (a
+    * stale handle still commits safely: publication is create-new, so
+    * it version-conflicts and retries like any cross-process writer). */
+  private[sources] def invalidate(catalogName: String, table: String): Unit =
+    stores.remove(catalogName + KeySep + table)
+
   private def requireStore(catalogName: String, table: String): MemStore =
     stores.getOrElse(catalogName + KeySep + table,
       throw new IllegalArgumentException(
@@ -1013,6 +1020,30 @@ private[sources] final class MemStore(schema0: StructType,
   def versionState(v: Int): (Snap, Option[CommitStats], StructType) =
     synchronized { (versionSnapshot(v), statsAt(v),
       schemaHist(math.min(v - base, schemaHist.length - 1))) }
+
+  /** PHYSICAL schema as of version `v` (clone truncation). */
+  private[sources] def physSchemaAt(v: Int): StructType = versionState(v)._3
+
+  /** Spec registry as of version `v`: the full registry minus specs
+    * introduced by VSpecChange markers AFTER `v` (clone truncation —
+    * the clone's write spec must be v's write spec). */
+  private[sources] def specsAt(v: Int): Vector[Seq[PartTransform]] =
+    synchronized {
+      val total = entries.tail.count(_.isInstanceOf[VSpecChange])
+      val atBase = specsAll.length - total
+      val upto = entries.slice(1, v - base + 1)
+        .count(_.isInstanceOf[VSpecChange])
+      specsAll.take(atBase + upto)
+    }
+
+  /** In-memory deltas of versions AFTER `v` (fast-forward suffix
+    * inspection). */
+  private[sources] def deltasAfter(v: Int): Seq[VDelta] = synchronized {
+    entries.drop(v - base + 1)
+  }
+
+  /** The durable log (None = heap table). */
+  private[sources] def commitLog: Option[CommitLog] = log
 
   def versionSnapshot(v: Int): Snap = synchronized {
     require(v >= base,

@@ -1,0 +1,187 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+
+/** SHALLOW CLONE + FAST FORWARD — the catalog's WRITE-AUDIT-PUBLISH
+  * primitives (Delta `SHALLOW CLONE`, Iceberg branch + `fast_forward`
+  * re-expressed over the linear commit log):
+  *
+  *   - `CREATE TABLE cat.dst SHALLOW CLONE cat.src [VERSION AS OF
+  *     (v | 'tag')]` forks a table WITHOUT copying data: the clone's
+  *     log directory is the source's log TRUNCATED at the cloned
+  *     version — commit files (immutable once published) and parquet
+  *     data files are HARD-LINKED, so the fork is O(files) metadata
+  *     operations regardless of table size. Links give STRICT
+  *     ownership: each table's files are its own directory entries
+  *     over shared inodes — VACUUM/OPTIMIZE on either side unlinks
+  *     only its own entries and an inode lives until BOTH release it,
+  *     so neither Delta's "vacuuming the source breaks shallow
+  *     clones" hazard nor any cross-table reference exists. (An
+  *     object-store deployment has no hard links; there this becomes
+  *     an absolute-path manifest à la Iceberg — same O(files) cost,
+  *     with the documented source-retention caveat.)
+  *
+  *   - `ALTER TABLE cat.tgt FAST FORWARD TO cat.clone` publishes the
+  *     clone's audited suffix back onto the target: new data files
+  *     hard-link over, then each suffix commit file links under the
+  *     target's log with CREATE-NEW semantics — the same optimistic
+  *     linearization every writer uses, so a concurrent commit on the
+  *     target loses the race loudly instead of silently interleaving.
+  *     Fast-forward REQUIRES the target unmoved since the clone
+  *     (`currentVersion == clone base`) — the WAP contract: audit a
+  *     fork of exactly what production serves, publish atomically, or
+  *     re-clone if production moved. Clone history below the base is
+  *     byte-identical to the target's by construction, so the
+  *     published log replays as if the suffix had been committed on
+  *     the target directly (row-delta positions address the same live
+  *     ordering). Suffixes carrying schema or partition-spec changes
+  *     are refused loudly — apply those on the target itself.
+  */
+private[sources] object TableClone {
+
+  private val ProvenanceFile = "_clone"
+
+  /** Fork `cat.src` at `ref` (version number or tag; default the
+    * current version) into a new table `dst`. Returns the cloned
+    * version. */
+  def shallowClone(spark: SparkSession, cat: String, src: String,
+      dst: String, ref: Option[String]): Int = {
+    val srcStore = MaintenanceSql.storeFor(spark, cat, src)
+    val srcLog = srcStore.commitLog.getOrElse(
+      throw new UnsupportedOperationException(
+        "SHALLOW CLONE needs a durable catalog table (path option) — " +
+          "a heap table has no files to link"))
+    val v = ref.map(srcStore.resolveVersion)
+      .getOrElse(srcStore.currentVersion)
+    require(v >= srcStore.oldestVersion && v <= srcStore.currentVersion,
+      s"SHALLOW CLONE at version $v: retained window is " +
+        s"[${srcStore.oldestVersion}, ${srcStore.currentVersion}]")
+    val dstDir = srcLog.rootDir.getParent.resolve(dst)
+    require(!Files.exists(dstDir),
+      s"table $cat.$dst already exists at $dstDir")
+    require(MemCatalog.storeOf(cat, dst).isEmpty,
+      s"table $cat.$dst is already loaded in this JVM")
+
+    Files.createDirectories(dstDir.resolve("data"))
+    val created = srcLog.rootDir.resolve("_created")
+    if (Files.exists(created))
+      Files.copy(created, dstDir.resolve("_created"))
+    // schema + spec registry AS OF the cloned version (commits <= v
+    // decode under them exactly as the source's time travel does)
+    CommitLog.writeSchemaFile(dstDir, srcStore.physSchemaAt(v))
+    CommitLog.writePartitionFile(dstDir, srcStore.specsAt(v))
+    // commit + stats files of the retained prefix: hard links
+    // (immutable once published). No checkpoints: the clone's cold
+    // load replays its commits and re-seeds its own.
+    (math.max(1, srcStore.oldestVersion) to v).foreach { w =>
+      val cf = srcLog.commitFilePath(w)
+      require(Files.exists(cf), s"missing commit file $cf — the source " +
+        "expired concurrently; re-run the clone")
+      Files.createLink(dstDir.resolve(cf.getFileName), cf)
+      val sf = srcLog.statsFilePath(w)
+      if (Files.exists(sf))
+        Files.createLink(dstDir.resolve(sf.getFileName), sf)
+    }
+    // every data file links over (a superset of those referenced <= v
+    // is harmless: links are free and each table owns its own entries)
+    val ds = Files.list(srcLog.dataDir)
+    try {
+      val it = ds.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isRegularFile(p))
+          Files.createLink(dstDir.resolve("data").resolve(p.getFileName), p)
+      }
+    } finally ds.close()
+    // sidecars, truncated to what exists at v: tags at or below v;
+    // constraints whose columns exist at v; ANALYZE stats unless they
+    // describe a later version
+    val tags = srcStore.refs.filter(_._2 <= v)
+    if (tags.nonEmpty) Refs.write(dstDir, tags)
+    val physV = srcStore.physSchemaAt(v)
+    val idsAtV = physV.fields.flatMap(ColumnMapping.fieldId).toSet
+    val namesAtV = ColumnMapping.logical(physV).fieldNames.toSet
+    val c = srcStore.constraints
+    val kept = TableConstraints(
+      c.notNullIds.intersect(idsAtV),
+      c.checks.filter(ch => Constraints.references(ch.sql)
+        .subsetOf(namesAtV)))
+    if (!kept.isEmpty) Constraints.write(dstDir, kept)
+    srcStore.analyzedStats.filter(_.version <= v)
+      .foreach(s => AnalyzedColStats.write(dstDir, s))
+    // provenance: what FAST FORWARD validates against
+    Files.writeString(dstDir.resolve(ProvenanceFile), s"$cat\t$src\t$v")
+    // materialize through the session catalog (replays the new log)
+    spark.table(s"$cat.$dst").queryExecution.analyzed
+    v
+  }
+
+  /** Publish `cat.clone`'s suffix commits onto `cat.tgt` (its clone
+    * source). Returns (base version, head version) published. */
+  def fastForward(spark: SparkSession, cat: String, tgt: String,
+      clone: String): (Int, Int) = {
+    val t = MaintenanceSql.storeFor(spark, cat, tgt)
+    val c = MaintenanceSql.storeFor(spark, cat, clone)
+    val tLog = t.commitLog.getOrElse(throw new UnsupportedOperationException(
+      s"FAST FORWARD target $cat.$tgt is not a durable table"))
+    val cLog = c.commitLog.getOrElse(throw new UnsupportedOperationException(
+      s"FAST FORWARD source $cat.$clone is not a durable table"))
+    val prov = cLog.rootDir.resolve(ProvenanceFile)
+    require(Files.exists(prov),
+      s"$cat.$clone is not a shallow clone (no $ProvenanceFile provenance)")
+    val parts = Files.readString(prov).trim.split("\t")
+    require(parts.length == 3, s"corrupt $ProvenanceFile: ${parts.toSeq}")
+    require(parts(0) == cat && parts(1) == tgt,
+      s"$cat.$clone was cloned from ${parts(0)}.${parts(1)}, " +
+        s"not $cat.$tgt — fast-forward publishes only onto the clone source")
+    val base = parts(2).toInt
+    if (t.currentVersion != base)
+      throw new java.util.ConcurrentModificationException(
+        s"FAST FORWARD refused: $cat.$tgt is at version " +
+          s"${t.currentVersion}, the clone forked at $base — the target " +
+          "moved; re-clone and re-apply the audit writes")
+    val head = c.currentVersion
+    require(head > base,
+      s"nothing to publish: $cat.$clone has no commits past its base $base")
+    c.deltasAfter(base).foreach {
+      case VMarker | _: VSpecChange =>
+        throw new UnsupportedOperationException(
+          "FAST FORWARD suffix contains schema or partition-spec " +
+            "changes — apply those on the target directly, then re-clone")
+      case _ => ()
+    }
+    // new data files first (invisible until a commit references them)
+    val ds = Files.list(cLog.dataDir)
+    try {
+      val it = ds.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val dst = tLog.dataDir.resolve(p.getFileName)
+        if (Files.isRegularFile(p) && !Files.exists(dst))
+          try Files.createLink(dst, p)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    } finally ds.close()
+    // suffix commits ascending, CREATE-NEW: exactly one publisher can
+    // win each version; a concurrent target commit aborts us loudly
+    (base + 1 to head).foreach { w =>
+      val sf = cLog.statsFilePath(w)
+      if (Files.exists(sf) && !Files.exists(tLog.statsFilePath(w)))
+        Files.createLink(tLog.statsFilePath(w), sf)
+      try Files.createLink(tLog.commitFilePath(w), cLog.commitFilePath(w))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"FAST FORWARD aborted: version $w landed on $cat.$tgt " +
+              s"concurrently (published ${w - 1 - base} of " +
+              s"${head - base} suffix commits)")
+      }
+    }
+    // surface the published suffix: drop the cached store, replay
+    MemCatalog.invalidate(cat, tgt)
+    spark.table(s"$cat.$tgt").queryExecution.analyzed
+    (base, head)
+  }
+}
