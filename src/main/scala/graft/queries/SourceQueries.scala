@@ -1847,6 +1847,43 @@ object SourceQueries {
           |  AS cents_sum
           |FROM graftmem.wapprod""".stripMargin)
         .crossJoin(pre)
+    },
+
+    // WRITE-TIME CLUSTERING (SET CLUSTERED BY -> DSv2
+    // RequiresDistributionAndOrdering): the INSERT itself demands a
+    // range distribution over l_orderkey, so Spark plans the exchange
+    // and files land covering narrow disjoint key ranges — the range
+    // probe below then skips whole files on per-file min/max stats
+    // with NO OPTIMIZE pass ever run. Result-invisible: the oracle
+    // computes over raw lineitem (ClusteredWriteSpec pins the
+    // split-count skip, rename survival, and misuse errors).
+    QueryDef("q324_clustered_write",
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 12000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.clusli")
+      spark.sql("CREATE TABLE graftmem.clusli " +
+        "(l_orderkey BIGINT, l_returnflag STRING, cents BIGINT)")
+      spark.sql(
+        "ALTER TABLE graftmem.clusli SET CLUSTERED BY (l_orderkey)")
+      Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q324_src")
+      spark.sql("INSERT INTO graftmem.clusli SELECT * FROM q324_src")
+      spark.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |       CAST(sum(cents) AS BIGINT) AS cents
+          |FROM graftmem.clusli
+          |WHERE l_orderkey BETWEEN 5000 AND 12000
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }
   )
 

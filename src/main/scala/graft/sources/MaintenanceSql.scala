@@ -108,6 +108,13 @@ private[sources] object MaintenanceSql {
       """\s+FAST\s+FORWARD\s+TO\s+""" + Tbl + """\s*;?\s*$""").r
   private val FastForwardVerb =
     """(?is)^\s*ALTER\s+TABLE\s+.*\bFAST\s+FORWARD\b.*""".r
+  // write-time clustering (RequiresDistributionAndOrdering)
+  private val SetClusterRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+SET\s+CLUSTERED\s+BY\s*(?:\(\s*([^)]+?)\s*\)|(NONE))""" +
+      """\s*;?\s*$""").r
+  private val SetClusterVerb =
+    """(?is)^\s*ALTER\s+TABLE\s+.*\bSET\s+CLUSTERED\s+BY\b.*""".r
   // partition-spec evolution: only THIS alter form is ours — every
   // other ALTER TABLE delegates to Spark's parser
   private val SetPartRe =
@@ -228,6 +235,20 @@ private[sources] object MaintenanceSql {
         "malformed FAST FORWARD statement. Expected: ALTER TABLE " +
           "cat.tgt FAST FORWARD TO cat.clone\n" +
           s"got: ${sqlText.trim}")
+    case SetClusterRe(c1, c2, t1, t2, cols, none) =>
+      val colSeq =
+        if (none != null) Nil
+        else cols.split(",").toSeq.map(_.trim.stripPrefix("`")
+          .stripSuffix("`")).filter(_.nonEmpty)
+      if (none == null && colSeq.isEmpty)
+        throw new GraftSqlParseException(
+          "SET CLUSTERED BY needs at least one column (or NONE)")
+      Some(SetClusterColsCommand(pick(c1, c2), pick(t1, t2), colSeq))
+    case SetClusterVerb() =>
+      throw new GraftSqlParseException(
+        "malformed SET CLUSTERED BY statement. Expected: ALTER TABLE " +
+          "cat.tbl SET CLUSTERED BY (c1, c2, ...) | NONE\n" +
+          s"got: ${sqlText.trim}")
     case SetPartRe(c1, c2, t1, t2, specText) =>
       // split on commas OUTSIDE parens — bucket(4, k) is one element
       val parts = {
@@ -318,11 +339,14 @@ final case class OptimizeTableCommand(cat: String, tbl: String,
     val store = MaintenanceSql.storeFor(spark, cat, tbl)
     val n = store.currentState()._1.count
     val target = targetRows.getOrElse(math.max(1, (n / 16).toInt))
+    // no explicit clustering list: default to the table's CLUSTERED BY
+    // columns, so maintenance re-clusters along the same axis ingest
+    // does ([[ClusterSpec]])
+    val by = if (zorderBy.nonEmpty) zorderBy else store.clusterCols
     MemCatalog.optimizeTable(spark, cat, tbl, targetFileRows = target,
-      zorderBy = zorderBy, curve = curve)
+      zorderBy = by, curve = curve)
     val detail = s"optimized ${n} rows, target $target rows/file" +
-      (if (zorderBy.nonEmpty)
-        s", $curve by (${zorderBy.mkString(", ")})" else "")
+      (if (by.nonEmpty) s", $curve by (${by.mkString(", ")})" else "")
     Seq(Row(s"$cat.$tbl", detail))
   }
 }
@@ -550,5 +574,22 @@ final case class FastForwardCommand(cat: String, tgt: String,
     Seq(Row(s"$cat.$tgt",
       s"fast-forwarded from version $base to $head (${head - base} " +
         s"commits published from $cat.$cloneTbl)"))
+  }
+}
+
+/** `ALTER TABLE cat.tbl SET CLUSTERED BY (c1, c2) | NONE` — write-time
+  * clustering ([[ClusterSpec]]): every subsequent write demands a
+  * range distribution + ordering over the key through DSv2
+  * `RequiresDistributionAndOrdering`, so files land pre-clustered and
+  * min/max stats skip without an OPTIMIZE pass. */
+final case class SetClusterColsCommand(cat: String, tbl: String,
+    cols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = MaintenanceSql.storeFor(spark, cat, tbl)
+    store.setClusterCols(cols)
+    Seq(Row(s"$cat.$tbl",
+      if (cols.isEmpty) "cleared write-time clustering"
+      else s"clustered writes by (${cols.mkString(", ")})"))
   }
 }

@@ -903,6 +903,43 @@ private[sources] final class MemStore(schema0: StructType,
   def checkReferencedCols: Set[String] =
     constraintsV.checks.flatMap(c => Constraints.references(c.sql)).toSet
 
+  // ---- WRITE-TIME CLUSTERING ([[ClusterSpec]]) -----------------------
+  @volatile private var clusterIdsV: Vector[Long] =
+    log.map(l => ClusterSpec.read(l.rootDir)).getOrElse(Vector.empty)
+
+  /** Clustering columns resolved to CURRENT logical names (field-id
+    * keyed, so a rename between SET CLUSTERED BY and the write still
+    * resolves; a dropped column silently leaves the list). */
+  def clusterCols: Seq[String] = {
+    val phys = curSchema
+    val l2p = ColumnMapping.logicalToPhys(phys)
+    val logical = ColumnMapping.logical(phys)
+    clusterIdsV.flatMap { id =>
+      l2p.indices.find(li =>
+        ColumnMapping.fieldId(phys(l2p(li))).contains(id))
+        .map(li => logical(li).name)
+    }
+  }
+
+  /** `ALTER TABLE ... SET CLUSTERED BY (cols | NONE)`. */
+  def setClusterCols(cols: Seq[String]): Unit = synchronized {
+    val phys = curSchema
+    val ids = cols.map { c =>
+      val i = phys.fields.indexWhere(f =>
+        !ColumnMapping.isDropped(f) && f.name == c)
+      require(i >= 0, s"SET CLUSTERED BY: no such column $c")
+      require(CommitStats.minMaxTracked(phys(i).dataType),
+        s"SET CLUSTERED BY: column $c (${phys(i).dataType.simpleString}) " +
+          "has no tracked min/max ordering — clustering would never skip")
+      ColumnMapping.fieldId(phys(i)).getOrElse(
+        throw new UnsupportedOperationException(
+          "clustering columns are field-id keyed; this table predates " +
+            "column mapping — recreate it"))
+    }.toVector
+    clusterIdsV = ids
+    log.foreach(l => ClusterSpec.write(l.rootDir, ids))
+  }
+
   // ---- NAMED REFS (tags) ---------------------------------------------
   @volatile private var refsV: Map[String, Int] =
     log.map(l => Refs.read(l.rootDir)).getOrElse(Map.empty)
@@ -3120,23 +3157,37 @@ private[sources] final class MemWrite(store: MemStore, mode: Int,
     * and SORT within tasks — Spark plans the one shuffle that turns a
     * partitioned ingest into one-or-few files per partition tuple per
     * task (the "optimized write" shape) instead of one file per
-    * (task x partition) at every grain. Unpartitioned writes declare
+    * (task x partition) at every grain. CLUSTERED BY tables
+    * ([[ClusterSpec]]) additionally demand a RANGE distribution over
+    * the clustering key (unpartitioned) or append the key to the
+    * in-task ordering (partitioned), so every landed file covers a
+    * narrow key range and per-file min/max stats skip from the first
+    * insert — no OPTIMIZE pass. Plain unpartitioned writes declare
     * nothing and stay shuffle-free. */
   override def requiredDistribution()
-      : org.apache.spark.sql.connector.distributions.Distribution =
-    if (store.partSpec.isEmpty)
-      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-    else
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    val cluster = store.clusterCols
+    if (store.partSpec.nonEmpty)
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
         store.partSpec.map(p => Expressions.identity(p.col)
           : org.apache.spark.sql.connector.expressions.Expression).toArray)
+    else if (cluster.nonEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.ordered(
+        cluster.map(c => Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection
+            .ASCENDING)).toArray)
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+  }
   override def requiredOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    if (store.partSpec.isEmpty) Array.empty
-    else store.partSpec.map(p =>
-      Expressions.sort(Expressions.column(p.col),
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val partCols = store.partSpec.map(_.col)
+    val keys = partCols ++ store.clusterCols.filterNot(partCols.contains)
+    keys.map(c =>
+      Expressions.sort(Expressions.column(c),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
       .toArray
+  }
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
