@@ -1499,6 +1499,18 @@ private[sources] final class MemStore(schema0: StructType,
     * an initial load of a huge table plans file splits instead of
     * materializing rows; row-level inserts are their O(delta) heap
     * tail. */
+  /** Rows INSERTED at exactly version `v` (the streaming-source row
+    * grain admission control budgets against). */
+  def insertRowsAt(v: Int): Long = synchronized {
+    entries.lift(v - base).map {
+      case VAppend(segs) => segs.iterator.map(_.count).sum
+      case VBase(segs) => segs.iterator.map(_.count).sum
+      case VDropAdd(_, add, _, _) => add.iterator.map(_.count).sum
+      case VRowDelta(_, _, ins) => ins.length.toLong
+      case _ => 0L
+    }.getOrElse(0L)
+  }
+
   def insertSegsBetween(fromV: Int, toV: Int): Vector[RowSeg] =
     synchronized {
       require(fromV >= base,
@@ -1959,7 +1971,8 @@ private[sources] final class MemTable(tableName: String, store: MemStore,
     // a LIVE table can also be read as a stream (version offsets);
     // time-travel handles are batch-only by construction
     new MemScanBuilder(store, pinned,
-      streamStore = if (pinned.isEmpty) Some(store) else None)
+      streamStore = if (pinned.isEmpty) Some(store) else None,
+      options = options)
 
   /** Plain writes append; `INSERT OVERWRITE` routes through the
     * `SupportsTruncate` hook (the unpartitioned-table overwrite
@@ -2200,7 +2213,9 @@ private[sources] object MemFilters {
   * pushdown steers the plan, never the results. */
 private[sources] final class MemScanBuilder(store: MemStore,
     pinned: Option[Pinned],
-    streamStore: Option[MemStore] = None) extends ScanBuilder
+    streamStore: Option[MemStore] = None,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -2325,7 +2340,8 @@ private[sources] final class MemScanBuilder(store: MemStore,
           dataSchema, snap, stats,
           pushedArr.toSeq, streamStore = streamStore,
           specs = store.specsAll,
-          analyzed = store.analyzedStats)
+          analyzed = store.analyzedStats,
+          streamOptions = options)
     }
 }
 
@@ -2362,7 +2378,8 @@ private[sources] final class MemScan private (outSchema: StructType,
     direct: Boolean,
     streamStore: Option[MemStore],
     specs: Vector[Seq[PartTransform]],
-    analyzed: Option[AnalyzedStats])
+    analyzed: Option[AnalyzedStats],
+    streamOptions: CaseInsensitiveStringMap)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -2373,9 +2390,11 @@ private[sources] final class MemScan private (outSchema: StructType,
       pushed: Seq[org.apache.spark.sql.sources.Filter],
       streamStore: Option[MemStore],
       specs: Vector[Seq[PartTransform]] = Vector(Nil),
-      analyzed: Option[AnalyzedStats] = None) =
+      analyzed: Option[AnalyzedStats] = None,
+      streamOptions: CaseInsensitiveStringMap =
+        CaseInsensitiveStringMap.empty()) =
     this(outSchema, dataSchema, snap, stats, pushed, direct = false,
-      streamStore, specs, analyzed)
+      streamStore, specs, analyzed, streamOptions)
 
   /** The WRITE spec (current) — SPJ key reporting and DPP attribute
     * offers address it; per-FILE pruning uses each file's own spec. */
@@ -2475,7 +2494,8 @@ private[sources] final class MemScan private (outSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     streamStore.map(st =>
-      new MemMicroBatchStream(st, () => createReaderFactory())).getOrElse(
+      new MemMicroBatchStream(st, () => createReaderFactory(),
+        streamOptions)).getOrElse(
       throw new UnsupportedOperationException(
         "streaming reads address the LIVE table, not a time-travel handle"))
 
@@ -2797,7 +2817,7 @@ private[sources] object MemScan {
     new MemScan(schema, schema,
       Snap(Vector(LiveSeg.raw(MemSeg(Vector(row))))), None, Seq.empty,
       direct = true, streamStore = None, specs = Vector(Nil),
-      analyzed = None)
+      analyzed = None, streamOptions = CaseInsensitiveStringMap.empty())
 
   /** Chunked overlay-free slices of one heap row vector (the
     * `.changes` feed's partition planning). */
@@ -2963,9 +2983,29 @@ private[sources] final case class MemOffset(version: Int)
   * a huge file-backed table streams file-by-file instead of
   * materializing rows. */
 private[sources] final class MemMicroBatchStream(store: MemStore,
-    readerFactory: () => PartitionReaderFactory)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    readerFactory: () => PartitionReaderFactory,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming._
+
+  /** ADMISSION CONTROL (`maxRowsPerTrigger` / `maxVersionsPerTrigger`
+    * read options): a 100 TB table read as a stream must NOT become
+    * one giant first micro-batch — the limit bounds each batch to
+    * whole VERSIONS (the offset grain, so exactly-once bookkeeping is
+    * untouched) whose cumulative inserted rows stay within budget,
+    * always serving at least one version so the stream progresses
+    * (the Delta maxFilesPerTrigger convention). `Trigger.AvailableNow`
+    * pins the target at start and drains up to it in bounded batches,
+    * then stops — the backfill shape. */
+  private val maxRows: Long =
+    Option(options.get("maxRowsPerTrigger")).map(_.toLong).getOrElse(0L)
+  private val maxVersions: Int =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(0)
+  require(maxRows >= 0 && maxVersions >= 0,
+    "maxRowsPerTrigger / maxVersionsPerTrigger must be positive")
+  @volatile private var availableNowCap: Int = -1
 
   override def initialOffset(): Offset = MemOffset(store.oldestVersion - 1)
   override def latestOffset(): Offset = MemOffset(store.currentVersion)
@@ -2973,6 +3013,54 @@ private[sources] final class MemMicroBatchStream(store: MemStore,
     MemOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = Seq(
+      if (maxRows > 0) Some(ReadLimit.maxRows(maxRows)) else None,
+      if (maxVersions > 0) Some(ReadLimit.maxFiles(maxVersions)) else None
+    ).flatten
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = store.currentVersion
+
+  override def reportLatestOffset(): Offset = MemOffset(store.currentVersion)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[MemOffset].version
+    val cap =
+      if (availableNowCap >= 0) availableNowCap else store.currentVersion
+    def bounds(l: ReadLimit): (Long, Int) = l match {
+      case r: ReadMaxRows => (r.maxRows(), 0)
+      case f: ReadMaxFiles => (0L, f.maxFiles())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(bounds).reduce((a, b) =>
+          (math.max(a._1, b._1), math.max(a._2, b._2)))
+      case _ => (0L, 0)
+    }
+    val (rowCap, verCap) = bounds(limit)
+    var e = math.max(s, store.oldestVersion - 1)
+    var rows = 0L
+    var versions = 0
+    var full = false
+    while (!full && e < cap) {
+      val nRows = store.insertRowsAt(e + 1)
+      // at least one version per batch; stop BEFORE exceeding the row
+      // budget afterwards, and AT the version budget
+      if (versions > 0 && rowCap > 0 && rows + nRows > rowCap) full = true
+      else {
+        e += 1; rows += nRows; versions += 1
+        if (rowCap > 0 && rows >= rowCap) full = true
+        if (verCap > 0 && versions >= verCap) full = true
+      }
+    }
+    MemOffset(e)
+  }
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
