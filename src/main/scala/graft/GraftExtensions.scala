@@ -114,5 +114,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // parse here; everything else goes to Spark's parser verbatim
     ext.injectParser((_, parser) =>
       new graft.sources.GraftSqlParser(parser))
+    // mergeSchema: by-name appends may evolve the catalog table FIRST
+    // (hint batch — before Resolution validates the write; see
+    // MergeSchemaRule for why not ACCEPT_ANY_SCHEMA)
+    ext.injectHintResolutionRule(session =>
+      new graft.sources.MergeSchemaRule(session))
   }
 }

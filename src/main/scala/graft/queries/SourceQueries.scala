@@ -1884,6 +1884,49 @@ object SourceQueries {
           |FROM graftmem.clusli
           |WHERE l_orderkey BETWEEN 5000 AND 12000
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // MERGESCHEMA — automatic schema evolution on BY-NAME writes
+    // (the Delta model, implemented as a HINT-batch analyzer rule so
+    // every built-in rail stays stock — see MergeSchemaRule): the
+    // table starts (k, name); generation 1 appends WITH an extra
+    // cents column under option mergeSchema=true, evolving the table
+    // metadata-only (old rows read NULL by prefix-arity padding —
+    // nothing is backfilled). The probe aggregates both generations;
+    // the oracle re-derives from raw part. MergeSchemaSpec pins the
+    // SQL INSERT BY NAME conf path, missing-column NULL fill, the
+    // no-opt-in loud mismatch, and type validation.
+    QueryDef("q325_merge_schema",
+      """WITH src AS (
+        |  SELECT p_partkey AS k, p_name AS name,
+        |         round(p_retailprice * 100)::BIGINT AS cents
+        |  FROM part)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |       CAST(sum(CASE WHEN k % 2 = 1 THEN cents ELSE 0 END)
+        |         AS BIGINT) AS cents_sum,
+        |       (SELECT count(*) FROM src WHERE k % 2 = 0)::BIGINT
+        |         AS n_nulls
+        |FROM src""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.msq")
+      spark.sql("CREATE TABLE graftmem.msq (k BIGINT, name STRING)")
+      val src = Tables.load(spark, dir, "part")
+        .select(col("p_partkey").cast("long").as("k"),
+          col("p_name").as("name"),
+          round(col("p_retailprice") * 100).cast("long").as("cents"))
+      src.filter(col("k") % 2 === 0).select(col("k"), col("name"))
+        .writeTo("graftmem.msq").append()
+      // generation 1 carries the NEW cents column: mergeSchema evolves
+      src.filter(col("k") % 2 === 1)
+        .writeTo("graftmem.msq").option("mergeSchema", "true").append()
+      spark.sql(
+        """SELECT count(*) AS n_rows,
+          |       CAST(sum(coalesce(cents, 0)) AS BIGINT) AS cents_sum,
+          |       count(CASE WHEN cents IS NULL THEN 1 END) AS n_nulls
+          |FROM graftmem.msq""".stripMargin)
     }
   )
 

@@ -39,12 +39,14 @@ final class GraftSqlParser(delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    MaintenanceSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    MaintenanceSql.parse(sqlText).getOrElse(
+      MaintenanceSql.maybeAutoMerge(delegate.parsePlan(sqlText)))
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan =
     MaintenanceSql.parse(sqlText)
-      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+      .getOrElse(MaintenanceSql.maybeAutoMerge(
+        delegate.parsePlanWithParameters(sqlText, ctx)))
 
   override def parseExpression(s: String): Expression =
     delegate.parseExpression(s)
@@ -158,6 +160,32 @@ private[sources] object MaintenanceSql {
       sp.conf.getOption(s"spark.sql.catalog.$cat")
         .contains(classOf[MemCatalog].getName)
     }
+
+  /** SQL-path `mergeSchema` ([[MergeSchemaRule]]'s INSERT BY NAME
+    * twin, placed in the PARSER delegate because every session-state
+    * builder honors parser injection while Hive's drops hint rules):
+    * under `spark.graft.schema.autoMerge.enabled`, an
+    * `INSERT INTO cat.tbl BY NAME SELECT ...` over a graft table
+    * wraps into a command that EVOLVES the table to the frame's
+    * column superset first, then executes the original insert through
+    * the stock pipeline — casts, NULL fills, and every error
+    * unchanged. */
+  def maybeAutoMerge(plan: LogicalPlan): LogicalPlan = plan match {
+    case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+        if i.byName && !i.overwrite &&
+          org.apache.spark.sql.SparkSession.getActiveSession.exists(sp =>
+            sp.conf.getOption("spark.graft.schema.autoMerge.enabled")
+              .exists(_.equalsIgnoreCase("true"))) =>
+      i.table match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if u.multipartIdentifier.length == 2 &&
+              graftCatalog(u.multipartIdentifier.head) =>
+          EvolveThenInsertCommand(u.multipartIdentifier.head,
+            u.multipartIdentifier(1), i)
+        case _ => plan
+      }
+    case _ => plan
+  }
 
   /** One transform element of a SET PARTITIONED BY list:
     * `col` | `days(col)` | `bucket(n, col)`. */
@@ -591,5 +619,36 @@ final case class SetClusterColsCommand(cat: String, tbl: String,
     Seq(Row(s"$cat.$tbl",
       if (cols.isEmpty) "cleared write-time clustering"
       else s"clustered writes by (${cols.mkString(", ")})"))
+  }
+}
+
+/** SQL-path mergeSchema: evolve `cat.tbl` to the frame's column
+  * superset, then run the ORIGINAL `INSERT INTO ... BY NAME` through
+  * the stock pipeline (see [[MaintenanceSql.maybeAutoMerge]]). */
+final case class EvolveThenInsertCommand(cat: String, tbl: String,
+    insert: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = MaintenanceSql.storeFor(spark, cat, tbl)
+    val analyzed = spark.sessionState.analyzer.execute(insert.query)
+    if (analyzed.resolved) {
+      val resolver = spark.sessionState.conf.resolver
+      val extras = analyzed.output.filterNot(attr =>
+        store.schema.fieldNames.exists(n => resolver(n, attr.name)))
+      if (extras.nonEmpty) {
+        val evolved = extras.foldLeft(store.physSchema) { (s, attr) =>
+          s.add(org.apache.spark.sql.types.StructField(attr.name,
+            attr.dataType, nullable = true,
+            metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong(ColumnMapping.IdKey, ColumnMapping.nextId(s))
+              .build()))
+        }
+        store.evolveSchema(evolved)
+      }
+    }
+    // the original insert, stock pipeline — casts/fills/errors as ever
+    spark.sessionState.executePlan(insert).commandExecuted
+    Seq.empty
   }
 }

@@ -1939,6 +1939,8 @@ private[sources] final class MemTable(tableName: String, store: MemStore,
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def name(): String = tableName
+  /** The backing store ([[MergeSchemaRule]] evolves it in analysis). */
+  private[sources] def memStore: MemStore = store
   /** Pinned (time-travel) handles surface the schema AS OF that
     * version — a pre-rename pin shows the pre-rename names. */
   override def schema(): StructType =
@@ -1978,7 +1980,18 @@ private[sources] final class MemTable(tableName: String, store: MemStore,
     * `SupportsTruncate` hook (the unpartitioned-table overwrite
     * contract) and commits the new row set as ONE replace version —
     * atomic, and a single entry in the snapshot history. */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // defense-in-depth: Spark's output resolution aligned the frame
+    // to the table schema (MergeSchemaRule may have evolved it first);
+    // any path that slips past with a mismatched layout must fail
+    // LOUDLY here rather than write misaligned files
+    val incoming = info.schema()
+    val logical = store.schema
+    require(incoming.length == logical.length &&
+      incoming.fields.zip(logical.fields).forall { case (a, b) =>
+        a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType },
+      s"write schema ${incoming.simpleString} does not match table " +
+        s"schema ${logical.simpleString}")
     new WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsOverwrite
         with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -2017,6 +2030,7 @@ private[sources] final class MemTable(tableName: String, store: MemStore,
             else FileCommit.Rewrite,
           queryId = info.queryId())
     }
+  }
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
