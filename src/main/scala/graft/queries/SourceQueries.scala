@@ -1545,7 +1545,8 @@ object SourceQueries {
         |       CAST(sum(cents) AS BIGINT) AS cents_sum
         |FROM src
         |WHERE (k % 2 = 0 AND pri IN ('1-URGENT', '3-MEDIUM'))
-        |   OR (k % 2 = 1 AND d >= DATE '1995-01-01')
+        |   OR (k % 2 = 1 AND d >= DATE '1995-01-01'
+        |       AND d < DATE '1995-04-01')
         |GROUP BY pri ORDER BY pri""".stripMargin) { (spark, dir) =>
       spark.conf.set("spark.sql.catalog.graftmem",
         classOf[graft.sources.MemCatalog].getName)
@@ -1565,13 +1566,21 @@ object SourceQueries {
         "INSERT INTO graftmem.evoq SELECT k, pri, d, cents, 0 FROM q317_src WHERE k % 2 = 0")
       spark.sql(
         "ALTER TABLE graftmem.evoq SET PARTITIONED BY (days(d))")
+      // generation 1 lands ONE QUARTER of days under the new spec (a
+      // ~90-partition ingest): days() over the fixture's full 7-year
+      // span would mean ~2400 tiny files — a deliberate tiny-file
+      // anti-pattern that measured 46 s at sf0.1 and would time the
+      // pathology, not the mixed-generation PRUNING this gate pins
       spark.sql(
-        "INSERT INTO graftmem.evoq SELECT k, pri, d, cents, 1 FROM q317_src WHERE k % 2 = 1")
+        "INSERT INTO graftmem.evoq SELECT k, pri, d, cents, 1 " +
+          "FROM q317_src WHERE k % 2 = 1 AND d >= DATE '1995-01-01' " +
+          "AND d < DATE '1995-04-01'")
       spark.sql(
         """SELECT pri, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum
           |FROM graftmem.evoq
           |WHERE (gen = 0 AND pri IN ('1-URGENT', '3-MEDIUM'))
-          |   OR (gen = 1 AND d >= DATE '1995-01-01')
+          |   OR (gen = 1 AND d >= DATE '1995-01-01'
+          |       AND d < DATE '1995-04-01')
           |GROUP BY pri ORDER BY pri""".stripMargin)
     },
 
