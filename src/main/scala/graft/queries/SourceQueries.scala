@@ -1936,6 +1936,41 @@ object SourceQueries {
           |       CAST(sum(coalesce(cents, 0)) AS BIGINT) AS cents_sum,
           |       count(CASE WHEN cents IS NULL THEN 1 END) AS n_nulls
           |FROM graftmem.msq""".stripMargin)
+    },
+
+    // ATOMIC CTAS / RTAS (StagingTableCatalog): CREATE TABLE ... AS
+    // SELECT stages in an invisible .staging/ directory and publishes
+    // by one atomic move (a failed CTAS leaves NOTHING); REPLACE
+    // TABLE ... AS SELECT keeps the old table readable until the new
+    // one is complete. The gate runs the full lifecycle — CTAS from
+    // customer, then an RTAS narrowing to one segment — and reads the
+    // final state; the oracle re-derives it from raw customer
+    // (StagedCtasSpec pins the no-husk failure path, the old-table
+    // survival under a failing REPLACE, restart, and partitioned
+    // CTAS).
+    QueryDef("q326_atomic_ctas",
+      """SELECT c_mktsegment AS seg, count(*)::BIGINT AS n,
+        |       CAST(sum(round(c_acctbal * 100)::BIGINT) AS BIGINT)
+        |         AS cents
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY seg ORDER BY seg""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.ctasq")
+      Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q326_src")
+      spark.sql("CREATE TABLE graftmem.ctasq AS SELECT * FROM q326_src")
+      spark.sql(
+        """REPLACE TABLE graftmem.ctasq AS
+          |SELECT c_mktsegment AS seg, cents FROM q326_src
+          |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+      spark.sql(
+        """SELECT seg, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+          |FROM graftmem.ctasq GROUP BY seg ORDER BY seg""".stripMargin)
     }
   )
 

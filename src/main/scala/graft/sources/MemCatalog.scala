@@ -47,7 +47,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * proving a migrating warehouse user can keep their MERGE statements.
   */
 class MemCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
 
@@ -286,6 +287,103 @@ class MemCatalog extends TableCatalog
     }
     store.evolveSchema(newSchema)
     new MemTable(ident.toString, store)
+  }
+
+  // ---- ATOMIC CTAS / RTAS (StagingTableCatalog) ----------------------
+  // Without staging, Spark's CTAS creates the table THEN writes (a
+  // failed query leaves an empty husk) and REPLACE ... AS SELECT drops
+  // the old table before the new data exists (a crash window where the
+  // table is GONE). Staged: the new table builds in a `.staging/`
+  // sibling directory invisible to loadTable/listTables, the CTAS
+  // write lands there through the normal write path, and
+  // commitStagedChanges PUBLISHES with directory moves — CREATE is one
+  // atomic move; REPLACE parks the old directory aside, moves the new
+  // one in, then deletes the old, so a crash leaves either the old or
+  // the new table, never neither. The staged in-memory store is never
+  // cached (its absolute paths reference the staging dir); the first
+  // post-publish resolution replays from the final location — commit
+  // files record file NAMES, so the move is transparent. Heap
+  // (pathless) catalogs stage the store object itself and publish by
+  // registry swap.
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info, replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info, replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info, replace = true, orCreate = true)
+
+  private def stage(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo,
+      replace: Boolean, orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val spec = info.partitions().toSeq.map(MemCatalog.toPartTransform)
+    if (spec.nonEmpty) {
+      require(logRoot.isDefined,
+        "partitioned MemCatalog tables need a durable catalog (path option)")
+      Partitioning.validate(spec, info.schema())
+    }
+    val exists = liveStore(ident).isDefined
+    if (!replace && exists)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
+    if (replace && !orCreate && !exists)
+      throw new NoSuchTableException(ident)
+    val mapped = ColumnMapping.withIds(info.schema())
+    val created = MemStore.nowMicros()
+    logRoot match {
+      case Some(root) =>
+        val stagingDir = root.resolve(".staging").resolve(
+          ident.toString.replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+            java.util.UUID.randomUUID().toString.take(8))
+        java.nio.file.Files.createDirectories(stagingDir.getParent)
+        val store = new MemStore(mapped,
+          Some(CommitLog.create(stagingDir, mapped, created, spec)), created)
+        new MemStagedTable(new MemTable(ident.toString, store),
+          commit = () => {
+            val finalDir = logDir(ident).get
+            // drop any cached handle BEFORE the swap — a reader races
+            // to a replay of whatever directory state it finds
+            MemCatalog.stores.remove(key(ident))
+            if (CommitLog.existsAt(finalDir)) {
+              if (!replace) {
+                CommitLog.destroy(stagingDir)
+                throw new org.apache.spark.sql.catalyst.analysis
+                  .TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
+              }
+              val parked = finalDir.resolveSibling(
+                finalDir.getFileName.toString + ".replaced-" +
+                  java.util.UUID.randomUUID().toString.take(8))
+              java.nio.file.Files.move(finalDir, parked,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              java.nio.file.Files.move(stagingDir, finalDir,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              CommitLog.destroy(parked)
+            } else {
+              java.nio.file.Files.move(stagingDir, finalDir,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            }
+          },
+          abort = () => CommitLog.destroy(stagingDir))
+      case None =>
+        val store = new MemStore(mapped, None, created)
+        new MemStagedTable(new MemTable(ident.toString, store),
+          commit = () => {
+            if (!replace &&
+                MemCatalog.stores.putIfAbsent(key(ident), store).isDefined)
+              throw new org.apache.spark.sql.catalyst.analysis
+                .TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
+            if (replace) MemCatalog.stores.put(key(ident), store)
+          },
+          abort = () => ())
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -2041,6 +2139,26 @@ private[sources] object MemTable {
   /** Metadata column name: the row's position in the scanned
     * snapshot. Double-underscored to stay clear of user columns. */
   val PosCol = "__pos"
+}
+
+/** A staged CTAS/RTAS table ([[MemCatalog.stageCreate]]): the normal
+  * [[MemTable]] write surface over a store whose log lives in the
+  * invisible staging directory; `commitStagedChanges` publishes by
+  * directory move, `abortStagedChanges` deletes the staging dir —
+  * either way, the final location only ever holds a complete table. */
+private[sources] final class MemStagedTable(inner: MemTable,
+    commit: () => Unit, abort: () => Unit)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with SupportsWrite {
+  override def name(): String = inner.name()
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def capabilities(): util.Set[TableCapability] =
+    inner.capabilities()
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit = commit()
+  override def abortStagedChanges(): Unit = abort()
 }
 
 /** Filter-pushdown support for the catalog scan: the translatable
