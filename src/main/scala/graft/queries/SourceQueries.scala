@@ -1971,6 +1971,50 @@ object SourceQueries {
       spark.sql(
         """SELECT seg, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
           |FROM graftmem.ctasq GROUP BY seg ORDER BY seg""".stripMargin)
+    },
+
+    // RECOVERABLE DROP (UNDROP TABLE) + DESCRIBE HISTORY: drop moves
+    // the durable log directory to .trash/ (one atomic rename,
+    // nothing destroyed), UNDROP restores the newest incarnation with
+    // history and time travel intact, and DESCRIBE HISTORY serves the
+    // version census O(metadata). The probe reads the restored
+    // content, a time-travel aggregate, and the history row count —
+    // all derivable from raw supplier by the oracle (UndropSpec pins
+    // newest-wins, PURGE, retention purge, and misuse errors).
+    QueryDef("q327_undrop_history",
+      """WITH src AS (
+        |  SELECT s_suppkey AS k, round(s_acctbal * 100)::BIGINT AS cents
+        |  FROM supplier)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |       (SELECT count(*) FROM src WHERE k % 2 = 0)::BIGINT AS n_v1,
+        |       CAST(3 AS BIGINT) AS n_versions
+        |FROM src""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.undq PURGE")
+      spark.sql("CREATE TABLE graftmem.undq (k BIGINT, cents BIGINT)")
+      Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"),
+          round(col("s_acctbal") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q327_src")
+      spark.sql("INSERT INTO graftmem.undq SELECT * FROM q327_src " +
+        "WHERE k % 2 = 0") // v1
+      spark.sql("INSERT INTO graftmem.undq SELECT * FROM q327_src " +
+        "WHERE k % 2 = 1") // v2
+      spark.sql("DROP TABLE graftmem.undq")
+      spark.sql("UNDROP TABLE graftmem.undq").collect()
+      val v1 = spark.sql(
+        "SELECT count(*) AS n_v1 FROM graftmem.undq VERSION AS OF 1")
+      val hist = spark.sql("DESCRIBE HISTORY graftmem.undq")
+        .agg(count(lit(1)).as("n_versions"))
+      spark.sql(
+        """SELECT count(*) AS n_rows,
+          |       CAST(sum(cents) AS BIGINT) AS cents_sum
+          |FROM graftmem.undq""".stripMargin)
+        .crossJoin(v1).crossJoin(hist)
     }
   )
 

@@ -141,6 +141,12 @@ private[sources] object MaintenanceSql {
     """(?is)^\s*ALTER\s+TABLE\s+.*\b(ADD|DROP)\s+CONSTRAINT\b.*""".r
 
   private val Verb = """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE)\b.*""".r
+  // recoverable drop + history sugar
+  private val UndropRe =
+    ("""(?is)^\s*UNDROP\s+TABLE\s+""" + Tbl + """\s*;?\s*$""").r
+  private val UndropVerb = """(?is)^\s*UNDROP\b.*""".r
+  private val DescHistoryRe =
+    ("""(?is)^\s*DESCRIBE\s+HISTORY\s+""" + Tbl + """\s*;?\s*$""").r
 
   // ANALYZE: ours ONLY for tables of a graft catalog in the active
   // session (Spark's own ANALYZE handles v1 tables; see analyzeOurs)
@@ -272,6 +278,14 @@ private[sources] object MaintenanceSql {
         throw new GraftSqlParseException(
           "SET CLUSTERED BY needs at least one column (or NONE)")
       Some(SetClusterColsCommand(pick(c1, c2), pick(t1, t2), colSeq))
+    case UndropRe(c1, c2, t1, t2) =>
+      Some(UndropTableCommand(pick(c1, c2), pick(t1, t2)))
+    case UndropVerb() =>
+      throw new GraftSqlParseException(
+        "malformed UNDROP statement. Expected: UNDROP TABLE cat.tbl\n" +
+          s"got: ${sqlText.trim}")
+    case DescHistoryRe(c1, c2, t1, t2) if graftCatalog(pick(c1, c2)) =>
+      Some(DescribeHistoryCommand(pick(c1, c2), pick(t1, t2)))
     case SetClusterVerb() =>
       throw new GraftSqlParseException(
         "malformed SET CLUSTERED BY statement. Expected: ALTER TABLE " +
@@ -650,5 +664,41 @@ final case class EvolveThenInsertCommand(cat: String, tbl: String,
     // the original insert, stock pipeline — casts/fills/errors as ever
     spark.sessionState.executePlan(insert).commandExecuted
     Seq.empty
+  }
+}
+
+/** `UNDROP TABLE cat.tbl` — restore the newest trashed incarnation
+  * (DROP moves durable tables to `.trash/` instead of destroying;
+  * see [[MemCatalog.dropTable]]). */
+final case class UndropTableCommand(cat: String, tbl: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    spark.sessionState.catalogManager.catalog(cat) match {
+      case mc: MemCatalog =>
+        mc.undropTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array.empty, tbl))
+      case other => throw new IllegalArgumentException(
+        s"$cat is not a graft catalog: $other")
+    }
+    Seq(Row(s"$cat.$tbl", "restored from trash"))
+  }
+}
+
+/** `DESCRIBE HISTORY cat.tbl` — the Delta verb, served off the
+  * `.history` metadata table (O(metadata): version, commit time,
+  * row count per retained version). */
+final case class DescribeHistoryCommand(cat: String, tbl: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", org.apache.spark.sql.types.LongType,
+      nullable = false)(),
+    AttributeReference("commit_micros", org.apache.spark.sql.types.LongType,
+      nullable = false)(),
+    AttributeReference("n_rows", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val store = MaintenanceSql.storeFor(spark, cat, tbl)
+    store.historyRows.map { case (v, t, n) => Row(v, t, n) }
   }
 }

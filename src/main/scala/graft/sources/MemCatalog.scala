@@ -386,13 +386,71 @@ class MemCatalog extends TableCatalog
     }
   }
 
+  /** DROP is RECOVERABLE for durable tables (the Delta UNDROP model):
+    * the whole log directory moves into `.trash/<name>-<millis>` (one
+    * atomic rename — nothing is destroyed), `UNDROP TABLE` restores
+    * the newest entry, and trash entries older than the retention
+    * grace (`graft.trash.retention.ms`, default 7 days) purge
+    * opportunistically on later drops. `purgeTable` (DROP ... PURGE)
+    * destroys immediately, bypassing the trash. Heap tables have no
+    * files — drop is forget. */
   override def dropTable(ident: Identifier): Boolean = {
+    val hadLog = logDir(ident) match {
+      case Some(dir) if CommitLog.existsAt(dir) =>
+        val trash = logRoot.get.resolve(".trash")
+        java.nio.file.Files.createDirectories(trash)
+        java.nio.file.Files.move(dir,
+          trash.resolve(s"${dir.getFileName}-${System.currentTimeMillis}"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        MemCatalog.purgeExpiredTrash(trash)
+        true
+      case _ => false
+    }
+    MemCatalog.stores.remove(key(ident)).isDefined || hadLog
+  }
+
+  override def purgeTable(ident: Identifier): Boolean = {
     val hadLog = logDir(ident) match {
       case Some(dir) if CommitLog.existsAt(dir) =>
         CommitLog.destroy(dir); true
       case _ => false
     }
     MemCatalog.stores.remove(key(ident)).isDefined || hadLog
+  }
+
+  /** `UNDROP TABLE` — restore the NEWEST trashed incarnation of
+    * `ident` (refused when a live table already holds the name). */
+  private[sources] def undropTable(ident: Identifier): Unit = {
+    val dir = logDir(ident).getOrElse(
+      throw new UnsupportedOperationException(
+        "UNDROP needs a durable catalog (path option)"))
+    require(!CommitLog.existsAt(dir) && liveStore(ident).isEmpty,
+      s"cannot UNDROP ${ident.toString}: a live table holds the name")
+    val trash = logRoot.get.resolve(".trash")
+    val prefix = dir.getFileName.toString + "-"
+    val candidates =
+      if (!java.nio.file.Files.isDirectory(trash)) Vector.empty
+      else {
+        val s = java.nio.file.Files.list(trash)
+        try {
+          val b = Vector.newBuilder[java.nio.file.Path]
+          val it = s.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            val n = p.getFileName.toString
+            if (n.startsWith(prefix) &&
+                n.drop(prefix.length).forall(_.isDigit)) b += p
+          }
+          b.result()
+        } finally s.close()
+      }
+    require(candidates.nonEmpty,
+      s"no dropped incarnation of ${ident.toString} in the trash " +
+        "(already purged, or dropped with PURGE)")
+    val newest = candidates.maxBy(
+      _.getFileName.toString.drop(prefix.length).toLong)
+    java.nio.file.Files.move(newest, dir,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** `ALTER TABLE RENAME TO`: durable tables move their whole log
@@ -466,6 +524,39 @@ object MemCatalog {
     * restart — durable tables must come back via commit-log replay,
     * purely in-memory ones must vanish. */
   private[graft] def simulateRestart(): Unit = stores.clear()
+
+  /** Trash retention: entries older than the grace purge on later
+    * drops (default 7 days; tests override the sys prop), and the
+    * trash is COUNT-BOUNDED (oldest beyond 64 entries purge
+    * regardless) so drop-recreate churn — test harnesses, repeated
+    * pipeline staging — can never grow the trash without bound. */
+  private[sources] def purgeExpiredTrash(trash: java.nio.file.Path): Unit = {
+    val grace = sys.props.get("graft.trash.retention.ms").map(_.toLong)
+      .getOrElse(7L * 24 * 3600 * 1000)
+    val cutoff = System.currentTimeMillis - grace
+    val entries = {
+      val s = java.nio.file.Files.list(trash)
+      try {
+        val b = Vector.newBuilder[(java.nio.file.Path, Long)]
+        val it = s.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          val ts = n.lastIndexOf('-') match {
+            case i if i > 0 && n.drop(i + 1).forall(_.isDigit) =>
+              n.drop(i + 1).toLong
+            case _ => Long.MaxValue
+          }
+          b += ((p, ts))
+        }
+        b.result()
+      } finally s.close()
+    }
+    val (expired, kept) = entries.partition(_._2 < cutoff)
+    expired.foreach(e => CommitLog.destroy(e._1))
+    val overflow = kept.sortBy(-_._2).drop(64)
+    overflow.foreach(e => CommitLog.destroy(e._1))
+  }
 
   /** The live store of a loaded table (the SQL maintenance commands'
     * lookup — they resolve through the session catalog first, which
