@@ -3205,39 +3205,35 @@ private[sources] final case class MemOffset(version: Int)
   * plan the inserted SEGMENTS as splits, so even the initial load of
   * a huge file-backed table streams file-by-file instead of
   * materializing rows. */
-private[sources] final class MemMicroBatchStream(store: MemStore,
-    readerFactory: () => PartitionReaderFactory,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming
+/** ADMISSION CONTROL shared by the table and CDF streaming sources
+  * (`maxRowsPerTrigger` / `maxVersionsPerTrigger` read options +
+  * `Trigger.AvailableNow`): a 100 TB table read as a stream must NOT
+  * become one giant first micro-batch — the limit bounds each batch
+  * to whole VERSIONS (the offset grain, so exactly-once bookkeeping
+  * is untouched) whose cumulative rows stay within budget, always
+  * serving at least one version so the stream progresses (the Delta
+  * maxFilesPerTrigger convention). AvailableNow pins the head at
+  * start and drains up to it in bounded batches, then stops — the
+  * backfill shape. */
+private[sources] trait VersionAdmission
+    extends org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming._
 
-  /** ADMISSION CONTROL (`maxRowsPerTrigger` / `maxVersionsPerTrigger`
-    * read options): a 100 TB table read as a stream must NOT become
-    * one giant first micro-batch — the limit bounds each batch to
-    * whole VERSIONS (the offset grain, so exactly-once bookkeeping is
-    * untouched) whose cumulative inserted rows stay within budget,
-    * always serving at least one version so the stream progresses
-    * (the Delta maxFilesPerTrigger convention). `Trigger.AvailableNow`
-    * pins the target at start and drains up to it in bounded batches,
-    * then stops — the backfill shape. */
-  private val maxRows: Long =
-    Option(options.get("maxRowsPerTrigger")).map(_.toLong).getOrElse(0L)
-  private val maxVersions: Int =
-    Option(options.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(0)
-  require(maxRows >= 0 && maxVersions >= 0,
-    "maxRowsPerTrigger / maxVersionsPerTrigger must be positive")
+  protected def admStore: MemStore
+  protected def admOptions: CaseInsensitiveStringMap
+  /** Rows this source would emit for exactly version `v`. */
+  protected def rowsAt(v: Int): Long
+
+  private lazy val maxRows: Long =
+    Option(admOptions.get("maxRowsPerTrigger")).map(_.toLong).getOrElse(0L)
+  private lazy val maxVersions: Int =
+    Option(admOptions.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(0)
   @volatile private var availableNowCap: Int = -1
 
-  override def initialOffset(): Offset = MemOffset(store.oldestVersion - 1)
-  override def latestOffset(): Offset = MemOffset(store.currentVersion)
-  override def deserializeOffset(json: String): Offset =
-    MemOffset(json.trim.toInt)
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
-
   override def getDefaultReadLimit: ReadLimit = {
+    require(maxRows >= 0 && maxVersions >= 0,
+      "maxRowsPerTrigger / maxVersionsPerTrigger must be positive")
     val ls = Seq(
       if (maxRows > 0) Some(ReadLimit.maxRows(maxRows)) else None,
       if (maxVersions > 0) Some(ReadLimit.maxFiles(maxVersions)) else None
@@ -3250,14 +3246,15 @@ private[sources] final class MemMicroBatchStream(store: MemStore,
   }
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = store.currentVersion
+    availableNowCap = admStore.currentVersion
 
-  override def reportLatestOffset(): Offset = MemOffset(store.currentVersion)
+  override def reportLatestOffset(): Offset =
+    MemOffset(admStore.currentVersion)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[MemOffset].version
     val cap =
-      if (availableNowCap >= 0) availableNowCap else store.currentVersion
+      if (availableNowCap >= 0) availableNowCap else admStore.currentVersion
     def bounds(l: ReadLimit): (Long, Int) = l match {
       case r: ReadMaxRows => (r.maxRows(), 0)
       case f: ReadMaxFiles => (0L, f.maxFiles())
@@ -3267,12 +3264,12 @@ private[sources] final class MemMicroBatchStream(store: MemStore,
       case _ => (0L, 0)
     }
     val (rowCap, verCap) = bounds(limit)
-    var e = math.max(s, store.oldestVersion - 1)
+    var e = math.max(s, admStore.oldestVersion - 1)
     var rows = 0L
     var versions = 0
     var full = false
     while (!full && e < cap) {
-      val nRows = store.insertRowsAt(e + 1)
+      val nRows = rowsAt(e + 1)
       // at least one version per batch; stop BEFORE exceeding the row
       // budget afterwards, and AT the version budget
       if (versions > 0 && rowCap > 0 && rows + nRows > rowCap) full = true
@@ -3284,6 +3281,25 @@ private[sources] final class MemMicroBatchStream(store: MemStore,
     }
     MemOffset(e)
   }
+}
+
+private[sources] final class MemMicroBatchStream(store: MemStore,
+    readerFactory: () => PartitionReaderFactory,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with VersionAdmission {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override protected def admStore: MemStore = store
+  override protected def admOptions: CaseInsensitiveStringMap = options
+  override protected def rowsAt(v: Int): Long = store.insertRowsAt(v)
+
+  override def initialOffset(): Offset = MemOffset(store.oldestVersion - 1)
+  override def latestOffset(): Offset = MemOffset(store.currentVersion)
+  override def deserializeOffset(json: String): Offset =
+    MemOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
@@ -3820,7 +3836,7 @@ private[sources] final class ChangesTable(tableName: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ChangesScanBuilder(store)
+    new ChangesScanBuilder(store, options)
 }
 
 /** Scan builder for the change feed: column pruning plus pushdown of
@@ -3828,7 +3844,8 @@ private[sources] final class ChangesTable(tableName: String,
   * `_commit_version >= n` or `_change_type = 'delete'` predicate
   * evaluates inside the source. No aggregate pushdown (the stats
   * sidecars describe the table, not its feed). */
-private[sources] final class ChangesScanBuilder(store: MemStore)
+private[sources] final class ChangesScanBuilder(store: MemStore,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -3848,7 +3865,7 @@ private[sources] final class ChangesScanBuilder(store: MemStore)
     pushedArr
   override def build(): Scan =
     new ChangesScan(required.getOrElse(feedSchema), feedSchema, store,
-      pushedArr.toSeq)
+      pushedArr.toSeq, options)
 }
 
 /** The feed scan. BATCH: the retained window's change rows,
@@ -3859,7 +3876,9 @@ private[sources] final class ChangesScanBuilder(store: MemStore)
   * identically. */
 private[sources] final class ChangesScan(out: StructType,
     feedSchema: StructType, store: MemStore,
-    pushed: Seq[org.apache.spark.sql.sources.Filter])
+    pushed: Seq[org.apache.spark.sql.sources.Filter],
+    streamOptions: CaseInsensitiveStringMap =
+      CaseInsensitiveStringMap.empty())
     extends Scan with Batch {
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
@@ -3871,7 +3890,8 @@ private[sources] final class ChangesScan(out: StructType,
       direct = false)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new MemCdfMicroBatchStream(store, () => createReaderFactory())
+    new MemCdfMicroBatchStream(store, () => createReaderFactory(),
+      streamOptions)
 }
 
 /** Micro-batch CDF stream: offsets are COMMIT VERSIONS. A fresh
@@ -3882,9 +3902,18 @@ private[sources] final class ChangesScan(out: StructType,
   * window fails loudly (resuming would re-deliver the consolidated
   * base as duplicates). */
 private[sources] final class MemCdfMicroBatchStream(store: MemStore,
-    readerFactory: () => PartitionReaderFactory)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    readerFactory: () => PartitionReaderFactory,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with VersionAdmission {
   import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override protected def admStore: MemStore = store
+  override protected def admOptions: CaseInsensitiveStringMap = options
+  /** CDF row grain: EVERY change row of version v (deletes, both
+    * update images, inserts) — what the feed actually emits. */
+  override protected def rowsAt(v: Int): Long =
+    store.changeRows(v, v).length.toLong
 
   override def initialOffset(): Offset = MemOffset(store.oldestVersion - 1)
   override def latestOffset(): Offset = MemOffset(store.currentVersion)

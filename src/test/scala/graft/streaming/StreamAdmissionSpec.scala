@@ -75,6 +75,32 @@ class StreamAdmissionSpec extends SparkTestBase {
       s"expected [v1+v2 = 4 rows, oversized v3 = 6 rows]: $sizes")
   }
 
+  test("the CDF streaming source honors the same limits: change rows " +
+      "budget per batch at version grain") {
+    val ckpt = setup("graftadm")
+    spark.sql("DROP TABLE IF EXISTS graftadm.a4")
+    spark.sql("CREATE TABLE graftadm.a4 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graftadm.a4 VALUES (1, 'a'), (2, 'b')") // v1: 2
+    // v2: an UPDATE = 2 change rows (pre + post image)
+    spark.sql("UPDATE graftadm.a4 SET v = 'B' WHERE k = 2")
+    spark.sql("INSERT INTO graftadm.a4 VALUES (3, 'c')")           // v3: 1
+    val batches = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val q = spark.readStream
+      .option("maxRowsPerTrigger", "2")
+      .table("graftadm.a4.changes")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches.add(b.count()); ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val sizes = batches.asScala.filter(_ > 0).toSeq
+    // v1 (2 rows) fills a batch; v2 (2 change rows) the next; v3 last
+    assert(sizes == Seq(2L, 2L, 1L),
+      s"CDF batches must pack whole versions within the budget: $sizes")
+  }
+
   test("Trigger.AvailableNow drains to the start-time head in bounded " +
       "batches, then terminates") {
     val ckpt = setup("graftadm")
