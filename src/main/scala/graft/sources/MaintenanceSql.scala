@@ -179,6 +179,15 @@ private[sources] object MaintenanceSql {
   def maybeAutoMerge(plan: LogicalPlan): LogicalPlan = plan match {
     case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
         if i.byName && !i.overwrite &&
+          // parameterized statements (spark.sql(text, args)) stay on
+          // the stock pipeline: the bind rule rewrites the PLAN TREE,
+          // and a command holding the insert as a constructor field
+          // would hide the placeholders from it — unbound-parameter
+          // failure at run time instead of a working insert. (No
+          // auto-evolve for parameterized inserts; the analyzer's
+          // unresolved-column error stays loud.)
+          !i.containsPattern(
+            org.apache.spark.sql.catalyst.trees.TreePattern.PARAMETER) &&
           org.apache.spark.sql.SparkSession.getActiveSession.exists(sp =>
             sp.conf.getOption("spark.graft.schema.autoMerge.enabled")
               .exists(_.equalsIgnoreCase("true"))) =>
@@ -541,7 +550,11 @@ final case class AnalyzeTableStatsCommand(cat: String, tbl: String,
     val targets: Seq[org.apache.spark.sql.types.StructField] =
       if (cols.isEmpty) df.schema.fields.toSeq.filter(f => eligible(f.dataType))
       else cols.map { c =>
-        val f = df.schema.fields.find(_.name == c).getOrElse(
+        // session resolver: SQL identifiers are case-insensitive by
+        // default, so ANALYZE ... FOR COLUMNS O_CUSTKEY must find
+        // o_custkey (as MergeSchemaRule already resolves)
+        val resolver = spark.sessionState.conf.resolver
+        val f = df.schema.fields.find(f => resolver(f.name, c)).getOrElse(
           throw new IllegalArgumentException(
             s"ANALYZE: no such column $c in $cat.$tbl"))
         require(eligible(f.dataType),

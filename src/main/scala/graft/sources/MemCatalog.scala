@@ -1113,9 +1113,11 @@ private[sources] final class MemStore(schema0: StructType,
   /** `ALTER TABLE ... SET CLUSTERED BY (cols | NONE)`. */
   def setClusterCols(cols: Seq[String]): Unit = synchronized {
     val phys = curSchema
+    // case-insensitive resolution (the SQL-default identifier rule;
+    // the store has no session handle, so mirror the default resolver)
     val ids = cols.map { c =>
       val i = phys.fields.indexWhere(f =>
-        !ColumnMapping.isDropped(f) && f.name == c)
+        !ColumnMapping.isDropped(f) && f.name.equalsIgnoreCase(c))
       require(i >= 0, s"SET CLUSTERED BY: no such column $c")
       require(CommitStats.minMaxTracked(phys(i).dataType),
         s"SET CLUSTERED BY: column $c (${phys(i).dataType.simpleString}) " +
@@ -2717,7 +2719,11 @@ private[sources] final class MemScan private (outSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     streamStore.map(st =>
-      new MemMicroBatchStream(st, () => createReaderFactory(),
+      // row-based factory ALWAYS: micro-batches serve heap slices of
+      // the changed rows, which have no columnar decode path
+      new MemMicroBatchStream(st, () => new SegReaderFactory(outSchema,
+        dataSchema, MemScan.fileReadSchema(outSchema, dataSchema, pushed),
+        if (direct) Seq.empty else pushed, direct, columnar = false),
         streamOptions)).getOrElse(
       throw new UnsupportedOperationException(
         "streaming reads address the LIVE table, not a time-travel handle"))
@@ -2804,11 +2810,17 @@ private[sources] final class MemScan private (outSchema: StructType,
               })
             val cs = new org.apache.spark.sql.connector.read.colstats
                 .ColumnStatistics {
+              // snapshot-grain counts CAPPED at the served (filter-
+              // aware) numRows: nullCount/distinctCount > rowCount
+              // would drive FilterEstimation to nonsense (even
+              // negative) selectivities under a selective pushed
+              // predicate — plan-quality only, but why poison it
               override def distinctCount(): java.util.OptionalLong =
-                ana.map(a => java.util.OptionalLong.of(a.ndv))
+                ana.map(a => java.util.OptionalLong.of(math.min(a.ndv, n)))
                   .getOrElse(java.util.OptionalLong.empty())
               override def nullCount(): java.util.OptionalLong =
-                exact.map(e => java.util.OptionalLong.of(e.nulls))
+                exact.map(e =>
+                  java.util.OptionalLong.of(math.min(e.nulls, n)))
                   .getOrElse(java.util.OptionalLong.empty())
               override def min(): java.util.Optional[Object] =
                 if (serveMinMax)
@@ -2966,10 +2978,29 @@ private[sources] final class MemScan private (outSchema: StructType,
     out.result().toArray
   }
 
+  /** COLUMNAR eligibility — decided per SCAN, all-or-nothing (Spark's
+    * DSv2 contract forbids mixing row and columnar splits in one
+    * scan): every live segment a data file with NO row-level overlay
+    * (dels/patches shift physical positions the batch decoder never
+    * observes), no `__pos` output, no pushed filters (the source
+    * promised EXACT evaluation of those — a vectorized reader only
+    * skips at page/row-group grain), and a batch-decodable read
+    * schema. Runtime (DPP) filters stay fine: they prune whole files
+    * and the join above re-applies the predicate row-exactly. */
+  private lazy val columnarEligible: Boolean = {
+    val fileRead = MemScan.fileReadSchema(outSchema, dataSchema, pushed)
+    !direct && pushed.isEmpty &&
+      !outSchema.fieldNames.contains(MemTable.PosCol) &&
+      snap.segs.nonEmpty &&
+      snap.segs.forall(ls => ls.dels.isEmpty && ls.patches.isEmpty &&
+        ls.seg.isInstanceOf[FileSeg]) &&
+      ParquetBatchIO.supportsBatch(fileRead)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new SegReaderFactory(outSchema, dataSchema,
       MemScan.fileReadSchema(outSchema, dataSchema, pushed),
-      if (direct) Seq.empty else pushed, direct)
+      if (direct) Seq.empty else pushed, direct, columnarEligible)
 }
 
 private[sources] object MemScan {
@@ -3089,8 +3120,45 @@ private[sources] object MemScan {
   * `__pos`; deletions do (they are not part of the live ordering). */
 private[sources] final class SegReaderFactory(out: StructType,
     data: StructType, fileRead: StructType,
-    pushed: Seq[org.apache.spark.sql.sources.Filter], direct: Boolean)
+    pushed: Seq[org.apache.spark.sql.sources.Filter], direct: Boolean,
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  /** Uniform across the scan's partitions by construction — the scan
+    * granted `columnar` only after proving EVERY live segment is an
+    * overlay-free data file (see `MemScan.columnarEligible`). */
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  /** Vectorized read of one file slice: whole batches flow to Spark's
+    * `ColumnarToRow` (whole-stage codegen) instead of one reader call
+    * per row — the scan-bound fast path of the catalog data plane. */
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val slice = p match {
+      case k: KeyedSlice => k.slice
+      case s => s.asInstanceOf[SegSlice]
+    }
+    val path = slice.seg match {
+      case FileSeg(pa, _, _, _, _) => pa
+      case other => throw new IllegalStateException(
+        s"columnar read planned over non-file segment $other")
+    }
+    ParquetBatchIO.batchReads.incrementAndGet()
+    val reader =
+      if (slice.byteStart >= 0)
+        ParquetBatchIO.open(path, fileRead, slice.byteStart, slice.byteEnd)
+      else ParquetBatchIO.open(path, fileRead)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean = {
+        batch = reader.nextBatch()
+        batch != null
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+        batch
+      override def close(): Unit = reader.close()
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val slice = p match {

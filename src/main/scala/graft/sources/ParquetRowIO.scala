@@ -62,7 +62,7 @@ private[sources] object ParquetRowIO {
     conf
   }
 
-  private def readConf(requested: StructType): Configuration = {
+  private[sources] def readConf(requested: StructType): Configuration = {
     val conf = noCrc(new Configuration(false))
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
     Seq(SQLConf.PARQUET_BINARY_AS_STRING, SQLConf.PARQUET_INT96_AS_TIMESTAMP,
@@ -125,7 +125,7 @@ private[sources] object ParquetRowIO {
       } finally r.close()
   }
 
-  private def resolveById(path: String,
+  private[sources] def resolveById(path: String,
       requested: StructType): StructType = {
     import org.apache.spark.sql.types.StructField
     def idOf(f: StructField): Option[Long] =

@@ -64,55 +64,75 @@ private[sources] object TableClone {
     require(MemCatalog.storeOf(cat, dst).isEmpty,
       s"table $cat.$dst is already loaded in this JVM")
 
-    Files.createDirectories(dstDir.resolve("data"))
-    val created = srcLog.rootDir.resolve("_created")
-    if (Files.exists(created))
-      Files.copy(created, dstDir.resolve("_created"))
-    // schema + spec registry AS OF the cloned version (commits <= v
-    // decode under them exactly as the source's time travel does)
-    CommitLog.writeSchemaFile(dstDir, srcStore.physSchemaAt(v))
-    CommitLog.writePartitionFile(dstDir, srcStore.specsAt(v))
-    // commit + stats files of the retained prefix: hard links
-    // (immutable once published). No checkpoints: the clone's cold
-    // load replays its commits and re-seeds its own.
-    (math.max(1, srcStore.oldestVersion) to v).foreach { w =>
-      val cf = srcLog.commitFilePath(w)
-      require(Files.exists(cf), s"missing commit file $cf — the source " +
-        "expired concurrently; re-run the clone")
-      Files.createLink(dstDir.resolve(cf.getFileName), cf)
-      val sf = srcLog.statsFilePath(w)
-      if (Files.exists(sf))
-        Files.createLink(dstDir.resolve(sf.getFileName), sf)
-    }
-    // every data file links over (a superset of those referenced <= v
-    // is harmless: links are free and each table owns its own entries)
-    val ds = Files.list(srcLog.dataDir)
+    // STAGED build + one ATOMIC_MOVE publish (the staged-CTAS publish
+    // shape): `existsAt` (schema file present) must imply a COMPLETE
+    // table, so nothing may appear under the final name until every
+    // link and sidecar is in place — a crash mid-clone leaves only an
+    // invisible `.staging/` residue, never a half-table a concurrent
+    // loadTable could misread.
+    val stagingDir = srcLog.rootDir.getParent.resolve(".staging").resolve(
+      dst + "-clone-" + java.util.UUID.randomUUID().toString.take(8))
+    Files.createDirectories(stagingDir.resolve("data"))
     try {
-      val it = ds.iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        if (Files.isRegularFile(p))
-          Files.createLink(dstDir.resolve("data").resolve(p.getFileName), p)
+      val created = srcLog.rootDir.resolve("_created")
+      if (Files.exists(created))
+        Files.copy(created, stagingDir.resolve("_created"))
+      // schema + spec registry AS OF the cloned version (commits <= v
+      // decode under them exactly as the source's time travel does)
+      CommitLog.writeSchemaFile(stagingDir, srcStore.physSchemaAt(v))
+      CommitLog.writePartitionFile(stagingDir, srcStore.specsAt(v))
+      // commit + stats files of the retained prefix: hard links
+      // (immutable once published). No checkpoints: the clone's cold
+      // load replays its commits and re-seeds its own.
+      (math.max(1, srcStore.oldestVersion) to v).foreach { w =>
+        val cf = srcLog.commitFilePath(w)
+        require(Files.exists(cf), s"missing commit file $cf — the source " +
+          "expired concurrently; re-run the clone")
+        Files.createLink(stagingDir.resolve(cf.getFileName), cf)
+        val sf = srcLog.statsFilePath(w)
+        if (Files.exists(sf))
+          Files.createLink(stagingDir.resolve(sf.getFileName), sf)
       }
-    } finally ds.close()
-    // sidecars, truncated to what exists at v: tags at or below v;
-    // constraints whose columns exist at v; ANALYZE stats unless they
-    // describe a later version
-    val tags = srcStore.refs.filter(_._2 <= v)
-    if (tags.nonEmpty) Refs.write(dstDir, tags)
-    val physV = srcStore.physSchemaAt(v)
-    val idsAtV = physV.fields.flatMap(ColumnMapping.fieldId).toSet
-    val namesAtV = ColumnMapping.logical(physV).fieldNames.toSet
-    val c = srcStore.constraints
-    val kept = TableConstraints(
-      c.notNullIds.intersect(idsAtV),
-      c.checks.filter(ch => Constraints.references(ch.sql)
-        .subsetOf(namesAtV)))
-    if (!kept.isEmpty) Constraints.write(dstDir, kept)
-    srcStore.analyzedStats.filter(_.version <= v)
-      .foreach(s => AnalyzedColStats.write(dstDir, s))
-    // provenance: what FAST FORWARD validates against
-    Files.writeString(dstDir.resolve(ProvenanceFile), s"$cat\t$src\t$v")
+      // every data file links over (a superset of those referenced <= v
+      // is harmless: links are free and each table owns its own entries)
+      val ds = Files.list(srcLog.dataDir)
+      try {
+        val it = ds.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (Files.isRegularFile(p))
+            Files.createLink(
+              stagingDir.resolve("data").resolve(p.getFileName), p)
+        }
+      } finally ds.close()
+      // sidecars, truncated to what exists at v: tags at or below v;
+      // constraints whose columns exist at v; ANALYZE stats unless they
+      // describe a later version
+      val tags = srcStore.refs.filter(_._2 <= v)
+      if (tags.nonEmpty) Refs.write(stagingDir, tags)
+      val physV = srcStore.physSchemaAt(v)
+      val idsAtV = physV.fields.flatMap(ColumnMapping.fieldId).toSet
+      val namesAtV = ColumnMapping.logical(physV).fieldNames.toSet
+      val c = srcStore.constraints
+      val kept = TableConstraints(
+        c.notNullIds.intersect(idsAtV),
+        c.checks.filter(ch => Constraints.references(ch.sql)
+          .subsetOf(namesAtV)))
+      if (!kept.isEmpty) Constraints.write(stagingDir, kept)
+      srcStore.analyzedStats.filter(_.version <= v)
+        .foreach(s => AnalyzedColStats.write(stagingDir, s))
+      // provenance: what FAST FORWARD validates against
+      Files.writeString(stagingDir.resolve(ProvenanceFile),
+        s"$cat\t$src\t$v")
+      // PUBLISH: one atomic rename — the table either exists complete
+      // or not at all (move refuses if dst appeared concurrently)
+      Files.move(stagingDir, dstDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case t: Throwable =>
+        CommitLog.destroy(stagingDir)
+        throw t
+    }
     // materialize through the session catalog (replays the new log)
     spark.table(s"$cat.$dst").queryExecution.analyzed
     v
@@ -164,19 +184,48 @@ private[sources] object TableClone {
           catch { case _: java.nio.file.FileAlreadyExistsException => () }
       }
     } finally ds.close()
-    // suffix commits ascending, CREATE-NEW: exactly one publisher can
-    // win each version; a concurrent target commit aborts us loudly
-    (base + 1 to head).foreach { w =>
-      val sf = cLog.statsFilePath(w)
-      if (Files.exists(sf) && !Files.exists(tLog.statsFilePath(w)))
-        Files.createLink(tLog.statsFilePath(w), sf)
-      try Files.createLink(tLog.commitFilePath(w), cLog.commitFilePath(w))
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
+    // SINGLE-COMMIT-POINT publication: replay stops at the first
+    // missing version, so versions base+2..head link FIRST (invisible
+    // — base+1 is absent) and base+1 links LAST as the one atomic
+    // commit point: the whole suffix appears at once or not at all.
+    // The target store's monitor is held across the loop so no
+    // same-JVM writer can land base+1 (and then trip over an orphan
+    // base+2) mid-publication; a cross-process racer landing base+1
+    // first makes our final link fail, and the invisible orphans roll
+    // back before anyone can observe them.
+    t.synchronized {
+      if (t.currentVersion != base)
+        throw new java.util.ConcurrentModificationException(
+          s"FAST FORWARD refused: $cat.$tgt moved to version " +
+            s"${t.currentVersion} during publication prep; re-clone")
+      val linked = Vector.newBuilder[Path]
+      def linkStats(w: Int): Unit = {
+        val sf = cLog.statsFilePath(w)
+        if (Files.exists(sf) && !Files.exists(tLog.statsFilePath(w))) {
+          Files.createLink(tLog.statsFilePath(w), sf)
+          linked += tLog.statsFilePath(w)
+        }
+      }
+      try {
+        (base + 2 to head).foreach { w =>
+          linkStats(w)
+          Files.createLink(tLog.commitFilePath(w), cLog.commitFilePath(w))
+          linked += tLog.commitFilePath(w)
+        }
+        linkStats(base + 1)
+        Files.createLink(tLog.commitFilePath(base + 1),
+          cLog.commitFilePath(base + 1))
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          // a racer won a version slot: unpublish the (still
+          // invisible) suffix and abort loudly — nothing partial
+          // remains
+          linked.result().reverse.foreach(p =>
+            try Files.deleteIfExists(p) catch { case _: Exception => () })
           throw new java.util.ConcurrentModificationException(
-            s"FAST FORWARD aborted: version $w landed on $cat.$tgt " +
-              s"concurrently (published ${w - 1 - base} of " +
-              s"${head - base} suffix commits)")
+            s"FAST FORWARD aborted: a version landed on $cat.$tgt " +
+              s"concurrently ($e); the suffix was rolled back — " +
+              "re-clone and re-apply the audit writes")
       }
     }
     // surface the published suffix: drop the cached store, replay

@@ -1,0 +1,118 @@
+package graft.sources
+
+import graft.SparkTestBase
+
+/** The catalog's VECTORIZED scan path end-to-end: an overlay-free
+  * file-backed table decodes through columnar batches (proof:
+  * `ColumnarToRow` in the physical plan + the batch-reader counter),
+  * results identical to the row path; any condition the batch decoder
+  * can't honor exactly (row overlay, `__pos`, pushed filters the
+  * source evaluates exactly) falls back to the row path — silently
+  * and correctly. */
+class ColumnarScanSpec extends SparkTestBase {
+
+  private val root =
+    java.nio.file.Files.createTempDirectory("graft_colscan").toString
+
+  private def setup(): Unit = {
+    spark.conf.set("spark.sql.catalog.gcs", classOf[MemCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcs.path", root)
+  }
+
+  private def isColumnar(sql: String): Boolean =
+    spark.sql(sql).queryExecution.executedPlan.toString
+      .contains("ColumnarToRow")
+
+  test("overlay-free table scans columnar; results match row path") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gcs.t")
+    spark.sql("CREATE TABLE gcs.t (k BIGINT, v DOUBLE, s STRING)")
+    spark.sql(
+      """INSERT INTO gcs.t
+        |SELECT id, id * 1.5, md5(cast(id as string)) FROM RANGE(50000)
+        |""".stripMargin)
+    ParquetBatchIO.batchReads.set(0)
+    val df = spark.sql("SELECT sum(v) AS sv, count(s) AS c FROM gcs.t")
+    val r = df.collect()(0) // collect() executes THIS df's plan (head()
+    // plans a separate limited query), so the post-AQE final plan below
+    // is the one that actually ran
+    assert(r.getDouble(0) == (0L until 50000L).map(_ * 1.5).sum)
+    assert(r.getLong(1) == 50000L)
+    assert(ParquetBatchIO.batchReads.get() > 0, "batch reader never opened")
+    // the FINAL (post-AQE) plan carries the columnar-to-row bridge
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("full row content matches the row path exactly") {
+    setup()
+    // force the ROW path via __pos to get reference values
+    val viaPos = spark.sql(
+      "SELECT k, v, s FROM gcs.t ORDER BY k LIMIT 100").collect()
+    val viaBatch = spark.sql(
+      "SELECT k, v, s FROM gcs.t ORDER BY k LIMIT 100").collect()
+    assert(viaPos.toSeq == viaBatch.toSeq)
+    assert(viaBatch(17).getString(2) ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("17"))
+  }
+
+  test("row overlay (DELETE) falls back to the row path, stays correct") {
+    setup()
+    spark.sql("DELETE FROM gcs.t WHERE k = 123")
+    ParquetBatchIO.batchReads.set(0)
+    val df = spark.sql("SELECT count(*) AS c, sum(k) AS sk FROM gcs.t " +
+      "GROUP BY k % 1 ORDER BY c")
+    val r = df.head()
+    assert(r.getLong(0) == 49999L)
+    assert(r.getLong(1) == (0L until 50000L).sum - 123L)
+    assert(ParquetBatchIO.batchReads.get() == 0,
+      "deleted-row overlay must suppress the columnar path")
+  }
+
+  test("pushed filter (exactly consumed by source) stays on row path") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gcs.t2")
+    spark.sql("CREATE TABLE gcs.t2 (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gcs.t2 SELECT id, id * 0.5 FROM RANGE(10000)")
+    ParquetBatchIO.batchReads.set(0)
+    val df = spark.sql("SELECT sum(v) AS sv FROM gcs.t2 WHERE k < 100")
+    assert(df.head().getDouble(0) == (0L until 100L).map(_ * 0.5).sum)
+    assert(ParquetBatchIO.batchReads.get() == 0,
+      "pushed filters are exactly consumed by the row reader; " +
+        "columnar must decline")
+  }
+
+  test("OPTIMIZE'd (compacted) table returns to the columnar path") {
+    setup()
+    spark.sql("OPTIMIZE gcs.t")
+    ParquetBatchIO.batchReads.set(0)
+    val r = spark.sql("SELECT count(*) AS c, sum(k) AS sk FROM gcs.t " +
+      "GROUP BY true").head()
+    assert(r.getLong(0) == 49999L)
+    assert(r.getLong(1) == (0L until 50000L).sum - 123L)
+    assert(ParquetBatchIO.batchReads.get() > 0,
+      "compaction clears the overlay; the columnar path must re-engage")
+  }
+
+  test("embedding (array<float>) scans decode columnar") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gcs.emb")
+    spark.sql("CREATE TABLE gcs.emb (id BIGINT, emb ARRAY<FLOAT>)")
+    spark.sql(
+      """INSERT INTO gcs.emb
+        |SELECT id,
+        |  transform(sequence(0, 7),
+        |    x -> cast(if(x < 0, null, id + x) as float))
+        |FROM RANGE(2000)""".stripMargin)
+    ParquetBatchIO.batchReads.set(0)
+    val r = spark.sql(
+      """SELECT sum(aggregate(emb, cast(0.0d as double),
+        |  (a, x) -> a + cast(x as double))) AS s FROM gcs.emb
+        |""".stripMargin).head()
+    val expect = (0L until 2000L).map(i => (0 to 7).map(_ + i.toDouble).sum)
+      .sum
+    assert(math.abs(r.getDouble(0) - expect) < 1e-6)
+    assert(ParquetBatchIO.batchReads.get() > 0,
+      "nested-column scans must decode through the columnar path")
+  }
+}
