@@ -2015,6 +2015,153 @@ object SourceQueries {
           |       CAST(sum(cents) AS BIGINT) AS cents_sum
           |FROM graftmem.undq""".stripMargin)
         .crossJoin(v1).crossJoin(hist)
+    },
+
+    // INCREMENTAL OPTIMIZE (Delta bin-packing): `OPTIMIZE t TARGET n
+    // ROWS` with no clustering directive rewrites ONLY the dirty
+    // (small / overlaid / old-spec) files as ONE atomic
+    // dataChange=false compaction commit — the compact file passes
+    // through BYTE-IDENTICAL (same name, never read), the four small
+    // ones fold into one, and the change feed serves nothing for the
+    // compaction version. O(dirty), not O(table): the property that
+    // makes scheduled maintenance affordable at 100 TB
+    // (IncrementalOptimizeSpec pins bytes-identity, restart replay,
+    // no-op idempotence, and the expiry interlock). The invariants
+    // ride the `.files` metadata table + CDF into the oracle-checked
+    // result: untouched_kept (the pre-optimize big file still live),
+    // n_files_after (5 -> 2), cdf_rows (0).
+    QueryDef("q328_catalog_compact",
+      """SELECT l_returnflag, count(*)::BIGINT AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |       CAST(1 AS BIGINT) AS untouched_kept,
+        |       CAST(2 AS BIGINT) AS n_files_after,
+        |       CAST(0 AS BIGINT) AS cdf_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (spark, dir) =>
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmem.path",
+          graft.sources.MemCatalog.defaultRoot)
+        spark.sql("DROP TABLE IF EXISTS graftmem.compli")
+        spark.sql(
+          "CREATE TABLE graftmem.compli (l_orderkey BIGINT, " +
+            "l_partkey BIGINT, l_returnflag STRING, " +
+            "l_extendedprice DOUBLE)")
+        Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+            col("l_extendedprice"))
+          .createOrReplaceTempView("q328_src")
+        // one COMPACT file (~99% of rows) + four SMALL files
+        spark.sql(
+          """INSERT INTO graftmem.compli
+            |SELECT /*+ REPARTITION(1) */ * FROM q328_src
+            |WHERE l_orderkey % 100 != 0""".stripMargin)
+        (0 to 3).foreach(i => spark.sql(
+          s"""INSERT INTO graftmem.compli
+             |SELECT /*+ REPARTITION(1) */ * FROM q328_src
+             |WHERE l_orderkey % 100 = 0 AND l_partkey % 4 = $i
+             |""".stripMargin))
+        val filesBefore = spark.sql(
+          "SELECT file, n_rows FROM graftmem.compli.files").collect()
+        val bigFile = filesBefore.maxBy(_.getLong(1)).getString(0)
+        val target = filesBefore.map(_.getLong(1)).max
+        val vBefore = spark.sql(
+          "SELECT max(version) FROM graftmem.compli.history")
+          .head().getLong(0)
+        spark.sql(s"OPTIMIZE graftmem.compli TARGET $target ROWS")
+        val after = spark.sql(
+          "SELECT file FROM graftmem.compli.files").collect()
+          .map(_.getString(0))
+        val untouched = if (after.contains(bigFile)) 1L else 0L
+        val cdf = graft.sources.MemCatalog.tableChanges(spark,
+          "graftmem", "compli", (vBefore + 1).toInt, (vBefore + 1).toInt)
+          .count()
+        spark.sql(
+          """SELECT l_returnflag, count(*) AS n_lines,
+            |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+            |FROM graftmem.compli
+            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+          .withColumn("untouched_kept", lit(untouched))
+          .withColumn("n_files_after", lit(after.length.toLong))
+          .withColumn("cdf_rows", lit(cdf))
+    },
+
+    // MULTI-TABLE ATOMIC TRANSACTION ([[graft.sources.TableTxn]]): a
+    // corpus append and its derived index append publish as ONE
+    // transaction — both visible after, exactly one new version per
+    // participant, and an aborted transaction (body failure) leaves
+    // NEITHER advanced. The write-ahead `.txn` manifest protocol
+    // (crash windows, slot-theft conflict, foreign-commit safety) is
+    // pinned by TableTxnSpec; this gate proves the end-to-end user
+    // surface with the oracle recomputing the same corpus/index state
+    // straight from the fixture.
+    QueryDef("q329_multi_table_txn",
+      """WITH corpus AS (
+        |  SELECT o_orderkey AS doc, o_orderpriority AS text FROM orders
+        |  WHERE o_orderkey % 10 = 0),
+        |idx AS (
+        |  SELECT doc, substr(text, 1, 1) AS term FROM corpus)
+        |SELECT c.doc::BIGINT AS doc, c.text, i.term,
+        |       CAST(1 AS BIGINT) AS corpus_versions,
+        |       CAST(1 AS BIGINT) AS index_versions,
+        |       CAST(0 AS BIGINT) AS aborted_rows
+        |FROM corpus c JOIN idx i ON c.doc = i.doc
+        |ORDER BY c.doc""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.txncorpus")
+      spark.sql("DROP TABLE IF EXISTS graftmem.txnindex")
+      spark.sql("CREATE TABLE graftmem.txncorpus (doc BIGINT, text STRING)")
+      spark.sql("CREATE TABLE graftmem.txnindex (doc BIGINT, term STRING)")
+      Tables.load(spark, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").cast("long").as("doc"),
+          col("o_orderpriority").as("text"))
+        .createOrReplaceTempView("q329_corpus")
+      val v0c = spark.sql(
+        "SELECT max(version) FROM graftmem.txncorpus.history")
+        .head().getLong(0)
+      val v0i = spark.sql(
+        "SELECT max(version) FROM graftmem.txnindex.history")
+        .head().getLong(0)
+      // ONE transaction: corpus + its derived index land together
+      graft.sources.MemCatalog.inTransaction(spark, "graftmem") { txn =>
+        spark.table("q329_corpus").writeTo("graftmem.txncorpus")
+          .option("graft.txn.id", txn.id).append()
+        spark.sql(
+          "SELECT doc, substr(text, 1, 1) AS term FROM q329_corpus")
+          .writeTo("graftmem.txnindex")
+          .option("graft.txn.id", txn.id).append()
+      }
+      // an ABORTED transaction moves neither participant
+      val preAbortC = spark.sql(
+        "SELECT count(*) FROM graftmem.txncorpus").head().getLong(0)
+      try graft.sources.MemCatalog.inTransaction(spark, "graftmem") { txn =>
+        spark.sql("SELECT -1L AS doc, 'never' AS text")
+          .writeTo("graftmem.txncorpus")
+          .option("graft.txn.id", txn.id).append()
+        throw new RuntimeException("audit failed")
+      } catch { case _: RuntimeException => () }
+      val abortedRows = spark.sql(
+        "SELECT count(*) FROM graftmem.txncorpus").head().getLong(0) -
+        preAbortC
+      val vc = spark.sql(
+        "SELECT max(version) FROM graftmem.txncorpus.history")
+        .head().getLong(0) - v0c
+      val vi = spark.sql(
+        "SELECT max(version) FROM graftmem.txnindex.history")
+        .head().getLong(0) - v0i
+      spark.sql(
+        """SELECT c.doc, c.text, i.term
+          |FROM graftmem.txncorpus c JOIN graftmem.txnindex i
+          |  ON c.doc = i.doc
+          |ORDER BY c.doc""".stripMargin)
+        .withColumn("corpus_versions", lit(vc))
+        .withColumn("index_versions", lit(vi))
+        .withColumn("aborted_rows", lit(abortedRows))
     }
   )
 

@@ -50,7 +50,10 @@ private[sources] final case class DropAddCommit(version: Int,
     tsMicros: Long, removeNames: Vector[String], add: Vector[FileRef],
     stats: Option[CommitStats] = None,
     removeTuples: Vector[Vector[Any]] = Vector.empty,
-    removeSpecId: Int = 0) extends LogEntry
+    removeSpecId: Int = 0,
+    /** incremental-OPTIMIZE landing: content-identical bin-pack (see
+      * [[graft.sources.VDropAdd.compaction]]) */
+    compaction: Boolean = false) extends LogEntry
 
 /** A PARTITION-SPEC-EVOLUTION commit (kind 7, the Iceberg
   * `ALTER TABLE ... SET PARTITIONED BY` model): records the NEW write
@@ -360,7 +363,8 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
       removeNames: Seq[String], add: Seq[FileRef],
       stats: CommitStats,
       removeTuples: Seq[Vector[Any]] = Nil,
-      removeSpecId: Int = 0): Unit = {
+      removeSpecId: Int = 0,
+      compaction: Boolean = false): Unit = {
     writeCommit(version) { out =>
       out.writeByte(6)
       out.writeLong(tsMicros)
@@ -385,6 +389,9 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
           removeTuples.foreach(Partitioning.writeTagged(out, removeSpecId, _))
         else removeTuples.foreach(Partitioning.write(out, _))
       }
+      // second optional tail (EOF-probed): compaction marker — an
+      // incremental-OPTIMIZE bin-pack, dataChange = false
+      if (compaction) out.writeByte(2)
     }
     writeStats(version, stats)
   }
@@ -594,13 +601,14 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
           case VBase(segs) => out.writeByte(0); writeSegs(segs)
           case VAppend(segs) => out.writeByte(1); writeSegs(segs)
           case VRewrite(segs) => out.writeByte(4); writeSegs(segs)
-          case VDropAdd(remove, add, tuples, rsid) =>
+          case VDropAdd(remove, add, tuples, rsid, compaction) =>
             out.writeByte(5)
             out.writeInt(remove.length)
             remove.foreach(out.writeUTF)
             writeSegs(add)
             out.writeInt(tuples.length)
             tuples.foreach(Partitioning.writeTagged(out, rsid, _))
+            out.writeBoolean(compaction)
           case VSpecChange(id, spec) =>
             out.writeByte(6)
             out.writeInt(id)
@@ -718,7 +726,7 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
                   rsid = s0
                   v0
                 }
-                VDropAdd(names, segs, tuples, rsid)
+                VDropAdd(names, segs, tuples, rsid, in.readBoolean())
               case 6 =>
                 val id = in.readInt()
                 val sj = new Array[Byte](in.readInt())
@@ -811,21 +819,25 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
             val (pv, sid) = readTuple(in)
             FileRef(name, count, fstats, pv, sid)
           }
-          // optional tail: overwritten partition tuples (EOF probe —
-          // pre-round-15 commits end here and read as name-only)
+          // optional tails (EOF probe — older commits end early):
+          // 1 = overwritten partition tuples; 2 = compaction marker
           var removeSpecId = 0
-          val removeTuples =
-            if (in.read() == 1) {
-              Vector.fill(in.readInt()) {
-                if (tupleV2) {
-                  val (sid, vals) = Partitioning.readTagged(in)
-                  removeSpecId = sid
-                  vals
-                } else Partitioning.read(in, partSpec.length)
-              }
-            } else Vector.empty[Vector[Any]]
+          var removeTuples = Vector.empty[Vector[Any]]
+          var compaction = false
+          var tail = in.read()
+          if (tail == 1) {
+            removeTuples = Vector.fill(in.readInt()) {
+              if (tupleV2) {
+                val (sid, vals) = Partitioning.readTagged(in)
+                removeSpecId = sid
+                vals
+              } else Partitioning.read(in, partSpec.length)
+            }
+            tail = in.read()
+          }
+          if (tail == 2) compaction = true
           DropAddCommit(ver, ts, removeNames, add, stats, removeTuples,
-            removeSpecId)
+            removeSpecId, compaction)
         } else if (kind == 4) {
           // file-reference commit: names + counts + per-file stats —
           // replay never touches a data file, so a restart is

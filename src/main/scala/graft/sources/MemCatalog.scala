@@ -95,6 +95,9 @@ class MemCatalog extends TableCatalog
   private def liveStore(ident: Identifier): Option[MemStore] =
     MemCatalog.stores.get(key(ident)).orElse {
       logDir(ident).filter(CommitLog.existsAt).map { dir =>
+        // crashed multi-table transactions roll back BEFORE any
+        // replay observes a half-published leg (idempotent, O(.txn))
+        TableTxn.recover(dir.getParent)
         val replayed = MemStore.replayFrom(CommitLog.open(dir))
         MemCatalog.stores.putIfAbsent(key(ident), replayed)
         MemCatalog.stores(key(ident))
@@ -639,6 +642,36 @@ object MemCatalog {
   def defaultRoot: String =
     sys.props.getOrElse("graft.catalog.store", "/tmp/graft_catalog")
 
+  // ---- MULTI-TABLE TRANSACTIONS (see [[TableTxn]]) -------------------
+
+  private val activeTxns =
+    new java.util.concurrent.ConcurrentHashMap[String, TableTxn]()
+  private[sources] def registerTxn(t: TableTxn): Unit =
+    activeTxns.put(t.id, t)
+  private[sources] def unregisterTxn(t: TableTxn): Unit =
+    activeTxns.remove(t.id)
+  private[sources] def txnFor(id: String): Option[TableTxn] =
+    Option(activeTxns.get(id))
+
+  /** The durable root of a named catalog in this session (None for a
+    * heap catalog). */
+  private[sources] def rootOf(spark: org.apache.spark.sql.SparkSession,
+      catalogName: String): Option[java.nio.file.Path] =
+    spark.sessionState.catalogManager.catalog(catalogName) match {
+      case mc: MemCatalog => mc.logRoot
+      case other => throw new IllegalArgumentException(
+        s"$catalogName is not a graft catalog: $other")
+    }
+
+  /** Run `body` as ONE atomic transaction over several catalog
+    * tables: every write inside that passes
+    * `.option("graft.txn.id", txn.id)` parks instead of committing,
+    * and all participants publish together — or, on failure/crash,
+    * none do ([[TableTxn]] write-ahead manifest protocol). */
+  def inTransaction[A](spark: org.apache.spark.sql.SparkSession,
+      catalogName: String)(body: TableTxn => A): A =
+    TableTxn.inTransaction(spark, catalogName)(body)
+
   /** `DESCRIBE HISTORY`-shaped audit surface (the Delta convention):
     * one row per RETAINED version — (version, commit epoch micros,
     * row count at that version). Reads only in-memory metadata — the
@@ -718,12 +751,17 @@ object MemCatalog {
     // each partition run, so both the partition tuples and the
     // per-file curve rectangles survive the rewrite
     val partCols = store.partSpec.map(_.col)
+    // NO clustering directive -> INCREMENTAL bin-pack (the Delta
+    // OPTIMIZE posture): only small / overlaid / old-spec files
+    // rewrite; already-compact files pass through byte-identical —
+    // O(dirty), the only schedulable shape at 100 TB. Curve forms
+    // stay global rewrites (re-clustering is global by nature).
+    if (zorderBy.isEmpty) {
+      compactIncremental(spark, store, tbl, targetFileRows)
+      return
+    }
     val laidOut =
-      if (zorderBy.isEmpty) {
-        if (partCols.isEmpty) df.repartition(nFiles)
-        else df.repartition(nFiles, partCols.map(col): _*)
-          .sortWithinPartitions(partCols.map(col): _*)
-      } else {
+      {
         val bits = graft.operators.ZOrder.bitsFor(zorderBy.length)
         val aggs = zorderBy.flatMap(k =>
           Seq(min(col(k)).cast("long"), max(col(k)).cast("long")))
@@ -739,6 +777,79 @@ object MemCatalog {
       }
     laidOut.writeTo(tbl).option("dataChange", "false")
       .overwrite(lit(true))
+  }
+
+  /** INCREMENTAL OPTIMIZE (bin-packing): select only the DIRTY files —
+    * small (< target/2 rows), carrying a delete/patch overlay, or
+    * written under an evolved-away partition spec — read exactly those
+    * through a file-restricted scan, and land their compact
+    * replacements as one atomic `compaction` drop-add commit
+    * ([[MemStore.compactFiles]], `dataChange = false`). Untouched
+    * files are never read, never rewritten, never renamed: the verb's
+    * cost is O(dirty bytes), not O(table). When every live file is
+    * dirty the landing degenerates to the full rewrite commit (the
+    * pre-round-16 shape — keeps small tables and generation
+    * unification on the expiry-friendliest commit type). */
+  private def compactIncremental(spark: org.apache.spark.sql.SparkSession,
+      store: MemStore, tbl: String, targetFileRows: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val (snap, _) = store.currentState()
+    val expected = store.currentVersion
+    val curSpecId = store.currentSpecId
+    val minRows = math.max(1L, targetFileRows.toLong / 2)
+    def nameOf(seg: RowSeg): String = seg match {
+      case f: FileSeg =>
+        java.nio.file.Paths.get(f.path).getFileName.toString
+      case other => throw new IllegalStateException(
+        s"durable table holds a non-file segment $other")
+    }
+    val mustRewrite = snap.segs.filter { ls =>
+      ls.dels.nonEmpty || ls.patches.nonEmpty || (ls.seg match {
+        case f: FileSeg => f.specId != curSpecId
+        case _ => true
+      })
+    }
+    val small = snap.segs.filterNot(mustRewrite.contains).filter(_.seg match {
+      case f: FileSeg => f.count < minRows
+      case _ => false
+    })
+    // a lone small file with nothing to pack against stays put —
+    // otherwise the folded result (itself below target) would
+    // re-compact on every run and the verb would never be idempotent
+    val dirty = mustRewrite ++
+      (if (small.length >= 2 || mustRewrite.nonEmpty) small else Nil)
+    if (dirty.isEmpty) return // nothing to do: O(0), not O(table)
+    val partCols = store.partSpec.map(_.col)
+    if (dirty.length == snap.segs.length) {
+      // everything is dirty: one full rewrite commit
+      val df = spark.table(tbl)
+      val n = snap.count
+      val nFiles = math.max(1,
+        ((n + targetFileRows - 1) / targetFileRows).toInt)
+      val laidOut =
+        if (partCols.isEmpty) df.repartition(nFiles)
+        else df.repartition(nFiles, partCols.map(col): _*)
+          .sortWithinPartitions(partCols.map(col): _*)
+      laidOut.writeTo(tbl).option("dataChange", "false")
+        .overwrite(lit(true))
+      return
+    }
+    val names = dirty.map(ls => nameOf(ls.seg))
+    val liveDirty = dirty.map(_.liveCount).sum
+    val nFiles = math.max(1,
+      ((liveDirty + targetFileRows - 1) / targetFileRows).toInt)
+    // read ONLY the dirty files (their overlays apply in the scan)
+    val df = spark.read.option("graft.files", names.mkString(","))
+      .table(tbl)
+    val laid =
+      if (partCols.isEmpty) df.repartition(nFiles)
+      else df.repartition(nFiles, partCols.map(col): _*)
+        .sortWithinPartitions(partCols.map(col): _*)
+    laid.writeTo(tbl)
+      .option("dataChange", "false")
+      .option("graft.compact.remove", names.mkString(","))
+      .option("graft.compact.expect", expected.toString)
+      .append()
   }
 
   /** The HILBERT-curve rewrite layout (`curve = "hilbert"`): the
@@ -898,7 +1009,13 @@ private[sources] final case class VRewrite(segs: Vector[RowSeg])
 private[sources] final case class VDropAdd(removeNames: Vector[String],
     add: Vector[RowSeg],
     removeTuples: Vector[Vector[Any]] = Vector.empty,
-    removeSpecId: Int = 0) extends VDelta {
+    removeSpecId: Int = 0,
+    /** `true` = an incremental-OPTIMIZE bin-pack landing: the named
+      * small/overlaid files re-laid into fewer compact ones,
+      * content-identical (`dataChange = false`) — the change feed
+      * skips it like a [[VRewrite]], and untouched files pass through
+      * BYTE-IDENTICAL (never named, never rewritten). */
+    compaction: Boolean = false) extends VDelta {
   @transient private lazy val nameSet = removeNames.toSet
   @transient private lazy val tupleSet = removeTuples.toSet
   /** Does this overwrite drop the given segment? Name match covers
@@ -1532,6 +1649,79 @@ private[sources] final class MemStore(schema0: StructType,
       maybeCheckpoint()
     }
 
+  /** TRANSACTION-LEG commit ([[TableTxn]]): publish `files` as an
+    * append at EXACTLY version `next` — no rebase; the multi-table
+    * manifest recorded this slot, so an occupied slot (cross-process
+    * racer) surfaces loudly for the coordinator to roll every leg
+    * back. Caller holds this store's monitor via the coordinator's
+    * canonical lock order. */
+  private[sources] def commitFilesAt(next: Int, files: Seq[FileRef],
+      cs: CommitStats, txnTag: Option[String] = None): Unit = synchronized {
+    val l = log.getOrElse(throw new IllegalStateException(
+      "commitFilesAt needs a durable log"))
+    require(currentVersion == next - 1,
+      s"transaction leg at version $next but table is at $currentVersion")
+    val t = MemStore.nowMicros()
+    // the tag rides IN the commit (the SetTransaction marker shape):
+    // crash recovery tells OUR landed leg apart from a foreign commit
+    // that happens to occupy the same slot
+    l.recordFiles(next, FileCommit.Append, t, files, cs,
+      txn = txnTag.map(tag => (tag, 0L)))
+    val segs: Vector[RowSeg] =
+      files.iterator.map(f => FileSeg(l.dataFilePath(f.name), f.count,
+        f.stats, f.partVals, f.specId): RowSeg).toVector
+    statsHist = statsHist :+ statsHist.last.map(CommitStats.merge(_, cs))
+    cur = Snap(cur.segs ++ segs.map(LiveSeg.raw))
+    entries = entries :+ VAppend(segs)
+    counts = counts :+ cur.count
+    times = times :+ t
+    schemaHist = schemaHist :+ curSchema
+    maybeCheckpoint()
+  }
+
+  /** INCREMENTAL-OPTIMIZE landing: the named (small / overlaid /
+    * old-spec) files leave the snapshot, their freshly-written compact
+    * replacements join — ONE atomic kind-6 commit flagged
+    * `compaction`, `dataChange = false` (content identical: the change
+    * feed and streaming sources skip it, and the commit reuses the
+    * previous version's statistics — zero recomputation). Untouched
+    * files are never named and pass through BYTE-IDENTICAL — the
+    * O(dirty) maintenance cost that makes the verb schedulable at
+    * 100 TB. Any interleaved commit aborts (recompute and rerun). */
+  def compactFiles(removeNames: Set[String], add: Seq[FileRef],
+      expectedVersion: Int): Unit = synchronized {
+    val l = log.getOrElse(throw new IllegalStateException(
+      "compactFiles needs a durable log"))
+    if (currentVersion != expectedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit(s) advanced version $expectedVersion -> " +
+          s"$currentVersion under this compaction — rerun OPTIMIZE")
+    publishWithRetry(l)(es => if (es.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commits ${es.map(_.version).mkString(",")} conflict " +
+          "with a compaction — rerun OPTIMIZE")) { next =>
+      val t = MemStore.nowMicros()
+      val addSegs: Vector[RowSeg] = add.iterator.map(f =>
+        FileSeg(l.dataFilePath(f.name), f.count, f.stats,
+          f.partVals, f.specId): RowSeg).toVector
+      val d = VDropAdd(removeNames.toVector.sorted, addSegs,
+        Vector.empty, l.currentSpecId, compaction = true)
+      // content identical by construction: the previous version's
+      // stats ARE this version's stats
+      val st = statsHist.last.getOrElse(
+        CommitStats.of(cur.iterator(curSchema), curSchema))
+      l.recordDropAdd(next, t, d.removeNames, add, st,
+        Nil, l.currentSpecId, compaction = true)
+      statsHist = statsHist :+ Some(st)
+      cur = Snap.applyDelta(cur, d)
+      entries = entries :+ d
+      counts = counts :+ cur.count
+      times = times :+ t
+      schemaHist = schemaHist :+ curSchema
+    }
+    maybeCheckpoint()
+  }
+
   /** Commit one row-level delta (the `WriteDelta` landing): positions
     * index the current snapshot's live ordering. Memory retains
     * O(delta), the durable commit file holds O(delta) bytes, and the
@@ -1660,12 +1850,14 @@ private[sources] final class MemStore(schema0: StructType,
             emit("delete", v, prev.iterator(curSchema))
             segs.foreach(s => emit("insert", v, MemStore.segRows(s, curSchema)))
           case VRewrite(_) => () // dataChange = false: no feed rows
-          case da @ VDropAdd(_, add, _, _) =>
+          case da: VDropAdd if da.compaction =>
+            () // incremental OPTIMIZE: content-identical, no feed rows
+          case da: VDropAdd =>
             prev.segs.foreach { ls =>
               if (da.drops(ls.seg))
                 emit("delete", v, Snap(Vector(ls)).iterator(curSchema))
             }
-            add.foreach(sg =>
+            da.add.foreach(sg =>
               emit("insert", v, MemStore.segRows(sg, curSchema)))
           case VRowDelta(dels, upds, ins) =>
             val pre = prev.rowsAt(dels ++ upds.map(_._1), curSchema)
@@ -1696,7 +1888,8 @@ private[sources] final class MemStore(schema0: StructType,
     entries.lift(v - base).map {
       case VAppend(segs) => segs.iterator.map(_.count).sum
       case VBase(segs) => segs.iterator.map(_.count).sum
-      case VDropAdd(_, add, _, _) => add.iterator.map(_.count).sum
+      case da: VDropAdd =>
+        if (da.compaction) 0L else da.add.iterator.map(_.count).sum
       case VRowDelta(_, _, ins) => ins.length.toLong
       case _ => 0L
     }.getOrElse(0L)
@@ -1713,7 +1906,9 @@ private[sources] final class MemStore(schema0: StructType,
       entries.slice(fromV - base, toV - base + 1).flatMap {
         case VAppend(segs) => segs
         case VBase(segs) => segs
-        case VDropAdd(_, add, _, _) => add // the overwrite's fresh rows
+        // the overwrite's fresh rows; a COMPACTION's re-laid files are
+        // NOT fresh rows — re-serving them would duplicate the stream
+        case da: VDropAdd if !da.compaction => da.add
         case VRowDelta(_, _, ins) if ins.nonEmpty => Vector(MemSeg(ins))
         case _ => Vector.empty // markers and dataChange-false rewrites
       }
@@ -1773,6 +1968,14 @@ private[sources] final class MemStore(schema0: StructType,
     // matches there. Name-only drop-adds (pre-round-15 logs) would
     // silently resurrect the overwritten partition — refuse.
     retained.foreach {
+      case da: VDropAdd if da.compaction =>
+        // a compaction names files of the pre-consolidation layout;
+        // over a freshly-named consolidated base its removes match
+        // nothing and its adds would DUPLICATE rows — the cut must
+        // not pass below it
+        throw new UnsupportedOperationException(
+          s"expireBefore($before): a retained compaction commit names " +
+            "pre-consolidation files — expire at or above it")
       case da: VDropAdd if da.removeNames.nonEmpty &&
           da.removeTuples.isEmpty =>
         throw new UnsupportedOperationException(
@@ -2007,14 +2210,15 @@ private[sources] final class MemStore(schema0: StructType,
             for { a <- statsHist.last; b <- s } yield CommitStats.merge(a, b))
         }
       case DropAddCommit(ver, _, removeNames, add, s, removeTuples,
-          removeSpecId) =>
+          removeSpecId, compaction) =>
         require(!pruned,
           s"corrupt log: pruned prefix opens with drop-add commit $ver")
         require(ver == currentVersion + 1,
           s"corrupt log: commit $ver after version $currentVersion")
         (VDropAdd(removeNames, add.map(f =>
           FileSeg(log.get.dataFilePath(f.name), f.count, f.stats,
-            f.partVals, f.specId): RowSeg), removeTuples, removeSpecId), s)
+            f.partVals, f.specId): RowSeg), removeTuples, removeSpecId,
+          compaction), s)
       case SpecCommit(ver, _, specId, spec) =>
         require(!pruned,
           s"corrupt log: pruned prefix opens with spec commit $ver")
@@ -2105,7 +2309,7 @@ private[sources] object MemStore {
       case VBase(segs) => names(segs)
       case VAppend(segs) => names(segs)
       case VRewrite(segs) => names(segs)
-      case VDropAdd(_, add, _, _) => names(add)
+      case da: VDropAdd => names(da.add)
       case _ => Seq.empty
     }
   }
@@ -2211,6 +2415,17 @@ private[sources] final class MemTable(tableName: String, store: MemStore,
         dynamic = true
         this
       }
+      // incremental-OPTIMIZE landing ([[MemCatalog.optimizeTable]]):
+      // the append-shaped write whose commit swaps the named dirty
+      // files for the freshly-written compact ones (compactFiles)
+      private val compact: Option[(Set[String], Int)] =
+        Option(info.options.get("graft.compact.remove")).map(names =>
+          (names.split(',').toSet,
+            info.options.get("graft.compact.expect").toInt))
+      // multi-table transaction leg ([[TableTxn]]): the commit PARKS
+      // under the transaction instead of publishing
+      private val txnId: Option[String] =
+        Option(info.options.get("graft.txn.id"))
       override def build(): Write =
         if (owFilters.isDefined || dynamic)
           new MemOverwriteWrite(store, owFilters, dynamic)
@@ -2219,7 +2434,9 @@ private[sources] final class MemTable(tableName: String, store: MemStore,
             if (!replaceAll) FileCommit.Append
             else if (dataChange) FileCommit.Replace
             else FileCommit.Rewrite,
-          queryId = info.queryId())
+          queryId = info.queryId(),
+          compact = compact,
+          txnId = txnId)
     }
   }
 
@@ -2556,10 +2773,25 @@ private[sources] final class MemScanBuilder(store: MemStore,
         // one consistent (snapshot, stats) pair: captured under a
         // single synchronized read, so the zone-map short-circuit can
         // never contradict the very snapshot it is about to serve
-        val (snap, stats) = pinned match {
+        val (snap0, stats0) = pinned match {
           case Some(p) => (p.snap, p.stats)
           case None => store.currentState()
         }
+        // INTERNAL file-restricted read (`spark.read.option
+        // ("graft.files", "a,b").table(...)`): serve ONLY the named
+        // data files with their overlays — the incremental-OPTIMIZE
+        // source frame (read the dirty files, nothing else). Table
+        // stats don't describe the subset: drop them.
+        val (snap, stats) =
+          Option(options.get("graft.files")).map(_.split(',').toSet) match {
+            case Some(names) =>
+              (Snap(snap0.segs.filter(_.seg match {
+                case f: FileSeg => names.contains(java.nio.file.Paths
+                  .get(f.path).getFileName.toString)
+                case _ => false
+              })), None)
+            case None => (snap0, stats0)
+          }
         new MemScan(
           required.getOrElse(ColumnMapping.logical(dataSchema)),
           dataSchema, snap, stats,
@@ -2989,6 +3221,10 @@ private[sources] final class MemScan private (outSchema: StructType,
     * and the join above re-applies the predicate row-exactly. */
   private lazy val columnarEligible: Boolean = {
     val fileRead = MemScan.fileReadSchema(outSchema, dataSchema, pushed)
+    // kill switch (and the A/B lever for throughput measurement)
+    org.apache.spark.sql.SparkSession.getActiveSession.forall(
+      _.conf.get("spark.graft.catalog.columnar.enabled", "true")
+        .equalsIgnoreCase("true")) &&
     !direct && pushed.isEmpty &&
       !outSchema.fieldNames.contains(MemTable.PosCol) &&
       snap.segs.nonEmpty &&
@@ -3491,7 +3727,9 @@ private[sources] final case class MemDeltaCommit(deletes: Vector[Long],
   * ingest a 100 TB table. In-memory tables buffer rows in the commit
   * message (the scratch path). */
 private[sources] final class MemWrite(store: MemStore, mode: Int,
-    queryId: String = "")
+    queryId: String = "",
+    compact: Option[(Set[String], Int)] = None,
+    txnId: Option[String] = None)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite = this
@@ -3613,9 +3851,23 @@ private[sources] final class MemWrite(store: MemStore, mode: Int,
         }
         case _ => Seq.empty
       }
-      val stats = refs.flatMap(_.stats)
-        .foldLeft(CommitStats.empty(store.physSchema))(CommitStats.merge)
-      store.commitFiles(refs, stats, mode)
+      (txnId, compact) match {
+        case (Some(id), _) =>
+          require(mode == FileCommit.Append,
+            "transaction legs append; overwrites are not transactional")
+          val stats = refs.flatMap(_.stats)
+            .foldLeft(CommitStats.empty(store.physSchema))(CommitStats.merge)
+          MemCatalog.txnFor(id).getOrElse(throw new IllegalStateException(
+            s"unknown or completed transaction $id — writes with " +
+              "graft.txn.id must run inside MemCatalog.inTransaction"))
+            .park(store, refs, stats)
+        case (None, Some((removeNames, expect))) =>
+          store.compactFiles(removeNames, refs, expect)
+        case (None, None) =>
+          val stats = refs.flatMap(_.stats)
+            .foldLeft(CommitStats.empty(store.physSchema))(CommitStats.merge)
+          store.commitFiles(refs, stats, mode)
+      }
     } else {
       val rows = messages.toSeq.flatMap {
         case MemCommit(r) => r

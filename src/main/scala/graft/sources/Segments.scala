@@ -197,12 +197,12 @@ private[sources] object Snap {
     case VBase(segs) => base(segs)
     case VRewrite(segs) => base(segs) // content-identical re-layout
     case VAppend(segs) => Snap(prev.segs ++ segs.map(LiveSeg.raw))
-    case da @ VDropAdd(_, add, _, _) =>
-      // partition overwrite: named (or tuple-matched, post-expiry)
-      // files leave WITH their overlays; every kept segment keeps its
-      // overlay object untouched
+    case da: VDropAdd =>
+      // partition overwrite / compaction: named (or tuple-matched,
+      // post-expiry) files leave WITH their overlays; every kept
+      // segment keeps its overlay object untouched
       Snap(prev.segs.filterNot(ls => da.drops(ls.seg)) ++
-        add.map(LiveSeg.raw))
+        da.add.map(LiveSeg.raw))
     case VMarker => prev
     case _: VSpecChange => prev
     case VRowDelta(deletes, updates, inserts) =>

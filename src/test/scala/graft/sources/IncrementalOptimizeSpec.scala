@@ -1,0 +1,152 @@
+package graft.sources
+
+import graft.SparkTestBase
+
+/** INCREMENTAL OPTIMIZE (bin-packing): `OPTIMIZE t [TARGET n ROWS]`
+  * with no clustering directive rewrites ONLY dirty files — small,
+  * overlay-carrying, or old-partition-spec — as one atomic
+  * `compaction` drop-add commit (`dataChange = false`):
+  *
+  *  1. untouched (compact) files pass through BYTE-IDENTICAL — same
+  *     name, same bytes on disk, still referenced by the new snapshot;
+  *  2. the dirty small files fold into fewer compact ones (snapshot
+  *     segment count drops), content identical;
+  *  3. the change feed serves NO rows for the compaction version and
+  *     the streaming source counts zero inserts (no re-serving);
+  *  4. the commit replays across a restart (kind-6 compaction tail);
+  *  5. a clean table is a NO-OP (no commit at all) — the O(dirty)
+  *     property that makes the verb schedulable at 100 TB;
+  *  6. a stale expected version aborts loudly (maintenance reruns).
+  */
+class IncrementalOptimizeSpec extends SparkTestBase {
+
+  private val root =
+    java.nio.file.Files.createTempDirectory("graft_incropt").toString
+
+  private def setup(): Unit = {
+    spark.conf.set("spark.sql.catalog.ginc", classOf[MemCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ginc.path", root)
+  }
+
+  private def segNames(store: MemStore): Seq[String] =
+    store.currentState()._1.segs.map(_.seg match {
+      case f: FileSeg =>
+        java.nio.file.Paths.get(f.path).getFileName.toString
+      case other => fail(s"non-file seg $other")
+    })
+
+  test("bin-pack: small files fold, compact files byte-identical; " +
+      "content identical; no CDF rows; survives restart") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS ginc.t")
+    spark.sql("CREATE TABLE ginc.t (k BIGINT, s STRING)")
+    // one COMPACT file (10k rows >= target/2) ...
+    spark.sql(
+      """INSERT INTO ginc.t
+        |SELECT /*+ REPARTITION(1) */ id, md5(cast(id as string))
+        |FROM RANGE(10000)""".stripMargin)
+    // ... plus four SMALL files
+    (1 to 4).foreach(i => spark.sql(
+      s"""INSERT INTO ginc.t
+         |SELECT /*+ REPARTITION(1) */ id + ${i * 100000},
+         |       md5(cast(id as string)) FROM RANGE(50)""".stripMargin))
+    val store = MaintenanceSql.storeFor(spark, "ginc", "t")
+    val before = segNames(store)
+    assert(before.length == 5, before)
+    val compactName = before.head
+    val compactPath = java.nio.file.Paths.get(root, "t", "data", compactName)
+    val bytesBefore = java.nio.file.Files.readAllBytes(compactPath)
+    val vBefore = store.currentVersion
+    val sumBefore = spark.sql("SELECT sum(k) FROM ginc.t").head().getLong(0)
+
+    val msg = spark.sql("OPTIMIZE ginc.t TARGET 10000 ROWS")
+      .head().getString(1)
+    // ONE new version; the compact file survives untouched (name AND
+    // bytes); the 4 small files folded into one
+    assert(store.currentVersion == vBefore + 1, msg)
+    val after = segNames(store)
+    assert(after.contains(compactName),
+      s"compact file must pass through untouched: $after")
+    assert(after.length == 2, s"4 small files should fold into 1: $after")
+    assert(java.nio.file.Files.readAllBytes(compactPath)
+      .sameElements(bytesBefore), "untouched file bytes changed")
+    assert(spark.sql("SELECT sum(k) FROM ginc.t").head().getLong(0)
+      == sumBefore)
+    // dataChange = false: no change-feed rows, no stream inserts
+    val cdf = store.changes(vBefore + 1, vBefore + 1)
+    assert(cdf.isEmpty, s"compaction leaked ${cdf.length} CDF rows")
+    assert(store.insertRowsAt(vBefore + 1) == 0L,
+      "streaming source must not re-serve compacted rows")
+    // restart: the compaction commit replays from the log
+    MemCatalog.simulateRestart()
+    assert(spark.sql("SELECT sum(k) FROM ginc.t").head().getLong(0)
+      == sumBefore)
+    val store2 = MaintenanceSql.storeFor(spark, "ginc", "t")
+    assert(segNames(store2).toSet == after.toSet)
+  }
+
+  test("clean table: OPTIMIZE is a no-op (no commit)") {
+    setup()
+    val store = MaintenanceSql.storeFor(spark, "ginc", "t")
+    val v = store.currentVersion
+    spark.sql("OPTIMIZE ginc.t TARGET 10000 ROWS").collect()
+    assert(store.currentVersion == v,
+      "a clean table must not pay any commit")
+  }
+
+  test("delete overlay marks its file dirty; others untouched") {
+    setup()
+    val store = MaintenanceSql.storeFor(spark, "ginc", "t")
+    val before = segNames(store)
+    assert(before.length == 2, before)
+    // delete one row that lives in the SMALL folded file (k >= 100000)
+    spark.sql("DELETE FROM ginc.t WHERE k = 100001")
+    val sum = spark.sql("SELECT sum(k) FROM ginc.t").head().getLong(0)
+    spark.sql("OPTIMIZE ginc.t TARGET 10000 ROWS").collect()
+    val after = segNames(store)
+    assert(after.contains(before.head),
+      s"overlay-free compact file must survive: $after")
+    assert(!after.contains(before(1)),
+      s"overlaid file must have been rewritten: $after")
+    assert(spark.sql("SELECT sum(k) FROM ginc.t").head().getLong(0) == sum)
+    // the overlay is gone: the table is columnar-eligible again
+    ParquetBatchIO.batchReads.set(0)
+    spark.sql("SELECT sum(k) AS s FROM ginc.t").collect()
+    assert(ParquetBatchIO.batchReads.get() > 0,
+      "compaction should clear the overlay and re-enable columnar")
+  }
+
+  test("stale expected version aborts loudly") {
+    setup()
+    val store = MaintenanceSql.storeFor(spark, "ginc", "t")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      store.compactFiles(Set("nonexistent.parquet"), Seq.empty,
+        store.currentVersion - 1)
+    }
+    assert(e.getMessage.contains("rerun OPTIMIZE"), e.getMessage)
+  }
+
+  test("expiry refuses to cut below a retained compaction, " +
+      "works at or above it") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS ginc.e")
+    spark.sql("CREATE TABLE ginc.e (k BIGINT)")
+    spark.sql("INSERT INTO ginc.e SELECT /*+ REPARTITION(1) */ id " +
+      "FROM RANGE(10000)")
+    (1 to 3).foreach(_ => spark.sql(
+      "INSERT INTO ginc.e SELECT /*+ REPARTITION(1) */ id FROM RANGE(10)"))
+    spark.sql("OPTIMIZE ginc.e TARGET 10000 ROWS").collect() // compaction
+    val store = MaintenanceSql.storeFor(spark, "ginc", "e")
+    val vComp = store.currentVersion
+    spark.sql("INSERT INTO ginc.e VALUES (777)")
+    val ex = intercept[Exception] {
+      store.expireBefore(vComp - 1) // cut below the compaction
+    }
+    assert(String.valueOf(ex.getMessage).contains("compaction"),
+      ex.getMessage)
+    // at the compaction version the cut is fine
+    store.expireBefore(vComp)
+    assert(spark.sql("SELECT count(*) FROM ginc.e").head().getLong(0)
+      == 10031L)
+  }
+}
