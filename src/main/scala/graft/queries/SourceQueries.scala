@@ -2162,6 +2162,120 @@ object SourceQueries {
         .withColumn("corpus_versions", lit(vc))
         .withColumn("index_versions", lit(vi))
         .withColumn("aborted_rows", lit(abortedRows))
+    },
+
+    // AGGREGATE PUSHDOWN UNDER A PUSHED FILTER (q265's metadata-agg
+    // family, now WITH a WHERE clause): COUNT/MIN/MAX over a pushed
+    // range predicate fold from post-prune per-file and per-row-group
+    // statistics — fully-covered populations contribute metadata,
+    // provably-excluded ones nothing, and only boundary groups decode
+    // (CatalogFilterSpec pins the zero-rows-decoded aligned case, the
+    // boundary budget, and the overlay decline). The gate stages
+    // range-disjoint files so one predicate is file-aligned and the
+    // other genuinely cuts a file; both must hash-match DuckDB over
+    // the raw fixture.
+    QueryDef("q330_aggpush_filtered",
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |              ELSE o_orderkey * 3 END AS c
+        |  FROM orders),
+        |cut AS (SELECT CAST(max(k) AS BIGINT) / 2 AS mid,
+        |               CAST(max(k) AS BIGINT) / 4 AS q1 FROM src),
+        |aligned AS (
+        |  SELECT 'aligned' AS mode, count(*)::BIGINT AS n,
+        |         count(c)::BIGINT AS n_c, min(k)::BIGINT AS min_k,
+        |         max(k)::BIGINT AS max_k
+        |  FROM src, cut WHERE k > mid),
+        |straddle AS (
+        |  SELECT 'straddle' AS mode, count(*)::BIGINT AS n,
+        |         count(c)::BIGINT AS n_c, min(k)::BIGINT AS min_k,
+        |         max(k)::BIGINT AS max_k
+        |  FROM src, cut WHERE k > q1)
+        |SELECT * FROM aligned UNION ALL SELECT * FROM straddle
+        |ORDER BY mode""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.aggpf")
+      spark.sql("CREATE TABLE graftmem.aggpf (k BIGINT, c BIGINT)")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          when(col("o_orderkey") % 7 === 0, lit(null))
+            .otherwise(col("o_orderkey") * 3).cast("long").as("c"))
+        .createOrReplaceTempView("q330_src")
+      val mx = spark.sql("SELECT max(k) FROM q330_src").head().getLong(0)
+      val mid = mx / 2
+      val q1 = mx / 4
+      // two range-disjoint files: k > mid is FILE-ALIGNED (lower file
+      // provably excluded, upper fully inside); k > q1 CUTS the lower
+      // file (its row groups go boundary)
+      spark.sql("INSERT INTO graftmem.aggpf " +
+        s"SELECT /*+ REPARTITION(1) */ * FROM q330_src WHERE k <= $mid")
+      spark.sql("INSERT INTO graftmem.aggpf " +
+        s"SELECT /*+ REPARTITION(1) */ * FROM q330_src WHERE k > $mid")
+      def one(mode: String, pred: Long) = spark.sql(
+        s"""SELECT '$mode' AS mode, count(*) AS n, count(c) AS n_c,
+           |       min(k) AS min_k, max(k) AS max_k
+           |FROM graftmem.aggpf WHERE k > $pred""".stripMargin)
+      one("aligned", mid).unionByName(one("straddle", q1))
+        .orderBy(col("mode"))
+    },
+
+    // NAMED WRITABLE BRANCHES (the Iceberg branch model — production
+    // write-audit-publish): CREATE BRANCH forks zero-copy, audit
+    // writes land on the cat.t.branch_dev handle (UPDATE + INSERT
+    // here), main stays at the pre-fork state until MERGE BRANCH
+    // fast-forwards the audited suffix atomically; VERSION AS OF
+    // 'dev' reads the branch head pre-merge. The oracle recomputes
+    // the audited final state straight from the fixture; the
+    // pre-merge main count and pre-merge branch count pin isolation.
+    QueryDef("q331_branch_wap",
+      """WITH src AS (
+        |  SELECT s_suppkey AS k, round(s_acctbal * 100)::BIGINT AS cents
+        |  FROM supplier),
+        |audited AS (
+        |  SELECT k, CASE WHEN k % 10 = 0 THEN 0 ELSE cents END AS cents
+        |  FROM src
+        |  UNION ALL
+        |  SELECT -1::BIGINT AS k, 42::BIGINT AS cents)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |       (SELECT count(*) FROM src)::BIGINT AS main_premerge,
+        |       (SELECT count(*) + 1 FROM src)::BIGINT AS branch_premerge
+        |FROM audited""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.brsup")
+      try spark.sql("ALTER TABLE graftmem.brsup DROP BRANCH audit")
+      catch { case _: Exception => () }
+      spark.sql("CREATE TABLE graftmem.brsup (k BIGINT, cents BIGINT)")
+      Tables.load(spark, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"),
+          round(col("s_acctbal") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q331_src")
+      spark.sql("INSERT INTO graftmem.brsup SELECT * FROM q331_src")
+      spark.sql("ALTER TABLE graftmem.brsup CREATE BRANCH audit").collect()
+      // audit on the branch: zero every k%10==0 balance, add a marker
+      spark.sql(
+        "UPDATE graftmem.brsup.branch_audit SET cents = 0 WHERE k % 10 = 0")
+      spark.sql("INSERT INTO graftmem.brsup.branch_audit VALUES (-1, 42)")
+      val mainPre = spark.sql("SELECT count(*) FROM graftmem.brsup")
+        .head().getLong(0)
+      // the branch head also serves via VERSION AS OF 'audit'
+      val branchPre = spark.sql(
+        "SELECT count(*) FROM graftmem.brsup VERSION AS OF 'audit'")
+        .head().getLong(0)
+      spark.sql("ALTER TABLE graftmem.brsup MERGE BRANCH audit").collect()
+      spark.sql("ALTER TABLE graftmem.brsup DROP BRANCH audit").collect()
+      spark.sql(
+        """SELECT count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS cents_sum
+          |FROM graftmem.brsup""".stripMargin)
+        .withColumn("main_premerge", lit(mainPre))
+        .withColumn("branch_premerge", lit(branchPre))
     }
   )
 

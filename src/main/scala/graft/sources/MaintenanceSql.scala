@@ -110,6 +110,20 @@ private[sources] object MaintenanceSql {
       """\s+FAST\s+FORWARD\s+TO\s+""" + Tbl + """\s*;?\s*$""").r
   private val FastForwardVerb =
     """(?is)^\s*ALTER\s+TABLE\s+.*\bFAST\s+FORWARD\b.*""".r
+  // named writable branches (Iceberg branch model; see [[Branches]])
+  private val CreateBranchRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+CREATE\s+BRANCH\s+""" + Id +
+      """(?:\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)'|`([^`]+)`))?""" +
+      """\s*;?\s*$""").r
+  private val DropBranchRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+DROP\s+BRANCH\s+""" + Id + """\s*;?\s*$""").r
+  private val MergeBranchRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + Tbl +
+      """\s+MERGE\s+BRANCH\s+""" + Id + """\s*;?\s*$""").r
+  private val BranchVerb =
+    """(?is)^\s*ALTER\s+TABLE\s+.*\b(CREATE|DROP|MERGE)\s+BRANCH\b.*""".r
   // write-time clustering (RequiresDistributionAndOrdering)
   private val SetClusterRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + Tbl +
@@ -223,7 +237,20 @@ private[sources] object MaintenanceSql {
     if (bq != null) bq else plain
 
   /** Some(plan) when the text is one of our verbs; None = delegate. */
-  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+  /** Leading-verb pre-filter: the delegate parser sees EVERY statement
+    * of every session, and the hot path (SELECT/INSERT/WITH/...) must
+    * not pay one regex attempt per maintenance verb. Only statements
+    * opening with a verb any of the grammars below can start with go
+    * through the full match list. */
+  private val LeadVerb =
+    """(?is)^\s*(OPTIMIZE|VACUUM|RESTORE|ALTER|CREATE|UNDROP|DESCRIBE|DESC|ANALYZE)\b""".r
+
+  def parse(sqlText: String): Option[LogicalPlan] = {
+    if (LeadVerb.findPrefixOf(sqlText).isEmpty) return None
+    parseVerb(sqlText)
+  }
+
+  private def parseVerb(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptimizeRe(c1, c2, t1, t2, target, curve, cols) =>
       val colSeq =
         if (cols == null) Nil
@@ -277,6 +304,23 @@ private[sources] object MaintenanceSql {
       throw new GraftSqlParseException(
         "malformed FAST FORWARD statement. Expected: ALTER TABLE " +
           "cat.tgt FAST FORWARD TO cat.clone\n" +
+          s"got: ${sqlText.trim}")
+    case CreateBranchRe(c1, c2, t1, t2, n1, n2, v, rq, rb) =>
+      val ref = if (v != null) Some(v)
+        else if (rq != null) Some(rq) else Option(rb)
+      Some(CreateBranchCommand(pick(c1, c2), pick(t1, t2),
+        pick(n1, n2), ref))
+    case DropBranchRe(c1, c2, t1, t2, n1, n2) =>
+      Some(DropBranchCommand(pick(c1, c2), pick(t1, t2), pick(n1, n2)))
+    case MergeBranchRe(c1, c2, t1, t2, n1, n2) =>
+      Some(MergeBranchCommand(pick(c1, c2), pick(t1, t2), pick(n1, n2)))
+    case BranchVerb(_) =>
+      throw new GraftSqlParseException(
+        "malformed branch statement. Expected:\n" +
+          "  ALTER TABLE cat.tbl CREATE BRANCH name [VERSION AS OF " +
+          "<v | 'tag'>]\n" +
+          "  ALTER TABLE cat.tbl MERGE BRANCH name\n" +
+          "  ALTER TABLE cat.tbl DROP BRANCH name\n" +
           s"got: ${sqlText.trim}")
     case SetClusterRe(c1, c2, t1, t2, cols, none) =>
       val colSeq =
@@ -629,6 +673,43 @@ final case class FastForwardCommand(cat: String, tgt: String,
     Seq(Row(s"$cat.$tgt",
       s"fast-forwarded from version $base to $head (${head - base} " +
         s"commits published from $cat.$cloneTbl)"))
+  }
+}
+
+/** `ALTER TABLE cat.tbl CREATE BRANCH name [VERSION AS OF ref]` —
+  * fork a named writable branch ([[Branches]]): audit writes land on
+  * `cat.tbl.branch_<name>`, `MERGE BRANCH` publishes. */
+final case class CreateBranchCommand(cat: String, tbl: String,
+    branch: String, ref: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = Branches.create(spark, cat, tbl, branch, ref)
+    Seq(Row(s"$cat.$tbl",
+      s"created branch '$branch' at version $v " +
+        s"(write via $cat.$tbl.branch_$branch)"))
+  }
+}
+
+/** `ALTER TABLE cat.tbl MERGE BRANCH name` — fast-forward the
+  * branch's audited suffix onto the table, atomically. */
+final case class MergeBranchCommand(cat: String, tbl: String,
+    branch: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (base, head) = Branches.merge(spark, cat, tbl, branch)
+    Seq(Row(s"$cat.$tbl",
+      s"merged branch '$branch': fast-forwarded from version $base " +
+        s"to $head (${head - base} commits published)"))
+  }
+}
+
+/** `ALTER TABLE cat.tbl DROP BRANCH name`. */
+final case class DropBranchCommand(cat: String, tbl: String,
+    branch: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
+  override def run(spark: SparkSession): Seq[Row] = {
+    Branches.drop(spark, cat, tbl, branch)
+    Seq(Row(s"$cat.$tbl", s"dropped branch '$branch'"))
   }
 }
 

@@ -133,6 +133,19 @@ class MemCatalog extends TableCatalog
   override def loadTable(ident: Identifier): Table =
     liveStore(ident) match {
       case Some(store) => new MemTable(ident.toString, store)
+      // BRANCH HANDLE (the Iceberg `db.table.branch_<name>` identifier
+      // convention): a FULL read-write table over the branch's own
+      // commit log — writes audit on the branch, `MERGE BRANCH`
+      // publishes ([[Branches]])
+      case None if ident.namespace.length == 1 &&
+          ident.name.startsWith(Branches.Prefix) &&
+          logRoot.isDefined =>
+        MemCatalog.branchStore(logRoot.get, catalogName,
+            ident.namespace.head,
+            ident.name.stripPrefix(Branches.Prefix)) match {
+          case Some(store) => new MemTable(ident.toString, store)
+          case None => throw new NoSuchTableException(ident)
+        }
       // METADATA TABLES (the Iceberg `db.table.<meta>` suffix
       // convention): `cat.t.changes` = the Change Data Feed (batch SQL
       // or a streaming source with commit-version offsets);
@@ -157,10 +170,27 @@ class MemCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     liveStore(ident) match {
       case Some(store) =>
-        val v = store.resolveVersion(version)
-        val (snap, stats, phys) = store.versionState(v)
-        new MemTable(s"${ident.toString}@v$version", store,
-          Some(Pinned(v, snap, stats, phys)))
+        // tags (and numeric versions) resolve first; an unknown name
+        // falls back to a BRANCH head — `VERSION AS OF 'dev'` reads
+        // the branch's live state (the Iceberg ref-read convention)
+        val v =
+          try Some(store.resolveVersion(version))
+          catch {
+            case e: Exception =>
+              if (logRoot.exists(r => MemCatalog.branchStore(r,
+                  catalogName, ident.name, version).isDefined)) None
+              else throw e
+          }
+        v match {
+          case Some(ver) =>
+            val (snap, stats, phys) = store.versionState(ver)
+            new MemTable(s"${ident.toString}@v$version", store,
+              Some(Pinned(ver, snap, stats, phys)))
+          case None =>
+            val bs = MemCatalog.branchStore(logRoot.get, catalogName,
+              ident.name, version).get
+            new MemTable(s"${ident.toString}@$version", bs)
+        }
       case None => throw new NoSuchTableException(ident)
     }
 
@@ -641,6 +671,31 @@ object MemCatalog {
     * `path` option at (JVM prop override for test isolation). */
   def defaultRoot: String =
     sys.props.getOrElse("graft.catalog.store", "/tmp/graft_catalog")
+
+  // ---- BRANCHES (see [[Branches]]) -----------------------------------
+
+  private def branchKey(cat: String, table: String, branch: String): String =
+    cat + KeySep + table + "\u0001branch\u0001" + branch
+
+  /** Load (and cache) a branch's store from its hidden directory. */
+  private[sources] def branchStore(root: java.nio.file.Path, cat: String,
+      table: String, branch: String): Option[MemStore] = {
+    val key = branchKey(cat, table, branch)
+    stores.get(key).orElse {
+      val dir = Branches.dirOf(root, table, branch)
+      if (!CommitLog.existsAt(dir)) None
+      else {
+        TableTxn.recover(root)
+        val replayed = MemStore.replayFrom(CommitLog.open(dir))
+        stores.putIfAbsent(key, replayed)
+        Some(stores(key))
+      }
+    }
+  }
+
+  private[sources] def invalidateBranch(cat: String, table: String,
+      branch: String): Unit =
+    stores.remove(branchKey(cat, table, branch))
 
   // ---- MULTI-TABLE TRANSACTIONS (see [[TableTxn]]) -------------------
 
@@ -2519,7 +2574,7 @@ private[sources] object MemFilters {
     case _ => None
   }
 
-  private def cmp(a: Any, b: Any): Int =
+  private[sources] def cmp(a: Any, b: Any): Int =
     a.asInstanceOf[Comparable[Any]].compareTo(b)
 
   private def fieldIdx(schema: StructType, name: String): Option[Int] =
@@ -2609,6 +2664,49 @@ private[sources] object MemFilters {
       case _ => false
     }
   }
+
+  /** True only when the statistics PROVE every row of the population
+    * satisfies the conjunction — the dual of [[contradictsStats]],
+    * what lets COUNT/MIN/MAX serve off metadata UNDER a pushed
+    * predicate for fully-inside files/row-groups. A NULL comparison
+    * is not TRUE, so any null in a referenced column disproves
+    * all-rows-match (null counts are exact in both the commit-log and
+    * parquet-footer stats). Conservative: unknown = false. */
+  def provesAll(stats: Option[CommitStats], schema: StructType,
+      filters: Seq[Filter]): Boolean = stats.exists { st =>
+    st.count > 0 && filters.forall {
+      case EqualTo(a, v) => allSat(st, schema, a, v)(
+        (mn, mx, iv) => cmp(mn, iv) == 0 && cmp(mx, iv) == 0)
+      case EqualNullSafe(a, null) =>
+        st.cols.get(a).exists(_.nulls == st.count)
+      case EqualNullSafe(a, v) => allSat(st, schema, a, v)(
+        (mn, mx, iv) => cmp(mn, iv) == 0 && cmp(mx, iv) == 0)
+      case GreaterThan(a, v) => allSat(st, schema, a, v)(
+        (mn, _, iv) => cmp(mn, iv) > 0)
+      case GreaterThanOrEqual(a, v) => allSat(st, schema, a, v)(
+        (mn, _, iv) => cmp(mn, iv) >= 0)
+      case LessThan(a, v) => allSat(st, schema, a, v)(
+        (_, mx, iv) => cmp(mx, iv) < 0)
+      case LessThanOrEqual(a, v) => allSat(st, schema, a, v)(
+        (_, mx, iv) => cmp(mx, iv) <= 0)
+      case In(a, vs) => vs.exists(v => allSat(st, schema, a, v)(
+        (mn, mx, iv) => cmp(mn, iv) == 0 && cmp(mx, iv) == 0))
+      case IsNull(a) => st.cols.get(a).exists(_.nulls == st.count)
+      case IsNotNull(a) => st.cols.get(a).exists(_.nulls == 0)
+      case _ => false
+    }
+  }
+
+  /** All-rows-satisfy test over tracked min/max with ZERO nulls in
+    * the referenced column (a null row never satisfies). */
+  private def allSat(st: CommitStats, schema: StructType, a: String,
+      v: Any)(ok: (Any, Any, Any) => Boolean): Boolean =
+    tracked(st, schema, a, v).exists { case (c, iv) =>
+      c.nulls == 0 && ((c.min, c.max) match {
+        case (Some(mn), Some(mx)) => ok(mn, mx, iv)
+        case _ => false
+      })
+    }
 
   private def tracked(st: CommitStats, schema: StructType, a: String,
       v: Any): Option[(ColStats, Any)] =
@@ -2701,10 +2799,11 @@ private[sources] final class MemScanBuilder(store: MemStore,
 
   private def plan(agg: Aggregation): Option[(StructType, InternalRow)] = {
     if (agg.groupByExpressions.nonEmpty) return None
-    // snapshot stats describe the UNFILTERED table: with any pushed
-    // filter the metadata answer would be wrong — decline, Spark
-    // aggregates the (source-filtered) scan
-    if (pushedArr.nonEmpty) return None
+    // snapshot stats describe the UNFILTERED table: with a pushed
+    // filter the answer instead folds from POST-PRUNE row-group
+    // statistics (fully-inside groups) plus a bounded decode of the
+    // boundary groups
+    if (pushedArr.nonEmpty) return planFiltered(agg)
     val schema = store.schema
     targetStats.flatMap { st =>
       val fields = Vector.newBuilder[org.apache.spark.sql.types.StructField]
@@ -2756,11 +2855,185 @@ private[sources] final class MemScanBuilder(store: MemStore,
     }
   }
 
-  override def supportCompletePushDown(agg: Aggregation): Boolean =
-    plan(agg).isDefined
+  /** AGGREGATE PUSHDOWN UNDER A PUSHED PREDICATE: COUNT(*) /
+    * COUNT(col) / MIN / MAX fold from per-file and per-ROW-GROUP
+    * statistics for every file/group the predicate provably covers
+    * COMPLETELY ([[MemFilters.provesAll]] — exact null counts
+    * included, a NULL never satisfies), files/groups it provably
+    * excludes contribute nothing ([[MemFilters.contradictsStats]] +
+    * partition-tuple pruning), and only the BOUNDARY groups decode —
+    * at a pruned read schema, behind a row budget
+    * (`graft.catalog.aggpush.boundary`, default 256k) past which the
+    * source declines and the distributed scan path wins. A selective
+    * predicate over a clustered 100 TB table answers from O(boundary)
+    * work with ZERO rows decoded in the clean (aligned) case. */
+  private def planFiltered(agg: Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    if (pinned.isDefined || store.dataDirStr.isEmpty) return None
+    val (snap, _) = store.currentState()
+    val clean = snap.segs.forall(ls => ls.dels.isEmpty &&
+      ls.patches.isEmpty && ls.seg.isInstanceOf[FileSeg])
+    if (!clean) return None
+
+    sealed trait Tgt
+    case object CStar extends Tgt
+    final case class CCol(n: String) extends Tgt
+    final case class MinC(n: String) extends Tgt
+    final case class MaxC(n: String) extends Tgt
+    val schema = store.schema
+    val targets: Seq[Tgt] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => CStar
+      case c: Count if !c.isDistinct =>
+        colName(c.column).map(CCol.apply).getOrElse(return None)
+      case m: Min => colName(m.column).map(MinC.apply).getOrElse(return None)
+      case m: Max => colName(m.column).map(MaxC.apply).getOrElse(return None)
+      case _ => return None
+    }
+    val aggCols = targets.collect {
+      case CCol(n) => n; case MinC(n) => n; case MaxC(n) => n
+    }.distinct
+    if (aggCols.exists(n => !schema.fieldNames.contains(n))) return None
+
+    // fold state
+    var cnt = 0L
+    val nonNull = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    val mins = scala.collection.mutable.Map.empty[String, Any]
+    val maxs = scala.collection.mutable.Map.empty[String, Any]
+    def foldMin(n: String, v: Any): Unit =
+      if (!mins.contains(n) || MemFilters.cmp(v, mins(n)) < 0) mins(n) = v
+    def foldMax(n: String, v: Any): Unit =
+      if (!maxs.contains(n) || MemFilters.cmp(v, maxs(n)) > 0) maxs(n) = v
+    /** Contribute one FULLY-QUALIFYING population from its stats;
+      * false = stats insufficient for some target -> decline. */
+    def contribute(cs: CommitStats): Boolean = {
+      cnt += cs.count
+      targets.forall {
+        case CStar => true
+        case CCol(n) => cs.cols.get(n) match {
+          case Some(c) => nonNull(n) += cs.count - c.nulls; true
+          case None => false
+        }
+        case MinC(n) => cs.cols.get(n) match {
+          case Some(c) if c.tracked => c.min match {
+            case Some(v) => foldMin(n, v); true
+            case None => c.nulls == cs.count // all-NULL: contributes none
+          }
+          case _ => false
+        }
+        case MaxC(n) => cs.cols.get(n) match {
+          case Some(c) if c.tracked => c.max match {
+            case Some(v) => foldMax(n, v); true
+            case None => c.nulls == cs.count
+          }
+          case _ => false
+        }
+      }
+    }
+
+    val preds = pushedArr.toSeq
+    val specs = store.specsAll
+    def specOf(id: Int): Seq[PartTransform] =
+      if (id >= 0 && id < specs.length) specs(id) else Nil
+    val boundary = Vector.newBuilder[(String, ParquetRowIO.Block)]
+    snap.segs.foreach { ls =>
+      val f = ls.seg.asInstanceOf[FileSeg]
+      val partSkip = f.partVals.exists(pv => Partitioning.contradicts(
+        specOf(f.specId), pv, dataSchema, f.count, preds))
+      if (partSkip) MemScan.partPruned.incrementAndGet()
+      val fileSkip = partSkip ||
+        MemFilters.contradictsStats(f.stats, dataSchema, preds)
+      if (!fileSkip) {
+        if (MemFilters.provesAll(f.stats, dataSchema, preds)) {
+          if (!contribute(f.stats.getOrElse(return None))) return None
+        } else {
+          ParquetRowIO.blockStats(f.path, dataSchema).foreach {
+            case (b, cs) =>
+              val some = Some(cs)
+              if (MemFilters.contradictsStats(some, dataSchema, preds))
+                MemScan.rowGroupsPruned.incrementAndGet()
+              else {
+                if (MemFilters.provesAll(some, dataSchema, preds)) {
+                  if (!contribute(cs)) return None
+                } else boundary += ((f.path, b))
+              }
+          }
+        }
+      }
+    }
+    val bBlocks = boundary.result()
+    val budget = sys.props
+      .getOrElse("graft.catalog.aggpush.boundary", "262144").toLong
+    if (bBlocks.iterator.map(_._2.rows).sum > budget) return None
+
+    // decode ONLY the boundary groups, at (agg ∪ filter) columns, with
+    // the pushed filters handed to parquet-mr (page/dictionary skips
+    // inside the group) and re-evaluated exactly here
+    val readCols = (aggCols ++ preds.flatMap(_.references)).distinct
+      .filter(dataSchema.fieldNames.contains)
+    val readSchema = StructType(readCols.map(n =>
+      dataSchema(dataSchema.fieldIndex(n))))
+    val colIdx = readCols.zipWithIndex.toMap
+    // retained values must outlive the reader's reused row buffer
+    def stable(r: InternalRow, i: Int): Any =
+      r.get(i, readSchema(i).dataType) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+        case v => v
+      }
+    bBlocks.foreach { case (path, b) =>
+      val it = ParquetRowIO.open(path, readSchema, b.startByte, b.endByte,
+        preds)
+      try it.foreach { r =>
+        MemScan.aggPushBoundaryRows.incrementAndGet()
+        if (MemFilters.eval(readSchema, preds, r)) {
+          cnt += 1
+          targets.foreach {
+            case CStar => ()
+            case CCol(n) =>
+              if (!r.isNullAt(colIdx(n))) nonNull(n) += 1
+            case MinC(n) =>
+              val i = colIdx(n)
+              if (!r.isNullAt(i)) foldMin(n, stable(r, i))
+            case MaxC(n) =>
+              val i = colIdx(n)
+              if (!r.isNullAt(i)) foldMax(n, stable(r, i))
+          }
+        }
+      } finally it.close()
+    }
+
+    MemScan.aggPushFilteredServed.incrementAndGet()
+    val fields = Vector.newBuilder[StructField]
+    val values = Vector.newBuilder[Any]
+    targets.foreach {
+      case CStar =>
+        fields += StructField("count_star", LongType, nullable = false)
+        values += cnt
+      case CCol(n) =>
+        fields += StructField("count_col", LongType, nullable = false)
+        values += nonNull(n)
+      case MinC(n) =>
+        fields += StructField("min_col",
+          schema(schema.fieldIndex(n)).dataType)
+        values += mins.getOrElse(n, null)
+      case MaxC(n) =>
+        fields += StructField("max_col",
+          schema(schema.fieldIndex(n)).dataType)
+        values += maxs.getOrElse(n, null)
+    }
+    Some((StructType(fields.result()),
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        values.result().toArray)))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    served = plan(agg)
+    served.isDefined
+  }
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    served = plan(agg)
+    if (served.isEmpty) served = plan(agg)
     served.isDefined
   }
 
@@ -3294,6 +3567,13 @@ private[sources] object MemScan {
   /** TEST HOOK: row groups of SURVIVING files skipped by per-block
     * footer statistics since the last reset. */
   private[sources] val rowGroupsPruned =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** TEST HOOKS for filtered aggregate pushdown: served count and
+    * boundary rows decoded (0 in the clean aligned case). */
+  private[sources] val aggPushFilteredServed =
+    new java.util.concurrent.atomic.AtomicLong
+  private[sources] val aggPushBoundaryRows =
     new java.util.concurrent.atomic.AtomicLong
 
   /** Rows per planned heap slice (and the single-partition threshold). */

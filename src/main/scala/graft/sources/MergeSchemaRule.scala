@@ -84,12 +84,16 @@ final class MergeSchemaRule(spark: SparkSession)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    plan.foreach {
+    plan match {
       // DataFrame path: df.writeTo(t).option("mergeSchema").append().
       // DataFrameWriterV2 captures the frame's RAW logical plan (its
       // top operator can be unresolved even though the Dataset was
       // analyzed eagerly), so analyze the CHILD alone when needed —
       // bounded: only under the opt-in, only for graft tables.
+      // ROOT-ONLY match: a v2 write command is always the plan root,
+      // and this rule runs in a to-fixed-point analyzer batch on
+      // EVERY query — a whole-tree walk here is pure fixed overhead
+      // for the 99% of plans that are not writes.
       case a: AppendData if a.isByName && optedIn(a.writeOptions) =>
         a.table match {
           case u: UnresolvedRelation =>

@@ -53,16 +53,28 @@ private[sources] object TableClone {
       throw new UnsupportedOperationException(
         "SHALLOW CLONE needs a durable catalog table (path option) — " +
           "a heap table has no files to link"))
-    val v = ref.map(srcStore.resolveVersion)
-      .getOrElse(srcStore.currentVersion)
-    require(v >= srcStore.oldestVersion && v <= srcStore.currentVersion,
-      s"SHALLOW CLONE at version $v: retained window is " +
-        s"[${srcStore.oldestVersion}, ${srcStore.currentVersion}]")
     val dstDir = srcLog.rootDir.getParent.resolve(dst)
     require(!Files.exists(dstDir),
       s"table $cat.$dst already exists at $dstDir")
     require(MemCatalog.storeOf(cat, dst).isEmpty,
       s"table $cat.$dst is already loaded in this JVM")
+    val v = cloneInto(srcStore, srcLog, cat, src, ref, dstDir)
+    // materialize through the session catalog (replays the new log)
+    spark.table(s"$cat.$dst").queryExecution.analyzed
+    v
+  }
+
+  /** The zero-copy fork itself (shared by SHALLOW CLONE and CREATE
+    * BRANCH): links `src`'s retained prefix at `ref` into `dstDir`,
+    * staged + one atomic publish move. Returns the forked version. */
+  private[sources] def cloneInto(srcStore: MemStore, srcLog: CommitLog,
+      cat: String, src: String, ref: Option[String],
+      dstDir: Path): Int = {
+    val v = ref.map(srcStore.resolveVersion)
+      .getOrElse(srcStore.currentVersion)
+    require(v >= srcStore.oldestVersion && v <= srcStore.currentVersion,
+      s"SHALLOW CLONE at version $v: retained window is " +
+        s"[${srcStore.oldestVersion}, ${srcStore.currentVersion}]")
 
     // STAGED build + one ATOMIC_MOVE publish (the staged-CTAS publish
     // shape): `existsAt` (schema file present) must imply a COMPLETE
@@ -71,7 +83,8 @@ private[sources] object TableClone {
     // invisible `.staging/` residue, never a half-table a concurrent
     // loadTable could misread.
     val stagingDir = srcLog.rootDir.getParent.resolve(".staging").resolve(
-      dst + "-clone-" + java.util.UUID.randomUUID().toString.take(8))
+      dstDir.getFileName.toString + "-clone-" +
+        java.util.UUID.randomUUID().toString.take(8))
     Files.createDirectories(stagingDir.resolve("data"))
     try {
       val created = srcLog.rootDir.resolve("_created")
@@ -133,28 +146,32 @@ private[sources] object TableClone {
         CommitLog.destroy(stagingDir)
         throw t
     }
-    // materialize through the session catalog (replays the new log)
-    spark.table(s"$cat.$dst").queryExecution.analyzed
     v
   }
 
   /** Publish `cat.clone`'s suffix commits onto `cat.tgt` (its clone
     * source). Returns (base version, head version) published. */
   def fastForward(spark: SparkSession, cat: String, tgt: String,
-      clone: String): (Int, Int) = {
+      clone: String): (Int, Int) =
+    fastForwardFrom(spark, cat, tgt, s"$cat.$clone",
+      MaintenanceSql.storeFor(spark, cat, clone))
+
+  /** The publication core, clone store given explicitly — shared by
+    * table clones and BRANCHES ([[Branches.merge]]). */
+  private[sources] def fastForwardFrom(spark: SparkSession, cat: String,
+      tgt: String, cloneLabel: String, c: MemStore): (Int, Int) = {
     val t = MaintenanceSql.storeFor(spark, cat, tgt)
-    val c = MaintenanceSql.storeFor(spark, cat, clone)
     val tLog = t.commitLog.getOrElse(throw new UnsupportedOperationException(
       s"FAST FORWARD target $cat.$tgt is not a durable table"))
     val cLog = c.commitLog.getOrElse(throw new UnsupportedOperationException(
-      s"FAST FORWARD source $cat.$clone is not a durable table"))
+      s"FAST FORWARD source $cloneLabel is not a durable table"))
     val prov = cLog.rootDir.resolve(ProvenanceFile)
     require(Files.exists(prov),
-      s"$cat.$clone is not a shallow clone (no $ProvenanceFile provenance)")
+      s"$cloneLabel is not a shallow clone (no $ProvenanceFile provenance)")
     val parts = Files.readString(prov).trim.split("\t")
     require(parts.length == 3, s"corrupt $ProvenanceFile: ${parts.toSeq}")
     require(parts(0) == cat && parts(1) == tgt,
-      s"$cat.$clone was cloned from ${parts(0)}.${parts(1)}, " +
+      s"$cloneLabel was cloned from ${parts(0)}.${parts(1)}, " +
         s"not $cat.$tgt — fast-forward publishes only onto the clone source")
     val base = parts(2).toInt
     if (t.currentVersion != base)
@@ -164,7 +181,7 @@ private[sources] object TableClone {
           "moved; re-clone and re-apply the audit writes")
     val head = c.currentVersion
     require(head > base,
-      s"nothing to publish: $cat.$clone has no commits past its base $base")
+      s"nothing to publish: $cloneLabel has no commits past its base $base")
     c.deltasAfter(base).foreach {
       case VMarker | _: VSpecChange =>
         throw new UnsupportedOperationException(

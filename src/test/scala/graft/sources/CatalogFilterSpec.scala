@@ -82,15 +82,77 @@ class CatalogFilterSpec extends SparkTestBase {
     assert(MemFilters.evaluated.get() > 0L)
   }
 
-  test("aggregate pushdown declines under a pushed filter (stats describe the unfiltered table)") {
+  test("aggregate pushdown UNDER a pushed filter: served from post-prune " +
+      "row-group stats, boundary groups decoded exactly") {
     setup()
+    MemScan.aggPushFilteredServed.set(0)
+    MemScan.aggPushBoundaryRows.set(0)
     val q = spark.sql(
-      "SELECT count(*) AS n, min(k) AS mn FROM graftmem.fspec WHERE k >= 100")
-    val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
-      s"a filtered aggregate must not be stats-served:\n$plan")
+      "SELECT count(*) AS n, min(k) AS mn, max(k) AS mx, count(c) AS nc " +
+        "FROM graftmem.fspec WHERE k >= 100")
     val r = q.collect().head
-    assert(r.getLong(0) == 100L && r.getLong(1) == 100L)
+    assert(r.getLong(0) == 100L && r.getLong(1) == 100L &&
+      r.getLong(2) == 199L)
+    // c is NULL at k % 5 == 0 -> 20 of the 100 qualifying rows
+    assert(r.getLong(3) == 80L, s"count(c) = ${r.getLong(3)}")
+    assert(MemScan.aggPushFilteredServed.get() == 1L,
+      "filtered aggregate must be metadata-served")
+  }
+
+  test("filtered aggregate over file-aligned predicate decodes ZERO rows") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graftmem.faln")
+    spark.sql("CREATE TABLE graftmem.faln (k BIGINT, v BIGINT)")
+    // three DISJOINT-range files (one insert each, single task)
+    Seq((0, 1000), (1000, 2000), (2000, 3000)).foreach { case (a, b) =>
+      spark.sql(
+        s"""INSERT INTO graftmem.faln
+           |SELECT /*+ REPARTITION(1) */ id, id * 3 FROM RANGE($a, $b)
+           |""".stripMargin)
+    }
+    MemScan.aggPushFilteredServed.set(0)
+    MemScan.aggPushBoundaryRows.set(0)
+    // k >= 1000: file 1 excluded by stats, files 2-3 FULLY inside —
+    // the answer folds from metadata alone
+    val r = spark.sql("SELECT count(*) AS n, min(v) AS mn, max(v) AS mx " +
+      "FROM graftmem.faln WHERE k >= 1000").collect().head
+    assert(r.getLong(0) == 2000L && r.getLong(1) == 3000L &&
+      r.getLong(2) == 3 * 2999L)
+    assert(MemScan.aggPushFilteredServed.get() == 1L)
+    assert(MemScan.aggPushBoundaryRows.get() == 0L,
+      s"aligned predicate must decode zero rows, decoded " +
+        s"${MemScan.aggPushBoundaryRows.get()}")
+  }
+
+  test("filtered aggregate declines past the boundary budget and under " +
+      "overlays; the scan path answers identically") {
+    setup()
+    val prior = sys.props.get("graft.catalog.aggpush.boundary")
+    sys.props("graft.catalog.aggpush.boundary") = "10"
+    try {
+      MemScan.aggPushFilteredServed.set(0)
+      // k >= 75 cuts MID-file: the straddled file's group is boundary
+      // work (> 10-row budget) -> decline
+      val q = spark.sql(
+        "SELECT count(*) AS n FROM graftmem.fspec WHERE k >= 75")
+      assert(q.collect().head.getLong(0) == 125L)
+      assert(MemScan.aggPushFilteredServed.get() == 0L,
+        "boundary budget exceeded must decline to the scan path")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+        s"declined aggregate must plan a real aggregation:\n$plan")
+    } finally prior match {
+      case Some(v) => sys.props("graft.catalog.aggpush.boundary") = v
+      case None => sys.props.remove("graft.catalog.aggpush.boundary")
+    }
+    // overlay: a DELETE invalidates file stats -> decline
+    spark.sql("DELETE FROM graftmem.fspec WHERE k = 7")
+    MemScan.aggPushFilteredServed.set(0)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftmem.fspec WHERE k >= 100")
+      .collect().head.getLong(0) == 100L)
+    assert(MemScan.aggPushFilteredServed.get() == 0L,
+      "overlay must decline the filtered metadata aggregate")
   }
 
   test("NULL semantics under pushdown match Spark's") {
