@@ -2276,6 +2276,57 @@ object SourceQueries {
           |FROM graftmem.brsup""".stripMargin)
         .withColumn("main_premerge", lit(mainPre))
         .withColumn("branch_premerge", lit(branchPre))
+    },
+
+    // MERGE SCHEMA EVOLUTION (q194's MERGE shape, source carrying a
+    // NEW column): `MERGE ... WITH SCHEMA EVOLUTION` ADD-COLUMNs the
+    // target from the source-only columns through Spark's own
+    // resolution (ResolveMergeIntoSchemaEvolution -> alterTable,
+    // engaged by the AUTOMATIC_SCHEMA_EVOLUTION capability), then the
+    // merge resolves stock: updated/inserted rows carry the new
+    // column, untouched history reads NULL (prefix-arity padding, no
+    // backfill). The session-conf variant (plain MERGE under
+    // spark.graft.schema.autoMerge.enabled) is spec-pinned
+    // (MergeEvolutionSpec).
+    QueryDef("q332_merge_evolution",
+      """WITH src AS (
+        |  SELECT c_custkey AS k, round(c_acctbal * 100)::BIGINT AS cents,
+        |         c_mktsegment AS seg
+        |  FROM customer),
+        |merged AS (
+        |  SELECT k, cents,
+        |         CASE WHEN k % 3 = 0 THEN seg ELSE NULL END AS seg
+        |  FROM src)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |       count(seg)::BIGINT AS n_seg,
+        |       count(DISTINCT seg)::BIGINT AS n_seg_values
+        |FROM merged""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.mevo")
+      spark.sql("CREATE TABLE graftmem.mevo (k BIGINT, cents BIGINT)")
+      Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"),
+          col("c_mktsegment").as("seg"))
+        .createOrReplaceTempView("q332_src")
+      spark.sql("INSERT INTO graftmem.mevo SELECT k, cents FROM q332_src")
+      // the MERGE source carries `seg`, which the target lacks
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graftmem.mevo t
+          |USING (SELECT * FROM q332_src WHERE k % 3 = 0) s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql(
+        """SELECT count(*) AS n_rows,
+          |       CAST(sum(cents) AS BIGINT) AS cents_sum,
+          |       count(seg) AS n_seg,
+          |       count(DISTINCT seg) AS n_seg_values
+          |FROM graftmem.mevo""".stripMargin)
     }
   )
 

@@ -2408,7 +2408,13 @@ private[sources] final class MemTable(tableName: String, store: MemStore,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      // `MERGE ... WITH SCHEMA EVOLUTION`: Spark's own
+      // ResolveMergeIntoSchemaEvolution computes the ADD COLUMNs from
+      // the source-only columns and routes them through alterTable —
+      // engaged ONLY by the explicit clause (never silent), unlike
+      // ACCEPT_ANY_SCHEMA which this table deliberately refuses
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {

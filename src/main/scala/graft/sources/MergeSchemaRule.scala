@@ -83,7 +83,30 @@ final class MergeSchemaRule(spark: SparkSession)
     }
   }
 
+  /** Is this (possibly aliased, still unresolved) merge target a
+    * graft-catalog table? */
+  private def graftTarget(t: LogicalPlan): Boolean = t match {
+    case org.apache.spark.sql.catalyst.plans.logical
+        .SubqueryAlias(_, child) => graftTarget(child)
+    case u: UnresolvedRelation if u.multipartIdentifier.length == 2 =>
+      spark.conf.getOption(
+        s"spark.sql.catalog.${u.multipartIdentifier.head}")
+        .contains(classOf[MemCatalog].getName)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    plan match {
+      // MERGE under the session conf: flip the statement to Spark's
+      // own `WITH SCHEMA EVOLUTION` form — the stock
+      // ResolveMergeIntoSchemaEvolution then computes the ADD COLUMNs
+      // and routes them through alterTable (graft targets only; other
+      // catalogs keep their own semantics)
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+          if !m.withSchemaEvolution && confOn && graftTarget(m.targetTable) =>
+        return m.copy(withSchemaEvolution = true)
+      case _ => ()
+    }
     plan match {
       // DataFrame path: df.writeTo(t).option("mergeSchema").append().
       // DataFrameWriterV2 captures the frame's RAW logical plan (its
