@@ -191,6 +191,20 @@ class MemCatalog extends TableCatalog
               ident.name, version).get
             new MemTable(s"${ident.toString}@$version", bs)
         }
+      // time travel ON a branch handle: resolve within the branch's
+      // own history (`cat.t.branch_dev VERSION AS OF 3`)
+      case None if ident.namespace.length == 1 &&
+          ident.name.startsWith(Branches.Prefix) && logRoot.isDefined =>
+        MemCatalog.branchStore(logRoot.get, catalogName,
+            ident.namespace.head,
+            ident.name.stripPrefix(Branches.Prefix)) match {
+          case Some(bs) =>
+            val ver = bs.resolveVersion(version)
+            val (snap, stats, phys) = bs.versionState(ver)
+            new MemTable(s"${ident.toString}@v$version", bs,
+              Some(Pinned(ver, snap, stats, phys)))
+          case None => throw new NoSuchTableException(ident)
+        }
       case None => throw new NoSuchTableException(ident)
     }
 
@@ -2781,13 +2795,35 @@ private[sources] final class MemScanBuilder(store: MemStore,
 
   /** Push the translatable subset; the rest stays with Spark. Handled
     * filters are evaluated EXACTLY in the scan, so Spark drops its own
-    * FilterExec for them (partial pushdown keeps a residual filter). */
+    * FilterExec for them (partial pushdown keeps a residual filter).
+    *
+    * RESIDUAL MODE (`spark.graft.catalog.filters.residual = true`):
+    * every filter is ALSO returned as residual — Spark keeps its
+    * codegen'd FilterExec for exact evaluation while the scan uses the
+    * pushed set for file/row-group/page SKIPPING only. What that buys:
+    * the exact-consumption constraint no longer blocks the VECTORIZED
+    * read path, so filtered scans decode through columnar batches
+    * (skip at metadata grain, filter at codegen grain — Spark's own
+    * parquet posture). Tradeoff: complete aggregate pushdown can't
+    * engage under a residual filter, so scan-heavy sessions flip this
+    * on, metadata-answer-heavy ones leave it off. */
+  private def residualMode: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists(
+      _.conf.get("spark.graft.catalog.filters.residual", "false")
+        .equalsIgnoreCase("true"))
+
+  // latched at push time: the mode the RETURNED residual set was
+  // computed under (a conf flip between pushFilters and build must
+  // never let a filter go both un-returned and un-evaluated)
+  private var residualLatched = false
+
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     val (ok, rest) = filters.partition(
       MemFilters.supported(dataSchema, _))
     pushedArr = ok
-    rest
+    residualLatched = residualMode
+    if (residualLatched) filters else rest
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushedArr
@@ -3077,7 +3113,8 @@ private[sources] final class MemScanBuilder(store: MemStore,
           pushedArr.toSeq, streamStore = streamStore,
           specs = store.specsAll,
           analyzed = store.analyzedStats,
-          streamOptions = options)
+          streamOptions = options,
+          exactFilters = !residualLatched)
     }
 }
 
@@ -3115,7 +3152,11 @@ private[sources] final class MemScan private (outSchema: StructType,
     streamStore: Option[MemStore],
     specs: Vector[Seq[PartTransform]],
     analyzed: Option[AnalyzedStats],
-    streamOptions: CaseInsensitiveStringMap)
+    streamOptions: CaseInsensitiveStringMap,
+    /** false = residual mode: Spark's FilterExec re-evaluates every
+      * pushed filter, so the scan uses them for SKIPPING only — which
+      * unlocks the columnar path for filtered scans. */
+    exactFilters: Boolean)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -3128,9 +3169,10 @@ private[sources] final class MemScan private (outSchema: StructType,
       specs: Vector[Seq[PartTransform]] = Vector(Nil),
       analyzed: Option[AnalyzedStats] = None,
       streamOptions: CaseInsensitiveStringMap =
-        CaseInsensitiveStringMap.empty()) =
+        CaseInsensitiveStringMap.empty(),
+      exactFilters: Boolean = true) =
     this(outSchema, dataSchema, snap, stats, pushed, direct = false,
-      streamStore, specs, analyzed, streamOptions)
+      streamStore, specs, analyzed, streamOptions, exactFilters)
 
   /** The WRITE spec (current) — SPJ key reporting and DPP attribute
     * offers address it; per-FILE pruning uses each file's own spec. */
@@ -3504,13 +3546,25 @@ private[sources] final class MemScan private (outSchema: StructType,
     org.apache.spark.sql.SparkSession.getActiveSession.forall(
       _.conf.get("spark.graft.catalog.columnar.enabled", "true")
         .equalsIgnoreCase("true")) &&
-    !direct && pushed.isEmpty &&
+    !direct &&
+      // exact-consumption filters need record-grain evaluation the
+      // batch decoder can't do; in RESIDUAL mode Spark's FilterExec
+      // re-checks, so filtered scans stay columnar (the batch columns
+      // must still be exactly the output — residual filter references
+      // are part of the pruned output schema by construction)
+      (pushed.isEmpty || (!exactFilters && fileRead == outData)) &&
       !outSchema.fieldNames.contains(MemTable.PosCol) &&
       snap.segs.nonEmpty &&
       snap.segs.forall(ls => ls.dels.isEmpty && ls.patches.isEmpty &&
         ls.seg.isInstanceOf[FileSeg]) &&
       ParquetBatchIO.supportsBatch(fileRead)
   }
+
+  /** The output's data columns at physical resolution (what the batch
+    * decoder serves positionally — must equal the full file read
+    * schema for a columnar scan). */
+  private def outData: StructType =
+    MemScan.fileReadSchema(outSchema, dataSchema, Nil)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SegReaderFactory(outSchema, dataSchema,
@@ -3593,7 +3647,8 @@ private[sources] object MemScan {
     new MemScan(schema, schema,
       Snap(Vector(LiveSeg.raw(MemSeg(Vector(row))))), None, Seq.empty,
       direct = true, streamStore = None, specs = Vector(Nil),
-      analyzed = None, streamOptions = CaseInsensitiveStringMap.empty())
+      analyzed = None, streamOptions = CaseInsensitiveStringMap.empty(),
+      exactFilters = true)
 
   /** Chunked overlay-free slices of one heap row vector (the
     * `.changes` feed's partition planning). */

@@ -130,4 +130,20 @@ class BranchSpec extends SparkTestBase {
       .map(_.getString(1)).toSet
     assert(!listed.exists(_.startsWith("branch_")), listed.toString)
   }
+
+  test("time travel ON a branch handle resolves within its history") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gbr.tt")
+    spark.sql("CREATE TABLE gbr.tt (k BIGINT)")
+    spark.sql("INSERT INTO gbr.tt VALUES (1)") // v1
+    spark.sql("ALTER TABLE gbr.tt CREATE BRANCH b").collect()
+    spark.sql("INSERT INTO gbr.tt.branch_b VALUES (2)") // branch v2
+    spark.sql("INSERT INTO gbr.tt.branch_b VALUES (3)") // branch v3
+    assert(spark.sql(
+      "SELECT count(*) FROM gbr.tt.branch_b VERSION AS OF 2")
+      .head().getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) FROM gbr.tt.branch_b")
+      .head().getLong(0) == 3L)
+    spark.sql("ALTER TABLE gbr.tt DROP BRANCH b").collect()
+  }
 }

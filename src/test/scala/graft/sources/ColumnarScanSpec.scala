@@ -94,6 +94,40 @@ class ColumnarScanSpec extends SparkTestBase {
       "compaction clears the overlay; the columnar path must re-engage")
   }
 
+  test("residual mode: filtered scans go columnar; FilterExec " +
+      "re-checks; skipping still engages") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gcs.rf")
+    spark.sql("CREATE TABLE gcs.rf (k BIGINT, v DOUBLE)")
+    // range-disjoint files so the predicate can SKIP one entirely
+    Seq((0, 5000), (5000, 10000)).foreach { case (a, b) =>
+      spark.sql(s"INSERT INTO gcs.rf SELECT /*+ REPARTITION(1) */ id, " +
+        s"id * 2.0 FROM RANGE($a, $b)")
+    }
+    val q = "SELECT sum(v) AS sv FROM gcs.rf WHERE k >= 5000 AND k < 6000"
+    val expect = (5000L until 6000L).map(_ * 2.0).sum
+    // default: exact consumption -> row path
+    ParquetBatchIO.batchReads.set(0)
+    assert(spark.sql(q).collect()(0).getDouble(0) == expect)
+    assert(ParquetBatchIO.batchReads.get() == 0)
+    withConf("spark.graft.catalog.filters.residual" -> "true") {
+      ParquetBatchIO.batchReads.set(0)
+      MemScan.rowGroupsPruned.set(0)
+      val df = spark.sql(q)
+      assert(df.collect()(0).getDouble(0) == expect)
+      assert(ParquetBatchIO.batchReads.get() > 0,
+        "residual mode must unlock the columnar path under filters")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Filter"),
+        s"Spark must keep its FilterExec in residual mode:\n$plan")
+      // file skipping still planned from the pushed set: the k<5000
+      // file contributes no batch reads (2 files, only 1 survives ->
+      // exactly 1 reader opened when the file is a single group)
+      assert(ParquetBatchIO.batchReads.get() <= 2,
+        s"skipping lost: ${ParquetBatchIO.batchReads.get()} readers")
+    }
+  }
+
   test("embedding (array<float>) scans decode columnar") {
     setup()
     spark.sql("DROP TABLE IF EXISTS gcs.emb")
