@@ -2327,6 +2327,49 @@ object SourceQueries {
           |       count(seg) AS n_seg,
           |       count(DISTINCT seg) AS n_seg_values
           |FROM graftmem.mevo""".stripMargin)
+    },
+
+    // GROUP-BY-PARTITION aggregate pushdown: the per-partition census
+    // (`SELECT part, count(*), min, max ... GROUP BY part`) answers
+    // from COMMIT METADATA — one row per partition tuple folded from
+    // the per-file stats every write recorded; zero data rows
+    // touched (GroupedAggPushSpec pins the zero-decode counters and
+    // the decline matrix: overlays, filters, non-partition grouping).
+    // At 100 TB this is the daily "rows per day / per source" census
+    // served in O(partitions) metadata instead of a full scan.
+    QueryDef("q333_partition_census",
+      """WITH src AS (
+        |  SELECT o_orderpriority AS pri, o_orderkey AS k,
+        |         round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders)
+        |SELECT pri, count(*)::BIGINT AS n, count(cents)::BIGINT AS n_c,
+        |       min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,
+        |       CAST(1 AS BIGINT) AS metadata_served
+        |FROM src GROUP BY pri ORDER BY pri""".stripMargin) {
+      (spark, dir) =>
+        spark.conf.set("spark.sql.catalog.graftmem",
+          classOf[graft.sources.MemCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmem.path",
+          graft.sources.MemCatalog.defaultRoot)
+        spark.sql("DROP TABLE IF EXISTS graftmem.census")
+        spark.sql(
+          """CREATE TABLE graftmem.census (pri STRING, k BIGINT,
+            |  cents BIGINT) PARTITIONED BY (pri)""".stripMargin)
+        Tables.load(spark, dir, "orders")
+          .select(col("o_orderpriority").as("pri"),
+            col("o_orderkey").cast("long").as("k"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("q333_src")
+        spark.sql("INSERT INTO graftmem.census SELECT * FROM q333_src")
+        graft.sources.MemCatalog.resetGroupedAggServed()
+        val census = spark.sql(
+          """SELECT pri, count(*) AS n, count(cents) AS n_c,
+            |       min(k) AS min_k, max(k) AS max_k
+            |FROM graftmem.census GROUP BY pri ORDER BY pri""".stripMargin)
+        census.collect() // force execution so the counter reflects it
+        val served =
+          if (graft.sources.MemCatalog.groupedAggServed > 0) 1L else 0L
+        census.withColumn("metadata_served", lit(served))
     }
   )
 
