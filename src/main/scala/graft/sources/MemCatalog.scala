@@ -3088,12 +3088,25 @@ private[sources] final class MemScanBuilder(store: MemStore,
   private def planGrouped(agg: Aggregation)
       : Option[(StructType, Vector[InternalRow])] = {
     import org.apache.spark.sql.types.{LongType, StructField}
-    if (pinned.isDefined || store.dataDirStr.isEmpty ||
-      pushedArr.nonEmpty) return None
+    if (pinned.isDefined || store.dataDirStr.isEmpty) return None
     val spec = store.partSpec
     val specIdx: Map[String, Int] = spec.zipWithIndex.collect {
       case (PIdentity(c), i) => c -> i
     }.toMap
+    // pushed filters over IDENTITY PARTITION columns only: a file's
+    // rows all share the tuple, so the conjunction evaluates EXACTLY
+    // on the tuple itself — whole files keep or drop, still zero rows
+    // decoded (`WHERE day >= 'd1' GROUP BY day`); any other filter
+    // reference declines
+    if (!pushedArr.forall(_.references.forall(specIdx.contains)))
+      return None
+    val tupleSchema = StructType(specIdx.keys.toSeq.sorted.map(c =>
+      dataSchema(dataSchema.fieldIndex(c))))
+    val tupleFieldIdx: Seq[Int] = tupleSchema.fieldNames.map(specIdx(_))
+    def tupleSurvives(pv: Vector[Any]): Boolean =
+      pushedArr.isEmpty || MemFilters.eval(tupleSchema, pushedArr.toSeq,
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          tupleFieldIdx.map(pv(_)).toArray))
     val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map(e =>
       colName(e).getOrElse(return None))
     val gidx: Seq[Int] = groupCols.map(c =>
@@ -3137,6 +3150,8 @@ private[sources] final class MemScanBuilder(store: MemStore,
       scala.collection.mutable.LinkedHashMap.empty[Vector[Any], GState]
     snap.segs.foreach { ls =>
       val f = ls.seg.asInstanceOf[FileSeg]
+      if (!tupleSurvives(f.partVals.get)) ()
+      else {
       val cs = f.stats.get
       val key = gidx.map(f.partVals.get(_)).toVector
       val g = groups.getOrElseUpdate(key, new GState)
@@ -3169,6 +3184,7 @@ private[sources] final class MemScanBuilder(store: MemStore,
         }
       }
       if (!ok) return None
+      }
     }
 
     // the V2ScanRelationPushDown contract: output = GROUPING columns

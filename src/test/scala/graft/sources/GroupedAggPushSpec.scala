@@ -74,12 +74,25 @@ class GroupedAggPushSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(sub == Seq(("a0", 50L), ("a1", 50L)))
     assert(MemScan.aggPushGroupedServed.get() == 1L)
-    // a pushed filter declines (correct answer via the scan)
+    // a pushed filter over a NON-partition column declines (the scan
+    // answers)
     MemScan.aggPushGroupedServed.set(0)
     assert(spark.sql(
       "SELECT a, count(*) AS n FROM gga.m WHERE k >= 50 GROUP BY a")
       .collect().map(_.getLong(1)).sum == 50L)
     assert(MemScan.aggPushGroupedServed.get() == 0L)
+    // a filter over PARTITION columns evaluates exactly on the tuples
+    // — whole files keep/drop, still metadata-served, zero decode
+    MemScan.aggPushGroupedServed.set(0)
+    ParquetBatchIO.batchReads.set(0)
+    val filtered = spark.sql(
+      """SELECT a, count(*) AS n FROM gga.m
+        |WHERE b = 'b1' GROUP BY a ORDER BY a""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(filtered == Seq(("a1", 50L)), filtered)
+    assert(MemScan.aggPushGroupedServed.get() == 1L,
+      "partition-column filter must stay metadata-served")
+    assert(ParquetBatchIO.batchReads.get() == 0L)
     // grouping by a NON-partition column declines
     MemScan.aggPushGroupedServed.set(0)
     assert(spark.sql(
