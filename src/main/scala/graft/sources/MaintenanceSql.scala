@@ -79,6 +79,10 @@ private[sources] object MaintenanceSql {
 
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + Tbl +
+      // optional partition scope (Delta's OPTIMIZE ... WHERE): one
+      // `col op literal` conjunct over a partition column
+      """(?:\s+WHERE\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*""" +
+      """(=|<=|>=|<|>)\s*(?:'([^']*)'|(-?\d+)))?""" +
       """(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
       """(?:\s+(ZORDER|HILBERT)\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""").r
   private val VacuumRe =
@@ -216,6 +220,39 @@ private[sources] object MaintenanceSql {
     case _ => plan
   }
 
+  /** Translate an `OPTIMIZE ... WHERE col op literal` scope into a
+    * pushable filter over an IDENTITY partition source column (the
+    * only grain whole files keep/drop at). Loud on anything else. */
+  private[sources] def scopeFilter(store: MemStore,
+      s: (String, String, String, Boolean))
+      : org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    val (rawCol, op, rawLit, isStr) = s
+    val idCols = store.partSpec.collect { case PIdentity(c) => c }
+    val col = idCols.find(_.equalsIgnoreCase(rawCol)).getOrElse(
+      throw new GraftSqlParseException(
+        s"OPTIMIZE ... WHERE $rawCol: not an identity partition column " +
+          s"(have: ${idCols.mkString(", ")})"))
+    val dt = store.schema(store.schema.fieldIndex(col)).dataType
+    val lit: Any = (dt, isStr) match {
+      case (StringType, true) => rawLit
+      case (LongType, false) => java.lang.Long.valueOf(rawLit)
+      case (IntegerType, false) => java.lang.Integer.valueOf(rawLit)
+      case (DateType, true) => java.sql.Date.valueOf(rawLit)
+      case _ => throw new GraftSqlParseException(
+        s"OPTIMIZE ... WHERE $col: literal '$rawLit' does not match " +
+          s"column type ${dt.simpleString}")
+    }
+    op match {
+      case "=" => EqualTo(col, lit)
+      case "<" => LessThan(col, lit)
+      case "<=" => LessThanOrEqual(col, lit)
+      case ">" => GreaterThan(col, lit)
+      case ">=" => GreaterThanOrEqual(col, lit)
+    }
+  }
+
   /** One transform element of a SET PARTITIONED BY list:
     * `col` | `days(col)` | `bucket(n, col)`. */
   private[sources] def parseTransform(raw: String): PartTransform = {
@@ -251,7 +288,8 @@ private[sources] object MaintenanceSql {
   }
 
   private def parseVerb(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case OptimizeRe(c1, c2, t1, t2, target, curve, cols) =>
+    case OptimizeRe(c1, c2, t1, t2, wCol, wOp, wStr, wNum, target, curve,
+        cols) =>
       val colSeq =
         if (cols == null) Nil
         else cols.split(",").toSeq.map(_.trim.stripPrefix("`")
@@ -259,10 +297,18 @@ private[sources] object MaintenanceSql {
       if (curve != null && colSeq.isEmpty)
         throw new GraftSqlParseException(
           s"OPTIMIZE ... ${curve.toUpperCase} BY needs at least one column")
+      val scope: Option[(String, String, String, Boolean)] =
+        Option(wCol).map { c =>
+          if (curve != null) throw new GraftSqlParseException(
+            "OPTIMIZE ... WHERE scopes the incremental bin-pack; " +
+              "curve rewrites are global — drop the WHERE or the curve")
+          (c, wOp, if (wStr != null) wStr else wNum, wStr != null)
+        }
       Some(OptimizeTableCommand(pick(c1, c2), pick(t1, t2),
         Option(target).map(_.toInt),
         colSeq,
-        if (curve == null) "zorder" else curve.toLowerCase))
+        if (curve == null) "zorder" else curve.toLowerCase,
+        scope))
     case VacuumRe(c1, c2, t1, t2, retain) =>
       val n = Option(retain).map(_.toInt).getOrElse(1)
       if (n < 1) throw new GraftSqlParseException(
@@ -427,7 +473,10 @@ private[sources] object MaintenanceSql {
   * routes to [[MemCatalog.optimizeTable]]. Default target: ~16
   * bin-packed files of the current snapshot. */
 final case class OptimizeTableCommand(cat: String, tbl: String,
-    targetRows: Option[Int], zorderBy: Seq[String], curve: String)
+    targetRows: Option[Int], zorderBy: Seq[String], curve: String,
+    /** `WHERE col op literal` partition scope for the incremental
+      * bin-pack: (column, op, literal text, isString). */
+    scope: Option[(String, String, String, Boolean)] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = MaintenanceSql.summaryAttrs
   override def run(spark: SparkSession): Seq[Row] = {
@@ -438,10 +487,15 @@ final case class OptimizeTableCommand(cat: String, tbl: String,
     // columns, so maintenance re-clusters along the same axis ingest
     // does ([[ClusterSpec]])
     val by = if (zorderBy.nonEmpty) zorderBy else store.clusterCols
+    require(scope.isEmpty || by.isEmpty,
+      "OPTIMIZE ... WHERE scopes the incremental bin-pack; clustered " +
+        "rewrites are global")
     MemCatalog.optimizeTable(spark, cat, tbl, targetFileRows = target,
-      zorderBy = by, curve = curve)
+      zorderBy = by, curve = curve,
+      scope = scope.map(s => MaintenanceSql.scopeFilter(store, s)))
     val detail = s"optimized ${n} rows, target $target rows/file" +
-      (if (by.nonEmpty) s", $curve by (${by.mkString(", ")})" else "")
+      (if (by.nonEmpty) s", $curve by (${by.mkString(", ")})" else "") +
+      scope.fold("") { case (c, op, v, _) => s", where $c $op $v" }
     Seq(Row(s"$cat.$tbl", detail))
   }
 }

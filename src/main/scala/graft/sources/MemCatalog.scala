@@ -805,9 +805,13 @@ object MemCatalog {
     * lakehouse compaction contract. */
   def optimizeTable(spark: org.apache.spark.sql.SparkSession,
       catalogName: String, table: String, targetFileRows: Int,
-      zorderBy: Seq[String] = Nil, curve: String = "zorder"): Unit = {
+      zorderBy: Seq[String] = Nil, curve: String = "zorder",
+      scope: Option[org.apache.spark.sql.sources.Filter] = None): Unit = {
     require(curve == "zorder" || curve == "hilbert",
       s"optimizeTable: unknown curve '$curve' (zorder | hilbert)")
+    require(scope.isEmpty || zorderBy.isEmpty,
+      "optimizeTable: a partition scope applies to the incremental " +
+        "bin-pack only")
     import org.apache.spark.sql.functions._
     require(targetFileRows > 0, s"targetFileRows must be > 0")
     val store = stores.getOrElse(catalogName + KeySep + table,
@@ -831,7 +835,7 @@ object MemCatalog {
     // O(dirty), the only schedulable shape at 100 TB. Curve forms
     // stay global rewrites (re-clustering is global by nature).
     if (zorderBy.isEmpty) {
-      compactIncremental(spark, store, tbl, targetFileRows)
+      compactIncremental(spark, store, tbl, targetFileRows, scope)
       return
     }
     val laidOut =
@@ -865,7 +869,8 @@ object MemCatalog {
     * pre-round-16 shape — keeps small tables and generation
     * unification on the expiry-friendliest commit type). */
   private def compactIncremental(spark: org.apache.spark.sql.SparkSession,
-      store: MemStore, tbl: String, targetFileRows: Int): Unit = {
+      store: MemStore, tbl: String, targetFileRows: Int,
+      scope: Option[org.apache.spark.sql.sources.Filter] = None): Unit = {
     import org.apache.spark.sql.functions._
     val (snap, _) = store.currentState()
     val expected = store.currentVersion
@@ -877,13 +882,42 @@ object MemCatalog {
       case other => throw new IllegalStateException(
         s"durable table holds a non-file segment $other")
     }
-    val mustRewrite = snap.segs.filter { ls =>
+    // partition SCOPE (`OPTIMIZE ... WHERE part op lit`): only files
+    // whose tuple satisfies the predicate are candidates — everything
+    // outside the scope is untouched BY CONSTRUCTION, so scheduled
+    // maintenance over a 100 TB table pays only the day it targets.
+    // Tuple evaluation is exact: a file's rows all share its tuple.
+    val inScope: LiveSeg => Boolean = scope match {
+      case None => _ => true
+      case Some(flt) =>
+        val spec = store.partSpec
+        val idCols = spec.zipWithIndex.collect {
+          case (PIdentity(c), i) => (c, i)
+        }
+        val tupleSchema = org.apache.spark.sql.types.StructType(
+          idCols.map { case (c, _) =>
+            store.physSchema(store.physSchema.fieldIndex(c)) })
+        ls => ls.seg match {
+          case f: FileSeg if f.specId == curSpecId =>
+            f.partVals.exists { pv =>
+              MemFilters.eval(tupleSchema, Seq(flt),
+                new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(
+                    idCols.map { case (_, i) => pv(i) }.toArray))
+            }
+          // old-generation files carry tuples under ANOTHER spec —
+          // scoped maintenance leaves them to an unscoped pass
+          case _ => false
+        }
+    }
+    val candidates = snap.segs.filter(inScope)
+    val mustRewrite = candidates.filter { ls =>
       ls.dels.nonEmpty || ls.patches.nonEmpty || (ls.seg match {
         case f: FileSeg => f.specId != curSpecId
         case _ => true
       })
     }
-    val small = snap.segs.filterNot(mustRewrite.contains).filter(_.seg match {
+    val small = candidates.filterNot(mustRewrite.contains).filter(_.seg match {
       case f: FileSeg => f.count < minRows
       case _ => false
     })

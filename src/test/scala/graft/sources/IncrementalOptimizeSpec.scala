@@ -126,6 +126,43 @@ class IncrementalOptimizeSpec extends SparkTestBase {
     assert(e.getMessage.contains("rerun OPTIMIZE"), e.getMessage)
   }
 
+  test("OPTIMIZE ... WHERE scopes the bin-pack to matching partitions") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS ginc.p")
+    spark.sql(
+      "CREATE TABLE ginc.p (day STRING, k BIGINT) PARTITIONED BY (day)")
+    // two small files per day, two days
+    (1 to 2).foreach { i =>
+      spark.sql(s"INSERT INTO ginc.p SELECT 'd1', id + ${i * 100} " +
+        "FROM RANGE(20)")
+      spark.sql(s"INSERT INTO ginc.p SELECT 'd2', id + ${i * 100} " +
+        "FROM RANGE(20)")
+    }
+    val store = MaintenanceSql.storeFor(spark, "ginc", "p")
+    val before = segNames(store)
+    assert(before.length == 4, before)
+    val sum = spark.sql("SELECT sum(k) FROM ginc.p").head().getLong(0)
+    val msg = spark.sql("OPTIMIZE ginc.p WHERE day = 'd1' TARGET 100 ROWS")
+      .head().getString(1)
+    assert(msg.contains("where day = d1"), msg)
+    val after = segNames(store)
+    // d2's two files untouched (same names); d1's folded into one
+    val d2Files = before.filter(after.contains)
+    assert(after.length == 3, s"$before -> $after")
+    assert(d2Files.length == 2, s"out-of-scope files must survive: $after")
+    assert(spark.sql("SELECT sum(k) FROM ginc.p").head().getLong(0) == sum)
+    // misuse: non-partition scope column, curve + scope
+    val e1 = intercept[Exception] {
+      spark.sql("OPTIMIZE ginc.p WHERE k = 5").collect()
+    }
+    assert(String.valueOf(e1.getMessage)
+      .contains("not an identity partition column"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("OPTIMIZE ginc.p WHERE day = 'd1' ZORDER BY (k)").collect()
+    }
+    assert(String.valueOf(e2.getMessage).contains("global"), e2.getMessage)
+  }
+
   test("expiry refuses to cut below a retained compaction, " +
       "works at or above it") {
     setup()
