@@ -1784,8 +1784,17 @@ private[sources] final class MemStore(schema0: StructType,
     counts = counts :+ cur.count
     times = times :+ t
     schemaHist = schemaHist :+ curSchema
-    maybeCheckpoint()
+    // NO checkpoint here: a leg landing on the checkpoint cadence
+    // would bake a not-yet-committed transaction into the cold-load
+    // fast path — if the txn then rolls back (slot theft / crash),
+    // the deleted commit would resurrect THROUGH the checkpoint. The
+    // coordinator checkpoints after the manifest clears.
   }
+
+  /** Post-transaction checkpoint (the one [[commitFilesAt]] skipped,
+    * taken only once the transaction is durable). */
+  private[sources] def checkpointIfDue(): Unit =
+    synchronized { maybeCheckpoint() }
 
   /** INCREMENTAL-OPTIMIZE landing: the named (small / overlaid /
     * old-spec) files leave the snapshot, their freshly-written compact

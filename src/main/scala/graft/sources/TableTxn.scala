@@ -152,8 +152,10 @@ private[sources] object TableTxn {
             s"transaction ${txn.id} aborted: a participant's version " +
               s"slot was taken concurrently ($t); all legs rolled back")
       }
-      // commit point passed (all legs landed): the txn is durable
+      // commit point passed (all legs landed): the txn is durable —
+      // NOW the legs' deferred checkpoints may be taken
       Files.deleteIfExists(manifest)
+      legs.foreach { case (store, _, _, _) => store.checkpointIfDue() }
     }
   }
 

@@ -126,6 +126,33 @@ class IncrementalOptimizeSpec extends SparkTestBase {
     assert(e.getMessage.contains("rerun OPTIMIZE"), e.getMessage)
   }
 
+  test("a compaction entry survives the CHECKPOINT codec (cold load " +
+      "from the fast path)") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS ginc.ck")
+    spark.sql("CREATE TABLE ginc.ck (k BIGINT)")
+    // versions 1..15: small files; version 16 = the compaction ->
+    // lands exactly on the checkpoint cadence (CheckpointEvery = 16),
+    // so the checkpoint serializes a VDropAdd WITH the compaction flag
+    (1 to 15).foreach(i => spark.sql(
+      s"INSERT INTO ginc.ck SELECT /*+ REPARTITION(1) */ id + ${i * 1000} " +
+        "FROM RANGE(10)"))
+    spark.sql("OPTIMIZE ginc.ck TARGET 1000 ROWS").collect()
+    val store = MaintenanceSql.storeFor(spark, "ginc", "ck")
+    assert(store.currentVersion == 16, s"v=${store.currentVersion}")
+    val ckpt = java.nio.file.Paths.get(root, "ck", "00000016.checkpoint")
+    assert(java.nio.file.Files.exists(ckpt), "checkpoint expected at v16")
+    val sum = spark.sql("SELECT sum(k) FROM ginc.ck").head().getLong(0)
+    val names = segNames(store).toSet
+    MemCatalog.simulateRestart()
+    val store2 = MaintenanceSql.storeFor(spark, "ginc", "ck")
+    assert(spark.sql("SELECT sum(k) FROM ginc.ck").head().getLong(0) == sum)
+    assert(segNames(store2).toSet == names)
+    // and the reloaded entry still reads as dataChange=false
+    assert(store2.insertRowsAt(16) == 0L,
+      "checkpointed compaction must stay dataChange=false")
+  }
+
   test("OPTIMIZE ... WHERE scopes the bin-pack to matching partitions") {
     setup()
     spark.sql("DROP TABLE IF EXISTS ginc.p")

@@ -153,6 +153,42 @@ class TableTxnSpec extends SparkTestBase {
       .currentVersion == vi)
   }
 
+  test("a leg on the checkpoint cadence cannot resurrect a rolled-back " +
+      "txn through the cold-load fast path") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gtx.ck")
+    spark.sql("DROP TABLE IF EXISTS gtx.ck2")
+    spark.sql("CREATE TABLE gtx.ck (k BIGINT)")
+    spark.sql("CREATE TABLE gtx.ck2 (k BIGINT)")
+    // bring ck to version 15: the txn leg would land at 16 — exactly
+    // the checkpoint cadence
+    (1 to 15).foreach(i => spark.sql(s"INSERT INTO gtx.ck VALUES ($i)"))
+    val cs = MaintenanceSql.storeFor(spark, "gtx", "ck")
+    val is2 = MaintenanceSql.storeFor(spark, "gtx", "ck2")
+    assert(cs.currentVersion == 15)
+    val n0 = spark.sql("SELECT count(*) FROM gtx.ck").head().getLong(0)
+    // racer owns ck2's slot -> txn aborts AFTER ck's leg landed at 16
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(root, "ck2",
+      f"${is2.currentVersion + 1}%08d.commit"))
+    intercept[java.util.ConcurrentModificationException] {
+      MemCatalog.inTransaction(spark, "gtx") { txn =>
+        spark.sql("SELECT 99L AS k").writeTo("gtx.ck")
+          .option("graft.txn.id", txn.id).append()
+        spark.sql("SELECT 99L AS k").writeTo("gtx.ck2")
+          .option("graft.txn.id", txn.id).append()
+      }
+    }
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "ck2",
+      f"${is2.currentVersion + 1}%08d.commit"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "ck", "00000016.checkpoint")),
+      "no checkpoint may capture a not-yet-durable transaction leg")
+    // cold load: the rolled-back leg must NOT resurrect
+    MemCatalog.simulateRestart()
+    assert(spark.sql("SELECT count(*) FROM gtx.ck").head().getLong(0)
+      == n0, "rolled-back leg resurrected through a checkpoint")
+  }
+
   /** Write one real single-row data file into `store`'s data dir and
     * return its FileRef + stats (a hand-rolled txn leg). */
   private def writeLegFile(store: MemStore,
