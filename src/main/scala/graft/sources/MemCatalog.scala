@@ -446,9 +446,20 @@ class MemCatalog extends TableCatalog
       case Some(dir) if CommitLog.existsAt(dir) =>
         val trash = logRoot.get.resolve(".trash")
         java.nio.file.Files.createDirectories(trash)
-        java.nio.file.Files.move(dir,
-          trash.resolve(s"${dir.getFileName}-${System.currentTimeMillis}"),
+        val entry =
+          trash.resolve(s"${dir.getFileName}-${System.currentTimeMillis}")
+        java.nio.file.Files.move(dir, entry,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // the table's BRANCHES travel with it into the trash entry
+        // (UNDROP restores them; a RECREATED table must never inherit
+        // a dropped incarnation's forks)
+        val bc = logRoot.get.resolve(".branches")
+          .resolve(ident.name)
+        if (java.nio.file.Files.isDirectory(bc)) {
+          java.nio.file.Files.move(bc, entry.resolve(".branches"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          MemCatalog.evictBranches(catalogName, ident.name)
+        }
         MemCatalog.purgeExpiredTrash(trash)
         true
       case _ => false
@@ -459,7 +470,13 @@ class MemCatalog extends TableCatalog
   override def purgeTable(ident: Identifier): Boolean = {
     val hadLog = logDir(ident) match {
       case Some(dir) if CommitLog.existsAt(dir) =>
-        CommitLog.destroy(dir); true
+        CommitLog.destroy(dir)
+        val bc = logRoot.get.resolve(".branches").resolve(ident.name)
+        if (java.nio.file.Files.isDirectory(bc)) {
+          CommitLog.destroy(bc)
+          MemCatalog.evictBranches(catalogName, ident.name)
+        }
+        true
       case _ => false
     }
     MemCatalog.stores.remove(key(ident)).isDefined || hadLog
@@ -498,6 +515,14 @@ class MemCatalog extends TableCatalog
       _.getFileName.toString.drop(prefix.length).toLong)
     java.nio.file.Files.move(newest, dir,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // restore the incarnation's branches alongside
+    val nested = dir.resolve(".branches")
+    if (java.nio.file.Files.isDirectory(nested)) {
+      val bc = logRoot.get.resolve(".branches")
+      java.nio.file.Files.createDirectories(bc)
+      java.nio.file.Files.move(nested, bc.resolve(ident.name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   /** `ALTER TABLE RENAME TO`: durable tables move their whole log
@@ -516,6 +541,32 @@ class MemCatalog extends TableCatalog
       case (Some(from), Some(to)) if CommitLog.existsAt(from) =>
         java.nio.file.Files.move(from, to,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // branches travel with the rename, and their `_clone`
+        // provenance re-points at the new name (MERGE BRANCH
+        // validates the fork source by name)
+        val bcOld = logRoot.get.resolve(".branches")
+          .resolve(oldIdent.name)
+        if (java.nio.file.Files.isDirectory(bcOld)) {
+          val bcNew = logRoot.get.resolve(".branches")
+            .resolve(newIdent.name)
+          java.nio.file.Files.move(bcOld, bcNew,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          MemCatalog.evictBranches(catalogName, oldIdent.name)
+          val s = java.nio.file.Files.list(bcNew)
+          try {
+            val it = s.iterator()
+            while (it.hasNext) {
+              val prov = it.next().resolve("_clone")
+              if (java.nio.file.Files.exists(prov)) {
+                val parts = java.nio.file.Files.readString(prov)
+                  .trim.split("\t")
+                if (parts.length == 3 && parts(1) == oldIdent.name)
+                  java.nio.file.Files.writeString(prov,
+                    s"${parts(0)}\t${newIdent.name}\t${parts(2)}")
+              }
+            }
+          } finally s.close()
+        }
       case _ =>
         val store = cached.getOrElse(
           throw new NoSuchTableException(oldIdent))
@@ -715,6 +766,13 @@ object MemCatalog {
   private[sources] def invalidateBranch(cat: String, table: String,
       branch: String): Unit =
     stores.remove(branchKey(cat, table, branch))
+
+  /** Evict every cached branch store of one table (the table is being
+    * dropped/renamed — the branch directories move with it). */
+  private[sources] def evictBranches(cat: String, table: String): Unit = {
+    val prefix = branchKey(cat, table, "")
+    stores.keys.filter(_.startsWith(prefix)).foreach(stores.remove)
+  }
 
   // ---- MULTI-TABLE TRANSACTIONS (see [[TableTxn]]) -------------------
 

@@ -131,6 +131,37 @@ class BranchSpec extends SparkTestBase {
     assert(!listed.exists(_.startsWith("branch_")), listed.toString)
   }
 
+  test("branches follow the table lifecycle: DROP buries them with " +
+      "the incarnation, UNDROP restores, RENAME re-points provenance") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gbr.lc PURGE")
+    spark.sql("DROP TABLE IF EXISTS gbr.lc2 PURGE")
+    spark.sql("CREATE TABLE gbr.lc (k BIGINT)")
+    spark.sql("INSERT INTO gbr.lc VALUES (1)")
+    spark.sql("ALTER TABLE gbr.lc CREATE BRANCH dev").collect()
+    spark.sql("INSERT INTO gbr.lc.branch_dev VALUES (2)")
+    // DROP: a recreated table must NOT inherit the dropped fork
+    spark.sql("DROP TABLE gbr.lc")
+    spark.sql("CREATE TABLE gbr.lc (k BIGINT)")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gbr.lc.branch_dev").collect()
+    }
+    spark.sql("DROP TABLE gbr.lc PURGE")
+    // UNDROP: the original incarnation returns WITH its branch
+    spark.sql("UNDROP TABLE gbr.lc").collect()
+    assert(spark.sql("SELECT count(*) FROM gbr.lc.branch_dev")
+      .head().getLong(0) == 2L, "undrop must restore the branch")
+    // RENAME: branch travels and MERGE still validates provenance
+    spark.sql("ALTER TABLE gbr.lc RENAME TO lc2")
+    assert(spark.sql("SELECT count(*) FROM gbr.lc2.branch_dev")
+      .head().getLong(0) == 2L)
+    spark.sql("ALTER TABLE gbr.lc2 MERGE BRANCH dev").collect()
+    assert(spark.sql("SELECT count(*) FROM gbr.lc2").head().getLong(0)
+      == 2L)
+    spark.sql("ALTER TABLE gbr.lc2 DROP BRANCH dev").collect()
+    spark.sql("DROP TABLE gbr.lc2 PURGE")
+  }
+
   test("time travel ON a branch handle resolves within its history") {
     setup()
     spark.sql("DROP TABLE IF EXISTS gbr.tt")
