@@ -588,6 +588,14 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
       }
     }
     try {
+      // FORMAT HEADER: magic + version. A checkpoint written by an
+      // older layout (or by a future one) is rejected DETERMINISTICALLY
+      // at read time and the load falls back to full commit replay —
+      // never a probabilistic misaligned binary read (pre-header files
+      // start with `base`, a small non-negative int that can never
+      // equal the magic).
+      out.writeInt(CommitLog.CkptMagic)
+      out.writeInt(CommitLog.CkptVersion)
       out.writeInt(c.base)
       out.writeInt(n) // row decode arity (schema may grow later)
       out.writeInt(c.entries.length)
@@ -677,6 +685,9 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
         val in = new DataInputStream(new BufferedInputStream(
           Files.newInputStream(p)))
         try {
+          if (in.readInt() != CommitLog.CkptMagic ||
+              in.readInt() != CommitLog.CkptVersion)
+            throw new java.io.IOException("stale checkpoint format")
           val base = in.readInt()
           val arity = in.readInt()
           val nEntries = in.readInt()
@@ -884,6 +895,13 @@ private[sources] final class CommitLog(dir: Path, initial: StructType,
 }
 
 private[sources] object CommitLog {
+
+  /** Checkpoint file format header: magic + layout version. Bump
+    * [[CkptVersion]] on ANY layout change — stale checkpoints are then
+    * rejected deterministically (cold load falls back to full commit
+    * replay, the documented posture). */
+  private[sources] val CkptMagic: Int = 0x47434B50 // "GCKP"
+  private[sources] val CkptVersion: Int = 2
 
   /** Another writer already published this version — refresh from the
     * log, re-check conflicts, retry (the optimistic-concurrency

@@ -670,6 +670,20 @@ object MemCatalog {
   private[sources] def invalidate(catalogName: String, table: String): Unit =
     stores.remove(catalogName + KeySep + table)
 
+  /** Invalidate by ROOT-RELATIVE table directory — the coin the txn
+    * manifest speaks: one segment = a plain table, three under
+    * `.branches` = a branch store (whose cache key is not its dir
+    * name). */
+  private[sources] def invalidateByRelDir(catalogName: String,
+      rel: java.nio.file.Path): Unit = {
+    val segs = (0 until rel.getNameCount).map(rel.getName(_).toString)
+    segs match {
+      case Seq(t) => invalidate(catalogName, t)
+      case Seq(".branches", t, b) => invalidateBranch(catalogName, t, b)
+      case _ => ()
+    }
+  }
+
   private def requireStore(catalogName: String, table: String): MemStore =
     stores.getOrElse(catalogName + KeySep + table,
       throw new IllegalArgumentException(
@@ -3784,13 +3798,20 @@ private[sources] final class MemScan private (outSchema: StructType,
 
   /** COLUMNAR eligibility — decided per SCAN, all-or-nothing (Spark's
     * DSv2 contract forbids mixing row and columnar splits in one
-    * scan): every live segment a data file with NO row-level overlay
-    * (dels/patches shift physical positions the batch decoder never
-    * observes), no `__pos` output, no pushed filters (the source
-    * promised EXACT evaluation of those — a vectorized reader only
-    * skips at page/row-group grain), and a batch-decodable read
-    * schema. Runtime (DPP) filters stay fine: they prune whole files
-    * and the join above re-applies the predicate row-exactly. */
+    * scan): every live segment a data file with no PATCH overlay
+    * (an UPDATE rewrites rows in table layout the batch can't serve),
+    * no `__pos` output (positions are physical bookkeeping the
+    * selection vector hides), and a batch-decodable read schema.
+    *
+    * DELETE overlays and pushed filters no longer decline: the batch
+    * reader applies position deletes — and, in exact-consumption
+    * mode, evaluates every pushed filter row-wise — through a
+    * SELECTION-VECTOR view over the decoded batch
+    * ([[ColumnarSelect]]), so the vectorized path survives the first
+    * DELETE on a 100 TB table instead of forfeiting the measured
+    * scan win until the next OPTIMIZE. Runtime (DPP) filters stay
+    * fine: they prune whole files and the join above re-applies the
+    * predicate row-exactly. */
   private lazy val columnarEligible: Boolean = {
     val fileRead = MemScan.fileReadSchema(outSchema, dataSchema, pushed)
     // kill switch (and the A/B lever for throughput measurement)
@@ -3798,29 +3819,18 @@ private[sources] final class MemScan private (outSchema: StructType,
       _.conf.get("spark.graft.catalog.columnar.enabled", "true")
         .equalsIgnoreCase("true")) &&
     !direct &&
-      // exact-consumption filters need record-grain evaluation the
-      // batch decoder can't do; in RESIDUAL mode Spark's FilterExec
-      // re-checks, so filtered scans stay columnar (the batch columns
-      // must still be exactly the output — residual filter references
-      // are part of the pruned output schema by construction)
-      (pushed.isEmpty || (!exactFilters && fileRead == outData)) &&
       !outSchema.fieldNames.contains(MemTable.PosCol) &&
       snap.segs.nonEmpty &&
-      snap.segs.forall(ls => ls.dels.isEmpty && ls.patches.isEmpty &&
+      snap.segs.forall(ls => ls.patches.isEmpty &&
         ls.seg.isInstanceOf[FileSeg]) &&
       ParquetBatchIO.supportsBatch(fileRead)
   }
 
-  /** The output's data columns at physical resolution (what the batch
-    * decoder serves positionally — must equal the full file read
-    * schema for a columnar scan). */
-  private def outData: StructType =
-    MemScan.fileReadSchema(outSchema, dataSchema, Nil)
-
   override def createReaderFactory(): PartitionReaderFactory =
     new SegReaderFactory(outSchema, dataSchema,
       MemScan.fileReadSchema(outSchema, dataSchema, pushed),
-      if (direct) Seq.empty else pushed, direct, columnarEligible)
+      if (direct) Seq.empty else pushed, direct, columnarEligible,
+      exactFilters)
 }
 
 private[sources] object MemScan {
@@ -3958,17 +3968,29 @@ private[sources] object MemScan {
 private[sources] final class SegReaderFactory(out: StructType,
     data: StructType, fileRead: StructType,
     pushed: Seq[org.apache.spark.sql.sources.Filter], direct: Boolean,
-    columnar: Boolean = false)
+    columnar: Boolean = false, exactFilters: Boolean = true)
     extends PartitionReaderFactory {
 
   /** Uniform across the scan's partitions by construction — the scan
-    * granted `columnar` only after proving EVERY live segment is an
-    * overlay-free data file (see `MemScan.columnarEligible`). */
+    * granted `columnar` only after proving EVERY live segment is a
+    * patch-free data file (see `MemScan.columnarEligible`). */
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
 
   /** Vectorized read of one file slice: whole batches flow to Spark's
     * `ColumnarToRow` (whole-stage codegen) instead of one reader call
-    * per row — the scan-bound fast path of the catalog data plane. */
+    * per row — the scan-bound fast path of the catalog data plane.
+    *
+    * Three regimes, cheapest wins per batch:
+    *  - clean (no deletes in range, no exact filters, output = read
+    *    schema): the decoder's batch passes through UNTOUCHED — the
+    *    steady-state compacted-table path, zero overhead;
+    *  - projected (read schema carries filter-only columns, residual
+    *    mode): a cached batch view over the OUTPUT columns only;
+    *  - selected (position deletes in range and/or exact-consumption
+    *    filters): a selection vector maps live, qualifying ordinals
+    *    through [[ColumnarSelect.MappedBatch]] — deletes skip, exact
+    *    filters evaluate row-wise against the decoded batch, and the
+    *    decode itself stays vectorized. */
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val slice = p match {
@@ -3981,15 +4003,75 @@ private[sources] final class SegReaderFactory(out: StructType,
         s"columnar read planned over non-file segment $other")
     }
     ParquetBatchIO.batchReads.incrementAndGet()
+    // parquet-mr page/row-group skipping inside the split: only when
+    // positions can't matter (no deletes on this range — pages
+    // silently drop, shifting physical positions the delete list
+    // indexes)
+    val readerFilters = if (slice.dels.isEmpty) pushed else Nil
     val reader =
       if (slice.byteStart >= 0)
-        ParquetBatchIO.open(path, fileRead, slice.byteStart, slice.byteEnd)
-      else ParquetBatchIO.open(path, fileRead)
+        ParquetBatchIO.open(path, fileRead, slice.byteStart, slice.byteEnd,
+          readerFilters)
+      else ParquetBatchIO.open(path, fileRead, readerFilters)
+    val evalFilters = pushed.nonEmpty && exactFilters
+    // positional projection: output column j decodes from fileRead
+    // index outIdx(j) (identity unless residual filter columns ride)
+    val outIdx: Array[Int] = out.fields.map(f => fileRead.fieldIndex(f.name))
+    val dels: Array[Long] = slice.dels.toArray // O(1) per-row probes
+    val passThrough = !evalFilters && dels.isEmpty &&
+      outIdx.length == fileRead.length
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      private var phys = slice.physStart
+      private var delIdx = 0
+      private var sel: Array[Int] = _
+      private var mapped: ColumnarSelect.MappedBatch = _
+      private var projected: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      // the decoder reuses one batch object; rebuild views if it swaps
+      private var viewSrc: org.apache.spark.sql.vectorized.ColumnarBatch = _
+
       override def next(): Boolean = {
-        batch = reader.nextBatch()
-        batch != null
+        while (true) {
+          val b = reader.nextBatch()
+          if (b == null) return false
+          if (passThrough) { batch = b; return true }
+          val n = b.numRows()
+          val start = phys
+          phys += n
+          if (viewSrc ne b) { viewSrc = b; projected = null; mapped = null }
+          val delsHere = delIdx < dels.length &&
+            dels(delIdx) < start + n
+          if (!delsHere && !evalFilters) {
+            // projection-only: cached view over the output columns
+            if (projected == null)
+              projected = new org.apache.spark.sql.vectorized.ColumnarBatch(
+                outIdx.map(b.column))
+            projected.setNumRows(n)
+            batch = projected
+            return true
+          }
+          // SELECTION: live ordinals surviving deletes + exact filters
+          if (sel == null || sel.length < n) sel = new Array[Int](n)
+          var k = 0
+          var i = 0
+          while (i < n) {
+            if (delIdx < dels.length &&
+                dels(delIdx) == start + i) delIdx += 1
+            else if (!evalFilters ||
+                MemFilters.eval(fileRead, pushed, b.getRow(i))) {
+              sel(k) = i; k += 1
+            }
+            i += 1
+          }
+          if (k > 0) {
+            if (mapped == null)
+              mapped = new ColumnarSelect.MappedBatch(outIdx.map(b.column))
+            batch = mapped.refresh(sel, k)
+            return true
+          }
+          // whole batch deleted/filtered: advance to the next one
+        }
+        false // unreachable
       }
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
         batch

@@ -78,9 +78,19 @@ private[sources] object ParquetBatchIO {
   /** Reader over one data file (or one row-group byte range of it) at
     * `requested`, yielding reused [[ColumnarBatch]]es — each batch is
     * valid only until the next [[nextBatch]] call, the contract
-    * Spark's scan pipeline already holds. */
+    * Spark's scan pipeline already holds.
+    *
+    * `filters` (when non-empty) ride the hadoop conf into the reader
+    * for row-group + column-index (page-grain) skipping INSIDE the
+    * split — the vectorized reader's `readNextFilteredRowGroup` path.
+    * ONLY sound when the caller's physical positions don't matter
+    * (no delete overlay on this range): pages silently drop, so
+    * positions shift. Batches remain a SUPERSET of matching rows
+    * (page grain) — the caller's own evaluation stays authoritative. */
   final class BatchFileReader(pathStr: String, requested: StructType,
-      range: Option[(Long, Long)]) extends AutoCloseable {
+      range: Option[(Long, Long)],
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      extends AutoCloseable {
     // per-file field-id -> name translation, same as the row path
     private val effective = ParquetRowIO.resolveById(pathStr, requested)
     private val reader = new VectorizedParquetRecordReader(
@@ -88,6 +98,16 @@ private[sources] object ParquetBatchIO {
       /* useOffHeap = */ false, Capacity)
     locally {
       val conf = batchReadConf(effective)
+      if (filters.nonEmpty)
+        ParquetFilterBridge.buildPredicate(requested,
+            requested.fieldNames.zip(effective.fieldNames).toMap,
+            ParquetRowIO.fileColumns(pathStr),
+            ParquetRowIO.filePrimTypes(pathStr), filters)
+          .foreach { p =>
+            ParquetRowIO.filtersEngaged.incrementAndGet()
+            org.apache.parquet.hadoop.ParquetInputFormat
+              .setFilterPredicate(conf, p)
+          }
       val (start, len) = range match {
         case Some((s, e)) => (s, e - s)
         case None => (0L, Long.MaxValue)
@@ -114,12 +134,16 @@ private[sources] object ParquetBatchIO {
     override def close(): Unit = reader.close()
   }
 
-  def open(path: String, requested: StructType): BatchFileReader =
-    new BatchFileReader(path, requested, None)
+  def open(path: String, requested: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : BatchFileReader =
+    new BatchFileReader(path, requested, None, filters)
 
   def open(path: String, requested: StructType,
-      startByte: Long, endByte: Long): BatchFileReader =
-    new BatchFileReader(path, requested, Some((startByte, endByte)))
+      startByte: Long, endByte: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : BatchFileReader =
+    new BatchFileReader(path, requested, Some((startByte, endByte)), filters)
 
   /** TEST HOOK: how many columnar file readers were opened. */
   private[sources] val batchReads =

@@ -193,4 +193,15 @@ private[sources] object ParquetFilterBridge {
     else Some(FilterCompat.get(
       preds.reduceLeft[FilterPredicate](FilterApi.and)))
   }
+
+  /** The raw [[FilterPredicate]] (no FilterCompat wrap) — what
+    * `ParquetInputFormat.setFilterPredicate` wants for the VECTORIZED
+    * reader's conf-driven row-group + page-index skipping. */
+  def buildPredicate(schema: StructType, nameMap: Map[String, String],
+      fileCols: Set[String],
+      filePrims: Map[String, PrimitiveType],
+      filters: Seq[Filter]): Option[FilterPredicate] =
+    build(schema, nameMap, fileCols, filePrims, filters).collect {
+      case f: FilterCompat.FilterPredicateCompat => f.getFilterPredicate
+    }
 }

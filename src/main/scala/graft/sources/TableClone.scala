@@ -210,11 +210,25 @@ private[sources] object TableClone {
     // base+2) mid-publication; a cross-process racer landing base+1
     // first makes our final link fail, and the invisible orphans roll
     // back before anyone can observe them.
-    t.synchronized {
+    //
+    // CRASH SAFETY: a PENDING MARKER (`.txn/<id>.ffpending`, the same
+    // write-ahead discipline as [[TableTxn]]) records every suffix
+    // file's content hash BEFORE the first link. A crash inside the
+    // window leaves the marker; load-time recovery
+    // ([[recoverPendingFastForwards]]) then either confirms the
+    // publication complete (all hashes match) or deletes exactly the
+    // orphan links whose bytes match the marker — so an orphan suffix
+    // can never silently become table history after an unrelated
+    // write lands base+1.
+    val root = tLog.rootDir.getParent
+    val relTgt = root.toAbsolutePath.normalize
+      .relativize(tLog.rootDir.toAbsolutePath.normalize).toString
+    t.synchronized { TableTxn.withRootLock(root) {
       if (t.currentVersion != base)
         throw new java.util.ConcurrentModificationException(
           s"FAST FORWARD refused: $cat.$tgt moved to version " +
             s"${t.currentVersion} during publication prep; re-clone")
+      val marker = writeFFMarker(root, relTgt, base, head, cLog)
       val linked = Vector.newBuilder[Path]
       def linkStats(w: Int): Unit = {
         val sf = cLog.statsFilePath(w)
@@ -232,6 +246,7 @@ private[sources] object TableClone {
         linkStats(base + 1)
         Files.createLink(tLog.commitFilePath(base + 1),
           cLog.commitFilePath(base + 1))
+        Files.deleteIfExists(marker) // publication complete
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           // a racer won a version slot: unpublish the (still
@@ -239,15 +254,100 @@ private[sources] object TableClone {
           // remains
           linked.result().reverse.foreach(p =>
             try Files.deleteIfExists(p) catch { case _: Exception => () })
+          Files.deleteIfExists(marker)
           throw new java.util.ConcurrentModificationException(
             s"FAST FORWARD aborted: a version landed on $cat.$tgt " +
               s"concurrently ($e); the suffix was rolled back — " +
               "re-clone and re-apply the audit writes")
       }
-    }
+    } }
     // surface the published suffix: drop the cached store, replay
     MemCatalog.invalidate(cat, tgt)
     spark.table(s"$cat.$tgt").queryExecution.analyzed
     (base, head)
+  }
+
+  // ---- fast-forward crash recovery -----------------------------------
+
+  private def sha256(p: Path): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(Files.readAllBytes(p))
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  /** Write the fast-forward pending marker (staged + atomic move):
+    * one header line `tgtDir\tbase\thead`, then per suffix version
+    * `v\t<commit sha256>\t<stats sha256 | ->`. The hashes let
+    * recovery distinguish OUR links from a foreign commit occupying
+    * the same slot — only byte-identical files ever roll back. */
+  private def writeFFMarker(root: Path, relTgt: String, base: Int,
+      head: Int, cLog: CommitLog): Path = {
+    val dir = root.resolve(".txn")
+    Files.createDirectories(dir)
+    val id = "ff-" + java.util.UUID.randomUUID().toString.take(12)
+    val body = new StringBuilder
+    body ++= s"$relTgt\t$base\t$head\n"
+    (base + 1 to head).foreach { w =>
+      val cs = sha256(cLog.commitFilePath(w))
+      val sf = cLog.statsFilePath(w)
+      val ss = if (Files.exists(sf)) sha256(sf) else "-"
+      body ++= s"$w\t$cs\t$ss\n"
+    }
+    val tmp = dir.resolve(id + ".inprogress")
+    Files.writeString(tmp, body.result())
+    val marker = dir.resolve(id + ".ffpending")
+    Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    marker
+  }
+
+  /** Load-time recovery for fast-forward publications that crashed
+    * between the marker write and the marker delete (called by
+    * [[TableTxn.recover]] under the per-root lock). Complete
+    * publications (every recorded hash present and matching) just
+    * clear the marker; anything else deletes exactly the orphan
+    * links whose bytes match the marker's hashes — a foreign commit
+    * that won a slot never matches and is never touched. */
+  private[sources] def recoverPendingFastForwards(root: Path): Unit = {
+    val dir = root.resolve(".txn")
+    if (!Files.isDirectory(dir)) return
+    val stream = Files.list(dir)
+    val markers = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".ffpending")) markers += p
+      }
+    } finally stream.close()
+    markers.foreach { m =>
+      val lines = Files.readString(m).split("\n").toVector
+        .filter(_.nonEmpty)
+      val Array(relTgt, baseS, headS) = lines.head.split("\t")
+      val base = baseS.toInt
+      val head = headS.toInt
+      val tgtDir = root.resolve(relTgt)
+      val rec: Map[Int, (String, String)] = lines.tail.map { l =>
+        val Array(v, cs, ss) = l.split("\t")
+        v.toInt -> (cs, ss)
+      }.toMap
+      def commitFile(v: Int) = tgtDir.resolve(f"$v%08d.commit")
+      def statsFile(v: Int) = tgtDir.resolve(f"$v%08d.stats")
+      def commitMatches(v: Int): Boolean = {
+        val p = commitFile(v)
+        Files.exists(p) && rec.get(v).exists(_._1 == sha256(p))
+      }
+      val complete = (base + 1 to head).forall(commitMatches)
+      if (!complete) {
+        (base + 1 to head).foreach { v =>
+          if (commitMatches(v)) Files.deleteIfExists(commitFile(v))
+          val sp = statsFile(v)
+          if (Files.exists(sp) &&
+              rec.get(v).exists(r => r._2 != "-" && r._2 == sha256(sp)))
+            Files.deleteIfExists(sp)
+        }
+      }
+      Files.deleteIfExists(m)
+    }
   }
 }

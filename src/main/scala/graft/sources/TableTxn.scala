@@ -65,6 +65,29 @@ private[sources] object TableTxn {
 
   private def txnDir(root: Path): Path = root.resolve(".txn")
 
+  /** Per-root mutex serializing COMMIT (manifest write → legs →
+    * manifest delete) against RECOVERY: without it a cold loadTable
+    * of ANY table under the same root, landing while a live commit
+    * sits between manifest publish and manifest delete, would read
+    * the manifest, see legs still missing, and roll back commits the
+    * coordinator is still publishing. Keyed on the normalized root so
+    * every spelling of the same directory shares one lock. */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[Path, Object]()
+  private[sources] def withRootLock[A](root: Path)(f: => A): A =
+    rootLocks.computeIfAbsent(root.toAbsolutePath.normalize,
+      _ => new Object).synchronized(f)
+
+  /** Root-relative table directory of a participant store — multi
+    * segment for a branch store (`.branches/<table>/<branch>`), one
+    * segment for a plain table. Recorded verbatim in the manifest so
+    * recovery resolves the SAME directory the leg committed into. */
+  private def relDirOf(root: Path, store: MemStore): Path = {
+    val tdir = java.nio.file.Paths.get(store.dataDirStr.get).getParent
+      .toAbsolutePath.normalize
+    root.toAbsolutePath.normalize.relativize(tdir)
+  }
+
   /** The marker a leg commit carries (modified-UTF8 in the commit's
     * txn tail) — recovery matches it byte-wise to tell OUR landed
     * legs apart from a foreign commit occupying the slot. */
@@ -115,17 +138,18 @@ private[sources] object TableTxn {
       case s +: tail => s.synchronized(locked(tail)(f))
       case _ => f
     }
-    locked(parts.map(_._1)) {
+    locked(parts.map(_._1)) { withRootLock(root) {
       val legs = parts.map { case (store, (refs, cs)) =>
         (store, refs, cs, store.currentVersion + 1)
       }
-      // WRITE-AHEAD MANIFEST: (table dir name, version) per leg
+      // WRITE-AHEAD MANIFEST: (root-relative table dir, version) per
+      // leg — multi-segment for branch participants, so recovery
+      // resolves root/.branches/<t>/<b>, never a phantom root/<b>
       val dir = txnDir(root)
       Files.createDirectories(dir)
       val tmp = dir.resolve(txn.id + ".inprogress")
       val body = legs.map { case (store, _, _, v) =>
-        java.nio.file.Paths.get(store.dataDirStr.get).getParent
-          .getFileName.toString + "\t" + v
+        relDirOf(root, store).toString + "\t" + v
       }.mkString("\n")
       Files.writeString(tmp, body, StandardOpenOption.CREATE,
         StandardOpenOption.TRUNCATE_EXISTING)
@@ -143,10 +167,8 @@ private[sources] object TableTxn {
           // stores whose in-memory state ran ahead of the reverted log
           recoverManifest(root, manifest)
           legs.foreach { case (store, _, _, _) =>
-            store.dataDirStr.foreach { d =>
-              MemCatalog.invalidate(txn.catalogName, java.nio.file.Paths
-                .get(d).getParent.getFileName.toString)
-            }
+            MemCatalog.invalidateByRelDir(txn.catalogName,
+              relDirOf(root, store))
           }
           throw new java.util.ConcurrentModificationException(
             s"transaction ${txn.id} aborted: a participant's version " +
@@ -156,15 +178,18 @@ private[sources] object TableTxn {
       // NOW the legs' deferred checkpoints may be taken
       Files.deleteIfExists(manifest)
       legs.foreach { case (store, _, _, _) => store.checkpointIfDue() }
-    }
+    } }
   }
 
   /** Crash recovery for one catalog root: complete or roll back every
     * pending manifest (see class doc). Idempotent; called before any
     * table of the root loads into this JVM. */
-  def recover(root: Path): Unit = {
+  def recover(root: Path): Unit = withRootLock(root) {
     val dir = txnDir(root)
-    if (!Files.isDirectory(dir)) return
+    if (!Files.isDirectory(dir)) {
+      TableClone.recoverPendingFastForwards(root)
+      return
+    }
     val stream = Files.list(dir)
     val pending = scala.collection.mutable.ArrayBuffer.empty[Path]
     try {
@@ -172,11 +197,21 @@ private[sources] object TableTxn {
       while (it.hasNext) {
         val p = it.next()
         val n = p.getFileName.toString
-        if (n.endsWith(".pending")) pending += p
-        else if (n.endsWith(".inprogress")) Files.deleteIfExists(p)
+        // a manifest (or staged manifest) of a txn LIVE in this JVM is
+        // not a crash residue: the coordinator is between manifest
+        // publish and delete — leave it to finish (the root lock
+        // already excludes that window for callers that honor it; the
+        // id check also covers re-entrant recovery during the commit)
+        def live(id: String): Boolean = MemCatalog.txnFor(id).isDefined
+        if (n.endsWith(".pending")) {
+          if (!live(n.stripSuffix(".pending"))) pending += p
+        } else if (n.endsWith(".inprogress")) {
+          if (!live(n.stripSuffix(".inprogress"))) Files.deleteIfExists(p)
+        }
       }
     } finally stream.close()
     pending.foreach(m => recoverManifest(root, m))
+    TableClone.recoverPendingFastForwards(root)
   }
 
   private def recoverManifest(root: Path, manifest: Path): Unit = {

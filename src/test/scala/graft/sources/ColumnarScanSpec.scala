@@ -56,7 +56,7 @@ class ColumnarScanSpec extends SparkTestBase {
       org.apache.commons.codec.digest.DigestUtils.md5Hex("17"))
   }
 
-  test("row overlay (DELETE) falls back to the row path, stays correct") {
+  test("row overlay (DELETE) stays COLUMNAR via the selection vector") {
     setup()
     spark.sql("DELETE FROM gcs.t WHERE k = 123")
     ParquetBatchIO.batchReads.set(0)
@@ -65,11 +65,18 @@ class ColumnarScanSpec extends SparkTestBase {
     val r = df.head()
     assert(r.getLong(0) == 49999L)
     assert(r.getLong(1) == (0L until 50000L).sum - 123L)
-    assert(ParquetBatchIO.batchReads.get() == 0,
-      "deleted-row overlay must suppress the columnar path")
+    assert(ParquetBatchIO.batchReads.get() > 0,
+      "a DELETE overlay must no longer forfeit the columnar path")
+    // string content around the deleted position survives the remap
+    val s = spark.sql(
+      "SELECT s FROM gcs.t WHERE k IN (122, 124) ORDER BY k").collect()
+    assert(s.map(_.getString(0)).toSeq == Seq(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("122"),
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("124")))
   }
 
-  test("pushed filter (exactly consumed by source) stays on row path") {
+  test("pushed filter (exactly consumed by source) scans columnar; " +
+      "batch rows are filtered row-exactly") {
     setup()
     spark.sql("DROP TABLE IF EXISTS gcs.t2")
     spark.sql("CREATE TABLE gcs.t2 (k BIGINT, v DOUBLE)")
@@ -77,9 +84,39 @@ class ColumnarScanSpec extends SparkTestBase {
     ParquetBatchIO.batchReads.set(0)
     val df = spark.sql("SELECT sum(v) AS sv FROM gcs.t2 WHERE k < 100")
     assert(df.head().getDouble(0) == (0L until 100L).map(_ * 0.5).sum)
+    assert(ParquetBatchIO.batchReads.get() > 0,
+      "exact-consumption filters must ride the selection vector, " +
+        "not force the row path")
+    // filter columns not in the output still prune correctly
+    val c = spark.sql(
+      "SELECT count(v) AS c FROM gcs.t2 WHERE k >= 9990").head()
+    assert(c.getLong(0) == 10L)
+  }
+
+  test("DELETE overlay + pushed filter compose on the columnar path") {
+    setup()
+    spark.sql("DELETE FROM gcs.t2 WHERE k = 50")
+    ParquetBatchIO.batchReads.set(0)
+    val r = spark.sql("SELECT sum(k) AS sk, count(*) AS c FROM gcs.t2 " +
+      "WHERE k < 100 GROUP BY k % 1").head()
+    assert(r.getLong(0) == (0L until 100L).sum - 50L)
+    assert(r.getLong(1) == 99L)
+    assert(ParquetBatchIO.batchReads.get() > 0)
+  }
+
+  test("UPDATE (patch overlay) declines the columnar path, stays correct") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gcs.up")
+    spark.sql("CREATE TABLE gcs.up (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gcs.up SELECT id, id * 1.0 FROM RANGE(1000)")
+    spark.sql("UPDATE gcs.up SET v = -1.0 WHERE k = 7")
+    ParquetBatchIO.batchReads.set(0)
+    val r = spark.sql(
+      "SELECT sum(v) AS sv FROM gcs.up GROUP BY k % 1").head()
+    assert(r.getDouble(0) == (0L until 1000L).map(_.toDouble).sum - 8.0)
     assert(ParquetBatchIO.batchReads.get() == 0,
-      "pushed filters are exactly consumed by the row reader; " +
-        "columnar must decline")
+      "a patch overlay rewrites rows in table layout — columnar must " +
+        "decline")
   }
 
   test("OPTIMIZE'd (compacted) table returns to the columnar path") {
@@ -106,10 +143,13 @@ class ColumnarScanSpec extends SparkTestBase {
     }
     val q = "SELECT sum(v) AS sv FROM gcs.rf WHERE k >= 5000 AND k < 6000"
     val expect = (5000L until 6000L).map(_ * 2.0).sum
-    // default: exact consumption -> row path
+    // default: exact consumption — columnar with row-wise selection,
+    // and the k<5000 file still skips at plan time (1 reader, not 2)
     ParquetBatchIO.batchReads.set(0)
     assert(spark.sql(q).collect()(0).getDouble(0) == expect)
-    assert(ParquetBatchIO.batchReads.get() == 0)
+    assert(ParquetBatchIO.batchReads.get() == 1,
+      s"expected 1 surviving file reader, " +
+        s"got ${ParquetBatchIO.batchReads.get()}")
     withConf("spark.graft.catalog.filters.residual" -> "true") {
       ParquetBatchIO.batchReads.set(0)
       MemScan.rowGroupsPruned.set(0)

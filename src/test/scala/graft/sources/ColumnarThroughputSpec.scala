@@ -53,4 +53,38 @@ class ColumnarThroughputSpec extends SparkTestBase {
     println(f"[colthru] columnar=$tCol%.3fs row=$tRow%.3fs " +
       f"speedup=${tRow / tCol}%.2fx")
   }
+
+  test("columnar vs row with a 1% DELETE overlay (selection vector)") {
+    spark.conf.set("spark.sql.catalog.gct", classOf[MemCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gct.path", root)
+    // 1% of rows deleted — the steady state of a production table;
+    // pre-round-17 this forfeited the vectorized path entirely
+    spark.sql("DELETE FROM gct.wide WHERE k % 100 = 37")
+    val q = "SELECT sum(a) AS sa, sum(b) AS sb, sum(c) AS sc, " +
+      "count(s) AS cs FROM gct.wide"
+    def run(): org.apache.spark.sql.Row = spark.sql(q).collect()(0)
+    def time(n: Int): Double = {
+      val ts = (1 to n).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(n / 2)
+    }
+    withConf("spark.graft.catalog.columnar.enabled" -> "false") { run() }
+    run()
+    ParquetBatchIO.batchReads.set(0)
+    val colRes = run()
+    assert(ParquetBatchIO.batchReads.get() > 0,
+      "columnar must engage UNDER the delete overlay")
+    assert(colRes.getLong(3) == 4000000L - 40000L)
+    val tCol = time(3)
+    val (rowRes, tRow) = withConf(
+        "spark.graft.catalog.columnar.enabled" -> "false") {
+      (run(), time(3))
+    }
+    assert(colRes == rowRes, s"$colRes != $rowRes")
+    info(f"1%%-deleted columnar: $tCol%.3f s; row: $tRow%.3f s; " +
+      f"speedup ${tRow / tCol}%.2fx")
+    println(f"[colthru-del] columnar=$tCol%.3fs row=$tRow%.3fs " +
+      f"speedup=${tRow / tCol}%.2fx")
+  }
 }

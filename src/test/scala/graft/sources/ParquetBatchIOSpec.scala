@@ -17,7 +17,7 @@ class ParquetBatchIOSpec extends SparkTestBase {
   private def drain(path: String, req: StructType,
       range: Option[(Long, Long)] = None): Vector[Vector[Any]] = {
     val r = range match {
-      case Some((s, e)) => ParquetBatchIO.open(path, req, s, e)
+      case Some((s, e)) => ParquetBatchIO.open(path, req, s, e, Nil)
       case None => ParquetBatchIO.open(path, req)
     }
     try {
