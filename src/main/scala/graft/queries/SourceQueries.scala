@@ -2370,6 +2370,128 @@ object SourceQueries {
         val served =
           if (graft.sources.MemCatalog.groupedAggServed > 0) 1L else 0L
         census.withColumn("metadata_served", lit(served))
+    },
+
+    // SUM/AVG METADATA-SERVED AGGREGATES (round-17): every write task
+    // folds EXACT per-file integral-column sums into the commit stats
+    // sidecar, so `SELECT sum(cents), avg(cents) WHERE k > cut` folds
+    // from metadata — file-aligned predicates decode ZERO rows
+    // (CatalogFilterSpec pins the counter), a straddling cut decodes
+    // only the straddled file, overflow/floats/overlays decline.
+    // AVG serves only while the exact sum is double-representable
+    // (< 2^53), so the metadata answer is bit-identical to Spark's
+    // and DuckDB's double-accumulated average. The served flag is
+    // pinned on the ALIGNED mode (SF-independent); the straddle mode
+    // is value-checked regardless of how it was served.
+    QueryDef("q334_aggpush_sum",
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |         round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |cut AS (SELECT CAST(max(k) AS BIGINT) / 2 AS mid,
+        |               CAST(max(k) AS BIGINT) / 4 AS q1 FROM src),
+        |aligned AS (
+        |  SELECT 'aligned' AS mode, count(*)::BIGINT AS n,
+        |         CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |         avg(cents) AS cents_avg
+        |  FROM src, cut WHERE k > mid),
+        |straddle AS (
+        |  SELECT 'straddle' AS mode, count(*)::BIGINT AS n,
+        |         CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |         avg(cents) AS cents_avg
+        |  FROM src, cut WHERE k > q1)
+        |SELECT mode, n, cents_sum, cents_avg,
+        |       CAST(1 AS BIGINT) AS aligned_served
+        |FROM (SELECT * FROM aligned UNION ALL SELECT * FROM straddle)
+        |ORDER BY mode""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.sumpf")
+      spark.sql("CREATE TABLE graftmem.sumpf (k BIGINT, cents BIGINT)")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q334_src")
+      val mx = spark.sql("SELECT max(k) FROM q334_src").head().getLong(0)
+      val mid = mx / 2
+      val q1 = mx / 4
+      // eight range-disjoint files: k > mid is FILE-ALIGNED; k > q1
+      // straddles one file (which decodes whole — parquet footers
+      // carry no sums, so sum skipping is file-grain)
+      val step = (mx + 7) / 8
+      (0L until 8L).foreach { i =>
+        spark.sql("INSERT INTO graftmem.sumpf " +
+          s"SELECT /*+ REPARTITION(1) */ * FROM q334_src " +
+          s"WHERE k > ${i * step} AND k <= ${(i + 1) * step}")
+      }
+      graft.sources.MemCatalog.resetFilteredAggServed()
+      def one(mode: String, pred: Long) = spark.sql(
+        s"""SELECT '$mode' AS mode, count(*) AS n,
+           |       sum(cents) AS cents_sum, avg(cents) AS cents_avg
+           |FROM graftmem.sumpf WHERE k > $pred""".stripMargin)
+      val aligned = one("aligned", mid)
+      aligned.collect()
+      val served =
+        if (graft.sources.MemCatalog.filteredAggServed > 0) 1L
+        else 0L
+      aligned.unionByName(one("straddle", q1))
+        .withColumn("aligned_served", lit(served))
+        .orderBy(col("mode"))
+    },
+
+    // GROUPED CENSUS UNDER A CLUSTERED-KEY PREDICATE + SUM/AVG
+    // (round-17): `GROUP BY part WHERE k > cut` composes the q330
+    // file-admission machinery into the q333 partition census — files
+    // the predicate PROVES contribute their stats (sums included) to
+    // their group, contradicted files drop, only straddled files
+    // decode (each file belongs to ONE group, so boundary rows fold
+    // into a known group). The daily revenue-per-priority census over
+    // a date-clustered 100 TB table stays O(metadata + boundary).
+    QueryDef("q335_grouped_sum_census",
+      """WITH src AS (
+        |  SELECT o_orderpriority AS pri, o_orderkey AS k,
+        |         round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |cut AS (SELECT CAST(max(k) AS BIGINT) / 2 AS mid FROM src)
+        |SELECT pri, count(*)::BIGINT AS n,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |       avg(cents) AS cents_avg,
+        |       CAST(1 AS BIGINT) AS metadata_served
+        |FROM src, cut WHERE k > mid
+        |GROUP BY pri ORDER BY pri""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.census2")
+      spark.sql(
+        """CREATE TABLE graftmem.census2 (pri STRING, k BIGINT,
+          |  cents BIGINT) PARTITIONED BY (pri)""".stripMargin)
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderpriority").as("pri"),
+          col("o_orderkey").cast("long").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q335_src")
+      val mx = spark.sql("SELECT max(k) FROM q335_src").head().getLong(0)
+      val mid = mx / 2
+      // two k-disjoint generations per partition: the WHERE below is
+      // file-aligned, so the census folds entirely from commit stats
+      spark.sql("INSERT INTO graftmem.census2 " +
+        s"SELECT /*+ REPARTITION(1) */ * FROM q335_src WHERE k <= $mid")
+      spark.sql("INSERT INTO graftmem.census2 " +
+        s"SELECT /*+ REPARTITION(1) */ * FROM q335_src WHERE k > $mid")
+      graft.sources.MemCatalog.resetGroupedAggServed()
+      val census = spark.sql(
+        s"""SELECT pri, count(*) AS n, sum(cents) AS cents_sum,
+           |       avg(cents) AS cents_avg
+           |FROM graftmem.census2 WHERE k > $mid
+           |GROUP BY pri ORDER BY pri""".stripMargin)
+      census.collect()
+      val served =
+        if (graft.sources.MemCatalog.groupedAggServed > 0) 1L else 0L
+      census.withColumn("metadata_served", lit(served))
     }
   )
 

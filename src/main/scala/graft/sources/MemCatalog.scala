@@ -756,6 +756,10 @@ object MemCatalog {
   def groupedAggServed: Long = MemScan.aggPushGroupedServed.get()
   def resetGroupedAggServed(): Unit = MemScan.aggPushGroupedServed.set(0)
 
+  /** PUBLIC probe for the filtered-aggregate metadata path. */
+  def filteredAggServed: Long = MemScan.aggPushFilteredServed.get()
+  def resetFilteredAggServed(): Unit = MemScan.aggPushFilteredServed.set(0)
+
   // ---- BRANCHES (see [[Branches]]) -----------------------------------
 
   private def branchKey(cat: String, table: String, branch: String): String =
@@ -1876,16 +1880,31 @@ private[sources] final class MemStore(schema0: StructType,
     * previous version's statistics — zero recomputation). Untouched
     * files are never named and pass through BYTE-IDENTICAL — the
     * O(dirty) maintenance cost that makes the verb schedulable at
-    * 100 TB. Any interleaved commit aborts (recompute and rerun). */
+    * 100 TB.
+    *
+    * CONCURRENCY: the compaction REBASES over interleaved APPENDS —
+    * an append only adds files, so the rewrite's inputs (the named
+    * files, their overlays, their replacement content) are untouched
+    * and the drop-add lands on the new head exactly as it would have
+    * serially; maintenance stays schedulable while ingest is live.
+    * Anything else interleaving (row-level DML could overlay a named
+    * file, another compaction could drop it, schema/spec changes
+    * invalidate the rewrite) aborts loudly — rerun OPTIMIZE. */
   def compactFiles(removeNames: Set[String], add: Seq[FileRef],
       expectedVersion: Int): Unit = synchronized {
     val l = log.getOrElse(throw new IllegalStateException(
       "compactFiles needs a durable log"))
-    if (currentVersion != expectedVersion)
+    def appendsOnly(ds: Seq[VDelta]): Boolean =
+      ds.forall { case _: VAppend => true; case _ => false }
+    if (currentVersion != expectedVersion &&
+        !appendsOnly(deltasAfter(expectedVersion)))
       throw new java.util.ConcurrentModificationException(
-        s"concurrent commit(s) advanced version $expectedVersion -> " +
+        s"non-append commit(s) advanced version $expectedVersion -> " +
           s"$currentVersion under this compaction — rerun OPTIMIZE")
-    publishWithRetry(l)(es => if (es.nonEmpty)
+    publishWithRetry(l)(es => if (!es.forall {
+        case f: FileCommit => f.mode == FileCommit.Append
+        case _ => false
+      })
       throw new java.util.ConcurrentModificationException(
         s"concurrent commits ${es.map(_.version).mkString(",")} conflict " +
           "with a compaction — rerun OPTIMIZE")) { next =>
@@ -2959,6 +2978,16 @@ private[sources] final class MemScanBuilder(store: MemStore,
     case _ => None
   }
 
+  /** SUM/AVG pushdown serves INTEGRAL columns only (exact Long sums;
+    * floats are addition-order-dependent) — the type guard must hold
+    * at target-construction time, or a float column would slip into
+    * the boundary decode's integer fold. */
+  private def sumServable(n: String): Boolean = {
+    val sch = store.schema
+    sch.fieldNames.contains(n) &&
+      CommitStats.sumTracked(sch(sch.fieldIndex(n)).dataType)
+  }
+
   private def plan(agg: Aggregation)
       : Option[(StructType, Vector[InternalRow])] = {
     if (agg.groupByExpressions.nonEmpty) return planGrouped(agg)
@@ -3009,6 +3038,32 @@ private[sources] final class MemScanBuilder(store: MemStore,
               true
             case None => false
           }
+        // SUM/AVG from the exact per-column sums the write tasks
+        // folded (integral columns only; None = pre-sum history or
+        // overflow -> decline, Spark scans). SQL semantics: all-NULL
+        // (or empty) input sums to NULL, never 0.
+        case s: Sum if !s.isDistinct =>
+          colName(s.column).flatMap(n => st.cols.get(n).map((n, _))) match {
+            case Some((n, cs)) if cs.sum.isDefined =>
+              fields += org.apache.spark.sql.types.StructField(
+                "sum_col", org.apache.spark.sql.types.LongType)
+              values += (if (st.count - cs.nulls == 0) null else cs.sum.get)
+              true
+            case _ => false
+          }
+        case a: Avg if !a.isDistinct =>
+          colName(a.column).flatMap(n => st.cols.get(n).map((n, _))) match {
+            case Some((n, cs))
+                // exact only while the sum is exactly representable in
+                // the double Spark's Average accumulates in
+                if cs.sum.exists(s => math.abs(s) <= MemScan.ExactInDouble) =>
+              fields += org.apache.spark.sql.types.StructField(
+                "avg_col", org.apache.spark.sql.types.DoubleType)
+              val nn = st.count - cs.nulls
+              values += (if (nn == 0) null else cs.sum.get.toDouble / nn)
+              true
+            case _ => false
+          }
         case _ => false
       }
       if (!ok) None
@@ -3032,7 +3087,7 @@ private[sources] final class MemScanBuilder(store: MemStore,
     * work with ZERO rows decoded in the clean (aligned) case. */
   private def planFiltered(agg: Aggregation)
       : Option[(StructType, Vector[InternalRow])] = {
-    import org.apache.spark.sql.types.{LongType, StructField}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
     if (pinned.isDefined || store.dataDirStr.isEmpty) return None
     val (snap, _) = store.currentState()
     val clean = snap.segs.forall(ls => ls.dels.isEmpty &&
@@ -3044,6 +3099,8 @@ private[sources] final class MemScanBuilder(store: MemStore,
     final case class CCol(n: String) extends Tgt
     final case class MinC(n: String) extends Tgt
     final case class MaxC(n: String) extends Tgt
+    final case class SumC(n: String) extends Tgt
+    final case class AvgC(n: String) extends Tgt
     val schema = store.schema
     val targets: Seq[Tgt] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => CStar
@@ -3051,12 +3108,34 @@ private[sources] final class MemScanBuilder(store: MemStore,
         colName(c.column).map(CCol.apply).getOrElse(return None)
       case m: Min => colName(m.column).map(MinC.apply).getOrElse(return None)
       case m: Max => colName(m.column).map(MaxC.apply).getOrElse(return None)
+      case s: Sum if !s.isDistinct =>
+        colName(s.column).filter(sumServable).map(SumC.apply)
+          .getOrElse(return None)
+      case a: Avg if !a.isDistinct =>
+        colName(a.column).filter(sumServable).map(AvgC.apply)
+          .getOrElse(return None)
       case _ => return None
     }
     val aggCols = targets.collect {
       case CCol(n) => n; case MinC(n) => n; case MaxC(n) => n
+      case SumC(n) => n; case AvgC(n) => n
     }.distinct
     if (aggCols.exists(n => !schema.fieldNames.contains(n))) return None
+    // SUM/AVG live on per-FILE sums (parquet footers have none), so
+    // file-interior row groups can't contribute from stats: the
+    // skipping grain coarsens to whole files for those targets
+    val needSums = targets.exists {
+      case SumC(_) | AvgC(_) => true; case _ => false
+    }
+
+    // per-COLUMN accumulation (a column shared by several targets —
+    // sum(k), avg(k), count(k) — must fold each population ONCE)
+    val minCols = targets.collect { case MinC(n) => n }.distinct
+    val maxCols = targets.collect { case MaxC(n) => n }.distinct
+    val sumCols = targets.collect {
+      case SumC(n) => n; case AvgC(n) => n }.distinct
+    val nonNullCols = (targets.collect { case CCol(n) => n }
+      ++ sumCols).distinct
 
     // fold state
     var cnt = 0L
@@ -3064,6 +3143,8 @@ private[sources] final class MemScanBuilder(store: MemStore,
       .withDefaultValue(0L)
     val mins = scala.collection.mutable.Map.empty[String, Any]
     val maxs = scala.collection.mutable.Map.empty[String, Any]
+    val sums = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
     def foldMin(n: String, v: Any): Unit =
       if (!mins.contains(n) || MemFilters.cmp(v, mins(n)) < 0) mins(n) = v
     def foldMax(n: String, v: Any): Unit =
@@ -3072,27 +3153,30 @@ private[sources] final class MemScanBuilder(store: MemStore,
       * false = stats insufficient for some target -> decline. */
     def contribute(cs: CommitStats): Boolean = {
       cnt += cs.count
-      targets.forall {
-        case CStar => true
-        case CCol(n) => cs.cols.get(n) match {
-          case Some(c) => nonNull(n) += cs.count - c.nulls; true
-          case None => false
+      nonNullCols.forall(n => cs.cols.get(n) match {
+        case Some(c) => nonNull(n) += cs.count - c.nulls; true
+        case None => false
+      }) &&
+      minCols.forall(n => cs.cols.get(n) match {
+        case Some(c) if c.tracked => c.min match {
+          case Some(v) => foldMin(n, v); true
+          case None => c.nulls == cs.count // all-NULL: contributes none
         }
-        case MinC(n) => cs.cols.get(n) match {
-          case Some(c) if c.tracked => c.min match {
-            case Some(v) => foldMin(n, v); true
-            case None => c.nulls == cs.count // all-NULL: contributes none
-          }
-          case _ => false
+        case _ => false
+      }) &&
+      maxCols.forall(n => cs.cols.get(n) match {
+        case Some(c) if c.tracked => c.max match {
+          case Some(v) => foldMax(n, v); true
+          case None => c.nulls == cs.count
         }
-        case MaxC(n) => cs.cols.get(n) match {
-          case Some(c) if c.tracked => c.max match {
-            case Some(v) => foldMax(n, v); true
-            case None => c.nulls == cs.count
-          }
-          case _ => false
-        }
-      }
+        case _ => false
+      }) &&
+      sumCols.forall(n => cs.cols.get(n) match {
+        case Some(c) if c.sum.isDefined =>
+          try { sums(n) = Math.addExact(sums(n), c.sum.get); true }
+          catch { case _: ArithmeticException => false }
+        case _ => false
+      })
     }
 
     val preds = pushedArr.toSeq
@@ -3117,7 +3201,11 @@ private[sources] final class MemScanBuilder(store: MemStore,
               if (MemFilters.contradictsStats(some, dataSchema, preds))
                 MemScan.rowGroupsPruned.incrementAndGet()
               else {
-                if (MemFilters.provesAll(some, dataSchema, preds)) {
+                // parquet footers carry no column sums, so a proved
+                // interior group can't serve SUM/AVG from stats —
+                // it decodes with the boundary set instead
+                if (!needSums &&
+                    MemFilters.provesAll(some, dataSchema, preds)) {
                   if (!contribute(cs)) return None
                 } else boundary += ((f.path, b))
               }
@@ -3144,27 +3232,32 @@ private[sources] final class MemScanBuilder(store: MemStore,
         case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
         case v => v
       }
-    bBlocks.foreach { case (path, b) =>
+    try bBlocks.foreach { case (path, b) =>
       val it = ParquetRowIO.open(path, readSchema, b.startByte, b.endByte,
         preds)
       try it.foreach { r =>
         MemScan.aggPushBoundaryRows.incrementAndGet()
         if (MemFilters.eval(readSchema, preds, r)) {
           cnt += 1
-          targets.foreach {
-            case CStar => ()
-            case CCol(n) =>
-              if (!r.isNullAt(colIdx(n))) nonNull(n) += 1
-            case MinC(n) =>
-              val i = colIdx(n)
-              if (!r.isNullAt(i)) foldMin(n, stable(r, i))
-            case MaxC(n) =>
-              val i = colIdx(n)
-              if (!r.isNullAt(i)) foldMax(n, stable(r, i))
+          nonNullCols.foreach(n =>
+            if (!r.isNullAt(colIdx(n))) nonNull(n) += 1)
+          minCols.foreach { n =>
+            val i = colIdx(n)
+            if (!r.isNullAt(i)) foldMin(n, stable(r, i))
+          }
+          maxCols.foreach { n =>
+            val i = colIdx(n)
+            if (!r.isNullAt(i)) foldMax(n, stable(r, i))
+          }
+          sumCols.foreach { n =>
+            val i = colIdx(n)
+            if (!r.isNullAt(i))
+              sums(n) = Math.addExact(sums(n), CommitStats.asLong(
+                r.get(i, readSchema(i).dataType)))
           }
         }
       } finally it.close()
-    }
+    } catch { case _: ArithmeticException => return None } // sum overflow
 
     MemScan.aggPushFilteredServed.incrementAndGet()
     val fields = Vector.newBuilder[StructField]
@@ -3184,6 +3277,15 @@ private[sources] final class MemScanBuilder(store: MemStore,
         fields += StructField("max_col",
           schema(schema.fieldIndex(n)).dataType)
         values += maxs.getOrElse(n, null)
+      case SumC(n) =>
+        fields += StructField("sum_col", LongType)
+        values += (if (nonNull(n) == 0) null else sums(n))
+      case AvgC(n) =>
+        if (nonNull(n) != 0 && math.abs(sums(n)) > MemScan.ExactInDouble)
+          return None // double-exactness bound: let Spark scan
+        fields += StructField("avg_col", DoubleType)
+        values += (if (nonNull(n) == 0) null
+          else sums(n).toDouble / nonNull(n))
     }
     Some((StructType(fields.result()),
       Vector(new org.apache.spark.sql.catalyst.expressions
@@ -3197,29 +3299,37 @@ private[sources] final class MemScanBuilder(store: MemStore,
     * The per-partition census a 100 TB table gets asked daily.
     * Serves when: every grouping expression is an IDENTITY partition
     * source column of the CURRENT spec, the snapshot is overlay-free
-    * single-generation files with stats, no pushed filters, and the
-    * aggregates are COUNT(*)/COUNT(col)/MIN/MAX over stats-tracked
-    * columns. Declines otherwise (the distributed scan answers). */
+    * single-generation files with stats, and the aggregates are
+    * COUNT(*)/COUNT(col)/MIN/MAX/SUM/AVG over stats-tracked columns.
+    *
+    * Pushed filters compose two ways: IDENTITY-partition-column
+    * filters evaluate exactly on each file's tuple (whole files keep
+    * or drop, zero rows decoded); any OTHER provable filter reuses
+    * the filtered-aggregate machinery per file — files the predicate
+    * provably covers contribute their stats to their group, files it
+    * contradicts drop, and only BOUNDARY files/row-groups decode
+    * (each file's rows all belong to one group, so boundary rows fold
+    * into a known group), behind the same row budget. Declines
+    * otherwise (the distributed scan answers). */
   private def planGrouped(agg: Aggregation)
       : Option[(StructType, Vector[InternalRow])] = {
-    import org.apache.spark.sql.types.{LongType, StructField}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
     if (pinned.isDefined || store.dataDirStr.isEmpty) return None
     val spec = store.partSpec
     val specIdx: Map[String, Int] = spec.zipWithIndex.collect {
       case (PIdentity(c), i) => c -> i
     }.toMap
-    // pushed filters over IDENTITY PARTITION columns only: a file's
-    // rows all share the tuple, so the conjunction evaluates EXACTLY
-    // on the tuple itself — whole files keep or drop, still zero rows
-    // decoded (`WHERE day >= 'd1' GROUP BY day`); any other filter
-    // reference declines
-    if (!pushedArr.forall(_.references.forall(specIdx.contains)))
-      return None
+    // tuple-exact filters vs row filters: a file's rows all share the
+    // partition tuple, so a filter referencing ONLY identity partition
+    // columns evaluates exactly on the tuple; everything else goes
+    // through per-file stats admission + boundary decode
+    val (tupleFilters, rowFilters) = pushedArr.toSeq.partition(
+      _.references.forall(specIdx.contains))
     val tupleSchema = StructType(specIdx.keys.toSeq.sorted.map(c =>
       dataSchema(dataSchema.fieldIndex(c))))
     val tupleFieldIdx: Seq[Int] = tupleSchema.fieldNames.map(specIdx(_))
     def tupleSurvives(pv: Vector[Any]): Boolean =
-      pushedArr.isEmpty || MemFilters.eval(tupleSchema, pushedArr.toSeq,
+      tupleFilters.isEmpty || MemFilters.eval(tupleSchema, tupleFilters,
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           tupleFieldIdx.map(pv(_)).toArray))
     val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map(e =>
@@ -3241,6 +3351,8 @@ private[sources] final class MemScanBuilder(store: MemStore,
     final case class CCol(n: String) extends Tgt
     final case class MinC(n: String) extends Tgt
     final case class MaxC(n: String) extends Tgt
+    final case class SumC(n: String) extends Tgt
+    final case class AvgC(n: String) extends Tgt
     val schema = store.schema
     val targets: Seq[Tgt] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => CStar
@@ -3248,11 +3360,26 @@ private[sources] final class MemScanBuilder(store: MemStore,
         colName(c.column).map(CCol.apply).getOrElse(return None)
       case m: Min => colName(m.column).map(MinC.apply).getOrElse(return None)
       case m: Max => colName(m.column).map(MaxC.apply).getOrElse(return None)
+      case s: Sum if !s.isDistinct =>
+        colName(s.column).filter(sumServable).map(SumC.apply)
+          .getOrElse(return None)
+      case a: Avg if !a.isDistinct =>
+        colName(a.column).filter(sumServable).map(AvgC.apply)
+          .getOrElse(return None)
       case _ => return None
     }
-    if (targets.collect { case CCol(n) => n; case MinC(n) => n
-        case MaxC(n) => n }
-      .exists(n => !schema.fieldNames.contains(n))) return None
+    val aggCols = targets.collect {
+      case CCol(n) => n; case MinC(n) => n; case MaxC(n) => n
+      case SumC(n) => n; case AvgC(n) => n
+    }.distinct
+    if (aggCols.exists(n => !schema.fieldNames.contains(n))) return None
+    val minCols = targets.collect { case MinC(n) => n }.distinct
+    val maxCols = targets.collect { case MaxC(n) => n }.distinct
+    val sumCols = targets.collect {
+      case SumC(n) => n; case AvgC(n) => n }.distinct
+    val nonNullCols = (targets.collect { case CCol(n) => n }
+      ++ sumCols).distinct
+    val needSums = sumCols.nonEmpty
 
     final class GState {
       var cnt = 0L
@@ -3260,50 +3387,138 @@ private[sources] final class MemScanBuilder(store: MemStore,
         .withDefaultValue(0L)
       val mins = scala.collection.mutable.Map.empty[String, Any]
       val maxs = scala.collection.mutable.Map.empty[String, Any]
+      val sums = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
     }
     val groups =
       scala.collection.mutable.LinkedHashMap.empty[Vector[Any], GState]
+    def contribute(g: GState, cs: CommitStats): Boolean = {
+      g.cnt += cs.count
+      nonNullCols.forall(n => cs.cols.get(n) match {
+        case Some(c) => g.nonNull(n) += cs.count - c.nulls; true
+        case None => false
+      }) &&
+      minCols.forall(n => cs.cols.get(n) match {
+        case Some(c) if c.tracked => c.min match {
+          case Some(v) =>
+            if (!g.mins.contains(n) ||
+              MemFilters.cmp(v, g.mins(n)) < 0) g.mins(n) = v
+            true
+          case None => c.nulls == cs.count
+        }
+        case _ => false
+      }) &&
+      maxCols.forall(n => cs.cols.get(n) match {
+        case Some(c) if c.tracked => c.max match {
+          case Some(v) =>
+            if (!g.maxs.contains(n) ||
+              MemFilters.cmp(v, g.maxs(n)) > 0) g.maxs(n) = v
+            true
+          case None => c.nulls == cs.count
+        }
+        case _ => false
+      }) &&
+      sumCols.forall(n => cs.cols.get(n) match {
+        case Some(c) if c.sum.isDefined =>
+          try { g.sums(n) = Math.addExact(g.sums(n), c.sum.get); true }
+          catch { case _: ArithmeticException => false }
+        case _ => false
+      })
+    }
+
+    // boundary = (group state, file path, row-group) decodes after
+    // stats admission, same budget as the ungrouped filtered path
+    val boundary =
+      Vector.newBuilder[(GState, String, ParquetRowIO.Block)]
     snap.segs.foreach { ls =>
       val f = ls.seg.asInstanceOf[FileSeg]
       if (!tupleSurvives(f.partVals.get)) ()
       else {
-      val cs = f.stats.get
-      val key = gidx.map(f.partVals.get(_)).toVector
-      val g = groups.getOrElseUpdate(key, new GState)
-      g.cnt += cs.count
-      val ok = targets.forall {
-        case CStar => true
-        case CCol(n) => cs.cols.get(n) match {
-          case Some(c) => g.nonNull(n) += cs.count - c.nulls; true
-          case None => false
-        }
-        case MinC(n) => cs.cols.get(n) match {
-          case Some(c) if c.tracked => c.min match {
-            case Some(v) =>
-              if (!g.mins.contains(n) ||
-                MemFilters.cmp(v, g.mins(n)) < 0) g.mins(n) = v
-              true
-            case None => c.nulls == cs.count
+        val key = gidx.map(f.partVals.get(_)).toVector
+        lazy val g = groups.getOrElseUpdate(key, new GState)
+        if (rowFilters.isEmpty) {
+          if (!contribute(g, f.stats.get)) return None
+        } else if (MemFilters.contradictsStats(f.stats, dataSchema,
+            rowFilters)) {
+          MemScan.partPruned.incrementAndGet()
+        } else if (MemFilters.provesAll(f.stats, dataSchema, rowFilters)) {
+          if (!contribute(g, f.stats.get)) return None
+        } else {
+          ParquetRowIO.blockStats(f.path, dataSchema).foreach {
+            case (b, cs) =>
+              val some = Some(cs)
+              if (MemFilters.contradictsStats(some, dataSchema, rowFilters))
+                MemScan.rowGroupsPruned.incrementAndGet()
+              else if (!needSums &&
+                  MemFilters.provesAll(some, dataSchema, rowFilters)) {
+                if (!contribute(g, cs)) return None
+              } else boundary += ((g, f.path, b))
           }
-          case _ => false
-        }
-        case MaxC(n) => cs.cols.get(n) match {
-          case Some(c) if c.tracked => c.max match {
-            case Some(v) =>
-              if (!g.maxs.contains(n) ||
-                MemFilters.cmp(v, g.maxs(n)) > 0) g.maxs(n) = v
-              true
-            case None => c.nulls == cs.count
-          }
-          case _ => false
         }
       }
-      if (!ok) return None
-      }
+    }
+    val bBlocks = boundary.result()
+    val budget = sys.props
+      .getOrElse("graft.catalog.aggpush.boundary", "262144").toLong
+    if (bBlocks.iterator.map(_._3.rows).sum > budget) return None
+    if (bBlocks.nonEmpty) {
+      val readCols = (aggCols ++ rowFilters.flatMap(_.references)).distinct
+        .filter(dataSchema.fieldNames.contains)
+      val readSchema = StructType(readCols.map(n =>
+        dataSchema(dataSchema.fieldIndex(n))))
+      val colIdx = readCols.zipWithIndex.toMap
+      def stable(r: InternalRow, i: Int): Any =
+        r.get(i, readSchema(i).dataType) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
+          case v => v
+        }
+      try bBlocks.foreach { case (g, path, b) =>
+        val it = ParquetRowIO.open(path, readSchema, b.startByte,
+          b.endByte, rowFilters)
+        try it.foreach { r =>
+          MemScan.aggPushBoundaryRows.incrementAndGet()
+          if (MemFilters.eval(readSchema, rowFilters, r)) {
+            g.cnt += 1
+            nonNullCols.foreach(n =>
+              if (!r.isNullAt(colIdx(n))) g.nonNull(n) += 1)
+            minCols.foreach { n =>
+              val i = colIdx(n)
+              if (!r.isNullAt(i)) {
+                val v = stable(r, i)
+                if (!g.mins.contains(n) ||
+                  MemFilters.cmp(v, g.mins(n)) < 0) g.mins(n) = v
+              }
+            }
+            maxCols.foreach { n =>
+              val i = colIdx(n)
+              if (!r.isNullAt(i)) {
+                val v = stable(r, i)
+                if (!g.maxs.contains(n) ||
+                  MemFilters.cmp(v, g.maxs(n)) > 0) g.maxs(n) = v
+              }
+            }
+            sumCols.foreach { n =>
+              val i = colIdx(n)
+              if (!r.isNullAt(i))
+                g.sums(n) = Math.addExact(g.sums(n), CommitStats.asLong(
+                  r.get(i, readSchema(i).dataType)))
+            }
+          }
+        } finally it.close()
+      } catch { case _: ArithmeticException => return None }
     }
 
     // the V2ScanRelationPushDown contract: output = GROUPING columns
-    // first, then the aggregate columns, positionally
+    // first, then the aggregate columns, positionally. Groups whose
+    // every row the filter dropped emit nothing (SQL GROUP BY
+    // semantics: a group exists only if a row survives).
+    val live = groups.iterator.filter { case (_, g) =>
+      rowFilters.isEmpty || g.cnt > 0
+    }.toVector
+    for ((_, g) <- live; n <- sumCols)
+      if (targets.exists { case AvgC(`n`) => true; case _ => false } &&
+          g.nonNull(n) != 0 && math.abs(g.sums(n)) > MemScan.ExactInDouble)
+        return None // double-exactness bound: let Spark scan
     val fields = Vector.newBuilder[StructField]
     groupCols.foreach(c => fields += schema(schema.fieldIndex(c)))
     targets.foreach {
@@ -3317,8 +3532,12 @@ private[sources] final class MemScanBuilder(store: MemStore,
       case MaxC(n) =>
         fields += StructField("max_col",
           schema(schema.fieldIndex(n)).dataType)
+      case SumC(_) =>
+        fields += StructField("sum_col", LongType)
+      case AvgC(_) =>
+        fields += StructField("avg_col", DoubleType)
     }
-    val rows = groups.iterator.map { case (key, g) =>
+    val rows = live.map { case (key, g) =>
       val vals = Vector.newBuilder[Any]
       vals ++= key
       targets.foreach {
@@ -3326,10 +3545,15 @@ private[sources] final class MemScanBuilder(store: MemStore,
         case CCol(n) => vals += g.nonNull(n)
         case MinC(n) => vals += g.mins.getOrElse(n, null)
         case MaxC(n) => vals += g.maxs.getOrElse(n, null)
+        case SumC(n) =>
+          vals += (if (g.nonNull(n) == 0) null else g.sums(n))
+        case AvgC(n) =>
+          vals += (if (g.nonNull(n) == 0) null
+            else g.sums(n).toDouble / g.nonNull(n))
       }
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         vals.result().toArray): InternalRow
-    }.toVector
+    }
     MemScan.aggPushGroupedServed.incrementAndGet()
     Some((StructType(fields.result()), rows))
   }
@@ -3900,6 +4124,11 @@ private[sources] object MemScan {
   /** TEST HOOK: GROUP-BY-partition aggregates served from metadata. */
   private[sources] val aggPushGroupedServed =
     new java.util.concurrent.atomic.AtomicLong
+
+  /** Largest magnitude exactly representable in a double — the bound
+    * under which a metadata-served AVG (exact integer sum / count)
+    * matches Spark's double-accumulated Average bit-for-bit. */
+  private[sources] val ExactInDouble: Long = 1L << 53
 
   /** Rows per planned heap slice (and the single-partition threshold). */
   val TargetChunk: Int =

@@ -10,9 +10,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * snapshot version): null count, and min/max for orderable atomic
   * types. `tracked = false` marks types whose min/max the stats layer
   * deliberately does not serve (floating point — NaN/-0.0 ordering —
-  * and non-atomic types); COUNT pushdown still works for them. */
+  * and non-atomic types); COUNT pushdown still works for them.
+  * `sum` is the EXACT non-null total for integral columns (None =
+  * unknown: pre-sum history, Long overflow, or a non-integral type) —
+  * what lets `SELECT sum(col)` serve from metadata; floating point is
+  * deliberately excluded (addition-order-dependent). */
 private[sources] final case class ColStats(nulls: Long, tracked: Boolean,
-    min: Option[Any], max: Option[Any])
+    min: Option[Any], max: Option[Any], sum: Option[Long] = None)
 
 /** Snapshot/commit statistics — the miniature of the per-file stats a
   * Delta/Iceberg commit log carries (`numRecords`, `minValues`,
@@ -48,6 +52,32 @@ private[sources] object CommitStats {
     case _ => false
   }
 
+  /** Exact SUM is tracked for plain integral types only: Long math is
+    * exact and order-free, overflow is detected (`Math.addExact`) and
+    * demotes the stat to unknown. Dates/timestamps are orderable but
+    * their sums are meaningless; floats are order-dependent. */
+  def sumTracked(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  private[sources] def asLong(v: Any): Long = v match {
+    case x: java.lang.Long => x.longValue()
+    case x: java.lang.Integer => x.longValue()
+    case x: java.lang.Short => x.longValue()
+    case x: java.lang.Byte => x.longValue()
+    case other => throw new IllegalStateException(
+      s"sum over non-integral value $other")
+  }
+
+  private def addSums(a: Option[Long], b: Option[Long]): Option[Long] =
+    (a, b) match {
+      case (Some(x), Some(y)) =>
+        try Some(Math.addExact(x, y))
+        catch { case _: ArithmeticException => None }
+      case _ => None
+    }
+
   private def cmp(a: Any, b: Any): Int =
     a.asInstanceOf[Comparable[Any]].compareTo(b)
 
@@ -70,9 +100,13 @@ private[sources] object CommitStats {
     private val n = schema.length
     private val tracked =
       Array.tabulate(n)(i => minMaxTracked(schema(i).dataType))
+    private val sumT =
+      Array.tabulate(n)(i => sumTracked(schema(i).dataType))
     private val nulls = new Array[Long](n)
     private val mins = new Array[Any](n)
     private val maxs = new Array[Any](n)
+    private val sums = new Array[Long](n)
+    private val sumOk = Array.fill(n)(true)
     private var count = 0L
     def add(r: InternalRow): Unit = {
       count += 1
@@ -83,6 +117,10 @@ private[sources] object CommitStats {
           val v = r.get(i, schema(i).dataType)
           if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = stable(v)
           if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = stable(v)
+          if (sumT(i) && sumOk(i)) {
+            try sums(i) = Math.addExact(sums(i), asLong(v))
+            catch { case _: ArithmeticException => sumOk(i) = false }
+          }
         }
         i += 1
       }
@@ -90,7 +128,8 @@ private[sources] object CommitStats {
     def result: CommitStats =
       CommitStats(count, schema.fields.zipWithIndex.map { case (f, i) =>
         f.name ->
-          ColStats(nulls(i), tracked(i), Option(mins(i)), Option(maxs(i)))
+          ColStats(nulls(i), tracked(i), Option(mins(i)), Option(maxs(i)),
+            if (sumT(i) && sumOk(i)) Some(sums(i)) else None)
       }.toMap)
   }
 
@@ -104,7 +143,8 @@ private[sources] object CommitStats {
 
   def empty(schema: StructType): CommitStats =
     CommitStats(0L, schema.fields.map(f =>
-      f.name -> ColStats(0L, minMaxTracked(f.dataType), None, None)).toMap)
+      f.name -> ColStats(0L, minMaxTracked(f.dataType), None, None,
+        if (sumTracked(f.dataType)) Some(0L) else None)).toMap)
 
   /** Fold an append commit's stats onto the running snapshot stats. A
     * column absent from one side (added by a later ADD COLUMN) is
@@ -113,8 +153,12 @@ private[sources] object CommitStats {
   def merge(a: CommitStats, b: CommitStats): CommitStats = {
     val names = a.cols.keySet ++ b.cols.keySet
     CommitStats(a.count + b.count, names.iterator.map { nm =>
-      val ca = a.cols.getOrElse(nm, ColStats(a.count, tracked = true, None, None))
-      val cb = b.cols.getOrElse(nm, ColStats(b.count, tracked = true, None, None))
+      // a column absent from one side is all-NULL there: zero sum
+      // (SQL sums skip nulls; emptiness is decided by non-null count)
+      val ca = a.cols.getOrElse(nm,
+        ColStats(a.count, tracked = true, None, None, Some(0L)))
+      val cb = b.cols.getOrElse(nm,
+        ColStats(b.count, tracked = true, None, None, Some(0L)))
       val mn = (ca.min, cb.min) match {
         case (Some(x), Some(y)) => Some(if (cmp(x, y) <= 0) x else y)
         case (x, y) => x.orElse(y)
@@ -123,7 +167,8 @@ private[sources] object CommitStats {
         case (Some(x), Some(y)) => Some(if (cmp(x, y) >= 0) x else y)
         case (x, y) => x.orElse(y)
       }
-      nm -> ColStats(ca.nulls + cb.nulls, ca.tracked && cb.tracked, mn, mx)
+      nm -> ColStats(ca.nulls + cb.nulls, ca.tracked && cb.tracked, mn, mx,
+        addSums(ca.sum, cb.sum))
     }.toMap)
   }
 
@@ -172,12 +217,28 @@ private[sources] object CommitStats {
       // a column added after the last full recompute is all-NULL in
       // the history prev covers (the merge() default)
       val c0 = prev.cols.getOrElse(f.name,
-        ColStats(prev.count, minMaxTracked(dt), None, None))
+        ColStats(prev.count, minMaxTracked(dt), None, None,
+          if (sumTracked(dt)) Some(0L) else None))
       val remVals = removed.map(valueAt(_, i, dt))
       val addVals = added.map(valueAt(_, i, dt))
       val nulls = c0.nulls - remVals.count(_ == null) +
         addVals.count(_ == null)
-      if (!c0.tracked) f.name -> ColStats(nulls, tracked = false, None, None)
+      // sums self-heal ARITHMETICALLY — unlike extremes, a removal
+      // never forces a rescan (subtraction is exact)
+      val sm: Option[Long] =
+        if (!sumTracked(dt)) None
+        else c0.sum.flatMap { s0 =>
+          try {
+            var s = s0
+            remVals.foreach(v =>
+              if (v != null) s = Math.subtractExact(s, asLong(v)))
+            addVals.foreach(v =>
+              if (v != null) s = Math.addExact(s, asLong(v)))
+            Some(s)
+          } catch { case _: ArithmeticException => None }
+        }
+      if (!c0.tracked) f.name -> ColStats(nulls, tracked = false, None, None,
+        sm)
       else {
         def recompute(lt: Boolean): Option[Any] = {
           var best: Any = null
@@ -202,7 +263,7 @@ private[sources] object CommitStats {
           else foldIn(c0.min, lt = true)
         val mx = if (removedHits(c0.max)) recompute(lt = false)
           else foldIn(c0.max, lt = false)
-        f.name -> ColStats(nulls, tracked = true, mn, mx)
+        f.name -> ColStats(nulls, tracked = true, mn, mx, sm)
       }
     }
     CommitStats(count, cols.toMap)
@@ -247,7 +308,15 @@ private[sources] object CommitStats {
   private def keyFor(f: StructField): String =
     ColumnMapping.fieldId(f).map(id => "#" + id).getOrElse(f.name)
 
+  /** Layout-v2 marker: the first long of a stats payload. `count`
+    * (the v1 first field) is never negative, so a negative sentinel
+    * discriminates the layouts and OLD payloads (no sums) keep
+    * decoding — embedded stats ride inside commit files, which are
+    * immutable durable history that must replay forever. */
+  private val StatsSentinelV2: Long = java.lang.Long.MIN_VALUE + 2
+
   def write(out: DataOutputStream, schema: StructType, s: CommitStats): Unit = {
+    out.writeLong(StatsSentinelV2)
     out.writeLong(s.count)
     // count MATCHING entries, not map size: a fold that still carries
     // keys the schema no longer names (pre-RENAME history) must not
@@ -263,13 +332,17 @@ private[sources] object CommitStats {
       if (c.tracked && c.min.isDefined) writeVal(out, f.dataType, c.min.get)
       out.writeBoolean(c.tracked && c.max.isDefined)
       if (c.tracked && c.max.isDefined) writeVal(out, f.dataType, c.max.get)
+      out.writeBoolean(c.sum.isDefined)
+      c.sum.foreach(out.writeLong)
     }
   }
 
   /** Decode under the LATEST schema (column types never change; a
     * sidecar written before an ADD COLUMN simply lacks the new name). */
   def read(in: DataInputStream, schema: StructType): CommitStats = {
-    val count = in.readLong()
+    val first = in.readLong()
+    val v2 = first == StatsSentinelV2
+    val count = if (v2) in.readLong() else first
     val n = in.readInt()
     val byName = schema.fields.map(f => f.name -> f).toMap
     val byId = schema.fields.flatMap(f =>
@@ -290,7 +363,8 @@ private[sources] object CommitStats {
       val tracked = in.readBoolean()
       val mn = if (in.readBoolean()) Some(readVal(in, dt)) else None
       val mx = if (in.readBoolean()) Some(readVal(in, dt)) else None
-      name -> ColStats(nulls, tracked, mn, mx)
+      val sm = if (v2 && in.readBoolean()) Some(in.readLong()) else None
+      name -> ColStats(nulls, tracked, mn, mx, sm)
     }.toMap
     CommitStats(count, cols)
   }

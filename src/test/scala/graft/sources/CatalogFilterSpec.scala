@@ -124,6 +124,50 @@ class CatalogFilterSpec extends SparkTestBase {
         s"${MemScan.aggPushBoundaryRows.get()}")
   }
 
+  test("SUM/AVG under a pushed filter: file-aligned folds from sums " +
+      "with zero decode; unaligned cut decodes boundary only") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graftmem.fsum")
+    spark.sql("CREATE TABLE graftmem.fsum (k BIGINT, v BIGINT)")
+    Seq((0, 1000), (1000, 2000), (2000, 3000)).foreach { case (a, b) =>
+      spark.sql(
+        s"""INSERT INTO graftmem.fsum
+           |SELECT /*+ REPARTITION(1) */ id, id * 3 FROM RANGE($a, $b)
+           |""".stripMargin)
+    }
+    MemScan.aggPushFilteredServed.set(0)
+    MemScan.aggPushBoundaryRows.set(0)
+    val r = spark.sql("SELECT sum(v) AS sv, avg(v) AS av, count(*) AS n " +
+      "FROM graftmem.fsum WHERE k >= 1000").collect().head
+    val exp = (1000L until 3000L).map(_ * 3).sum
+    assert(r.getLong(0) == exp && r.getLong(2) == 2000L)
+    assert(r.getDouble(1) == exp.toDouble / 2000L)
+    assert(MemScan.aggPushFilteredServed.get() == 1L,
+      "filtered SUM/AVG must be metadata-served")
+    assert(MemScan.aggPushBoundaryRows.get() == 0L,
+      "aligned predicate must fold sums with zero rows decoded")
+    // unaligned: the middle file decodes (sums aren't in footers),
+    // the proved tail file folds from its commit stats, result exact
+    MemScan.aggPushFilteredServed.set(0)
+    MemScan.aggPushBoundaryRows.set(0)
+    val r2 = spark.sql("SELECT sum(v) AS sv FROM graftmem.fsum " +
+      "WHERE k >= 1500").collect().head
+    assert(r2.getLong(0) == (1500L until 3000L).map(_ * 3).sum)
+    assert(MemScan.aggPushFilteredServed.get() == 1L)
+    assert(MemScan.aggPushBoundaryRows.get() > 0L &&
+      MemScan.aggPushBoundaryRows.get() <= 1000L,
+      s"only the straddled file may decode, " +
+        s"decoded ${MemScan.aggPushBoundaryRows.get()}")
+    // DML overlay: sums decline to the scan, result stays exact
+    spark.sql("DELETE FROM graftmem.fsum WHERE k = 2500")
+    MemScan.aggPushFilteredServed.set(0)
+    val r3 = spark.sql("SELECT sum(v) AS sv FROM graftmem.fsum " +
+      "WHERE k >= 1500").collect().head
+    assert(r3.getLong(0) == (1500L until 3000L).map(_ * 3).sum - 7500L)
+    assert(MemScan.aggPushFilteredServed.get() == 0L,
+      "overlaid snapshot must decline to the scan path")
+  }
+
   test("filtered aggregate declines past the boundary budget and under " +
       "overlays; the scan path answers identically") {
     setup()

@@ -74,13 +74,15 @@ class GroupedAggPushSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(sub == Seq(("a0", 50L), ("a1", 50L)))
     assert(MemScan.aggPushGroupedServed.get() == 1L)
-    // a pushed filter over a NON-partition column declines (the scan
-    // answers)
+    // a pushed filter over a NON-partition column now composes via
+    // per-file stats admission (q330's machinery): whole files the
+    // predicate proves contribute stats, boundary groups decode
     MemScan.aggPushGroupedServed.set(0)
     assert(spark.sql(
       "SELECT a, count(*) AS n FROM gga.m WHERE k >= 50 GROUP BY a")
       .collect().map(_.getLong(1)).sum == 50L)
-    assert(MemScan.aggPushGroupedServed.get() == 0L)
+    assert(MemScan.aggPushGroupedServed.get() == 1L,
+      "provable non-partition filters must stay metadata-served")
     // a filter over PARTITION columns evaluates exactly on the tuples
     // — whole files keep/drop, still metadata-served, zero decode
     MemScan.aggPushGroupedServed.set(0)
@@ -99,5 +101,60 @@ class GroupedAggPushSpec extends SparkTestBase {
       "SELECT k % 2 AS p, count(*) AS n FROM gga.m GROUP BY k % 2")
       .collect().length == 2)
     assert(MemScan.aggPushGroupedServed.get() == 0L)
+  }
+
+  test("SUM/AVG in the census; a clustered-key predicate stays " +
+      "metadata-served with ZERO rows decoded when file-aligned") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gga.rev")
+    spark.sql(
+      """CREATE TABLE gga.rev (day STRING, k BIGINT, price BIGINT)
+        |PARTITIONED BY (day)""".stripMargin)
+    // two k-DISJOINT generations per day: the WHERE below aligns to
+    // the generation boundary, so every surviving file is PROVED and
+    // every dropped file CONTRADICTED — nothing decodes
+    spark.sql(
+      """INSERT INTO gga.rev
+        |SELECT concat('d', id % 2), id, id * 10 FROM RANGE(0, 1000)
+        |""".stripMargin)
+    spark.sql(
+      """INSERT INTO gga.rev
+        |SELECT concat('d', id % 2), id, id * 10 FROM RANGE(1000, 2000)
+        |""".stripMargin)
+    MemScan.aggPushGroupedServed.set(0)
+    MemScan.aggPushBoundaryRows.set(0)
+    ParquetBatchIO.batchReads.set(0)
+    val got = spark.sql(
+      """SELECT day, count(*) AS n, sum(price) AS rev, avg(price) AS ap
+        |FROM gga.rev WHERE k >= 1000 GROUP BY day ORDER BY day
+        |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val d0 = (1000L until 2000L).filter(_ % 2 == 0)
+    val d1 = (1000L until 2000L).filter(_ % 2 == 1)
+    assert(got == Seq(
+      ("d0", d0.length.toLong, d0.map(_ * 10).sum, d0.map(_ * 10).sum
+        .toDouble / d0.length),
+      ("d1", d1.length.toLong, d1.map(_ * 10).sum, d1.map(_ * 10).sum
+        .toDouble / d1.length)), got)
+    assert(MemScan.aggPushGroupedServed.get() == 1L,
+      "clustered-key predicate + SUM/AVG must stay metadata-served")
+    assert(MemScan.aggPushBoundaryRows.get() == 0L &&
+      ParquetBatchIO.batchReads.get() == 0L,
+      "file-aligned predicate must decode zero rows")
+    // an UNALIGNED cut: boundary files decode, result stays exact
+    MemScan.aggPushGroupedServed.set(0)
+    MemScan.aggPushBoundaryRows.set(0)
+    val cut = spark.sql(
+      """SELECT day, sum(price) AS rev FROM gga.rev
+        |WHERE k >= 500 AND k < 1500 GROUP BY day ORDER BY day
+        |""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val e0 = (500L until 1500L).filter(_ % 2 == 0).map(_ * 10).sum
+    val e1 = (500L until 1500L).filter(_ % 2 == 1).map(_ * 10).sum
+    assert(cut == Seq(("d0", e0), ("d1", e1)), cut)
+    assert(MemScan.aggPushGroupedServed.get() == 1L)
+    assert(MemScan.aggPushBoundaryRows.get() > 0L,
+      "unaligned cut must have decoded boundary rows")
   }
 }

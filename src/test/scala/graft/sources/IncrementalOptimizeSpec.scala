@@ -110,10 +110,12 @@ class IncrementalOptimizeSpec extends SparkTestBase {
       s"overlaid file must have been rewritten: $after")
     assert(spark.sql("SELECT sum(k) FROM ginc.t").head().getLong(0) == sum)
     // the overlay is gone: the table is columnar-eligible again
+    // (GROUP BY a non-partition expression so the metadata-served
+    // SUM pushdown can't answer without scanning)
     ParquetBatchIO.batchReads.set(0)
-    spark.sql("SELECT sum(k) AS s FROM ginc.t").collect()
+    spark.sql("SELECT sum(k) AS s FROM ginc.t GROUP BY k % 1").collect()
     assert(ParquetBatchIO.batchReads.get() > 0,
-      "compaction should clear the overlay and re-enable columnar")
+      "compaction should clear the overlay and keep the scan columnar")
   }
 
   test("stale expected version aborts loudly") {
@@ -122,6 +124,72 @@ class IncrementalOptimizeSpec extends SparkTestBase {
     val e = intercept[java.util.ConcurrentModificationException] {
       store.compactFiles(Set("nonexistent.parquet"), Seq.empty,
         store.currentVersion - 1)
+    }
+    assert(e.getMessage.contains("rerun OPTIMIZE"), e.getMessage)
+  }
+
+  test("compaction REBASES over an interleaved append: both land, " +
+      "content equals serial execution; non-append overlap still aborts") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS ginc.rb")
+    spark.sql("CREATE TABLE ginc.rb (k BIGINT, s STRING)")
+    Seq(0, 100).foreach(base => spark.sql(
+      s"""INSERT INTO ginc.rb
+         |SELECT /*+ REPARTITION(1) */ id + $base, md5(cast(id + $base
+         |  as string)) FROM RANGE(50)""".stripMargin))
+    val store = MaintenanceSql.storeFor(spark, "ginc", "rb")
+    val planned = segNames(store).toSet
+    val vPlanned = store.currentVersion
+    // the replacement the (already-running) OPTIMIZE wrote: exactly
+    // the two small files' content, one compact file
+    val repl = {
+      val schema = store.physSchema
+      val name = s"repl-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+      val w = ParquetRowIO.writer(
+        java.nio.file.Paths.get(store.dataDirStr.get, name).toString, schema)
+      val acc = new CommitStats.Acc(schema)
+      var n = 0L
+      ((0L until 50L) ++ (100L until 150L)).foreach { k =>
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](k,
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              org.apache.commons.codec.digest.DigestUtils
+                .md5Hex(k.toString))))
+        w.write(row); acc.add(row); n += 1
+      }
+      w.close()
+      FileRef(name, n, Some(acc.result))
+    }
+    // ingest RACES in an append before the compaction commits
+    spark.sql(
+      """INSERT INTO ginc.rb
+        |SELECT /*+ REPARTITION(1) */ id + 200, md5(cast(id + 200
+        |  as string)) FROM RANGE(50)""".stripMargin)
+    val appended = (segNames(store).toSet -- planned).head
+    val appendedPath = java.nio.file.Paths.get(root, "rb", "data", appended)
+    val appendedBytes = java.nio.file.Files.readAllBytes(appendedPath)
+    // rebase: the drop-add lands on the NEW head instead of aborting
+    store.compactFiles(planned, Seq(repl), vPlanned)
+    assert(store.currentVersion == vPlanned + 2,
+      "append + rebased compaction = two commits")
+    val after = segNames(store).toSet
+    assert(after == Set(repl.name, appended), after)
+    assert(java.nio.file.Files.readAllBytes(appendedPath)
+      .sameElements(appendedBytes), "racing append must pass through " +
+      "byte-identical")
+    // content equals serial execution (all 150 rows, exact sum)
+    assert(spark.sql("SELECT count(*) FROM ginc.rb").head().getLong(0)
+      == 150L)
+    assert(spark.sql("SELECT sum(k) FROM ginc.rb").head().getLong(0) ==
+      ((0L until 50L) ++ (100L until 150L) ++ (200L until 250L)).sum)
+    // the compaction stayed dataChange=false on the rebased slot
+    assert(store.insertRowsAt(store.currentVersion) == 0L)
+    // a NON-append interleave (row-level DML could overlay a named
+    // file) still aborts loudly
+    val v2 = store.currentVersion
+    spark.sql("DELETE FROM ginc.rb WHERE k = 200")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      store.compactFiles(Set(repl.name), Seq.empty, v2)
     }
     assert(e.getMessage.contains("rerun OPTIMIZE"), e.getMessage)
   }

@@ -64,9 +64,13 @@ class MemCatalogStatsSpec extends SparkTestBase {
     val distinct = spark.sql("SELECT count(DISTINCT c) AS n FROM graftmem.st3")
     assert(!pushed(distinct))
     assert(distinct.collect().head.getLong(0) == 3L)
+    // SUM now serves from the exact per-commit sum sidecars
     val summed = spark.sql("SELECT sum(k) AS s FROM graftmem.st3")
-    assert(!pushed(summed))
+    assert(pushed(summed), "integral SUM must serve from metadata")
     assert(summed.collect().head.getLong(0) == 105L)
+    val avgd = spark.sql("SELECT avg(k) AS a FROM graftmem.st3")
+    assert(pushed(avgd), "integral AVG must serve from metadata")
+    assert(avgd.collect().head.getDouble(0) == 21.0)
     val filtered = spark.sql(
       "SELECT count(*) AS n FROM graftmem.st3 WHERE k > 15")
     assert(filtered.collect().head.getLong(0) == 3L)
