@@ -48,6 +48,9 @@ object SpillProbe {
         sys.env.getOrElse("SPARK_GRAFT_SPILL_ELEMS", "50000"))
       .config("spark.sql.windowExec.buffer.spill.threshold",
         sys.env.getOrElse("SPARK_GRAFT_SPILL_ELEMS", "50000"))
+      // maintenance-verb gates (OPTIMIZE/VACUUM/branch DDL) need the
+      // parser delegate, same as every other harness session
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config(graft.sources.Tables.requiredConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

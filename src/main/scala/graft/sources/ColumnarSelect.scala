@@ -85,4 +85,40 @@ private[sources] object ColumnarSelect {
       batch
     }
   }
+
+  /** COMPUTED long column — how the batch path serves the `__pos`
+    * row-id metadata column (live position in the snapshot ordering,
+    * never stored in parquet). The reader fills `values` per batch,
+    * already selection-resolved: index = OUTPUT row ordinal. */
+  final class LongValuesVector
+      extends ColumnVector(org.apache.spark.sql.types.LongType) {
+    private[sources] var values: Array[Long] = new Array[Long](0)
+    private[sources] def ensure(n: Int): Array[Long] = {
+      if (values.length < n) values = new Array[Long](n)
+      values
+    }
+    override def close(): Unit = ()
+    override def hasNull: Boolean = false
+    override def numNulls: Int = 0
+    override def isNullAt(i: Int): Boolean = false
+    override def getLong(i: Int): Long = values(i)
+    private def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"$what on the computed __pos LONG vector")
+    override def getBoolean(i: Int): Boolean = unsupported("getBoolean")
+    override def getByte(i: Int): Byte = unsupported("getByte")
+    override def getShort(i: Int): Short = unsupported("getShort")
+    override def getInt(i: Int): Int = unsupported("getInt")
+    override def getFloat(i: Int): Float = unsupported("getFloat")
+    override def getDouble(i: Int): Double = unsupported("getDouble")
+    override def getArray(i: Int): ColumnarArray = unsupported("getArray")
+    override def getMap(i: Int): ColumnarMap = unsupported("getMap")
+    override def getDecimal(i: Int, p: Int, s: Int): Decimal =
+      unsupported("getDecimal")
+    override def getUTF8String(i: Int): UTF8String =
+      unsupported("getUTF8String")
+    override def getBinary(i: Int): Array[Byte] = unsupported("getBinary")
+    override def getChild(ordinal: Int): ColumnVector =
+      unsupported("getChild")
+  }
 }

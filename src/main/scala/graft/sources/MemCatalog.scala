@@ -4023,19 +4023,20 @@ private[sources] final class MemScan private (outSchema: StructType,
   /** COLUMNAR eligibility — decided per SCAN, all-or-nothing (Spark's
     * DSv2 contract forbids mixing row and columnar splits in one
     * scan): every live segment a data file with no PATCH overlay
-    * (an UPDATE rewrites rows in table layout the batch can't serve),
-    * no `__pos` output (positions are physical bookkeeping the
-    * selection vector hides), and a batch-decodable read schema.
+    * (an UPDATE rewrites rows in table layout the batch can't serve)
+    * and a batch-decodable, non-empty read schema.
     *
-    * DELETE overlays and pushed filters no longer decline: the batch
-    * reader applies position deletes — and, in exact-consumption
-    * mode, evaluates every pushed filter row-wise — through a
-    * SELECTION-VECTOR view over the decoded batch
-    * ([[ColumnarSelect]]), so the vectorized path survives the first
-    * DELETE on a 100 TB table instead of forfeiting the measured
-    * scan win until the next OPTIMIZE. Runtime (DPP) filters stay
-    * fine: they prune whole files and the join above re-applies the
-    * predicate row-exactly. */
+    * DELETE overlays, pushed filters, and `__pos` outputs no longer
+    * decline: the batch reader applies position deletes — and, in
+    * exact-consumption mode, evaluates every pushed filter row-wise —
+    * through a SELECTION-VECTOR view over the decoded batch
+    * ([[ColumnarSelect]]), and serves `__pos` as a COMPUTED long
+    * vector (live row-ids tracked through the same pass). So the
+    * vectorized path survives the first DELETE on a 100 TB table,
+    * filtered scans decode in batches with no session conf, and the
+    * DML candidate scans (MERGE/UPDATE/DELETE project `__pos`)
+    * vectorize too. Runtime (DPP) filters stay fine: they prune whole
+    * files and the join above re-applies the predicate row-exactly. */
   private lazy val columnarEligible: Boolean = {
     val fileRead = MemScan.fileReadSchema(outSchema, dataSchema, pushed)
     // kill switch (and the A/B lever for throughput measurement)
@@ -4043,7 +4044,7 @@ private[sources] final class MemScan private (outSchema: StructType,
       _.conf.get("spark.graft.catalog.columnar.enabled", "true")
         .equalsIgnoreCase("true")) &&
     !direct &&
-      !outSchema.fieldNames.contains(MemTable.PosCol) &&
+      fileRead.nonEmpty &&
       snap.segs.nonEmpty &&
       snap.segs.forall(ls => ls.patches.isEmpty &&
         ls.seg.isInstanceOf[FileSeg]) &&
@@ -4233,10 +4234,12 @@ private[sources] final class SegReaderFactory(out: StructType,
     }
     ParquetBatchIO.batchReads.incrementAndGet()
     // parquet-mr page/row-group skipping inside the split: only when
-    // positions can't matter (no deletes on this range — pages
-    // silently drop, shifting physical positions the delete list
-    // indexes)
-    val readerFilters = if (slice.dels.isEmpty) pushed else Nil
+    // physical positions can't matter (no deletes on this range and no
+    // `__pos` output — pages silently drop, shifting the positions the
+    // delete list and the row-id column index)
+    val posIdx = out.fields.indexWhere(_.name == MemTable.PosCol)
+    val readerFilters =
+      if (slice.dels.isEmpty && posIdx < 0) pushed else Nil
     val reader =
       if (slice.byteStart >= 0)
         ParquetBatchIO.open(path, fileRead, slice.byteStart, slice.byteEnd,
@@ -4244,20 +4247,48 @@ private[sources] final class SegReaderFactory(out: StructType,
       else ParquetBatchIO.open(path, fileRead, readerFilters)
     val evalFilters = pushed.nonEmpty && exactFilters
     // positional projection: output column j decodes from fileRead
-    // index outIdx(j) (identity unless residual filter columns ride)
-    val outIdx: Array[Int] = out.fields.map(f => fileRead.fieldIndex(f.name))
+    // index outIdx(j) (identity unless residual filter columns ride);
+    // `__pos` (-1) is COMPUTED per batch, never decoded
+    val outIdx: Array[Int] = out.fields.map(f =>
+      if (f.name == MemTable.PosCol) -1 else fileRead.fieldIndex(f.name))
     val dels: Array[Long] = slice.dels.toArray // O(1) per-row probes
-    val passThrough = !evalFilters && dels.isEmpty &&
+    val passThrough = !evalFilters && dels.isEmpty && posIdx < 0 &&
       outIdx.length == fileRead.length
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
       private var phys = slice.physStart
+      private var livePos = slice.liveBase // next live row-id (__pos)
       private var delIdx = 0
       private var sel: Array[Int] = _
-      private var mapped: ColumnarSelect.MappedBatch = _
-      private var projected: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      private val holder = new ColumnarSelect.SelHolder
+      private var posVec: ColumnarSelect.LongValuesVector = _
+      private var mappedBatch
+          : org.apache.spark.sql.vectorized.ColumnarBatch = _
+      private var projBatch
+          : org.apache.spark.sql.vectorized.ColumnarBatch = _
       // the decoder reuses one batch object; rebuild views if it swaps
       private var viewSrc: org.apache.spark.sql.vectorized.ColumnarBatch = _
+
+      private def buildViews(
+          b: org.apache.spark.sql.vectorized.ColumnarBatch): Unit = {
+        posVec =
+          if (posIdx >= 0) new ColumnarSelect.LongValuesVector else null
+        val mv: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+          out.fields.indices.map { j =>
+            if (j == posIdx)
+              posVec: org.apache.spark.sql.vectorized.ColumnVector
+            else new ColumnarSelect.MappedColumnVector(
+              b.column(outIdx(j)), holder)
+          }.toArray
+        mappedBatch = new org.apache.spark.sql.vectorized.ColumnarBatch(mv)
+        val pv: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+          out.fields.indices.map { j =>
+            if (j == posIdx)
+              posVec: org.apache.spark.sql.vectorized.ColumnVector
+            else b.column(outIdx(j))
+          }.toArray
+        projBatch = new org.apache.spark.sql.vectorized.ColumnarBatch(pv)
+      }
 
       override def next(): Boolean = {
         while (true) {
@@ -4267,35 +4298,48 @@ private[sources] final class SegReaderFactory(out: StructType,
           val n = b.numRows()
           val start = phys
           phys += n
-          if (viewSrc ne b) { viewSrc = b; projected = null; mapped = null }
+          if (viewSrc ne b) { viewSrc = b; buildViews(b) }
           val delsHere = delIdx < dels.length &&
             dels(delIdx) < start + n
           if (!delsHere && !evalFilters) {
-            // projection-only: cached view over the output columns
-            if (projected == null)
-              projected = new org.apache.spark.sql.vectorized.ColumnarBatch(
-                outIdx.map(b.column))
-            projected.setNumRows(n)
-            batch = projected
+            // projection-only: cached view over the output columns;
+            // every row is live, so row-ids are contiguous
+            if (posIdx >= 0) {
+              val vals = posVec.ensure(n)
+              var i = 0
+              while (i < n) { vals(i) = livePos + i; i += 1 }
+            }
+            livePos += n
+            projBatch.setNumRows(n)
+            batch = projBatch
             return true
           }
-          // SELECTION: live ordinals surviving deletes + exact filters
+          // SELECTION: live ordinals surviving deletes + exact
+          // filters; `__pos` counts every NON-DELETED row (filters
+          // never shift the live ordering — same as the row path)
           if (sel == null || sel.length < n) sel = new Array[Int](n)
+          val posVals = if (posIdx >= 0) posVec.ensure(n) else null
           var k = 0
           var i = 0
           while (i < n) {
             if (delIdx < dels.length &&
                 dels(delIdx) == start + i) delIdx += 1
-            else if (!evalFilters ||
-                MemFilters.eval(fileRead, pushed, b.getRow(i))) {
-              sel(k) = i; k += 1
+            else {
+              val rowId = livePos
+              livePos += 1
+              if (!evalFilters ||
+                  MemFilters.eval(fileRead, pushed, b.getRow(i))) {
+                sel(k) = i
+                if (posVals != null) posVals(k) = rowId
+                k += 1
+              }
             }
             i += 1
           }
           if (k > 0) {
-            if (mapped == null)
-              mapped = new ColumnarSelect.MappedBatch(outIdx.map(b.column))
-            batch = mapped.refresh(sel, k)
+            holder.sel = sel
+            mappedBatch.setNumRows(k)
+            batch = mappedBatch
             return true
           }
           // whole batch deleted/filtered: advance to the next one

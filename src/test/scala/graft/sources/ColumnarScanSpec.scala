@@ -168,6 +168,43 @@ class ColumnarScanSpec extends SparkTestBase {
     }
   }
 
+  test("__pos (DML candidate) scans decode columnar: row-ids skip " +
+      "delete holes exactly, so a second DELETE lands on the right rows") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gcs.dml")
+    spark.sql("CREATE TABLE gcs.dml (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcs.dml SELECT /*+ REPARTITION(1) */ id, " +
+      "id * 7 FROM RANGE(10000)")
+    // first DELETE punches a hole EARLY so every later row-id shifts
+    spark.sql("DELETE FROM gcs.dml WHERE k = 5")
+    // the second DELETE's candidate scan projects __pos over the
+    // overlaid table — it must decode columnar AND compute live
+    // row-ids that account for the hole, or the wrong rows die
+    ParquetBatchIO.batchReads.set(0)
+    spark.sql("DELETE FROM gcs.dml WHERE k >= 100 AND k < 110")
+    assert(ParquetBatchIO.batchReads.get() > 0,
+      "__pos candidate scans must ride the columnar path")
+    val r = spark.sql("SELECT count(*) AS c, sum(k) AS sk FROM gcs.dml " +
+      "GROUP BY k % 1").head()
+    assert(r.getLong(0) == 10000L - 1 - 10)
+    assert(r.getLong(1) ==
+      (0L until 10000L).sum - 5L - (100L until 110L).sum)
+    // UPDATE through the same path: the candidate scan sees current
+    // row-ids; afterwards the patch overlay correctly declines
+    spark.sql("UPDATE gcs.dml SET v = -1 WHERE k = 4000")
+    assert(spark.sql("SELECT v FROM gcs.dml WHERE k = 4000")
+      .head().getLong(0) == -1L)
+    assert(spark.sql("SELECT v FROM gcs.dml WHERE k = 4001")
+      .head().getLong(0) == 4001L * 7)
+    ParquetBatchIO.batchReads.set(0)
+    assert(spark.sql("SELECT sum(v) AS sv FROM gcs.dml GROUP BY k % 1")
+      .head().getLong(0) ==
+      (0L until 10000L).map(_ * 7).sum - 35L -
+        (100L until 110L).map(_ * 7).sum - 4000L * 7 - 1L)
+    assert(ParquetBatchIO.batchReads.get() == 0,
+      "patch overlay must still decline the batch path")
+  }
+
   test("embedding (array<float>) scans decode columnar") {
     setup()
     spark.sql("DROP TABLE IF EXISTS gcs.emb")
