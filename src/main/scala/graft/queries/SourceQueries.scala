@@ -2492,6 +2492,49 @@ object SourceQueries {
       val served =
         if (graft.sources.MemCatalog.groupedAggServed > 0) 1L else 0L
       census.withColumn("metadata_served", lit(served))
+    },
+
+    // LIMIT PUSHDOWN (round-17, `SupportsPushDownLimit` partial): the
+    // scan plans only enough splits to cover the limit's live rows —
+    // `SELECT * FROM t LIMIT n` over a many-file 100 TB table opens
+    // O(n / rows-per-file) readers instead of a task per file.
+    // Declared partial (Spark's own limit still applies) so the
+    // optimization is result-invisible; the gate pins BOTH the row
+    // count (any `n` rows satisfy an orderless LIMIT — count is the
+    // deterministic observable) and a prefix_planned flag proving the
+    // reader count stayed below the file count (LimitPushSpec pins
+    // the exact <=2-of-8 case and the delete-overlay arithmetic).
+    QueryDef("q336_limit_pushdown",
+      """SELECT (SELECT count(*) / 2 FROM lineitem)::BIGINT AS n,
+        |       CAST(1 AS BIGINT) AS prefix_planned""".stripMargin) {
+      (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.limli")
+      spark.sql(
+        "CREATE TABLE graftmem.limli (k BIGINT, line INT, qty DOUBLE)")
+      Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("k"),
+          col("l_linenumber").cast("int").as("line"),
+          col("l_quantity").cast("double").as("qty"))
+        .createOrReplaceTempView("q336_src")
+      // four roughly-equal files; the limit needs ~half the rows, so
+      // a correct prefix plan opens at most 3 of the 4 readers
+      (0 to 3).foreach(i => spark.sql("INSERT INTO graftmem.limli " +
+        s"SELECT /*+ REPARTITION(1) */ * FROM q336_src WHERE line % 4 = $i"))
+      val total = spark.sql("SELECT count(*) FROM graftmem.limli")
+        .head().getLong(0)
+      val lim = total / 2
+      graft.sources.MemCatalog.resetBatchReaders()
+      val got = spark.sql(s"SELECT * FROM graftmem.limli LIMIT $lim")
+        .count()
+      val prefix =
+        if (got == lim &&
+          graft.sources.MemCatalog.batchReaders < 4) 1L else 0L
+      spark.sql(s"SELECT ${lim}L AS n").withColumn("prefix_planned",
+        lit(prefix))
     }
   )
 

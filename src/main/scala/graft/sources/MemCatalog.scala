@@ -760,6 +760,11 @@ object MemCatalog {
   def filteredAggServed: Long = MemScan.aggPushFilteredServed.get()
   def resetFilteredAggServed(): Unit = MemScan.aggPushFilteredServed.set(0)
 
+  /** PUBLIC probe: columnar file readers opened (gates pin plan-level
+    * properties like LIMIT's covering-prefix truncation). */
+  def batchReaders: Long = ParquetBatchIO.batchReads.get()
+  def resetBatchReaders(): Unit = ParquetBatchIO.batchReads.set(0)
+
   // ---- BRANCHES (see [[Branches]]) -----------------------------------
 
   private def branchKey(cat: String, table: String, branch: String): String =
@@ -2917,11 +2922,26 @@ private[sources] final class MemScanBuilder(store: MemStore,
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var served: Option[(StructType, Vector[InternalRow])] = None
   private var required: Option[StructType] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** LIMIT pushdown — planning-truncation only: with no pushed
+    * filters the scan plans just enough splits to cover `limit` LIVE
+    * rows (exact under delete overlays — live counts are metadata),
+    * so `SELECT * FROM t LIMIT 100` on a 100 TB table touches O(1)
+    * files instead of scheduling a task per file. Declared PARTIAL:
+    * Spark keeps its own limit operator, the pushdown only shrinks
+    * the planned work — result-invisible by construction. */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
+  override def isPartiallyPushed: Boolean = true
   /** The PHYSICAL layout this scan decodes against: the pinned
     * version's schema for time travel, else the store's current. */
   private def dataSchema: StructType =
@@ -3603,7 +3623,8 @@ private[sources] final class MemScanBuilder(store: MemStore,
           specs = store.specsAll,
           analyzed = store.analyzedStats,
           streamOptions = options,
-          exactFilters = !residualLatched)
+          exactFilters = !residualLatched,
+          limit = pushedLimit)
     }
 }
 
@@ -3645,7 +3666,10 @@ private[sources] final class MemScan private (outSchema: StructType,
     /** false = residual mode: Spark's FilterExec re-evaluates every
       * pushed filter, so the scan uses them for SKIPPING only — which
       * unlocks the columnar path for filtered scans. */
-    exactFilters: Boolean)
+    exactFilters: Boolean,
+    /** pushed LIMIT (planning truncation only — see
+      * [[MemScanBuilder.pushLimit]]). */
+    limit: Option[Int])
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -3659,9 +3683,10 @@ private[sources] final class MemScan private (outSchema: StructType,
       analyzed: Option[AnalyzedStats] = None,
       streamOptions: CaseInsensitiveStringMap =
         CaseInsensitiveStringMap.empty(),
-      exactFilters: Boolean = true) =
+      exactFilters: Boolean = true,
+      limit: Option[Int] = None) =
     this(outSchema, dataSchema, snap, stats, pushed, direct = false,
-      streamStore, specs, analyzed, streamOptions, exactFilters)
+      streamStore, specs, analyzed, streamOptions, exactFilters, limit)
 
   /** The WRITE spec (current) — SPJ key reporting and DPP attribute
     * offers address it; per-FILE pruning uses each file's own spec. */
@@ -3901,7 +3926,29 @@ private[sources] final class MemScan private (outSchema: StructType,
     if (direct)
       return Array(SegSlice(snap.segs.head.seg, 0L,
         snap.segs.head.seg.count, Vector.empty, Map.empty, 0L))
-    val slices = planSlices(pushed ++ runtime)
+    val slices0 = planSlices(pushed ++ runtime)
+    // LIMIT truncation: with no filters anywhere, any `limit` live
+    // rows satisfy the (orderless) LIMIT above — plan just enough
+    // splits to cover them. Live counts are exact metadata even under
+    // delete overlays. With filters the post-filter yield per split
+    // is unknowable — plan everything, Spark's limit stops early.
+    val slices = limit match {
+      case Some(n) if pushed.isEmpty && runtime.isEmpty =>
+        val out = Vector.newBuilder[InputPartition]
+        var live = 0L
+        val it = slices0.iterator
+        while (live < n && it.hasNext) {
+          val s = it.next()
+          val sl = s match {
+            case k: KeyedSlice => k.slice
+            case x => x.asInstanceOf[SegSlice]
+          }
+          live += math.max(0L, sl.physEnd - sl.physStart - sl.dels.length)
+          out += s
+        }
+        out.result().toArray
+      case _ => slices0
+    }
     // key-grouped scans attach each split's partition key: Spark
     // groups them for storage-partitioned joins, and a runtime (DPP)
     // prune is fine — the validated contract is that the surviving
@@ -4148,7 +4195,7 @@ private[sources] object MemScan {
       Snap(Vector(LiveSeg.raw(MemSeg(rows)))), None, Seq.empty,
       direct = true, streamStore = None, specs = Vector(Nil),
       analyzed = None, streamOptions = CaseInsensitiveStringMap.empty(),
-      exactFilters = true)
+      exactFilters = true, limit = None)
 
   /** Chunked overlay-free slices of one heap row vector (the
     * `.changes` feed's partition planning). */
