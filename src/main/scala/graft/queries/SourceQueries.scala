@@ -2535,6 +2535,73 @@ object SourceQueries {
           graft.sources.MemCatalog.batchReaders < 4) 1L else 0L
       spark.sql(s"SELECT ${lim}L AS n").withColumn("prefix_planned",
         lit(prefix))
+    },
+
+    // TOP-N PUSHDOWN (round-17, `SupportsPushDownTopN` partial):
+    // `ORDER BY key LIMIT n` over files RANGE-DISJOINT in the key
+    // plans only the covering prefix (ASC) / suffix (DESC) — the
+    // "latest n events" query on a time-clustered 100 TB table reads
+    // one file. Partial: Spark re-sorts/limits the served superset,
+    // results identical; the gate hash-compares BOTH directions'
+    // actual top rows against DuckDB plus a covering flag proving
+    // fewer readers than files opened (TopNPushSpec pins exact
+    // counts, delete-overlay arithmetic, overlap + null declines).
+    QueryDef("q337_topn_pushdown",
+      """WITH src AS (SELECT o_orderkey AS k FROM orders),
+        |m AS (SELECT (count(*) / 3)::BIGINT AS n FROM src),
+        |asc_side AS (
+        |  SELECT 'asc' AS dir, count(*)::BIGINT AS n_rows,
+        |         CAST(sum(k) AS BIGINT) AS k_sum,
+        |         min(k)::BIGINT AS k_lo, max(k)::BIGINT AS k_hi
+        |  FROM (SELECT k FROM src, m ORDER BY k LIMIT (
+        |    SELECT n FROM m))),
+        |desc_side AS (
+        |  SELECT 'desc' AS dir, count(*)::BIGINT AS n_rows,
+        |         CAST(sum(k) AS BIGINT) AS k_sum,
+        |         min(k)::BIGINT AS k_lo, max(k)::BIGINT AS k_hi
+        |  FROM (SELECT k FROM src, m ORDER BY k DESC LIMIT (
+        |    SELECT n FROM m)))
+        |SELECT dir, n_rows, k_sum, k_lo, k_hi,
+        |       CAST(1 AS BIGINT) AS covering_planned
+        |FROM (SELECT * FROM asc_side UNION ALL SELECT * FROM desc_side)
+        |ORDER BY dir""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.topn")
+      spark.sql("CREATE TABLE graftmem.topn (k BIGINT)")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"))
+        .createOrReplaceTempView("q337_src")
+      val mx = spark.sql("SELECT max(k) FROM q337_src").head().getLong(0)
+      val step = (mx + 3) / 4
+      // four range-disjoint files along k (the clustered-table
+      // shape); the first bucket's lower bound is INCLUSIVE so a
+      // zero-based key fixture loses no rows
+      (0L until 4L).foreach(i => spark.sql("INSERT INTO graftmem.topn " +
+        s"SELECT /*+ REPARTITION(1) */ * FROM q337_src " +
+        (if (i == 0L) s"WHERE k <= $step"
+         else s"WHERE k > ${i * step} AND k <= ${(i + 1) * step}")))
+      val total = spark.sql("SELECT count(*) FROM graftmem.topn")
+        .head().getLong(0)
+      val n = total / 3
+      def side(d: String, order: String) = {
+        graft.sources.MemCatalog.resetBatchReaders()
+        val df = spark.sql(
+          s"""SELECT '$d' AS dir, count(*) AS n_rows, sum(k) AS k_sum,
+             |       min(k) AS k_lo, max(k) AS k_hi
+             |FROM (SELECT k FROM graftmem.topn ORDER BY k $order
+             |      LIMIT $n)""".stripMargin)
+        val row = df.collect()
+        (df, row, graft.sources.MemCatalog.batchReaders < 4)
+      }
+      val (ascDf, _, ascCov) = side("asc", "")
+      val (descDf, _, descCov) = side("desc", "DESC")
+      val covering = if (ascCov && descCov) 1L else 0L
+      ascDf.unionByName(descDf)
+        .withColumn("covering_planned", lit(covering))
+        .orderBy(col("dir"))
     }
   )
 

@@ -2923,12 +2923,14 @@ private[sources] final class MemScanBuilder(store: MemStore,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var served: Option[(StructType, Vector[InternalRow])] = None
   private var required: Option[StructType] = None
   private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[(String, Boolean, Int)] = None
 
   /** LIMIT pushdown — planning-truncation only: with no pushed
     * filters the scan plans just enough splits to cover `limit` LIVE
@@ -2942,6 +2944,32 @@ private[sources] final class MemScanBuilder(store: MemStore,
     true
   }
   override def isPartiallyPushed: Boolean = true
+
+  /** TOP-N pushdown (`ORDER BY col LIMIT n`) — planning-truncation
+    * only, PARTIAL (Spark re-sorts and limits what we serve, so any
+    * SUPERSET of the true top-n is correct): when the files are
+    * NON-OVERLAPPING in the sort key (a time-clustered event table,
+    * an OPTIMIZE-clustered key), the scan plans only the covering
+    * prefix (ASC) / suffix (DESC) of files — "latest 100 events" on a
+    * 100 TB table reads one file. The scan itself proves eligibility
+    * from file stats at planning time (tracked min/max, ZERO nulls in
+    * the key — null ordering never decides — and range-disjoint
+    * files); anything else just plans everything, result-unchanged. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    if (orders.length != 1) return false
+    colName(orders(0).expression()) match {
+      case Some(n) =>
+        pushedTopN = Some((n,
+          orders(0).direction() ==
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING,
+          limit))
+        true
+      case None => false
+    }
+  }
   /** The PHYSICAL layout this scan decodes against: the pinned
     * version's schema for time travel, else the store's current. */
   private def dataSchema: StructType =
@@ -3624,7 +3652,8 @@ private[sources] final class MemScanBuilder(store: MemStore,
           analyzed = store.analyzedStats,
           streamOptions = options,
           exactFilters = !residualLatched,
-          limit = pushedLimit)
+          limit = pushedLimit,
+          topN = pushedTopN)
     }
 }
 
@@ -3669,7 +3698,10 @@ private[sources] final class MemScan private (outSchema: StructType,
     exactFilters: Boolean,
     /** pushed LIMIT (planning truncation only — see
       * [[MemScanBuilder.pushLimit]]). */
-    limit: Option[Int])
+    limit: Option[Int],
+    /** pushed TOP-N: (sort column, ascending, n) — see
+      * [[MemScanBuilder.pushTopN]]. */
+    topN: Option[(String, Boolean, Int)])
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -3684,9 +3716,11 @@ private[sources] final class MemScan private (outSchema: StructType,
       streamOptions: CaseInsensitiveStringMap =
         CaseInsensitiveStringMap.empty(),
       exactFilters: Boolean = true,
-      limit: Option[Int] = None) =
+      limit: Option[Int] = None,
+      topN: Option[(String, Boolean, Int)] = None) =
     this(outSchema, dataSchema, snap, stats, pushed, direct = false,
-      streamStore, specs, analyzed, streamOptions, exactFilters, limit)
+      streamStore, specs, analyzed, streamOptions, exactFilters, limit,
+      topN)
 
   /** The WRITE spec (current) — SPJ key reporting and DPP attribute
     * offers address it; per-FILE pruning uses each file's own spec. */
@@ -3932,8 +3966,11 @@ private[sources] final class MemScan private (outSchema: StructType,
     // splits to cover them. Live counts are exact metadata even under
     // delete overlays. With filters the post-filter yield per split
     // is unknowable — plan everything, Spark's limit stops early.
-    val slices = limit match {
-      case Some(n) if pushed.isEmpty && runtime.isEmpty =>
+    val noFilters = pushed.isEmpty && runtime.isEmpty
+    val slices = (limit, topN) match {
+      case (_, Some((col, asc, n))) if noFilters =>
+        truncateTopN(slices0, col, asc, n).getOrElse(slices0)
+      case (Some(n), _) if noFilters =>
         val out = Vector.newBuilder[InputPartition]
         var live = 0L
         val it = slices0.iterator
@@ -3961,6 +3998,60 @@ private[sources] final class MemScan private (outSchema: StructType,
             pv.toArray))
       case other => other
     } else slices
+  }
+
+  /** TOP-N planning truncation: Some(covering prefix/suffix) when the
+    * slices are whole files, RANGE-DISJOINT in the sort column, with
+    * tracked stats and ZERO nulls in it (null ordering never decides)
+    * — the n extremal live rows are then provably inside the covering
+    * end of the file chain, and Spark's sort+limit above re-derives
+    * the exact answer from that superset. None = plan everything. */
+  private def truncateTopN(slices: Array[InputPartition], col: String,
+      asc: Boolean, n: Int): Option[Array[InputPartition]] = {
+    final case class F(s: InputPartition, min: Any, max: Any, live: Long)
+    val fs = new Array[F](slices.length)
+    var i = 0
+    while (i < slices.length) {
+      val sl = slices(i) match {
+        case k: KeyedSlice => k.slice
+        case x: SegSlice => x
+        case _ => return None
+      }
+      if (sl.byteStart >= 0) return None // row-group split: whole files only
+      sl.seg match {
+        case f: FileSeg =>
+          f.stats.flatMap(_.cols.get(col)) match {
+            case Some(c) if c.tracked && c.nulls == 0 &&
+                c.min.isDefined && c.max.isDefined =>
+              fs(i) = F(slices(i), c.min.get, c.max.get,
+                math.max(0L, sl.physEnd - sl.physStart - sl.dels.length))
+            case _ => return None
+          }
+        case _ => return None
+      }
+      i += 1
+    }
+    val ordered =
+      if (asc) fs.sortWith((a, b) => MemFilters.cmp(a.min, b.min) < 0)
+      else fs.sortWith((a, b) => MemFilters.cmp(a.max, b.max) > 0)
+    // strict range-disjointness along the chosen direction
+    var j = 1
+    while (j < ordered.length) {
+      val ok =
+        if (asc) MemFilters.cmp(ordered(j - 1).max, ordered(j).min) <= 0
+        else MemFilters.cmp(ordered(j - 1).min, ordered(j).max) >= 0
+      if (!ok) return None
+      j += 1
+    }
+    val out = Vector.newBuilder[InputPartition]
+    var live = 0L
+    val it = ordered.iterator
+    while (live < n && it.hasNext) {
+      val f = it.next()
+      live += f.live
+      out += f.s
+    }
+    Some(out.result().toArray)
   }
 
   private def planSlices(preds0: Seq[org.apache.spark.sql.sources.Filter])
@@ -4195,7 +4286,7 @@ private[sources] object MemScan {
       Snap(Vector(LiveSeg.raw(MemSeg(rows)))), None, Seq.empty,
       direct = true, streamStore = None, specs = Vector(Nil),
       analyzed = None, streamOptions = CaseInsensitiveStringMap.empty(),
-      exactFilters = true, limit = None)
+      exactFilters = true, limit = None, topN = None)
 
   /** Chunked overlay-free slices of one heap row vector (the
     * `.changes` feed's partition planning). */
