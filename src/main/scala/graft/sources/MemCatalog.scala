@@ -2765,6 +2765,70 @@ private[sources] object MemFilters {
     fieldIdx(schema, name).flatMap(i =>
       internal(schema(i).dataType, v).map(iv => (i, iv)))
 
+  /** Pre-compiled conjunction — the per-ROW hot path of the columnar
+    * selection and the boundary decodes: field indices resolve and
+    * literals convert ONCE per reader instead of once per row per
+    * filter (a string equality was paying a name lookup plus a
+    * String->UTF8String conversion for every one of millions of
+    * rows). Semantics are EXACTLY [[eval]]'s — each case mirrors the
+    * same null discipline and the same strict literal translation;
+    * the per-row `evaluated` counter ticks identically so the
+    * zero-rows-touched specs keep counting. */
+  def compile(schema: StructType, filters: Seq[Filter])
+      : InternalRow => Boolean = {
+    def value(r: InternalRow, i: Int): Any =
+      if (i >= r.numFields || r.isNullAt(i)) null
+      else r.get(i, schema(i).dataType)
+    def cmpTest(a: String, v: Any,
+        ok: Int => Boolean): InternalRow => Boolean =
+      lit(schema, a, v) match {
+        case Some((i, iv)) =>
+          r => { val x = value(r, i); x != null && ok(cmp(x, iv)) }
+        case None => _ => false
+      }
+    val ps: Array[InternalRow => Boolean] = filters.iterator.map[
+        InternalRow => Boolean] {
+      case EqualTo(a, v) => cmpTest(a, v, _ == 0)
+      case EqualNullSafe(a, null) => fieldIdx(schema, a) match {
+        case Some(i) => r => value(r, i) == null
+        case None => _ => false
+      }
+      case EqualNullSafe(a, v) => cmpTest(a, v, _ == 0)
+      case GreaterThan(a, v) => cmpTest(a, v, _ > 0)
+      case GreaterThanOrEqual(a, v) => cmpTest(a, v, _ >= 0)
+      case LessThan(a, v) => cmpTest(a, v, _ < 0)
+      case LessThanOrEqual(a, v) => cmpTest(a, v, _ <= 0)
+      case In(a, vs) => fieldIdx(schema, a) match {
+        case Some(i) =>
+          // translate each element once; null / cross-type elements
+          // contribute no match — same as eval's per-element decline
+          val ivs = vs.toVector.flatMap(v =>
+            internal(schema(i).dataType, v))
+          r => {
+            val x = value(r, i)
+            x != null && ivs.exists(iv => cmp(x, iv) == 0)
+          }
+        case None => _ => false
+      }
+      case IsNull(a) => fieldIdx(schema, a) match {
+        case Some(i) => r => value(r, i) == null
+        case None => _ => false
+      }
+      case IsNotNull(a) => fieldIdx(schema, a) match {
+        case Some(i) => r => value(r, i) != null
+        case None => _ => false
+      }
+      case _ => _ => false // unreachable: only supported() filters push
+    }.toArray
+    r => {
+      evaluated.incrementAndGet()
+      var i = 0
+      var ok = true
+      while (ok && i < ps.length) { ok = ps(i)(r); i += 1 }
+      ok
+    }
+  }
+
   /** SQL semantics: a comparison with a NULL row value is not TRUE —
     * the row drops. Prefix-arity rows read appended columns as NULL.
     * `schema` is the LAYOUT of `r` (the pruned file read schema for
@@ -3280,12 +3344,13 @@ private[sources] final class MemScanBuilder(store: MemStore,
         case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
         case v => v
       }
+    val bPred = MemFilters.compile(readSchema, preds)
     try bBlocks.foreach { case (path, b) =>
       val it = ParquetRowIO.open(path, readSchema, b.startByte, b.endByte,
         preds)
       try it.foreach { r =>
         MemScan.aggPushBoundaryRows.incrementAndGet()
-        if (MemFilters.eval(readSchema, preds, r)) {
+        if (bPred(r)) {
           cnt += 1
           nonNullCols.foreach(n =>
             if (!r.isNullAt(colIdx(n))) nonNull(n) += 1)
@@ -3520,12 +3585,13 @@ private[sources] final class MemScanBuilder(store: MemStore,
           case u: org.apache.spark.unsafe.types.UTF8String => u.clone()
           case v => v
         }
+      val gPred = MemFilters.compile(readSchema, rowFilters)
       try bBlocks.foreach { case (g, path, b) =>
         val it = ParquetRowIO.open(path, readSchema, b.startByte,
           b.endByte, rowFilters)
         try it.foreach { r =>
           MemScan.aggPushBoundaryRows.incrementAndGet()
-          if (MemFilters.eval(readSchema, rowFilters, r)) {
+          if (gPred(r)) {
             g.cnt += 1
             nonNullCols.foreach(n =>
               if (!r.isNullAt(colIdx(n))) g.nonNull(n) += 1)
@@ -4384,6 +4450,8 @@ private[sources] final class SegReaderFactory(out: StructType,
           readerFilters)
       else ParquetBatchIO.open(path, fileRead, readerFilters)
     val evalFilters = pushed.nonEmpty && exactFilters
+    val pred: InternalRow => Boolean =
+      if (evalFilters) MemFilters.compile(fileRead, pushed) else null
     // positional projection: output column j decodes from fileRead
     // index outIdx(j) (identity unless residual filter columns ride);
     // `__pos` (-1) is COMPUTED per batch, never decoded
@@ -4465,8 +4533,7 @@ private[sources] final class SegReaderFactory(out: StructType,
             else {
               val rowId = livePos
               livePos += 1
-              if (!evalFilters ||
-                  MemFilters.eval(fileRead, pushed, b.getRow(i))) {
+              if (!evalFilters || pred(b.getRow(i))) {
                 sel(k) = i
                 if (posVals != null) posVals(k) = rowId
                 k += 1
@@ -4516,6 +4583,12 @@ private[sources] final class SegReaderFactory(out: StructType,
         case MemSeg(rows) => rows
         case _ => null
       }
+      // compiled once per reader: eval() pays name resolution and
+      // literal conversion per row per filter otherwise
+      private val predFile: InternalRow => Boolean =
+        if (pushed.isEmpty) null else MemFilters.compile(fileRead, pushed)
+      private val predData: InternalRow => Boolean =
+        if (pushed.isEmpty) null else MemFilters.compile(data, pushed)
       // per-output-field source index in each layout; -1 = __pos
       private def srcIdx(layout: StructType): Array[Int] =
         out.fields.map(f =>
@@ -4549,7 +4622,7 @@ private[sources] final class SegReaderFactory(out: StructType,
               case None => (raw, fileIter != null)
             }
             val keep = pushed.isEmpty || (direct ||
-              MemFilters.eval(if (isFile) fileRead else data, pushed, r))
+              (if (isFile) predFile(r) else predData(r)))
             if (keep) {
               row = r; rowIsFileLayout = isFile; rowLive = live
               return true
