@@ -2818,7 +2818,13 @@ private[sources] object MemFilters {
         case Some(i) => r => value(r, i) != null
         case None => _ => false
       }
-      case _ => _ => false // unreachable: only supported() filters push
+      case other =>
+        // unreachable: only supported() filters push. FAIL LOUDLY if
+        // gate-keeping ever regresses — a silent `false` here would
+        // DROP rows, turning a planner bug into wrong results
+        throw new IllegalStateException(
+          s"MemFilters.compile: unsupported filter reached the " +
+            s"compiled hot path: $other")
     }.toArray
     r => {
       evaluated.incrementAndGet()
@@ -2994,7 +3000,12 @@ private[sources] final class MemScanBuilder(store: MemStore,
   private var served: Option[(StructType, Vector[InternalRow])] = None
   private var required: Option[StructType] = None
   private var pushedLimit: Option[Int] = None
-  private var pushedTopN: Option[(String, Boolean, Int)] = None
+  /** (leading sort column, ascending, n, strict) — `strict` = the
+    * order had MORE columns after the leading one, so file-chain
+    * truncation must demand STRICT leading-key disjointness (a
+    * boundary tie in the leading key could be broken the other way
+    * by a secondary key living in the un-planned file). */
+  private var pushedTopN: Option[(String, Boolean, Int, Boolean)] = None
 
   /** LIMIT pushdown — planning-truncation only: with no pushed
     * filters the scan plans just enough splits to cover `limit` LIVE
@@ -3009,27 +3020,33 @@ private[sources] final class MemScanBuilder(store: MemStore,
   }
   override def isPartiallyPushed: Boolean = true
 
-  /** TOP-N pushdown (`ORDER BY col LIMIT n`) — planning-truncation
-    * only, PARTIAL (Spark re-sorts and limits what we serve, so any
-    * SUPERSET of the true top-n is correct): when the files are
-    * NON-OVERLAPPING in the sort key (a time-clustered event table,
-    * an OPTIMIZE-clustered key), the scan plans only the covering
-    * prefix (ASC) / suffix (DESC) of files — "latest 100 events" on a
-    * 100 TB table reads one file. The scan itself proves eligibility
-    * from file stats at planning time (tracked min/max, ZERO nulls in
-    * the key — null ordering never decides — and range-disjoint
-    * files); anything else just plans everything, result-unchanged. */
+  /** TOP-N pushdown (`ORDER BY col [, …] LIMIT n`) —
+    * planning-truncation only, PARTIAL (Spark re-sorts and limits
+    * what we serve, so any SUPERSET of the true top-n is correct):
+    * when the files are NON-OVERLAPPING in the LEADING sort key (a
+    * time-clustered event table, an OPTIMIZE-clustered key), the scan
+    * plans only the covering prefix (ASC) / suffix (DESC) of files —
+    * "latest 100 events" on a 100 TB table reads one file. The scan
+    * itself proves eligibility from file stats at planning time
+    * (tracked min/max, ZERO nulls in the key — null ordering never
+    * decides — range-disjoint patch-free files, STRICTLY disjoint
+    * under a compound order); anything else just plans everything,
+    * result-unchanged. Secondary sort columns need no eligibility of
+    * their own: with the leading key strictly disjoint across files,
+    * every lexicographic top-n row lives in the covering end
+    * regardless of how later keys break ties. */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
-    if (orders.length != 1) return false
+    if (orders.isEmpty) return false
     colName(orders(0).expression()) match {
       case Some(n) =>
         pushedTopN = Some((n,
           orders(0).direction() ==
             org.apache.spark.sql.connector.expressions.SortDirection
               .ASCENDING,
-          limit))
+          limit,
+          orders.length > 1))
         true
       case None => false
     }
@@ -3765,9 +3782,9 @@ private[sources] final class MemScan private (outSchema: StructType,
     /** pushed LIMIT (planning truncation only — see
       * [[MemScanBuilder.pushLimit]]). */
     limit: Option[Int],
-    /** pushed TOP-N: (sort column, ascending, n) — see
-      * [[MemScanBuilder.pushTopN]]. */
-    topN: Option[(String, Boolean, Int)])
+    /** pushed TOP-N: (leading sort column, ascending, n, strict
+      * disjointness required) — see [[MemScanBuilder.pushTopN]]. */
+    topN: Option[(String, Boolean, Int, Boolean)])
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -3783,7 +3800,7 @@ private[sources] final class MemScan private (outSchema: StructType,
         CaseInsensitiveStringMap.empty(),
       exactFilters: Boolean = true,
       limit: Option[Int] = None,
-      topN: Option[(String, Boolean, Int)] = None) =
+      topN: Option[(String, Boolean, Int, Boolean)] = None) =
     this(outSchema, dataSchema, snap, stats, pushed, direct = false,
       streamStore, specs, analyzed, streamOptions, exactFilters, limit,
       topN)
@@ -4026,30 +4043,18 @@ private[sources] final class MemScan private (outSchema: StructType,
     if (direct)
       return Array(SegSlice(snap.segs.head.seg, 0L,
         snap.segs.head.seg.count, Vector.empty, Map.empty, 0L))
-    val slices0 = planSlices(pushed ++ runtime)
-    // LIMIT truncation: with no filters anywhere, any `limit` live
-    // rows satisfy the (orderless) LIMIT above — plan just enough
-    // splits to cover them. Live counts are exact metadata even under
-    // delete overlays. With filters the post-filter yield per split
-    // is unknowable — plan everything, Spark's limit stops early.
-    val noFilters = pushed.isEmpty && runtime.isEmpty
+    val preds = (pushed ++ runtime).toVector
+    val slices0 = planSlices(preds)
+    // LIMIT/TOP-N planning truncation — see [[truncateLimit]] /
+    // [[truncateTopN]]. Both compose with filters through the
+    // proved/straddling file classification ([[MemFilters.provesAll]]
+    // — contradicted files were already dropped by planSlices).
     val slices = (limit, topN) match {
-      case (_, Some((col, asc, n))) if noFilters =>
-        truncateTopN(slices0, col, asc, n).getOrElse(slices0)
-      case (Some(n), _) if noFilters =>
-        val out = Vector.newBuilder[InputPartition]
-        var live = 0L
-        val it = slices0.iterator
-        while (live < n && it.hasNext) {
-          val s = it.next()
-          val sl = s match {
-            case k: KeyedSlice => k.slice
-            case x => x.asInstanceOf[SegSlice]
-          }
-          live += math.max(0L, sl.physEnd - sl.physStart - sl.dels.length)
-          out += s
-        }
-        out.result().toArray
+      case (_, Some((col, asc, n, strict))) =>
+        truncateTopN(slices0, col, asc, n, strict, preds)
+          .getOrElse(slices0)
+      case (Some(n), _) =>
+        truncateLimit(slices0, n, preds).getOrElse(slices0)
       case _ => slices0
     }
     // key-grouped scans attach each split's partition key: Spark
@@ -4066,31 +4071,99 @@ private[sources] final class MemScan private (outSchema: StructType,
     } else slices
   }
 
+  private def sliceOf(p: InputPartition): Option[SegSlice] = p match {
+    case k: KeyedSlice => Some(k.slice)
+    case x: SegSlice => Some(x)
+    case _ => None
+  }
+  private def liveOf(s: SegSlice): Long =
+    math.max(0L, s.physEnd - s.physStart - s.dels.length)
+
+  /** LIMIT planning truncation. Without filters: the slice prefix
+    * covering `n` live rows (orderless LIMIT — any n live rows
+    * satisfy it; live counts are exact metadata under delete
+    * overlays). With filters (pushed or runtime): a patch-free file
+    * whose stats PROVE every row satisfies the conjunction
+    * ([[MemFilters.provesAll]] — an UPDATE overlay would invalidate
+    * the stats) yields exactly its live count post-filter, so when
+    * the proved files alone cover `n` the scan plans ONLY a minimal
+    * covering subset of them and skips every straddling file outright
+    * — `WHERE tenant = … LIMIT n` on a tenant-clustered table reads
+    * O(1) files. Proved coverage short of `n` → plan everything
+    * (straddling yields are unknowable; Spark's limit stops early at
+    * runtime). Filters demand the exact-consumption contract: in
+    * residual mode Spark never pushes a limit past its residual
+    * FilterExec, but guard anyway. */
+  private def truncateLimit(slices: Array[InputPartition], n: Int,
+      preds: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[Array[InputPartition]] = {
+    if (preds.isEmpty) {
+      val out = Vector.newBuilder[InputPartition]
+      var live = 0L
+      val it = slices.iterator
+      while (live < n && it.hasNext) {
+        val p = it.next()
+        val s = sliceOf(p).getOrElse(return None)
+        live += liveOf(s)
+        out += p
+      }
+      Some(out.result().toArray)
+    } else if (!exactFilters) None
+    else {
+      val out = Vector.newBuilder[InputPartition]
+      var live = 0L
+      val it = slices.iterator
+      while (live < n && it.hasNext) {
+        val p = it.next()
+        val s = sliceOf(p).getOrElse(return None)
+        val proved = s.patches.isEmpty && (s.seg match {
+          case f: FileSeg =>
+            MemFilters.provesAll(f.stats, dataSchema, preds)
+          case _ => false
+        })
+        if (proved) { live += liveOf(s); out += p }
+      }
+      if (live >= n) Some(out.result().toArray) else None
+    }
+  }
+
   /** TOP-N planning truncation: Some(covering prefix/suffix) when the
-    * slices are whole files, RANGE-DISJOINT in the sort column, with
-    * tracked stats and ZERO nulls in it (null ordering never decides)
-    * — the n extremal live rows are then provably inside the covering
-    * end of the file chain, and Spark's sort+limit above re-derives
-    * the exact answer from that superset. None = plan everything. */
+    * slices are whole PATCH-FREE files (an UPDATE overlay can move a
+    * key outside its file's recorded range, voiding the chain proof),
+    * RANGE-DISJOINT in the leading sort column — STRICTLY disjoint
+    * under a compound order, where a boundary tie could be broken by
+    * a secondary key in the un-planned file — with tracked stats and
+    * ZERO nulls in it (null ordering never decides). The n extremal
+    * live rows are then provably inside the covering end of the file
+    * chain, and Spark's sort+limit above re-derives the exact answer
+    * from that superset. With filters, only files whose stats PROVE
+    * the whole conjunction count toward coverage — straddling files
+    * are planned but contribute an unknowable yield, so the walk
+    * stops only once PROVED rows cover n (`WHERE tenant = … ORDER BY
+    * ts DESC LIMIT n` on a time-clustered table stops at the first
+    * covering proved window instead of planning every file).
+    * None = plan everything. */
   private def truncateTopN(slices: Array[InputPartition], col: String,
-      asc: Boolean, n: Int): Option[Array[InputPartition]] = {
-    final case class F(s: InputPartition, min: Any, max: Any, live: Long)
+      asc: Boolean, n: Int, strict: Boolean,
+      preds: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[Array[InputPartition]] = {
+    if (preds.nonEmpty && !exactFilters) return None
+    final case class F(s: InputPartition, min: Any, max: Any,
+        live: Long, proved: Boolean)
     val fs = new Array[F](slices.length)
     var i = 0
     while (i < slices.length) {
-      val sl = slices(i) match {
-        case k: KeyedSlice => k.slice
-        case x: SegSlice => x
-        case _ => return None
-      }
+      val sl = sliceOf(slices(i)).getOrElse(return None)
       if (sl.byteStart >= 0) return None // row-group split: whole files only
+      if (sl.patches.nonEmpty) return None // stale stats under UPDATE
       sl.seg match {
         case f: FileSeg =>
           f.stats.flatMap(_.cols.get(col)) match {
             case Some(c) if c.tracked && c.nulls == 0 &&
                 c.min.isDefined && c.max.isDefined =>
-              fs(i) = F(slices(i), c.min.get, c.max.get,
-                math.max(0L, sl.physEnd - sl.physStart - sl.dels.length))
+              fs(i) = F(slices(i), c.min.get, c.max.get, liveOf(sl),
+                preds.isEmpty ||
+                  MemFilters.provesAll(f.stats, dataSchema, preds))
             case _ => return None
           }
         case _ => return None
@@ -4100,21 +4173,22 @@ private[sources] final class MemScan private (outSchema: StructType,
     val ordered =
       if (asc) fs.sortWith((a, b) => MemFilters.cmp(a.min, b.min) < 0)
       else fs.sortWith((a, b) => MemFilters.cmp(a.max, b.max) > 0)
-    // strict range-disjointness along the chosen direction
+    // range-disjointness along the chosen direction (strict under a
+    // compound order: a shared boundary value must not span files)
     var j = 1
     while (j < ordered.length) {
-      val ok =
-        if (asc) MemFilters.cmp(ordered(j - 1).max, ordered(j).min) <= 0
-        else MemFilters.cmp(ordered(j - 1).min, ordered(j).max) >= 0
-      if (!ok) return None
+      val c =
+        if (asc) MemFilters.cmp(ordered(j - 1).max, ordered(j).min)
+        else -MemFilters.cmp(ordered(j - 1).min, ordered(j).max)
+      if (if (strict) c >= 0 else c > 0) return None
       j += 1
     }
     val out = Vector.newBuilder[InputPartition]
-    var live = 0L
+    var proved = 0L
     val it = ordered.iterator
-    while (live < n && it.hasNext) {
+    while (proved < n && it.hasNext) {
       val f = it.next()
-      live += f.live
+      if (f.proved) proved += f.live
       out += f.s
     }
     Some(out.result().toArray)

@@ -213,4 +213,17 @@ class CatalogFilterSpec extends SparkTestBase {
       "SELECT k FROM graftmem.fspec WHERE c + 0 >= 100 ORDER BY k").collect().toSeq
     assert(pushed == spark_side)
   }
+
+  test("compile FAILS LOUDLY on a filter supported() never vetted — " +
+      "a gate-keeping regression must not silently drop rows") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val unsupported =
+      org.apache.spark.sql.sources.StringContains("s", "x")
+    assert(!MemFilters.supported(schema, unsupported))
+    intercept[IllegalStateException] {
+      MemFilters.compile(schema, Seq(unsupported))
+    }
+  }
 }

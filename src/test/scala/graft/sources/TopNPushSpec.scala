@@ -62,6 +62,23 @@ class TopNPushSpec extends SparkTestBase {
       .collect().map(_.getLong(0))
     assert(asc2.toSeq == Seq(0L, 1L, 2L))
 
+    // UPDATE overlay: a patch can move a key OUTSIDE its file's
+    // recorded min/max — the file chain's range proof no longer
+    // holds, so truncation must decline (plan everything) and the
+    // patched row must surface as the new extremum
+    spark.sql("DROP TABLE IF EXISTS gtn.up")
+    spark.sql("CREATE TABLE gtn.up (k BIGINT, s STRING)")
+    (0 until 4).foreach(i => spark.sql(
+      s"""INSERT INTO gtn.up
+         |SELECT /*+ REPARTITION(1) */ id + ${i * 100},
+         |       md5(cast(id as string)) FROM RANGE(100)""".stripMargin))
+    spark.sql("UPDATE gtn.up SET k = 999999 WHERE k = 5")
+    val patched = spark.sql("SELECT k FROM gtn.up ORDER BY k DESC LIMIT 2")
+      .collect().map(_.getLong(0))
+    assert(patched.toSeq == Seq(999999L, 399L),
+      s"patched extremum lost to stale-stats truncation: " +
+        s"${patched.toSeq}")
+
     // NULLS in the key: decline (null ordering would decide), exact
     spark.sql("DROP TABLE IF EXISTS gtn.nl")
     spark.sql("CREATE TABLE gtn.nl (k BIGINT)")
@@ -72,5 +89,93 @@ class TopNPushSpec extends SparkTestBase {
       .collect()
     assert(withNull(0).isNullAt(0) && withNull(1).getLong(0) == 0L,
       "NULLS FIRST default must survive (truncation declined)")
+  }
+
+  test("filters compose into TopN truncation: proved files count " +
+      "toward coverage, straddling files plan but don't count, " +
+      "contradicted files drop") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gtn.f")
+    spark.sql("CREATE TABLE gtn.f (k BIGINT, t BIGINT, s STRING)")
+    // 8 range-disjoint files along k; t alternates 0/1 PER FILE so an
+    // equality on t is PROVED for half the chain and CONTRADICTED for
+    // the other half
+    (0 until 8).foreach(i => spark.sql(
+      s"""INSERT INTO gtn.f
+         |SELECT /*+ REPARTITION(1) */ id + ${i * 1000}, ${i % 2}L,
+         |       md5(cast(id as string)) FROM RANGE(1000)""".stripMargin))
+    // t=0 lives in files 0,2,4,6 (all proved); DESC top-1500 of the
+    // match set needs files 6 and 4 only
+    ParquetBatchIO.batchReads.set(0)
+    val r1 = spark.sql(
+      "SELECT k FROM gtn.f WHERE t = 0 ORDER BY k DESC LIMIT 1500")
+      .collect().map(_.getLong(0))
+    assert(r1.toSeq == ((6999L to 6000L by -1) ++
+      (4999L to 4500L by -1)))
+    assert(ParquetBatchIO.batchReads.get() <= 2,
+      s"proved-file coverage lost: ${ParquetBatchIO.batchReads.get()}")
+    // range predicate with a STRADDLING file: k >= 5500 contradicts
+    // files 0-4, straddles file 5, proves files 6-7. DESC top-1500:
+    // files 7 and 6 prove coverage — file 5 is never reached
+    ParquetBatchIO.batchReads.set(0)
+    val r2 = spark.sql(
+      "SELECT k FROM gtn.f WHERE k >= 5500 ORDER BY k DESC LIMIT 1500")
+      .collect().map(_.getLong(0))
+    assert(r2.toSeq == (7999L until 6499L by -1))
+    assert(ParquetBatchIO.batchReads.get() <= 2,
+      s"straddle walk overread: ${ParquetBatchIO.batchReads.get()}")
+    // straddling file INSIDE the covering window: k >= 5500 ASC
+    // top-100 — file 5 straddles (planned, counts nothing), file 6
+    // proves coverage; matching rows start at 5500 exactly
+    ParquetBatchIO.batchReads.set(0)
+    val r3 = spark.sql(
+      "SELECT k FROM gtn.f WHERE k >= 5500 ORDER BY k LIMIT 100")
+      .collect().map(_.getLong(0))
+    assert(r3.toSeq == (5500L until 5600L))
+    assert(ParquetBatchIO.batchReads.get() <= 2,
+      s"straddle-in-window walk overread: " +
+        s"${ParquetBatchIO.batchReads.get()}")
+  }
+
+  test("compound ORDER BY truncates on a strictly-disjoint leading " +
+      "key; a boundary tie declines (secondary key could cross files)") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gtn.mc")
+    spark.sql("CREATE TABLE gtn.mc (k1 BIGINT, k2 BIGINT)")
+    (0 until 4).foreach(i => spark.sql(
+      s"""INSERT INTO gtn.mc
+         |SELECT /*+ REPARTITION(1) */ id + ${i * 100}, -id
+         |FROM RANGE(100)""".stripMargin))
+    ParquetBatchIO.batchReads.set(0)
+    val r = spark.sql(
+      "SELECT k1, k2 FROM gtn.mc ORDER BY k1, k2 DESC LIMIT 50")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == (0L until 50L).map(i => (i, -i)))
+    assert(ParquetBatchIO.batchReads.get() <= 1,
+      s"compound-order prefix lost: ${ParquetBatchIO.batchReads.get()}")
+    // TOUCHING boundary (prev.max == next.min): legal for a
+    // single-column order (ties are interchangeable) but NOT for a
+    // compound one — the k1=100 tie is broken by k2 toward the row
+    // in the SECOND file, which a non-strict covering prefix would
+    // never plan
+    spark.sql("DROP TABLE IF EXISTS gtn.tc")
+    spark.sql("CREATE TABLE gtn.tc (k1 BIGINT, k2 BIGINT)")
+    spark.sql("INSERT INTO gtn.tc SELECT /*+ REPARTITION(1) */ id, 0L " +
+      "FROM RANGE(101)") // k1 in [0,100], boundary row k2 = 0
+    spark.sql("INSERT INTO gtn.tc SELECT /*+ REPARTITION(1) */ " +
+      "id + 100, 5000 + id FROM RANGE(101)") // k1 in [100,200], k2 big
+    val tied = spark.sql(
+      "SELECT k1, k2 FROM gtn.tc ORDER BY k1, k2 DESC LIMIT 101")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(tied.last == ((100L, 5000L)),
+      s"boundary tie mis-truncated: ${tied.last}")
+    // the same touching chain under a SINGLE-column order still
+    // truncates (ties interchangeable): top-101 ASC reads one file
+    ParquetBatchIO.batchReads.set(0)
+    assert(spark.sql("SELECT k1 FROM gtn.tc ORDER BY k1 LIMIT 101")
+      .collect().map(_.getLong(0)).toSeq == (0L to 100L))
+    assert(ParquetBatchIO.batchReads.get() <= 1,
+      s"single-col touching chain must still truncate: " +
+        s"${ParquetBatchIO.batchReads.get()}")
   }
 }
