@@ -2602,6 +2602,168 @@ object SourceQueries {
       ascDf.unionByName(descDf)
         .withColumn("covering_planned", lit(covering))
         .orderBy(col("dir"))
+    },
+
+    // FILTERED TOP-N PUSHDOWN (round-18): `WHERE tenant = … ORDER BY
+    // key DESC LIMIT n` on a key-clustered table — the single most
+    // common production query shape at 100 TB. Files whose stats
+    // PROVE the predicate count their live rows toward the covering
+    // suffix, contradicted files drop, straddling files plan but
+    // count nothing — the walk stops at the first covering proved
+    // window instead of planning every file. Both engines derive the
+    // tenant from the same bucket arithmetic (t = ((k-1) DIV step)
+    // % 2 over step = (max+3) DIV 4), so the oracle replays the exact
+    // predicate; the covering flag pins readers < files.
+    QueryDef("q338_filtered_topn_pushdown",
+      """WITH src AS (SELECT o_orderkey AS k FROM orders),
+        |m AS (SELECT ((max(k) + 3) // 4)::BIGINT AS step,
+        |             (count(*) // 8)::BIGINT AS n FROM src),
+        |matches AS (
+        |  SELECT k FROM src, m WHERE ((k - 1) // step) % 2 = 0),
+        |topn AS (
+        |  SELECT k FROM matches, m ORDER BY k DESC LIMIT (
+        |    SELECT n FROM m))
+        |SELECT count(*)::BIGINT AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS k_sum,
+        |       min(k)::BIGINT AS k_lo, max(k)::BIGINT AS k_hi,
+        |       CAST(1 AS BIGINT) AS covering_planned
+        |FROM topn""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.ftopn")
+      spark.sql("CREATE TABLE graftmem.ftopn (k BIGINT, t BIGINT)")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"))
+        .createOrReplaceTempView("q338_src")
+      val mx = spark.sql("SELECT max(k) FROM q338_src").head().getLong(0)
+      val step = (mx + 3) / 4
+      // four range-disjoint files along k; tenant constant PER FILE
+      // (bucket parity) so equality on t is provable from file stats
+      (0L until 4L).foreach(i => spark.sql(
+        "INSERT INTO graftmem.ftopn " +
+          s"SELECT /*+ REPARTITION(1) */ k, ${i % 2}L FROM q338_src " +
+          (if (i == 0L) s"WHERE k <= $step"
+           else s"WHERE k > ${i * step} AND k <= ${(i + 1) * step}")))
+      val total = spark.sql("SELECT count(*) FROM graftmem.ftopn")
+        .head().getLong(0)
+      val n = total / 8 // inside bucket 2's live count: one proved file covers
+      graft.sources.MemCatalog.resetBatchReaders()
+      val df = spark.sql(
+        s"""SELECT count(*) AS n_rows, sum(k) AS k_sum,
+           |       min(k) AS k_lo, max(k) AS k_hi
+           |FROM (SELECT k FROM graftmem.ftopn WHERE t = 0
+           |      ORDER BY k DESC LIMIT $n)""".stripMargin)
+      df.collect()
+      // t=1 files contradicted (dropped); bucket 2 proved and covers
+      val covering =
+        if (graft.sources.MemCatalog.batchReaders <= 1) 1L else 0L
+      df.withColumn("covering_planned", lit(covering))
+    },
+
+    // MULTI-COLUMN TOP-N PUSHDOWN (round-18): `ORDER BY k DESC, c
+    // LIMIT n` truncates on a STRICTLY range-disjoint leading key —
+    // secondary columns need no eligibility of their own (every
+    // lexicographic top-n row lives in the covering end regardless of
+    // tie-breaks; a TOUCHING boundary declines, TopNPushSpec pins it).
+    QueryDef("q339_multicol_topn_pushdown",
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+        |m AS (SELECT (count(*) // 6)::BIGINT AS n FROM src),
+        |topn AS (
+        |  SELECT k, c FROM src, m ORDER BY k DESC, c LIMIT (
+        |    SELECT n FROM m))
+        |SELECT count(*)::BIGINT AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS k_sum,
+        |       CAST(sum(c) AS BIGINT) AS c_sum,
+        |       min(k)::BIGINT AS k_lo,
+        |       CAST(1 AS BIGINT) AS covering_planned
+        |FROM topn""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.mtopn")
+      spark.sql("CREATE TABLE graftmem.mtopn (k BIGINT, c BIGINT)")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("c"))
+        .createOrReplaceTempView("q339_src")
+      val mx = spark.sql("SELECT max(k) FROM q339_src").head().getLong(0)
+      val step = (mx + 3) / 4
+      (0L until 4L).foreach(i => spark.sql(
+        "INSERT INTO graftmem.mtopn " +
+          s"SELECT /*+ REPARTITION(1) */ * FROM q339_src " +
+          (if (i == 0L) s"WHERE k <= $step"
+           else s"WHERE k > ${i * step} AND k <= ${(i + 1) * step}")))
+      val total = spark.sql("SELECT count(*) FROM graftmem.mtopn")
+        .head().getLong(0)
+      val n = total / 6
+      graft.sources.MemCatalog.resetBatchReaders()
+      val df = spark.sql(
+        s"""SELECT count(*) AS n_rows, sum(k) AS k_sum, sum(c) AS c_sum,
+           |       min(k) AS k_lo
+           |FROM (SELECT k, c FROM graftmem.mtopn
+           |      ORDER BY k DESC, c LIMIT $n)""".stripMargin)
+      df.collect()
+      // suffix coverage: n <= one file's rows at every SF bucket split
+      val covering =
+        if (graft.sources.MemCatalog.batchReaders < 4) 1L else 0L
+      df.withColumn("covering_planned", lit(covering))
+    },
+
+    // PAGINATION PUSHDOWN (round-18): `ORDER BY key LIMIT n OFFSET m`
+    // — Spark pushes TopN with limit+offset when the offset can't be
+    // fully consumed, so the scan plans the covering window for n+m
+    // live rows and the page deep into a 100 TB table still reads
+    // O(window) files. (A full `SupportsPushDownOffset` would require
+    // the LIMIT to be fully pushed — incompatible with the partial,
+    // result-invisible posture — so the window truncation is the
+    // whole win available to a planning-only source.)
+    QueryDef("q340_pagination_pushdown",
+      """WITH src AS (SELECT o_orderkey AS k FROM orders),
+        |m AS (SELECT (count(*) // 8)::BIGINT AS n,
+        |             (count(*) // 6)::BIGINT AS off FROM src),
+        |ranked AS (
+        |  SELECT k, row_number() OVER (ORDER BY k) AS rn FROM src)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |       CAST(sum(k) AS BIGINT) AS k_sum,
+        |       min(k)::BIGINT AS k_lo, max(k)::BIGINT AS k_hi,
+        |       CAST(1 AS BIGINT) AS covering_planned
+        |FROM ranked, m WHERE rn > off AND rn <= off + n""".stripMargin) {
+      (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.pgn")
+      spark.sql("CREATE TABLE graftmem.pgn (k BIGINT)")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"))
+        .createOrReplaceTempView("q340_src")
+      val mx = spark.sql("SELECT max(k) FROM q340_src").head().getLong(0)
+      val step = (mx + 3) / 4
+      (0L until 4L).foreach(i => spark.sql(
+        "INSERT INTO graftmem.pgn " +
+          s"SELECT /*+ REPARTITION(1) */ * FROM q340_src " +
+          (if (i == 0L) s"WHERE k <= $step"
+           else s"WHERE k > ${i * step} AND k <= ${(i + 1) * step}")))
+      val total = spark.sql("SELECT count(*) FROM graftmem.pgn")
+        .head().getLong(0)
+      val n = total / 8
+      val off = total / 6
+      graft.sources.MemCatalog.resetBatchReaders()
+      val df = spark.sql(
+        s"""SELECT count(*) AS n_rows, sum(k) AS k_sum,
+           |       min(k) AS k_lo, max(k) AS k_hi
+           |FROM (SELECT k FROM graftmem.pgn ORDER BY k
+           |      LIMIT $n OFFSET $off)""".stripMargin)
+      df.collect()
+      // window n+off ~ 7/24 of rows: 2 of 4 files cover it
+      val covering =
+        if (graft.sources.MemCatalog.batchReaders < 4) 1L else 0L
+      df.withColumn("covering_planned", lit(covering))
     }
   )
 

@@ -137,6 +137,25 @@ class TopNPushSpec extends SparkTestBase {
         s"${ParquetBatchIO.batchReads.get()}")
   }
 
+  test("pagination: ORDER BY k LIMIT n OFFSET m plans the covering " +
+      "window for n+m rows (Spark pushes TopN with limit+offset)") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gtn.pg")
+    spark.sql("CREATE TABLE gtn.pg (k BIGINT)")
+    (0 until 8).foreach(i => spark.sql(
+      s"""INSERT INTO gtn.pg
+         |SELECT /*+ REPARTITION(1) */ id + ${i * 1000}
+         |FROM RANGE(1000)""".stripMargin))
+    ParquetBatchIO.batchReads.set(0)
+    val page = spark.sql(
+      "SELECT k FROM gtn.pg ORDER BY k LIMIT 500 OFFSET 1200")
+      .collect().map(_.getLong(0))
+    assert(page.toSeq == (1200L until 1700L))
+    assert(ParquetBatchIO.batchReads.get() <= 2,
+      s"pagination window must cover n+m=1700 rows in 2 files, " +
+        s"opened ${ParquetBatchIO.batchReads.get()}")
+  }
+
   test("compound ORDER BY truncates on a strictly-disjoint leading " +
       "key; a boundary tie declines (secondary key could cross files)") {
     setup()
