@@ -2764,6 +2764,98 @@ object SourceQueries {
       val covering =
         if (graft.sources.MemCatalog.batchReaders < 4) 1L else 0L
       df.withColumn("covering_planned", lit(covering))
+    },
+
+    // ORDERING REPORT (round-18, `SupportsReportOrdering`): bucket-SPJ
+    // tables whose bucket files were WRITTEN sorted by the join key
+    // (write-order monotonicity is discovered by the write task and
+    // recorded in the per-file stats) sort-merge join with ZERO
+    // exchanges AND ZERO sorts — at 100 TB the two elided sorts dwarf
+    // even the elided shuffle. The gate pins the aggregate against
+    // DuckDB plus three plan flags: SMJ planned, no exchange, no sort.
+    QueryDef("q341_spj_sorted_smj",
+      """WITH f AS (SELECT o_custkey AS k,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS amount
+        |           FROM orders),
+        |d AS (SELECT c_custkey AS k,
+        |             (c_nationkey + 1)::BIGINT AS weight FROM customer)
+        |SELECT (f.k % 10)::BIGINT AS g, count(*)::BIGINT AS n_rows,
+        |       CAST(sum(f.amount * d.weight) AS BIGINT) AS s,
+        |       CAST(1 AS BIGINT) AS smj_planned,
+        |       CAST(1 AS BIGINT) AS no_exchange,
+        |       CAST(1 AS BIGINT) AS no_sort
+        |FROM f JOIN d ON f.k = d.k
+        |GROUP BY 1 ORDER BY g""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.sfact")
+      spark.sql("DROP TABLE IF EXISTS graftmem.sdim")
+      spark.sql(
+        """CREATE TABLE graftmem.sfact (k BIGINT, amount BIGINT)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+      spark.sql(
+        """CREATE TABLE graftmem.sdim (k BIGINT, weight BIGINT)
+          |PARTITIONED BY (bucket(4, k))""".stripMargin)
+      Tables.load(spark, dir, "orders")
+        .select(col("o_custkey").cast("long").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("amount"))
+        .createOrReplaceTempView("q341_fact")
+      Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          (col("c_nationkey") + 1).cast("long").as("weight"))
+        .createOrReplaceTempView("q341_dim")
+      // one task, globally sorted input: each bucket file receives its
+      // rows in k order, so every bucket is ONE sorted file
+      spark.sql("INSERT INTO graftmem.sfact SELECT k, amount FROM " +
+        "(SELECT /*+ REPARTITION(1) */ * FROM q341_fact) SORT BY k")
+      spark.sql("INSERT INTO graftmem.sdim SELECT k, weight FROM " +
+        "(SELECT /*+ REPARTITION(1) */ * FROM q341_dim) SORT BY k")
+      val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      try {
+        val j = spark.sql(
+          """SELECT (f.k % 10) AS g, count(*) AS n_rows,
+            |       sum(f.amount * d.weight) AS s
+            |FROM graftmem.sfact f JOIN graftmem.sdim d ON f.k = d.k
+            |GROUP BY 1 ORDER BY g""".stripMargin)
+        j.collect()
+        val plan = j.queryExecution.executedPlan
+        // sorts strictly below the SMJ legs must be zero (the final
+        // presentation ORDER BY g is expected and not counted)
+        var smjSeen = false
+        var sortsBelow = 0
+        var exchangesBelow = 0
+        def walk(p: org.apache.spark.sql.execution.SparkPlan,
+            below: Boolean): Unit = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => walk(a.executedPlan, below)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => walk(q.plan, below)
+          case s: org.apache.spark.sql.execution.SortExec =>
+            if (below) sortsBelow += 1
+            s.children.foreach(walk(_, below))
+          case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeLike =>
+            if (below) exchangesBelow += 1
+            e.children.foreach(walk(_, below))
+          case sj: org.apache.spark.sql.execution.joins
+              .SortMergeJoinExec =>
+            smjSeen = true
+            sj.children.foreach(walk(_, below = true))
+          case other => other.children.foreach(walk(_, below))
+        }
+        walk(plan, below = false)
+        j.withColumn("smj_planned", lit(if (smjSeen) 1L else 0L))
+          .withColumn("no_exchange",
+            lit(if (exchangesBelow == 0) 1L else 0L))
+          .withColumn("no_sort", lit(if (sortsBelow == 0) 1L else 0L))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      }
     }
   )
 

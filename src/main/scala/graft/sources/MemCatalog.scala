@@ -3788,7 +3788,8 @@ private[sources] final class MemScan private (outSchema: StructType,
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   def this(outSchema: StructType, dataSchema: StructType, snap: Snap,
       stats: Option[CommitStats],
@@ -3864,6 +3865,79 @@ private[sources] final class MemScan private (outSchema: StructType,
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
     }
+
+  /** Reported per-partition OUTPUT ORDERING (`SupportsReportOrdering`)
+    * — what lets Spark ELIDE sorts the data's layout already paid for:
+    * `sortWithinPartitions`, the local sort under a sort-merge join of
+    * SPJ-co-partitioned tables (zero exchange AND zero sort), and —
+    * through RemoveRedundantSorts on a single-partition scan — a
+    * global ORDER BY. Truthful when every planned split is a
+    * contiguous range of a PATCH-FREE data file whose WRITE-TIME stats
+    * mark a common output column monotone and non-null throughout
+    * ([[ColStats]] sortedAsc/sortedDesc — discovered by the write
+    * task, so `INSERT … SORT BY k` or a sort-rewriting OPTIMIZE flags
+    * files automatically): the row and columnar decoders walk physical
+    * order, and deletions/selection vectors only REMOVE rows. Under
+    * SPJ grouping the report additionally requires ONE split per
+    * partition key — a group concatenates its splits, which breaks row
+    * order. Runtime (DPP) filters and LIMIT/TopN truncation only DROP
+    * whole splits, so the report computed from the pushed-filter plan
+    * stays valid at execution. The first output column sorted the same
+    * way in EVERY planned file wins (ascending preferred). */
+  private lazy val reportedOrdering
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (direct) Array.empty
+    else {
+      val slices = planSlices(pushed).flatMap {
+        case k: KeyedSlice => Some(k.slice)
+        case s: SegSlice => Some(s)
+        case _ => None
+      }
+      val eligible = slices.nonEmpty && slices.forall(sl =>
+        sl.patches.isEmpty && (sl.seg match {
+          case f: FileSeg => f.stats.isDefined
+          case _ => false
+        })) &&
+        // SPJ: one split per key, or a task would concatenate files
+        (spjKeys.isEmpty || {
+          val pv = slices.map(_.seg.asInstanceOf[FileSeg].partVals)
+          pv.length == pv.distinct.length
+        })
+      if (!eligible) Array.empty
+      else {
+        val statsOf = slices.map(
+          _.seg.asInstanceOf[FileSeg].stats.get.cols)
+        def allSorted(phys: String, asc: Boolean): Boolean =
+          statsOf.forall(_.get(phys).exists(c =>
+            if (asc) c.sortedAsc else c.sortedDesc))
+        val logical = ColumnMapping.logical(dataSchema)
+        val candidates = outSchema.fields.iterator.flatMap { f =>
+          val i = logical.fields.indexWhere(_.name == f.name)
+          if (i < 0) None
+          else Some((f.name,
+            dataSchema(ColumnMapping.logicalToPhys(dataSchema)(i)).name))
+        }.toVector
+        val hit = candidates.collectFirst {
+          case (out, phys) if allSorted(phys, asc = true) => (out, true)
+        }.orElse(candidates.collectFirst {
+          case (out, phys) if allSorted(phys, asc = false) => (out, false)
+        })
+        hit.map { case (out, asc) =>
+          Array(Expressions.sort(Expressions.column(out),
+            if (asc)
+              org.apache.spark.sql.connector.expressions.SortDirection
+                .ASCENDING
+            else
+              org.apache.spark.sql.connector.expressions.SortDirection
+                .DESCENDING))
+        }.getOrElse(Array.empty[
+          org.apache.spark.sql.connector.expressions.SortOrder])
+      }
+    }
+  }
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    reportedOrdering
 
   /** RUNTIME (dynamic partition pruning) filters: Spark offers the
     * partition source columns at planning time; a dimension-derived

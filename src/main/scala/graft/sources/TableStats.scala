@@ -14,9 +14,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * `sum` is the EXACT non-null total for integral columns (None =
   * unknown: pre-sum history, Long overflow, or a non-integral type) —
   * what lets `SELECT sum(col)` serve from metadata; floating point is
-  * deliberately excluded (addition-order-dependent). */
+  * deliberately excluded (addition-order-dependent).
+  * `sortedAsc`/`sortedDesc` record WRITE-ORDER monotonicity of one
+  * data file's rows (non-null throughout, non-decreasing /
+  * non-increasing) — discovered by the write task, never declared, so
+  * a clustered INSERT...SORT BY or a sort-rewriting OPTIMIZE
+  * automatically yields files the scan can report an output ORDERING
+  * for ([[MemScan]]'s `SupportsReportOrdering`). Only meaningful on
+  * per-FILE stats: folding across files loses it (merge resets both). */
 private[sources] final case class ColStats(nulls: Long, tracked: Boolean,
-    min: Option[Any], max: Option[Any], sum: Option[Long] = None)
+    min: Option[Any], max: Option[Any], sum: Option[Long] = None,
+    sortedAsc: Boolean = false, sortedDesc: Boolean = false)
 
 /** Snapshot/commit statistics — the miniature of the per-file stats a
   * Delta/Iceberg commit log carries (`numRecords`, `minValues`,
@@ -107,19 +115,40 @@ private[sources] object CommitStats {
     private val maxs = new Array[Any](n)
     private val sums = new Array[Long](n)
     private val sumOk = Array.fill(n)(true)
+    // write-order monotonicity: both flags start true and die on the
+    // first violation OR any null — once dead the column pays nothing
+    // (prev reference dropped, comparisons skipped). Real unsorted
+    // columns die within a handful of rows; only genuinely sorted
+    // columns pay one comparison (strings: one clone) per row.
+    private val ascOk = Array.tabulate(n)(i => tracked(i))
+    private val descOk = Array.tabulate(n)(i => tracked(i))
+    private val prevs = new Array[Any](n)
     private var count = 0L
     def add(r: InternalRow): Unit = {
       count += 1
       var i = 0
       while (i < n) {
-        if (i >= r.numFields || r.isNullAt(i)) nulls(i) += 1
-        else if (tracked(i)) {
+        if (i >= r.numFields || r.isNullAt(i)) {
+          nulls(i) += 1
+          // null placement is ambiguous: a file with nulls reports no
+          // write order (the scan demands nulls == 0 anyway)
+          ascOk(i) = false; descOk(i) = false; prevs(i) = null
+        } else if (tracked(i)) {
           val v = r.get(i, schema(i).dataType)
           if (mins(i) == null || cmp(v, mins(i)) < 0) mins(i) = stable(v)
           if (maxs(i) == null || cmp(v, maxs(i)) > 0) maxs(i) = stable(v)
           if (sumT(i) && sumOk(i)) {
             try sums(i) = Math.addExact(sums(i), asLong(v))
             catch { case _: ArithmeticException => sumOk(i) = false }
+          }
+          if (ascOk(i) || descOk(i)) {
+            val p = prevs(i)
+            if (p != null) {
+              val c = cmp(v, p)
+              if (c < 0) ascOk(i) = false
+              if (c > 0) descOk(i) = false
+            }
+            prevs(i) = if (ascOk(i) || descOk(i)) stable(v) else null
           }
         }
         i += 1
@@ -129,7 +158,9 @@ private[sources] object CommitStats {
       CommitStats(count, schema.fields.zipWithIndex.map { case (f, i) =>
         f.name ->
           ColStats(nulls(i), tracked(i), Option(mins(i)), Option(maxs(i)),
-            if (sumT(i) && sumOk(i)) Some(sums(i)) else None)
+            if (sumT(i) && sumOk(i)) Some(sums(i)) else None,
+            sortedAsc = tracked(i) && ascOk(i),
+            sortedDesc = tracked(i) && descOk(i))
       }.toMap)
   }
 
@@ -314,9 +345,13 @@ private[sources] object CommitStats {
     * decoding — embedded stats ride inside commit files, which are
     * immutable durable history that must replay forever. */
   private val StatsSentinelV2: Long = java.lang.Long.MIN_VALUE + 2
+  /** v3 appends a write-order flags byte per column (sortedAsc /
+    * sortedDesc) — same immutable-history discipline: v1/v2 payloads
+    * keep decoding (flags read as false). */
+  private val StatsSentinelV3: Long = java.lang.Long.MIN_VALUE + 3
 
   def write(out: DataOutputStream, schema: StructType, s: CommitStats): Unit = {
-    out.writeLong(StatsSentinelV2)
+    out.writeLong(StatsSentinelV3)
     out.writeLong(s.count)
     // count MATCHING entries, not map size: a fold that still carries
     // keys the schema no longer names (pre-RENAME history) must not
@@ -334,6 +369,8 @@ private[sources] object CommitStats {
       if (c.tracked && c.max.isDefined) writeVal(out, f.dataType, c.max.get)
       out.writeBoolean(c.sum.isDefined)
       c.sum.foreach(out.writeLong)
+      out.writeByte((if (c.sortedAsc) 1 else 0) | (if (c.sortedDesc) 2
+        else 0))
     }
   }
 
@@ -341,7 +378,8 @@ private[sources] object CommitStats {
     * sidecar written before an ADD COLUMN simply lacks the new name). */
   def read(in: DataInputStream, schema: StructType): CommitStats = {
     val first = in.readLong()
-    val v2 = first == StatsSentinelV2
+    val v3 = first == StatsSentinelV3
+    val v2 = v3 || first == StatsSentinelV2
     val count = if (v2) in.readLong() else first
     val n = in.readInt()
     val byName = schema.fields.map(f => f.name -> f).toMap
@@ -364,7 +402,9 @@ private[sources] object CommitStats {
       val mn = if (in.readBoolean()) Some(readVal(in, dt)) else None
       val mx = if (in.readBoolean()) Some(readVal(in, dt)) else None
       val sm = if (v2 && in.readBoolean()) Some(in.readLong()) else None
-      name -> ColStats(nulls, tracked, mn, mx, sm)
+      val flags = if (v3) in.readByte() else 0
+      name -> ColStats(nulls, tracked, mn, mx, sm,
+        sortedAsc = (flags & 1) != 0, sortedDesc = (flags & 2) != 0)
     }.toMap
     CommitStats(count, cols)
   }

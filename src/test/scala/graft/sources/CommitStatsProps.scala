@@ -61,7 +61,13 @@ object CommitStatsProps extends Properties("CommitStats") {
         val healed = CommitStats.applyDelta(
           CommitStats.of(prev, schema), schema, prev, d, result)
         val rescanned = CommitStats.of(result, schema)
-        val ok = healed == rescanned
+        // write-order flags are a FILE fact (the order rows were
+        // streamed), not a content fact: a delta-maintained snapshot
+        // never claims one, so compare everything else
+        def noOrder(s: CommitStats): CommitStats = CommitStats(s.count,
+          s.cols.view.mapValues(
+            _.copy(sortedAsc = false, sortedDesc = false)).toMap)
+        val ok = noOrder(healed) == noOrder(rescanned)
         if (!ok) println(s"healed=$healed\nrescan=$rescanned")
         ok
       }
