@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
   *
   * Everything here is a higher-order-function expression over the
   * token array — per-row, zero shuffle, no UDF. The top-2-gram count
-  * deliberately stays a ROW-LOCAL O(distinct x total) scan instead of
-  * an explode + per-(doc, gram) groupBy: documents are bounded (10^2 -
-  * 10^5 tokens) while the corpus is not, so trading a bounded per-row
-  * loop for a corpus-wide exchange is the right side of the bargain at
-  * 100 TB — repetition scoring stays inside the same map stage as the
-  * rest of the quality rubric. All signals are integer counts; the
-  * threshold flags are integer-ratio comparisons (exact arithmetic,
-  * stable oracle hashes).
+  * deliberately stays ROW-LOCAL instead of an explode + per-(doc,
+  * gram) groupBy: documents are bounded (10^2 - 10^5 tokens) while
+  * the corpus is not, so keeping repetition scoring inside the same
+  * map stage as the rest of the quality rubric is the right side of
+  * the bargain at 100 TB. The row-local count is O(n log n) — sort
+  * the gram array once, take the longest equal-adjacent run — NOT the
+  * naive O(distinct x total) rescan, which measured 26.8 s of a 39 s
+  * pipeline on 10^5 documents (round-18). All signals are integer
+  * counts; the threshold flags are integer-ratio comparisons (exact
+  * arithmetic, stable oracle hashes).
   */
 object RepetitionStats {
 
@@ -29,13 +31,28 @@ object RepetitionStats {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
 
-  /** Occurrence count of the most frequent 2-gram (0 if none). */
+  /** Occurrence count of the most frequent 2-gram (0 if none):
+    * sort the grams, then the answer is the longest run of equal
+    * adjacent elements — one `aggregate` pass with (best, current)
+    * run-length state. */
   def maxGram2Count(toks: Column): Column = {
     val g2 = grams2(toks)
-    coalesce(
-      array_max(transform(array_distinct(g2),
-        x => size(filter(g2, y => y === x)))),
-      lit(0)).cast("long")
+    val sorted = array_sort(g2)
+    // adjacent-equality mask of the sorted grams (n-1 booleans)
+    val eqs = zip_with(
+      slice(sorted, lit(1), size(sorted) - 1),
+      slice(sorted, lit(2), size(sorted) - 1),
+      (a, b) => a === b)
+    val best = aggregate(
+      eqs,
+      struct(lit(1L).as("best"), lit(1L).as("cur")),
+      (acc, eq) => {
+        val cur = when(eq, acc.getField("cur") + 1L).otherwise(1L)
+        struct(greatest(acc.getField("best"), cur).as("best"),
+          cur.as("cur"))
+      },
+      acc => acc.getField("best"))
+    when(size(g2) === 0, 0L).otherwise(best).cast("long")
   }
 
   /** Duplicated-token flag: at least `pct`% of tokens are repeats

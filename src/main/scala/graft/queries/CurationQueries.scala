@@ -27,6 +27,21 @@ object CurationQueries {
     * stay zero — see PLANS.md round 7). */
   private[queries] val NGram = 8
 
+  /** Contaminated train-doc ids (benchmark n-gram hits), memoized per
+    * (session, dir): the q116 metric gate and the q193 release chain
+    * consume the SAME frame, so the n-gram sweep runs once per
+    * session — the IndexStore discipline (corpus-wide artifacts are
+    * computed once; consumers read them). */
+  private[queries] def contamIds(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    FrameMemo.memoized(spark, s"contam:$dir") {
+      val docs = Tables.load(spark, dir, "documents")
+      val evalSet = docs.where(col("doc_id") % EvalMod === 0)
+      val train = docs.where(col("doc_id") % EvalMod =!= 0)
+      Decontaminate.contaminatedIds(train, evalSet, "doc_id", "text",
+        NGram)
+    }
+
   private[queries] val DupTokenPct = 60
   private[queries] val TopGram2Pct = 10
 
@@ -454,11 +469,8 @@ object CurationQueries {
 
     QueryDef("q116_decontaminate", decontaminateSql) { (spark, dir) =>
       val docs = Tables.load(spark, dir, "documents")
-      val evalSet = docs.where(col("doc_id") % EvalMod === 0)
       val train = docs.where(col("doc_id") % EvalMod =!= 0)
-      val contam = Decontaminate
-        .contaminatedIds(train, evalSet, "doc_id", "text", NGram)
-        .withColumn("is_contam", lit(1))
+      val contam = contamIds(spark, dir).withColumn("is_contam", lit(1))
       train.select(col("doc_id"), col("lang"))
         .join(broadcast(contam), Seq("doc_id"), "left")
         .groupBy(col("lang"))

@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.functions.{GraftFunctions, PiiScrub, RepetitionStats}
-import graft.operators.{BpeTrain, DataSplit, Decontaminate, DomainMix,
-  NgramLm, SemanticDedup, SequencePack}
+import graft.operators.{BpeTrain, DataSplit, DomainMix, SemanticDedup,
+  SequencePack}
 import graft.sources.Tables
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -239,11 +239,11 @@ object ReleaseQueries {
       val dk = docs.select(col("doc_id"), col("lang"), col("source"),
         col("text"), size(split(col("text"), " ")).cast("long").as("n_tok"))
 
-      // stage 1: benchmark decontamination (train = non-eval docs)
-      val evalSet = docs.where(col("doc_id") % EvalMod === 0)
+      // stage 1: benchmark decontamination (train = non-eval docs) —
+      // the contaminated-id frame is the SAME memoized artifact q116
+      // consumes (computed once per session)
       val train = dk.where(col("doc_id") % EvalMod =!= 0)
-      val contam = Decontaminate
-        .contaminatedIds(train, evalSet, "doc_id", "text", NGram)
+      val contam = CurationQueries.contamIds(spark, dir)
       val s1 = ckpt(train.join(broadcast(contam), Seq("doc_id"), "left_anti"))
 
       // stage 2: PII scrub metrics on the survivors (planted PII, the
@@ -262,10 +262,9 @@ object ReleaseQueries {
           RepetitionStats.topGram2Flag(toksC, TopGram2Pct))))
 
       // stage 4: CCNet perplexity filter — keep head+middle terciles
-      // per language, terciles computed over the chain survivors
-      val model = NgramLm.train(docs.where(expr(LmQueries.TrainSplitSql)),
-        "text")
-      val scored = NgramLm.score(docs, "text", model, Seq("doc_id"))
+      // per language; the per-doc scored frame is the SAME memoized
+      // artifact q170 consumes (scoring pass runs once per session)
+      val scored = LmQueries.docScored(spark, dir)
         .select(col("doc_id"), col("n_tok").as("lm_tok"), col("cost_micro"))
       val w = Window.partitionBy(col("lang"))
         .orderBy(col("cost_micro").cast("double") / col("lm_tok"),
