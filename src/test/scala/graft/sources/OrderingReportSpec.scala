@@ -124,6 +124,37 @@ class OrderingReportSpec extends SparkTestBase {
       "a null anywhere withdraws the report")
   }
 
+  test("OPTIMIZE ZORDER BY (k) discovers sortedness: the rewrite's " +
+      "files report ordering AND truncate TopN — no declaration " +
+      "anywhere") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gord.z")
+    spark.sql("CREATE TABLE gord.z (k BIGINT, v BIGINT)")
+    // 4 UNSORTED, fully-overlapping files
+    (0 until 4).foreach(i => spark.sql(
+      s"""INSERT INTO gord.z
+         |SELECT /*+ REPARTITION(1) */ (id * 131 + $i) % 4000,
+         |       id FROM RANGE(1000)""".stripMargin))
+    assert(sortCount(
+      spark.table("gord.z").sortWithinPartitions("k")) == 1,
+      "pre-OPTIMIZE: unsorted files must not report ordering")
+    spark.sql("OPTIMIZE gord.z TARGET 1000 ROWS ZORDER BY (k)")
+    // the single-key curve rewrite range-partitions and sorts on k
+    // itself: every output file is internally sorted and the chain is
+    // range-disjoint — ordering report and TopN truncation both
+    // engage with no declaration
+    assert(sortCount(
+      spark.table("gord.z").sortWithinPartitions("k")) == 0,
+      "post-OPTIMIZE: write-order discovery must flag the files")
+    ParquetBatchIO.batchReads.set(0)
+    val top = spark.sql("SELECT k FROM gord.z ORDER BY k DESC LIMIT 10")
+      .collect().map(_.getLong(0))
+    assert(top.length == 10 && top.head == top.max)
+    assert(ParquetBatchIO.batchReads.get() <= 1,
+      s"clustered chain must truncate TopN to the tail file: " +
+        s"${ParquetBatchIO.batchReads.get()}")
+  }
+
   test("SPJ + sorted bucket files: sort-merge join with ZERO " +
       "exchanges AND ZERO sorts") {
     setup()
