@@ -155,6 +155,35 @@ class OrderingReportSpec extends SparkTestBase {
         s"${ParquetBatchIO.batchReads.get()}")
   }
 
+  test("SET CLUSTERED BY (k): plain INSERTs write range-disjoint " +
+      "SORTED files — ordering + TopN engage with zero maintenance") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS gord.c")
+    spark.sql("CREATE TABLE gord.c (k BIGINT, v BIGINT)")
+    spark.sql("ALTER TABLE gord.c SET CLUSTERED BY (k)")
+    // unsorted, unpartitioned input: the write path's
+    // RequiresDistributionAndOrdering range-distributes and sorts
+    // in-task, so landed files are disjoint AND internally sorted
+    spark.sql(
+      """INSERT INTO gord.c
+        |SELECT (id * 131) % 4000 AS k, id AS v FROM RANGE(4000)"""
+        .stripMargin)
+    assert(sortCount(
+      spark.table("gord.c").sortWithinPartitions("k")) == 0,
+      "clustered write must land discovered-sorted files")
+    val n = spark.sql("SELECT count(*) FROM gord.c").head().getLong(0)
+    assert(n == 4000L)
+    // TopN truncation engages off the same discovered layout: the
+    // covering prefix for LIMIT 5 is the head file alone
+    ParquetBatchIO.batchReads.set(0)
+    val top = spark.sql("SELECT k FROM gord.c ORDER BY k LIMIT 5")
+      .collect().map(_.getLong(0))
+    assert(top.head == 0L && top.length == 5)
+    assert(ParquetBatchIO.batchReads.get() <= 1,
+      s"clustered-write chain must truncate TopN: " +
+        s"${ParquetBatchIO.batchReads.get()}")
+  }
+
   test("SPJ + sorted bucket files: sort-merge join with ZERO " +
       "exchanges AND ZERO sorts") {
     setup()
