@@ -4153,6 +4153,22 @@ private[sources] final class MemScan private (outSchema: StructType,
   private def liveOf(s: SegSlice): Long =
     math.max(0L, s.physEnd - s.physStart - s.dels.length)
 
+  /** The statistics describing EXACTLY this slice's rows: the file's
+    * commit stats for a whole-file slice, the row group's own footer
+    * stats for a row-group slice (cached footer metadata — no data
+    * read). What lets LIMIT/TopN truncation and proved-coverage
+    * arithmetic work at ROW-GROUP grain, so a table OPTIMIZE'd into
+    * multi-gigabyte files still truncates "latest n" to one row group
+    * instead of declining. */
+  private def sliceStats(s: SegSlice): Option[CommitStats] =
+    s.seg match {
+      case f: FileSeg =>
+        if (s.byteStart < 0) f.stats
+        else ParquetRowIO.blockStats(f.path, dataSchema)
+          .collectFirst { case (b, cs) if b.startByte == s.byteStart => cs }
+      case _ => None
+    }
+
   /** LIMIT planning truncation. Without filters: the slice prefix
     * covering `n` live rows (orderless LIMIT — any n live rows
     * satisfy it; live counts are exact metadata under delete
@@ -4190,11 +4206,8 @@ private[sources] final class MemScan private (outSchema: StructType,
       while (live < n && it.hasNext) {
         val p = it.next()
         val s = sliceOf(p).getOrElse(return None)
-        val proved = s.patches.isEmpty && (s.seg match {
-          case f: FileSeg =>
-            MemFilters.provesAll(f.stats, dataSchema, preds)
-          case _ => false
-        })
+        val proved = s.patches.isEmpty && s.seg.isInstanceOf[FileSeg] &&
+          MemFilters.provesAll(sliceStats(s), dataSchema, preds)
         if (proved) { live += liveOf(s); out += p }
       }
       if (live >= n) Some(out.result().toArray) else None
@@ -4202,20 +4215,23 @@ private[sources] final class MemScan private (outSchema: StructType,
   }
 
   /** TOP-N planning truncation: Some(covering prefix/suffix) when the
-    * slices are whole PATCH-FREE files (an UPDATE overlay can move a
-    * key outside its file's recorded range, voiding the chain proof),
-    * RANGE-DISJOINT in the leading sort column — STRICTLY disjoint
-    * under a compound order, where a boundary tie could be broken by
-    * a secondary key in the un-planned file — with tracked stats and
-    * ZERO nulls in it (null ordering never decides). The n extremal
-    * live rows are then provably inside the covering end of the file
-    * chain, and Spark's sort+limit above re-derives the exact answer
-    * from that superset. With filters, only files whose stats PROVE
-    * the whole conjunction count toward coverage — straddling files
-    * are planned but contribute an unknowable yield, so the walk
-    * stops only once PROVED rows cover n (`WHERE tenant = … ORDER BY
-    * ts DESC LIMIT n` on a time-clustered table stops at the first
-    * covering proved window instead of planning every file).
+    * slices — whole files OR row-group ranges of large files, each
+    * with its OWN exact statistics ([[sliceStats]]) — are PATCH-FREE
+    * (an UPDATE overlay can move a key outside the recorded range,
+    * voiding the chain proof), RANGE-DISJOINT in the leading sort
+    * column — STRICTLY disjoint under a compound order, where a
+    * boundary tie could be broken by a secondary key in the un-planned
+    * slice — with tracked stats and ZERO nulls in it (null ordering
+    * never decides). The n extremal live rows are then provably inside
+    * the covering end of the chain, and Spark's sort+limit above
+    * re-derives the exact answer from that superset — at row-group
+    * grain, "latest n" on a table OPTIMIZE'd into multi-gigabyte
+    * files reads ONE row group. With filters, only slices whose stats
+    * PROVE the whole conjunction count toward coverage — straddling
+    * slices are planned but contribute an unknowable yield, so the
+    * walk stops only once PROVED rows cover n (`WHERE tenant = …
+    * ORDER BY ts DESC LIMIT n` on a time-clustered table stops at the
+    * first covering proved window instead of planning every file).
     * None = plan everything. */
   private def truncateTopN(slices: Array[InputPartition], col: String,
       asc: Boolean, n: Int, strict: Boolean,
@@ -4228,18 +4244,14 @@ private[sources] final class MemScan private (outSchema: StructType,
     var i = 0
     while (i < slices.length) {
       val sl = sliceOf(slices(i)).getOrElse(return None)
-      if (sl.byteStart >= 0) return None // row-group split: whole files only
       if (sl.patches.nonEmpty) return None // stale stats under UPDATE
-      sl.seg match {
-        case f: FileSeg =>
-          f.stats.flatMap(_.cols.get(col)) match {
-            case Some(c) if c.tracked && c.nulls == 0 &&
-                c.min.isDefined && c.max.isDefined =>
-              fs(i) = F(slices(i), c.min.get, c.max.get, liveOf(sl),
-                preds.isEmpty ||
-                  MemFilters.provesAll(f.stats, dataSchema, preds))
-            case _ => return None
-          }
+      val st = sliceStats(sl).getOrElse(return None)
+      st.cols.get(col) match {
+        case Some(c) if c.tracked && c.nulls == 0 &&
+            c.min.isDefined && c.max.isDefined =>
+          fs(i) = F(slices(i), c.min.get, c.max.get, liveOf(sl),
+            preds.isEmpty ||
+              MemFilters.provesAll(Some(st), dataSchema, preds))
         case _ => return None
       }
       i += 1

@@ -137,6 +137,47 @@ class TopNPushSpec extends SparkTestBase {
         s"${ParquetBatchIO.batchReads.get()}")
   }
 
+  test("ROW-GROUP grain: a single large sorted file truncates TopN " +
+      "to the covering row groups (the OPTIMIZE'd-fact shape)") {
+    setup()
+    val prev = sys.props.get("graft.catalog.rowgroup.bytes")
+    sys.props("graft.catalog.rowgroup.bytes") = (32 * 1024).toString
+    try {
+      spark.sql("DROP TABLE IF EXISTS gtn.rg")
+      spark.sql("CREATE TABLE gtn.rg (k BIGINT, v BIGINT)")
+      spark.range(0, 50000).selectExpr("id AS k", "id * 3 AS v")
+        .repartition(1).sortWithinPartitions("k")
+        .createOrReplaceTempView("gtn_rg_src")
+      spark.sql("INSERT INTO gtn.rg SELECT * FROM gtn_rg_src")
+    } finally prev match {
+      case Some(v) => sys.props("graft.catalog.rowgroup.bytes") = v
+      case None => sys.props -= "graft.catalog.rowgroup.bytes"
+    }
+    val file = spark.sql("SELECT file FROM gtn.rg.files").head().getString(0)
+    val nBlocks = ParquetRowIO.blocks(s"$root/rg/data/$file").length
+    assert(nBlocks > 3, s"staging produced only $nBlocks row groups")
+    // DESC top-100: the covering suffix is the LAST row group alone
+    ParquetBatchIO.batchReads.set(0)
+    val top = spark.sql("SELECT k FROM gtn.rg ORDER BY k DESC LIMIT 100")
+      .collect().map(_.getLong(0))
+    assert(top.toSeq == (49999L to 49900L by -1))
+    assert(ParquetBatchIO.batchReads.get() < nBlocks.toLong,
+      s"row-group TopN must not plan all $nBlocks groups: " +
+        s"${ParquetBatchIO.batchReads.get()}")
+    assert(ParquetBatchIO.batchReads.get() <= 2,
+      s"covering suffix should be 1-2 row groups, " +
+        s"planned ${ParquetBatchIO.batchReads.get()}")
+    // filtered + row-group grain: the proved window composes
+    ParquetBatchIO.batchReads.set(0)
+    val f = spark.sql(
+      "SELECT k FROM gtn.rg WHERE k >= 40000 ORDER BY k LIMIT 50")
+      .collect().map(_.getLong(0))
+    assert(f.toSeq == (40000L until 40050L))
+    assert(ParquetBatchIO.batchReads.get() <= 3,
+      s"filtered row-group walk overread: " +
+        s"${ParquetBatchIO.batchReads.get()}")
+  }
+
   test("pagination: ORDER BY k LIMIT n OFFSET m plans the covering " +
       "window for n+m rows (Spark pushes TopN with limit+offset)") {
     setup()
