@@ -2886,7 +2886,8 @@ object SourceQueries {
     urlDocsSetup.getOrElseUpdate((System.identityHashCode(spark), dir), {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/root/repo/target/graft_clustered/documents_url$tag"
-      ZoneMap.writeClustered(
+      if (clusteredFresh(path, dir, "documents")) path
+      else ZoneMap.writeClustered(
         Tables.load(spark, dir, "documents")
           .select(col("doc_id"), col("lang"), col("source"),
             concat(col("source"), lit("/"), col("doc_id").cast("string"))
@@ -2947,12 +2948,30 @@ object SourceQueries {
   private val zorderSetup =
     scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
+  /** True when a persisted clustered rewrite at `path` is FRESH
+    * against its source table: `_SUCCESS` present and at least as new
+    * as the fixture parquet. The rewrites are deterministic
+    * permutations, so a fresh artifact is byte-equivalent to a
+    * rebuild — the bench then measures the SKIPPING SCAN these gates
+    * exist to prove, not a per-session re-clustering of lineitem
+    * (the IndexStore discipline applied to layout artifacts; a
+    * regenerated fixture auto-invalidates via the mtime check). */
+  private def clusteredFresh(path: String, dir: String,
+      table: String): Boolean = {
+    val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
+    val m = graft.operators.IndexStore.markerMtime(path)
+    m > 0 && java.nio.file.Files.exists(src) &&
+      m >= java.nio.file.Files.getLastModifiedTime(src).toMillis
+  }
+
   private def zorderedLineitem(spark: SparkSession, dir: String): String =
     zorderSetup.getOrElseUpdate((System.identityHashCode(spark), dir), {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/root/repo/target/graft_clustered/lineitem_z$tag"
-      ZOrder.writeClustered(
-        Tables.load(spark, dir, "lineitem"), "l_orderkey", "l_partkey", 16, path)
+      if (!clusteredFresh(path, dir, "lineitem"))
+        ZOrder.writeClustered(
+          Tables.load(spark, dir, "lineitem"), "l_orderkey", "l_partkey",
+          16, path)
       path
     })
 
@@ -2965,8 +2984,10 @@ object SourceQueries {
     hilbertSetup.getOrElseUpdate((System.identityHashCode(spark), dir), {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/root/repo/target/graft_clustered/lineitem_h$tag"
-      graft.operators.Hilbert.writeClustered(
-        Tables.load(spark, dir, "lineitem"), "l_orderkey", "l_partkey", 16, path)
+      if (!clusteredFresh(path, dir, "lineitem"))
+        graft.operators.Hilbert.writeClustered(
+          Tables.load(spark, dir, "lineitem"), "l_orderkey", "l_partkey",
+          16, path)
       path
     })
 
@@ -2980,8 +3001,9 @@ object SourceQueries {
     zorder3Setup.getOrElseUpdate((System.identityHashCode(spark), dir), {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/root/repo/target/graft_clustered/lineitem_z3$tag"
-      ZOrder.writeClustered(Tables.load(spark, dir, "lineitem"),
-        Seq("l_orderkey", "l_partkey", "l_suppkey"), 16, path)
+      if (!clusteredFresh(path, dir, "lineitem"))
+        ZOrder.writeClustered(Tables.load(spark, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey"), 16, path)
       path
     })
 
@@ -2994,9 +3016,10 @@ object SourceQueries {
     hilbert3Setup.getOrElseUpdate((System.identityHashCode(spark), dir), {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"/root/repo/target/graft_clustered/lineitem_h3$tag"
-      graft.operators.Hilbert.writeClustered(
-        Tables.load(spark, dir, "lineitem"),
-        Seq("l_orderkey", "l_partkey", "l_suppkey"), 16, path)
+      if (!clusteredFresh(path, dir, "lineitem"))
+        graft.operators.Hilbert.writeClustered(
+          Tables.load(spark, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey"), 16, path)
       path
     })
 
