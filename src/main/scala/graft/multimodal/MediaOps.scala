@@ -374,6 +374,9 @@ object MediaOps {
         }
       }
     }
+    // commit marker LAST: a killed staging run leaves no marker, so a
+    // freshness check never serves a half-written lake
+    driverFs.create(new Path(root, "_SUCCESS"), true).close()
   }
 
   /** REAL frame sampling for video payloads (concatenated-PNG ticks

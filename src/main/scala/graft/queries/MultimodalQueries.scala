@@ -792,7 +792,16 @@ object MultimodalQueries {
     mediaFileSetup.getOrElseUpdate((System.identityHashCode(spark), dir), {
       val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val path = s"/root/repo/target/graft_media/files_$tag"
-      MediaOps.writeMediaFiles(MediaOps.mediaFromDocuments(spark, dir), path)
+      // the staged lake is a DETERMINISTIC function of documents:
+      // serve it across sessions when its commit marker is at least
+      // as new as the fixture (a regenerated fixture re-stages)
+      val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+      val m = graft.operators.IndexStore.markerMtime(path)
+      val fresh = m > 0 && java.nio.file.Files.exists(src) &&
+        m >= java.nio.file.Files.getLastModifiedTime(src).toMillis
+      if (!fresh)
+        MediaOps.writeMediaFiles(
+          MediaOps.mediaFromDocuments(spark, dir), path)
       path
     })
 }

@@ -173,9 +173,12 @@ class MediaOpsSpec extends SparkTestBase {
     if (dir.exists()) deleteRec(dir)
     val ds = files(12)
     MediaOps.writeMediaFiles(ds, dir.getAbsolutePath)
-    // one object per payload, named by id
-    val names = dir.listFiles().map(_.getName).sorted
+    // one object per payload, named by id (plus the commit marker)
+    val names = dir.listFiles().map(_.getName).filter(_.endsWith(".bin"))
+      .sorted
     assert(names.toSeq == (0 until 12).map(i => s"$i.bin").sorted)
+    assert(new java.io.File(dir, "_SUCCESS").exists(),
+      "staging must land a commit marker for freshness checks")
     val back = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin").load(dir.getAbsolutePath)
       .select(regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
