@@ -3886,7 +3886,15 @@ private[sources] final class MemScan private (outSchema: StructType,
     * way in EVERY planned file wins (ascending preferred). */
   private lazy val reportedOrdering
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
-    if (direct) Array.empty
+    // cheap pre-check before the planSlices metadata pass (this runs
+    // during EVERY query's planning): a table with no sorted file
+    // anywhere — the common case — answers from the snapshot alone
+    lazy val anySorted = snap.segs.exists(_.seg match {
+      case f: FileSeg => f.stats.exists(_.cols.valuesIterator.exists(
+        c => c.sortedAsc || c.sortedDesc))
+      case _ => false
+    })
+    if (direct || !anySorted) Array.empty
     else {
       val slices = planSlices(pushed).flatMap {
         case k: KeyedSlice => Some(k.slice)
