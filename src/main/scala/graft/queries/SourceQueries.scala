@@ -2856,6 +2856,61 @@ object SourceQueries {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
         spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
       }
+    },
+
+    // TABLESAMPLE PUSHDOWN (round-18, `SupportsPushDownTableSample`,
+    // FULL — the scan owns the sampling): cluster sampling at split
+    // grain, one seeded Bernoulli draw per split, so `TABLESAMPLE
+    // (20 PERCENT)` on a 40-file table reads ~20% of the BYTES —
+    // row-unbiased (a row's inclusion probability is its split's
+    // draw) and REPEATABLE-deterministic. Sampling has no single
+    // right answer, so the gate pins what IS deterministic: the
+    // full-table count (vs the fixture), a wide fraction band, repeat
+    // determinism, reader truncation, and proper-subset-ness —
+    // TableSampleSpec additionally pins the decline paths (too-coarse
+    // tables, with-replacement) and the metadata-aggregate guard.
+    QueryDef("q342_tablesample_pushdown",
+      """SELECT count(*)::BIGINT AS total,
+        |       CAST(1 AS BIGINT) AS within_band,
+        |       CAST(1 AS BIGINT) AS deterministic,
+        |       CAST(1 AS BIGINT) AS io_truncated,
+        |       CAST(1 AS BIGINT) AS proper_subset
+        |FROM orders""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.smp")
+      spark.sql("CREATE TABLE graftmem.smp (k BIGINT)")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"))
+        .createOrReplaceTempView("q342_src")
+      (0 until 40).foreach(i => spark.sql(
+        "INSERT INTO graftmem.smp SELECT /*+ REPARTITION(1) */ k " +
+          s"FROM q342_src WHERE k % 40 = $i"))
+      val total = spark.sql("SELECT count(*) FROM graftmem.smp")
+        .head().getLong(0)
+      def sampleSum(): (Long, Long, Long) = {
+        graft.sources.MemCatalog.resetBatchReaders()
+        val r = spark.sql(
+          """SELECT count(*) AS n, sum(k) AS s FROM graftmem.smp
+            |TABLESAMPLE (20 PERCENT) REPEATABLE (42)""".stripMargin)
+          .head()
+        (r.getLong(0), r.getLong(1),
+          graft.sources.MemCatalog.batchReaders)
+      }
+      val (n1, s1, readers) = sampleSum()
+      val (n2, s2, _) = sampleSum()
+      val withinBand =
+        if (n1 * 100 >= total * 2 && n1 * 100 <= total * 60) 1L else 0L
+      val deterministic = if (n1 == n2 && s1 == s2) 1L else 0L
+      val ioTruncated = if (readers < 40) 1L else 0L
+      val properSubset = if (n1 > 0 && n1 < total) 1L else 0L
+      spark.sql(s"SELECT ${total}L AS total")
+        .withColumn("within_band", lit(withinBand))
+        .withColumn("deterministic", lit(deterministic))
+        .withColumn("io_truncated", lit(ioTruncated))
+        .withColumn("proper_subset", lit(properSubset))
     }
   )
 

@@ -2994,12 +2994,42 @@ private[sources] final class MemScanBuilder(store: MemStore,
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
-    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
   import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var served: Option[(StructType, Vector[InternalRow])] = None
   private var required: Option[StructType] = None
   private var pushedLimit: Option[Int] = None
+  private var pushedSample: Option[(Double, Double, Long)] = None
+
+  /** TABLESAMPLE pushdown — FULL (Spark removes its Sample operator,
+    * so the scan OWNS the sampling): CLUSTER sampling at split grain —
+    * each planned split is included with probability (upper - lower)
+    * via a seeded mix of its index, and only included splits are
+    * read. Every row's inclusion probability equals the requested
+    * fraction regardless of split sizes (its split is one Bernoulli
+    * draw), so the sample is unbiased while `TABLESAMPLE (1 PERCENT)`
+    * on a 100 TB table reads ~1% of the BYTES instead of row-sampling
+    * a full scan. REPEATABLE(seed) is honored: a fixed seed over a
+    * fixed snapshot selects the same splits. Declined when the table
+    * has too few segments for the fraction (cluster grain would be
+    * all-or-nothing — Spark row-samples instead) and for
+    * with-replacement sampling (a split cannot be emitted twice). */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    if (withReplacement) return false
+    val width = upperBound - lowerBound
+    if (width <= 0.0) return false // empty sample: let Spark serve it
+    if (width >= 1.0) return true // full table: nothing to drop
+    // granularity guard: expect >= ~4 included segments, else the
+    // cluster grain is too coarse to resemble the asked fraction
+    val segs = pinned.map(_.snap.segs.length)
+      .getOrElse(store.currentState()._1.segs.length)
+    if (segs * width < 4.0) return false
+    pushedSample = Some((lowerBound, upperBound, seed))
+    true
+  }
   /** (leading sort column, ascending, n, strict) — `strict` = the
     * order had MORE columns after the leading one, so file-chain
     * truncation must demand STRICT leading-key disjointness (a
@@ -3690,11 +3720,16 @@ private[sources] final class MemScanBuilder(store: MemStore,
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    if (pushedSample.isDefined) return false // see pushAggregation
     served = plan(agg)
     served.isDefined
   }
 
   override def pushAggregation(agg: Aggregation): Boolean = {
+    // a pushed TABLESAMPLE owns row selection: metadata-served
+    // aggregates describe the FULL table and would answer over
+    // unsampled rows — decline, Spark aggregates the sampled scan
+    if (pushedSample.isDefined) return false
     if (served.isEmpty) served = plan(agg)
     served.isDefined
   }
@@ -3736,7 +3771,8 @@ private[sources] final class MemScanBuilder(store: MemStore,
           streamOptions = options,
           exactFilters = !residualLatched,
           limit = pushedLimit,
-          topN = pushedTopN)
+          topN = pushedTopN,
+          sample = pushedSample)
     }
 }
 
@@ -3784,7 +3820,10 @@ private[sources] final class MemScan private (outSchema: StructType,
     limit: Option[Int],
     /** pushed TOP-N: (leading sort column, ascending, n, strict
       * disjointness required) — see [[MemScanBuilder.pushTopN]]. */
-    topN: Option[(String, Boolean, Int, Boolean)])
+    topN: Option[(String, Boolean, Int, Boolean)],
+    /** pushed TABLESAMPLE: (lower, upper, seed) — see
+      * [[MemScanBuilder.pushTableSample]]. */
+    sample: Option[(Double, Double, Long)])
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -3801,10 +3840,11 @@ private[sources] final class MemScan private (outSchema: StructType,
         CaseInsensitiveStringMap.empty(),
       exactFilters: Boolean = true,
       limit: Option[Int] = None,
-      topN: Option[(String, Boolean, Int, Boolean)] = None) =
+      topN: Option[(String, Boolean, Int, Boolean)] = None,
+      sample: Option[(Double, Double, Long)] = None) =
     this(outSchema, dataSchema, snap, stats, pushed, direct = false,
       streamStore, specs, analyzed, streamOptions, exactFilters, limit,
-      topN)
+      topN, sample)
 
   /** The WRITE spec (current) — SPJ key reporting and DPP attribute
     * offers address it; per-FILE pruning uses each file's own spec. */
@@ -4126,7 +4166,24 @@ private[sources] final class MemScan private (outSchema: StructType,
       return Array(SegSlice(snap.segs.head.seg, 0L,
         snap.segs.head.seg.count, Vector.empty, Map.empty, 0L))
     val preds = (pushed ++ runtime).toVector
-    val slices0 = planSlices(preds)
+    val slicesAll = planSlices(preds)
+    // TABLESAMPLE selection first (cluster sampling at split grain —
+    // a seeded mix of the split index; see [[MemScanBuilder
+    // .pushTableSample]]): included splits emit ALL their rows, so
+    // the truncations below keep exact live-count arithmetic over the
+    // sampled subset (a subset of a range-disjoint chain stays
+    // range-disjoint).
+    val slices0 = sample match {
+      case Some((lo, hi, seed)) =>
+        slicesAll.zipWithIndex.collect {
+          case (s, i) if {
+            val u = (MemScan.mix64(seed ^ MemScan.mix64(i.toLong))
+              >>> 11) * (1.0 / (1L << 53))
+            u >= lo && u < hi
+          } => s
+        }
+      case None => slicesAll
+    }
     // LIMIT/TOP-N planning truncation — see [[truncateLimit]] /
     // [[truncateTopN]]. Both compose with filters through the
     // proved/straddling file classification ([[MemFilters.provesAll]]
@@ -4503,6 +4560,15 @@ private[sources] object MemScan {
     * matches Spark's double-accumulated Average bit-for-bit. */
   private[sources] val ExactInDouble: Long = 1L << 53
 
+  /** splitmix64 finalizer — the TABLESAMPLE split-selection mix
+    * (stable across JVMs and runs, so REPEATABLE(seed) holds). */
+  private[sources] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** Rows per planned heap slice (and the single-partition threshold). */
   val TargetChunk: Int =
     sys.props.getOrElse("graft.catalog.scan.chunk", "8192").toInt
@@ -4520,7 +4586,7 @@ private[sources] object MemScan {
       Snap(Vector(LiveSeg.raw(MemSeg(rows)))), None, Seq.empty,
       direct = true, streamStore = None, specs = Vector(Nil),
       analyzed = None, streamOptions = CaseInsensitiveStringMap.empty(),
-      exactFilters = true, limit = None, topN = None)
+      exactFilters = true, limit = None, topN = None, sample = None)
 
   /** Chunked overlay-free slices of one heap row vector (the
     * `.changes` feed's partition planning). */
