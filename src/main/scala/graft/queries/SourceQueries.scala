@@ -2813,6 +2813,8 @@ object SourceQueries {
       spark.sql("INSERT INTO graftmem.sdim SELECT k, weight FROM " +
         "(SELECT /*+ REPARTITION(1) */ * FROM q341_dim) SORT BY k")
       val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val spjPrev =
+        spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       try {
@@ -2854,7 +2856,12 @@ object SourceQueries {
           .withColumn("no_sort", lit(if (sortsBelow == 0) 1L else 0L))
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
-        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        spjPrev match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+          case None =>
+            spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
       }
     },
 
@@ -2911,6 +2918,82 @@ object SourceQueries {
         .withColumn("deterministic", lit(deterministic))
         .withColumn("io_truncated", lit(ioTruncated))
         .withColumn("proper_subset", lit(properSubset))
+    },
+
+    // SAMPLED METADATA AGGREGATES + STABLE MEMBERSHIP + SCALED COST
+    // (round-19): the drawn split set of a pushed cluster sample is a
+    // pure-metadata decision keyed on each split's STABLE identity,
+    // so (a) COUNT/MIN/MAX/SUM over `TABLESAMPLE (p%) REPEATABLE (s)`
+    // serve from the drawn splits' statistics with ZERO data read and
+    // values identical to scanning the sample, (b) the same seed
+    // selects the same rows with and without a co-pushed predicate
+    // (membership is a property of the data, not the plan), and
+    // (c) estimateStatistics costs the sampled scan at its planned
+    // live span, so CBO sees ~p% of the table, not all of it.
+    QueryDef("q343_sample_metadata_agg",
+      """SELECT count(*)::BIGINT AS total,
+        |       CAST(1 AS BIGINT) AS agg_matches_scan,
+        |       CAST(1 AS BIGINT) AS metadata_served,
+        |       CAST(1 AS BIGINT) AS stable_under_predicate,
+        |       CAST(1 AS BIGINT) AS stats_scaled
+        |FROM orders""".stripMargin) { (spark, dir) =>
+      spark.conf.set("spark.sql.catalog.graftmem",
+        classOf[graft.sources.MemCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graftmem.path",
+        graft.sources.MemCatalog.defaultRoot)
+      spark.sql("DROP TABLE IF EXISTS graftmem.smpa")
+      spark.sql("CREATE TABLE graftmem.smpa (k BIGINT)")
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("k"))
+        .createOrReplaceTempView("q343_src")
+      val total = spark.sql("SELECT count(*) FROM q343_src")
+        .head().getLong(0)
+      // RANGE-clustered files (unlike q342's interleave) so a key
+      // predicate genuinely prunes files at plan time — the stability
+      // check below is then non-trivial
+      val maxk = spark.sql("SELECT max(k) FROM q343_src")
+        .head().getLong(0)
+      val w = maxk / 40 + 1
+      (0 until 40).foreach(i => spark.sql(
+        "INSERT INTO graftmem.smpa SELECT /*+ REPARTITION(1) */ k " +
+          s"FROM q343_src WHERE k >= ${i * w} AND k < ${(i + 1) * w}"))
+      val sampleSql =
+        "FROM graftmem.smpa TABLESAMPLE (20 PERCENT) REPEATABLE (42)"
+      // ground truth: the sampled rows themselves (scan path)
+      val rows = spark.sql(s"SELECT k $sampleSql")
+        .collect().map(_.getLong(0))
+      // (a) metadata path: same values, zero readers
+      graft.sources.MemCatalog.resetSampledAggServed()
+      graft.sources.MemCatalog.resetBatchReaders()
+      val r = spark.sql(
+        s"""SELECT count(*) AS n, count(k) AS nk, min(k) AS mn,
+           |       max(k) AS mx, sum(k) AS s $sampleSql""".stripMargin)
+        .head()
+      val aggMatches = if (rows.nonEmpty && r.getLong(0) == rows.length &&
+        r.getLong(1) == rows.length && r.getLong(2) == rows.min &&
+        r.getLong(3) == rows.max && r.getLong(4) == rows.sum) 1L else 0L
+      val served =
+        if (graft.sources.MemCatalog.sampledAggServed > 0 &&
+          graft.sources.MemCatalog.batchReaders == 0) 1L else 0L
+      // (b) membership stability: k >= 20*w prunes files 0..19 at
+      // plan time; the surviving splits must keep their draws
+      val cut = 20 * w
+      val filtered = spark.sql(s"SELECT k $sampleSql WHERE k >= $cut")
+        .collect().map(_.getLong(0)).toSet
+      val stable =
+        if (filtered == rows.filter(_ >= cut).toSet) 1L else 0L
+      // (c) CBO sees the sampled scan at its planned live span
+      val fullStats = spark.sql("SELECT k FROM graftmem.smpa")
+        .queryExecution.optimizedPlan.stats
+      val sampStats = spark.sql(s"SELECT k $sampleSql")
+        .queryExecution.optimizedPlan.stats
+      val scaled = if (sampStats.sizeInBytes * 2 < fullStats.sizeInBytes &&
+        sampStats.rowCount.exists(_.toLong == rows.length)) 1L else 0L
+      spark.sql(s"SELECT ${total}L AS total")
+        .withColumn("agg_matches_scan", lit(aggMatches))
+        .withColumn("metadata_served", lit(served))
+        .withColumn("stable_under_predicate", lit(stable))
+        .withColumn("stats_scaled", lit(scaled))
     }
   )
 

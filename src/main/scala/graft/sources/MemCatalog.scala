@@ -765,6 +765,11 @@ object MemCatalog {
   def batchReaders: Long = ParquetBatchIO.batchReads.get()
   def resetBatchReaders(): Unit = ParquetBatchIO.batchReads.set(0)
 
+  /** PUBLIC probe for the sampled-aggregate metadata path (gates
+    * assert a TABLESAMPLE estimate never touched data). */
+  def sampledAggServed: Long = MemScan.aggPushSampledServed.get()
+  def resetSampledAggServed(): Unit = MemScan.aggPushSampledServed.set(0)
+
   // ---- BRANCHES (see [[Branches]]) -----------------------------------
 
   private def branchKey(cat: String, table: String, branch: String): String =
@@ -3006,16 +3011,23 @@ private[sources] final class MemScanBuilder(store: MemStore,
   /** TABLESAMPLE pushdown — FULL (Spark removes its Sample operator,
     * so the scan OWNS the sampling): CLUSTER sampling at split grain —
     * each planned split is included with probability (upper - lower)
-    * via a seeded mix of its index, and only included splits are
-    * read. Every row's inclusion probability equals the requested
+    * via a seeded mix of its STABLE IDENTITY (file path + physical
+    * range start — see `MemScan.splitKey`), and only included splits
+    * are read. Every row's inclusion probability equals the requested
     * fraction regardless of split sizes (its split is one Bernoulli
     * draw), so the sample is unbiased while `TABLESAMPLE (1 PERCENT)`
     * on a 100 TB table reads ~1% of the BYTES instead of row-sampling
-    * a full scan. REPEATABLE(seed) is honored: a fixed seed over a
-    * fixed snapshot selects the same splits. Declined when the table
-    * has too few segments for the fraction (cluster grain would be
-    * all-or-nothing — Spark row-samples instead) and for
-    * with-replacement sampling (a split cannot be emitted twice). */
+    * a full scan. REPEATABLE(seed) is honored twice over: a fixed
+    * seed over a fixed snapshot selects the same ROWS even as
+    * co-pushed predicates or DPP change which splits survive planning
+    * (membership keys on split identity, not plan position). Declined
+    * when the table has too few segments for the fraction (cluster
+    * grain would be all-or-nothing — Spark row-samples instead) and
+    * for with-replacement sampling (a split cannot be emitted twice).
+    * If filters later prune the PLANNED splits below that same
+    * granularity threshold, the sample degrades to row grain instead
+    * (`planPipeline` — every surviving split planned, the reader
+    * draws per live row id). */
   override def pushTableSample(lowerBound: Double, upperBound: Double,
       withReplacement: Boolean, seed: Long): Boolean = {
     if (withReplacement) return false
@@ -3149,14 +3161,66 @@ private[sources] final class MemScanBuilder(store: MemStore,
 
   private def plan(agg: Aggregation)
       : Option[(StructType, Vector[InternalRow])] = {
+    // a pushed TABLESAMPLE owns row selection: serve from the DRAWN
+    // splits' statistics only (see [[planSampled]])
+    if (pushedSample.isDefined) return planSampled(agg)
     if (agg.groupByExpressions.nonEmpty) return planGrouped(agg)
     // snapshot stats describe the UNFILTERED table: with a pushed
     // filter the answer instead folds from POST-PRUNE row-group
     // statistics (fully-inside groups) plus a bounded decode of the
     // boundary groups
     if (pushedArr.nonEmpty) return planFiltered(agg)
+    targetStats.flatMap(serveFrom(_, agg))
+  }
+
+  /** Metadata-served aggregates OVER A PUSHED CLUSTER SAMPLE: the
+    * drawn split set is a pure-metadata decision (the same stable
+    * per-split draw the scan itself runs — `MemScan.planPipeline`),
+    * so COUNT/COUNT(col)/MIN/MAX/SUM/AVG over `TABLESAMPLE (p
+    * PERCENT) REPEATABLE (s)` fold from the drawn splits' own
+    * commit/footer statistics with ZERO data read — the 100 TB
+    * "quick estimate over a sample" query becomes a metadata
+    * operation, and its values are IDENTICAL to aggregating the
+    * sampled scan (same drawn set, exact per-slice stats). Declines
+    * under grouping, pushed filters, a row-level overlay, row-grain
+    * degrade (no fixed drawn split set exists), a file-restricted
+    * read, or a slice without statistics — the sampled scan path
+    * then answers. */
+  private def planSampled(agg: Aggregation)
+      : Option[(StructType, Vector[InternalRow])] = {
+    if (agg.groupByExpressions.nonEmpty || pushedArr.nonEmpty) return None
+    if (options.get("graft.files") != null) return None
+    val (snap, stats) = pinned match {
+      case Some(p) => (p.snap, p.stats)
+      case None => store.currentState()
+    }
+    val clean = snap.segs.forall(ls => ls.dels.isEmpty &&
+      ls.patches.isEmpty && ls.seg.isInstanceOf[FileSeg])
+    if (!clean) return None
+    val scan = new MemScan(ColumnMapping.logical(dataSchema), dataSchema,
+      snap, stats, Seq.empty, streamStore = streamStore,
+      specs = store.specsAll, analyzed = store.analyzedStats,
+      streamOptions = options, exactFilters = true, limit = None,
+      topN = None, sample = pushedSample)
+    scan.sampledSliceStats().flatMap { perSlice =>
+      if (perSlice.isEmpty || perSlice.exists(_.isEmpty)) None
+      else {
+        val folded = perSlice.map(_.get)
+          .reduceLeft(CommitStats.merge)
+        serveFrom(folded, agg).map { out =>
+          MemScan.aggPushSampledServed.incrementAndGet()
+          out
+        }
+      }
+    }
+  }
+
+  /** Serve an ungrouped aggregation from ONE exact statistics fold
+    * (the full snapshot's, or a sampled subset's). */
+  private def serveFrom(st: CommitStats, agg: Aggregation)
+      : Option[(StructType, Vector[InternalRow])] = {
     val schema = store.schema
-    targetStats.flatMap { st =>
+    Some(st).flatMap { st =>
       val fields = Vector.newBuilder[org.apache.spark.sql.types.StructField]
       val values = Vector.newBuilder[Any]
       val ok = agg.aggregateExpressions.forall {
@@ -3720,16 +3784,11 @@ private[sources] final class MemScanBuilder(store: MemStore,
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = {
-    if (pushedSample.isDefined) return false // see pushAggregation
     served = plan(agg)
     served.isDefined
   }
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    // a pushed TABLESAMPLE owns row selection: metadata-served
-    // aggregates describe the FULL table and would answer over
-    // unsampled rows — decline, Spark aggregates the sampled scan
-    if (pushedSample.isDefined) return false
     if (served.isEmpty) served = plan(agg)
     served.isDefined
   }
@@ -3785,7 +3844,16 @@ private[sources] final class MemScanBuilder(store: MemStore,
   * segments slice by ranges. */
 private[sources] final case class SegSlice(seg: RowSeg, physStart: Long,
     physEnd: Long, dels: Vector[Long], patches: Map[Long, InternalRow],
-    liveBase: Long, byteStart: Long = -1L, byteEnd: Long = -1L)
+    liveBase: Long, byteStart: Long = -1L, byteEnd: Long = -1L,
+    /** ROW-grain TABLESAMPLE (lower, upper, seed) — set only when a
+      * pushed cluster sample DEGRADED because filters pruned the
+      * planned splits below the granularity threshold: the reader
+      * Bernoulli-draws each row on its snapshot-global live id, so
+      * the sample keeps the requested fraction at row variance
+      * instead of near all-or-nothing split variance, and stays
+      * REPEATABLE-deterministic (live ids are predicate-independent
+      * properties of the snapshot). */
+    rowSample: Option[(Double, Double, Long)] = None)
     extends InputPartition
 
 /** A [[SegSlice]] that KNOWS its partition key (identity-partitioned
@@ -4080,15 +4148,23 @@ private[sources] final class MemScan private (outSchema: StructType,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
+      // numRows = the live span of exactly the splits the scan will
+      // plan (same pipeline: filters → sample → truncation) — so a 1%
+      // sampled or LIMIT-truncated scan of a 100 TB fact is COSTED at
+      // what it reads, not at the full table, and CBO can broadcast
+      // it. Row-grain degraded samples scale the planned span by the
+      // fraction (an estimate — explicitly allowed for statistics).
       private val n: Long =
         if (direct) snap.count
-        else if (pushed.nonEmpty)
-          planSlices(pushed).iterator.map {
-            case s: SegSlice =>
-              math.max(0L, s.physEnd - s.physStart - s.dels.length)
-            case _ => 0L
-          }.sum
-        else stats.map(_.count).getOrElse(snap.count)
+        else if (pushed.nonEmpty || sample.isDefined ||
+            limit.isDefined || topN.isDefined) {
+          val (planned, rowGrain) = planPipeline(pushed)
+          val live = planned.iterator.flatMap(sliceOf).map(liveOf).sum
+          if (rowGrain)
+            math.max(1L, math.round(live *
+              sample.map { case (lo, hi, _) => hi - lo }.getOrElse(1.0)))
+          else live
+        } else stats.map(_.count).getOrElse(snap.count)
       private val rowWidth: Long = math.max(1L,
         outSchema.fields.iterator.map { f =>
           analyzedOf(f.name).map(_.avgLen)
@@ -4166,36 +4242,7 @@ private[sources] final class MemScan private (outSchema: StructType,
       return Array(SegSlice(snap.segs.head.seg, 0L,
         snap.segs.head.seg.count, Vector.empty, Map.empty, 0L))
     val preds = (pushed ++ runtime).toVector
-    val slicesAll = planSlices(preds)
-    // TABLESAMPLE selection first (cluster sampling at split grain —
-    // a seeded mix of the split index; see [[MemScanBuilder
-    // .pushTableSample]]): included splits emit ALL their rows, so
-    // the truncations below keep exact live-count arithmetic over the
-    // sampled subset (a subset of a range-disjoint chain stays
-    // range-disjoint).
-    val slices0 = sample match {
-      case Some((lo, hi, seed)) =>
-        slicesAll.zipWithIndex.collect {
-          case (s, i) if {
-            val u = (MemScan.mix64(seed ^ MemScan.mix64(i.toLong))
-              >>> 11) * (1.0 / (1L << 53))
-            u >= lo && u < hi
-          } => s
-        }
-      case None => slicesAll
-    }
-    // LIMIT/TOP-N planning truncation — see [[truncateLimit]] /
-    // [[truncateTopN]]. Both compose with filters through the
-    // proved/straddling file classification ([[MemFilters.provesAll]]
-    // — contradicted files were already dropped by planSlices).
-    val slices = (limit, topN) match {
-      case (_, Some((col, asc, n, strict))) =>
-        truncateTopN(slices0, col, asc, n, strict, preds)
-          .getOrElse(slices0)
-      case (Some(n), _) =>
-        truncateLimit(slices0, n, preds).getOrElse(slices0)
-      case _ => slices0
-    }
+    val (slices, _) = planPipeline(preds)
     // key-grouped scans attach each split's partition key: Spark
     // groups them for storage-partitioned joins, and a runtime (DPP)
     // prune is fine — the validated contract is that the surviving
@@ -4217,6 +4264,95 @@ private[sources] final class MemScan private (outSchema: StructType,
   }
   private def liveOf(s: SegSlice): Long =
     math.max(0L, s.physEnd - s.physStart - s.dels.length)
+
+  /** Stable identity of one planned split — a PREDICATE-INDEPENDENT
+    * key: pushed/DPP filters change WHICH splits survive planning,
+    * never a survivor's key, so a REPEATABLE(seed) TABLESAMPLE
+    * selects a consistent row subset across co-pushed predicates and
+    * re-plans (over a fixed snapshot). File slices key on the data
+    * file path (FNV-1a, 64-bit spread) plus the physical range start
+    * — row-group slices of one file draw independently; heap slices
+    * key on their snapshot-global live base. */
+  private def splitKey(s: SegSlice): Long = s.seg match {
+    case f: FileSeg =>
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < f.path.length) {
+        h ^= f.path.charAt(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      MemScan.mix64(h ^ MemScan.mix64(s.physStart))
+    case _ => MemScan.mix64(s.liveBase ^ MemScan.mix64(s.physStart))
+  }
+
+  /** planSlices → TABLESAMPLE selection → LIMIT/TopN truncation: the
+    * ONE planning path, shared by [[planInputPartitions]] and
+    * [[estimateStatistics]] so costing describes exactly the work the
+    * scan will do.
+    *
+    * Sample selection first (cluster sampling at split grain — one
+    * seeded Bernoulli draw on each split's stable [[splitKey]]):
+    * included splits emit ALL their rows, so the truncations keep
+    * exact live-count arithmetic over the sampled subset (a subset of
+    * a range-disjoint chain stays range-disjoint). GRANULARITY
+    * RE-CHECK: the push-time guard counted snapshot segments, but
+    * pushed filters can prune the planned splits below that grain —
+    * when the POST-FILTER split count is too coarse for the fraction
+    * (expected included splits < 4) the sample DEGRADES to row grain:
+    * every surviving split is planned with [[SegSlice.rowSample]]
+    * set, the reader draws each row on its live id, and planning
+    * truncation is skipped (a row-sampled split no longer emits its
+    * full live span, so proved-count arithmetic would over-truncate).
+    * Returns (planned splits, degraded-to-row-grain). */
+  private def planPipeline(
+      preds: Seq[org.apache.spark.sql.sources.Filter])
+      : (Array[InputPartition], Boolean) = {
+    val slicesAll = planSlices(preds)
+    val (slices0, rowGrain) = sample match {
+      case Some((lo, hi, seed)) =>
+        val width = hi - lo
+        if (slicesAll.length * width < 4.0)
+          (slicesAll.map {
+            case s: SegSlice => s.copy(rowSample = sample)
+            case other => other
+          }, true)
+        else
+          (slicesAll.filter(p => sliceOf(p).forall { s =>
+            val u = (MemScan.mix64(seed ^ splitKey(s)) >>> 11) *
+              (1.0 / (1L << 53))
+            u >= lo && u < hi
+          }), false)
+      case None => (slicesAll, false)
+    }
+    // LIMIT/TOP-N planning truncation — see [[truncateLimit]] /
+    // [[truncateTopN]]. Both compose with filters through the
+    // proved/straddling file classification ([[MemFilters.provesAll]]
+    // — contradicted files were already dropped by planSlices).
+    val slices =
+      if (rowGrain) slices0
+      else (limit, topN) match {
+        case (_, Some((col, asc, n, strict))) =>
+          truncateTopN(slices0, col, asc, n, strict, preds)
+            .getOrElse(slices0)
+        case (Some(n), _) =>
+          truncateLimit(slices0, n, preds).getOrElse(slices0)
+        case _ => slices0
+      }
+    (slices, rowGrain)
+  }
+
+  /** TABLESAMPLE metadata-aggregate support — each DRAWN cluster-grain
+    * slice's own commit/footer statistics, in plan order: what
+    * `MemScanBuilder.planSampled` folds to serve aggregates over a
+    * pushed sample with zero data read. None when the sample degraded
+    * to row grain (no fixed drawn split set exists). */
+  private[sources] def sampledSliceStats()
+      : Option[Vector[Option[CommitStats]]] = {
+    val (slices, rowGrain) = planPipeline(Nil)
+    if (rowGrain) None
+    else Some(slices.flatMap(sliceOf).map(sliceStats).toVector)
+  }
 
   /** The statistics describing EXACTLY this slice's rows: the file's
     * commit stats for a whole-file slice, the row group's own footer
@@ -4555,6 +4691,11 @@ private[sources] object MemScan {
   private[sources] val aggPushGroupedServed =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** TEST HOOK: aggregates over a pushed TABLESAMPLE served from the
+    * drawn splits' metadata (zero data read). */
+  private[sources] val aggPushSampledServed =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** Largest magnitude exactly representable in a double — the bound
     * under which a metadata-served AVG (exact integer sum / count)
     * matches Spark's double-accumulated Average bit-for-bit. */
@@ -4676,8 +4817,13 @@ private[sources] final class SegReaderFactory(out: StructType,
     // `__pos` output — pages silently drop, shifting the positions the
     // delete list and the row-id column index)
     val posIdx = out.fields.indexWhere(_.name == MemTable.PosCol)
+    // row-grain sampling keys on live ids, so parquet-mr must not
+    // silently drop rows (a page skip would shift the ids and make
+    // sample membership predicate-dependent)
     val readerFilters =
-      if (slice.dels.isEmpty && posIdx < 0) pushed else Nil
+      if (slice.dels.isEmpty && posIdx < 0 && slice.rowSample.isEmpty)
+        pushed
+      else Nil
     val reader =
       if (slice.byteStart >= 0)
         ParquetBatchIO.open(path, fileRead, slice.byteStart, slice.byteEnd,
@@ -4692,8 +4838,9 @@ private[sources] final class SegReaderFactory(out: StructType,
     val outIdx: Array[Int] = out.fields.map(f =>
       if (f.name == MemTable.PosCol) -1 else fileRead.fieldIndex(f.name))
     val dels: Array[Long] = slice.dels.toArray // O(1) per-row probes
+    val rs = slice.rowSample.orNull
     val passThrough = !evalFilters && dels.isEmpty && posIdx < 0 &&
-      outIdx.length == fileRead.length
+      outIdx.length == fileRead.length && rs == null
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
       private var phys = slice.physStart
@@ -4741,7 +4888,7 @@ private[sources] final class SegReaderFactory(out: StructType,
           if (viewSrc ne b) { viewSrc = b; buildViews(b) }
           val delsHere = delIdx < dels.length &&
             dels(delIdx) < start + n
-          if (!delsHere && !evalFilters) {
+          if (!delsHere && !evalFilters && rs == null) {
             // projection-only: cached view over the output columns;
             // every row is live, so row-ids are contiguous
             if (posIdx >= 0) {
@@ -4767,7 +4914,12 @@ private[sources] final class SegReaderFactory(out: StructType,
             else {
               val rowId = livePos
               livePos += 1
-              if (!evalFilters || pred(b.getRow(i))) {
+              if ((!evalFilters || pred(b.getRow(i))) &&
+                  (rs == null || {
+                    val u = (MemScan.mix64(rs._3 ^ MemScan.mix64(rowId))
+                      >>> 11) * (1.0 / (1L << 53))
+                    u >= rs._1 && u < rs._2
+                  })) {
                 sel(k) = i
                 if (posVals != null) posVals(k) = rowId
                 k += 1
@@ -4798,6 +4950,7 @@ private[sources] final class SegReaderFactory(out: StructType,
     }
     new PartitionReader[InternalRow] {
       private val outHasPos = out.fields.exists(_.name == MemTable.PosCol)
+      private val rs = slice.rowSample.orNull
       private val fileIter = slice.seg match {
         case FileSeg(path, _, _, _, _) =>
           // hand parquet-mr the pushed filters (page/dictionary/
@@ -4806,7 +4959,8 @@ private[sources] final class SegReaderFactory(out: StructType,
           // no `__pos` output, no delete/patch overlay on this range.
           // DML scans keep the exact unfiltered walk.
           val fl = if (!direct && !outHasPos && slice.dels.isEmpty &&
-              slice.patches.isEmpty) pushed else Nil
+              slice.patches.isEmpty && slice.rowSample.isEmpty) pushed
+            else Nil
           if (slice.byteStart >= 0)
             ParquetRowIO.open(path, fileRead, slice.byteStart,
               slice.byteEnd, fl)
@@ -4855,8 +5009,13 @@ private[sources] final class SegReaderFactory(out: StructType,
               case Some(patch) => (patch, false) // patches are table-layout
               case None => (raw, fileIter != null)
             }
-            val keep = pushed.isEmpty || (direct ||
-              (if (isFile) predFile(r) else predData(r)))
+            val keep = (pushed.isEmpty || direct ||
+              (if (isFile) predFile(r) else predData(r))) &&
+              (rs == null || {
+                val u = (MemScan.mix64(rs._3 ^ MemScan.mix64(live))
+                  >>> 11) * (1.0 / (1L << 53))
+                u >= rs._1 && u < rs._2
+              })
             if (keep) {
               row = r; rowIsFileLayout = isFile; rowLive = live
               return true

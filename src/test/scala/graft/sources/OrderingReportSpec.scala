@@ -208,6 +208,8 @@ class OrderingReportSpec extends SparkTestBase {
         |  SELECT /*+ REPARTITION(1) */ id AS k, id * 100 AS weight
         |  FROM RANGE(40)) SORT BY k""".stripMargin)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val spjPrev =
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
     try {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       val j = spark.sql(
@@ -226,7 +228,12 @@ class OrderingReportSpec extends SparkTestBase {
         s"sorted bucket files must elide BOTH SMJ sorts:\n$plan")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spjPrev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
     }
   }
 }

@@ -92,6 +92,144 @@ class TableSampleSpec extends SparkTestBase {
     assert(wr > 0 && wr < 800)
   }
 
+  test("sample membership is a stable property of the data: the same " +
+      "REPEATABLE seed selects the same rows with and without a " +
+      "co-pushed predicate") {
+    setup()
+    build("s", files = 40, rowsPer = 100)
+    val all = spark.sql(
+      "SELECT k FROM gsmp.s TABLESAMPLE (50 PERCENT) REPEATABLE (42)")
+      .collect().map(_.getLong(0)).toSet
+    // k >= 2000 prunes files 0..19 at plan time — with membership
+    // keyed on each split's STABLE identity (not its ordinal in the
+    // post-pruning plan), the surviving splits keep their draws and
+    // the filtered sample is EXACTLY the unfiltered sample's rows
+    // that satisfy the predicate
+    val filtered = spark.sql(
+      "SELECT k FROM gsmp.s TABLESAMPLE (50 PERCENT) REPEATABLE (42) " +
+        "WHERE k >= 2000").collect().map(_.getLong(0)).toSet
+    assert(filtered == all.filter(_ >= 2000L),
+      s"sample membership shifted under a co-pushed predicate: " +
+        s"${filtered.size} filtered vs ${all.count(_ >= 2000L)} expected")
+  }
+
+  test("estimateStatistics scales by the pushed sample: a 10% scan " +
+      "of a big table is costed at ~10% and broadcasts") {
+    setup()
+    build("st", files = 40, rowsPer = 100)
+    val full = spark.sql("SELECT k FROM gsmp.st").queryExecution
+      .optimizedPlan.stats
+    val sampled = spark.sql(
+      "SELECT k FROM gsmp.st TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
+      .queryExecution.optimizedPlan.stats
+    assert(full.rowCount.contains(BigInt(4000)), s"full: $full")
+    val n = sampled.rowCount.map(_.toLong).getOrElse(-1L)
+    // the ACTUAL planned live span of the drawn splits (cluster
+    // grain: a multiple of 100), far below the full table
+    assert(n > 0 && n < 1600 && n % 100 == 0,
+      s"sampled scan costed at $n rows (full=4000)")
+    assert(sampled.sizeInBytes * 2 < full.sizeInBytes,
+      s"sizeInBytes must shrink with the sample: " +
+        s"${sampled.sizeInBytes} vs ${full.sizeInBytes}")
+  }
+
+  test("post-filter granularity re-check: when filters prune the " +
+      "planned splits below the cluster threshold the sample " +
+      "degrades to deterministic ROW-grain draws") {
+    setup()
+    build("g", files = 40, rowsPer = 100)
+    // push-time guard passes (40 segs x 10% = 4), but k < 300 prunes
+    // the plan to 3 splits (3 x 0.1 < 4): cluster grain would be
+    // near all-or-nothing, so every surviving split is planned and
+    // the READER Bernoulli-draws each row on its live id
+    ParquetBatchIO.batchReads.set(0)
+    val a = spark.sql(
+      "SELECT k FROM gsmp.g TABLESAMPLE (10 PERCENT) REPEATABLE (9) " +
+        "WHERE k < 300").collect().map(_.getLong(0)).sorted
+    assert(ParquetBatchIO.batchReads.get() == 3,
+      s"row-grain degrade must plan ALL surviving splits: " +
+        s"${ParquetBatchIO.batchReads.get()}")
+    assert(a.forall(_ < 300L))
+    assert(a.length > 0 && a.length < 300, s"degenerate: ${a.length}")
+    assert(a.length % 100 != 0 || a.length < 100,
+      s"cluster-shaped count under row-grain degrade: ${a.length}")
+    // 300 draws at p=.1 — a wide deterministic band
+    assert(a.length >= 10 && a.length <= 70,
+      s"10% of 300 landed at ${a.length}")
+    // deterministic repeat
+    val b = spark.sql(
+      "SELECT k FROM gsmp.g TABLESAMPLE (10 PERCENT) REPEATABLE (9) " +
+        "WHERE k < 300").collect().map(_.getLong(0)).sorted
+    assert(java.util.Arrays.equals(a, b), "REPEATABLE must repeat")
+    // row draws key on snapshot-global live ids, so membership is
+    // predicate-independent ACROSS degraded plans too: narrowing the
+    // filter keeps exactly the common rows
+    val c = spark.sql(
+      "SELECT k FROM gsmp.g TABLESAMPLE (10 PERCENT) REPEATABLE (9) " +
+        "WHERE k < 200").collect().map(_.getLong(0)).toSet
+    assert(c == a.filter(_ < 200L).toSet,
+      "row-grain membership shifted when the predicate narrowed")
+  }
+
+  test("aggregates over a cluster-grain sample serve from the DRAWN " +
+      "splits' metadata: zero data read, values identical to " +
+      "aggregating the sampled scan") {
+    setup()
+    build("m", files = 40, rowsPer = 100)
+    val rows = spark.sql(
+      "SELECT k FROM gsmp.m TABLESAMPLE (20 PERCENT) REPEATABLE (42)")
+      .collect().map(_.getLong(0))
+    assert(rows.nonEmpty)
+    MemCatalog.resetSampledAggServed()
+    ParquetBatchIO.batchReads.set(0)
+    val r = spark.sql(
+      """SELECT count(*) AS n, count(k) AS nk, min(k) AS mn,
+        |       max(k) AS mx, sum(k) AS s, avg(k) AS a
+        |FROM gsmp.m TABLESAMPLE (20 PERCENT) REPEATABLE (42)"""
+        .stripMargin).head()
+    assert(MemCatalog.sampledAggServed == 1,
+      "the sampled aggregate must serve from metadata")
+    assert(ParquetBatchIO.batchReads.get() == 0,
+      s"metadata-served: no reader may open, got " +
+        s"${ParquetBatchIO.batchReads.get()}")
+    assert(r.getLong(0) == rows.length)
+    assert(r.getLong(1) == rows.length)
+    assert(r.getLong(2) == rows.min)
+    assert(r.getLong(3) == rows.max)
+    assert(r.getLong(4) == rows.sum)
+    assert(r.getDouble(5) == rows.sum.toDouble / rows.length)
+  }
+
+  test("sampled metadata aggregates decline under a co-pushed filter " +
+      "and under a row-level overlay — the sampled scan answers, " +
+      "values unchanged") {
+    setup()
+    build("md", files = 40, rowsPer = 100)
+    MemCatalog.resetSampledAggServed()
+    // filter: the drawn-split fold can't see which rows satisfy it
+    val f = spark.sql(
+      "SELECT count(*) FROM gsmp.md TABLESAMPLE (50 PERCENT) " +
+        "REPEATABLE (11) WHERE k >= 2000").head().getLong(0)
+    val fr = spark.sql(
+      "SELECT k FROM gsmp.md TABLESAMPLE (50 PERCENT) " +
+        "REPEATABLE (11) WHERE k >= 2000").collect().length
+    assert(f == fr.toLong, s"agg $f vs scan $fr")
+    assert(MemCatalog.sampledAggServed == 0,
+      "a filtered sampled aggregate must not serve from metadata")
+    // overlay: stats describe the file INCLUDING the deleted row
+    spark.sql("DELETE FROM gsmp.md WHERE k = 5")
+    MemCatalog.resetSampledAggServed()
+    val d = spark.sql(
+      "SELECT count(*) FROM gsmp.md TABLESAMPLE (50 PERCENT) " +
+        "REPEATABLE (11)").head().getLong(0)
+    val dr = spark.sql(
+      "SELECT k FROM gsmp.md TABLESAMPLE (50 PERCENT) " +
+        "REPEATABLE (11)").collect().length
+    assert(d == dr.toLong, s"agg $d vs scan $dr under a delete overlay")
+    assert(MemCatalog.sampledAggServed == 0,
+      "an overlaid snapshot must not serve sampled aggregates")
+  }
+
   test("sample composes with pushed filters and LIMIT truncation") {
     setup()
     build("c", files = 40, rowsPer = 100)
