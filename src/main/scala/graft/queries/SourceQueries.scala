@@ -2892,9 +2892,11 @@ object SourceQueries {
       Tables.load(spark, dir, "orders")
         .select(col("o_orderkey").cast("long").as("k"))
         .createOrReplaceTempView("q342_src")
-      (0 until 40).foreach(i => spark.sql(
-        "INSERT INTO graftmem.smp SELECT /*+ REPARTITION(1) */ k " +
-          s"FROM q342_src WHERE k % 40 = $i"))
+      // ONE job, ONE commit: 40 range tasks land 40 files (the writer
+      // declares no distribution for a plain table, and an explicit
+      // partition count is never AQE-coalesced)
+      spark.sql("INSERT INTO graftmem.smp SELECT " +
+        "/*+ REPARTITION_BY_RANGE(40, k) */ k FROM q342_src")
       val total = spark.sql("SELECT count(*) FROM graftmem.smp")
         .head().getLong(0)
       def sampleSum(): (Long, Long, Long) = {
@@ -2948,15 +2950,14 @@ object SourceQueries {
         .createOrReplaceTempView("q343_src")
       val total = spark.sql("SELECT count(*) FROM q343_src")
         .head().getLong(0)
-      // RANGE-clustered files (unlike q342's interleave) so a key
-      // predicate genuinely prunes files at plan time — the stability
-      // check below is then non-trivial
+      // RANGE-clustered files (one job, 40 range tasks -> 40 files)
+      // so a key predicate genuinely prunes files at plan time — the
+      // stability check below is then non-trivial
       val maxk = spark.sql("SELECT max(k) FROM q343_src")
         .head().getLong(0)
       val w = maxk / 40 + 1
-      (0 until 40).foreach(i => spark.sql(
-        "INSERT INTO graftmem.smpa SELECT /*+ REPARTITION(1) */ k " +
-          s"FROM q343_src WHERE k >= ${i * w} AND k < ${(i + 1) * w}"))
+      spark.sql("INSERT INTO graftmem.smpa SELECT " +
+        "/*+ REPARTITION_BY_RANGE(40, k) */ k FROM q343_src")
       val sampleSql =
         "FROM graftmem.smpa TABLESAMPLE (20 PERCENT) REPEATABLE (42)"
       // ground truth: the sampled rows themselves (scan path)
