@@ -4158,7 +4158,7 @@ private[sources] final class MemScan private (outSchema: StructType,
         if (direct) snap.count
         else if (pushed.nonEmpty || sample.isDefined ||
             limit.isDefined || topN.isDefined) {
-          val (planned, rowGrain) = planPipeline(pushed)
+          val (planned, rowGrain) = basePipeline
           val live = planned.iterator.flatMap(sliceOf).map(liveOf).sum
           if (rowGrain)
             math.max(1L, math.round(live *
@@ -4241,8 +4241,9 @@ private[sources] final class MemScan private (outSchema: StructType,
     if (direct)
       return Array(SegSlice(snap.segs.head.seg, 0L,
         snap.segs.head.seg.count, Vector.empty, Map.empty, 0L))
-    val preds = (pushed ++ runtime).toVector
-    val (slices, _) = planPipeline(preds)
+    val (slices, _) =
+      if (runtime.isEmpty) basePipeline
+      else planPipeline((pushed ++ runtime).toVector)
     // key-grouped scans attach each split's partition key: Spark
     // groups them for storage-partitioned joins, and a runtime (DPP)
     // prune is fine — the validated contract is that the surviving
@@ -4341,6 +4342,13 @@ private[sources] final class MemScan private (outSchema: StructType,
       }
     (slices, rowGrain)
   }
+
+  /** The static-predicate planning, computed once per scan:
+    * estimateStatistics (possibly called several times during
+    * optimization) and a runtime-filter-free planInputPartitions
+    * share it instead of re-walking the file metadata. */
+  private lazy val basePipeline: (Array[InputPartition], Boolean) =
+    planPipeline(pushed)
 
   /** TABLESAMPLE metadata-aggregate support — each DRAWN cluster-grain
     * slice's own commit/footer statistics, in plan order: what
