@@ -42,8 +42,15 @@ object LmQueries {
       dir: String): org.apache.spark.sql.DataFrame =
     FrameMemo.memoized(spark, s"lmscored:$dir") {
       val docs = Tables.load(spark, dir, "documents")
+      // doc_id is the grouping grain; lang/source are doc-functional
+      // attributes carried through so EVERY consumer (q169 per-doc,
+      // q170/q189 per-lang terciles, q198 per-source losses, q193's
+      // stage 4) reads this one frame instead of re-running the
+      // train+score chain — round-19: q169/q170/q198 previously
+      // retrained the same LM per gate (~3 s each of duplicate work
+      // per bench pass).
       NgramLm.score(docs, "text", NgramLm.train(trainDocs(docs), "text"),
-        Seq("doc_id", "lang"))
+        Seq("doc_id", "lang", "source"))
     }
 
   /** q198 MWU constants: uniform init weight, update scale K (4 nats
@@ -178,10 +185,8 @@ object LmQueries {
          |$scoreCte
          |SELECT doc_id, n_tok, cost_micro FROM doc ORDER BY doc_id""".stripMargin) {
       (spark, dir) =>
-        NgramLm.score(Tables.load(spark, dir, "documents"), "text",
-          NgramLm.train(trainDocs(Tables.load(spark, dir, "documents")),
-            "text"),
-          Seq("doc_id"))
+        docScored(spark, dir)
+          .select(col("doc_id"), col("n_tok"), col("cost_micro"))
           .orderBy(col("doc_id"))
     },
 
@@ -245,9 +250,7 @@ object LmQueries {
          |       sum(n_tok)::BIGINT AS n_tok_sum, sum(cost_micro)::BIGINT AS cost_sum
          |FROM bkt GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin) {
       (spark, dir) =>
-        val docs = Tables.load(spark, dir, "documents")
-        val scored = NgramLm.score(docs, "text",
-          NgramLm.train(trainDocs(docs), "text"), Seq("doc_id", "lang"))
+        val scored = docScored(spark, dir)
         val w = Window.partitionBy(col("lang"))
           .orderBy(col("cost_micro").cast("double") / col("n_tok"),
             col("doc_id"))
@@ -290,9 +293,7 @@ object LmQueries {
          |SELECT source, loss AS loss_mn, w,
          |       ((10000 * w) // (SELECT sum(w) FROM w$MwuRounds))::BIGINT AS rate_bp
          |FROM w$MwuRounds ORDER BY source""".stripMargin) { (spark, dir) =>
-      val docs = Tables.load(spark, dir, "documents")
-      val scored = NgramLm.score(docs, "text",
-        NgramLm.train(trainDocs(docs), "text"), Seq("doc_id", "source"))
+      val scored = docScored(spark, dir)
       // materialize the per-domain loss table ONCE: `cur` is read
       // twice per MWU round (the mix scalar + the reweight join) and
       // once more for the final normalizer — without the cut, every

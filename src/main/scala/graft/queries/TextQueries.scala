@@ -1453,10 +1453,19 @@ object TextQueries {
         |ORDER BY grp""".stripMargin) { (spark, dir) =>
       val toks = Tables.load(spark, dir, "documents")
         .select(explode(split(col("text"), " ")).as("t"))
+      // sign_r is a pure function of the TOKEN VALUE, so Σ_tokens
+      // sign_r(t) = Σ_{distinct t} f(t)·sign_r(t): hash at VOCAB grain
+      // (16 md5 per distinct token) instead of stream grain (16 md5
+      // per occurrence) — identical sums, and the md5 work drops by
+      // the corpus/vocab ratio (~10⁴× at sf0.1; larger at 100 TB).
+      // The same grouped frame feeds F2 below, collapsing two full
+      // token-stream passes into one map-side-combined count.
+      val byTok = FrameMemo.checkpointed(
+        toks.groupBy(col("t")).agg(count(lit(1)).as("n")))
       def sign(r: Int): Column =
         when(conv(substring(md5(concat(lit(s"ams$r:"), col("t"))), 1, 7),
-          16, 10).cast("long") % 2 === 0, 1L).otherwise(-1L)
-      val sums = toks.agg(sum(sign(0)).cast("long").as("x0"),
+          16, 10).cast("long") % 2 === 0, col("n")).otherwise(-col("n"))
+      val sums = byTok.agg(sum(sign(0)).cast("long").as("x0"),
         (1 until 16).map(r => sum(sign(r)).cast("long").as(s"x$r")): _*)
       val grp = sums.select(explode(expr(
         """transform(sequence(0, 3), g -> struct(
@@ -1474,8 +1483,7 @@ object TextQueries {
           col("g.chk").as("chk"))
       val est = grp.agg(expr(
         "element_at(array_sort(collect_list(sum_sq)), 2) DIV 4").as("est"))
-      val f2 = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
-        .agg(sum(col("n") * col("n")).cast("long").as("f2_exact"))
+      val f2 = byTok.agg(sum(col("n") * col("n")).cast("long").as("f2_exact"))
       grp.crossJoin(broadcast(est)).crossJoin(broadcast(f2))
         .select(col("grp"), col("sum_sq"), col("chk"), col("est"),
           col("f2_exact"),

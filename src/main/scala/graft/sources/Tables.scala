@@ -40,8 +40,74 @@ object Tables {
     case _ => unix_micros(col("ts").cast("timestamp"))
   }
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Tables at or above this size get rebalanced when their file
+    * layout under-splits (see [[load]]); tiny reference tables
+    * (region/nation) stay single-partition — 32 near-empty tasks cost
+    * more scheduling than one task's work. */
+  private val RebalanceMinBytes = 256L * 1024
+
+  /** A table rebalances only when it is SMALL enough that one extra
+    * exchange of the whole table is trivially cheap (guide-§2.5 input
+    * skew: "one huge unsplittable file ... repartition immediately
+    * after the read"). Above this, scan parallelism must come from the
+    * file layout itself — a 100 TB table never reaches the branch. */
+  private val RebalanceMaxBytes = 4L * 1024 * 1024 * 1024
+
+  /** (path, cores) → rebalance decision, so the file listing and
+    * footer reads run once per session-shape, not once per query. */
+  private val rebalanceMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Boolean]
+
+  /** Effective scan parallelism of a parquet file set = its splittable
+    * unit count: parquet splits at ROW-GROUP grain, so a 10 MB
+    * single-row-group file yields byte-range splits of which only one
+    * is non-empty. Only consulted for small tables (< 4 GiB); the
+    * footer walk is a few local reads. */
+  private def rowGroupCount(spark: SparkSession,
+      files: Seq[org.apache.hadoop.fs.FileStatus]): Int =
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(f, spark.sparkContext.hadoopConfiguration)
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try rdr.getFooter.getBlocks.size finally rdr.close()
+    }.sum
+
+  /** Fixture scan, rebalanced when the file layout under-parallelizes.
+    *
+    * The driver fixtures are one single-row-group parquet file per
+    * table, so the bare scan plans ONE effective task and every
+    * downstream map-side computation (tokenize/md5/regex families)
+    * runs single-threaded regardless of core count — the guide's
+    * §2.5 "input skew: one huge unsplittable file" case. The fix is
+    * scale-adaptive, not a local[32] constant: when the table's
+    * splittable units (row groups) are fewer than the session's
+    * parallelism AND the whole table is small enough that one extra
+    * round-robin exchange is trivially cheap (< 4 GiB), redistribute
+    * to `defaultParallelism` partitions right after the read. A
+    * production-scale table skips the branch entirely (size guard
+    * first, so no footers are ever read at scale), and a well-laid-out
+    * small table (row groups >= cores) is returned as-is. Explicit
+    * write-side distributions (repartitionByRange/REPARTITION hints in
+    * every staging path) override this upstream exchange, so staged
+    * layouts are unaffected. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val cores = spark.sparkContext.defaultParallelism
+    val rebalance = rebalanceMemo.getOrElseUpdate((path, cores), {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val files =
+        (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+         else Seq(fs.getFileStatus(p)))
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      val bytes = files.map(_.getLen).sum
+      bytes >= RebalanceMinBytes && bytes <= RebalanceMaxBytes &&
+        rowGroupCount(spark, files) < cores
+    })
+    if (rebalance) df.repartition(cores) else df
+  }
 
   /** Register all fixture tables as temp views so `spark.sql` queries
     * can reference them by bare name, mirroring the oracle SQL. */
