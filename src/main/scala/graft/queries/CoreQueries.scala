@@ -1029,7 +1029,7 @@ object CoreQueries {
       // hash-once bootstrap trick) — 16 md5/row measured ~6 s at
       // sf0.1, hash-once is 16× less digest work; pmf thresholds are
       // the cumulative Poisson(1) probabilities × 256
-      val base = Tables.load(spark, dir, "lineitem")
+      val base = Tables.loadParallel(spark, dir, "lineitem")
         .select(col("l_returnflag").as("flag"),
           round(col("l_extendedprice") * 100).cast("long").as("v"),
           md5(concat(lit("bs:"), col("l_orderkey"), lit(":"),

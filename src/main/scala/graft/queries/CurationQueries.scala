@@ -35,7 +35,7 @@ object CurationQueries {
   private[queries] def contamIds(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     FrameMemo.memoized(spark, s"contam:$dir") {
-      val docs = Tables.load(spark, dir, "documents")
+      val docs = Tables.loadParallel(spark, dir, "documents")
       val evalSet = docs.where(col("doc_id") % EvalMod === 0)
       val train = docs.where(col("doc_id") % EvalMod =!= 0)
       Decontaminate.contaminatedIds(train, evalSet, "doc_id", "text",
@@ -483,7 +483,7 @@ object CurationQueries {
     },
 
     QueryDef("q117_pii_scrub", piiSql) { (spark, dir) =>
-      val aug = Tables.load(spark, dir, "documents")
+      val aug = Tables.loadParallel(spark, dir, "documents")
         .select(col("doc_id"), col("lang"),
           augmented(col("text"), col("doc_id")).as("text"))
       aug.select(col("lang"),
@@ -596,7 +596,7 @@ object CurationQueries {
     },
 
     QueryDef("q129_substring_dedup", substringDedupSql) { (spark, dir) =>
-      val docs = Tables.load(spark, dir, "documents")
+      val docs = Tables.loadParallel(spark, dir, "documents")
       // one materialization of the (small) removal-start set feeds
       // BOTH the affected-doc filter and the reassembly — without it
       // the occurrence explode + gram aggregation would run twice
@@ -617,7 +617,7 @@ object CurationQueries {
     // is precisely the claim this gate pins. SubstringDedupSpec
     // additionally measures the shuffle-byte cut.
     QueryDef("q164_substring_dedup_hashed", substringDedupSql) { (spark, dir) =>
-      val docs = Tables.load(spark, dir, "documents")
+      val docs = Tables.loadParallel(spark, dir, "documents")
       val rs = FrameMemo.checkpointed(SubstringDedup
         .removalStarts(docs, "doc_id", "text", SpanK, hashGrams = true))
       val affected = rs.select(col("doc_id")).distinct()
@@ -1106,7 +1106,7 @@ object CurationQueries {
     // invisible (the q69 bloom-semi-join argument).
     QueryDef("q199_bloom_decontaminate", bloomDecontSql) { (spark, dir) =>
       GraftFunctions.register(spark)
-      val docs = Tables.load(spark, dir, "documents")
+      val docs = Tables.loadParallel(spark, dir, "documents")
       Decontaminate.bloomContaminatedIds(
           docs.where(col("doc_id") % EvalMod =!= 0),
           docs.where(col("doc_id") % EvalMod === 0),

@@ -28,7 +28,7 @@ object DedupQueries {
         |       sha256(text) AS fp,
         |       count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin) { (spark, dir) =>
-      Tables.load(spark, dir, "documents")
+      Tables.loadParallel(spark, dir, "documents")
         .groupBy(sha2(col("text"), 256).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("fp"), col("n_copies"))
@@ -48,7 +48,7 @@ object DedupQueries {
         |FROM documents GROUP BY 2 ORDER BY keep_id""".stripMargin) { (spark, dir) =>
       val norm = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[.,!?;:]", ""), " +", " "))
-      Tables.load(spark, dir, "documents")
+      Tables.loadParallel(spark, dir, "documents")
         .groupBy(sha2(norm, 256).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("fp"), col("n_copies"))
@@ -67,7 +67,7 @@ object DedupQueries {
         |  SELECT doc_id, sha256(text) AS fp FROM documents WHERE doc_id >= 400)
         |SELECT n.doc_id FROM newb n LEFT JOIN hist h ON n.fp = h.fp
         |WHERE h.fp IS NULL ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      val docs = Tables.load(spark, dir, "documents")
+      val docs = Tables.loadParallel(spark, dir, "documents")
       val hist = docs.where(col("doc_id") < 400)
         .select(sha2(col("text"), 256).as("fp")).distinct()
       docs.where(col("doc_id") >= 400)

@@ -41,7 +41,7 @@ object LmQueries {
   private[queries] def docScored(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     FrameMemo.memoized(spark, s"lmscored:$dir") {
-      val docs = Tables.load(spark, dir, "documents")
+      val docs = Tables.loadParallel(spark, dir, "documents")
       // doc_id is the grouping grain; lang/source are doc-functional
       // attributes carried through so EVERY consumer (q169 per-doc,
       // q170/q189 per-lang terciles, q198 per-source losses, q193's

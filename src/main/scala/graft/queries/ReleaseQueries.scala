@@ -235,7 +235,7 @@ object ReleaseQueries {
         MixDenom, MixSeed, semTau, augmented}
       GraftFunctions.register(spark)
       val ckpt = FrameMemo.checkpointed _
-      val docs = Tables.load(spark, dir, "documents")
+      val docs = Tables.loadParallel(spark, dir, "documents")
       val dk = docs.select(col("doc_id"), col("lang"), col("source"),
         col("text"), size(split(col("text"), " ")).cast("long").as("n_tok"))
 
@@ -307,8 +307,10 @@ object ReleaseQueries {
         s7.select(col("doc_id"), col("n_tok")), "doc_id", "n_tok",
         numShards = PackShards, budgetTokens = PackBudget, seed = PackSeed)
 
-      // stage 9: BPE encode under the corpus-trained merge table
-      val merges = BpeTrain.train(docs, "text", TextQueries.BpeRounds)
+      // stage 9: BPE encode under the corpus-trained merge table —
+      // the SAME memoized merges q167/q174 consume (trained once per
+      // session)
+      val merges = TextQueries.bpeMerges(spark, dir)
       val enc = BpeTrain.encodeCounts(s7, "text", "doc_id", merges)
 
       stageRow("0_base", dk, col("n_tok"), lit(0L))

@@ -249,6 +249,53 @@ object TextQueries {
        |ORDER BY round""".stripMargin
   }
 
+  /** (doc_id, term, tf) over trigram SHINGLES, memoized per (session,
+    * dir): q182 (sparse sim join, needs the counts) and q186
+    * (containment join, needs the distinct pairs = this frame minus
+    * tf) previously each re-ran the shingle explode + pair agg; the
+    * inverted-index build now runs once per session. */
+  private def shingleTf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    FrameMemo.memoized(spark, s"shingletf:$dir") {
+      val p = col("_p")
+      Tables.loadParallel(spark, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("_p"))
+        .select(col("doc_id"), explode_outer(when(size(p) >= 3,
+          transform(sequence(lit(1), greatest(size(p) - 2, lit(1))),
+            i => concat_ws(" ", element_at(p, i), element_at(p, i + 1),
+              element_at(p, i + 2))))).as("term"))
+        .where(col("term").isNotNull)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    }
+
+  /** Corpus-trained BPE merge table, memoized per (session, dir) —
+    * the docScored/contamIds convention applied to the tokenizer
+    * model: q167 (the train gate), q174 (encode), and q193's stage 9
+    * all consume the SAME [[BpeRounds]]-round merge list, so the
+    * 8-round count→argmax→replace loop runs once per session instead
+    * of once per gate (~1.3 s of duplicate driver-round work each).
+    * The value is a driver-side Seq (the model IS planning-state, like
+    * a Lloyd centroid pull); sessions are held weakly, matching
+    * [[FrameMemo]]. */
+  private val bpeMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, Seq[graft.operators.BpeTrain.Merge]]]()
+
+  private[queries] def bpeMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[graft.operators.BpeTrain.Merge] = {
+    val m = bpeMemo.synchronized {
+      var mm = bpeMemo.get(spark)
+      if (mm == null) {
+        mm = scala.collection.concurrent.TrieMap
+          .empty[String, Seq[graft.operators.BpeTrain.Merge]]
+        bpeMemo.put(spark, mm)
+      }
+      mm
+    }
+    m.getOrElseUpdate(dir, graft.operators.BpeTrain.train(
+      Tables.loadParallel(spark, dir, "documents"), "text", BpeRounds))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Tokenizer lifecycle COMPOSITION: encode the corpus under the
@@ -260,7 +307,7 @@ object TextQueries {
     // a tokenizer-budget planner reads off this table.
     QueryDef("q174_bpe_encode", bpeEncodeSql) { (spark, dir) =>
       val docs = Tables.load(spark, dir, "documents")
-      val merges = graft.operators.BpeTrain.train(docs, "text", BpeRounds)
+      val merges = bpeMerges(spark, dir)
       graft.operators.BpeTrain.encodeCounts(docs, "text", "doc_id", merges)
         .orderBy(col("doc_id"))
     },
@@ -271,8 +318,7 @@ object TextQueries {
     // merge per round. The oracle replays all 8 rounds.
     QueryDef("q167_bpe_train", bpeTrainSql) { (spark, dir) =>
       import spark.implicits._
-      graft.operators.BpeTrain
-        .train(Tables.load(spark, dir, "documents"), "text", BpeRounds)
+      bpeMerges(spark, dir)
         .toDF()
         .select(col("round").cast("long").as("round"), col("pair"),
           col("merged"), col("n"))
@@ -471,19 +517,11 @@ object TextQueries {
          |         row_number() OVER (ORDER BY sim DESC, doc_a, doc_b) AS rn
          |  FROM pr) z WHERE rn <= 50 ORDER BY sim DESC, doc_a, doc_b""".stripMargin) {
       (spark, dir) =>
-        val docs = Tables.load(spark, dir, "documents")
-        val p = col("_p")
-        val tf = docs
-          .select(col("doc_id"), split(col("text"), " ").as("_p"))
-          .select(col("doc_id"), explode_outer(when(size(p) >= 3,
-            transform(sequence(lit(1), greatest(size(p) - 2, lit(1))),
-              i => concat_ws(" ", element_at(p, i), element_at(p, i + 1),
-                element_at(p, i + 2))))).as("term"))
-          .where(col("term").isNotNull)
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val tf = shingleTf(spark, dir)
         val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
           .where(col("df") <= 10)
-        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val nd = Tables.load(spark, dir, "documents")
+          .agg(count(lit(1)).as("n_docs"))
         val w = tf.join(dfc, "term").crossJoin(broadcast(nd))
           .select(col("doc_id"), col("term"),
             (col("tf") * expr("n_docs DIV df")).as("w"))
@@ -526,7 +564,7 @@ object TextQueries {
       (spark, dir) =>
         graft.functions.GraftFunctions.register(spark)
         val p = col("_p")
-        val g = Tables.load(spark, dir, "documents")
+        val g = Tables.loadParallel(spark, dir, "documents")
           .select(col("lang"), split(col("text"), " ").as("_p"))
           .select(col("lang"), explode_outer(when(size(p) >= 3,
             transform(sequence(lit(1), greatest(size(p) - 2, lit(1))),
@@ -581,15 +619,9 @@ object TextQueries {
          |FROM pr JOIN sz ON sz.doc_id = pr.src_doc
          |WHERE n_shared * 2 >= sz.n_sh
          |ORDER BY src_doc, dst_doc""".stripMargin) { (spark, dir) =>
-      val p = col("_p")
-      val tok = Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("_p"))
-        .select(col("doc_id"), explode_outer(when(size(p) >= 3,
-          transform(sequence(lit(1), greatest(size(p) - 2, lit(1))),
-            i => concat_ws(" ", element_at(p, i), element_at(p, i + 1),
-              element_at(p, i + 2))))).as("term"))
-        .where(col("term").isNotNull)
-        .distinct()
+      // the (doc, shingle, tf) frame already collapses duplicates per
+      // pair, so dropping tf IS the distinct (doc, shingle) set
+      val tok = shingleTf(spark, dir).select(col("doc_id"), col("term"))
       val dfc = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .where(col("df") <= 10)
       val u = tok.join(dfc.select(col("term")), "term")
@@ -1384,7 +1416,7 @@ object TextQueries {
         |GROUP BY center, context
         |ORDER BY n_pairs DESC, center, context LIMIT 50""".stripMargin) {
       (spark, dir) =>
-        val toks = Tables.load(spark, dir, "documents")
+        val toks = Tables.loadParallel(spark, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("t"))
         val freq = toks.select(explode(col("t")).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("f"))
@@ -1451,7 +1483,7 @@ object TextQueries {
         |       CAST((10000 * est) // f2_exact AS BIGINT) AS ratio_bp
         |FROM grp CROSS JOIN est CROSS JOIN f2
         |ORDER BY grp""".stripMargin) { (spark, dir) =>
-      val toks = Tables.load(spark, dir, "documents")
+      val toks = Tables.loadParallel(spark, dir, "documents")
         .select(explode(split(col("text"), " ")).as("t"))
       // sign_r is a pure function of the TOKEN VALUE, so Σ_tokens
       // sign_r(t) = Σ_{distinct t} f(t)·sign_r(t): hash at VOCAB grain

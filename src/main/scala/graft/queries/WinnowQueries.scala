@@ -59,7 +59,7 @@ object WinnowQueries {
          |SELECT doc_id, n_grams, n_fp, fp_hsum
          |FROM ng JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin) {
       (spark, dir) =>
-        val docs = Tables.load(spark, dir, "documents")
+        val docs = Tables.loadParallel(spark, dir, "documents")
         val ng = Winnow.gramHashes(docs, "doc_id", "text")
           .groupBy(col("doc_id")).agg(min(col("n")).cast("long").as("n_grams"))
         val ag = Winnow.fingerprints(docs, "doc_id", "text")
@@ -93,7 +93,7 @@ object WinnowQueries {
          |GROUP BY held.doc_id ORDER BY held.doc_id""".stripMargin) {
       (spark, dir) =>
         val g = Winnow.gramHashes(
-          Tables.load(spark, dir, "documents"), "doc_id", "text")
+          Tables.loadParallel(spark, dir, "documents"), "doc_id", "text")
           .select(col("doc_id"), col("h"))
         val tr = g.where(col("doc_id") % 2 === 0).select(col("h")).distinct()
           .withColumn("seen", lit(1L))
@@ -121,7 +121,7 @@ object WinnowQueries {
          |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= $MinShared
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-      Winnow.overlap(Tables.load(spark, dir, "documents"), "doc_id", "text",
+      Winnow.overlap(Tables.loadParallel(spark, dir, "documents"), "doc_id", "text",
           minShared = MinShared, maxDf = MaxDf)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -149,7 +149,7 @@ object WinnowQueries {
          |SELECT id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id
          |ORDER BY id""".stripMargin) { (spark, dir) =>
       NearDupQueries.clustersFromPairs(
-          Winnow.overlap(Tables.load(spark, dir, "documents"), "doc_id",
+          Winnow.overlap(Tables.loadParallel(spark, dir, "documents"), "doc_id",
             "text", minShared = MinShared, maxDf = MaxDf)
             .select(col("doc_a"), col("doc_b")))
         .orderBy(col("id"))

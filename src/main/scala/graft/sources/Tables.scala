@@ -72,25 +72,35 @@ object Tables {
       try rdr.getFooter.getBlocks.size finally rdr.close()
     }.sum
 
-  /** Fixture scan, rebalanced when the file layout under-parallelizes.
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Fixture scan for PER-ROW-HEAVY consumers (tokenize/shingle/md5/
+    * regex chains), rebalanced when the file layout under-parallelizes.
     *
     * The driver fixtures are one single-row-group parquet file per
-    * table, so the bare scan plans ONE effective task and every
-    * downstream map-side computation (tokenize/md5/regex families)
-    * runs single-threaded regardless of core count — the guide's
-    * §2.5 "input skew: one huge unsplittable file" case. The fix is
-    * scale-adaptive, not a local[32] constant: when the table's
-    * splittable units (row groups) are fewer than the session's
-    * parallelism AND the whole table is small enough that one extra
-    * round-robin exchange is trivially cheap (< 4 GiB), redistribute
-    * to `defaultParallelism` partitions right after the read. A
-    * production-scale table skips the branch entirely (size guard
-    * first, so no footers are ever read at scale), and a well-laid-out
-    * small table (row groups >= cores) is returned as-is. Explicit
-    * write-side distributions (repartitionByRange/REPARTITION hints in
-    * every staging path) override this upstream exchange, so staged
-    * layouts are unaffected. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    * table, so the bare scan plans ONE effective task and a downstream
+    * hash/tokenize stage runs single-threaded regardless of core count
+    * — the guide's §2.5 "input skew: one huge unsplittable file" case.
+    * The fix is scale-adaptive, not a local[32] constant: when the
+    * table's splittable units (row groups) are fewer than the
+    * session's parallelism AND the whole table is small enough that
+    * one extra round-robin exchange is trivially cheap (< 4 GiB),
+    * redistribute to `defaultParallelism` partitions right after the
+    * read. A production-scale table skips the branch entirely (size
+    * guard first, so no footers are ever read at scale), and a
+    * well-laid-out small table (row groups >= cores) is returned
+    * as-is.
+    *
+    * Deliberately OPT-IN per call site, not the default: a round-19
+    * control measured the blanket form regressing every consumer whose
+    * per-row work is LIGHT — catalog staging INSERTs fanned out to 32
+    * tiny files (+1-2.5 s per CDC/CDF gate), TPC-H joins paid an extra
+    * full exchange per base table (+0.7-1.5 s), and iterative chains
+    * (BPE rounds, pagerank) multiplied per-round task overhead — while
+    * the compute-bound family (q209/q226/q241/substring-dedup) gained
+    * 2-4x. Only the latter class calls this. */
+  def loadParallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val df = spark.read.parquet(path)
     val cores = spark.sparkContext.defaultParallelism
