@@ -838,15 +838,70 @@ object SimilarityQueries {
     * counted intersection of two (NumQueries x TopK)-row frames —
     * all tiny, all broadcast. */
   def ivfPqRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    // ONE plan for the whole sweep (round-19): the four operating
+    // points previously built four independent probe→ADC→rerank
+    // chains (plus the brute baseline, ~5 jobs of planning+codegen);
+    // the sweep now ranks cells ONCE, explodes an `np` operating-point
+    // dimension (a row survives for point np iff its probe rank
+    // rn <= np — exactly probedCells(q, cents, np) per slice), and
+    // runs one shared ADC→shortlist→rerank tail with (np, qid) window
+    // partitions. Per-np rows are provably identical to the old
+    // per-point chains: same probe window (psim desc, cid), same
+    // shortlist rule (ascore desc, nid; width PqShortlist·np), same
+    // exact-rerank tail; the recall aggregation then groups by np.
+    GraftFunctions.register(spark)
     val brute = bruteForceTopK(spark, dir).select(col("qid"), col("nid"))
-    RecallProbes.map { np =>
-      ivfPqTopK(spark, dir, np, shortlistLen = PqShortlist * np)
-        .select(col("qid"), col("nid"))
-        .join(brute, Seq("qid", "nid"))
-        .agg((count(lit(1)).cast("double") / (NumQueries * TopK))
-          .as("recall_at_10"))
-        .select(lit(np.toLong).as("nprobe"), col("recall_at_10"))
-    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+    val codes = ivfPqCodes(spark, dir)
+    val cbRow = PqIndex.codebookRow(pqCodebook(spark, dir))
+    val q = normed(
+      Tables.load(spark, dir, "embeddings").where(col("vec_id") < NumQueries))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("psim").desc, col("cid"))
+    val ranked = q.crossJoin(ivfCentroids(spark, dir))
+      .select(col("qid"), col("qv"), col("qnrm"), col("cid"),
+        cosine(col("qv"), col("cv"), col("qnrm"), col("cnrm")).as("psim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= RecallProbes.max)
+    val probes = broadcast(ranked
+      .select(col("qid"), col("qv"), col("qnrm"), col("cid"), col("rn"),
+        explode(typedLit(RecallProbes.map(_.toLong))).as("np"))
+      .where(col("rn") <= col("np"))
+      .crossJoin(broadcast(cbRow))
+      .select(col("np"), col("qid"), col("qv"), col("qnrm"), col("cid"),
+        PqIndex.queryLut(col("qv"), col("cbs")).as("qlut")))
+    val scored = probes.join(codes, Seq("cid"))
+      .select(col("np"), col("qid"), col("vec_id").as("nid"),
+        col("qv"), col("qnrm"),
+        (PqIndex.adcScore(col("codes"), col("qlut")) / col("nrm")).as("ascore"))
+    val wShort = Window.partitionBy(col("np"), col("qid"))
+      .orderBy(col("ascore").desc, col("nid"))
+    val shortlist = broadcast(scored
+      .withColumn("srn", row_number().over(wShort))
+      .where(col("srn") <= lit(PqShortlist.toLong) * col("np"))
+      .select(col("np"), col("qid"), col("nid"), col("qv"), col("qnrm")))
+    val tv = corpus(spark, dir).select(col("vec_id").as("nid"),
+      col("v").as("nv"), col("nrm").as("nnrm"))
+    val wRank = Window.partitionBy(col("np"), col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    val hits = shortlist.join(tv, "nid")
+      .select(col("np"), col("qid"), col("nid"),
+        cosine(col("qv"), col("nv"), col("qnrm"), col("nnrm")).as("sim"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= TopK)
+      .select(col("np"), col("qid"), col("nid"))
+      .join(brute, Seq("qid", "nid"))
+      .groupBy(col("np")).agg(count(lit(1)).as("n_hit"))
+    // left join from the literal point list: an operating point with
+    // ZERO intersections must still emit its row (recall 0.0), exactly
+    // as the old per-point agg-without-groupBy did
+    import spark.implicits._
+    RecallProbes.map(_.toLong).toDF("np")
+      .join(hits, Seq("np"), "left")
+      .select(col("np").as("nprobe"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          (NumQueries * TopK)).as("recall_at_10"))
+      .orderBy(col("nprobe"))
   }
 
   // ---- Residual (two-stage) PQ: q0r build, q109 probe -------------------
